@@ -1,0 +1,80 @@
+"""Quantile pipelines: per-key t-digest over a numeric column.
+
+The flagship pipeline (SURVEY.md §3 "Ray Data re-architecture"):
+
+    pages -> ExtractText -> derive_metrics
+          -> partial t-digests per (batch, lang)       [map-side combine]
+          -> two-level canonical merge by lang          [tiny shuffle]
+          -> quantiles / trimmed means per lang         [query stage]
+"""
+
+from __future__ import annotations
+
+from ..state.protocol import SketchSpec
+from ..state.scale_functions import K_2
+from ..state.tdigest import TDigest
+from ..stages.aggregate import sketch_by_key, summarize
+from ..stages.extract import ExtractText, derive_metrics
+
+DEFAULT_QS = (0.01, 0.05, 0.1, 0.25, 0.5, 0.75, 0.9, 0.95, 0.99)
+
+
+def q_col(q: float) -> str:
+    """Column name for quantile q: 0.5 -> 'q50', 0.01 -> 'q1', 0.999 -> 'q99_9'."""
+    pct = q * 100
+    if abs(pct - round(pct)) < 1e-9:
+        return f"q{int(round(pct))}"
+    return "q" + f"{pct:.4f}".rstrip("0").replace(".", "_")
+
+
+def tdigest_spec(compression: float = 100.0, scale=K_2,
+                 qs=DEFAULT_QS, trims=((0.05, 0.95),),
+                 include_minmax: bool = True) -> SketchSpec:
+    """SketchSpec for a t-digest whose summary is quantiles + trimmed means."""
+
+    def summ(sk: TDigest) -> dict:
+        sk.compress()
+        out = {q_col(q): sk.quantile(q) for q in qs}
+        for lo, hi in trims:
+            out[f"trimmed_mean_{int(lo * 100)}_{int(hi * 100)}"] = \
+                sk.trimmed_mean(lo, hi)
+        if include_minmax:
+            out["min"] = sk.min if sk.size else float("nan")
+            out["max"] = sk.max if sk.size else float("nan")
+        return out
+
+    return SketchSpec(
+        name="tdigest",
+        factory=lambda: TDigest(compression, scale),
+        from_bytes=lambda b: TDigest.from_bytes(b, scale),
+        summarize=summ,
+    )
+
+
+def quantiles_by_key(ds, value_col: str, key: str | None = None,
+                     compression: float = 100.0, qs=DEFAULT_QS,
+                     trims=((0.05, 0.95),), num_salts: int = 8,
+                     batch_size: int = 65536, key_name: str | None = None):
+    """t-digest quantiles of ``value_col`` grouped by ``key`` (or global)."""
+    spec = tdigest_spec(compression, qs=qs, trims=trims)
+    merged = sketch_by_key(ds, spec, value_col, key,
+                           num_salts=num_salts, batch_size=batch_size)
+    return summarize(merged, spec, key_name=key_name or (key or "key"))
+
+
+def pages_quantiles(pages_ds, value_cols=("text_length", "html_size"),
+                    key: str = "lang", compression: float = 100.0,
+                    qs=DEFAULT_QS, num_salts: int = 8):
+    """The flagship: extract + derive, then per-lang digests of each metric.
+
+    Returns a dict {value_col: Dataset of per-lang quantile rows}.
+    """
+    derived = (pages_ds
+               .map_batches(ExtractText(), batch_format="pyarrow")
+               .map_batches(derive_metrics, batch_format="pyarrow"))
+    out = {}
+    for col in value_cols:
+        out[col] = quantiles_by_key(derived, col, key,
+                                    compression=compression, qs=qs,
+                                    num_salts=num_salts, key_name=key)
+    return out

@@ -1,0 +1,147 @@
+"""The Common-Crawl-style ``pages`` table (BASELINE.json input_hint).
+
+Schema: ``url: string, warc_ts: timestamp[us], html: binary, text: string,
+lang: string``.
+
+Two deterministic constructors:
+
+* ``synthetic_pages(n_rows)`` — fully synthetic, generated per-row from the
+  row id by counter-based hashing (``splitmix64``), so every cell is a pure
+  function of (seed, row_id): identical bytes at ANY parallelism, block size
+  or retry order (the per-row determinism invariant, SURVEY.md §4 /
+  FIXTURES.md §1). Hot-key skew is built in: ``lang`` is Zipf over 20 codes
+  with "en" ~ 40%, hosts are Zipf over 1000.
+* ``pages_from_documents(sf_dir)`` — deterministic reshaping of the driver's
+  ``documents.parquet`` into the pages schema (url from doc_id+source, html
+  wraps text in a fixed template), so correctness checks can run against
+  DuckDB over the same testdata.
+
+The html template makes extraction exactly invertible:
+``<html><head><title>{url}</title></head><body><p>{text}</p></body></html>``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions.hashing import hash64, splitmix64, uniform01
+
+SEED = 42
+BASE_TS_US = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z in microseconds
+
+LANGS = ["en", "de", "fr", "es", "ru", "zh", "ja", "pt", "it", "nl",
+         "pl", "tr", "sv", "ar", "ko", "cs", "fi", "hu", "el", "da"]
+N_HOSTS = 1000
+
+# per-lang lognormal text-length parameters (mu in log-chars) — lengths
+# differ measurably per lang so per-lang quantile results are distinct
+_LANG_MU = 5.0 + 0.12 * np.arange(len(LANGS))
+_LANG_SIGMA = 0.55 + 0.01 * np.arange(len(LANGS))
+
+_HTML_PRE = "<html><head><title>"
+_HTML_MID = "</title></head><body><p>"
+_HTML_POST = "</p></body></html>"
+
+
+def _zipf_cdf(n: int, s: float) -> np.ndarray:
+    w = 1.0 / np.arange(1, n + 1) ** s
+    return np.cumsum(w) / w.sum()
+
+_LANG_CDF = _zipf_cdf(len(LANGS), 1.35)   # lang[0]="en" gets ~40%
+_HOST_CDF = _zipf_cdf(N_HOSTS, 1.1)
+
+
+def _corpus() -> str:
+    """1 MiB deterministic token soup, built once per process."""
+    global _CORPUS
+    try:
+        return _CORPUS
+    except NameError:
+        pass
+    rng = np.random.default_rng(SEED)
+    vocab = np.array([f"w{i:03x}" for i in range(4096)])
+    toks = vocab[rng.integers(0, len(vocab), 220_000)]
+    _CORPUS = " ".join(toks.tolist())
+    return _CORPUS
+
+
+def generate_pages_batch(ids: np.ndarray) -> pa.Table:
+    """Vectorized pages rows for the given global row ids (deterministic)."""
+    ids = np.asarray(ids, dtype=np.uint64)
+    h_host = splitmix64(ids ^ np.uint64(0x686F7374))  # 'host'
+    h_lang = splitmix64(ids ^ np.uint64(0x6C616E67))  # 'lang'
+    h_len = splitmix64(ids ^ np.uint64(0x6C656E31))
+    h_len2 = splitmix64(ids ^ np.uint64(0x6C656E32))
+    h_off = splitmix64(ids ^ np.uint64(0x6F666673))
+
+    host_idx = np.searchsorted(_HOST_CDF, uniform01(h_host), side="left")
+    lang_idx = np.searchsorted(_LANG_CDF, uniform01(h_lang), side="left")
+    langs = np.asarray(LANGS, dtype=object)[lang_idx]
+
+    # Box-Muller normal from two uniform hashes -> per-lang lognormal length
+    u1 = np.clip(uniform01(h_len), 1e-12, 1.0)
+    u2 = uniform01(h_len2)
+    z = np.sqrt(-2.0 * np.log(u1)) * np.cos(2.0 * np.pi * u2)
+    length = np.exp(_LANG_MU[lang_idx] + _LANG_SIGMA[lang_idx] * z)
+    length = np.clip(length, 16, 4096).astype(np.int64)
+
+    corpus = _corpus()
+    max_off = len(corpus) - 4096 - 1
+    offs = (h_off % np.uint64(max_off)).astype(np.int64)
+
+    urls = [f"https://host{hi:04d}.example.com/p/{i:016x}"
+            for hi, i in zip(host_idx, ids)]
+    texts = [corpus[o:o + l] for o, l in zip(offs, length)]
+    htmls = [(_HTML_PRE + u + _HTML_MID + t + _HTML_POST).encode()
+             for u, t in zip(urls, texts)]
+    ts = (BASE_TS_US + ids.astype(np.int64) * 1_000_000)
+
+    return pa.table({
+        "url": pa.array(urls, type=pa.string()),
+        "warc_ts": pa.array(ts, type=pa.timestamp("us")),
+        "html": pa.array(htmls, type=pa.binary()),
+        "text": pa.array(texts, type=pa.string()),
+        "lang": pa.array(langs, type=pa.string()),
+    })
+
+
+def synthetic_pages(n_rows: int, parallelism: int = -1):
+    """A lazy Ray Dataset of deterministic pages rows."""
+    import ray.data as rd
+
+    ds = rd.range(n_rows, override_num_blocks=parallelism
+                  if parallelism > 0 else None)
+
+    def gen(batch: pa.Table) -> pa.Table:
+        return generate_pages_batch(batch["id"].to_numpy())
+
+    return ds.map_batches(gen, batch_format="pyarrow")
+
+
+def pages_from_documents(sf_dir: str):
+    """Reshape the driver's documents table into the pages schema."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text", "lang", "source"])
+
+    def to_pages(batch: pa.Table) -> pa.Table:
+        doc_id = batch["doc_id"].to_numpy()
+        text = batch["text"].to_pylist()
+        lang = batch["lang"]
+        src = batch["source"].to_pylist()
+        urls = [f"https://{s}.example.com/doc/{i:012d}"
+                for s, i in zip(src, doc_id)]
+        htmls = [(_HTML_PRE + u + _HTML_MID + t + _HTML_POST).encode()
+                 for u, t in zip(urls, text)]
+        ts = BASE_TS_US + doc_id * 1_000_000
+        return pa.table({
+            "url": pa.array(urls, type=pa.string()),
+            "warc_ts": pa.array(ts, type=pa.timestamp("us")),
+            "html": pa.array(htmls, type=pa.binary()),
+            "text": batch["text"],
+            "lang": lang,
+        })
+
+    return ds.map_batches(to_pages, batch_format="pyarrow")

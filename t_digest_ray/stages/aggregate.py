@@ -1,0 +1,174 @@
+"""Ray Data wiring for mergeable sketches.
+
+The scalable topology (SURVEY.md §3, the Ray re-architecture of
+MergingDigest.add(List) / MegaMergeTest's partial->merge pattern):
+
+    ds.map_batches(partial_fn, batch_format="pyarrow")     # map-side combine:
+        -> rows (key, salt, sketch: binary, n: float64)    #   one sketch per
+                                                           #   (batch x key)
+    .groupby([key, salt]).map_groups(merge)                # level-1 merge
+    .groupby(key).map_groups(merge)                        # level-2 merge
+    .map_batches(summarize)                                # query stage
+
+Raw values never shuffle — only serialized sketches (KBs per row), which is
+what makes the wide step cheap at 10^12 rows. The salt level bounds the fan-in
+of any single merge task for hot keys ("en" at 40% of a web corpus): level-1
+fan-in ~ #batches/num_salts, level-2 fan-in = num_salts. Sketch merges are
+associative, so the two-level tree gives the same answer (within the
+sketch's published bound) as a flat merge — property-tested in
+tests/test_ray_aggregate.py.
+
+The merges are canonical one-shot N-way merges (concat all centroid arrays,
+one sort, one cluster pass — MergingDigest.java:314-357 semantics), so the
+result is independent of the order Ray delivers the partial rows.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..functions.hashing import hash64
+from ..state.protocol import SketchSpec
+
+SKETCH_COL = "sketch"
+COUNT_COL = "n"
+KEY_COL = "key"
+SALT_COL = "salt"
+
+_GLOBAL_KEY = ""  # constant key used when aggregating without a group key
+
+
+def make_partial_fn(spec: SketchSpec, value_col: str,
+                    key: str | None = None,
+                    weight_col: str | None = None,
+                    num_salts: int = 8):
+    """Build the map-side combine: one serialized sketch per (batch, key).
+
+    Stateless by design — each batch independently becomes <= #keys tiny
+    rows, so tasks are cheap, elastic and retry-deterministic (the sketch of
+    a batch depends only on the batch's content: values are order-
+    canonicalized inside ``update_batch``). The salt is content-derived, so
+    a retried task lands in the same level-1 merge group.
+    """
+
+    def fn(batch: pa.Table) -> pa.Table:
+        vals = batch[value_col].to_numpy(zero_copy_only=False)
+        weights = (batch[weight_col].to_numpy(zero_copy_only=False)
+                   if weight_col else None)
+        out_keys: list[Any] = []
+        out_blobs: list[bytes] = []
+        out_n: list[float] = []
+        if key is None:
+            sk = spec.factory()
+            sk.update_batch(vals, weights)
+            out_keys.append(_GLOBAL_KEY)
+            out_blobs.append(sk.to_bytes())
+            out_n.append(float(len(vals)))
+        else:
+            karr = batch[key].to_numpy(zero_copy_only=False)
+            order = np.argsort(karr, kind="stable")
+            sk_sorted = karr[order]
+            uniq, starts = np.unique(sk_sorted, return_index=True)
+            bounds = np.append(starts, len(sk_sorted))
+            for i, k in enumerate(uniq):
+                idx = order[bounds[i]:bounds[i + 1]]
+                sk = spec.factory()
+                sk.update_batch(vals[idx],
+                                None if weights is None else weights[idx])
+                out_keys.append(k)
+                out_blobs.append(sk.to_bytes())
+                out_n.append(float(len(idx)))
+        salts = (hash64(np.asarray(out_blobs, dtype=object))
+                 % np.uint64(max(num_salts, 1))).astype(np.int32)
+        return pa.table({
+            KEY_COL: pa.array(out_keys),
+            SALT_COL: pa.array(salts),
+            SKETCH_COL: pa.array(out_blobs, type=pa.binary()),
+            COUNT_COL: pa.array(out_n, type=pa.float64()),
+        })
+
+    return fn
+
+
+def _merge_group(spec: SketchSpec):
+    """A map_groups body: N partial rows for one (key[, salt]) -> 1 row."""
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        merged = spec.merge_bytes(list(g[SKETCH_COL]))
+        return pd.DataFrame({
+            KEY_COL: [g[KEY_COL].iloc[0]],
+            SKETCH_COL: [merged.to_bytes()],
+            COUNT_COL: [float(g[COUNT_COL].sum())],
+        })
+
+    return merge
+
+
+def sketch_by_key(ds, spec: SketchSpec, value_col: str,
+                  key: str | None = None,
+                  weight_col: str | None = None,
+                  num_salts: int = 8,
+                  batch_size: int = 65536):
+    """Full pipeline: partials -> two-level canonical merge.
+
+    Returns a Dataset of rows ``(key, sketch: binary, n: float64)`` — one per
+    group (a single row with key "" when ``key is None``).
+    """
+    partials = ds.map_batches(
+        make_partial_fn(spec, value_col, key, weight_col, num_salts),
+        batch_format="pyarrow", batch_size=batch_size)
+    merge = _merge_group(spec)
+    if num_salts > 1:
+        level1 = partials.groupby([KEY_COL, SALT_COL]).map_groups(
+            merge, batch_format="pandas")
+    else:
+        level1 = partials
+    return level1.groupby(KEY_COL).map_groups(merge, batch_format="pandas")
+
+
+def summarize(ds, spec: SketchSpec, key_name: str = KEY_COL):
+    """Query stage: expand each merged sketch row into result columns."""
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for _, r in df.iterrows():
+            sk = spec.from_bytes(r[SKETCH_COL])
+            out = {key_name: r[KEY_COL], COUNT_COL: r[COUNT_COL]}
+            out.update(spec.summarize(sk))
+            rows.append(out)
+        return pd.DataFrame(rows)
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+def sketch_aggregate_fn(spec: SketchSpec, name: str | None = None):
+    """Adapter: any Sketch -> a Ray Data ``AggregateFn``.
+
+    The accumulator is the sketch's byte encoding (Arrow-friendly), so this
+    composes with ``Dataset.aggregate`` / ``groupby().aggregate`` directly.
+    ``sketch_by_key`` is preferred for big inputs because its map-side
+    combine pre-shrinks the shuffle; this adapter is the drop-in generic
+    form (mirrors the UDAF contract in SURVEY.md §1.2).
+    """
+    from ray.data.aggregate import AggregateFn
+
+    col = getattr(spec, "value_col", None)
+
+    def accumulate_block(acc: bytes, block) -> bytes:
+        tbl = block if isinstance(block, pa.Table) else pa.Table.from_pandas(block)
+        sk = spec.from_bytes(acc)
+        vals = tbl[col or tbl.column_names[0]].to_numpy(zero_copy_only=False)
+        sk.update_batch(vals)
+        return sk.to_bytes()
+
+    return AggregateFn(
+        init=lambda k: spec.factory().to_bytes(),
+        merge=lambda a, b: spec.merge_bytes([a, b]).to_bytes(),
+        accumulate_block=accumulate_block,
+        finalize=lambda a: a,
+        name=name or f"{spec.name}({col})",
+    )
