@@ -1,16 +1,17 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship pages pipeline at sf0.001. ``queries()`` maps
+operator names to callables over an ``sf_dir``; every SQL-expressible one has
+a DuckDB oracle in ``oracle_sql()`` designed for exact value-hash equality:
+outputs carry only group keys, int64 counts, integer-cents sums
+(``round(sum*100)``; float64 accumulation error ≪ 0.5 cents, so both engines
+round to the same integer), exact min/max (actual data elements) and
+``quantile_disc``-convention exact quantiles. Approximate sketch queries have
+no oracle (rows-only check) — their accuracy is asserted against exact
+oracles in ``tests/`` within the published error bounds instead.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver before this module is imported; nothing here
+calls ray.init()/shutdown().
 """
 
 from __future__ import annotations
@@ -18,27 +19,214 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _cents(df: pd.DataFrame, cols) -> pd.DataFrame:
+    for c in cols:
+        df[c] = np.rint(df[c].to_numpy() * 100).astype(np.int64)
+    return df
+
+
+# --------------------------------------------------------------------- exact
+
+
+def q1_pricing_summary(sf_dir: str):
+    """TPC-H Q1-shaped pricing summary (groupby-aggregate machinery)."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity",
+                "l_extendedprice", "l_discount"])
+
+    def derive(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        rev = pc.multiply(b["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), b["l_discount"]))
+        return b.append_column("disc_price", rev)
+
+    out = (ds.map_batches(derive, batch_format="pyarrow")
+           .groupby(["l_returnflag", "l_linestatus"])
+           .aggregate(Sum("l_quantity", alias_name="sum_qty"),
+                      Sum("l_extendedprice", alias_name="sum_base_price_cents"),
+                      Sum("disc_price", alias_name="sum_disc_price_cents"),
+                      Count(alias_name="count_order")))
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        df["sum_qty"] = np.rint(df["sum_qty"].to_numpy()).astype(np.int64)
+        return _cents(df, ["sum_base_price_cents", "sum_disc_price_cents"])
+
+    return out.map_batches(finalize, batch_format="pandas")
+
+
+def doc_stats_by_lang(sf_dir: str):
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    ds = _read(sf_dir, "documents", ["lang", "n_chars"])
+    return ds.groupby("lang").aggregate(
+        Count(alias_name="n_docs"),
+        Sum("n_chars", alias_name="sum_chars"),
+        Min("n_chars", alias_name="min_chars"),
+        Max("n_chars", alias_name="max_chars"))
+
+
+def exact_quantiles_by_lang(sf_dir: str):
+    """Distributed exact quantiles (Dist.java oracle port; small-scale op)."""
+    from t_digest_ray.pipelines.relational import exact_quantiles_by_key
+
+    ds = _read(sf_dir, "documents", ["lang", "n_chars"])
+    return exact_quantiles_by_key(ds, "lang", "n_chars", qs=(0.25, 0.5, 0.75))
+
+
+def exact_dedup_text(sf_dir: str):
+    from t_digest_ray.pipelines.relational import dedup_exact
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return dedup_exact(ds, "text", "doc_id")
+
+
+def top_event_types(sf_dir: str):
+    from t_digest_ray.pipelines.relational import top_k_by_count
+
+    ds = _read(sf_dir, "events", ["event_type"])
+    return top_k_by_count(ds, "event_type", k=3, count_name="cnt")
+
+
+def distinct_users_by_type(sf_dir: str):
+    from t_digest_ray.pipelines.relational import distinct_count_by_key
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+    return distinct_count_by_key(ds, "event_type", "user_id", "n_users")
+
+
+def customer_nation_stats(sf_dir: str):
+    """Broadcast join (small dimension side) + grouped count."""
+    import pyarrow.parquet as pq
+    from t_digest_ray.pipelines.relational import broadcast_join_count
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_name"]).to_pandas()
+    ds = _read(sf_dir, "customer", ["c_nationkey", "c_acctbal"])
+    out = broadcast_join_count(ds, nation, "c_nationkey", "n_nationkey",
+                               "n_name", "c_acctbal",
+                               {"count": "n_customers", "sum": "sum_acctbal_cents",
+                                "avg": "avg_drop", "min": "min_acctbal",
+                                "max": "max_acctbal"})
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=["avg_drop"])
+        return _cents(df, ["sum_acctbal_cents"])
+
+    return out.map_batches(finalize, batch_format="pandas")
+
+
+# --------------------------------------------------------------- approximate
+
+
+def tdigest_quantiles_by_lang(sf_dir: str):
+    """Per-lang t-digest quantiles of n_chars (approx; bound-checked in tests)."""
+    from t_digest_ray.pipelines.quantiles import quantiles_by_key
+
+    ds = _read(sf_dir, "documents", ["lang", "n_chars"])
+    return quantiles_by_key(ds, "n_chars", "lang", compression=100,
+                            num_salts=2, batch_size=8192)
+
+
+def tdigest_events_value(sf_dir: str):
+    """Per-event-type digest of the value column."""
+    from t_digest_ray.pipelines.quantiles import quantiles_by_key
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    return quantiles_by_key(ds, "value", "event_type", compression=100,
+                            num_salts=4, batch_size=16384)
+
+
+def pages_flagship(sf_dir: str):
+    """The north-star pipeline: pages -> extract -> per-lang length digests."""
+    from t_digest_ray.pipelines.quantiles import pages_quantiles
+    from t_digest_ray.sources.pages import pages_from_documents
+
+    pages = pages_from_documents(sf_dir)
+    return pages_quantiles(pages, value_cols=("text_length",),
+                           key="lang", num_salts=2)["text_length"]
+
+
+# ----------------------------------------------------------------- contract
+
 
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    return pages_flagship("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": q1_pricing_summary,
+        "doc_stats_by_lang": doc_stats_by_lang,
+        "exact_quantiles_by_lang": exact_quantiles_by_lang,
+        "exact_dedup_text": exact_dedup_text,
+        "top_event_types": top_event_types,
+        "distinct_users_by_type": distinct_users_by_type,
+        "customer_nation_stats": customer_nation_stats,
+        "tdigest_quantiles_by_lang": tdigest_quantiles_by_lang,
+        "tdigest_events_value": tdigest_events_value,
+        "pages_flagship": pages_flagship,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(ROUND(SUM(l_quantity)) AS BIGINT) AS sum_qty,
+                   CAST(ROUND(SUM(l_extendedprice) * 100) AS BIGINT)
+                       AS sum_base_price_cents,
+                   CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)) * 100)
+                       AS BIGINT) AS sum_disc_price_cents,
+                   COUNT(*) AS count_order
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "doc_stats_by_lang": """
+            SELECT lang, COUNT(*) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+                   MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+            FROM documents GROUP BY lang
+        """,
+        "exact_quantiles_by_lang": """
+            SELECT lang,
+                   CAST(quantile_disc(n_chars, 0.25) AS DOUBLE) AS p25,
+                   CAST(quantile_disc(n_chars, 0.50) AS DOUBLE) AS p50,
+                   CAST(quantile_disc(n_chars, 0.75) AS DOUBLE) AS p75
+            FROM documents GROUP BY lang
+        """,
+        "exact_dedup_text": """
+            SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_dupes
+            FROM documents GROUP BY text
+        """,
+        "top_event_types": """
+            SELECT event_type, COUNT(*) AS cnt
+            FROM events GROUP BY event_type
+            ORDER BY cnt DESC, event_type ASC LIMIT 3
+        """,
+        "distinct_users_by_type": """
+            SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+            FROM events GROUP BY event_type
+        """,
+        "customer_nation_stats": """
+            SELECT n.n_name,
+                   COUNT(*) AS n_customers,
+                   CAST(ROUND(SUM(c.c_acctbal) * 100) AS BIGINT)
+                       AS sum_acctbal_cents,
+                   MIN(c.c_acctbal) AS min_acctbal,
+                   MAX(c.c_acctbal) AS max_acctbal
+            FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY n.n_name
+        """,
+    }

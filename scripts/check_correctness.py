@@ -1,0 +1,110 @@
+"""Local mimic of the driver's correctness gate.
+
+Runs every ``queries()`` entry at sf0.01, converts the result to pandas,
+runs the matching ``oracle_sql()`` in DuckDB over the same parquet views,
+then compares row count, schema (column names sorted) and values
+(order-insensitive: rows sorted by all columns). Exact equality for
+ints/strings; float columns require exact equality too, because the
+contract engineers them to be reproducible (rounded cents / actual data
+elements).
+
+Usage: python scripts/check_correctness.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import sys
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def to_pandas(obj) -> pd.DataFrame:
+    import pyarrow as pa
+    if isinstance(obj, pd.DataFrame):
+        return obj
+    if isinstance(obj, pa.Table):
+        return obj.to_pandas()
+    return obj.to_pandas()  # ray Dataset
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    import ray
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=8, include_dashboard=False,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as e
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+
+    qs = e.queries()
+    oracles = e.oracle_sql()
+    failures = 0
+    for name, fn in qs.items():
+        try:
+            got = canon(to_pandas(fn(sf_dir)))
+        except Exception as ex:  # noqa: BLE001
+            print(f"FAIL {name}: query raised {type(ex).__name__}: {ex}")
+            failures += 1
+            continue
+        if name not in oracles:
+            print(f"ok   {name}: rows-only ({len(got)} rows, "
+                  f"cols={list(got.columns)})")
+            continue
+        want = canon(con.execute(oracles[name]).fetchdf())
+        if list(got.columns) != list(want.columns):
+            print(f"FAIL {name}: columns {list(got.columns)} != {list(want.columns)}")
+            failures += 1
+            continue
+        if len(got) != len(want):
+            print(f"FAIL {name}: rows {len(got)} != {len(want)}")
+            failures += 1
+            continue
+        bad = []
+        for c in got.columns:
+            a, b = got[c].to_numpy(), want[c].to_numpy()
+            if np.issubdtype(a.dtype, np.floating) or np.issubdtype(b.dtype, np.floating):
+                eq = np.array_equal(a.astype(np.float64), b.astype(np.float64))
+            else:
+                eq = np.array_equal(a.astype(str) if a.dtype == object else a,
+                                    b.astype(str) if b.dtype == object else b)
+            if not eq:
+                bad.append(c)
+        if bad:
+            print(f"FAIL {name}: value mismatch in columns {bad}")
+            for c in bad[:2]:
+                mism = got[c] != want[c]
+                print(f"   {c}: got {got[c][mism].head(3).tolist()} "
+                      f"want {want[c][mism].head(3).tolist()}")
+            failures += 1
+        else:
+            print(f"PASS {name}: {len(got)} rows hash-equal")
+    print(f"\n{len(qs) - failures}/{len(qs)} ok")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    rc = main()
+    import ray
+    ray.shutdown()
+    sys.exit(rc)

@@ -1,0 +1,156 @@
+"""Exact relational operators expressed Ray-Data-first.
+
+These are the engine's SQL-expressible companions (FIXTURES.md §5): each has
+a DuckDB oracle in ``__ray_entry__.oracle_sql`` and exercises a core Ray Data
+primitive — groupby-aggregate, map_groups, broadcast join, distinct, top-k.
+``exact_quantiles_by_key`` is the distributed port of the reference's exact
+oracle (Dist.java:47-60), matching DuckDB ``quantile_disc`` exactly:
+value at index ``max(ceil(q*n) - 1, 0)`` of the sorted group.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _round_col(df: pd.DataFrame, cols, nd: int = 4) -> pd.DataFrame:
+    for c in cols:
+        df[c] = df[c].round(nd)
+    return df
+
+
+def grouped_stats(ds, key: str, value: str, out_names: dict[str, str],
+                  nd: int = 4):
+    """count / sum / avg / min / max of ``value`` per ``key`` (exact)."""
+    from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+    out = ds.groupby(key).aggregate(
+        Count(alias_name=out_names.get("count", "cnt")),
+        Sum(value, alias_name=out_names.get("sum", "sum_v")),
+        Mean(value, alias_name=out_names.get("avg", "avg_v")),
+        Min(value, alias_name=out_names.get("min", "min_v")),
+        Max(value, alias_name=out_names.get("max", "max_v")),
+    )
+
+    def rnd(df: pd.DataFrame) -> pd.DataFrame:
+        return _round_col(df, [out_names.get("sum", "sum_v"),
+                               out_names.get("avg", "avg_v")], nd)
+
+    return out.map_batches(rnd, batch_format="pandas")
+
+
+def exact_quantiles_by_key(ds, key: str, value: str,
+                           qs=(0.25, 0.5, 0.75)):
+    """Per-group exact quantiles (duckdb quantile_disc convention).
+
+    Groups must individually fit in a worker's heap — this is the exact
+    small-scale oracle operator (Dist.java port), not the sketch path.
+    """
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(g[value].to_numpy())
+        n = len(v)
+        row = {key: [g[key].iloc[0]]}
+        for q in qs:
+            idx = max(int(math.ceil(q * n)) - 1, 0)
+            row[f"p{int(q * 100)}"] = [float(v[idx])]
+        return pd.DataFrame(row)
+
+    return ds.groupby(key).map_groups(per_group, batch_format="pandas")
+
+
+def dedup_exact(ds, content_col: str, id_col: str):
+    """Exact dedup: keep the row with the smallest id per distinct content.
+
+    Scale path: hash the content inside ``map_batches`` (vectorized) so the
+    shuffle key is a fixed-width uint64, then pick the min-id row per group.
+    Returns (id, n_dupes) per kept row.
+    """
+    from ..functions.hashing import hash64
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        h = hash64(batch[content_col].to_numpy(zero_copy_only=False))
+        return batch.append_column("content_hash",
+                                   pa.array(h.astype(np.int64)))
+
+    hashed = ds.map_batches(add_hash, batch_format="pyarrow")
+
+    def first_per_group(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            id_col: [int(g[id_col].min())],
+            "n_dupes": [int(len(g))],
+        })
+
+    return (hashed
+            .select_columns(["content_hash", id_col])
+            .groupby("content_hash")
+            .map_groups(first_per_group, batch_format="pandas")
+            .select_columns([id_col, "n_dupes"]))
+
+
+def top_k_by_count(ds, key: str, k: int, count_name: str = "cnt"):
+    """Top-k keys by row count with a deterministic (count desc, key asc)
+    tie-break. Pre-aggregated per batch before the shuffle."""
+    from ray.data.aggregate import Sum
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        arr = batch[key].to_numpy(zero_copy_only=False)
+        uniq, counts = np.unique(arr, return_counts=True)
+        return pa.table({key: pa.array(uniq),
+                         "partial": pa.array(counts.astype(np.int64))})
+
+    counts = (ds.map_batches(partial_counts, batch_format="pyarrow")
+              .groupby(key).aggregate(Sum("partial", alias_name=count_name)))
+    # top-k of a tiny aggregate: sort then limit
+    top = counts.sort([count_name, key], descending=[True, False]).limit(k)
+    return top
+
+
+def distinct_count_by_key(ds, key: str, value: str, out_name: str):
+    """Exact count(distinct value) per key: dedup on (key, value) pairs
+    inside each batch, then a global pair-dedup + count."""
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        t = batch.select([key, value])
+        df = t.to_pandas().drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    deduped = (ds.map_batches(pairs, batch_format="pyarrow")
+               .groupby([key, value])
+               .map_groups(lambda g: g.head(1), batch_format="pandas"))
+
+    def count_per_key(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({key: [g[key].iloc[0]],
+                             out_name: [int(len(g))]})
+
+    return deduped.groupby(key).map_groups(count_per_key,
+                                           batch_format="pandas")
+
+
+def broadcast_join_count(ds, small_df: pd.DataFrame, left_key: str,
+                         right_key: str, label_col: str,
+                         value: str, out_names: dict[str, str],
+                         nd: int = 4):
+    """Broadcast hash join (small side shipped via ray.put once) followed by
+    a grouped count/avg — the no-shuffle join pattern for dimension tables."""
+    import ray
+
+    ref = ray.put(dict(zip(small_df[right_key], small_df[label_col])))
+
+    class Joiner:
+        def __init__(self):
+            self.lookup = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            keys = batch[left_key].to_numpy(zero_copy_only=False)
+            labels = pd.Series(keys).map(self.lookup).to_numpy(dtype=object)
+            return batch.append_column(label_col,
+                                       pa.array(labels, type=pa.string()))
+
+    joined = ds.map_batches(Joiner, batch_format="pyarrow", concurrency=2)
+    return grouped_stats(joined, label_col, value, out_names, nd)
