@@ -127,6 +127,85 @@ def customer_nation_stats(sf_dir: str):
     return out.map_batches(finalize, batch_format="pandas")
 
 
+def doc_token_stats(sf_dir: str):
+    """Row-level text metrics (all integer -> exact oracle): chars, tokens,
+    punctuation and digit counts per document."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        from t_digest_ray.functions.text import token_count
+        t = df["text"].fillna("")
+        return pd.DataFrame({
+            "doc_id": df["doc_id"],
+            "n_chars_calc": t.str.len().astype("int64"),
+            "n_tokens": token_count(t),
+            "n_punct": t.str.count(r"[.,;:!?]").astype("int64"),
+            "n_digit": t.str.count(r"[0-9]").astype("int64"),
+        })
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+def bloom_semi_join_count(sf_dir: str):
+    """Semi join via Bloom prefilter + exact verify (exact result)."""
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Count
+    from t_digest_ray.pipelines.distinct import bloom_semi_join
+    from t_digest_ray.state.bloom import BloomFilter
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_size"]).to_pandas()
+    keys = part.loc[part.p_size > 25, "p_partkey"].to_numpy()
+    bloom = BloomFilter.from_capacity(max(len(keys), 16), 0.01)
+    bloom.update_batch(keys)
+    ds = _read(sf_dir, "lineitem", ["l_partkey", "l_returnflag"])
+    filtered = bloom_semi_join(ds, bloom, "l_partkey", exact_keys=set(keys))
+    return filtered.groupby("l_returnflag").aggregate(
+        Count(alias_name="n_rows"))
+
+
+def linear_histogram_events(sf_dir: str):
+    """Fixed-width histogram of event value (bin = floor(value/10))."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["value"])
+
+    def bins(b: pa.Table) -> pa.Table:
+        import numpy as np
+        v = b["value"].to_numpy(zero_copy_only=False)
+        bin_idx = np.floor(v / 10.0).astype(np.int64)
+        uniq, counts = np.unique(bin_idx, return_counts=True)
+        return pa.table({"bin": pa.array(uniq),
+                         "partial": pa.array(counts.astype(np.int64))})
+
+    return (ds.map_batches(bins, batch_format="pyarrow")
+            .groupby("bin").aggregate(Sum("partial", alias_name="cnt")))
+
+
+def cms_heavy_event_types(sf_dir: str):
+    """Heavy hitters via count-min + candidate top-k. With distinct keys ≪
+    sketch width there are no collisions, so estimates equal exact counts
+    deterministically (hash family is fixed) -> exact oracle."""
+    from t_digest_ray.pipelines.heavy import heavy_hitters
+
+    ds = _read(sf_dir, "events", ["event_type"])
+    return heavy_hitters(ds, "event_type", k=5, width=2048, depth=5)
+
+
+def knn_cosine_rank(sf_dir: str):
+    """Brute-force cosine top-10 for the embedding of vec_id=0 (exact)."""
+    import pyarrow.parquet as pq
+    from t_digest_ray.stages.ann import brute_force_topk
+
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    q = np.stack(emb.to_pandas().set_index("vec_id").loc[[0], "embedding"]
+                 .to_numpy())
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = brute_force_topk(ds, q, k=10)
+    return out.select_columns(["vec_id", "rank"])
+
+
 # --------------------------------------------------------------- approximate
 
 
@@ -146,6 +225,62 @@ def tdigest_events_value(sf_dir: str):
     ds = _read(sf_dir, "events", ["event_type", "value"])
     return quantiles_by_key(ds, "value", "event_type", compression=100,
                             num_salts=4, batch_size=16384)
+
+
+def hll_distinct_users_by_type(sf_dir: str):
+    """Approximate distinct users per event type (HLL; bound-checked in
+    tests against the exact distinct_users_by_type)."""
+    from t_digest_ray.pipelines.distinct import distinct_by_key
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+    return distinct_by_key(ds, "user_id", "event_type", p=14, num_salts=2,
+                           key_name="event_type")
+
+
+def kll_quantiles_by_lang(sf_dir: str):
+    from t_digest_ray.pipelines.quantiles import kll_quantiles_by_key
+
+    ds = _read(sf_dir, "documents", ["lang", "n_chars"])
+    return kll_quantiles_by_key(ds, "n_chars", "lang", k=200, num_salts=2,
+                                batch_size=8192, key_name="lang")
+
+
+def minhash_dedup_pairs(sf_dir: str):
+    """Near-duplicate candidate pairs via MinHash-LSH over document text."""
+    from t_digest_ray.stages.dedup import minhash_lsh_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return minhash_lsh_pairs(ds, "text", "doc_id", k=128, bands=32,
+                             threshold=0.5)
+
+
+def langid_counts(sf_dir: str):
+    """Language-ID heuristic prediction counts over documents."""
+    from ray.data.aggregate import Count
+    from t_digest_ray.functions.text import LangId
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    pred = ds.map_batches(LangId(), batch_format="pandas")
+    return pred.groupby("lang_pred").aggregate(Count(alias_name="n_docs"))
+
+
+def quality_by_lang(sf_dir: str):
+    """Mean text-quality features per lang (heuristic scoring)."""
+    from ray.data.aggregate import Count, Mean
+    from t_digest_ray.functions.text import quality_features
+
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        out = quality_features(df["text"])
+        out.insert(0, "lang", df["lang"].to_numpy())
+        return out
+
+    feats = ds.map_batches(fn, batch_format="pandas")
+    return feats.groupby("lang").aggregate(
+        Count(alias_name="n_docs"),
+        Mean("quality_score", alias_name="avg_quality"),
+        Mean("n_tokens", alias_name="avg_tokens"))
 
 
 def pages_flagship(sf_dir: str):
@@ -175,8 +310,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_event_types": top_event_types,
         "distinct_users_by_type": distinct_users_by_type,
         "customer_nation_stats": customer_nation_stats,
+        "doc_token_stats": doc_token_stats,
+        "bloom_semi_join_count": bloom_semi_join_count,
+        "linear_histogram_events": linear_histogram_events,
+        "cms_heavy_event_types": cms_heavy_event_types,
+        "knn_cosine_rank": knn_cosine_rank,
         "tdigest_quantiles_by_lang": tdigest_quantiles_by_lang,
         "tdigest_events_value": tdigest_events_value,
+        "hll_distinct_users_by_type": hll_distinct_users_by_type,
+        "kll_quantiles_by_lang": kll_quantiles_by_lang,
+        "minhash_dedup_pairs": minhash_dedup_pairs,
+        "langid_counts": langid_counts,
+        "quality_by_lang": quality_by_lang,
         "pages_flagship": pages_flagship,
     }
 
@@ -228,5 +373,42 @@ def oracle_sql() -> dict[str, str]:
                    MAX(c.c_acctbal) AS max_acctbal
             FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
             GROUP BY n.n_name
+        """,
+        "doc_token_stats": r"""
+            SELECT doc_id,
+                   LENGTH(text) AS n_chars_calc,
+                   CAST(LEN(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(text, '\s+'),
+                        x -> x <> '')) AS BIGINT) AS n_tokens,
+                   CAST(LENGTH(text)
+                        - LENGTH(REGEXP_REPLACE(text, '[.,;:!?]', '', 'g'))
+                        AS BIGINT) AS n_punct,
+                   CAST(LENGTH(text)
+                        - LENGTH(REGEXP_REPLACE(text, '[0-9]', '', 'g'))
+                        AS BIGINT) AS n_digit
+            FROM documents
+        """,
+        "bloom_semi_join_count": """
+            SELECT l_returnflag, COUNT(*) AS n_rows
+            FROM lineitem
+            WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size > 25)
+            GROUP BY l_returnflag
+        """,
+        "linear_histogram_events": """
+            SELECT CAST(FLOOR(value / 10.0) AS BIGINT) AS bin,
+                   COUNT(*) AS cnt
+            FROM events GROUP BY 1
+        """,
+        "cms_heavy_event_types": """
+            SELECT event_type, COUNT(*) AS est_count
+            FROM events GROUP BY event_type
+            ORDER BY est_count DESC, event_type ASC LIMIT 5
+        """,
+        "knn_cosine_rank": """
+            SELECT vec_id, CAST(ROW_NUMBER() OVER (
+                       ORDER BY list_cosine_similarity(embedding,
+                           (SELECT embedding FROM embeddings WHERE vec_id = 0))
+                       DESC, vec_id ASC) AS BIGINT) AS rank
+            FROM embeddings
+            ORDER BY rank LIMIT 10
         """,
     }

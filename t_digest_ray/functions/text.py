@@ -1,0 +1,138 @@
+"""Text analysis for large-scale training-data pipelines.
+
+Vectorized (pandas str / numpy) per-batch kernels, all deterministic:
+
+* ``token_count``      — number of ``\\S+`` runs (the whitespace tokenizer;
+  oracle-expressible in DuckDB via regexp_split_to_array).
+* ``LangId``           — stopword-profile language identification heuristic
+  (n-gram/stopword scoring; deterministic argmax with alphabetical
+  tie-break, "und" when nothing matches).
+* ``quality_features`` — length / punctuation / digit / stopword ratios and
+  a composite quality score in [0, 1].
+* ``fingerprint64``    — order-sensitive 64-bit document fingerprint
+  (polynomial rolling hash over token hashes).
+* ``simhash64``        — 64-bit SimHash over token hashes (Charikar 2002):
+  near-duplicate documents differ in few bits.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from .hashing import hash64
+
+_STOPWORDS = {
+    "en": {"the", "and", "of", "to", "a", "in", "is", "that", "it", "for"},
+    "de": {"der", "die", "das", "und", "ist", "von", "zu", "den", "mit", "nicht"},
+    "fr": {"le", "la", "les", "et", "de", "un", "une", "est", "pour", "que"},
+    "es": {"el", "la", "los", "las", "y", "de", "que", "es", "en", "por"},
+    "it": {"il", "la", "di", "e", "che", "un", "per", "sono", "con", "non"},
+    "pt": {"o", "a", "os", "as", "de", "que", "e", "em", "para", "com"},
+    "nl": {"de", "het", "een", "en", "van", "is", "dat", "op", "te", "met"},
+}
+
+
+def tokens_series(texts: pd.Series) -> pd.Series:
+    """Lower-cased whitespace tokens per row (pandas-vectorized)."""
+    return texts.fillna("").str.lower().str.findall(r"\S+")
+
+
+def token_count(texts: pd.Series) -> np.ndarray:
+    """Count of \\S+ runs per row."""
+    return texts.fillna("").str.count(r"\S+").to_numpy(dtype=np.int64)
+
+
+class LangId:
+    """Stopword-profile language id (actor-pool stage: profiles built once)."""
+
+    def __init__(self, text_col: str = "text", out_col: str = "lang_pred"):
+        self.text_col = text_col
+        self.out_col = out_col
+        self.profiles = sorted(_STOPWORDS.items())  # deterministic order
+
+    def predict(self, texts: pd.Series) -> np.ndarray:
+        toks = tokens_series(texts)
+        n = toks.map(len).to_numpy()
+        best_score = np.zeros(len(texts))
+        best_lang = np.full(len(texts), "und", dtype=object)
+        for lang, words in self.profiles:
+            score = toks.map(lambda ts, w=words: sum(t in w for t in ts)) \
+                .to_numpy() / np.maximum(n, 1)
+            better = score > best_score  # strict: ties keep earlier (alpha)
+            best_score = np.where(better, score, best_score)
+            best_lang[better] = lang
+        best_lang[best_score <= 0.0] = "und"
+        return best_lang
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        batch[self.out_col] = self.predict(batch[self.text_col])
+        return batch
+
+
+def quality_features(texts: pd.Series) -> pd.DataFrame:
+    """Deterministic per-row quality metrics + composite score."""
+    t = texts.fillna("")
+    n_chars = t.str.len().to_numpy(dtype=np.float64)
+    n_tok = token_count(t).astype(np.float64)
+    n_punct = t.str.count(r"[.,;:!?]").to_numpy(dtype=np.float64)
+    n_digit = t.str.count(r"[0-9]").to_numpy(dtype=np.float64)
+    n_alpha = t.str.count(r"[A-Za-z]").to_numpy(dtype=np.float64)
+    safe_chars = np.maximum(n_chars, 1.0)
+    mean_word_len = n_chars / np.maximum(n_tok, 1.0)
+    punct_ratio = n_punct / safe_chars
+    digit_ratio = n_digit / safe_chars
+    alpha_ratio = n_alpha / safe_chars
+    # composite score: length in a sane band, mostly alphabetic, word lengths
+    # plausible, little digit noise
+    len_ok = np.clip(np.log1p(n_chars) / np.log(2000), 0, 1)
+    word_ok = np.exp(-0.5 * ((mean_word_len - 5.0) / 3.0) ** 2)
+    score = np.clip(0.35 * len_ok + 0.3 * alpha_ratio + 0.25 * word_ok
+                    + 0.1 * (1.0 - np.minimum(digit_ratio * 5, 1.0)), 0, 1)
+    return pd.DataFrame({
+        "n_chars_calc": n_chars.astype(np.int64),
+        "n_tokens": n_tok.astype(np.int64),
+        "mean_word_len": mean_word_len,
+        "punct_ratio": punct_ratio,
+        "digit_ratio": digit_ratio,
+        "alpha_ratio": alpha_ratio,
+        "quality_score": score,
+    })
+
+
+def fingerprint64(texts: pd.Series) -> np.ndarray:
+    """Order-sensitive rolling document fingerprint: h = h*P + hash(token)."""
+    P = np.uint64(1099511628211)  # FNV prime
+    toks = tokens_series(texts)
+    out = np.zeros(len(texts), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for i, ts in enumerate(toks):
+            if not ts:
+                continue
+            th = hash64(np.asarray(ts, dtype=object))
+            acc = np.uint64(1469598103934665603)  # FNV offset basis
+            for h in th:
+                acc = acc * P + h
+            out[i] = acc
+    return out
+
+
+def simhash64(texts: pd.Series) -> np.ndarray:
+    """64-bit SimHash: sign of per-bit vote sums of token hashes."""
+    toks = tokens_series(texts)
+    out = np.zeros(len(texts), dtype=np.uint64)
+    bits = np.arange(64, dtype=np.uint64)
+    for i, ts in enumerate(toks):
+        if not ts:
+            continue
+        th = hash64(np.asarray(ts, dtype=object))
+        votes = ((th[:, None] >> bits) & np.uint64(1)).astype(np.int64)
+        maj = (2 * votes - 1).sum(axis=0) > 0
+        out[i] = np.uint64(np.packbits(maj[::-1]).view(">u8")[0])
+    return out
+
+
+def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Vectorized Hamming distance between uint64 arrays."""
+    x = np.bitwise_xor(np.asarray(a, np.uint64), np.asarray(b, np.uint64))
+    return np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1).sum(axis=1)

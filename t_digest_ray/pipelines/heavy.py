@@ -1,0 +1,83 @@
+"""Heavy hitters: count-min sketch + per-partition candidate top-k.
+
+Topology (SURVEY.md §7 "shuffles and their keys"):
+
+1. ``map_batches``: per batch emit (a) a serialized CMS partial and (b) the
+   batch's exact top-C candidate keys with their in-batch counts.
+2. The CMS partials tree-merge (elementwise add) through the standard
+   two-level groupby; candidate rows aggregate by key with an exact Sum —
+   both shuffles carry tiny pre-aggregated rows only.
+3. Score the unioned candidate set against the merged global CMS; emit the
+   top-k by estimated count with a deterministic (count desc, key asc)
+   tie-break.
+
+Guarantee: any key with true frequency > eps*N + (the smallest in-batch
+count that missed every batch top-C) is found; CMS estimates never
+underestimate, so reported counts are upper bounds within eps*N.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..state.countmin import CountMin
+from ..state.protocol import SketchSpec
+from ..stages.aggregate import sketch_by_key
+
+
+def cms_spec(width: int = 2048, depth: int = 5) -> SketchSpec:
+    return SketchSpec(
+        name="countmin",
+        factory=lambda: CountMin(width, depth),
+        from_bytes=CountMin.from_bytes,
+        summarize=lambda sk: {"total_weight": sk.n},
+    )
+
+
+def heavy_hitters(ds, key_col: str, k: int = 10,
+                  candidates_per_batch: int = 64,
+                  width: int = 2048, depth: int = 5,
+                  batch_size: int = 65536):
+    """Top-k most frequent values of ``key_col``.
+
+    Returns a Dataset of rows (key_col, est_count: int64) of length <= k,
+    sorted by (est_count desc, key asc).
+    """
+    from ray.data.aggregate import Sum
+
+    spec = cms_spec(width, depth)
+
+    # 1a. CMS partials via the generic sketch topology
+    cms_ds = sketch_by_key(ds, spec, key_col, None,
+                           num_salts=8, batch_size=batch_size)
+
+    # 1b. per-batch candidate top-C with in-batch counts
+    def candidates(batch: pa.Table) -> pa.Table:
+        arr = batch[key_col].to_numpy(zero_copy_only=False)
+        uniq, counts = np.unique(arr, return_counts=True)
+        if len(uniq) > candidates_per_batch:
+            top = np.argsort(counts, kind="stable")[::-1][:candidates_per_batch]
+            uniq, counts = uniq[top], counts[top]
+        return pa.table({key_col: pa.array(uniq),
+                         "batch_count": pa.array(counts.astype(np.int64))})
+
+    cand = (ds.map_batches(candidates, batch_format="pyarrow",
+                           batch_size=batch_size)
+            .groupby(key_col)
+            .aggregate(Sum("batch_count", alias_name="seen_count")))
+
+    # 2-3. driver-side final scoring: both inputs are tiny (one CMS row, at
+    # most #batches * C candidate rows pre-aggregated to distinct keys)
+    cms_row = cms_ds.take(1)[0]
+    cms = CountMin.from_bytes(cms_row["sketch"])
+    cand_df = cand.to_pandas()
+    keys = cand_df[key_col].to_numpy(dtype=object)
+    est = cms.estimate(keys)
+    out = pd.DataFrame({key_col: keys, "est_count": est.astype(np.int64)})
+    out = out.sort_values(["est_count", key_col],
+                          ascending=[False, True]).head(k)
+
+    import ray.data as rd
+    return rd.from_pandas(out.reset_index(drop=True))

@@ -51,6 +51,33 @@ def tdigest_spec(compression: float = 100.0, scale=K_2,
     )
 
 
+def kll_spec(k: int = 200, qs=DEFAULT_QS) -> SketchSpec:
+    """SketchSpec for the KLL sketch (second quantile UDAF, SURVEY.md §2.2)."""
+    from ..state.kll import KllSketch
+
+    def summ(sk: KllSketch) -> dict:
+        out = {q_col(q): sk.quantile(q) for q in qs}
+        out["min"] = sk.min if sk.n else float("nan")
+        out["max"] = sk.max if sk.n else float("nan")
+        return out
+
+    return SketchSpec(
+        name="kll",
+        factory=lambda: KllSketch(k),
+        from_bytes=KllSketch.from_bytes,
+        summarize=summ,
+    )
+
+
+def kll_quantiles_by_key(ds, value_col: str, key: str | None = None,
+                         k: int = 200, qs=DEFAULT_QS, num_salts: int = 8,
+                         batch_size: int = 65536, key_name: str | None = None):
+    spec = kll_spec(k, qs)
+    merged = sketch_by_key(ds, spec, value_col, key,
+                           num_salts=num_salts, batch_size=batch_size)
+    return summarize(merged, spec, key_name=key_name or (key or "key"))
+
+
 def quantiles_by_key(ds, value_col: str, key: str | None = None,
                      compression: float = 100.0, qs=DEFAULT_QS,
                      trims=((0.05, 0.95),), num_salts: int = 8,

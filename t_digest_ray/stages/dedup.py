@@ -1,0 +1,227 @@
+"""Near-duplicate detection for web-scale corpora.
+
+Four families, each a composition of vectorized ``map_batches`` +
+``groupby`` (no raw-text shuffle except tiny candidate sets):
+
+* MinHash + LSH  (Broder 1997; banding per Leskovec-Rajaraman-Ullman ch.3):
+  word-shingle hashes -> k minhash permutations (double hashing) -> b bands
+  of r rows -> ``groupby(band_id, band_hash)`` buckets -> candidate pairs ->
+  verified by signature agreement (unbiased Jaccard estimate) or exact
+  n-gram Jaccard on the pair's shingle sets.
+* SimHash (Charikar 2002): 64-bit fingerprints; near-dups differ in <= t
+  bits; bucketed by bit-bands so only colliding buckets are compared.
+* n-gram Jaccard: exact verification kernel used on candidate pairs.
+* Embedding cosine: see ``stages.ann`` (brute-force + LSH-bucketed).
+
+All hashes are the deterministic 64-bit family in ``functions.hashing`` —
+results are identical at any parallelism.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..functions.hashing import hash64, hash_i, splitmix64
+from ..functions.text import hamming64, simhash64
+
+
+def shingle_hashes(text: str, n: int = 3) -> np.ndarray:
+    """Sorted unique hashes of word n-gram shingles of one document."""
+    toks = text.lower().split()
+    if len(toks) < n:
+        grams = [" ".join(toks)] if toks else []
+    else:
+        grams = [" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)]
+    if not grams:
+        return np.empty(0, dtype=np.uint64)
+    return np.unique(hash64(np.asarray(grams, dtype=object)))
+
+
+def minhash_signature(shingles: np.ndarray, k: int = 128) -> np.ndarray:
+    """k-permutation minhash signature via double hashing (one matrix min)."""
+    if shingles.size == 0:
+        return np.full(k, np.iinfo(np.uint64).max, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        h2 = splitmix64(shingles) | np.uint64(1)
+        j = np.arange(k, dtype=np.uint64)
+        mat = shingles[:, None] + j[None, :] * h2[:, None]
+    return mat.min(axis=0)
+
+
+def jaccard_exact(a: np.ndarray, b: np.ndarray) -> float:
+    """Exact Jaccard of two sorted unique shingle-hash sets."""
+    if a.size == 0 and b.size == 0:
+        return 1.0
+    inter = np.intersect1d(a, b, assume_unique=True).size
+    union = a.size + b.size - inter
+    return inter / union if union else 0.0
+
+
+def make_signature_fn(text_col: str, id_col: str, k: int = 128,
+                      ngram: int = 3):
+    """map_batches body: (id, minhash signature, simhash) per row."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        blobs = [minhash_signature(shingle_hashes(t or "", ngram), k)
+                 .astype("<u8").tobytes() for t in texts]
+        sh = simhash64(pd.Series(texts))
+        return pa.table({
+            id_col: pa.array(ids),
+            "minhash": pa.array(blobs, type=pa.binary()),
+            "simhash": pa.array(sh.astype(np.int64)),
+        })
+
+    return fn
+
+
+def _sig_from_bytes(b: bytes, k: int) -> np.ndarray:
+    return np.frombuffer(b, dtype=np.uint64, count=k)
+
+
+def minhash_lsh_pairs(ds, text_col: str, id_col: str, k: int = 128,
+                      bands: int = 32, ngram: int = 3,
+                      threshold: float = 0.5, batch_size: int = 8192):
+    """Candidate near-duplicate pairs via MinHash-LSH banding.
+
+    Returns a Dataset of rows (id_a, id_b, est_jaccard) with id_a < id_b and
+    signature-estimated Jaccard >= threshold. The banding (b bands of r=k/b
+    rows) catches pairs with Jaccard ~>= (1/b)^(1/r) with high probability.
+    """
+    assert k % bands == 0, "bands must divide k"
+    r = k // bands
+
+    sigs = ds.map_batches(make_signature_fn(text_col, id_col, k, ngram),
+                          batch_format="pyarrow", batch_size=batch_size)
+
+    def explode_bands(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        blobs = batch["minhash"].to_pylist()
+        n = len(ids)
+        sig = np.stack([_sig_from_bytes(b, k) for b in blobs]) if n else \
+            np.empty((0, k), dtype=np.uint64)
+        band_ids = np.repeat(np.arange(bands, dtype=np.int32), n)
+        doc_ids = np.tile(ids, bands)
+        bh = np.empty(n * bands, dtype=np.int64)
+        blob_out = []
+        for b_i in range(bands):
+            chunk = sig[:, b_i * r:(b_i + 1) * r]
+            # hash each band's r values into one bucket key
+            acc = np.zeros(n, dtype=np.uint64)
+            with np.errstate(over="ignore"):
+                for c in range(r):
+                    acc = splitmix64(acc ^ chunk[:, c])
+            bh[b_i * n:(b_i + 1) * n] = acc.astype(np.int64)
+        blob_out = np.tile(np.asarray(blobs, dtype=object), bands)
+        return pa.table({
+            "band_id": pa.array(band_ids),
+            "band_hash": pa.array(bh),
+            id_col: pa.array(doc_ids),
+            "minhash": pa.array(list(blob_out), type=pa.binary()),
+        })
+
+    exploded = sigs.map_batches(explode_bands, batch_format="pyarrow")
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "est_jaccard": []})
+        g = g.sort_values(id_col)
+        ids = g[id_col].to_numpy()
+        sigm = np.stack([_sig_from_bytes(b, k) for b in g["minhash"]])
+        rows = []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                if ids[i] == ids[j]:
+                    continue
+                est = float((sigm[i] == sigm[j]).mean())
+                if est >= threshold:
+                    rows.append((int(ids[i]), int(ids[j]), est))
+        return pd.DataFrame(rows, columns=["id_a", "id_b", "est_jaccard"])
+
+    pairs = exploded.groupby(["band_id", "band_hash"]).map_groups(
+        bucket_pairs, batch_format="pandas")
+    # the same pair can surface from several bands: keep one copy
+    return pairs.groupby(["id_a", "id_b"]).map_groups(
+        lambda g: g.head(1), batch_format="pandas")
+
+
+def minhash_dedup_keep(ds, text_col: str, id_col: str, **kwargs):
+    """Greedy near-dup removal: drop any doc that pairs with a smaller id.
+
+    One round of min-label propagation over the candidate-pair graph — the
+    scalable approximation of connected components for dedup purposes.
+    Returns the Dataset of surviving ids.
+    """
+    pairs = minhash_lsh_pairs(ds, text_col, id_col, **kwargs).to_pandas()
+    drop = set(pairs["id_b"].astype(int).tolist()) if len(pairs) else set()
+    import ray
+
+    drop_ref = ray.put(np.asarray(sorted(drop), dtype=np.int64))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        d = ray.get(drop_ref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        mask = ~np.isin(ids, d)
+        return batch.filter(pa.array(mask))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def simhash_pairs(ds, text_col: str, id_col: str, max_hamming: int = 3,
+                  n_bands: int = 4, batch_size: int = 8192):
+    """Near-dup pairs by SimHash: bucket on each of ``n_bands`` 16-bit bands
+    (a pair within Hamming distance <= n_bands - 1 must agree on >= 1 band),
+    then verify exact Hamming distance within buckets."""
+
+    def sim(batch: pa.Table) -> pa.Table:
+        texts = pd.Series(batch[text_col].to_pylist())
+        sh = simhash64(texts)
+        return pa.table({
+            id_col: batch[id_col],
+            "simhash": pa.array(sh.astype(np.int64)),
+        })
+
+    sigs = ds.map_batches(sim, batch_format="pyarrow", batch_size=batch_size)
+    width = 64 // n_bands
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        sh = batch["simhash"].to_numpy().astype(np.uint64)
+        n = len(ids)
+        band_id = np.repeat(np.arange(n_bands, dtype=np.int32), n)
+        band_val = np.empty(n_bands * n, dtype=np.int64)
+        for b in range(n_bands):
+            band_val[b * n:(b + 1) * n] = (
+                (sh >> np.uint64(b * width))
+                & np.uint64((1 << width) - 1)).astype(np.int64)
+        return pa.table({
+            "band_id": pa.array(band_id),
+            "band_val": pa.array(band_val),
+            id_col: pa.array(np.tile(ids, n_bands)),
+            "simhash": pa.array(np.tile(sh.astype(np.int64), n_bands)),
+        })
+
+    exploded = sigs.map_batches(explode, batch_format="pyarrow")
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
+        g = g.sort_values(id_col)
+        ids = g[id_col].to_numpy()
+        sh = g["simhash"].to_numpy().astype(np.uint64)
+        rows = []
+        for i in range(len(ids)):
+            d = hamming64(np.full(len(ids) - i - 1, sh[i]), sh[i + 1:])
+            for off in np.flatnonzero(d <= max_hamming):
+                j = i + 1 + off
+                if ids[i] != ids[j]:
+                    rows.append((int(ids[i]), int(ids[j]), int(d[off])))
+        return pd.DataFrame(rows, columns=["id_a", "id_b", "hamming"])
+
+    pairs = exploded.groupby(["band_id", "band_val"]).map_groups(
+        bucket_pairs, batch_format="pandas")
+    return pairs.groupby(["id_a", "id_b"]).map_groups(
+        lambda g: g.head(1), batch_format="pandas")

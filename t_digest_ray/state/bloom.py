@@ -19,7 +19,8 @@ import numpy as np
 
 from ..functions.hashing import hash64, hash_i
 
-_HEADER = struct.Struct("<4sqiq")  # magic, m_bits, k, n_added
+_HEADER_FMT = "<4sqiq"  # magic, m_bits, k, n_added
+_HEADER_SIZE = struct.calcsize(_HEADER_FMT)
 
 
 class BloomFilter:
@@ -89,17 +90,17 @@ class BloomFilter:
         return self.n_added
 
     def to_bytes(self) -> bytes:
-        head = _HEADER.pack(b"BLM1", self.m, self.k, self.n_added)
+        head = struct.pack(_HEADER_FMT, b"BLM1", self.m, self.k, self.n_added)
         return head + self.words.astype("<u8").tobytes()
 
     @classmethod
     def from_bytes(cls, buf: bytes) -> "BloomFilter":
-        magic, m, k, n_added = _HEADER.unpack_from(buf, 0)
+        magic, m, k, n_added = struct.unpack_from(_HEADER_FMT, buf, 0)
         if magic != b"BLM1":
             raise ValueError(f"bad Bloom magic {magic!r}")
         b = cls(m, k)
         b.m = m
         b.words = np.frombuffer(buf, dtype="<u8",
-                                offset=_HEADER.size).astype(np.uint64)
+                                offset=_HEADER_SIZE).astype(np.uint64)
         b.n_added = n_added
         return b

@@ -22,7 +22,8 @@ import numpy as np
 
 from ..functions.hashing import hash64, hash_i
 
-_HEADER = struct.Struct("<4sii")
+_HEADER_FMT = "<4sii"
+_HEADER_SIZE = struct.calcsize(_HEADER_FMT)
 
 
 class CountMin:
@@ -83,18 +84,18 @@ class CountMin:
         return self.n
 
     def to_bytes(self) -> bytes:
-        head = _HEADER.pack(b"CMS1", self.width, self.depth)
+        head = struct.pack(_HEADER_FMT, b"CMS1", self.width, self.depth)
         return head + struct.pack("<q", self.n) + \
             self.table.astype("<i8").tobytes()
 
     @classmethod
     def from_bytes(cls, buf: bytes) -> "CountMin":
-        magic, width, depth = _HEADER.unpack_from(buf, 0)
+        magic, width, depth = struct.unpack_from(_HEADER_FMT, buf, 0)
         if magic != b"CMS1":
             raise ValueError(f"bad CMS magic {magic!r}")
         c = cls(width, depth)
-        (c.n,) = struct.unpack_from("<q", buf, _HEADER.size)
+        (c.n,) = struct.unpack_from("<q", buf, _HEADER_SIZE)
         c.table = np.frombuffer(buf, dtype="<i8",
-                                offset=_HEADER.size + 8) \
+                                offset=_HEADER_SIZE + 8) \
             .reshape(depth, width).astype(np.int64)
         return c

@@ -26,7 +26,8 @@ import struct
 
 import numpy as np
 
-_HEADER = struct.Struct("<4sddd")  # magic, min, max, precision-parameter
+_HEADER_FMT = "<4sddd"  # magic, min, max, precision-parameter
+_HEADER_SIZE = struct.calcsize(_HEADER_FMT)
 
 
 class _BaseHistogram:
@@ -101,16 +102,16 @@ class _BaseHistogram:
         return float(self._lower_bound(np.asarray([idx]))[0])
 
     def to_bytes(self) -> bytes:
-        head = _HEADER.pack(self.magic, self.min, self.max, self.param)
+        head = struct.pack(_HEADER_FMT, self.magic, self.min, self.max, self.param)
         return head + self.counts.astype("<i8").tobytes()
 
     @classmethod
     def from_bytes(cls, buf: bytes) -> "_BaseHistogram":
-        magic, mn, mx, param = _HEADER.unpack_from(buf, 0)
+        magic, mn, mx, param = struct.unpack_from(_HEADER_FMT, buf, 0)
         if magic != cls.magic:
             raise ValueError(f"bad histogram magic {magic!r}")
         h = cls(mn, mx, param)
-        counts = np.frombuffer(buf, dtype="<i8", offset=_HEADER.size)
+        counts = np.frombuffer(buf, dtype="<i8", offset=_HEADER_SIZE)
         if counts.size != h.counts.size:
             raise ValueError("bin count mismatch in serialized histogram")
         h.counts = counts.copy()

@@ -23,7 +23,8 @@ import numpy as np
 
 from ..functions.hashing import hash64
 
-_HEADER = struct.Struct("<4sB")
+_HEADER_FMT = "<4sB"
+_HEADER_SIZE = struct.calcsize(_HEADER_FMT)
 
 
 def _alpha(m: int) -> float:
@@ -86,14 +87,14 @@ class HyperLogLog:
         return 1.04 / np.sqrt(1 << p)
 
     def to_bytes(self) -> bytes:
-        return _HEADER.pack(b"HLL1", self.p) + self.registers.tobytes()
+        return struct.pack(_HEADER_FMT, b"HLL1", self.p) + self.registers.tobytes()
 
     @classmethod
     def from_bytes(cls, buf: bytes) -> "HyperLogLog":
-        magic, p = _HEADER.unpack_from(buf, 0)
+        magic, p = struct.unpack_from(_HEADER_FMT, buf, 0)
         if magic != b"HLL1":
             raise ValueError(f"bad HLL magic {magic!r}")
         h = cls(p)
         h.registers = np.frombuffer(
-            buf, dtype=np.uint8, offset=_HEADER.size).copy()
+            buf, dtype=np.uint8, offset=_HEADER_SIZE).copy()
         return h

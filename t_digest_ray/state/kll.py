@@ -27,7 +27,8 @@ from ..functions.hashing import splitmix64
 DEFAULT_K = 200
 _CAP_FACTOR = 2.0 / 3.0
 _MIN_CAP = 8
-_HEADER = struct.Struct("<4siqddi")  # magic, k, n, min, max, num_levels
+_HEADER_FMT = "<4siqddi"  # magic, k, n, min, max, num_levels
+_HEADER_SIZE = struct.calcsize(_HEADER_FMT)
 
 
 def _level_capacity(k: int, num_levels: int, height: int) -> int:
@@ -187,7 +188,7 @@ class KllSketch:
     # ----------------------------------------------------------------- serde
 
     def to_bytes(self) -> bytes:
-        head = _HEADER.pack(b"KLL1", self.k, self.n,
+        head = struct.pack(_HEADER_FMT, b"KLL1", self.k, self.n,
                             self.min if self.n else np.inf,
                             self.max if self.n else -np.inf,
                             len(self.levels))
@@ -198,14 +199,14 @@ class KllSketch:
 
     @classmethod
     def from_bytes(cls, buf: bytes, seed: int = 42) -> "KllSketch":
-        magic, k, n, mn, mx, num_levels = _HEADER.unpack_from(buf, 0)
+        magic, k, n, mn, mx, num_levels = struct.unpack_from(_HEADER_FMT, buf, 0)
         if magic != b"KLL1":
             raise ValueError(f"bad KLL magic {magic!r}")
         sk = cls(k, seed=seed)
         sk.n = n
         sk.min = mn
         sk.max = mx
-        off = _HEADER.size
+        off = _HEADER_SIZE
         lens = np.frombuffer(buf, dtype="<i4", count=num_levels, offset=off)
         off += 4 * num_levels
         items = np.frombuffer(buf, dtype="<f8", offset=off)

@@ -1,0 +1,282 @@
+"""Companion sketches: update/merge/serde/error-bound tests (SURVEY.md §5
+layer 2/4: each sketch's observed error must sit inside its published bound).
+"""
+
+import numpy as np
+import pytest
+
+from t_digest_ray.state.bloom import BloomFilter
+from t_digest_ray.state.countmin import CountMin
+from t_digest_ray.state.histogram import (FloatHistogram, LogHistogram,
+                                          approx_log2, pow2_approx)
+from t_digest_ray.state.hll import HyperLogLog
+from t_digest_ray.state.kll import KllSketch
+
+# ---------------------------------------------------------------------- KLL
+
+
+class TestKll:
+    def test_rank_error_within_bound(self, rng):
+        """Observed rank error <= published 2.296/k^0.9723 with 2x slack
+        (KllDoublesSketch.java:534-538; the constant is a 99th-pctile fit)."""
+        x = rng.uniform(0, 1, 200_000)
+        sk = KllSketch(200)
+        sk.update_batch(x)
+        xs = np.sort(x)
+        bound = KllSketch.normalized_rank_error(200)
+        errs = [abs(sk.rank(xs[int(q * len(xs))]) - q)
+                for q in np.linspace(0.01, 0.99, 25)]
+        assert max(errs) <= 2 * bound
+
+    def test_merge_error_within_bound(self, rng):
+        x = rng.normal(0, 1, 120_000)
+        parts = np.array_split(x, 12)
+        subs = []
+        for i, p in enumerate(parts):
+            s = KllSketch(200, seed=i)
+            s.update_batch(p)
+            subs.append(s)
+        merged = KllSketch(200).merge(*subs)
+        assert merged.n == len(x)
+        xs = np.sort(x)
+        bound = KllSketch.normalized_rank_error(200)
+        errs = [abs(merged.rank(xs[int(q * len(xs))]) - q)
+                for q in (0.01, 0.25, 0.5, 0.75, 0.99)]
+        assert max(errs) <= 3 * bound
+
+    def test_exact_when_small(self, rng):
+        vals = rng.uniform(0, 1, 50)
+        sk = KllSketch(200)
+        sk.update_batch(vals)
+        s = np.sort(vals)
+        # below capacity nothing is compacted: quantiles are exact elements
+        assert sk.quantile(0.0) == s[0]
+        assert sk.quantile(1.0) == s[-1]
+        assert sk.quantile(0.5) in s
+
+    def test_min_max_and_n(self, rng):
+        x = rng.normal(5, 2, 30_000)
+        sk = KllSketch(100)
+        sk.update_batch(x)
+        assert sk.min == x.min() and sk.max == x.max() and sk.n == 30_000
+
+    def test_serde_roundtrip_exact(self, rng):
+        sk = KllSketch(150)
+        sk.update_batch(rng.gamma(2, 2, 50_000))
+        b = sk.to_bytes()
+        sk2 = KllSketch.from_bytes(b)
+        assert sk2.n == sk.n and sk2.min == sk.min and sk2.max == sk.max
+        assert all(np.array_equal(a, c)
+                   for a, c in zip(sk.levels, sk2.levels))
+        assert sk2.to_bytes() == b
+
+    def test_deterministic_given_seed(self, rng):
+        x = rng.uniform(0, 1, 30_000)
+        a, b = KllSketch(200, seed=7), KllSketch(200, seed=7)
+        a.update_batch(x)
+        b.update_batch(x)
+        assert a.to_bytes() == b.to_bytes()
+
+    def test_nan_rejected(self):
+        with pytest.raises(ValueError):
+            KllSketch().update_batch(np.array([1.0, np.nan]))
+
+    def test_empty(self):
+        sk = KllSketch()
+        assert np.isnan(sk.quantile(0.5))
+        assert np.isnan(sk.rank(0.0))
+
+
+# ---------------------------------------------------------------------- HLL
+
+
+class TestHll:
+    @pytest.mark.parametrize("n", [100, 10_000, 300_000])
+    def test_estimate_within_bound(self, n):
+        h = HyperLogLog(14)
+        vals = np.array([f"url-{i}" for i in range(n)], dtype=object)
+        h.update_batch(vals)
+        rel = abs(h.estimate() - n) / n
+        assert rel <= 4 * HyperLogLog.relative_error(14)
+
+    def test_duplicates_dont_count(self):
+        h = HyperLogLog(14)
+        vals = np.array([f"u{i % 500}" for i in range(50_000)], dtype=object)
+        h.update_batch(vals)
+        assert abs(h.estimate() - 500) / 500 < 0.05
+
+    def test_merge_equals_union(self):
+        a, b = HyperLogLog(12), HyperLogLog(12)
+        va = np.array([f"a{i}" for i in range(20_000)], dtype=object)
+        vb = np.array([f"a{i}" for i in range(10_000, 30_000)], dtype=object)
+        a.update_batch(va)
+        b.update_batch(vb)
+        u = HyperLogLog(12)
+        u.update_batch(np.concatenate([va, vb]))
+        m = HyperLogLog(12).merge(a, b)
+        # merge of register maxes is EXACTLY the union sketch
+        assert np.array_equal(m.registers, u.registers)
+
+    def test_merge_commutative_idempotent(self):
+        a, b = HyperLogLog(12), HyperLogLog(12)
+        a.update_batch(np.array(["x", "y"], dtype=object))
+        b.update_batch(np.array(["z"], dtype=object))
+        ab = HyperLogLog(12).merge(a, b)
+        ba = HyperLogLog(12).merge(b, a)
+        assert np.array_equal(ab.registers, ba.registers)
+        again = HyperLogLog(12).merge(ab, ab)
+        assert np.array_equal(again.registers, ab.registers)
+
+    def test_int_values(self):
+        h = HyperLogLog(12)
+        h.update_batch(np.arange(10_000, dtype=np.int64))
+        assert abs(h.estimate() - 10_000) / 10_000 < 0.1
+
+    def test_serde(self):
+        h = HyperLogLog(10)
+        h.update_batch(np.array([f"v{i}" for i in range(5_000)], dtype=object))
+        h2 = HyperLogLog.from_bytes(h.to_bytes())
+        assert np.array_equal(h.registers, h2.registers)
+        assert h2.estimate() == h.estimate()
+
+
+# ---------------------------------------------------------------------- CMS
+
+
+class TestCountMin:
+    def test_never_underestimates(self, rng):
+        keys = np.array([f"k{i}" for i in rng.integers(0, 1000, 50_000)],
+                        dtype=object)
+        c = CountMin(2048, 5)
+        c.update_batch(keys)
+        uniq, counts = np.unique(keys, return_counts=True)
+        est = c.estimate(uniq)
+        assert (est >= counts).all()
+        # additive error bound eps*N holds for the vast majority
+        eps_n = c.epsilon * c.n
+        assert ((est - counts) <= eps_n).mean() > 0.99
+
+    def test_weighted(self):
+        c = CountMin(1024, 5)
+        c.update_batch(np.array(["a", "b"], dtype=object),
+                       weights=np.array([10, 3]))
+        assert c.estimate(np.array(["a"], dtype=object))[0] >= 10
+        assert c.n == 13
+
+    def test_merge_is_add(self, rng):
+        keys = np.array([f"k{i}" for i in rng.integers(0, 100, 10_000)],
+                        dtype=object)
+        a, b = CountMin(1024, 4), CountMin(1024, 4)
+        a.update_batch(keys[:5000])
+        b.update_batch(keys[5000:])
+        whole = CountMin(1024, 4)
+        whole.update_batch(keys)
+        m = CountMin(1024, 4).merge(a, b)
+        assert np.array_equal(m.table, whole.table)
+        assert m.n == whole.n
+
+    def test_from_error(self):
+        c = CountMin.from_error(0.001, 0.01)
+        assert c.epsilon <= 0.001
+        assert c.depth >= 5
+
+    def test_serde(self, rng):
+        c = CountMin(512, 3)
+        c.update_batch(np.array([f"x{i}" for i in range(1000)], dtype=object))
+        c2 = CountMin.from_bytes(c.to_bytes())
+        assert np.array_equal(c.table, c2.table) and c2.n == c.n
+
+
+# -------------------------------------------------------------------- Bloom
+
+
+class TestBloom:
+    def test_no_false_negatives(self, rng):
+        b = BloomFilter.from_capacity(20_000, 0.01)
+        items = np.array([f"doc{i}" for i in range(20_000)], dtype=object)
+        b.update_batch(items)
+        assert b.contains(items).all()
+
+    def test_false_positive_rate(self):
+        b = BloomFilter.from_capacity(10_000, 0.01)
+        b.update_batch(np.array([f"in{i}" for i in range(10_000)], dtype=object))
+        probe = np.array([f"out{i}" for i in range(20_000)], dtype=object)
+        assert b.contains(probe).mean() < 0.03
+
+    def test_merge_is_union(self):
+        a = BloomFilter(1 << 16, 5)
+        b = BloomFilter(1 << 16, 5)
+        ia = np.array([f"a{i}" for i in range(1000)], dtype=object)
+        ib = np.array([f"b{i}" for i in range(1000)], dtype=object)
+        a.update_batch(ia)
+        b.update_batch(ib)
+        m = BloomFilter(1 << 16, 5).merge(a, b)
+        assert m.contains(ia).all() and m.contains(ib).all()
+        whole = BloomFilter(1 << 16, 5)
+        whole.update_batch(np.concatenate([ia, ib]))
+        assert np.array_equal(m.words, whole.words)
+
+    def test_serde(self):
+        b = BloomFilter(1 << 12, 4)
+        b.update_batch(np.array(["p", "q", "r"], dtype=object))
+        b2 = BloomFilter.from_bytes(b.to_bytes())
+        assert np.array_equal(b.words, b2.words)
+        assert b2.contains(np.array(["p"], dtype=object))[0]
+
+
+# --------------------------------------------------------------- histograms
+
+
+class TestHistograms:
+    def test_float_histogram_buckets(self):
+        h = FloatHistogram(1, 1e6, 50)
+        # below min -> bin 0; above max -> last bin (Histogram.java:70-79)
+        h.update_batch(np.array([0.5, 1e7]))
+        assert h.counts[0] == 1 and h.counts[-1] == 1
+
+    def test_bounds_monotone(self):
+        for h in (FloatHistogram(1, 1e5, 50), LogHistogram(1, 1e5, 0.1)):
+            b = h.bounds()
+            assert np.all(np.diff(b) > 0)
+            assert b[0] == pytest.approx(1.0, rel=0.02)
+
+    def test_quantile_approximation(self, rng):
+        data = rng.lognormal(5, 2, 200_000)
+        h = FloatHistogram(1e-2, 1e8, 100)
+        h.update_batch(data)
+        true = np.median(data)
+        assert h.quantile(0.5) == pytest.approx(true, rel=0.05)
+
+    def test_merge_identical_bins_only(self):
+        a = FloatHistogram(1, 1e4, 50)
+        b = FloatHistogram(1, 1e5, 50)
+        with pytest.raises(ValueError):
+            a.merge(b)
+
+    def test_merge_is_vector_add(self, rng):
+        data = rng.uniform(1, 1e4, 10_000)
+        a = FloatHistogram(1, 1e5, 50)
+        b = FloatHistogram(1, 1e5, 50)
+        a.update_batch(data[:5000])
+        b.update_batch(data[5000:])
+        whole = FloatHistogram(1, 1e5, 50)
+        whole.update_batch(data)
+        m = FloatHistogram(1, 1e5, 50).merge(a, b)
+        assert np.array_equal(m.counts, whole.counts)
+
+    def test_approx_log2_properties(self):
+        """Error < ±0.01, exact at powers of two, pow2 is exact inverse
+        (LogHistogram.java:60-92)."""
+        xs = np.logspace(-3, 6, 5000)
+        err = np.abs(approx_log2(xs) - np.log2(xs))
+        assert err.max() < 0.01
+        powers = 2.0 ** np.arange(-10, 30)
+        assert np.allclose(approx_log2(powers), np.arange(-10, 30), atol=1e-12)
+        ys = approx_log2(xs)
+        assert np.allclose(pow2_approx(ys), xs, rtol=1e-9)
+
+    def test_log_histogram_serde(self, rng):
+        h = LogHistogram(1, 1e5, 0.1)
+        h.update_batch(rng.uniform(1, 1e5, 5000))
+        h2 = LogHistogram.from_bytes(h.to_bytes())
+        assert np.array_equal(h.counts, h2.counts)
