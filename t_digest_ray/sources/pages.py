@@ -66,8 +66,64 @@ def _corpus() -> str:
     return _CORPUS
 
 
+def _corpus_bytes() -> np.ndarray:
+    """The corpus as a uint8 array (built once per process)."""
+    global _CORPUS_B
+    try:
+        return _CORPUS_B
+    except NameError:
+        _CORPUS_B = np.frombuffer(_corpus().encode(), dtype=np.uint8)
+        return _CORPUS_B
+
+
+_HEXDIGITS = np.frombuffer(b"0123456789abcdef", dtype=np.uint8)
+_URL_PRE = np.frombuffer(b"https://host", dtype=np.uint8)
+_URL_MID = np.frombuffer(b".example.com/p/", dtype=np.uint8)
+
+
+def _format_urls(host_idx: np.ndarray, ids: np.ndarray) -> pa.Array:
+    """Vectorized 'https://host%04d.example.com/p/%016x' (fixed 47 chars):
+    one uint8 char matrix, digits computed arithmetically — no per-row
+    Python string formatting."""
+    n = len(ids)
+    width = len(_URL_PRE) + 4 + len(_URL_MID) + 16
+    out = np.empty((n, width), dtype=np.uint8)
+    out[:, :len(_URL_PRE)] = _URL_PRE
+    hi = host_idx.astype(np.int64)
+    for d in range(4):
+        out[:, len(_URL_PRE) + d] = (hi // 10 ** (3 - d)) % 10 + 48
+    mid0 = len(_URL_PRE) + 4
+    out[:, mid0:mid0 + len(_URL_MID)] = _URL_MID
+    base = mid0 + len(_URL_MID)
+    iv = ids.astype(np.uint64)
+    for d in range(16):
+        nib = ((iv >> np.uint64(4 * (15 - d))) & np.uint64(15)).astype(np.int64)
+        out[:, base + d] = _HEXDIGITS[nib]
+    offsets = (np.arange(n + 1, dtype=np.int32) * width)
+    return pa.StringArray.from_buffers(
+        n, pa.py_buffer(offsets.tobytes()), pa.py_buffer(out.reshape(-1)))
+
+
+def _slice_corpus(offs: np.ndarray, length: np.ndarray) -> pa.Array:
+    """Vectorized corpus[o:o+l] per row: one fancy-indexed gather into a
+    single Arrow string buffer (corpus is pure ASCII)."""
+    corpus_b = _corpus_bytes()
+    cum = np.cumsum(length, dtype=np.int64)
+    starts_out = cum - length
+    idx = (np.arange(cum[-1] if len(cum) else 0, dtype=np.int64)
+           - np.repeat(starts_out, length) + np.repeat(offs, length))
+    data = corpus_b[idx]
+    offsets = np.empty(len(offs) + 1, dtype=np.int32)
+    offsets[0] = 0
+    offsets[1:] = cum
+    return pa.StringArray.from_buffers(
+        len(offs), pa.py_buffer(offsets.tobytes()), pa.py_buffer(data))
+
+
 def generate_pages_batch(ids: np.ndarray) -> pa.Table:
     """Vectorized pages rows for the given global row ids (deterministic)."""
+    import pyarrow.compute as pc
+
     ids = np.asarray(ids, dtype=np.uint64)
     h_host = splitmix64(ids ^ np.uint64(0x686F7374))  # 'host'
     h_lang = splitmix64(ids ^ np.uint64(0x6C616E67))  # 'lang'
@@ -90,18 +146,21 @@ def generate_pages_batch(ids: np.ndarray) -> pa.Table:
     max_off = len(corpus) - 4096 - 1
     offs = (h_off % np.uint64(max_off)).astype(np.int64)
 
-    urls = [f"https://host{hi:04d}.example.com/p/{i:016x}"
-            for hi, i in zip(host_idx, ids)]
-    texts = [corpus[o:o + l] for o, l in zip(offs, length)]
-    htmls = [(_HTML_PRE + u + _HTML_MID + t + _HTML_POST).encode()
-             for u, t in zip(urls, texts)]
+    urls = _format_urls(host_idx, ids)
+    texts = _slice_corpus(offs, length)
+    # html = pre + url + mid + text + post, joined by the C kernel; cast to
+    # binary is exact because every component is ASCII
+    html_str = pc.binary_join_element_wise(
+        pa.scalar(_HTML_PRE), urls, pa.scalar(_HTML_MID), texts,
+        pa.scalar(_HTML_POST), "")
+    htmls = pc.cast(html_str, pa.binary())
     ts = (BASE_TS_US + ids.astype(np.int64) * 1_000_000)
 
     return pa.table({
-        "url": pa.array(urls, type=pa.string()),
+        "url": urls,
         "warc_ts": pa.array(ts, type=pa.timestamp("us")),
-        "html": pa.array(htmls, type=pa.binary()),
-        "text": pa.array(texts, type=pa.string()),
+        "html": htmls,
+        "text": texts,
         "lang": pa.array(langs, type=pa.string()),
     })
 

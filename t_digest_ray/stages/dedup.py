@@ -28,15 +28,21 @@ from ..functions.text import hamming64, simhash64
 
 
 def shingle_hashes(text: str, n: int = 3) -> np.ndarray:
-    """Sorted unique hashes of word n-gram shingles of one document."""
-    toks = text.lower().split()
-    if len(toks) < n:
-        grams = [" ".join(toks)] if toks else []
-    else:
-        grams = [" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)]
-    if not grams:
+    """Sorted unique hashes of word n-gram shingles of one document.
+
+    Each shingle hash is a positional mix of the n token hashes (never
+    materializes joined n-gram strings — one vectorized hash of the token
+    array plus n-1 shifted combine passes per document)."""
+    toks = (text or "").lower().split()
+    if not toks:
         return np.empty(0, dtype=np.uint64)
-    return np.unique(hash64(np.asarray(grams, dtype=object)))
+    h = hash64(np.asarray(toks, dtype=object))
+    m = min(n, len(toks))
+    with np.errstate(over="ignore"):
+        acc = h[:len(toks) - m + 1].copy()
+        for c in range(1, m):
+            acc = splitmix64(acc) ^ h[c:c + acc.size]
+    return np.unique(acc)
 
 
 def minhash_signature(shingles: np.ndarray, k: int = 128) -> np.ndarray:
@@ -97,9 +103,17 @@ def minhash_lsh_pairs(ds, text_col: str, id_col: str, k: int = 128,
     sigs = ds.map_batches(make_signature_fn(text_col, id_col, k, ngram),
                           batch_format="pyarrow", batch_size=batch_size)
 
+    _EMPTY_SIG = np.full(k, np.iinfo(np.uint64).max, dtype=np.uint64).tobytes()
+
     def explode_bands(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_numpy(zero_copy_only=False)
         blobs = batch["minhash"].to_pylist()
+        # drop empty documents: they all share the empty-signature sentinel
+        # and would otherwise form one quadratic candidate clique at scale
+        keep = [i for i, b in enumerate(blobs) if b != _EMPTY_SIG]
+        if len(keep) < len(blobs):
+            ids = ids[keep]
+            blobs = [blobs[i] for i in keep]
         n = len(ids)
         sig = np.stack([_sig_from_bytes(b, k) for b in blobs]) if n else \
             np.empty((0, k), dtype=np.uint64)
@@ -125,27 +139,55 @@ def minhash_lsh_pairs(ds, text_col: str, id_col: str, k: int = 128,
 
     exploded = sigs.map_batches(explode_bands, batch_format="pyarrow")
 
+    # One map_groups call per *coarse* bucket (band_hash % NB), not per LSH
+    # bucket: LSH produces ~n_docs x bands distinct band_hash values and a
+    # per-group Python call for each would dominate wall time. Inside a
+    # coarse group, true buckets are contiguous runs after one vectorized
+    # sort; only runs of length >= 2 (actual collisions — rare) pay any
+    # Python. A cross-band band_hash coincidence (~2^-64) could land two
+    # unrelated rows in one run, but the est_jaccard >= threshold verify
+    # filters it, so dropping band_id from the grouping key is safe.
+    coarse_buckets = 256
+
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) < 2:
             return pd.DataFrame({"id_a": [], "id_b": [], "est_jaccard": []})
-        g = g.sort_values(id_col)
+        g = g.sort_values(["band_hash", id_col], kind="stable")
+        bh = g["band_hash"].to_numpy()
         ids = g[id_col].to_numpy()
-        sigm = np.stack([_sig_from_bytes(b, k) for b in g["minhash"]])
+        blobs = g["minhash"].to_numpy()
+        starts = np.flatnonzero(np.r_[True, bh[1:] != bh[:-1]])
+        bounds = np.append(starts, len(bh))
         rows = []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                if ids[i] == ids[j]:
-                    continue
-                est = float((sigm[i] == sigm[j]).mean())
-                if est >= threshold:
-                    rows.append((int(ids[i]), int(ids[j]), est))
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            if e - s < 2:
+                continue
+            run_ids = ids[s:e]
+            sigm = np.frombuffer(b"".join(blobs[s:e]),
+                                 dtype=np.uint64).reshape(e - s, k)
+            for i in range(e - s):
+                eq = (sigm[i + 1:] == sigm[i]).mean(axis=1)
+                for off in np.flatnonzero(eq >= threshold):
+                    j = s + i + 1 + off
+                    if run_ids[i] != ids[j]:
+                        rows.append((int(run_ids[i]), int(ids[j]),
+                                     float(eq[off])))
         return pd.DataFrame(rows, columns=["id_a", "id_b", "est_jaccard"])
 
-    pairs = exploded.groupby(["band_id", "band_hash"]).map_groups(
-        bucket_pairs, batch_format="pandas")
-    # the same pair can surface from several bands: keep one copy
-    return pairs.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas")
+    def coarse(batch: pa.Table) -> pa.Table:
+        b = batch["band_hash"].to_numpy().astype(np.uint64)
+        return batch.append_column(
+            "bucket", pa.array((b % np.uint64(coarse_buckets))
+                               .astype(np.int32)))
+
+    pairs = (exploded.map_batches(coarse, batch_format="pyarrow")
+             .groupby("bucket")
+             .map_groups(bucket_pairs, batch_format="pandas"))
+    # the same pair can surface from several bands: keep one copy via a
+    # vectorized hash aggregate (est_jaccard is identical across bands)
+    from ray.data.aggregate import Max
+    return pairs.groupby(["id_a", "id_b"]).aggregate(
+        Max("est_jaccard", alias_name="est_jaccard"))
 
 
 def minhash_dedup_keep(ds, text_col: str, id_col: str, **kwargs):
@@ -179,9 +221,12 @@ def simhash_pairs(ds, text_col: str, id_col: str, max_hamming: int = 3,
     def sim(batch: pa.Table) -> pa.Table:
         texts = pd.Series(batch[text_col].to_pylist())
         sh = simhash64(texts)
+        # drop empty documents (simhash 0): same quadratic-clique hazard as
+        # the minhash empty-signature sentinel
+        keep = sh != 0
         return pa.table({
-            id_col: batch[id_col],
-            "simhash": pa.array(sh.astype(np.int64)),
+            id_col: pa.array(batch[id_col].to_numpy(zero_copy_only=False)[keep]),
+            "simhash": pa.array(sh[keep].astype(np.int64)),
         })
 
     sigs = ds.map_batches(sim, batch_format="pyarrow", batch_size=batch_size)
@@ -206,22 +251,44 @@ def simhash_pairs(ds, text_col: str, id_col: str, max_hamming: int = 3,
 
     exploded = sigs.map_batches(explode, batch_format="pyarrow")
 
+    # Same coarse-bucket trick as minhash_lsh_pairs: one Python group call
+    # per (band_id, band_val) bucket would be ~n_docs x n_bands calls; group
+    # on a bounded hash of the bucket key instead and find true buckets as
+    # sorted runs. Hamming verify inside the run keeps false merges out.
+    coarse_buckets = 256
+
+    def coarse(batch: pa.Table) -> pa.Table:
+        bid = batch["band_id"].to_numpy().astype(np.uint64)
+        bv = batch["band_val"].to_numpy().astype(np.uint64)
+        with np.errstate(over="ignore"):
+            h = splitmix64(bv ^ (bid << np.uint64(58)))
+        return batch.append_column(
+            "bucket", pa.array((h % np.uint64(coarse_buckets))
+                               .astype(np.int32)))
+
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) < 2:
             return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
-        g = g.sort_values(id_col)
+        g = g.sort_values(["band_id", "band_val", id_col], kind="stable")
+        key = (g["band_id"].to_numpy().astype(np.int64) << 48) \
+            ^ g["band_val"].to_numpy().astype(np.int64)
         ids = g[id_col].to_numpy()
         sh = g["simhash"].to_numpy().astype(np.uint64)
+        starts = np.flatnonzero(np.r_[True, key[1:] != key[:-1]])
+        bounds = np.append(starts, len(key))
         rows = []
-        for i in range(len(ids)):
-            d = hamming64(np.full(len(ids) - i - 1, sh[i]), sh[i + 1:])
-            for off in np.flatnonzero(d <= max_hamming):
-                j = i + 1 + off
-                if ids[i] != ids[j]:
-                    rows.append((int(ids[i]), int(ids[j]), int(d[off])))
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            for i in range(s, e - 1):
+                d = hamming64(np.full(e - 1 - i, sh[i]), sh[i + 1:e])
+                for off in np.flatnonzero(d <= max_hamming):
+                    j = i + 1 + off
+                    if ids[i] != ids[j]:
+                        rows.append((int(ids[i]), int(ids[j]), int(d[off])))
         return pd.DataFrame(rows, columns=["id_a", "id_b", "hamming"])
 
-    pairs = exploded.groupby(["band_id", "band_val"]).map_groups(
-        bucket_pairs, batch_format="pandas")
-    return pairs.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas")
+    pairs = (exploded.map_batches(coarse, batch_format="pyarrow")
+             .groupby("bucket")
+             .map_groups(bucket_pairs, batch_format="pandas"))
+    from ray.data.aggregate import Min
+    return pairs.groupby(["id_a", "id_b"]).aggregate(
+        Min("hamming", alias_name="hamming"))
