@@ -1,0 +1,219 @@
+"""Checkpointed, resumable sketch aggregation (SURVEY.md §4 "checkpoint /
+resume"; north_star: "a killed run resumes without recomputing completed
+partitions").
+
+Layout
+------
+One parquet file per completed input partition::
+
+    {ckpt_dir}/part-{partition_id}.parquet
+
+with rows ``(partition_id, input_path, key, sketch: binary, n: float64,
+n_rows: int64, wall_ms: float64, spec_name, engine_version)`` — the
+serialized per-key partial sketches of that partition plus lineage + metrics.
+``partition_id`` is a stable content-independent id derived from the input
+path, so retries and re-runs map to the same file.
+
+Execution
+---------
+Still a streaming Ray Data pipeline (NOT a driver loop): a dataset OF FILES,
+one task per incomplete file::
+
+    from_items(incomplete files)
+      -> map_batches(read file -> per-key sketches -> atomic write, batch_size=1)
+      -> tiny ack rows
+
+Each partition's sketch is computed *inside one task* with a fixed reader
+chunking (``ParquetFile.iter_batches(batch_size)``), so it is a pure
+function of that file's bytes — independent of which other files are in the
+run, of Ray's block layout, and of retries. This is what makes a resumed
+run byte-identical to a clean run (verified by SIGKILL-mid-run + resume: an
+earlier design that built partials in global ``map_batches`` and merged per
+partition produced plan-dependent batch boundaries and only
+within-tolerance — not byte — equality).
+
+Atomicity: each partition's file is written to ``.tmp-{uuid}`` and
+``os.rename``d into place — a killed run leaves only complete files plus
+ignorable tmp garbage, so resume = "list part-*.parquet, skip those ids".
+The final answer is a second tiny pipeline over the checkpoint rows
+(canonical merge by key, the analogue of the reference's one-shot
+``MergingDigest.add(List)``, MergingDigest.java:314-357).
+
+At 100 TB: partitions are input files (~1 GB each), the checkpoint rows are
+KBs per partition, and the resume scan is a metadata-only directory listing.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+import uuid
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..state.protocol import SketchSpec
+
+ENGINE_VERSION = "0.1.0"
+
+CKPT_SCHEMA_COLS = ["partition_id", "input_path", "key", "sketch", "n",
+                    "n_rows", "wall_ms", "spec_name", "engine_version"]
+
+
+def partition_id_for(path: str) -> str:
+    """Stable id for an input file: basename without extension (unique per
+    dataset directory; content-independent so retries land on the same id)."""
+    base = os.path.basename(path)
+    return base.rsplit(".", 1)[0]
+
+
+def _part_file(ckpt_dir: str, pid: str) -> str:
+    return os.path.join(ckpt_dir, f"part-{pid}.parquet")
+
+
+def completed_partitions(ckpt_dir: str) -> set[str]:
+    """partition_ids with a finished checkpoint file."""
+    if not os.path.isdir(ckpt_dir):
+        return set()
+    out = set()
+    for f in os.listdir(ckpt_dir):
+        if f.startswith("part-") and f.endswith(".parquet"):
+            out.add(f[len("part-"):-len(".parquet")])
+    return out
+
+
+def _atomic_write(table: pa.Table, dest: str) -> None:
+    tmp = f"{dest}.tmp-{uuid.uuid4().hex[:8]}"
+    pq.write_table(table, tmp)
+    os.rename(tmp, dest)
+
+
+@dataclass
+class CheckpointRun:
+    """Result of one driver invocation of ``run_checkpointed``."""
+
+    ckpt_dir: str
+    n_partitions: int
+    n_completed_before: int
+    n_processed: int
+
+
+def run_checkpointed(input_files: list[str], spec: SketchSpec,
+                     value_col: str, key: str | None, ckpt_dir: str,
+                     batch_size: int = 65536,
+                     read_columns: list[str] | None = None) -> CheckpointRun:
+    """Process every input file not yet checkpointed; idempotent.
+
+    Call again after a crash — completed partitions are skipped by the
+    directory listing, in-flight ones were never renamed into place.
+    """
+    import ray.data as rd
+
+    os.makedirs(ckpt_dir, exist_ok=True)
+    done = completed_partitions(ckpt_dir)
+    todo = [f for f in input_files if partition_id_for(f) not in done]
+    if not todo:
+        return CheckpointRun(ckpt_dir, len(input_files), len(done), 0)
+
+    if read_columns is None:
+        read_columns = [value_col] if key is None else [value_col, key]
+    cols = list(read_columns)
+
+    def process_file(batch: pa.Table) -> pa.Table:
+        acks = []
+        for path in batch["path"].to_pylist():
+            t0 = time.perf_counter()
+            pf = pq.ParquetFile(path)
+            sketches: dict = {}
+            counts: dict = {}
+            n_rows = 0
+            # fixed chunking (a pure function of the file) keeps the result
+            # independent of the global plan / retries / other files
+            for rb in pf.iter_batches(batch_size=batch_size, columns=cols):
+                vals = rb.column(cols.index(value_col)).to_numpy(
+                    zero_copy_only=False)
+                n_rows += len(vals)
+                if key is None:
+                    groups = [("", np.arange(len(vals)))]
+                else:
+                    karr = rb.column(cols.index(key)).to_numpy(
+                        zero_copy_only=False)
+                    order = np.argsort(karr, kind="stable")
+                    ks = karr[order]
+                    uniq, starts = np.unique(ks, return_index=True)
+                    bounds = np.append(starts, len(ks))
+                    groups = [(uniq[i], order[bounds[i]:bounds[i + 1]])
+                              for i in range(len(uniq))]
+                for kval, idx in groups:
+                    sk = sketches.get(kval)
+                    if sk is None:
+                        sk = sketches[kval] = spec.factory()
+                        counts[kval] = 0
+                    sk.update_batch(vals[idx])
+                    counts[kval] += len(idx)
+            pid = partition_id_for(path)
+            wall = (time.perf_counter() - t0) * 1000
+            rows = [{
+                "partition_id": pid,
+                "input_path": path,
+                "key": kval,
+                "sketch": sketches[kval].to_bytes(),
+                "n": float(counts[kval]),
+                "n_rows": n_rows,
+                "wall_ms": wall / max(len(sketches), 1),
+                "spec_name": spec.name,
+                "engine_version": ENGINE_VERSION,
+            } for kval in sorted(sketches)]
+            table = pa.Table.from_pandas(
+                pd.DataFrame(rows)[CKPT_SCHEMA_COLS], preserve_index=False)
+            _atomic_write(table, _part_file(ckpt_dir, pid))
+            acks.append((pid, len(rows)))
+        return pa.table({
+            "partition_id": pa.array([a[0] for a in acks]),
+            "n_keys": pa.array([a[1] for a in acks], type=pa.int64()),
+        })
+
+    ds = rd.from_items([{"path": f} for f in todo])
+    acks = ds.map_batches(process_file, batch_format="pyarrow", batch_size=1)
+    n_processed = acks.count()
+    return CheckpointRun(ckpt_dir, len(input_files), len(done), n_processed)
+
+
+def finalize_checkpointed(ckpt_dir: str, spec: SketchSpec,
+                          key_name: str = "key"):
+    """Merge all checkpointed partition sketches into final per-key results.
+
+    Returns a Ray Dataset of summary rows (same shape as
+    ``pipelines.quantiles`` outputs). The input here is tiny — one row per
+    (partition, key) — so this is a metadata-scale pipeline.
+    """
+    import ray.data as rd
+
+    from ..stages.aggregate import summarize
+
+    files = [_part_file(ckpt_dir, pid)
+             for pid in sorted(completed_partitions(ckpt_dir))]
+    if not files:
+        raise FileNotFoundError(f"no checkpoints in {ckpt_dir}")
+    ds = rd.read_parquet(files, columns=["key", "sketch", "n"])
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        merged = spec.merge_bytes(list(g["sketch"]))
+        return pd.DataFrame({"key": [g["key"].iloc[0]],
+                             "sketch": [merged.to_bytes()],
+                             "n": [float(g["n"].sum())]})
+
+    merged = ds.groupby("key").map_groups(merge, batch_format="pandas")
+    return summarize(merged, spec, key_name=key_name)
+
+
+def checkpoint_manifest(ckpt_dir: str) -> pd.DataFrame:
+    """Lineage + metrics across all completed partitions (driver-side)."""
+    files = [_part_file(ckpt_dir, pid)
+             for pid in sorted(completed_partitions(ckpt_dir))]
+    if not files:
+        return pd.DataFrame(columns=CKPT_SCHEMA_COLS)
+    return pq.read_table(files).to_pandas()

@@ -1,0 +1,115 @@
+"""Checkpoint/resume: killed-run resume skips completed partitions and the
+final sketches are byte-identical to a clean single run (north_star
+requirement; determinism via the canonical concat-sort-merge)."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+from t_digest_ray.pipelines.checkpoint import (
+    checkpoint_manifest, completed_partitions, finalize_checkpointed,
+    partition_id_for, run_checkpointed)
+from t_digest_ray.pipelines.quantiles import tdigest_spec
+
+
+@pytest.fixture(scope="module")
+def sharded_docs(tmp_path_factory):
+    """documents sf0.001 split into 6 parquet shards."""
+    root = tmp_path_factory.mktemp("shards")
+    t = pq.read_table("/root/testdata/sf0.001/documents.parquet",
+                      columns=["lang", "n_chars"])
+    n = t.num_rows
+    step = (n + 5) // 6
+    files = []
+    for i in range(6):
+        part = t.slice(i * step, step)
+        if part.num_rows == 0:
+            continue
+        f = str(root / f"shard-{i:03d}.parquet")
+        pq.write_table(part, f)
+        files.append(f)
+    return files
+
+
+def _final_bytes(ckpt_dir, spec):
+    """key -> merged sketch bytes over all checkpoint rows (driver-side)."""
+    m = checkpoint_manifest(ckpt_dir)
+    out = {}
+    for k, sub in m.groupby("key"):
+        out[k] = spec.merge_bytes(list(sub["sketch"])).to_bytes()
+    return out
+
+
+def test_clean_run_and_resume_identical(ray_session, sharded_docs, tmp_path):
+    spec = tdigest_spec(100)
+
+    # clean single run
+    clean_dir = str(tmp_path / "clean")
+    r = run_checkpointed(sharded_docs, spec, "n_chars", "lang", clean_dir)
+    assert r.n_processed == len(sharded_docs)
+    assert completed_partitions(clean_dir) == \
+        {partition_id_for(f) for f in sharded_docs}
+
+    # "killed" run: only 3 partitions got through before the crash
+    resume_dir = str(tmp_path / "resume")
+    r1 = run_checkpointed(sharded_docs[:3], spec, "n_chars", "lang",
+                          resume_dir)
+    assert r1.n_processed == 3
+    mtimes = {f: os.path.getmtime(os.path.join(resume_dir, f))
+              for f in os.listdir(resume_dir)}
+
+    # resume with the FULL input list: completed partitions are skipped
+    r2 = run_checkpointed(sharded_docs, spec, "n_chars", "lang", resume_dir)
+    assert r2.n_completed_before == 3
+    assert r2.n_processed == len(sharded_docs) - 3
+    for f, mt in mtimes.items():
+        assert os.path.getmtime(os.path.join(resume_dir, f)) == mt, \
+            f"completed partition {f} was recomputed"
+
+    # final sketch bytes identical to the clean run, per key
+    assert _final_bytes(resume_dir, spec) == _final_bytes(clean_dir, spec)
+
+    # idempotent: nothing left to do
+    r3 = run_checkpointed(sharded_docs, spec, "n_chars", "lang", resume_dir)
+    assert r3.n_processed == 0
+
+
+def test_finalize_and_manifest(ray_session, sharded_docs, tmp_path):
+    spec = tdigest_spec(100)
+    ckpt = str(tmp_path / "ck")
+    run_checkpointed(sharded_docs, spec, "n_chars", "lang", ckpt)
+
+    out = finalize_checkpointed(ckpt, spec, key_name="lang").to_pandas()
+    langs = pq.read_table("/root/testdata/sf0.001/documents.parquet",
+                          columns=["lang"]).column("lang").to_pandas()
+    assert set(out["lang"]) == set(langs.unique())
+    # totals survive the partition round-trip exactly
+    assert int(out["n"].sum()) == len(langs)
+    assert (out["q50"] > 0).all()
+
+    m = checkpoint_manifest(ckpt)
+    assert set(m["partition_id"]) == {partition_id_for(f)
+                                     for f in sharded_docs}
+    assert (m["spec_name"] == "tdigest").all()
+    # per-partition row counts in the lineage sum to the table size
+    per_part = m.drop_duplicates("partition_id")["n_rows"].sum()
+    assert int(per_part) == len(langs)
+    assert (m["wall_ms"] >= 0).all()
+
+
+def test_tmp_garbage_ignored(ray_session, sharded_docs, tmp_path):
+    """A leftover tmp file from a kill mid-write must not count as done."""
+    spec = tdigest_spec(100)
+    ckpt = str(tmp_path / "g")
+    os.makedirs(ckpt)
+    with open(os.path.join(ckpt, "part-shard-000.parquet.tmp-dead"), "wb") \
+            as f:
+        f.write(b"garbage")
+    assert completed_partitions(ckpt) == set()
+    r = run_checkpointed(sharded_docs, spec, "n_chars", "lang", ckpt)
+    assert r.n_processed == len(sharded_docs)
