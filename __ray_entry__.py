@@ -283,6 +283,87 @@ def quality_by_lang(sf_dir: str):
         Mean("n_tokens", alias_name="avg_tokens"))
 
 
+def req_quantiles_by_lang(sf_dir: str):
+    """Relative-error quantiles (ReqSketch) of n_chars per lang."""
+    from t_digest_ray.pipelines.quantiles import req_quantiles_by_key
+
+    ds = _read(sf_dir, "documents", ["lang", "n_chars"])
+    return req_quantiles_by_key(ds, "n_chars", "lang", k=12, num_salts=2,
+                                batch_size=8192, key_name="lang")
+
+
+def drift_events_value(sf_dir: str):
+    """Per-event-type distribution drift (KS + G-test) between the two
+    halves of the user population (expected: no drift — scores are small)."""
+    import pyarrow.compute as pc
+    from t_digest_ray.pipelines.drift import drift_by_key
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id", "value"])
+
+    def half(b: pa.Table, parity: int) -> pa.Table:
+        mask = pc.equal(pc.bit_wise_and(b["user_id"], 1), parity)
+        return b.filter(mask)
+
+    a = ds.map_batches(lambda b: half(b, 0), batch_format="pyarrow")
+    b = ds.map_batches(lambda b: half(b, 1), batch_format="pyarrow")
+    return drift_by_key(a, b, "value", "event_type", key_name="event_type")
+
+
+def simhash_dedup_pairs(sf_dir: str):
+    """Near-duplicate pairs via SimHash banding over document text."""
+    from t_digest_ray.stages.dedup import simhash_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return simhash_pairs(ds, "text", "doc_id", max_hamming=3)
+
+
+def doc_fingerprints(sf_dir: str):
+    """Rolling-hash document fingerprinting: dedup groups by fingerprint.
+
+    Token-stream fingerprints are collision-free here, so grouping by
+    fingerprint reproduces exact text dedup — which is the DuckDB oracle
+    (GROUP BY text). Raw text never shuffles, only the 8-byte fingerprint."""
+    from ray.data.aggregate import Count, Min
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        from t_digest_ray.functions.text import fingerprint64
+        return pd.DataFrame({
+            "doc_id": df["doc_id"],
+            "fingerprint": fingerprint64(df["text"]).astype(np.int64),
+        })
+
+    return (ds.map_batches(fn, batch_format="pandas")
+            .groupby("fingerprint")
+            .aggregate(Min("doc_id", alias_name="doc_id"),
+                       Count(alias_name="n_dupes"))
+            .select_columns(["doc_id", "n_dupes"]))
+
+
+def checkpointed_quantiles_by_lang(sf_dir: str):
+    """The resumable pipeline: per-file sketch checkpoints with lineage,
+    then a canonical merge of the checkpoint rows (north_star resume path).
+    Uses a fresh scratch dir per call; approx results -> rows-only check."""
+    import glob
+    import shutil
+    import uuid
+
+    from t_digest_ray.pipelines.checkpoint import (finalize_checkpointed,
+                                                   run_checkpointed)
+    from t_digest_ray.pipelines.quantiles import tdigest_spec
+
+    files = sorted(glob.glob(f"{sf_dir}/documents.parquet"))
+    ckpt = f"/tmp/tdr_ckpt_{uuid.uuid4().hex[:8]}"
+    spec = tdigest_spec(100)
+    try:
+        run_checkpointed(files, spec, "n_chars", "lang", ckpt)
+        out = finalize_checkpointed(ckpt, spec, key_name="lang").to_pandas()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return out
+
+
 def pages_flagship(sf_dir: str):
     """The north-star pipeline: pages -> extract -> per-lang length digests."""
     from t_digest_ray.pipelines.quantiles import pages_quantiles
@@ -323,6 +404,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid_counts": langid_counts,
         "quality_by_lang": quality_by_lang,
         "pages_flagship": pages_flagship,
+        "req_quantiles_by_lang": req_quantiles_by_lang,
+        "drift_events_value": drift_events_value,
+        "simhash_dedup_pairs": simhash_dedup_pairs,
+        "doc_fingerprints": doc_fingerprints,
+        "checkpointed_quantiles_by_lang": checkpointed_quantiles_by_lang,
     }
 
 
@@ -352,6 +438,10 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY lang
         """,
         "exact_dedup_text": """
+            SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_dupes
+            FROM documents GROUP BY text
+        """,
+        "doc_fingerprints": """
             SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_dupes
             FROM documents GROUP BY text
         """,

@@ -103,6 +103,7 @@ def quality_features(texts: pd.Series) -> pd.DataFrame:
 def fingerprint64(texts: pd.Series) -> np.ndarray:
     """Order-sensitive rolling document fingerprint: h = h*P + hash(token)."""
     P = np.uint64(1099511628211)  # FNV prime
+    ACC0 = np.uint64(1469598103934665603)  # FNV offset basis
     toks = tokens_series(texts)
     out = np.zeros(len(texts), dtype=np.uint64)
     with np.errstate(over="ignore"):
@@ -110,10 +111,14 @@ def fingerprint64(texts: pd.Series) -> np.ndarray:
             if not ts:
                 continue
             th = hash64(np.asarray(ts, dtype=object))
-            acc = np.uint64(1469598103934665603)  # FNV offset basis
-            for h in th:
-                acc = acc * P + h
-            out[i] = acc
+            n = len(th)
+            # closed form of acc = acc*P + h over the token stream:
+            # ACC0*P^n + sum th[j] * P^(n-1-j)   (mod 2^64, wrapping uint64)
+            powers = np.concatenate(
+                [np.ones(1, np.uint64),
+                 np.multiply.accumulate(np.full(n - 1, P, np.uint64))]) \
+                if n > 1 else np.ones(1, np.uint64)
+            out[i] = (ACC0 * powers[-1] * P + (th * powers[::-1]).sum())
     return out
 
 

@@ -69,6 +69,34 @@ def kll_spec(k: int = 200, qs=DEFAULT_QS) -> SketchSpec:
     )
 
 
+def req_spec(k: int = 12, hra: bool = True, qs=DEFAULT_QS) -> SketchSpec:
+    """SketchSpec for the relative-error ReqSketch (SURVEY.md §2.2 #22-24)."""
+    from ..state.req import ReqSketch
+
+    def summ(sk: ReqSketch) -> dict:
+        out = {q_col(q): sk.quantile(q) for q in qs}
+        out["min"] = sk.min if sk.n else float("nan")
+        out["max"] = sk.max if sk.n else float("nan")
+        return out
+
+    return SketchSpec(
+        name="req",
+        factory=lambda: ReqSketch(k, hra),
+        from_bytes=ReqSketch.from_bytes,
+        summarize=summ,
+    )
+
+
+def req_quantiles_by_key(ds, value_col: str, key: str | None = None,
+                         k: int = 12, hra: bool = True, qs=DEFAULT_QS,
+                         num_salts: int = 8, batch_size: int = 65536,
+                         key_name: str | None = None):
+    spec = req_spec(k, hra, qs)
+    merged = sketch_by_key(ds, spec, value_col, key,
+                           num_salts=num_salts, batch_size=batch_size)
+    return summarize(merged, spec, key_name=key_name or (key or "key"))
+
+
 def kll_quantiles_by_key(ds, value_col: str, key: str | None = None,
                          k: int = 200, qs=DEFAULT_QS, num_salts: int = 8,
                          batch_size: int = 65536, key_name: str | None = None):
