@@ -341,6 +341,64 @@ def doc_fingerprints(sf_dir: str):
             .select_columns(["doc_id", "n_dupes"]))
 
 
+def embedding_near_dup_docs(sf_dir: str):
+    """Embedding-cosine near-duplicate doc pairs: stub byte-histogram
+    embeddings + random-hyperplane LSH banding + exact cosine verify.
+    Near-dup texts have near-identical byte histograms -> cosine ~1."""
+    from t_digest_ray.stages.ann import embedding_near_dup_pairs
+    from t_digest_ray.stages.multimodal import EmbedStub
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def to_media(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return pa.table({"vec_id": b["doc_id"],
+                         "payload": pc.cast(b["text"], pa.binary())})
+
+    emb = (ds.map_batches(to_media, batch_format="pyarrow")
+           .map_batches(EmbedStub, batch_format="pyarrow", concurrency=2)
+           .select_columns(["vec_id", "embedding"]))
+    return embedding_near_dup_pairs(emb, threshold=0.999, n_bands=8,
+                                    n_planes=10)
+
+
+def media_decode_stats(sf_dir: str):
+    """Multimodal plumbing: documents' text bytes as opaque media payloads
+    -> actor-pool decode (stub codec) -> resize plan -> frame-sample plan
+    -> per-channel aggregate. The stub codec derives dims from payload
+    bytes, so the whole pipeline is oracle-checkable in SQL."""
+    from ray.data.aggregate import Count, Sum
+    from t_digest_ray.stages.multimodal import (FrameSample, ImageDecode,
+                                                ImageResize)
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def to_media(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        payload = pc.cast(b["text"], pa.binary())
+        return pa.table({"doc_id": b["doc_id"], "payload": payload})
+
+    media = (ds.map_batches(to_media, batch_format="pyarrow")
+             .map_batches(ImageDecode, batch_format="pyarrow",
+                          concurrency=2, batch_size=256)
+             .map_batches(ImageResize(), batch_format="pyarrow")
+             .map_batches(FrameSample(), batch_format="pyarrow"))
+    out = (media.groupby("channels")
+           .aggregate(Count(alias_name="n_imgs"),
+                      Sum("width", alias_name="sum_width"),
+                      Sum("height", alias_name="sum_height"),
+                      Sum("target_width", alias_name="sum_target_width"),
+                      Sum("n_frames", alias_name="sum_frames")))
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        for c in ["sum_width", "sum_height", "sum_target_width",
+                  "sum_frames"]:
+            df[c] = df[c].astype(np.int64)
+        return df
+
+    return out.map_batches(finalize, batch_format="pandas")
+
+
 def checkpointed_quantiles_by_lang(sf_dir: str):
     """The resumable pipeline: per-file sketch checkpoints with lineage,
     then a canonical merge of the checkpoint rows (north_star resume path).
@@ -409,6 +467,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_dedup_pairs": simhash_dedup_pairs,
         "doc_fingerprints": doc_fingerprints,
         "checkpointed_quantiles_by_lang": checkpointed_quantiles_by_lang,
+        "media_decode_stats": media_decode_stats,
+        "embedding_near_dup_docs": embedding_near_dup_docs,
     }
 
 
@@ -444,6 +504,34 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprints": """
             SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_dupes
             FROM documents GROUP BY text
+        """,
+        "media_decode_stats": """
+            WITH meta AS (
+                SELECT CASE WHEN LENGTH(text) > 0
+                            THEN 16 + (LENGTH(text) % 624) ELSE 0 END AS w,
+                       CASE WHEN LENGTH(text) > 0
+                            THEN 16 + (ASCII(SUBSTR(text, 1, 1)) % 464)
+                            ELSE 0 END AS h,
+                       CASE WHEN LENGTH(text) > 0
+                            THEN 1 + (ASCII(SUBSTR(text, -1, 1)) % 3)
+                            ELSE 0 END AS channels,
+                       CASE WHEN LENGTH(text) > 0
+                            THEN 1 + (LENGTH(text) % 3000) ELSE 0 END
+                            AS n_frames
+                FROM documents
+            ), plan AS (
+                SELECT channels, w, h, n_frames,
+                       LEAST(1.0, 256.0 / GREATEST(GREATEST(w, h), 1))
+                           AS scale
+                FROM meta
+            )
+            SELECT channels, COUNT(*) AS n_imgs,
+                   CAST(SUM(w) AS BIGINT) AS sum_width,
+                   CAST(SUM(h) AS BIGINT) AS sum_height,
+                   CAST(SUM(GREATEST(1, FLOOR(w * scale + 0.5))) AS BIGINT)
+                       AS sum_target_width,
+                   CAST(SUM(n_frames) AS BIGINT) AS sum_frames
+            FROM plan GROUP BY channels
         """,
         "top_event_types": """
             SELECT event_type, COUNT(*) AS cnt

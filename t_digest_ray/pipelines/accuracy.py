@@ -1,0 +1,140 @@
+"""Accuracy-experiment harness — the IIDgenerator port (SURVEY.md §2.3 #33,
+reference entry point B: IIDgenerator.java:129-303).
+
+Methodology reproduced: T independent trials; each streams N generated
+samples into every sketch under test, computes the signed rank error
+``est_rank - true_rank`` (duplicate-aware true-rank interval, cf.
+IIDgenerator.java:217-230) at ``n_ranks`` evenly spaced probe ranks, and
+pushes each error into that probe's **error-KLL** (IIDgenerator.java:142-149
+allocates one KLL per rank). The output table reports the median and
+2.5/97.5 percentile envelope of the error distribution per (sketch, rank).
+
+Ray-first: trials are a Dataset of seeds fanned out with ``map_batches``;
+the error-KLL collection is the library's own ``kll_quantiles_by_key``
+pipeline over the (sketch, rank) composite key — the harness is a self-test
+of the library on itself.
+
+Generators follow IIDgenerator.java:315-345: uniform, normal,
+exponential(lambda), loguniform(maxExp), loguniform^2, clustered; all
+counter-based (seed = f(global_seed, trial)) so results are independent of
+scheduling.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+DISTRIBUTIONS = ("uniform", "normal", "exponential", "loguniform",
+                 "loguniform2", "clustered")
+
+
+def generate(dist: str, n: int, seed: int) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    if dist == "uniform":
+        return rng.uniform(0.0, 1.0, n)
+    if dist == "normal":
+        return rng.normal(0.0, 1.0, n)
+    if dist == "exponential":
+        return rng.exponential(1.0, n)
+    if dist == "loguniform":
+        return 10.0 ** rng.uniform(0.0, 6.0, n)
+    if dist == "loguniform2":
+        u = rng.uniform(0.0, 6.0, n)
+        return 10.0 ** (u * u / 6.0)
+    if dist == "clustered":
+        centers = rng.uniform(0.0, 1.0, 10)
+        return (centers[rng.integers(0, 10, n)]
+                + rng.normal(0.0, 1e-4, n))
+    raise ValueError(f"unknown distribution {dist!r}")
+
+
+def _make_sketches(compression: float, kll_k: int, req_k: int) -> dict:
+    from ..state.kll import KllSketch
+    from ..state.req import ReqSketch
+    from ..state.tdigest import TDigest
+
+    return {
+        "tdigest": TDigest(compression),
+        "kll": KllSketch(kll_k),
+        "req": ReqSketch(req_k),
+    }
+
+
+def _trial_errors(dist: str, n: int, trial: int, n_ranks: int,
+                  compression: float, kll_k: int, req_k: int,
+                  chunks: int, base_seed: int) -> pd.DataFrame:
+    data = generate(dist, n, base_seed + trial)
+    sketches = _make_sketches(compression, kll_k, req_k)
+    for chunk in np.array_split(data, chunks):
+        for sk in sketches.values():
+            sk.update_batch(chunk)
+    s = np.sort(data)
+    qs = np.linspace(0.0, 1.0, n_ranks)
+    items = s[np.minimum((qs * (n - 1)).astype(np.int64), n - 1)]
+    # duplicate-aware true rank interval of each probe item
+    lo = np.searchsorted(s, items, side="left") / n
+    hi = np.searchsorted(s, items, side="right") / n
+    rows = []
+    for name, sk in sketches.items():
+        if name == "tdigest":
+            sk.compress()
+            est = sk.cdf_batch(items)
+        elif name == "req":
+            est = sk.rank_batch(items)
+        else:
+            est = np.array([sk.rank(x) for x in items])
+        # signed error, zero when inside the true-rank interval
+        err = np.where(est < lo, est - lo, np.where(est > hi, est - hi, 0.0))
+        rows.append(pd.DataFrame({
+            "sketch": name,
+            "rank": np.round(qs, 6),
+            "err": err,
+        }))
+    return pd.concat(rows, ignore_index=True)
+
+
+def accuracy_experiment(dist: str = "uniform", n: int = 1 << 16,
+                        trials: int = 16, n_ranks: int = 51,
+                        compression: float = 100.0, kll_k: int = 200,
+                        req_k: int = 12, chunks: int = 16,
+                        base_seed: int = 20_240_101, err_kll_k: int = 200):
+    """Run the experiment; returns a Ray Dataset with one row per
+    (sketch, rank): err_median / err_lo / err_hi / err_max columns."""
+    import ray.data as rd
+
+    from .quantiles import kll_quantiles_by_key
+
+    ds = rd.range(trials)
+
+    def run(batch: pa.Table) -> pa.Table:
+        frames = [
+            _trial_errors(dist, n, int(t), n_ranks, compression, kll_k,
+                          req_k, chunks, base_seed)
+            for t in batch["id"].to_pylist()]
+        out = pd.concat(frames, ignore_index=True)
+        out["probe"] = out["sketch"] + "@" + out["rank"].map("{:.6f}".format)
+        return pa.Table.from_pandas(out[["probe", "err"]],
+                                    preserve_index=False)
+
+    errs = ds.map_batches(run, batch_format="pyarrow", batch_size=1)
+    # error distribution per probe, collected into error-KLLs
+    summary = kll_quantiles_by_key(errs, "err", "probe", k=err_kll_k,
+                                   qs=(0.025, 0.5, 0.975), num_salts=1,
+                                   key_name="probe")
+
+    def split_probe(df: pd.DataFrame) -> pd.DataFrame:
+        parts = df["probe"].str.split("@", expand=True)
+        out = pd.DataFrame({
+            "sketch": parts[0],
+            "rank": parts[1].astype(float),
+            "err_lo": df["q2_5"].to_numpy(),
+            "err_median": df["q50"].to_numpy(),
+            "err_hi": df["q97_5"].to_numpy(),
+            "err_max": np.maximum(np.abs(df["min"].to_numpy()),
+                                  np.abs(df["max"].to_numpy())),
+        })
+        return out
+
+    return summary.map_batches(split_probe, batch_format="pandas")

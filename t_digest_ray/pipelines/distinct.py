@@ -22,7 +22,7 @@ def hll_spec(p: int = 14) -> SketchSpec:
 
 
 def distinct_by_key(ds, value_col: str, key: str | None = None, p: int = 14,
-                    num_salts: int = 8, batch_size: int = 65536,
+                    num_salts: int = 8, batch_size: int | None = None,
                     key_name: str | None = None):
     """Approximate count(distinct value_col) per key via HLL register-max
     merges (global single row when key is None)."""
@@ -43,7 +43,7 @@ def bloom_spec(n_bits: int = 1 << 20, k: int = 7) -> SketchSpec:
 
 
 def build_bloom(ds, value_col: str, n_bits: int = 1 << 20, k: int = 7,
-                batch_size: int = 65536) -> BloomFilter:
+                batch_size: int | None = None) -> BloomFilter:
     """Build one Bloom filter over a column via the partial/merge topology
     and return the materialized filter (small: m/8 bytes)."""
     spec = bloom_spec(n_bits, k)

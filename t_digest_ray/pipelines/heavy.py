@@ -19,7 +19,6 @@ underestimate, so reported counts are upper bounds within eps*N.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 from ..state.countmin import CountMin
@@ -39,7 +38,7 @@ def cms_spec(width: int = 2048, depth: int = 5) -> SketchSpec:
 def heavy_hitters(ds, key_col: str, k: int = 10,
                   candidates_per_batch: int = 64,
                   width: int = 2048, depth: int = 5,
-                  batch_size: int = 65536):
+                  batch_size: int | None = None):
     """Top-k most frequent values of ``key_col``.
 
     Returns a Dataset of rows (key_col, est_count: int64) of length <= k,
@@ -68,16 +67,25 @@ def heavy_hitters(ds, key_col: str, k: int = 10,
             .groupby(key_col)
             .aggregate(Sum("batch_count", alias_name="seen_count")))
 
-    # 2-3. driver-side final scoring: both inputs are tiny (one CMS row, at
-    # most #batches * C candidate rows pre-aggregated to distinct keys)
-    cms_row = cms_ds.take(1)[0]
-    cms = CountMin.from_bytes(cms_row["sketch"])
-    cand_df = cand.to_pandas()
-    keys = cand_df[key_col].to_numpy(dtype=object)
-    est = cms.estimate(keys)
-    out = pd.DataFrame({key_col: keys, "est_count": est.astype(np.int64)})
-    out = out.sort_values(["est_count", key_col],
-                          ascending=[False, True]).head(k)
+    # 2-3. score candidates against the merged global CMS inside Ray (the
+    # candidate set can be large at corpus scale — it never lands on the
+    # driver); the ~width*depth*8-byte CMS is broadcast once via ray.put
+    import ray
 
-    import ray.data as rd
-    return rd.from_pandas(out.reset_index(drop=True))
+    cms_row = cms_ds.take(1)[0]
+    cms_ref = ray.put(cms_row["sketch"])
+
+    class Scorer:
+        def __init__(self):
+            self.cms = CountMin.from_bytes(ray.get(cms_ref))
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            keys = batch[key_col].to_numpy(zero_copy_only=False)
+            est = self.cms.estimate(keys.astype(object))
+            return pa.table({key_col: pa.array(keys),
+                             "est_count": pa.array(est.astype(np.int64))})
+
+    scored = cand.map_batches(Scorer, batch_format="pyarrow",
+                              concurrency=(1, 4))
+    return (scored.sort(["est_count", key_col], descending=[True, False])
+            .limit(k))

@@ -89,7 +89,7 @@ def req_spec(k: int = 12, hra: bool = True, qs=DEFAULT_QS) -> SketchSpec:
 
 def req_quantiles_by_key(ds, value_col: str, key: str | None = None,
                          k: int = 12, hra: bool = True, qs=DEFAULT_QS,
-                         num_salts: int = 8, batch_size: int = 65536,
+                         num_salts: int = 8, batch_size: int | None = None,
                          key_name: str | None = None):
     spec = req_spec(k, hra, qs)
     merged = sketch_by_key(ds, spec, value_col, key,
@@ -99,7 +99,7 @@ def req_quantiles_by_key(ds, value_col: str, key: str | None = None,
 
 def kll_quantiles_by_key(ds, value_col: str, key: str | None = None,
                          k: int = 200, qs=DEFAULT_QS, num_salts: int = 8,
-                         batch_size: int = 65536, key_name: str | None = None):
+                         batch_size: int | None = None, key_name: str | None = None):
     spec = kll_spec(k, qs)
     merged = sketch_by_key(ds, spec, value_col, key,
                            num_salts=num_salts, batch_size=batch_size)
@@ -109,7 +109,7 @@ def kll_quantiles_by_key(ds, value_col: str, key: str | None = None,
 def quantiles_by_key(ds, value_col: str, key: str | None = None,
                      compression: float = 100.0, qs=DEFAULT_QS,
                      trims=((0.05, 0.95),), num_salts: int = 8,
-                     batch_size: int = 65536, key_name: str | None = None):
+                     batch_size: int | None = None, key_name: str | None = None):
     """t-digest quantiles of ``value_col`` grouped by ``key`` (or global)."""
     spec = tdigest_spec(compression, qs=qs, trims=trims)
     merged = sketch_by_key(ds, spec, value_col, key,
@@ -120,16 +120,25 @@ def quantiles_by_key(ds, value_col: str, key: str | None = None,
 def pages_quantiles(pages_ds, value_cols=("text_length", "html_size"),
                     key: str = "lang", compression: float = 100.0,
                     qs=DEFAULT_QS, num_salts: int = 8):
-    """The flagship: extract + derive, then per-lang digests of each metric.
+    """The flagship: extract + derive, then per-lang digests of each metric
+    from ONE scan (multi_sketch_by_key — the input pass dominates at corpus
+    scale, so all metrics' partials are computed in the same map_batches).
 
-    Returns a dict {value_col: Dataset of per-lang quantile rows}.
+    Returns a dict {value_col: Dataset of per-lang quantile rows}. The tiny
+    merged sketch table is materialized once so consuming several metrics
+    never re-runs the scan.
     """
+    from ..stages.aggregate import METRIC_COL, multi_sketch_by_key
+
     derived = (pages_ds
                .map_batches(ExtractText(), batch_format="pyarrow")
                .map_batches(derive_metrics, batch_format="pyarrow"))
+    spec = tdigest_spec(compression, qs=qs)
+    merged = multi_sketch_by_key(derived, spec, value_cols, key,
+                                 num_salts=num_salts).materialize()
     out = {}
     for col in value_cols:
-        out[col] = quantiles_by_key(derived, col, key,
-                                    compression=compression, qs=qs,
-                                    num_salts=num_salts, key_name=key)
+        sub = merged.filter(expr=f'{METRIC_COL} == "{col}"') \
+            .drop_columns([METRIC_COL])
+        out[col] = summarize(sub, spec, key_name=key)
     return out

@@ -80,16 +80,15 @@ def dedup_exact(ds, content_col: str, id_col: str):
 
     hashed = ds.map_batches(add_hash, batch_format="pyarrow")
 
-    def first_per_group(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
-            id_col: [int(g[id_col].min())],
-            "n_dupes": [int(len(g))],
-        })
+    # vectorized hash aggregate — NOT map_groups, which would pay one
+    # Python call per distinct content (millions of groups at scale)
+    from ray.data.aggregate import Count, Min
 
     return (hashed
             .select_columns(["content_hash", id_col])
             .groupby("content_hash")
-            .map_groups(first_per_group, batch_format="pandas")
+            .aggregate(Min(id_col, alias_name=id_col),
+                       Count(alias_name="n_dupes"))
             .select_columns([id_col, "n_dupes"]))
 
 
@@ -115,21 +114,20 @@ def distinct_count_by_key(ds, key: str, value: str, out_name: str):
     """Exact count(distinct value) per key: dedup on (key, value) pairs
     inside each batch, then a global pair-dedup + count."""
 
+    from ray.data.aggregate import Count
+
     def pairs(batch: pa.Table) -> pa.Table:
         t = batch.select([key, value])
         df = t.to_pandas().drop_duplicates()
         return pa.Table.from_pandas(df, preserve_index=False)
 
+    # two vectorized aggregates: distinct pairs, then pairs-per-key — no
+    # per-group Python (there is one group per distinct value at scale)
     deduped = (ds.map_batches(pairs, batch_format="pyarrow")
                .groupby([key, value])
-               .map_groups(lambda g: g.head(1), batch_format="pandas"))
-
-    def count_per_key(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({key: [g[key].iloc[0]],
-                             out_name: [int(len(g))]})
-
-    return deduped.groupby(key).map_groups(count_per_key,
-                                           batch_format="pandas")
+               .aggregate(Count(alias_name="_c")))
+    return (deduped.groupby(key)
+            .aggregate(Count(alias_name=out_name)))
 
 
 def broadcast_join_count(ds, small_df: pd.DataFrame, left_key: str,

@@ -94,16 +94,16 @@ def make_partial_fn(spec: SketchSpec, value_col: str,
     return fn
 
 
-def _merge_group(spec: SketchSpec):
-    """A map_groups body: N partial rows for one (key[, salt]) -> 1 row."""
+def _merge_group(spec: SketchSpec, carry: tuple[str, ...] = (KEY_COL,)):
+    """A map_groups body: N partial rows for one group -> 1 row; ``carry``
+    lists the group-identity columns copied through."""
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
         merged = spec.merge_bytes(list(g[SKETCH_COL]))
-        return pd.DataFrame({
-            KEY_COL: [g[KEY_COL].iloc[0]],
-            SKETCH_COL: [merged.to_bytes()],
-            COUNT_COL: [float(g[COUNT_COL].sum())],
-        })
+        out = {c: [g[c].iloc[0]] for c in carry}
+        out[SKETCH_COL] = [merged.to_bytes()]
+        out[COUNT_COL] = [float(g[COUNT_COL].sum())]
+        return pd.DataFrame(out)
 
     return merge
 
@@ -112,7 +112,7 @@ def sketch_by_key(ds, spec: SketchSpec, value_col: str,
                   key: str | None = None,
                   weight_col: str | None = None,
                   num_salts: int = 8,
-                  batch_size: int = 65536):
+                  batch_size: int | None = None):
     """Full pipeline: partials -> two-level canonical merge.
 
     Returns a Dataset of rows ``(key, sketch: binary, n: float64)`` — one per
@@ -128,6 +128,43 @@ def sketch_by_key(ds, spec: SketchSpec, value_col: str,
     else:
         level1 = partials
     return level1.groupby(KEY_COL).map_groups(merge, batch_format="pandas")
+
+
+METRIC_COL = "metric"
+
+
+def multi_sketch_by_key(ds, spec: SketchSpec, value_cols, key: str | None = None,
+                        num_salts: int = 8, batch_size: int | None = None):
+    """One scan, many sketches: per-(metric, key) sketch rows for every
+    column in ``value_cols`` from a SINGLE pass over the input.
+
+    At corpus scale the input scan dominates, so computing all metrics'
+    partials inside one ``map_batches`` amortizes it; the shuffle still only
+    carries serialized sketches (one row per (batch, metric, key)).
+    Returns rows ``(metric, key, sketch, n)``.
+    """
+    value_cols = list(value_cols)
+    fns = {vc: make_partial_fn(spec, vc, key, None, num_salts)
+           for vc in value_cols}
+
+    def fn(batch: pa.Table) -> pa.Table:
+        tables = []
+        for vc, pf in fns.items():
+            t = pf(batch)
+            tables.append(t.append_column(
+                METRIC_COL, pa.array([vc] * len(t))))
+        return pa.concat_tables(tables)
+
+    partials = ds.map_batches(fn, batch_format="pyarrow",
+                              batch_size=batch_size)
+    merge1 = _merge_group(spec, carry=(METRIC_COL, KEY_COL))
+    if num_salts > 1:
+        level1 = partials.groupby([METRIC_COL, KEY_COL, SALT_COL]).map_groups(
+            merge1, batch_format="pandas")
+    else:
+        level1 = partials
+    return level1.groupby([METRIC_COL, KEY_COL]).map_groups(
+        merge1, batch_format="pandas")
 
 
 def summarize(ds, spec: SketchSpec, key_name: str = KEY_COL):

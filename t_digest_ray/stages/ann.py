@@ -96,6 +96,101 @@ def brute_force_topk(ds, queries: np.ndarray, k: int = 10,
         final_topk, batch_format="pandas")
 
 
+def embedding_near_dup_pairs(ds, threshold: float = 0.9, n_bands: int = 4,
+                             n_planes: int = 12, vec_col: str = "embedding",
+                             id_col: str = "vec_id", seed: int = 42,
+                             batch_size: int = 4096):
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine >= t).
+
+    Scale path: ``n_bands`` independent random-hyperplane signatures
+    (Charikar 2002); vectors sharing any band signature land in one bucket,
+    and only buckets are searched all-pairs with exact cosine verification —
+    the embedding analogue of MinHash-LSH banding. Two vectors at cosine c
+    collide in one band w.p. (1 - acos(c)/pi)^n_planes; n_bands bands boost
+    recall to 1-(1-p)^b. False candidates are removed by the exact check.
+
+    Grouping uses the same coarse-bucket trick as stages.dedup: one Python
+    group call per (hash % 256), true buckets found as sorted runs inside.
+    """
+    import ray
+
+    rng = np.random.default_rng(seed)
+    # planes for all bands at once; dim discovered on first batch
+    state = ray.put(rng.standard_normal((n_bands * n_planes, 4096))
+                    .astype(np.float32))
+
+    coarse_buckets = 256
+
+    def signatures(batch: pa.Table) -> pa.Table:
+        v = _normalize(_embeddings_matrix(batch[vec_col]))
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        n, d = v.shape if v.ndim == 2 else (0, 0)
+        if n == 0:
+            return pa.table({"bucket": pa.array([], pa.int32()),
+                             "band": pa.array([], pa.int32()),
+                             "sig": pa.array([], pa.int64()),
+                             id_col: pa.array([], pa.int64()),
+                             "vec": pa.array([], pa.binary())})
+        planes = ray.get(state)[:, :d]
+        out_b, out_s, out_i, out_v = [], [], [], []
+        blobs = [row.astype("<f4").tobytes() for row in v]
+        for b in range(n_bands):
+            p = planes[b * n_planes:(b + 1) * n_planes]
+            sig = _plane_signatures(v, p)
+            out_b.append(np.full(n, b, dtype=np.int32))
+            out_s.append(sig)
+            out_i.append(ids)
+            out_v.extend(blobs)
+        from ..functions.hashing import splitmix64
+        band = np.concatenate(out_b)
+        sig = np.concatenate(out_s)
+        with np.errstate(over="ignore"):
+            h = splitmix64(sig.astype(np.uint64)
+                           ^ (band.astype(np.uint64) << np.uint64(56)))
+        return pa.table({
+            "bucket": pa.array((h % np.uint64(coarse_buckets))
+                               .astype(np.int32)),
+            "band": pa.array(band),
+            "sig": pa.array(sig),
+            id_col: pa.array(np.concatenate(out_i)),
+            "vec": pa.array(out_v, type=pa.binary()),
+        })
+
+    exploded = ds.map_batches(signatures, batch_format="pyarrow",
+                              batch_size=batch_size)
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        g = g.sort_values(["band", "sig", id_col], kind="stable")
+        key = (g["band"].to_numpy().astype(np.int64) << 56) \
+            ^ g["sig"].to_numpy().astype(np.int64)
+        ids = g[id_col].to_numpy()
+        vecs = np.stack([np.frombuffer(b, dtype=np.float32)
+                         for b in g["vec"]])
+        starts = np.flatnonzero(np.r_[True, key[1:] != key[:-1]])
+        bounds = np.append(starts, len(key))
+        rows = []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            if e - s < 2:
+                continue
+            block = vecs[s:e]
+            sims = block @ block.T
+            ii, jj = np.triu_indices(e - s, k=1)
+            hit = sims[ii, jj] >= threshold
+            for i, j, c in zip(ii[hit], jj[hit], sims[ii, jj][hit]):
+                a, b = int(ids[s + i]), int(ids[s + j])
+                if a != b:
+                    rows.append((min(a, b), max(a, b), float(c)))
+        return pd.DataFrame(rows, columns=["id_a", "id_b", "cosine"])
+
+    pairs = exploded.groupby("bucket").map_groups(
+        bucket_pairs, batch_format="pandas")
+    from ray.data.aggregate import Max
+    return pairs.groupby(["id_a", "id_b"]).aggregate(
+        Max("cosine", alias_name="cosine"))
+
+
 def _plane_signatures(v: np.ndarray, planes: np.ndarray) -> np.ndarray:
     bits = (v @ planes.T) > 0  # (n, p)
     out = np.zeros(len(v), dtype=np.int64)

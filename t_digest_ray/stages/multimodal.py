@@ -1,0 +1,173 @@
+"""Multimodal (image/audio/video) stages: Ray-side plumbing, stubbed codecs.
+
+Large-scale training-data pipelines treat media as opaque ``binary`` columns
+with typed metadata and run decode / resize / feature-extract / frame-sample
+as actor-pool ``map_batches`` stages. The decode libraries (PIL/ffmpeg/...)
+are NOT in this container, so the codec kernel itself is pluggable:
+
+* ``ImageDecode(codec=None)``     — actor-pool stage; with no codec installed
+  it uses ``FakeCodec`` (deterministic, pure function of the payload bytes)
+  or raises ``NotImplementedError`` if ``strict=True``. The Ray-side
+  contract — schema in/out, batch sizing, actor ``__init__`` setup,
+  zero-copy binary handling — is real and tested.
+* ``ImageResize``                 — metadata-level resize planning (target
+  dims, scale factors); the pixel kernel is the pluggable part.
+* ``FrameSample``                 — deterministic frame-index sampling for
+  video payloads (uniform stride from a content-derived seed).
+* ``EmbedStub``                   — fixed-dim feature vector derived from
+  payload bytes (stands in for a model forward pass; exercises the
+  actor-pool batched-inference shape: load "model" once in __init__,
+  batch matmul in __call__).
+
+Batch-size guidance (SURVEY.md §4 / memory-aware): media batches should be
+sized by BYTES not rows — callers pass ``batch_size`` small enough that
+``batch_size x avg_payload x concurrency`` fits the worker heap.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+class FakeCodec:
+    """Deterministic stand-in decoder: dims/channels are pure functions of
+    the payload length and first bytes. Lets the full pipeline (schema,
+    actors, aggregation over decoded metadata) run and be oracle-checked
+    (width/height are SQL-expressible over the payload) without PIL."""
+
+    name = "fake"
+
+    def decode_meta(self, payloads: list[bytes | None]):
+        n = len(payloads)
+        width = np.zeros(n, dtype=np.int64)
+        height = np.zeros(n, dtype=np.int64)
+        channels = np.zeros(n, dtype=np.int64)
+        ok = np.zeros(n, dtype=bool)
+        for i, p in enumerate(payloads):
+            if not p:
+                continue
+            ok[i] = True
+            width[i] = 16 + (len(p) % 624)          # 16..639
+            height[i] = 16 + (p[0] % 464)           # 16..479
+            channels[i] = 1 + (p[-1] % 3)           # 1..3
+        return width, height, channels, ok
+
+    def decode_pixels(self, payload: bytes) -> np.ndarray:
+        """Deterministic fake pixel block (for feature stubs)."""
+        w = 16 + (len(payload) % 624)
+        h = 16 + (payload[0] % 464)
+        seed = np.frombuffer(payload[:8].ljust(8, b"\0"), dtype=np.uint64)[0]
+        rng = np.random.default_rng(int(seed))
+        return rng.integers(0, 256, size=(min(h, 32), min(w, 32)),
+                            dtype=np.uint8)
+
+
+class ImageDecode:
+    """Actor-pool stage: media binary -> image metadata columns.
+
+    Use as ``ds.map_batches(ImageDecode(), batch_format="pyarrow",
+    concurrency=N, batch_size=B)`` with B sized by payload bytes. Setup
+    (codec load) happens once per actor in __init__.
+    """
+
+    def __init__(self, payload_col: str = "payload", codec=None,
+                 strict: bool = False):
+        self.payload_col = payload_col
+        if codec is None:
+            if strict:
+                raise NotImplementedError(
+                    "no image codec available in this environment; pass a "
+                    "codec implementing decode_meta() or use FakeCodec")
+            codec = FakeCodec()
+        self.codec = codec
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch[self.payload_col].to_pylist()
+        width, height, channels, ok = self.codec.decode_meta(payloads)
+        return (batch
+                .append_column("width", pa.array(width))
+                .append_column("height", pa.array(height))
+                .append_column("channels", pa.array(channels))
+                .append_column("decode_ok", pa.array(ok)))
+
+
+class ImageResize:
+    """Metadata-level resize planning: clamp longest side to ``max_side``
+    preserving aspect; emits target dims + scale (the pixel kernel is
+    pluggable; planning is what the distributed pipeline needs for
+    scheduling and output sizing)."""
+
+    def __init__(self, max_side: int = 256):
+        self.max_side = max_side
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        w = batch["width"].to_numpy().astype(np.float64)
+        h = batch["height"].to_numpy().astype(np.float64)
+        longest = np.maximum(w, h)
+        scale = np.minimum(1.0, self.max_side / np.maximum(longest, 1.0))
+        # floor(x + 0.5): half-up rounding, matches SQL ROUND semantics so
+        # the plan is oracle-checkable (numpy round is half-to-even)
+        tw = np.maximum(1, np.floor(w * scale + 0.5)).astype(np.int64)
+        th = np.maximum(1, np.floor(h * scale + 0.5)).astype(np.int64)
+        return (batch
+                .append_column("target_width", pa.array(tw))
+                .append_column("target_height", pa.array(th))
+                .append_column("resize_scale", pa.array(scale)))
+
+
+class FrameSample:
+    """Deterministic frame sampling plan for video payloads: n_frames
+    derived from payload length (stub for container parsing), sample
+    ``k`` uniformly-strided frame indices."""
+
+    def __init__(self, payload_col: str = "payload", k: int = 8):
+        self.payload_col = payload_col
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch[self.payload_col].to_pylist()
+        frames, counts = [], []
+        for p in payloads:
+            if not p:
+                counts.append(0)
+                frames.append([])
+                continue
+            n_frames = 1 + (len(p) % 3000)  # stub container parse
+            k = min(self.k, n_frames)
+            idx = np.linspace(0, n_frames - 1, k).astype(np.int64)
+            counts.append(n_frames)
+            frames.append(idx.tolist())
+        return (batch
+                .append_column("n_frames", pa.array(counts, type=pa.int64()))
+                .append_column("sampled_frames",
+                               pa.array(frames, type=pa.list_(pa.int64()))))
+
+
+class EmbedStub:
+    """Batched "model inference" stub: payload -> fixed-dim float32 vector.
+
+    The "model" (a fixed random projection) is built ONCE per actor in
+    __init__ — the stateful-stage pattern for real encoders. The per-batch
+    path is one matmul over byte histograms (vectorized)."""
+
+    def __init__(self, payload_col: str = "payload", dim: int = 64,
+                 seed: int = 7):
+        self.payload_col = payload_col
+        self.dim = dim
+        rng = np.random.default_rng(seed)
+        self.proj = rng.standard_normal((256, dim)).astype(np.float32)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch[self.payload_col].to_pylist()
+        feats = np.zeros((len(payloads), 256), dtype=np.float32)
+        for i, p in enumerate(payloads):
+            if p:
+                counts = np.bincount(np.frombuffer(p, dtype=np.uint8),
+                                     minlength=256)
+                feats[i] = counts / max(len(p), 1)
+        emb = feats @ self.proj
+        norms = np.linalg.norm(emb, axis=1, keepdims=True)
+        emb = emb / np.maximum(norms, 1e-12)
+        return batch.append_column(
+            "embedding", pa.array(list(emb), type=pa.list_(pa.float32())))

@@ -1,0 +1,66 @@
+"""IIDgenerator-port conformance: per-rank error envelopes of all three
+quantile sketches stay within the reference's tested bounds
+(TDigestTest.java:601-610 cdf<=0.08; KllDoublesSketch.java:534-538
+eps=2.296/k^0.9723; ReqSketch.java:79 relRseFactor)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from t_digest_ray.pipelines.accuracy import accuracy_experiment, generate
+
+
+def test_generators_deterministic():
+    for d in ("uniform", "normal", "exponential", "loguniform",
+              "loguniform2", "clustered"):
+        a = generate(d, 1000, 7)
+        b = generate(d, 1000, 7)
+        assert np.array_equal(a, b)
+        assert len(a) == 1000 and np.isfinite(a).all()
+    with pytest.raises(ValueError):
+        generate("nope", 10, 0)
+
+
+@pytest.fixture(scope="module")
+def uniform_result(ray_session):
+    return accuracy_experiment(
+        dist="uniform", n=1 << 15, trials=8, n_ranks=21,
+        compression=100, kll_k=200, req_k=12).to_pandas()
+
+
+def test_tdigest_envelope(uniform_result):
+    td = uniform_result[uniform_result["sketch"] == "tdigest"]
+    assert len(td) == 21
+    # streaming cdf bound of the reference test harness
+    assert td["err_max"].abs().max() <= 0.08
+    # 95% envelope is much tighter mid-range
+    assert td["err_hi"].abs().max() <= 0.02
+    assert td["err_lo"].abs().max() <= 0.02
+    # extreme ranks are near-exact for t-digest
+    tails = td[(td["rank"] <= 0.01) | (td["rank"] >= 0.99)]
+    assert tails["err_max"].abs().max() <= 0.005
+
+
+def test_kll_envelope(uniform_result):
+    kll = uniform_result[uniform_result["sketch"] == "kll"]
+    eps = 2.296 / 200 ** 0.9723
+    assert kll["err_hi"].abs().max() <= 3 * eps
+    assert kll["err_lo"].abs().max() <= 3 * eps
+
+
+def test_req_envelope(uniform_result):
+    req = uniform_result[uniform_result["sketch"] == "req"]
+    # hra: error shrinks toward high ranks; top rank essentially exact
+    top = req[req["rank"] >= 0.95]
+    assert top["err_max"].abs().max() <= 1e-3
+    assert req["err_hi"].abs().max() <= 0.06
+    assert req["err_lo"].abs().max() <= 0.06
+
+
+def test_heavy_tail_distribution(ray_session):
+    out = accuracy_experiment(
+        dist="loguniform", n=1 << 14, trials=4, n_ranks=11,
+        compression=100).to_pandas()
+    td = out[out["sketch"] == "tdigest"]
+    assert td["err_max"].abs().max() <= 0.08

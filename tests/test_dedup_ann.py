@@ -1,0 +1,146 @@
+"""Dedup (MinHash-LSH, SimHash, n-gram Jaccard) and similarity search
+(brute-force + LSH cosine, embedding near-dup): planted-duplicate recall,
+exact-verify precision, parallelism invariance."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from t_digest_ray.stages.dedup import (jaccard_exact, minhash_lsh_pairs,
+                                       minhash_signature, shingle_hashes,
+                                       simhash_pairs)
+
+
+@pytest.fixture(scope="module")
+def planted_docs(ray_session):
+    """200 random token docs + 10 exact dups + 5 near-dups + 2 empties."""
+    import ray
+
+    rng = np.random.default_rng(11)
+    vocab = [f"tok{i:03d}" for i in range(500)]
+    texts = [" ".join(rng.choice(vocab, 60)) for _ in range(200)]
+    rows = [{"doc_id": i, "text": t} for i, t in enumerate(texts)]
+    for j in range(10):
+        rows.append({"doc_id": 1000 + j, "text": texts[j]})
+    for j in range(5):
+        toks = texts[50 + j].split()
+        toks[3] = "zzz"
+        rows.append({"doc_id": 2000 + j, "text": " ".join(toks)})
+    rows.append({"doc_id": 3000, "text": ""})
+    rows.append({"doc_id": 3001, "text": None})
+    return ray.data.from_pandas(pd.DataFrame(rows)).repartition(4), rows
+
+
+def test_minhash_recall_and_precision(planted_docs):
+    ds, rows = planted_docs
+    pairs = minhash_lsh_pairs(ds, "text", "doc_id", k=128, bands=32,
+                              threshold=0.5).to_pandas()
+    found = set(zip(pairs["id_a"], pairs["id_b"]))
+    assert all((j, 1000 + j) in found for j in range(10)), "missed exact dup"
+    assert sum((50 + j, 2000 + j) in found for j in range(5)) >= 4
+    # empties never pair
+    assert not any(3000 in p or 3001 in p for p in found)
+    # signature estimate tracks exact jaccard on every returned pair
+    txt = {r["doc_id"]: r["text"] or "" for r in rows}
+    for _, p in pairs.iterrows():
+        exact = jaccard_exact(shingle_hashes(txt[p.id_a]),
+                              shingle_hashes(txt[p.id_b]))
+        assert abs(exact - p.est_jaccard) < 0.25
+        assert exact > 0.3  # no wildly-false candidates survive
+
+
+def test_simhash_exact_dups(planted_docs):
+    ds, _ = planted_docs
+    pairs = simhash_pairs(ds, "text", "doc_id", max_hamming=3).to_pandas()
+    found = set(zip(pairs["id_a"], pairs["id_b"]))
+    assert all((j, 1000 + j) in found for j in range(10))
+    zero = pairs[pairs["hamming"] == 0]
+    assert len(zero) >= 10
+    assert not any(3000 in p or 3001 in p for p in found)
+
+
+def test_minhash_parallelism_invariant(planted_docs, ray_session):
+    import ray
+
+    _, rows = planted_docs
+    df = pd.DataFrame(rows)
+    out = []
+    for parts in (1, 7):
+        ds = ray.data.from_pandas(df).repartition(parts)
+        p = minhash_lsh_pairs(ds, "text", "doc_id", k=64, bands=16,
+                              threshold=0.5).to_pandas()
+        out.append(set(zip(p["id_a"], p["id_b"])))
+    assert out[0] == out[1]
+
+
+def test_jaccard_exact_edges():
+    a = np.array([1, 2, 3], dtype=np.uint64)
+    b = np.array([2, 3, 4], dtype=np.uint64)
+    assert jaccard_exact(a, a) == 1.0
+    assert jaccard_exact(a, b) == pytest.approx(0.5)
+    e = np.empty(0, dtype=np.uint64)
+    assert jaccard_exact(e, e) == 1.0
+    assert jaccard_exact(a, e) == 0.0
+
+
+def test_minhash_signature_unbiased():
+    rng = np.random.default_rng(5)
+    a = rng.integers(0, 2**63, 400).astype(np.uint64)
+    b = np.concatenate([a[:200], rng.integers(0, 2**63, 200).astype(np.uint64)])
+    a, b = np.unique(a), np.unique(b)
+    sa, sb = minhash_signature(a, 256), minhash_signature(b, 256)
+    est = (sa == sb).mean()
+    true = jaccard_exact(a, b)
+    assert abs(est - true) < 0.1
+
+
+# ------------------------------------------------------------------- ANN
+
+
+@pytest.fixture(scope="module")
+def planted_vectors(ray_session):
+    import ray
+
+    rng = np.random.default_rng(13)
+    base = rng.standard_normal((300, 32)).astype(np.float32)
+    # 10 planted near-dup pairs: vec 500+j ~ vec j + tiny noise
+    extra = base[:10] + rng.standard_normal((10, 32)).astype(np.float32) * 0.01
+    vecs = np.concatenate([base, extra])
+    ids = np.concatenate([np.arange(300), 500 + np.arange(10)])
+    t = pa.table({"vec_id": pa.array(ids, type=pa.int64()),
+                  "embedding": pa.array(list(vecs.astype(float)),
+                                        type=pa.list_(pa.float32()))})
+    return ray.data.from_arrow(t).repartition(4), vecs, ids
+
+
+def test_embedding_near_dup_recall_precision(planted_vectors):
+    from t_digest_ray.stages.ann import embedding_near_dup_pairs
+
+    ds, vecs, ids = planted_vectors
+    pairs = embedding_near_dup_pairs(ds, threshold=0.99, n_bands=8,
+                                     n_planes=10).to_pandas()
+    found = set(zip(pairs["id_a"], pairs["id_b"]))
+    assert all((j, 500 + j) in found for j in range(10)), "missed planted dup"
+    # precision: every returned pair really is >= threshold (exact check)
+    norm = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    lookup = {int(i): norm[k] for k, i in enumerate(ids)}
+    for _, p in pairs.iterrows():
+        assert float(lookup[p.id_a] @ lookup[p.id_b]) >= 0.99 - 1e-5
+
+
+def test_lsh_topk_recall_vs_brute_force(planted_vectors):
+    from t_digest_ray.stages.ann import brute_force_topk, lsh_topk
+
+    ds, vecs, ids = planted_vectors
+    queries = vecs[:3]
+    bf = brute_force_topk(ds, queries, k=5).to_pandas()
+    ls = lsh_topk(ds, queries, k=5, n_planes=6).to_pandas()
+    for qi in range(3):
+        top_bf = set(bf[bf["query_id"] == qi]["vec_id"].head(5))
+        top_ls = set(ls[ls["query_id"] == qi]["vec_id"].head(5))
+        # multiprobe LSH keeps most of the exact top-5; the self-match and
+        # its planted dup are always found
+        assert len(top_bf & top_ls) >= 2
