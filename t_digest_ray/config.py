@@ -1,0 +1,116 @@
+"""Job configuration (SURVEY.md §2.3 #29 — the reference drives experiments
+from ``.properties``/``.conf`` files, IIDgenerator.java:92-127; our analogue
+is a JSON job spec consumed by ``scripts/run_job.py`` / ``ray job submit``).
+
+Example::
+
+    {
+      "pipeline": "quantiles",            // quantiles|kll|req|distinct|
+                                          // heavy|dedup|checkpointed
+      "input": "/data/pages",             // parquet file/dir or "synthetic:N"
+      "columns": ["lang", "text_length"], // read-pruned columns
+      "value_col": "text_length",
+      "key": "lang",
+      "params": {"compression": 200, "num_salts": 8},
+      "output": "/out/quantiles",         // parquet dir (omit -> stdout)
+      "checkpoint_dir": "/ckpt/job1"      // checkpointed pipeline only
+    }
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+from typing import Any
+
+PIPELINES = ("quantiles", "kll", "req", "distinct", "heavy", "dedup",
+             "checkpointed")
+
+
+@dataclass
+class JobConfig:
+    pipeline: str
+    input: str
+    value_col: str | None = None
+    key: str | None = None
+    columns: list[str] | None = None
+    params: dict[str, Any] = field(default_factory=dict)
+    output: str | None = None
+    checkpoint_dir: str | None = None
+
+    def __post_init__(self) -> None:
+        if self.pipeline not in PIPELINES:
+            raise ValueError(
+                f"unknown pipeline {self.pipeline!r}; one of {PIPELINES}")
+        if self.pipeline == "checkpointed" and not self.checkpoint_dir:
+            raise ValueError("checkpointed pipeline needs checkpoint_dir")
+
+    @classmethod
+    def from_file(cls, path: str) -> "JobConfig":
+        with open(path) as f:
+            raw = json.load(f)
+        known = {k: raw.pop(k) for k in list(raw)
+                 if k in cls.__dataclass_fields__}
+        if raw:
+            raise ValueError(f"unknown config keys: {sorted(raw)}")
+        return cls(**known)
+
+
+def build_dataset(cfg: JobConfig):
+    """Input dataset from the config: parquet path or synthetic pages."""
+    import ray.data as rd
+
+    if cfg.input.startswith("synthetic:"):
+        from .sources.pages import synthetic_pages
+        from .stages.extract import derive_metrics
+
+        n = int(cfg.input.split(":", 1)[1])
+        pages = synthetic_pages(n, parallelism=max(n // 16_384, 1))
+        return pages.map_batches(derive_metrics, batch_format="pyarrow")
+    return rd.read_parquet(cfg.input, columns=cfg.columns)
+
+
+def run_job(cfg: JobConfig):
+    """Execute the configured pipeline; returns the result Dataset (already
+    written to cfg.output if set)."""
+    p = dict(cfg.params)
+    ds = build_dataset(cfg)
+
+    if cfg.pipeline == "quantiles":
+        from .pipelines.quantiles import quantiles_by_key
+        out = quantiles_by_key(ds, cfg.value_col, cfg.key, **p)
+    elif cfg.pipeline == "kll":
+        from .pipelines.quantiles import kll_quantiles_by_key
+        out = kll_quantiles_by_key(ds, cfg.value_col, cfg.key, **p)
+    elif cfg.pipeline == "req":
+        from .pipelines.quantiles import req_quantiles_by_key
+        out = req_quantiles_by_key(ds, cfg.value_col, cfg.key, **p)
+    elif cfg.pipeline == "distinct":
+        from .pipelines.distinct import distinct_by_key
+        out = distinct_by_key(ds, cfg.value_col, cfg.key, **p)
+    elif cfg.pipeline == "heavy":
+        from .pipelines.heavy import heavy_hitters
+        out = heavy_hitters(ds, cfg.value_col, **p)
+    elif cfg.pipeline == "dedup":
+        from .stages.dedup import minhash_lsh_pairs
+        out = minhash_lsh_pairs(ds, cfg.value_col, cfg.key or "doc_id", **p)
+    elif cfg.pipeline == "checkpointed":
+        from .pipelines.checkpoint import (finalize_checkpointed,
+                                           run_checkpointed)
+        from .pipelines.quantiles import tdigest_spec
+
+        import glob
+        import os
+        files = sorted(glob.glob(os.path.join(cfg.input, "*.parquet"))) \
+            if os.path.isdir(cfg.input) else [cfg.input]
+        spec = tdigest_spec(p.pop("compression", 100.0))
+        run_checkpointed(files, spec, cfg.value_col, cfg.key,
+                         cfg.checkpoint_dir, **p)
+        out = finalize_checkpointed(cfg.checkpoint_dir, spec,
+                                    key_name=cfg.key or "key")
+    else:  # pragma: no cover - guarded in __post_init__
+        raise AssertionError(cfg.pipeline)
+
+    if cfg.output:
+        out.write_parquet(cfg.output)
+    return out

@@ -30,7 +30,10 @@ DISTRIBUTIONS = ("uniform", "normal", "exponential", "loguniform",
                  "loguniform2", "clustered")
 
 
-def generate(dist: str, n: int, seed: int) -> np.ndarray:
+def generate(dist: str, n: int, seed: int, max_exp: float = 6.0) -> np.ndarray:
+    """IIDgenerator.java:315-345 generator family; ``max_exp`` is the
+    loguniform exponent range (the swept parameter of the VaryingMaxExp
+    driver, LoguniformWithVaryingMaxExpGenerator.java:93-250)."""
     rng = np.random.default_rng(seed)
     if dist == "uniform":
         return rng.uniform(0.0, 1.0, n)
@@ -39,10 +42,10 @@ def generate(dist: str, n: int, seed: int) -> np.ndarray:
     if dist == "exponential":
         return rng.exponential(1.0, n)
     if dist == "loguniform":
-        return 10.0 ** rng.uniform(0.0, 6.0, n)
+        return 10.0 ** rng.uniform(0.0, max_exp, n)
     if dist == "loguniform2":
-        u = rng.uniform(0.0, 6.0, n)
-        return 10.0 ** (u * u / 6.0)
+        u = rng.uniform(0.0, max_exp, n)
+        return 10.0 ** (u * u / max_exp)
     if dist == "clustered":
         centers = rng.uniform(0.0, 1.0, 10)
         return (centers[rng.integers(0, 10, n)]
@@ -64,8 +67,9 @@ def _make_sketches(compression: float, kll_k: int, req_k: int) -> dict:
 
 def _trial_errors(dist: str, n: int, trial: int, n_ranks: int,
                   compression: float, kll_k: int, req_k: int,
-                  chunks: int, base_seed: int) -> pd.DataFrame:
-    data = generate(dist, n, base_seed + trial)
+                  chunks: int, base_seed: int,
+                  max_exp: float = 6.0) -> pd.DataFrame:
+    data = generate(dist, n, base_seed + trial, max_exp)
     sketches = _make_sketches(compression, kll_k, req_k)
     for chunk in np.array_split(data, chunks):
         for sk in sketches.values():
@@ -99,7 +103,8 @@ def accuracy_experiment(dist: str = "uniform", n: int = 1 << 16,
                         trials: int = 16, n_ranks: int = 51,
                         compression: float = 100.0, kll_k: int = 200,
                         req_k: int = 12, chunks: int = 16,
-                        base_seed: int = 20_240_101, err_kll_k: int = 200):
+                        base_seed: int = 20_240_101, err_kll_k: int = 200,
+                        max_exp: float = 6.0):
     """Run the experiment; returns a Ray Dataset with one row per
     (sketch, rank): err_median / err_lo / err_hi / err_max columns."""
     import ray.data as rd
@@ -111,7 +116,7 @@ def accuracy_experiment(dist: str = "uniform", n: int = 1 << 16,
     def run(batch: pa.Table) -> pa.Table:
         frames = [
             _trial_errors(dist, n, int(t), n_ranks, compression, kll_k,
-                          req_k, chunks, base_seed)
+                          req_k, chunks, base_seed, max_exp)
             for t in batch["id"].to_pylist()]
         out = pd.concat(frames, ignore_index=True)
         out["probe"] = out["sketch"] + "@" + out["rank"].map("{:.6f}".format)
@@ -138,3 +143,26 @@ def accuracy_experiment(dist: str = "uniform", n: int = 1 << 16,
         return out
 
     return summary.map_batches(split_probe, batch_format="pandas")
+
+
+def max_exp_sweep(max_exps=(2.0, 4.0, 6.0, 8.0), dist: str = "loguniform2",
+                  n: int = 1 << 14, trials: int = 4, n_ranks: int = 21,
+                  compression: float = 100.0):
+    """VaryingMaxExp driver port (SURVEY.md §2.3 #34): sweep the loguniform
+    exponent range, report max / 95%-envelope error per (max_exp, sketch).
+    Returns a pandas DataFrame (the sweep is a handful of experiments)."""
+    rows = []
+    for me in max_exps:
+        df = accuracy_experiment(dist=dist, n=n, trials=trials,
+                                 n_ranks=n_ranks, compression=compression,
+                                 max_exp=me).to_pandas()
+        for sk, sub in df.groupby("sketch"):
+            rows.append({
+                "max_exp": me,
+                "sketch": sk,
+                "err_max": float(sub["err_max"].abs().max()),
+                "err_hi95": float(sub["err_hi"].abs().max()),
+                "err_lo95": float(sub["err_lo"].abs().max()),
+            })
+    import pandas as pd
+    return pd.DataFrame(rows)

@@ -212,3 +212,38 @@ class AVLTreeDigest:
         d._weights = list(np.frombuffer(b, np.float64, n, off + 8 * n))
         d.min, d.max, d.count = mn, mx, count
         return d
+
+    _SHDR = struct.Struct("<4sfddq")
+    _SMAGIC = b"AVS1"
+
+    def to_small_bytes(self) -> bytes:
+        """Compact encoding: delta-encoded float32 means + varint counts
+        (the reference's small AVL layout, AVLTreeDigest.java:508-547)."""
+        from ..functions.varint import encode_varint
+
+        means = np.asarray(self._means, dtype=np.float64)
+        deltas = np.diff(means, prepend=0.0).astype(np.float32)
+        out = bytearray(self._SHDR.pack(self._SMAGIC, self.compression,
+                                        self.min, self.max, len(means)))
+        out += deltas.tobytes()
+        for w in self._weights:
+            encode_varint(out, int(round(w)))
+        return bytes(out)
+
+    @classmethod
+    def from_small_bytes(cls, b: bytes,
+                         scale: ScaleFunction | str = K_2) -> "AVLTreeDigest":
+        from ..functions.varint import decode_varint_array
+
+        magic, comp, mn, mx, n = cls._SHDR.unpack_from(b, 0)
+        if magic != cls._SMAGIC:
+            raise ValueError("bad small AVLTreeDigest encoding")
+        off = cls._SHDR.size
+        deltas = np.frombuffer(b, np.float32, n, off).astype(np.float64)
+        weights, _ = decode_varint_array(b, n, off + 4 * n)
+        d = cls(comp, scale)
+        d._means = list(np.cumsum(deltas))
+        d._weights = [float(w) for w in weights]
+        d.min, d.max = mn, mx
+        d.count = float(sum(d._weights))
+        return d

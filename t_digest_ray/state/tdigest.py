@@ -42,6 +42,7 @@ import numpy as np
 from .scale_functions import K_2, ScaleFunction, get_scale
 
 VERBOSE_ENCODING = 1
+SMALL_ENCODING = 2
 
 
 def _sizes(compression: float, buffer_factor: int) -> tuple[float, int, int]:
@@ -437,14 +438,41 @@ class TDigest:
         body[1::2] = self._mean[:n]
         return head + body.tobytes()
 
+    def to_small_bytes(self) -> bytes:
+        """SMALL encoding: float32 centroids, byte-compatible with
+        ``asSmallBytes`` (MergingDigest.java:889-903): code(4) min(8) max(8)
+        compression(f4) capacity(2) buffer(2) n(2) + 8 bytes/centroid."""
+        self.compress()
+        n = self._n
+        head = struct.pack(">iddfhhh", SMALL_ENCODING,
+                           self.min if n else np.inf,
+                           self.max if n else -np.inf,
+                           float(self.public_compression),
+                           min(self._mean.size, 0x7FFF),
+                           min(self._temp_mean.size, 0x7FFF), n)
+        body = np.empty(2 * n, dtype=">f4")
+        body[0::2] = self._weight[:n]
+        body[1::2] = self._mean[:n]
+        return head + body.tobytes()
+
     @classmethod
     def from_bytes(cls, buf: bytes,
                    scale: ScaleFunction | str = K_2) -> "TDigest":
-        code, mn, mx, compression, n = struct.unpack_from(">idddi", buf, 0)
-        if code != VERBOSE_ENCODING:
+        """Reconstruct from either encoding (dispatch on the format code,
+        MergingDigest.java:906-943)."""
+        (code,) = struct.unpack_from(">i", buf, 0)
+        if code == VERBOSE_ENCODING:
+            _, mn, mx, compression, n = struct.unpack_from(">idddi", buf, 0)
+            d = cls(compression, scale)
+            body = np.frombuffer(buf, dtype=">f8", count=2 * n, offset=32)
+        elif code == SMALL_ENCODING:
+            _, mn, mx, compression, _cap, _buf, n = \
+                struct.unpack_from(">iddfhhh", buf, 0)
+            d = cls(compression, scale)
+            body = np.frombuffer(buf, dtype=">f4", count=2 * n, offset=30) \
+                .astype(np.float64)
+        else:
             raise ValueError(f"Invalid digest encoding {code}")
-        d = cls(compression, scale)
-        body = np.frombuffer(buf, dtype=">f8", count=2 * n, offset=32)
         d._weight[:n] = body[0::2]
         d._mean[:n] = body[1::2]
         d._n = n
@@ -457,6 +485,34 @@ class TDigest:
         return (f"TDigest(compression={self.public_compression}, "
                 f"scale={self.scale.name}, n={self.size}, "
                 f"centroids={self._n})")
+
+
+class RecordingDigest(TDigest):
+    """Record-all-data mode (reference TDigest.java:206 /
+    Centroid.java:121-151, SURVEY.md §2.1 #17): retains every raw sample
+    beside the digest so tests can verify lossless data provenance through
+    partition/merge topologies (AccuracyTest.java:80-120). Test support
+    only — never the distributed hot path."""
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self._recorded: list[np.ndarray] = []
+
+    def update_batch(self, x, w=None, presorted: bool = False) -> None:
+        super().update_batch(x, w, presorted)  # NaN check happens here
+        self._recorded.append(np.asarray(x, dtype=np.float64).copy())
+
+    def merge(self, *others):
+        for o in others:
+            if isinstance(o, RecordingDigest):
+                self._recorded.extend(o._recorded)
+        return super().merge(*others)
+
+    def recorded(self) -> np.ndarray:
+        """All raw samples seen, sorted (the provenance multiset)."""
+        if not self._recorded:
+            return np.empty(0, dtype=np.float64)
+        return np.sort(np.concatenate(self._recorded))
 
 
 def _cluster(means: np.ndarray, weights: np.ndarray, scale: ScaleFunction,

@@ -1,0 +1,96 @@
+"""Record-all-data provenance mode, config-driven jobs, adversarial-order
+safe cases."""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pytest
+
+from t_digest_ray.config import JobConfig, run_job
+from t_digest_ray.state.tdigest import RecordingDigest, TDigest
+
+
+def test_recording_digest_lossless_through_merge(rng):
+    """Split -> partial -> merge keeps the exact sample multiset
+    (AccuracyTest.java:80-120 recordAllData provenance check)."""
+    data = rng.uniform(0, 1, 10_000)
+    parts = np.array_split(data, 7)
+    subs = []
+    for p in parts:
+        d = RecordingDigest(100)
+        d.update_batch(p)
+        subs.append(d)
+    merged = RecordingDigest(100)
+    merged.merge(*subs)
+    assert np.array_equal(merged.recorded(), np.sort(data))
+    # and the digest itself still answers like a plain one
+    plain = TDigest(100)
+    plain.update_batch(data)
+    assert abs(merged.quantile(0.5) - plain.quantile(0.5)) < 0.02
+
+
+def test_recording_digest_rejects_nan_like_base():
+    """NaN raises (TDigest.java:94-98) and nothing is recorded."""
+    d = RecordingDigest(100)
+    with pytest.raises(ValueError):
+        d.update_batch([1.0, np.nan, 2.0])
+    assert d.recorded().size == 0
+
+
+def test_benign_orderings_stay_accurate():
+    """Shuffled / sorted / interleaved-run input all stay well within the
+    streaming bound (the adversarial driver's documented safe cases)."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "adversarial_attack",
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "scripts", "adversarial_attack.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    data = mod.orderings(1 << 15, 3)
+    for name in ("shuffled", "sorted", "sawtooth"):
+        err = mod.max_cdf_error(data[name], "K_2", 100.0, 512)
+        assert err <= 0.01, f"{name}: {err}"
+
+
+def test_job_config_quantiles(ray_session, tmp_path):
+    cfg_file = tmp_path / "job.json"
+    cfg_file.write_text(json.dumps({
+        "pipeline": "quantiles",
+        "input": "/root/testdata/sf0.001/documents.parquet",
+        "columns": ["lang", "n_chars"],
+        "value_col": "n_chars",
+        "key": "lang",
+        "params": {"compression": 100, "num_salts": 2},
+        "output": str(tmp_path / "out"),
+    }))
+    cfg = JobConfig.from_file(str(cfg_file))
+    out = run_job(cfg).to_pandas()
+    assert len(out) >= 1 and "q50" in out.columns
+    import pyarrow.parquet as pq
+    written = pq.read_table(str(tmp_path / "out"))
+    assert written.num_rows == len(out)
+
+
+def test_job_config_synthetic_distinct(ray_session):
+    cfg = JobConfig(pipeline="distinct", input="synthetic:2000",
+                    value_col="host", key="lang",
+                    params={"p": 12, "num_salts": 2})
+    out = run_job(cfg).to_pandas()
+    assert len(out) == 20 and (out["distinct_estimate"] > 0).all()
+
+
+def test_job_config_validation(tmp_path):
+    with pytest.raises(ValueError, match="unknown pipeline"):
+        JobConfig(pipeline="nope", input="x")
+    with pytest.raises(ValueError, match="checkpoint_dir"):
+        JobConfig(pipeline="checkpointed", input="x")
+    bad = tmp_path / "bad.json"
+    bad.write_text(json.dumps({"pipeline": "quantiles", "input": "x",
+                               "bogus_key": 1}))
+    with pytest.raises(ValueError, match="unknown config keys"):
+        JobConfig.from_file(str(bad))

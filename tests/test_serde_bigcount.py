@@ -1,0 +1,124 @@
+"""Serialization parity (verbose + small + varint) and big-count safety
+(reference BigCount.java:8-16, TDigestTest.java:640-663 testMoreThan2BValues:
+int64/float64 weights from day one — the reference's int counts overflowed)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from t_digest_ray.functions.varint import (decode_varint, decode_varint_array,
+                                           encode_varint, encode_varint_array)
+from t_digest_ray.state.avl import AVLTreeDigest
+from t_digest_ray.state.tdigest import TDigest
+
+
+def test_varint_roundtrip_boundaries():
+    for n in [0, 1, 127, 128, 129, 16383, 16384, 2**21, 2**28 - 1]:
+        out = bytearray()
+        encode_varint(out, n)
+        v, off = decode_varint(bytes(out), 0)
+        assert v == n and off == len(out)
+    # single byte for small values, continuation bit beyond 127
+    one = bytearray()
+    encode_varint(one, 100)
+    assert len(one) == 1
+    two = bytearray()
+    encode_varint(two, 200)
+    assert len(two) == 2 and two[0] & 0x80
+
+
+def test_varint_array():
+    vals = np.array([0, 5, 1000, 2**20, 127, 128])
+    buf = encode_varint_array(vals)
+    out, off = decode_varint_array(buf, len(vals))
+    assert np.array_equal(out, vals) and off == len(buf)
+
+
+def test_tdigest_small_encoding_roundtrip(rng):
+    d = TDigest(100)
+    d.update_batch(rng.lognormal(3, 1, 50_000))
+    d.compress()
+    small = d.to_small_bytes()
+    verbose = d.to_bytes()
+    # reference size claims: 8n+30 (small) vs 16n+32 (verbose),
+    # MergingDigest.java:840-853
+    n = d.centroid_count
+    assert len(small) == 8 * n + 30
+    assert len(verbose) == 16 * n + 32
+
+    d2 = TDigest.from_bytes(small)
+    assert d2.size == pytest.approx(d.size, rel=1e-6)
+    qs = np.linspace(0.01, 0.99, 21)
+    a, b = d.quantile_batch(qs), d2.quantile_batch(qs)
+    # float32 means: relative error bounded by single precision
+    assert np.allclose(a, b, rtol=1e-5)
+    # verbose path still exact
+    d3 = TDigest.from_bytes(verbose)
+    assert np.array_equal(d.quantile_batch(qs), d3.quantile_batch(qs))
+
+
+def test_tdigest_bad_encoding_rejected():
+    with pytest.raises(ValueError):
+        TDigest.from_bytes(b"\x00\x00\x00\x63" + b"\x00" * 40)
+
+
+def test_avl_small_encoding_roundtrip(rng):
+    d = AVLTreeDigest(100)
+    d.update_batch(rng.uniform(0, 1000, 20_000))
+    b = d.to_small_bytes()
+    d2 = AVLTreeDigest.from_small_bytes(b)
+    assert d2.count == d.count
+    assert d2.centroid_count == d.centroid_count
+    qs = np.linspace(0.01, 0.99, 11)
+    assert np.allclose(d.quantile_batch(qs), d2.quantile_batch(qs),
+                       rtol=1e-4, atol=1e-2)
+    # delta-float32 + varint is smaller than the verbose layout
+    assert len(b) < len(d.to_bytes())
+
+
+def test_big_count_median_stable():
+    """>1.5e9 total weight keeps the median within 0.1% (BigCount.java)."""
+    d = TDigest(100)
+    # stream shaped like the reference's big-count test: mass at known
+    # positions with huge integer weights
+    vals = np.linspace(0.0, 1000.0, 2001)
+    w = np.full(len(vals), 1_000_000.0)
+    for _ in range(800):  # 800 * 2001 * 1e6 = 1.6e12 total weight
+        d.update_batch(vals, w)
+    assert d.size == pytest.approx(1.6008e12)
+    assert abs(d.quantile(0.5) - 500.0) / 1000.0 < 0.001
+    # (no check_weights here: massively repeated values legitimately
+    # concentrate one value's 8e8 copies in a single centroid — the
+    # reference's BigCount tests assert only quantile accuracy too)
+
+
+def test_more_than_2b_values():
+    """n > 2^31 supported (testMoreThan2BValues, TDigestTest.java:640-663)."""
+    rng = np.random.default_rng(17)
+    d = TDigest(100)
+    d.update_batch(rng.uniform(0, 1, 1000), np.full(1000, 3_000_000.0))
+    # 3e9 > 2^31; quantiles stay ordered and in range
+    assert d.size == pytest.approx(3.0e9)
+    qs = np.linspace(0, 1, 21)
+    est = d.quantile_batch(qs)
+    assert np.all(np.diff(est) >= 0)
+    assert est[0] >= 0 and est[-1] <= 1
+
+
+def test_serialized_merge_equivalence(rng):
+    """Shuffle-path parity: merging small-encoded partials stays within the
+    merge accuracy bound (the shuffle can carry either encoding)."""
+    data = rng.uniform(0, 1, 40_000)
+    s = np.sort(data)
+    parts = np.array_split(data, 10)
+    blobs = []
+    for p in parts:
+        d = TDigest(100)
+        d.update_batch(p)
+        blobs.append(d.to_small_bytes())
+    merged = TDigest(100).merge(*[TDigest.from_bytes(b) for b in blobs])
+    for q in [0.01, 0.5, 0.99]:
+        est = merged.quantile(q)
+        true_rank = np.searchsorted(s, est, side="right") / len(s)
+        assert abs(true_rank - q) <= 0.015
