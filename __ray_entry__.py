@@ -283,6 +283,55 @@ def quality_by_lang(sf_dir: str):
         Mean("n_tokens", alias_name="avg_tokens"))
 
 
+def events_hourly_window(sf_dir: str):
+    """Tumbling 1-hour windows per event_type: count + value sum."""
+    from t_digest_ray.pipelines.windows import tumbling_window
+
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+    out = tumbling_window(ds, "ts", 3600, key="event_type",
+                          value_col="value")
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        return _cents(df.rename(columns={"sum_value": "sum_value_cents"}),
+                      ["sum_value_cents"])
+
+    return out.map_batches(finalize, batch_format="pandas")
+
+
+def events_sliding_window(sf_dir: str):
+    """Sliding 2h windows stepped hourly: event count per window."""
+    from t_digest_ray.pipelines.windows import sliding_window
+
+    ds = _read(sf_dir, "events", ["ts"])
+    return sliding_window(ds, "ts", size_s=7200, step_s=3600)
+
+
+def purchase_after_click_asof(sf_dir: str):
+    """As-of join: for each purchase, the user's most recent prior click."""
+    from t_digest_ray.pipelines.windows import asof_join
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+
+    def typed(t: str):
+        def fn(b: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            return b.filter(pc.equal(b["event_type"], t))
+        return fn
+
+    purchases = ds.map_batches(typed("purchase"), batch_format="pyarrow")
+    clicks = ds.map_batches(typed("click"), batch_format="pyarrow")
+    return asof_join(purchases, clicks, "user_id", "ts",
+                     left_id="event_id", right_id="event_id")
+
+
+def user_sessions(sf_dir: str):
+    """Per-user session counts with a 30-minute gap rule."""
+    from t_digest_ray.pipelines.windows import sessionize
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    return sessionize(ds, "user_id", "ts", gap_s=1800)
+
+
 def req_quantiles_by_lang(sf_dir: str):
     """Relative-error quantiles (ReqSketch) of n_chars per lang."""
     from t_digest_ray.pipelines.quantiles import req_quantiles_by_key
@@ -469,6 +518,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "checkpointed_quantiles_by_lang": checkpointed_quantiles_by_lang,
         "media_decode_stats": media_decode_stats,
         "embedding_near_dup_docs": embedding_near_dup_docs,
+        "events_hourly_window": events_hourly_window,
+        "events_sliding_window": events_sliding_window,
+        "purchase_after_click_asof": purchase_after_click_asof,
+        "user_sessions": user_sessions,
     }
 
 
@@ -504,6 +557,47 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprints": """
             SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_dupes
             FROM documents GROUP BY text
+        """,
+        "events_hourly_window": """
+            SELECT CAST(FLOOR(FLOOR(EPOCH(ts)) / 3600) * 3600 AS BIGINT)
+                       AS window_start_s,
+                   event_type,
+                   COUNT(*) AS cnt,
+                   CAST(ROUND(SUM(value) * 100) AS BIGINT)
+                       AS sum_value_cents
+            FROM events GROUP BY 1, 2
+        """,
+        "events_sliding_window": """
+            WITH t AS (SELECT CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS t_s
+                       FROM events),
+                 w AS (SELECT t_s,
+                              CAST(FLOOR(t_s / 3600) * 3600 AS BIGINT)
+                                  - k.k * 3600 AS window_start_s
+                       FROM t CROSS JOIN (VALUES (0), (1)) AS k(k))
+            SELECT window_start_s, COUNT(*) AS cnt
+            FROM w WHERE window_start_s > t_s - 7200
+            GROUP BY 1
+        """,
+        "purchase_after_click_asof": """
+            SELECT l.event_id,
+                   r.event_id AS prior_id,
+                   CAST(FLOOR(EPOCH(l.ts - r.ts)) AS BIGINT) AS gap_s
+            FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+            ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') r
+              ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        "user_sessions": """
+            WITH d AS (
+                SELECT user_id,
+                       CASE WHEN LAG(ts) OVER w IS NULL
+                                 OR ts - LAG(ts) OVER w
+                                    > INTERVAL 1800 SECOND
+                            THEN 1 ELSE 0 END AS is_start
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            )
+            SELECT user_id, CAST(SUM(is_start) AS BIGINT) AS n_sessions
+            FROM d GROUP BY user_id
         """,
         "media_decode_stats": """
             WITH meta AS (

@@ -1,0 +1,181 @@
+"""Temporal operators: tumbling/sliding windows, as-of join, sessionization.
+
+The reference has no window/join operators (SURVEY.md §2.4 — "categories the
+reference has no instance of"); a training-data engine needs them, so they
+are built Ray-Data-first here:
+
+* ``tumbling_window``  — pure groupby-aggregate on the truncated timestamp
+  (no custom state; the shuffle carries pre-aggregable rows).
+* ``sliding_window``   — each row is exploded to its size/step windows
+  inside ``map_batches`` (vectorized repeat), then the same groupby.
+* ``asof_join``        — most recent right row with ``r.ts <= l.ts`` per
+  key: both sides are tagged and co-partitioned by ``hash(key) % coarse``
+  (the coarse-bucket pattern — one Python group call per bucket, vectorized
+  run-sweep inside), so only one shuffle of the two inputs happens and the
+  per-bucket merge is a sorted cumulative-count lookup, not a nested loop.
+* ``sessionize``       — per-user session segmentation with a gap rule:
+  bucket by user hash, detect session starts vectorized on the
+  (user, ts)-sorted bucket, then a global vectorized aggregate of session
+  counts.
+
+Partitioning assumption (documented per the custom-operator rule): asof_join
+and sessionize require all rows of one key in one group — guaranteed by the
+hash-bucket groupby; bucket size stays bounded because #keys per bucket ~
+#keys/coarse and per-row state is O(1).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..functions.hashing import hash64
+
+
+def _epoch_s(col: pa.ChunkedArray) -> np.ndarray:
+    return (col.cast(pa.int64()).to_numpy(zero_copy_only=False)
+            // 1_000_000).astype(np.int64)
+
+
+def tumbling_window(ds, ts_col: str, window_s: int, key: str | None = None,
+                    value_col: str | None = None):
+    """Per-(window, key) count and optional value sum; window_start_s is the
+    epoch-second start of the tumbling window."""
+    from ray.data.aggregate import Count, Sum
+
+    def assign(batch: pa.Table) -> pa.Table:
+        secs = _epoch_s(batch[ts_col])
+        ws = (secs // window_s) * window_s
+        cols = {"window_start_s": pa.array(ws)}
+        if key:
+            cols[key] = batch[key]
+        if value_col:
+            cols[value_col] = batch[value_col]
+        return pa.table(cols)
+
+    assigned = ds.map_batches(assign, batch_format="pyarrow")
+    group = ["window_start_s"] + ([key] if key else [])
+    aggs = [Count(alias_name="cnt")]
+    if value_col:
+        aggs.append(Sum(value_col, alias_name="sum_value"))
+    return assigned.groupby(group).aggregate(*aggs)
+
+
+def sliding_window(ds, ts_col: str, size_s: int, step_s: int,
+                   key: str | None = None):
+    """Sliding windows on a step grid: a row at time t belongs to every
+    window start in (t - size, t] on multiples of step."""
+    from ray.data.aggregate import Count
+
+    assert size_s % step_s == 0, "size must be a multiple of step"
+    k = size_s // step_s
+
+    def explode(batch: pa.Table) -> pa.Table:
+        secs = _epoch_s(batch[ts_col])
+        base = (secs // step_s) * step_s
+        n = len(secs)
+        starts = np.repeat(base, k) - np.tile(
+            np.arange(k, dtype=np.int64) * step_s, n)
+        keep = starts > np.repeat(secs, k) - size_s
+        cols = {"window_start_s": pa.array(starts[keep])}
+        if key:
+            karr = batch[key].to_numpy(zero_copy_only=False)
+            cols[key] = pa.array(np.repeat(karr, k)[keep])
+        return pa.table(cols)
+
+    exploded = ds.map_batches(explode, batch_format="pyarrow")
+    group = ["window_start_s"] + ([key] if key else [])
+    return exploded.groupby(group).aggregate(Count(alias_name="cnt"))
+
+
+def asof_join(left, right, key_col: str, ts_col: str,
+              left_id: str, right_id: str, coarse: int = 256):
+    """For each left row, the most recent right row with ``r.ts <= l.ts``
+    and the same key (inner: lefts with no prior right are dropped).
+
+    Returns rows (left_id, right_id as ``prior_id``, gap_s). One shuffle:
+    both tagged sides co-partition on hash(key) % coarse.
+    """
+
+    def tag(side: int, id_col: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            keys = batch[key_col].to_numpy(zero_copy_only=False)
+            return pa.table({
+                "bucket": pa.array((hash64(keys)
+                                    % np.uint64(coarse)).astype(np.int32)),
+                key_col: batch[key_col],
+                "ts_us": pa.array(batch[ts_col].cast(pa.int64())
+                                  .to_numpy(zero_copy_only=False)),
+                "row_id": batch[id_col],
+                "is_left": pa.array(np.full(len(keys), side, dtype=np.int8)),
+            })
+        return fn
+
+    tagged = (left.map_batches(tag(1, left_id), batch_format="pyarrow")
+              .union(right.map_batches(tag(0, right_id),
+                                       batch_format="pyarrow")))
+
+    def bucket_asof(g: pd.DataFrame) -> pd.DataFrame:
+        # sort: key runs, time ascending, rights before lefts on ties
+        # (a right at exactly l.ts qualifies)
+        g = g.sort_values([key_col, "ts_us", "is_left"],
+                          kind="stable").reset_index(drop=True)
+        keys = g[key_col].to_numpy()
+        is_left = g["is_left"].to_numpy() == 1
+        ts = g["ts_us"].to_numpy()
+        rid = g["row_id"].to_numpy()
+        run_start = np.r_[True, keys[1:] != keys[:-1]]
+        # cumulative #rights seen, reset at run starts
+        rights_cum = np.cumsum(~is_left)
+        run_base = np.where(run_start, rights_cum - (~is_left).astype(int), 0)
+        run_base = np.maximum.accumulate(np.where(run_start, run_base, -1))
+        n_rights_before = rights_cum - run_base - (~is_left).astype(int)
+        right_positions = np.flatnonzero(~is_left)
+        out_mask = is_left & (n_rights_before > 0)
+        # the (n_rights_before)-th right overall within this run:
+        # global index into right_positions = run_base + n_before - 1
+        sel = (run_base + n_rights_before - 1)[out_mask]
+        prior = right_positions[sel]
+        return pd.DataFrame({
+            left_id: rid[out_mask],
+            "prior_id": rid[prior],
+            "gap_s": ((ts[out_mask] - ts[prior])
+                      // 1_000_000).astype(np.int64),
+        })
+
+    return tagged.groupby("bucket").map_groups(bucket_asof,
+                                               batch_format="pandas")
+
+
+def sessionize(ds, user_col: str, ts_col: str, gap_s: int,
+               coarse: int = 256):
+    """Per-user session counts under a gap rule: a new session starts when
+    the time since the user's previous event exceeds ``gap_s``.
+    Returns rows (user_col, n_sessions)."""
+    from ray.data.aggregate import Sum
+
+    def project(batch: pa.Table) -> pa.Table:
+        users = batch[user_col].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "bucket": pa.array((hash64(users)
+                                % np.uint64(coarse)).astype(np.int32)),
+            user_col: batch[user_col],
+            "ts_us": pa.array(batch[ts_col].cast(pa.int64())
+                              .to_numpy(zero_copy_only=False)),
+        })
+
+    def bucket_sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([user_col, "ts_us"], kind="stable")
+        users = g[user_col].to_numpy()
+        ts = g["ts_us"].to_numpy()
+        new_user = np.r_[True, users[1:] != users[:-1]]
+        gap = np.r_[True, (ts[1:] - ts[:-1]) > gap_s * 1_000_000]
+        starts = (new_user | gap).astype(np.int64)
+        return pd.DataFrame({user_col: users, "is_start": starts})
+
+    starts = (ds.map_batches(project, batch_format="pyarrow")
+              .groupby("bucket")
+              .map_groups(bucket_sessions, batch_format="pandas"))
+    return starts.groupby(user_col).aggregate(
+        Sum("is_start", alias_name="n_sessions"))

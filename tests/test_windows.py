@@ -1,0 +1,119 @@
+"""Temporal operators: tumbling/sliding windows, as-of join, sessionization
+on planted sequences with hand-computable answers, plus parallelism
+invariance (the value-hash oracle parity runs in scripts/check_correctness)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from t_digest_ray.pipelines.windows import (asof_join, sessionize,
+                                            sliding_window, tumbling_window)
+
+US = 1_000_000
+
+
+def _events(rows):
+    """rows: (event_id, user, t_seconds float, kind)."""
+    t = pa.table({
+        "event_id": pa.array([r[0] for r in rows], type=pa.int64()),
+        "user_id": pa.array([r[1] for r in rows], type=pa.int64()),
+        "ts": pa.array([int(r[2] * US) for r in rows],
+                       type=pa.int64()).cast(pa.timestamp("us")),
+        "kind": pa.array([r[3] for r in rows]),
+    })
+    import ray
+    return ray.data.from_arrow(t)
+
+
+def test_tumbling_window_counts(ray_session):
+    ds = _events([(1, 1, 10, "a"), (2, 1, 50, "a"), (3, 1, 70, "b"),
+                  (4, 2, 130, "a")])
+    out = tumbling_window(ds, "ts", 60).to_pandas() \
+        .set_index("window_start_s")["cnt"]
+    assert out.to_dict() == {0: 2, 60: 1, 120: 1}
+
+
+def test_sliding_window_membership(ray_session):
+    # size 120, step 60: event at t=70 belongs to windows starting 0 and 60
+    ds = _events([(1, 1, 70, "a")])
+    out = sliding_window(ds, "ts", size_s=120, step_s=60).to_pandas()
+    assert set(out["window_start_s"]) == {0, 60}
+    assert (out["cnt"] == 1).all()
+    # boundary: event exactly at window start belongs to [start, start+size)
+    ds2 = _events([(1, 1, 120, "a")])
+    out2 = sliding_window(ds2, "ts", size_s=120, step_s=60).to_pandas()
+    assert set(out2["window_start_s"]) == {60, 120}
+
+
+def test_asof_join_planted(ray_session):
+    rows = [
+        # user 1: clicks at 10, 100; purchases at 50, 100, 5
+        (101, 1, 10.0, "click"), (102, 1, 100.0, "click"),
+        (201, 1, 50.0, "purchase"), (202, 1, 100.0, "purchase"),
+        (203, 1, 5.0, "purchase"),
+        # user 2: purchase with no prior click
+        (204, 2, 60.0, "purchase"), (103, 2, 70.0, "click"),
+    ]
+    ds = _events(rows)
+
+    def kind(k):
+        import pyarrow.compute as pc
+        return lambda b: b.filter(pc.equal(b["kind"], k))
+
+    left = ds.map_batches(kind("purchase"), batch_format="pyarrow")
+    right = ds.map_batches(kind("click"), batch_format="pyarrow")
+    out = asof_join(left, right, "user_id", "ts",
+                    "event_id", "event_id").to_pandas() \
+        .set_index("event_id").sort_index()
+    # purchase 201 (t=50) -> click 101 (t=10); purchase 202 (t=100) ->
+    # click 102 (tie at same ts qualifies); purchase 203 (t=5) and
+    # user-2 purchase 204 have no prior click -> dropped
+    assert out.index.tolist() == [201, 202]
+    assert out.loc[201, "prior_id"] == 101 and out.loc[201, "gap_s"] == 40
+    assert out.loc[202, "prior_id"] == 102 and out.loc[202, "gap_s"] == 0
+
+
+def test_sessionize_gap_rule(ray_session):
+    rows = [(i, 1, t, "x") for i, t in enumerate([0, 10, 20, 2000, 2010])]
+    rows += [(10, 2, 0.0, "x")]
+    ds = _events(rows)
+    out = sessionize(ds, "user_id", "ts", gap_s=1800).to_pandas() \
+        .set_index("user_id")["n_sessions"]
+    assert out.to_dict() == {1: 2, 2: 1}
+    # exactly-at-gap does NOT start a new session (strict >)
+    ds2 = _events([(1, 1, 0, "x"), (2, 1, 1800, "x")])
+    out2 = sessionize(ds2, "user_id", "ts", gap_s=1800).to_pandas()
+    assert out2["n_sessions"].iloc[0] == 1
+
+
+def test_asof_parallelism_invariant(ray_session, rng):
+    """Same result at different partition counts (the co-partitioning
+    assumption holds by construction)."""
+    import ray
+
+    n = 2000
+    t = pa.table({
+        "event_id": pa.array(np.arange(n), type=pa.int64()),
+        "user_id": pa.array(rng.integers(0, 50, n), type=pa.int64()),
+        "ts": pa.array(rng.integers(0, 10**9, n),
+                       type=pa.int64()).cast(pa.timestamp("us")),
+        "kind": pa.array(rng.choice(["l", "r"], n)),
+    })
+    results = []
+    for parts in (2, 11):
+        ds = ray.data.from_arrow(t).repartition(parts)
+        import pyarrow.compute as pc
+        left = ds.map_batches(
+            lambda b: b.filter(pc.equal(b["kind"], "l")),
+            batch_format="pyarrow")
+        right = ds.map_batches(
+            lambda b: b.filter(pc.equal(b["kind"], "r")),
+            batch_format="pyarrow")
+        out = asof_join(left, right, "user_id", "ts",
+                        "event_id", "event_id").to_pandas() \
+            .sort_values("event_id").reset_index(drop=True)
+        results.append(out)
+    pd.testing.assert_frame_equal(results[0], results[1])
