@@ -473,6 +473,11 @@ class TDigest:
                 .astype(np.float64)
         else:
             raise ValueError(f"Invalid digest encoding {code}")
+        if n > d._mean.size:
+            # NO_NORM scales grow centroid count ~ log(n) beyond the static
+            # allocation sized for normalized scales — grow to fit
+            d._mean = np.empty(2 * n, dtype=np.float64)
+            d._weight = np.empty(2 * n, dtype=np.float64)
         d._weight[:n] = body[0::2]
         d._mean[:n] = body[1::2]
         d._n = n
