@@ -193,6 +193,15 @@ def cms_heavy_event_types(sf_dir: str):
     return heavy_hitters(ds, "event_type", k=5, width=2048, depth=5)
 
 
+def heavy_sources(sf_dir: str):
+    """Heavy-hitter sources (the host-frequency analogue on documents):
+    CMS + candidate top-k; collision-free here -> exact oracle."""
+    from t_digest_ray.pipelines.heavy import heavy_hitters
+
+    ds = _read(sf_dir, "documents", ["source"])
+    return heavy_hitters(ds, "source", k=5, width=2048, depth=5)
+
+
 def knn_cosine_rank(sf_dir: str):
     """Brute-force cosine top-10 for the embedding of vec_id=0 (exact)."""
     import pyarrow.parquet as pq
@@ -502,6 +511,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_semi_join_count": bloom_semi_join_count,
         "linear_histogram_events": linear_histogram_events,
         "cms_heavy_event_types": cms_heavy_event_types,
+        "heavy_sources": heavy_sources,
         "knn_cosine_rank": knn_cosine_rank,
         "tdigest_quantiles_by_lang": tdigest_quantiles_by_lang,
         "tdigest_events_value": tdigest_events_value,
@@ -674,6 +684,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, COUNT(*) AS est_count
             FROM events GROUP BY event_type
             ORDER BY est_count DESC, event_type ASC LIMIT 5
+        """,
+        "heavy_sources": """
+            SELECT source, COUNT(*) AS est_count
+            FROM documents GROUP BY source
+            ORDER BY est_count DESC, source ASC LIMIT 5
         """,
         "knn_cosine_rank": """
             SELECT vec_id, CAST(ROW_NUMBER() OVER (

@@ -90,30 +90,36 @@ def req_spec(k: int = 12, hra: bool = True, qs=DEFAULT_QS) -> SketchSpec:
 def req_quantiles_by_key(ds, value_col: str, key: str | None = None,
                          k: int = 12, hra: bool = True, qs=DEFAULT_QS,
                          num_salts: int = 8, batch_size: int | None = None,
-                         key_name: str | None = None):
+                         key_name: str | None = None,
+                         coalesce_blocks: int = 16):
     spec = req_spec(k, hra, qs)
     merged = sketch_by_key(ds, spec, value_col, key,
-                           num_salts=num_salts, batch_size=batch_size)
+                           num_salts=num_salts, batch_size=batch_size,
+                           coalesce_blocks=coalesce_blocks)
     return summarize(merged, spec, key_name=key_name or (key or "key"))
 
 
 def kll_quantiles_by_key(ds, value_col: str, key: str | None = None,
                          k: int = 200, qs=DEFAULT_QS, num_salts: int = 8,
-                         batch_size: int | None = None, key_name: str | None = None):
+                         batch_size: int | None = None, key_name: str | None = None,
+                         coalesce_blocks: int = 16):
     spec = kll_spec(k, qs)
     merged = sketch_by_key(ds, spec, value_col, key,
-                           num_salts=num_salts, batch_size=batch_size)
+                           num_salts=num_salts, batch_size=batch_size,
+                           coalesce_blocks=coalesce_blocks)
     return summarize(merged, spec, key_name=key_name or (key or "key"))
 
 
 def quantiles_by_key(ds, value_col: str, key: str | None = None,
                      compression: float = 100.0, qs=DEFAULT_QS,
                      trims=((0.05, 0.95),), num_salts: int = 8,
-                     batch_size: int | None = None, key_name: str | None = None):
+                     batch_size: int | None = None, key_name: str | None = None,
+                     coalesce_blocks: int = 16):
     """t-digest quantiles of ``value_col`` grouped by ``key`` (or global)."""
     spec = tdigest_spec(compression, qs=qs, trims=trims)
     merged = sketch_by_key(ds, spec, value_col, key,
-                           num_salts=num_salts, batch_size=batch_size)
+                           num_salts=num_salts, batch_size=batch_size,
+                           coalesce_blocks=coalesce_blocks)
     return summarize(merged, spec, key_name=key_name or (key or "key"))
 
 

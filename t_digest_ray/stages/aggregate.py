@@ -112,15 +112,25 @@ def sketch_by_key(ds, spec: SketchSpec, value_col: str,
                   key: str | None = None,
                   weight_col: str | None = None,
                   num_salts: int = 8,
-                  batch_size: int | None = None):
+                  batch_size: int | None = None,
+                  coalesce_blocks: int = 16):
     """Full pipeline: partials -> two-level canonical merge.
 
     Returns a Dataset of rows ``(key, sketch: binary, n: float64)`` — one per
     group (a single row with key "" when ``key is None``).
+
+    ``coalesce_blocks``: the partial rows are KB-sized but inherit the
+    input's block COUNT; Ray's sort-based groupby spawns tasks per input
+    block, so hundreds of near-empty blocks would pay seconds of pure task
+    overhead (measured: 16 s of shuffle on 800 rows from 100 blocks vs <1 s
+    coalesced). Repartitioning the tiny rows first makes the wide step cost
+    proportional to the data, not to the upstream block count.
     """
     partials = ds.map_batches(
         make_partial_fn(spec, value_col, key, weight_col, num_salts),
         batch_format="pyarrow", batch_size=batch_size)
+    if coalesce_blocks:
+        partials = partials.repartition(coalesce_blocks)
     merge = _merge_group(spec)
     if num_salts > 1:
         level1 = partials.groupby([KEY_COL, SALT_COL]).map_groups(
@@ -134,7 +144,8 @@ METRIC_COL = "metric"
 
 
 def multi_sketch_by_key(ds, spec: SketchSpec, value_cols, key: str | None = None,
-                        num_salts: int = 8, batch_size: int | None = None):
+                        num_salts: int = 8, batch_size: int | None = None,
+                        coalesce_blocks: int = 16):
     """One scan, many sketches: per-(metric, key) sketch rows for every
     column in ``value_cols`` from a SINGLE pass over the input.
 
@@ -157,6 +168,8 @@ def multi_sketch_by_key(ds, spec: SketchSpec, value_cols, key: str | None = None
 
     partials = ds.map_batches(fn, batch_format="pyarrow",
                               batch_size=batch_size)
+    if coalesce_blocks:
+        partials = partials.repartition(coalesce_blocks)
     merge1 = _merge_group(spec, carry=(METRIC_COL, KEY_COL))
     if num_salts > 1:
         level1 = partials.groupby([METRIC_COL, KEY_COL, SALT_COL]).map_groups(

@@ -226,7 +226,12 @@ class TDigest:
         self._temp_used = 0
         self._unmerged = 0.0
         if m.size:
-            self._apply_cluster(m, w, self.compression)
+            # canonicalize ties: sort by (mean, weight) so runs of EQUAL
+            # means cluster identically regardless of argument order (a
+            # stable mean-only sort would preserve input order within ties
+            # and break merge-order independence — found by hypothesis)
+            order = np.lexsort((w, m))
+            self._apply_cluster(m[order], w[order], self.compression)
         return self
 
     @classmethod

@@ -58,6 +58,34 @@ def test_req_envelope(uniform_result):
     assert req["err_lo"].abs().max() <= 0.06
 
 
+def test_error_within_cluster_width_bound(rng):
+    """Layer-4 theoretical bound (SURVEY.md §5): the cdf error at any rank
+    is bounded by the local max cluster width scale.max_size(q) — each probe
+    falls inside at most one centroid whose quantile span the scale function
+    caps (the O(1/δ)-style argument of Dunning's paper)."""
+    from t_digest_ray.state.scale_functions import K_2
+    from t_digest_ray.state.tdigest import TDigest
+
+    n = 100_000
+    data = rng.uniform(0, 1, n)
+    d = TDigest(100)
+    for c in np.array_split(data, 16):
+        d.update_batch(c)
+    d.compress()
+    s = np.sort(data)
+    norm = K_2.normalizer(100, n)
+    qs = np.linspace(0.001, 0.999, 199)
+    probes = s[(qs * (n - 1)).astype(np.int64)]
+    est = d.cdf_batch(probes)
+    lo = np.searchsorted(s, probes, side="left") / n
+    hi = np.searchsorted(s, probes, side="right") / n
+    err = np.abs(np.where(est < lo, est - lo,
+                          np.where(est > hi, est - hi, 0.0)))
+    bound = np.asarray(K_2.max_size(qs, norm))
+    assert np.all(err <= bound + 1e-12), \
+        f"violations at q={qs[err > bound]}"
+
+
 def test_heavy_tail_distribution(ray_session):
     out = accuracy_experiment(
         dist="loguniform", n=1 << 14, trials=4, n_ranks=11,

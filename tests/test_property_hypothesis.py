@@ -1,0 +1,103 @@
+"""Property-based tests (hypothesis): invariants that must hold for ANY
+input, not just the seeded fixtures — weight conservation, quantile
+monotonicity and range, merge equivalence, serde round trips."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from hypothesis.extra.numpy import arrays
+
+from t_digest_ray.state.kll import KllSketch
+from t_digest_ray.state.req import ReqSketch
+from t_digest_ray.state.tdigest import TDigest
+
+finite = st.floats(min_value=-1e12, max_value=1e12,
+                   allow_nan=False, allow_infinity=False)
+values = arrays(np.float64, st.integers(1, 400), elements=finite)
+
+
+@settings(max_examples=40, deadline=None)
+@given(values)
+def test_tdigest_weight_and_range(v):
+    d = TDigest(50)
+    d.update_batch(v)
+    d.compress()
+    assert d.size == len(v)
+    m, w = d.centroids()
+    assert w.sum() == len(v)
+    assert np.all(np.diff(m) >= 0)
+    assert d.min == v.min() and d.max == v.max()
+    qs = np.linspace(0, 1, 11)
+    est = d.quantile_batch(qs)
+    assert np.all(np.diff(est) >= -1e-9), "quantiles must be monotone"
+    assert est[0] >= v.min() - 1e-9 and est[-1] <= v.max() + 1e-9
+
+
+@settings(max_examples=25, deadline=None)
+@given(values, st.integers(2, 6))
+def test_tdigest_split_merge_equals_whole_weight(v, parts):
+    subs = []
+    for p in np.array_split(v, parts):
+        d = TDigest(50)
+        if len(p):
+            d.update_batch(p)
+        subs.append(d)
+    merged = TDigest(50).merge(*subs)
+    assert merged.size == len(v)
+    if len(v):
+        assert merged.min == v.min() and merged.max == v.max()
+
+
+@settings(max_examples=25, deadline=None)
+@given(values)
+def test_tdigest_serde_identity(v):
+    d = TDigest(50)
+    d.update_batch(v)
+    d.compress()
+    d2 = TDigest.from_bytes(d.to_bytes())
+    assert np.array_equal(d.quantile_batch(np.linspace(0, 1, 7)),
+                          d2.quantile_batch(np.linspace(0, 1, 7)))
+
+
+@settings(max_examples=25, deadline=None)
+@given(values)
+def test_kll_rank_bounds(v):
+    sk = KllSketch(200)
+    sk.update_batch(v)
+    assert sk.n == len(v)
+    s = np.sort(v)
+    for q in (0.0, 0.5, 1.0):
+        est = sk.quantile(q)
+        assert s[0] <= est <= s[-1]
+    # rank of min is at most eps; rank of max is ~1
+    assert sk.rank(s[-1] + 1.0) == 1.0
+
+
+@settings(max_examples=25, deadline=None)
+@given(values)
+def test_req_count_and_top_rank(v):
+    sk = ReqSketch(k=12)
+    sk.update_batch(v)
+    assert sk.n == len(v)
+    s = np.sort(v)
+    assert sk.quantile(1.0) == s[-1]  # hra keeps the top exactly
+    assert sk.min == s[0] and sk.max == s[-1]
+
+
+@settings(max_examples=20, deadline=None)
+@given(values, values)
+def test_merge_commutative_weight(a, b):
+    da, db = TDigest(50), TDigest(50)
+    da.update_batch(a)
+    db.update_batch(b)
+    ab = TDigest(50).merge(TDigest.from_bytes(da.to_bytes()),
+                           TDigest.from_bytes(db.to_bytes()))
+    ba = TDigest(50).merge(TDigest.from_bytes(db.to_bytes()),
+                           TDigest.from_bytes(da.to_bytes()))
+    assert ab.size == ba.size == len(a) + len(b)
+    # canonical merge: same centroids regardless of argument order
+    ma, wa = ab.centroids()
+    mb, wb = ba.centroids()
+    assert np.array_equal(ma, mb) and np.array_equal(wa, wb)
