@@ -144,9 +144,10 @@ class ReqSketch:
 
     def update_batch(self, values, weights=None) -> None:
         v = np.asarray(values, dtype=np.float64)
-        v = v[~np.isnan(v)]
+        keep = ~np.isnan(v)
+        v = v[keep]
         if weights is not None:
-            w = np.asarray(weights)
+            w = np.asarray(weights)[keep]
             if not np.all(w == 1):
                 # integer weights = repeated insertion (small w expected)
                 v = np.repeat(v, w.astype(np.int64))

@@ -109,6 +109,15 @@ def test_weights_repeat():
     assert sk.quantile(0.5) == 1.0
 
 
+def test_weights_stay_paired_after_nan_filter():
+    """NaN removal must drop the matching weight too (regression: the
+    weight of a NaN value was applied to the next value)."""
+    sk = ReqSketch(k=12)
+    sk.update_batch([1.0, np.nan, 3.0], weights=[2, 5, 4])
+    assert sk.n == 6
+    assert sk.quantile(0.0) == 1.0 and sk.quantile(1.0) == 3.0
+
+
 def test_k_validation():
     with pytest.raises(ValueError):
         ReqSketch(k=13)
