@@ -167,8 +167,25 @@ def run_checkpointed(input_files: list[str], spec: SketchSpec,
                 "spec_name": spec.name,
                 "engine_version": ENGINE_VERSION,
             } for kval in sorted(sketches)]
-            table = pa.Table.from_pandas(
-                pd.DataFrame(rows)[CKPT_SCHEMA_COLS], preserve_index=False)
+            if rows:
+                table = pa.Table.from_pandas(
+                    pd.DataFrame(rows)[CKPT_SCHEMA_COLS],
+                    preserve_index=False)
+            else:
+                # zero-row input file: write a schema-correct empty part so
+                # the partition counts as done (otherwise resume re-hits
+                # and re-fails it forever)
+                table = pa.table({
+                    "partition_id": pa.array([], pa.string()),
+                    "input_path": pa.array([], pa.string()),
+                    "key": pa.array([], pa.string()),
+                    "sketch": pa.array([], pa.binary()),
+                    "n": pa.array([], pa.float64()),
+                    "n_rows": pa.array([], pa.int64()),
+                    "wall_ms": pa.array([], pa.float64()),
+                    "spec_name": pa.array([], pa.string()),
+                    "engine_version": pa.array([], pa.string()),
+                })
             _atomic_write(table, _part_file(ckpt_dir, pid))
             acks.append((pid, len(rows)))
         return pa.table({

@@ -33,9 +33,16 @@ import pyarrow as pa
 from ..functions.hashing import hash64
 
 
+def _epoch_us(col: pa.ChunkedArray) -> np.ndarray:
+    """Microseconds since epoch regardless of the column's timestamp unit
+    (timestamp[ns] input would otherwise be silently read 1000x off)."""
+    if pa.types.is_timestamp(col.type) and col.type.unit != "us":
+        col = col.cast(pa.timestamp("us", col.type.tz))
+    return col.cast(pa.int64()).to_numpy(zero_copy_only=False)
+
+
 def _epoch_s(col: pa.ChunkedArray) -> np.ndarray:
-    return (col.cast(pa.int64()).to_numpy(zero_copy_only=False)
-            // 1_000_000).astype(np.int64)
+    return (_epoch_us(col) // 1_000_000).astype(np.int64)
 
 
 def tumbling_window(ds, ts_col: str, window_s: int, key: str | None = None,
@@ -105,8 +112,7 @@ def asof_join(left, right, key_col: str, ts_col: str,
                 "bucket": pa.array((hash64(keys)
                                     % np.uint64(coarse)).astype(np.int32)),
                 key_col: batch[key_col],
-                "ts_us": pa.array(batch[ts_col].cast(pa.int64())
-                                  .to_numpy(zero_copy_only=False)),
+                "ts_us": pa.array(_epoch_us(batch[ts_col])),
                 "row_id": batch[id_col],
                 "is_left": pa.array(np.full(len(keys), side, dtype=np.int8)),
             })
@@ -161,8 +167,7 @@ def sessionize(ds, user_col: str, ts_col: str, gap_s: int,
             "bucket": pa.array((hash64(users)
                                 % np.uint64(coarse)).astype(np.int32)),
             user_col: batch[user_col],
-            "ts_us": pa.array(batch[ts_col].cast(pa.int64())
-                              .to_numpy(zero_copy_only=False)),
+            "ts_us": pa.array(_epoch_us(batch[ts_col])),
         })
 
     def bucket_sessions(g: pd.DataFrame) -> pd.DataFrame:
@@ -172,7 +177,13 @@ def sessionize(ds, user_col: str, ts_col: str, gap_s: int,
         new_user = np.r_[True, users[1:] != users[:-1]]
         gap = np.r_[True, (ts[1:] - ts[:-1]) > gap_s * 1_000_000]
         starts = (new_user | gap).astype(np.int64)
-        return pd.DataFrame({user_col: users, "is_start": starts})
+        # one output row per user, not per event: the bucket already holds
+        # ALL of a user's rows, so reduce here and keep the second shuffle
+        # O(users) instead of O(events)
+        run_starts = np.flatnonzero(new_user)
+        per_user = np.add.reduceat(starts, run_starts)
+        return pd.DataFrame({user_col: users[run_starts],
+                             "is_start": per_user})
 
     starts = (ds.map_batches(project, batch_format="pyarrow")
               .groupby("bucket")

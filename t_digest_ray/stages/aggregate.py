@@ -195,23 +195,24 @@ def summarize(ds, spec: SketchSpec, key_name: str = KEY_COL):
     return ds.map_batches(fn, batch_format="pandas")
 
 
-def sketch_aggregate_fn(spec: SketchSpec, name: str | None = None):
-    """Adapter: any Sketch -> a Ray Data ``AggregateFn``.
+def sketch_aggregate_fn(spec: SketchSpec, value_col: str,
+                        name: str | None = None):
+    """Adapter: any Sketch -> a Ray Data ``AggregateFn`` over ``value_col``.
 
     The accumulator is the sketch's byte encoding (Arrow-friendly), so this
     composes with ``Dataset.aggregate`` / ``groupby().aggregate`` directly.
     ``sketch_by_key`` is preferred for big inputs because its map-side
     combine pre-shrinks the shuffle; this adapter is the drop-in generic
-    form (mirrors the UDAF contract in SURVEY.md §1.2).
+    form (mirrors the UDAF contract in SURVEY.md §1.2). ``value_col`` is
+    required: under groupby the accumulated block also carries the key
+    column, so guessing a column would silently sketch the keys.
     """
     from ray.data.aggregate import AggregateFn
-
-    col = getattr(spec, "value_col", None)
 
     def accumulate_block(acc: bytes, block) -> bytes:
         tbl = block if isinstance(block, pa.Table) else pa.Table.from_pandas(block)
         sk = spec.from_bytes(acc)
-        vals = tbl[col or tbl.column_names[0]].to_numpy(zero_copy_only=False)
+        vals = tbl[value_col].to_numpy(zero_copy_only=False)
         sk.update_batch(vals)
         return sk.to_bytes()
 
@@ -220,5 +221,5 @@ def sketch_aggregate_fn(spec: SketchSpec, name: str | None = None):
         merge=lambda a, b: spec.merge_bytes([a, b]).to_bytes(),
         accumulate_block=accumulate_block,
         finalize=lambda a: a,
-        name=name or f"{spec.name}({col})",
+        name=name or f"{spec.name}({value_col})",
     )

@@ -170,8 +170,11 @@ def minhash_lsh_pairs(ds, text_col: str, id_col: str, k: int = 128,
                 for off in np.flatnonzero(eq >= threshold):
                     j = s + i + 1 + off
                     if run_ids[i] != ids[j]:
-                        rows.append((int(run_ids[i]), int(ids[j]),
-                                     float(eq[off])))
+                        # native id values (int or string doc ids both work)
+                        a, b2 = run_ids[i], ids[j]
+                        if b2 < a:
+                            a, b2 = b2, a
+                        rows.append((a, b2, float(eq[off])))
         return pd.DataFrame(rows, columns=["id_a", "id_b", "est_jaccard"])
 
     def coarse(batch: pa.Table) -> pa.Table:
@@ -198,10 +201,10 @@ def minhash_dedup_keep(ds, text_col: str, id_col: str, **kwargs):
     Returns the Dataset of surviving ids.
     """
     pairs = minhash_lsh_pairs(ds, text_col, id_col, **kwargs).to_pandas()
-    drop = set(pairs["id_b"].astype(int).tolist()) if len(pairs) else set()
+    drop = set(pairs["id_b"].tolist()) if len(pairs) else set()
     import ray
 
-    drop_ref = ray.put(np.asarray(sorted(drop), dtype=np.int64))
+    drop_ref = ray.put(np.asarray(sorted(drop)))
 
     def keep(batch: pa.Table) -> pa.Table:
         d = ray.get(drop_ref)
@@ -217,6 +220,11 @@ def simhash_pairs(ds, text_col: str, id_col: str, max_hamming: int = 3,
     """Near-dup pairs by SimHash: bucket on each of ``n_bands`` 16-bit bands
     (a pair within Hamming distance <= n_bands - 1 must agree on >= 1 band),
     then verify exact Hamming distance within buckets."""
+
+    # pigeonhole guarantee: a pair within Hamming distance <= n_bands - 1
+    # must agree on at least one band; beyond that, candidates are missed
+    assert max_hamming <= n_bands - 1, \
+        "max_hamming must be <= n_bands - 1 for the banding guarantee"
 
     def sim(batch: pa.Table) -> pa.Table:
         texts = pd.Series(batch[text_col].to_pylist())
@@ -283,7 +291,10 @@ def simhash_pairs(ds, text_col: str, id_col: str, max_hamming: int = 3,
                 for off in np.flatnonzero(d <= max_hamming):
                     j = i + 1 + off
                     if ids[i] != ids[j]:
-                        rows.append((int(ids[i]), int(ids[j]), int(d[off])))
+                        a, b2 = ids[i], ids[j]
+                        if b2 < a:
+                            a, b2 = b2, a
+                        rows.append((a, b2, int(d[off])))
         return pd.DataFrame(rows, columns=["id_a", "id_b", "hamming"])
 
     pairs = (exploded.map_batches(coarse, batch_format="pyarrow")

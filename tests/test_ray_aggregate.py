@@ -62,8 +62,7 @@ def test_global_aggregate_fn(ray_session):
     vals = rng.uniform(0, 1, N)
     ds = rd.from_pandas(pd.DataFrame({"x": vals}))
     spec = tdigest_spec(100)
-    spec.value_col = "x"
-    agg = sketch_aggregate_fn(spec, name="digest")
+    agg = sketch_aggregate_fn(spec, "x", name="digest")
     res = ds.aggregate(agg)
     d = TDigest.from_bytes(res["digest"])
     assert d.size == N
