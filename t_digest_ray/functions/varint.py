@@ -15,6 +15,11 @@ import numpy as np
 def encode_varint(out: bytearray, n: int) -> None:
     if n < 0:
         n &= 0xFFFFFFFF  # reference treats int bits as unsigned (>>> shift)
+    if n > 0xFFFFFFFF:
+        # the reference's domain is Java's 32-bit int (5 encoded bytes max);
+        # decode_varint's shift limit matches that, so reject larger values
+        # here instead of emitting bytes the decoder will refuse
+        raise ValueError(f"varint value {n} exceeds the 32-bit domain")
     k = 0
     while n > 0x7F:
         out.append(0x80 | (n & 0x7F))

@@ -64,10 +64,16 @@ CKPT_SCHEMA_COLS = ["partition_id", "input_path", "key", "sketch", "n",
 
 
 def partition_id_for(path: str) -> str:
-    """Stable id for an input file: basename without extension (unique per
-    dataset directory; content-independent so retries land on the same id)."""
-    base = os.path.basename(path)
-    return base.rsplit(".", 1)[0]
+    """Stable id for an input file: basename without extension plus a short
+    hash of the normalized full path. The hash disambiguates the standard
+    sharded layout ``dir1/part-0.parquet`` vs ``dir2/part-0.parquet`` (same
+    basename, different shards) while staying content-independent, so
+    retries and re-runs of the same path land on the same id."""
+    import hashlib
+
+    base = os.path.basename(path).rsplit(".", 1)[0]
+    digest = hashlib.sha1(os.path.normpath(path).encode()).hexdigest()[:8]
+    return f"{base}-{digest}"
 
 
 def _part_file(ckpt_dir: str, pid: str) -> str:

@@ -124,8 +124,10 @@ def asof_join(left, right, key_col: str, ts_col: str,
 
     def bucket_asof(g: pd.DataFrame) -> pd.DataFrame:
         # sort: key runs, time ascending, rights before lefts on ties
-        # (a right at exactly l.ts qualifies)
-        g = g.sort_values([key_col, "ts_us", "is_left"],
+        # (a right at exactly l.ts qualifies); row_id last so ties among
+        # equal (key, ts) rights resolve the same way regardless of Ray's
+        # block delivery order (parallelism invariance)
+        g = g.sort_values([key_col, "ts_us", "is_left", "row_id"],
                           kind="stable").reset_index(drop=True)
         keys = g[key_col].to_numpy()
         is_left = g["is_left"].to_numpy() == 1

@@ -99,7 +99,11 @@ def _format_urls(host_idx: np.ndarray, ids: np.ndarray) -> pa.Array:
     for d in range(16):
         nib = ((iv >> np.uint64(4 * (15 - d))) & np.uint64(15)).astype(np.int64)
         out[:, base + d] = _HEXDIGITS[nib]
-    offsets = (np.arange(n + 1, dtype=np.int32) * width)
+    # int32 offsets overflow past 2 GiB of buffer — at 47 B/url that is
+    # ~45 M rows in ONE batch, which should never happen (blocks are far
+    # smaller); fail loudly rather than silently wrap
+    assert n * width < 2**31, "url batch exceeds int32 string offsets"
+    offsets = (np.arange(n + 1, dtype=np.int64) * width).astype(np.int32)
     return pa.StringArray.from_buffers(
         n, pa.py_buffer(offsets.tobytes()), pa.py_buffer(out.reshape(-1)))
 
@@ -113,6 +117,15 @@ def _slice_corpus(offs: np.ndarray, length: np.ndarray) -> pa.Array:
     idx = (np.arange(cum[-1] if len(cum) else 0, dtype=np.int64)
            - np.repeat(starts_out, length) + np.repeat(offs, length))
     data = corpus_b[idx]
+    total = int(cum[-1]) if len(cum) else 0
+    if total >= 2**31:
+        # one huge low-parallelism batch: fall back to large_string with
+        # int64 offsets instead of silently wrapping into int32
+        offsets64 = np.empty(len(offs) + 1, dtype=np.int64)
+        offsets64[0] = 0
+        offsets64[1:] = cum
+        return pa.LargeStringArray.from_buffers(
+            len(offs), pa.py_buffer(offsets64.tobytes()), pa.py_buffer(data))
     offsets = np.empty(len(offs) + 1, dtype=np.int32)
     offsets[0] = 0
     offsets[1:] = cum

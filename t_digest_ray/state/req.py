@@ -149,8 +149,16 @@ class ReqSketch:
         if weights is not None:
             w = np.asarray(weights)[keep]
             if not np.all(w == 1):
-                # integer weights = repeated insertion (small w expected)
-                v = np.repeat(v, w.astype(np.int64))
+                # integer weights = repeated insertion (small w expected);
+                # fractional weights have no rank-sketch meaning here, so
+                # reject them instead of silently flooring (TDigest in the
+                # same Sketch protocol DOES honor float weights)
+                wi = np.asarray(w, dtype=np.int64)
+                if not np.array_equal(wi, np.asarray(w, dtype=np.float64)):
+                    raise ValueError(
+                        "ReqSketch requires integer weights "
+                        "(fractional weights are not representable)")
+                v = np.repeat(v, wi)
         if not len(v):
             return
         v = np.sort(v, kind="stable")  # order-canonical per batch

@@ -113,3 +113,15 @@ def test_tmp_garbage_ignored(ray_session, sharded_docs, tmp_path):
     assert completed_partitions(ckpt) == set()
     r = run_checkpointed(sharded_docs, spec, "n_chars", "lang", ckpt)
     assert r.n_processed == len(sharded_docs)
+
+
+def test_partition_id_distinct_across_directories():
+    """Same basename in different shard directories must map to distinct
+    partition ids (ADVICE r01: dir1/part-0.parquet vs dir2/part-0.parquet
+    collided, silently skipping the second file on resume)."""
+    a = partition_id_for("/data/dir1/part-0.parquet")
+    b = partition_id_for("/data/dir2/part-0.parquet")
+    assert a != b
+    # stable across repeat calls and trivial path normalization
+    assert a == partition_id_for("/data/dir1/part-0.parquet")
+    assert a == partition_id_for("/data/dir1//part-0.parquet")

@@ -135,3 +135,12 @@ def test_exact_when_small(rng):
         est = sk.quantile(q)
         assert est in data
         assert abs(true_rank(s, est) - q) <= 1.0 / len(data) + 1e-9
+
+
+def test_fractional_weights_rejected():
+    """Fractional weights have no rank-sketch meaning; silently flooring
+    them would drop/undercount values, so they must raise (ADVICE r01)."""
+    sk = ReqSketch(k=12)
+    with pytest.raises(ValueError, match="integer weights"):
+        sk.update_batch([1.0, 2.0], weights=[0.9, 2.7])
+    assert sk.n == 0

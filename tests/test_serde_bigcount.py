@@ -122,3 +122,15 @@ def test_serialized_merge_equivalence(rng):
         est = merged.quantile(q)
         true_rank = np.searchsorted(s, est, side="right") / len(s)
         assert abs(true_rank - q) <= 0.015
+
+
+def test_varint_encode_rejects_over_32bit():
+    """encode caps at the reference's 32-bit domain so every encoded value
+    is decodable (ADVICE r01: 2^35..2^49 encoded but failed to decode)."""
+    from t_digest_ray.functions.varint import (decode_varint, encode_varint)
+    buf = bytearray()
+    encode_varint(buf, 2**32 - 1)
+    assert decode_varint(bytes(buf), 0)[0] == 2**32 - 1
+    import pytest
+    with pytest.raises(ValueError, match="32-bit"):
+        encode_varint(bytearray(), 2**32)
