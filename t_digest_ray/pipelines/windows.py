@@ -97,13 +97,24 @@ def sliding_window(ds, ts_col: str, size_s: int, step_s: int,
 
 
 def asof_join(left, right, key_col: str, ts_col: str,
-              left_id: str, right_id: str, coarse: int = 256):
+              left_id: str, right_id: str, coarse: int | None = None,
+              n_rows: int | None = None):
     """For each left row, the most recent right row with ``r.ts <= l.ts``
     and the same key (inner: lefts with no prior right are dropped).
 
     Returns rows (left_id, right_id as ``prior_id``, gap_s). One shuffle:
-    both tagged sides co-partition on hash(key) % coarse.
+    both tagged sides co-partition on hash(key) % coarse. The bucket count
+    scales with the combined input (metadata row counts or ``n_rows``):
+    ~256k tagged rows of ~40 B per group, ~10 MB per map_groups task.
     """
+    from ..stages.partitioning import cheap_row_count, coarse_bucket_count
+
+    if coarse is None:
+        if n_rows is None:
+            nl, nr = cheap_row_count(left), cheap_row_count(right)
+            n_rows = nl + nr if nl is not None and nr is not None else None
+        coarse = coarse_bucket_count(n_rows=n_rows, rows_per_bucket=262144,
+                                     what="asof_join")
 
     def tag(side: int, id_col: str):
         def fn(batch: pa.Table) -> pa.Table:
@@ -157,11 +168,19 @@ def asof_join(left, right, key_col: str, ts_col: str,
 
 
 def sessionize(ds, user_col: str, ts_col: str, gap_s: int,
-               coarse: int = 256):
+               coarse: int | None = None, n_rows: int | None = None):
     """Per-user session counts under a gap rule: a new session starts when
     the time since the user's previous event exceeds ``gap_s``.
-    Returns rows (user_col, n_sessions)."""
+    Returns rows (user_col, n_sessions). Bucket count scales with the
+    input (~256k rows of ~40 B per group, ~10 MB per map_groups task)."""
     from ray.data.aggregate import Sum
+
+    from ..stages.partitioning import coarse_bucket_count
+
+    if coarse is None:
+        coarse = coarse_bucket_count(ds, n_rows=n_rows,
+                                     rows_per_bucket=262144,
+                                     what="sessionize")
 
     def project(batch: pa.Table) -> pa.Table:
         users = batch[user_col].to_numpy(zero_copy_only=False)

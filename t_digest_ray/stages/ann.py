@@ -99,27 +99,46 @@ def brute_force_topk(ds, queries: np.ndarray, k: int = 10,
 def embedding_near_dup_pairs(ds, threshold: float = 0.9, n_bands: int = 4,
                              n_planes: int = 12, vec_col: str = "embedding",
                              id_col: str = "vec_id", seed: int = 42,
-                             batch_size: int = 4096):
+                             batch_size: int = 4096,
+                             coarse_buckets: int | None = None,
+                             n_rows: int | None = None):
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine >= t).
 
     Scale path: ``n_bands`` independent random-hyperplane signatures
-    (Charikar 2002); vectors sharing any band signature land in one bucket,
-    and only buckets are searched all-pairs with exact cosine verification —
-    the embedding analogue of MinHash-LSH banding. Two vectors at cosine c
-    collide in one band w.p. (1 - acos(c)/pi)^n_planes; n_bands bands boost
-    recall to 1-(1-p)^b. False candidates are removed by the exact check.
+    (Charikar 2002); vectors sharing any band signature become a candidate
+    pair — the embedding analogue of MinHash-LSH banding. Two vectors at
+    cosine c collide in one band w.p. (1 - acos(c)/pi)^n_planes; n_bands
+    bands boost recall to 1-(1-p)^b. False candidates are removed by an
+    exact cosine check.
 
-    Grouping uses the same coarse-bucket trick as stages.dedup: one Python
-    group call per (hash % 256), true buckets found as sorted runs inside.
+    Shuffle discipline: the banding shuffle carries ONLY
+    (bucket, band, sig, id) — never the float vector blob (previously each
+    vector crossed the wire n_bands times). Verification re-reads the
+    corpus once, keeps just the candidate ids' vectors (a second
+    metadata-pruned scan beats re-shipping every vector through the
+    all-to-all), and broadcasts that small matrix via the object store
+    (one plasma copy per node, zero-copy for workers). The broadcast is
+    bounded by #candidate ids x dim x 4 B — candidates are LSH-rare by
+    design; at extreme duplication raise ``threshold``/``n_planes`` or
+    shard the verify.
+
+    The coarse bucket count scales with the input (~256k sig rows of
+    ~30 B per map_groups task); pass ``n_rows`` for post-transform inputs.
     """
     import ray
+
+    from ..functions.hashing import splitmix64
+    from .partitioning import coarse_bucket_count
+
+    if coarse_buckets is None:
+        coarse_buckets = coarse_bucket_count(
+            ds, n_rows=n_rows, rows_per_bucket=262144, fanout=n_bands,
+            what="embedding_near_dup_pairs")
 
     rng = np.random.default_rng(seed)
     # planes for all bands at once; dim discovered on first batch
     state = ray.put(rng.standard_normal((n_bands * n_planes, 4096))
                     .astype(np.float32))
-
-    coarse_buckets = 256
 
     def signatures(batch: pa.Table) -> pa.Table:
         v = _normalize(_embeddings_matrix(batch[vec_col]))
@@ -129,19 +148,15 @@ def embedding_near_dup_pairs(ds, threshold: float = 0.9, n_bands: int = 4,
             return pa.table({"bucket": pa.array([], pa.int32()),
                              "band": pa.array([], pa.int32()),
                              "sig": pa.array([], pa.int64()),
-                             id_col: pa.array([], pa.int64()),
-                             "vec": pa.array([], pa.binary())})
+                             id_col: pa.array([], pa.int64())})
         planes = ray.get(state)[:, :d]
-        out_b, out_s, out_i, out_v = [], [], [], []
-        blobs = [row.astype("<f4").tobytes() for row in v]
+        out_b, out_s, out_i = [], [], []
         for b in range(n_bands):
             p = planes[b * n_planes:(b + 1) * n_planes]
             sig = _plane_signatures(v, p)
             out_b.append(np.full(n, b, dtype=np.int32))
             out_s.append(sig)
             out_i.append(ids)
-            out_v.extend(blobs)
-        from ..functions.hashing import splitmix64
         band = np.concatenate(out_b)
         sig = np.concatenate(out_s)
         with np.errstate(over="ignore"):
@@ -153,42 +168,99 @@ def embedding_near_dup_pairs(ds, threshold: float = 0.9, n_bands: int = 4,
             "band": pa.array(band),
             "sig": pa.array(sig),
             id_col: pa.array(np.concatenate(out_i)),
-            "vec": pa.array(out_v, type=pa.binary()),
         })
 
     exploded = ds.map_batches(signatures, batch_format="pyarrow",
                               batch_size=batch_size)
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+    def bucket_candidates(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+            return pd.DataFrame({"id_a": [], "id_b": []})
         g = g.sort_values(["band", "sig", id_col], kind="stable")
         key = (g["band"].to_numpy().astype(np.int64) << 56) \
             ^ g["sig"].to_numpy().astype(np.int64)
         ids = g[id_col].to_numpy()
-        vecs = np.stack([np.frombuffer(b, dtype=np.float32)
-                         for b in g["vec"]])
         starts = np.flatnonzero(np.r_[True, key[1:] != key[:-1]])
         bounds = np.append(starts, len(key))
-        rows = []
+        out_a, out_b = [], []
         for s, e in zip(bounds[:-1], bounds[1:]):
             if e - s < 2:
                 continue
-            block = vecs[s:e]
-            sims = block @ block.T
+            run = ids[s:e]
             ii, jj = np.triu_indices(e - s, k=1)
-            hit = sims[ii, jj] >= threshold
-            for i, j, c in zip(ii[hit], jj[hit], sims[ii, jj][hit]):
-                a, b = int(ids[s + i]), int(ids[s + j])
-                if a != b:
-                    rows.append((min(a, b), max(a, b), float(c)))
-        return pd.DataFrame(rows, columns=["id_a", "id_b", "cosine"])
+            a = np.minimum(run[ii], run[jj])
+            b = np.maximum(run[ii], run[jj])
+            keep = a != b
+            out_a.append(a[keep])
+            out_b.append(b[keep])
+        if not out_a:
+            return pd.DataFrame({"id_a": [], "id_b": []})
+        return pd.DataFrame({"id_a": np.concatenate(out_a),
+                             "id_b": np.concatenate(out_b)})
 
-    pairs = exploded.groupby("bucket").map_groups(
-        bucket_pairs, batch_format="pandas")
-    from ray.data.aggregate import Max
-    return pairs.groupby(["id_a", "id_b"]).aggregate(
-        Max("cosine", alias_name="cosine"))
+    from ray.data.aggregate import Count
+    cand = (exploded.groupby("bucket")
+            .map_groups(bucket_candidates, batch_format="pandas")
+            .groupby(["id_a", "id_b"])
+            .aggregate(Count(alias_name="_n")))
+
+    # gather the candidate ids' vectors with one more pruned corpus pass
+    cand_ids_pd = (cand.map_batches(
+        lambda b: pa.table({"id": pa.array(np.concatenate([
+            b["id_a"].to_numpy(zero_copy_only=False),
+            b["id_b"].to_numpy(zero_copy_only=False)]))}),
+        batch_format="pyarrow")
+        .groupby("id").aggregate(Count(alias_name="_n"))
+        .to_pandas())
+    if len(cand_ids_pd) == 0:
+        import ray.data as rd
+        return rd.from_pandas(pd.DataFrame(
+            {"id_a": pd.Series([], dtype=np.int64),
+             "id_b": pd.Series([], dtype=np.int64),
+             "cosine": pd.Series([], dtype=np.float64)}))
+    cand_ids = np.sort(cand_ids_pd["id"].to_numpy())
+    cand_ref = ray.put(cand_ids)
+
+    def gather(batch: pa.Table) -> pa.Table:
+        wanted = ray.get(cand_ref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(wanted, ids)
+        pos[pos >= len(wanted)] = 0
+        mask = wanted[pos] == ids
+        if not mask.any():
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "vec": pa.array([], pa.binary())})
+        v = _normalize(_embeddings_matrix(batch[vec_col]))[mask]
+        return pa.table({
+            id_col: pa.array(ids[mask]),
+            "vec": pa.array([row.astype("<f4").tobytes() for row in v],
+                            type=pa.binary()),
+        })
+
+    vec_pd = ds.map_batches(gather, batch_format="pyarrow").to_pandas()
+    lut_ids = vec_pd[id_col].to_numpy()
+    order = np.argsort(lut_ids)
+    lut_ids = lut_ids[order]
+    lut_mat = np.stack([np.frombuffer(b, dtype=np.float32)
+                        for b in vec_pd["vec"].to_numpy()[order]]) \
+        if len(vec_pd) else np.empty((0, 0), np.float32)
+    lut_ref = ray.put((lut_ids, lut_mat))
+
+    def verify(batch: pa.Table) -> pa.Table:
+        ids_sorted, mat = ray.get(lut_ref)
+        a = batch["id_a"].to_numpy(zero_copy_only=False)
+        b = batch["id_b"].to_numpy(zero_copy_only=False)
+        va = mat[np.searchsorted(ids_sorted, a)]
+        vb = mat[np.searchsorted(ids_sorted, b)]
+        cos = np.einsum("ij,ij->i", va, vb).astype(np.float64)
+        keep = cos >= threshold
+        return pa.table({
+            "id_a": pa.array(a[keep]),
+            "id_b": pa.array(b[keep]),
+            "cosine": pa.array(cos[keep]),
+        })
+
+    return cand.map_batches(verify, batch_format="pyarrow")
 
 
 def _plane_signatures(v: np.ndarray, planes: np.ndarray) -> np.ndarray:

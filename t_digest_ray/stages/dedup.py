@@ -25,6 +25,7 @@ import pyarrow as pa
 
 from ..functions.hashing import hash64, hash_i, splitmix64
 from ..functions.text import hamming64, simhash64
+from .partitioning import coarse_bucket_count
 
 
 def shingle_hashes(text: str, n: int = 3) -> np.ndarray:
@@ -90,15 +91,27 @@ def _sig_from_bytes(b: bytes, k: int) -> np.ndarray:
 
 def minhash_lsh_pairs(ds, text_col: str, id_col: str, k: int = 128,
                       bands: int = 32, ngram: int = 3,
-                      threshold: float = 0.5, batch_size: int = 8192):
+                      threshold: float = 0.5, batch_size: int = 8192,
+                      coarse_buckets: int | None = None,
+                      n_rows: int | None = None):
     """Candidate near-duplicate pairs via MinHash-LSH banding.
 
     Returns a Dataset of rows (id_a, id_b, est_jaccard) with id_a < id_b and
     signature-estimated Jaccard >= threshold. The banding (b bands of r=k/b
     rows) catches pairs with Jaccard ~>= (1/b)^(1/r) with high probability.
+
+    The coarse bucket count scales with the input (see
+    ``stages.partitioning``): each group is ~16k exploded rows of ~k*8 B
+    signature blob, i.e. ~16 MB of pandas frame per map_groups task. Pass
+    ``n_rows`` (input document count) when ``ds`` is not a metadata-counted
+    source, or ``coarse_buckets`` to pin the count explicitly.
     """
     assert k % bands == 0, "bands must divide k"
     r = k // bands
+    if coarse_buckets is None:
+        coarse_buckets = coarse_bucket_count(
+            ds, n_rows=n_rows, rows_per_bucket=16384, fanout=bands,
+            what="minhash_lsh_pairs")
 
     sigs = ds.map_batches(make_signature_fn(text_col, id_col, k, ngram),
                           batch_format="pyarrow", batch_size=batch_size)
@@ -147,7 +160,6 @@ def minhash_lsh_pairs(ds, text_col: str, id_col: str, k: int = 128,
     # Python. A cross-band band_hash coincidence (~2^-64) could land two
     # unrelated rows in one run, but the est_jaccard >= threshold verify
     # filters it, so dropping band_id from the grouping key is safe.
-    coarse_buckets = 256
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) < 2:
@@ -193,38 +205,132 @@ def minhash_lsh_pairs(ds, text_col: str, id_col: str, k: int = 128,
         Max("est_jaccard", alias_name="est_jaccard"))
 
 
-def minhash_dedup_keep(ds, text_col: str, id_col: str, **kwargs):
+def minhash_dedup_keep(ds, text_col: str, id_col: str,
+                       broadcast_limit: int = 50_000_000, **kwargs):
     """Greedy near-dup removal: drop any doc that pairs with a smaller id.
 
     One round of min-label propagation over the candidate-pair graph — the
     scalable approximation of connected components for dedup purposes.
-    Returns the Dataset of surviving ids.
+    Returns the Dataset of surviving rows.
+
+    The drop-set is reduced DISTRIBUTED (distinct ``id_b`` via a hash
+    aggregate — the raw pair list, which is O(duplication) with repeats,
+    never lands on one machine). Then:
+
+    * ``n_drop <= broadcast_limit``: the distinct ids (8 B each) are put in
+      the object store once and the corpus is filtered map-side — plasma
+      broadcast is one copy per NODE, mapped zero-copy by every worker, so
+      even 50 M ids is a 400 MB per-node constant, no shuffle of the corpus.
+    * larger: exact hash-bucket anti-join — corpus rows and drop ids
+      co-partition on ``hash(id) % n_buckets`` (scale-derived, see
+      ``stages.partitioning``) and each bucket filters vectorized. This
+      ships corpus rows through one shuffle; it is the exact fallback when
+      the drop-set itself is beyond per-node memory.
     """
-    pairs = minhash_lsh_pairs(ds, text_col, id_col, **kwargs).to_pandas()
-    drop = set(pairs["id_b"].tolist()) if len(pairs) else set()
     import ray
+    from ray.data.aggregate import Count
 
-    drop_ref = ray.put(np.asarray(sorted(drop)))
+    pairs = minhash_lsh_pairs(ds, text_col, id_col, **kwargs)
+    drops = (pairs.select_columns(["id_b"])
+             .groupby("id_b").aggregate(Count(alias_name="_n")))
+    n_drop = drops.count()
+    if n_drop == 0:
+        return ds
 
-    def keep(batch: pa.Table) -> pa.Table:
-        d = ray.get(drop_ref)
+    if n_drop <= broadcast_limit:
+        drop_ids = np.sort(drops.to_pandas()["id_b"].to_numpy())
+        drop_ref = ray.put(drop_ids)
+
+        def keep(batch: pa.Table) -> pa.Table:
+            d = ray.get(drop_ref)  # zero-copy view of the plasma buffer
+            ids = batch[id_col].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(d, ids)
+            pos[pos >= len(d)] = 0
+            mask = d[pos] != ids if len(d) else np.ones(len(ids), bool)
+            return batch.filter(pa.array(mask))
+
+        return ds.map_batches(keep, batch_format="pyarrow")
+
+    # exact anti-join fallback: union corpus rows with drop-id marker rows,
+    # co-partition by id hash, filter inside each bucket
+    nb = coarse_bucket_count(ds, rows_per_bucket=65536,
+                             what="minhash_dedup_keep anti-join")
+    schema = ds.schema()
+    data_cols = list(schema.names)
+
+    def _arrow_type(t):
+        # ds.schema() yields Arrow DataTypes for Arrow blocks but numpy /
+        # Python types for pandas blocks; normalize to Arrow
+        if isinstance(t, pa.DataType):
+            return t
+        try:
+            dt = np.dtype(t)
+        except TypeError:
+            return pa.string()
+        if dt == np.dtype(object):
+            return pa.string()
+        return pa.from_numpy_dtype(dt)
+
+    col_types = {n: _arrow_type(t)
+                 for n, t in zip(schema.names, schema.types)}
+
+    def tag_corpus(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_numpy(zero_copy_only=False)
-        mask = ~np.isin(ids, d)
-        return batch.filter(pa.array(mask))
+        b = (hash64(ids) % np.uint64(nb)).astype(np.int32)
+        out = batch.append_column("_bucket", pa.array(b))
+        return out.append_column("_is_drop",
+                                 pa.array(np.zeros(len(ids), np.int8)))
 
-    return ds.map_batches(keep, batch_format="pyarrow")
+    corpus_schema = None
+
+    def tag_drops(batch: pa.Table) -> pa.Table:
+        ids = batch["id_b"].to_numpy(zero_copy_only=False)
+        b = (hash64(ids) % np.uint64(nb)).astype(np.int32)
+        cols = {}
+        for c in data_cols:
+            if c == id_col:
+                cols[c] = pa.array(ids).cast(col_types[c])
+            else:
+                cols[c] = pa.nulls(len(ids), type=col_types[c])
+        cols["_bucket"] = pa.array(b)
+        cols["_is_drop"] = pa.array(np.ones(len(ids), np.int8))
+        return pa.table(cols)
+
+    tagged = (ds.map_batches(tag_corpus, batch_format="pyarrow")
+              .union(drops.select_columns(["id_b"])
+                     .map_batches(tag_drops, batch_format="pyarrow")))
+
+    def bucket_filter(g: pd.DataFrame) -> pd.DataFrame:
+        is_drop = g["_is_drop"].to_numpy() == 1
+        drop_ids = np.sort(g.loc[is_drop, id_col].to_numpy())
+        out = g.loc[~is_drop]
+        mask = ~np.isin(out[id_col].to_numpy(), drop_ids)
+        return out.loc[mask, data_cols]
+
+    return tagged.groupby("_bucket").map_groups(bucket_filter,
+                                                batch_format="pandas")
 
 
 def simhash_pairs(ds, text_col: str, id_col: str, max_hamming: int = 3,
-                  n_bands: int = 4, batch_size: int = 8192):
+                  n_bands: int = 4, batch_size: int = 8192,
+                  coarse_buckets: int | None = None,
+                  n_rows: int | None = None):
     """Near-dup pairs by SimHash: bucket on each of ``n_bands`` 16-bit bands
     (a pair within Hamming distance <= n_bands - 1 must agree on >= 1 band),
-    then verify exact Hamming distance within buckets."""
+    then verify exact Hamming distance within buckets.
+
+    Coarse buckets scale with the input: ~256k exploded rows of ~40 B per
+    group (~10 MB pandas frame per map_groups task); pass ``n_rows`` for
+    post-transform inputs or ``coarse_buckets`` to pin explicitly."""
 
     # pigeonhole guarantee: a pair within Hamming distance <= n_bands - 1
     # must agree on at least one band; beyond that, candidates are missed
     assert max_hamming <= n_bands - 1, \
         "max_hamming must be <= n_bands - 1 for the banding guarantee"
+    if coarse_buckets is None:
+        coarse_buckets = coarse_bucket_count(
+            ds, n_rows=n_rows, rows_per_bucket=262144, fanout=n_bands,
+            what="simhash_pairs")
 
     def sim(batch: pa.Table) -> pa.Table:
         texts = pd.Series(batch[text_col].to_pylist())
@@ -263,7 +369,6 @@ def simhash_pairs(ds, text_col: str, id_col: str, max_hamming: int = 3,
     # per (band_id, band_val) bucket would be ~n_docs x n_bands calls; group
     # on a bounded hash of the bucket key instead and find true buckets as
     # sorted runs. Hamming verify inside the run keeps false merges out.
-    coarse_buckets = 256
 
     def coarse(batch: pa.Table) -> pa.Table:
         bid = batch["band_id"].to_numpy().astype(np.uint64)

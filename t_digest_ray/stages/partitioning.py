@@ -1,0 +1,74 @@
+"""Scale-safe coarse-bucket sizing for hash-bucketed ``map_groups`` stages.
+
+Several operators (dedup LSH banding, embedding near-dup, asof join,
+sessionize) group by ``hash(key) % n_buckets`` and run one vectorized
+Python call per bucket. ``map_groups`` materializes ONE bucket per task,
+so the bucket count must grow with the input: a fixed count means a
+bucket holds ``input/constant`` rows and OOMs at 100x scale.
+
+``coarse_bucket_count`` derives the count from the input row count when
+it is cheaply known (parquet / range sources expose metadata row counts
+without executing the pipeline) or from an explicit ``n_rows`` hint:
+
+    n_buckets = clamp(ceil(n_rows * fanout / rows_per_bucket),
+                      min_buckets, max_buckets)
+
+Per-group memory bound: with hash-uniform keys, the expected bucket is
+``rows_per_bucket`` rows, so the group's pandas frame is about
+``rows_per_bucket * bytes_per_row`` — callers pick ``rows_per_bucket``
+such that this stays in the tens of MB (worker-heap scale, and under
+this environment's ~32 MB allocator-recycling threshold). Hot-key skew
+can exceed the expectation by the size of the hottest single key (e.g.
+one LSH bucket of identical documents); that part is inherent to the
+algorithm, not the bucket count.
+
+When the row count is unknown (post-transform dataset, no hint), the
+helper falls back to ``min_buckets`` — fine for tests and small jobs; at
+real scale callers must pass ``n_rows`` (the job driver knows its input
+size) and the fallback is logged.
+"""
+
+from __future__ import annotations
+
+import logging
+
+logger = logging.getLogger(__name__)
+
+# Modest floor so small jobs still spread over the cluster; bounded above
+# so the groupby shuffle does not explode into millions of tiny blocks.
+DEFAULT_MIN_BUCKETS = 256
+DEFAULT_MAX_BUCKETS = 1 << 20
+
+
+def cheap_row_count(ds) -> int | None:
+    """Row count from source metadata only (never executes the pipeline).
+
+    Works for ``read_parquet`` / ``range`` datasets; returns None once a
+    transform has been applied (Ray no longer knows the count)."""
+    try:
+        return ds._meta_count()
+    except Exception:
+        return None
+
+
+def coarse_bucket_count(ds=None, *, n_rows: int | None = None,
+                        rows_per_bucket: int = 65536, fanout: int = 1,
+                        min_buckets: int = DEFAULT_MIN_BUCKETS,
+                        max_buckets: int = DEFAULT_MAX_BUCKETS,
+                        what: str = "bucketed map_groups") -> int:
+    """Bucket count targeting ``rows_per_bucket`` rows per group.
+
+    ``fanout`` is the operator's row multiplication between the counted
+    input and the grouped stream (e.g. LSH bands explode each doc into
+    ``bands`` rows). Precedence: explicit ``n_rows``, then source
+    metadata, then the ``min_buckets`` fallback (logged)."""
+    if n_rows is None and ds is not None:
+        n_rows = cheap_row_count(ds)
+    if n_rows is None:
+        logger.info(
+            "%s: input row count unknown; using %d coarse buckets "
+            "(pass n_rows for large inputs)", what, min_buckets)
+        return min_buckets
+    grouped_rows = max(int(n_rows), 0) * max(int(fanout), 1)
+    n = -(-grouped_rows // max(int(rows_per_bucket), 1))  # ceil
+    return int(min(max(n, min_buckets), max_buckets))

@@ -144,3 +144,55 @@ def test_lsh_topk_recall_vs_brute_force(planted_vectors):
         # multiprobe LSH keeps most of the exact top-5; the self-match and
         # its planted dup are always found
         assert len(top_bf & top_ls) >= 2
+
+
+def test_minhash_dedup_keep_broadcast_vs_antijoin(planted_docs):
+    """Both keep-set paths (plasma broadcast of distinct drop ids, and the
+    exact hash-bucket anti-join forced by broadcast_limit=0) must survive
+    the same rows, and every planted duplicate (larger id of a pair) must
+    be gone (VERDICT r01 item 4: no driver-side pair set)."""
+    from t_digest_ray.stages.dedup import minhash_dedup_keep, minhash_lsh_pairs
+
+    ds, rows = planted_docs
+    kwargs = dict(k=128, bands=32, threshold=0.5)
+    pairs = minhash_lsh_pairs(ds, "text", "doc_id", **kwargs).to_pandas()
+    expected_drop = set(pairs["id_b"])
+    all_ids = {r["doc_id"] for r in rows}
+
+    kept_bc = sorted(minhash_dedup_keep(ds, "text", "doc_id", **kwargs)
+                     .to_pandas()["doc_id"])
+    kept_aj = sorted(minhash_dedup_keep(ds, "text", "doc_id",
+                                        broadcast_limit=0, **kwargs)
+                     .to_pandas()["doc_id"])
+    assert kept_bc == kept_aj
+    assert set(kept_bc) == all_ids - expected_drop
+    # exact dups: larger id dropped, smaller survives
+    assert all(1000 + j not in set(kept_bc) for j in range(10))
+    assert all(j in set(kept_bc) for j in range(10))
+
+
+def test_coarse_bucket_count_scaling():
+    """Bucket count grows with input so one map_groups group stays bounded
+    (VERDICT r01 item 3: no fixed 256 at scale)."""
+    from t_digest_ray.stages.partitioning import coarse_bucket_count
+
+    assert coarse_bucket_count(n_rows=1000, rows_per_bucket=16384) == 256
+    assert coarse_bucket_count(
+        n_rows=100_000_000, rows_per_bucket=16384, fanout=32) == \
+        -(-100_000_000 * 32 // 16384)
+    # bounded above
+    assert coarse_bucket_count(n_rows=10**13, rows_per_bucket=1) == 1 << 20
+    # unknown input -> documented floor
+    assert coarse_bucket_count(None) == 256
+
+
+def test_coarse_bucket_count_from_source_metadata(ray_session):
+    import ray.data as rd
+
+    from t_digest_ray.stages.partitioning import coarse_bucket_count
+
+    ds = rd.range(10_000_000)
+    n = coarse_bucket_count(ds, rows_per_bucket=16384)
+    assert n == -(-10_000_000 // 16384)
+    # post-transform: metadata gone -> floor (callers pass n_rows at scale)
+    assert coarse_bucket_count(ds.map_batches(lambda b: b)) == 256
