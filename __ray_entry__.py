@@ -77,6 +77,33 @@ def doc_stats_by_lang(sf_dir: str):
         Max("n_chars", alias_name="max_chars"))
 
 
+def jsonl_doc_stats_by_lang(sf_dir: str):
+    """doc_stats_by_lang, but ingested from JSONL shards (second source
+    format, VERDICT r01 item 7): the parquet table is deterministically
+    exported to sharded JSONL once, then read with parse-time projection
+    (explicit schema + ignore-unexpected-fields). Same oracle as the
+    parquet path — format must not change the answer."""
+    from ray.data.aggregate import Count, Max, Min, Sum
+    from t_digest_ray.sources.text_files import documents_jsonl
+
+    ds = documents_jsonl(sf_dir, ["lang", "n_chars"])
+    return ds.groupby("lang").aggregate(
+        Count(alias_name="n_docs"),
+        Sum("n_chars", alias_name="sum_chars"),
+        Min("n_chars", alias_name="min_chars"),
+        Max("n_chars", alias_name="max_chars"))
+
+
+def csv_top_event_types(sf_dir: str):
+    """top_event_types over CSV shards: Arrow CSV conversion restricted to
+    the one needed column (include_columns projection pushdown)."""
+    from t_digest_ray.pipelines.relational import top_k_by_count
+    from t_digest_ray.sources.text_files import events_csv
+
+    ds = events_csv(sf_dir, ["event_type"])
+    return top_k_by_count(ds, "event_type", k=3, count_name="cnt")
+
+
 def exact_quantiles_by_lang(sf_dir: str):
     """Distributed exact quantiles (Dist.java oracle port; small-scale op)."""
     from t_digest_ray.pipelines.relational import exact_quantiles_by_key
@@ -219,39 +246,57 @@ def knn_cosine_rank(sf_dir: str):
 
 
 def tdigest_quantiles_by_lang(sf_dir: str):
-    """Per-lang t-digest quantiles of n_chars (approx; bound-checked in tests)."""
-    from t_digest_ray.pipelines.quantiles import quantiles_by_key
+    """Per-lang t-digest quantiles of n_chars, VALUE-CHECKED: output is the
+    exact quantile_disc values (hash-matched vs DuckDB) plus within_bound,
+    which asserts the merged digest's estimates sit inside the reference's
+    merge rank-error bound 0.015 (AccuracyTest.java:137-149) of the exact
+    answer. A digest regression flips within_bound and fails the gate."""
+    from t_digest_ray.pipelines.quantiles import tdigest_spec
+    from t_digest_ray.pipelines.validation import quantile_bound_check
 
     ds = _read(sf_dir, "documents", ["lang", "n_chars"])
-    return quantiles_by_key(ds, "n_chars", "lang", compression=100,
-                            num_salts=2, batch_size=8192)
+    return quantile_bound_check(ds, "n_chars", "lang", tdigest_spec(100),
+                                qs=(0.25, 0.5, 0.75), rank_bound=0.015,
+                                num_salts=2, batch_size=8192)
 
 
 def tdigest_events_value(sf_dir: str):
-    """Per-event-type digest of the value column."""
-    from t_digest_ray.pipelines.quantiles import quantiles_by_key
+    """Per-event-type digest of value, VALUE-CHECKED (same pattern as
+    tdigest_quantiles_by_lang: exact quantiles + digest-within-bound)."""
+    from t_digest_ray.pipelines.quantiles import tdigest_spec
+    from t_digest_ray.pipelines.validation import quantile_bound_check
 
     ds = _read(sf_dir, "events", ["event_type", "value"])
-    return quantiles_by_key(ds, "value", "event_type", compression=100,
-                            num_salts=4, batch_size=16384)
+    return quantile_bound_check(ds, "value", "event_type", tdigest_spec(100),
+                                qs=(0.25, 0.5, 0.75), rank_bound=0.015,
+                                num_salts=4, batch_size=16384)
 
 
 def hll_distinct_users_by_type(sf_dir: str):
-    """Approximate distinct users per event type (HLL; bound-checked in
-    tests against the exact distinct_users_by_type)."""
-    from t_digest_ray.pipelines.distinct import distinct_by_key
+    """Distinct users per event type, VALUE-CHECKED: exact COUNT(DISTINCT)
+    (hash-matched) + within_bound asserting the HLL estimate is inside the
+    3-sigma relative-error envelope 3 * 1.04/sqrt(2^p)."""
+    from t_digest_ray.pipelines.validation import distinct_bound_check
 
     ds = _read(sf_dir, "events", ["event_type", "user_id"])
-    return distinct_by_key(ds, "user_id", "event_type", p=14, num_salts=2,
-                           key_name="event_type")
+    return distinct_bound_check(ds, "user_id", "event_type", p=14,
+                                sigma=3.0, num_salts=2,
+                                count_name="n_users")
 
 
 def kll_quantiles_by_lang(sf_dir: str):
-    from t_digest_ray.pipelines.quantiles import kll_quantiles_by_key
+    """Per-lang KLL quantiles, VALUE-CHECKED: exact quantiles + KLL-within-
+    bound at 3x the published 99%-confidence rank error 2.296/k^0.9723
+    (KllDoublesSketch.java:178; 3x covers the merge of partials)."""
+    from t_digest_ray.pipelines.quantiles import kll_spec
+    from t_digest_ray.pipelines.validation import quantile_bound_check
 
+    k = 200
+    eps = 3 * 2.296 / k ** 0.9723
     ds = _read(sf_dir, "documents", ["lang", "n_chars"])
-    return kll_quantiles_by_key(ds, "n_chars", "lang", k=200, num_salts=2,
-                                batch_size=8192, key_name="lang")
+    return quantile_bound_check(ds, "n_chars", "lang", kll_spec(k),
+                                qs=(0.25, 0.5, 0.75), rank_bound=eps,
+                                num_salts=2, batch_size=8192)
 
 
 def minhash_dedup_pairs(sf_dir: str):
@@ -264,7 +309,12 @@ def minhash_dedup_pairs(sf_dir: str):
 
 
 def langid_counts(sf_dir: str):
-    """Language-ID heuristic prediction counts over documents."""
+    """Language-ID heuristic prediction counts over documents,
+    VALUE-CHECKED: the stopword-profile argmax (strict-improvement scan in
+    alphabetical profile order = alphabetically-first lang attaining the
+    max score) is reproduced verbatim in the DuckDB oracle; score division
+    of identical integers is correctly rounded on both engines, so the
+    comparisons agree bit-for-bit."""
     from ray.data.aggregate import Count
     from t_digest_ray.functions.text import LangId
 
@@ -274,22 +324,35 @@ def langid_counts(sf_dir: str):
 
 
 def quality_by_lang(sf_dir: str):
-    """Mean text-quality features per lang (heuristic scoring)."""
-    from ray.data.aggregate import Count, Mean
+    """Per-lang quality-score aggregates, VALUE-CHECKED: the heuristic
+    scoring formula (length band, alpha ratio, word-length plausibility,
+    digit noise) is reproduced verbatim in the DuckDB oracle; the float
+    score sum is fixed to a 1e-6 grid (floor(x*1e6 + 0.5) on both sides)
+    so summation-order ulp noise cannot flip the hash."""
+    from ray.data.aggregate import Count, Sum
     from t_digest_ray.functions.text import quality_features
 
     ds = _read(sf_dir, "documents", ["lang", "text"])
 
     def fn(df: pd.DataFrame) -> pd.DataFrame:
         out = quality_features(df["text"])
-        out.insert(0, "lang", df["lang"].to_numpy())
-        return out
+        return pd.DataFrame({"lang": df["lang"].to_numpy(),
+                             "quality_score": out["quality_score"],
+                             "n_tokens": out["n_tokens"]})
 
     feats = ds.map_batches(fn, batch_format="pandas")
-    return feats.groupby("lang").aggregate(
+    agg = feats.groupby("lang").aggregate(
         Count(alias_name="n_docs"),
-        Mean("quality_score", alias_name="avg_quality"),
-        Mean("n_tokens", alias_name="avg_tokens"))
+        Sum("quality_score", alias_name="sum_quality_e6"),
+        Sum("n_tokens", alias_name="sum_tokens"))
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        df["sum_quality_e6"] = np.floor(
+            df["sum_quality_e6"].to_numpy() * 1e6 + 0.5).astype(np.int64)
+        df["sum_tokens"] = df["sum_tokens"].astype(np.int64)
+        return df
+
+    return agg.map_batches(finalize, batch_format="pandas")
 
 
 def events_hourly_window(sf_dir: str):
@@ -342,19 +405,34 @@ def user_sessions(sf_dir: str):
 
 
 def req_quantiles_by_lang(sf_dir: str):
-    """Relative-error quantiles (ReqSketch) of n_chars per lang."""
-    from t_digest_ray.pipelines.quantiles import req_quantiles_by_key
+    """ReqSketch quantiles of n_chars per lang, VALUE-CHECKED: exact
+    quantiles + within_bound at a rank-dependent bound derived from the
+    published RSE formula sqrt(0.0512/3)/k * (1-rank) for hra
+    (ReqSketch.java:387-410), with an 8-sigma-ish cushion for the merge of
+    partials and a 0.01 floor."""
+    from t_digest_ray.pipelines.quantiles import req_spec
+    from t_digest_ray.pipelines.validation import quantile_bound_check
+
+    k = 12
+    rse = (0.0512 / 3) ** 0.5 / k
+
+    def bound(q: float) -> float:
+        return max(8 * rse * (1 - q), 0.01)
 
     ds = _read(sf_dir, "documents", ["lang", "n_chars"])
-    return req_quantiles_by_key(ds, "n_chars", "lang", k=12, num_salts=2,
-                                batch_size=8192, key_name="lang")
+    return quantile_bound_check(ds, "n_chars", "lang", req_spec(k),
+                                qs=(0.5, 0.9, 0.99), rank_bound=bound,
+                                num_salts=2, batch_size=8192)
 
 
 def drift_events_value(sf_dir: str):
-    """Per-event-type distribution drift (KS + G-test) between the two
-    halves of the user population (expected: no drift — scores are small)."""
+    """Per-event-type drift check between the two user-parity halves,
+    VALUE-CHECKED: exact per-side counts (hash-matched vs SQL) + no_drift
+    asserting the KS statistic stays under the alpha=0.001 two-sample
+    critical value — both halves draw from the same distribution, so a
+    detector false-positive (or digest regression) fails the gate."""
     import pyarrow.compute as pc
-    from t_digest_ray.pipelines.drift import drift_by_key
+    from t_digest_ray.pipelines.validation import drift_no_change_check
 
     ds = _read(sf_dir, "events", ["event_type", "user_id", "value"])
 
@@ -364,7 +442,8 @@ def drift_events_value(sf_dir: str):
 
     a = ds.map_batches(lambda b: half(b, 0), batch_format="pyarrow")
     b = ds.map_batches(lambda b: half(b, 1), batch_format="pyarrow")
-    return drift_by_key(a, b, "value", "event_type", key_name="event_type")
+    return drift_no_change_check(a, b, "value", "event_type",
+                                 key_name="event_type")
 
 
 def simhash_dedup_pairs(sf_dir: str):
@@ -460,7 +539,9 @@ def media_decode_stats(sf_dir: str):
 def checkpointed_quantiles_by_lang(sf_dir: str):
     """The resumable pipeline: per-file sketch checkpoints with lineage,
     then a canonical merge of the checkpoint rows (north_star resume path).
-    Uses a fresh scratch dir per call; approx results -> rows-only check."""
+    VALUE-CHECKED: the merged checkpoint digests are bound-checked against
+    exact quantiles (same gate as tdigest_quantiles_by_lang), so the output
+    is exact values + within_bound. Fresh scratch dir per call."""
     import glob
     import shutil
     import uuid
@@ -468,13 +549,18 @@ def checkpointed_quantiles_by_lang(sf_dir: str):
     from t_digest_ray.pipelines.checkpoint import (finalize_checkpointed,
                                                    run_checkpointed)
     from t_digest_ray.pipelines.quantiles import tdigest_spec
+    from t_digest_ray.pipelines.validation import quantile_bound_check
 
     files = sorted(glob.glob(f"{sf_dir}/documents.parquet"))
     ckpt = f"/tmp/tdr_ckpt_{uuid.uuid4().hex[:8]}"
     spec = tdigest_spec(100)
     try:
         run_checkpointed(files, spec, "n_chars", "lang", ckpt)
-        out = finalize_checkpointed(ckpt, spec, key_name="lang").to_pandas()
+        merged = finalize_checkpointed(ckpt, spec, raw=True).to_pandas()
+        ds = _read(sf_dir, "documents", ["lang", "n_chars"])
+        out = quantile_bound_check(ds, "n_chars", "lang", spec,
+                                   qs=(0.25, 0.5, 0.75), rank_bound=0.015,
+                                   merged_rows=merged).to_pandas()
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
     return out
@@ -502,6 +588,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "q1_pricing_summary": q1_pricing_summary,
         "doc_stats_by_lang": doc_stats_by_lang,
+        "jsonl_doc_stats_by_lang": jsonl_doc_stats_by_lang,
+        "csv_top_event_types": csv_top_event_types,
         "exact_quantiles_by_lang": exact_quantiles_by_lang,
         "exact_dedup_text": exact_dedup_text,
         "top_event_types": top_event_types,
@@ -552,6 +640,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
                    MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
             FROM documents GROUP BY lang
+        """,
+        "jsonl_doc_stats_by_lang": """
+            SELECT lang, COUNT(*) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+                   MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+            FROM documents GROUP BY lang
+        """,
+        "csv_top_event_types": """
+            SELECT event_type, COUNT(*) AS cnt
+            FROM events GROUP BY event_type
+            ORDER BY cnt DESC, event_type ASC LIMIT 3
         """,
         "exact_quantiles_by_lang": """
             SELECT lang,
@@ -636,6 +735,148 @@ def oracle_sql() -> dict[str, str]:
                        AS sum_target_width,
                    CAST(SUM(n_frames) AS BIGINT) AS sum_frames
             FROM plan GROUP BY channels
+        """,
+        "quality_by_lang": r"""
+            WITH f AS (
+              SELECT lang,
+                     CAST(LENGTH(COALESCE(text,'')) AS DOUBLE) AS n_chars,
+                     CAST(LEN(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(
+                          COALESCE(text,''), '\s+'), x -> x <> ''))
+                          AS DOUBLE) AS n_tok,
+                     CAST(LENGTH(COALESCE(text,''))
+                          - LENGTH(REGEXP_REPLACE(COALESCE(text,''),
+                                   '[0-9]', '', 'g')) AS DOUBLE) AS n_digit,
+                     CAST(LENGTH(COALESCE(text,''))
+                          - LENGTH(REGEXP_REPLACE(COALESCE(text,''),
+                                   '[A-Za-z]', '', 'g')) AS DOUBLE) AS n_alpha
+              FROM documents
+            ), s AS (
+              SELECT lang, n_tok,
+                     n_chars / GREATEST(n_tok, 1.0) AS mwl,
+                     n_digit / GREATEST(n_chars, 1.0) AS digit_ratio,
+                     n_alpha / GREATEST(n_chars, 1.0) AS alpha_ratio,
+                     LEAST(GREATEST(LN(1.0 + n_chars) / LN(2000.0), 0), 1)
+                         AS len_ok
+              FROM f
+            ), sc AS (
+              SELECT lang, n_tok,
+                     LEAST(GREATEST(
+                         0.35 * len_ok + 0.3 * alpha_ratio
+                         + 0.25 * EXP(-0.5 * ((mwl - 5.0) / 3.0)
+                                           * ((mwl - 5.0) / 3.0))
+                         + 0.1 * (1.0 - LEAST(digit_ratio * 5.0, 1.0)),
+                         0), 1) AS score
+              FROM s
+            )
+            SELECT lang, COUNT(*) AS n_docs,
+                   CAST(FLOOR(SUM(score) * 1e6 + 0.5) AS BIGINT)
+                       AS sum_quality_e6,
+                   CAST(SUM(n_tok) AS BIGINT) AS sum_tokens
+            FROM sc GROUP BY lang
+        """,
+        "langid_counts": r"""
+            WITH toks AS (
+              SELECT LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(
+                       LOWER(COALESCE(text, '')), '\s+'),
+                       x -> x <> '') AS ts
+              FROM documents
+            ), scores AS (
+              SELECT
+                CAST(LEN(LIST_FILTER(ts, x -> LIST_CONTAINS(['der','die',
+                  'das','und','ist','von','zu','den','mit','nicht'], x)))
+                  AS DOUBLE) / GREATEST(LEN(ts), 1) AS s_de,
+                CAST(LEN(LIST_FILTER(ts, x -> LIST_CONTAINS(['the','and',
+                  'of','to','a','in','is','that','it','for'], x)))
+                  AS DOUBLE) / GREATEST(LEN(ts), 1) AS s_en,
+                CAST(LEN(LIST_FILTER(ts, x -> LIST_CONTAINS(['el','la',
+                  'los','las','y','de','que','es','en','por'], x)))
+                  AS DOUBLE) / GREATEST(LEN(ts), 1) AS s_es,
+                CAST(LEN(LIST_FILTER(ts, x -> LIST_CONTAINS(['le','la',
+                  'les','et','de','un','une','est','pour','que'], x)))
+                  AS DOUBLE) / GREATEST(LEN(ts), 1) AS s_fr,
+                CAST(LEN(LIST_FILTER(ts, x -> LIST_CONTAINS(['il','la',
+                  'di','e','che','un','per','sono','con','non'], x)))
+                  AS DOUBLE) / GREATEST(LEN(ts), 1) AS s_it,
+                CAST(LEN(LIST_FILTER(ts, x -> LIST_CONTAINS(['de','het',
+                  'een','en','van','is','dat','op','te','met'], x)))
+                  AS DOUBLE) / GREATEST(LEN(ts), 1) AS s_nl,
+                CAST(LEN(LIST_FILTER(ts, x -> LIST_CONTAINS(['o','a',
+                  'os','as','de','que','e','em','para','com'], x)))
+                  AS DOUBLE) / GREATEST(LEN(ts), 1) AS s_pt
+              FROM toks
+            ), pick AS (
+              SELECT CASE
+                WHEN GREATEST(s_de,s_en,s_es,s_fr,s_it,s_nl,s_pt) <= 0
+                    THEN 'und'
+                WHEN s_de = GREATEST(s_de,s_en,s_es,s_fr,s_it,s_nl,s_pt)
+                    THEN 'de'
+                WHEN s_en = GREATEST(s_de,s_en,s_es,s_fr,s_it,s_nl,s_pt)
+                    THEN 'en'
+                WHEN s_es = GREATEST(s_de,s_en,s_es,s_fr,s_it,s_nl,s_pt)
+                    THEN 'es'
+                WHEN s_fr = GREATEST(s_de,s_en,s_es,s_fr,s_it,s_nl,s_pt)
+                    THEN 'fr'
+                WHEN s_it = GREATEST(s_de,s_en,s_es,s_fr,s_it,s_nl,s_pt)
+                    THEN 'it'
+                WHEN s_nl = GREATEST(s_de,s_en,s_es,s_fr,s_it,s_nl,s_pt)
+                    THEN 'nl'
+                ELSE 'pt' END AS lang_pred
+              FROM scores
+            )
+            SELECT lang_pred, COUNT(*) AS n_docs
+            FROM pick GROUP BY lang_pred
+        """,
+        "tdigest_quantiles_by_lang": """
+            SELECT lang, COUNT(*) AS n,
+                   CAST(quantile_disc(n_chars, 0.25) AS DOUBLE) AS p25,
+                   CAST(quantile_disc(n_chars, 0.50) AS DOUBLE) AS p50,
+                   CAST(quantile_disc(n_chars, 0.75) AS DOUBLE) AS p75,
+                   TRUE AS within_bound
+            FROM documents GROUP BY lang
+        """,
+        "kll_quantiles_by_lang": """
+            SELECT lang, COUNT(*) AS n,
+                   CAST(quantile_disc(n_chars, 0.25) AS DOUBLE) AS p25,
+                   CAST(quantile_disc(n_chars, 0.50) AS DOUBLE) AS p50,
+                   CAST(quantile_disc(n_chars, 0.75) AS DOUBLE) AS p75,
+                   TRUE AS within_bound
+            FROM documents GROUP BY lang
+        """,
+        "checkpointed_quantiles_by_lang": """
+            SELECT lang, COUNT(*) AS n,
+                   CAST(quantile_disc(n_chars, 0.25) AS DOUBLE) AS p25,
+                   CAST(quantile_disc(n_chars, 0.50) AS DOUBLE) AS p50,
+                   CAST(quantile_disc(n_chars, 0.75) AS DOUBLE) AS p75,
+                   TRUE AS within_bound
+            FROM documents GROUP BY lang
+        """,
+        "req_quantiles_by_lang": """
+            SELECT lang, COUNT(*) AS n,
+                   CAST(quantile_disc(n_chars, 0.50) AS DOUBLE) AS p50,
+                   CAST(quantile_disc(n_chars, 0.90) AS DOUBLE) AS p90,
+                   CAST(quantile_disc(n_chars, 0.99) AS DOUBLE) AS p99,
+                   TRUE AS within_bound
+            FROM documents GROUP BY lang
+        """,
+        "tdigest_events_value": """
+            SELECT event_type, COUNT(*) AS n,
+                   quantile_disc(value, 0.25) AS p25,
+                   quantile_disc(value, 0.50) AS p50,
+                   quantile_disc(value, 0.75) AS p75,
+                   TRUE AS within_bound
+            FROM events GROUP BY event_type
+        """,
+        "hll_distinct_users_by_type": """
+            SELECT event_type, COUNT(DISTINCT user_id) AS n_users,
+                   TRUE AS within_bound
+            FROM events GROUP BY event_type
+        """,
+        "drift_events_value": """
+            SELECT event_type,
+                   COUNT(*) FILTER (WHERE user_id % 2 = 0) AS n_a,
+                   COUNT(*) FILTER (WHERE user_id % 2 = 1) AS n_b,
+                   TRUE AS no_drift
+            FROM events GROUP BY event_type
         """,
         "top_event_types": """
             SELECT event_type, COUNT(*) AS cnt

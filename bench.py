@@ -121,8 +121,11 @@ def run_bench() -> dict:
 # "sketch-update throughput (rows/s)", so the N-vs-4N job must be dominated
 # by sketch updates, not by the memory-bandwidth-bound page synthesis — on
 # this single box all CPU levels share one DRAM controller, which made the
-# pages pipeline's scaling numbers swing with bandwidth saturation)
-SCALE_ROWS = int(os.environ.get("GRAFT_SCALE_ROWS", 100_000_000))
+# pages pipeline's scaling numbers swing with bandwidth saturation).
+# 300M (3x the round-1 size) makes the fixed ~3-4 s merge/shuffle barrier
+# <8% of even the 16-CPU wall, so the efficiency number measures the map
+# stage, not a constant (VERDICT r01 item 1).
+SCALE_ROWS = int(os.environ.get("GRAFT_SCALE_ROWS", 300_000_000))
 
 
 def run_sketch_scaling_job() -> dict:
@@ -171,7 +174,11 @@ def run_sketch_scaling_job() -> dict:
         quantiles_by_key(ds, "value", "lang", compression=200,
                          num_salts=8).count()
 
-    run(SCALE_ROWS)  # warmup (cold first-touch is ~1000x a warm page here)
+    # warmup at half size: spawns the worker pool and faults in worker
+    # heaps / object-store pages (cold first-touch is ~1000x a warm page
+    # here); half the rows exercise the same per-task footprint because
+    # the block size is fixed
+    run(max(SCALE_ROWS // 2, 50_000_000))
     t0 = time.perf_counter()
     run(SCALE_ROWS)
     sec = time.perf_counter() - t0

@@ -8,7 +8,7 @@ ints/strings; float columns require exact equality too, because the
 contract engineers them to be reproducible (rounded cents / actual data
 elements).
 
-Usage: python scripts/check_correctness.py [sf_dir]
+Usage: python scripts/check_correctness.py [sf_dir] [query_name ...]
 """
 
 from __future__ import annotations
@@ -58,6 +58,9 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
 
     qs = e.queries()
+    only = set(sys.argv[2:])
+    if only:
+        qs = {k: v for k, v in qs.items() if k in only}
     oracles = e.oracle_sql()
     failures = 0
     for name, fn in qs.items():

@@ -206,12 +206,14 @@ def run_checkpointed(input_files: list[str], spec: SketchSpec,
 
 
 def finalize_checkpointed(ckpt_dir: str, spec: SketchSpec,
-                          key_name: str = "key"):
+                          key_name: str = "key", raw: bool = False):
     """Merge all checkpointed partition sketches into final per-key results.
 
     Returns a Ray Dataset of summary rows (same shape as
-    ``pipelines.quantiles`` outputs). The input here is tiny — one row per
-    (partition, key) — so this is a metadata-scale pipeline.
+    ``pipelines.quantiles`` outputs), or — with ``raw=True`` — the merged
+    sketch rows ``(key, sketch, n)`` before summarization (for validation
+    pipelines that need the sketch itself). The input here is tiny — one
+    row per (partition, key) — so this is a metadata-scale pipeline.
     """
     import ray.data as rd
 
@@ -230,6 +232,8 @@ def finalize_checkpointed(ckpt_dir: str, spec: SketchSpec,
                              "n": [float(g["n"].sum())]})
 
     merged = ds.groupby("key").map_groups(merge, batch_format="pandas")
+    if raw:
+        return merged
     return summarize(merged, spec, key_name=key_name)
 
 

@@ -1,0 +1,157 @@
+"""In-row bound validation of approximate sketches against exact twins.
+
+VERDICT r01 item 6: the driver's correctness gate can only value-check
+deterministic outputs, so a sketch query whose output is the estimate
+itself is forever "rows-only". These validation pipelines re-shape such
+queries into *value-checked* form (the bound-comparison pattern of the
+reference's AccuracyTest.java:137-149):
+
+    output = (key, exact deterministic columns ..., within_bound: bool)
+
+The exact columns (quantile_disc values, distinct counts, group counts)
+hash-match a DuckDB oracle bit-for-bit; ``within_bound`` asserts — in the
+same run — that the sketch's estimate lies inside the algorithm's
+published error bound of the exact answer. A sketch regression flips
+``within_bound`` to False and the driver's hash check fails, so the
+"approximate" query is now a hard gate, not a rows-only smoke test.
+
+Scale note: the exact twin is an oracle-scale computation (per-group sort
+/ exact distinct). These validation queries run at test scale; the pure
+sketch pipelines in ``pipelines.quantiles`` / ``pipelines.distinct``
+remain the 100-TB path.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+
+from ..stages.aggregate import sketch_by_key
+from ..state.protocol import SketchSpec
+
+
+def _disc_index(q: float, n: int) -> int:
+    """duckdb quantile_disc convention: value at max(ceil(q*n) - 1, 0)."""
+    return max(int(math.ceil(q * n)) - 1, 0)
+
+
+def quantile_bound_check(ds, value_col: str, key: str, spec: SketchSpec,
+                         qs=(0.25, 0.5, 0.75), rank_bound=0.015,
+                         num_salts: int = 2, batch_size: int | None = None,
+                         key_name: str | None = None,
+                         merged_rows: pd.DataFrame | None = None):
+    """Exact per-key quantiles + a sketch-within-bound flag.
+
+    Returns a Dataset of rows ``(key, n, p{q}..., within_bound)`` where the
+    p-columns are exact quantile_disc values (hash-checkable vs DuckDB) and
+    ``within_bound`` is True iff, for every q, the EMPIRICAL RANK INTERVAL
+    of the sketch's quantile estimate (``[#<est, #<=est]/n`` — an interval
+    because of ties) overlaps ``[q - b, q + b]`` with
+    ``b = max(rank_bound, 2.5/n)`` (the floor covers the data's own rank
+    resolution: in a gap/tie the interpolated value's empirical rank snaps
+    to one side, so positions below ~2.5 ranks are unresolvable) — AND the sketch's total weight equals the exact
+    row count.
+
+    ``rank_bound`` is a float or a callable ``q -> bound`` (for sketches
+    with rank-dependent error like ReqSketch). ``merged_rows`` lets a
+    caller reuse already-merged sketch rows (e.g. the checkpoint
+    pipeline's output) instead of re-running sketch_by_key.
+    """
+    key_name = key_name or key
+    bound_at = rank_bound if callable(rank_bound) else (lambda q: rank_bound)
+    if merged_rows is None:
+        merged_rows = sketch_by_key(ds, spec, value_col, key,
+                                    num_salts=num_salts,
+                                    batch_size=batch_size).to_pandas()
+    sk_bytes = {r["key"]: (r["sketch"], float(r["n"]))
+                for _, r in merged_rows.iterrows()}
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(g[value_col].to_numpy())
+        n = len(v)
+        kval = g[key].iloc[0]
+        row: dict = {key_name: [kval], "n": [np.int64(n)]}
+        ok = kval in sk_bytes
+        sk = spec.from_bytes(sk_bytes[kval][0]) if ok else None
+        if ok:
+            ok = sk_bytes[kval][1] == float(n)
+        for q in qs:
+            exact_v = float(v[_disc_index(q, n)])
+            row[f"p{int(q * 100)}"] = [exact_v]
+            if ok:
+                b = max(bound_at(q), 2.5 / n)
+                est = float(sk.quantile(q))
+                r_lo = np.searchsorted(v, est, side="left") / n
+                r_hi = np.searchsorted(v, est, side="right") / n
+                ok = (r_lo <= q + b) and (r_hi >= q - b)
+        row["within_bound"] = [bool(ok)]
+        return pd.DataFrame(row)
+
+    return ds.groupby(key).map_groups(per_group, batch_format="pandas")
+
+
+def distinct_bound_check(ds, value_col: str, key: str, p: int = 14,
+                         sigma: float = 3.0, num_salts: int = 2,
+                         count_name: str = "n_distinct",
+                         key_name: str | None = None) -> pd.DataFrame:
+    """Exact distinct count per key + HLL-within-bound flag.
+
+    Returns pandas rows ``(key, n_distinct, within_bound)``: the exact
+    count hash-matches ``COUNT(DISTINCT ...)``; ``within_bound`` asserts
+    the HLL estimate is within ``sigma * 1.04/sqrt(2^p)`` relative error
+    (the standard HLL error bound; sigma=3 is a ~99.7% envelope)."""
+    from .distinct import distinct_by_key
+    from .relational import distinct_count_by_key
+
+    key_name = key_name or key
+    est = distinct_by_key(ds, value_col, key, p=p, num_salts=num_salts,
+                          key_name=key_name).to_pandas()
+    exact = distinct_count_by_key(ds, key, value_col,
+                                  count_name).to_pandas()
+    est_by_key = dict(zip(est[key_name], est["distinct_estimate"]))
+    rel_bound = sigma * 1.04 / math.sqrt(2 ** p)
+    out = exact.rename(columns={key: key_name}).copy()
+    exact_n = out[count_name].to_numpy(dtype=np.float64)
+    est_n = np.array([est_by_key.get(k, np.nan)
+                      for k in out[key_name]], dtype=np.float64)
+    ok = np.abs(est_n - exact_n) <= rel_bound * np.maximum(exact_n, 1.0)
+    out["within_bound"] = ok & np.isfinite(est_n)
+    out[count_name] = out[count_name].astype(np.int64)
+    return out[[key_name, count_name, "within_bound"]]
+
+
+def drift_no_change_check(ds_a, ds_b, value_col: str, key: str,
+                          ks_alpha_c: float = 1.95,
+                          digest_cdf_err: float = 0.03,
+                          compression: float = 200.0,
+                          num_salts: int = 4,
+                          key_name: str = "key") -> pd.DataFrame:
+    """Exact per-side counts + a no-drift flag for same-distribution halves.
+
+    Returns pandas rows ``(key, n_a, n_b, no_drift)``. The counts
+    hash-match SQL; ``no_drift`` asserts the SCALED two-sample KS statistic
+    (``state.compare.ks`` returns ``D * sqrt(n_a*n_b/(n_a+n_b))``,
+    Comparison.java convention) stays under
+    ``c + digest_cdf_err * sqrt(n_a*n_b/(n_a+n_b))`` — the alpha=0.001
+    critical value (c=1.95) plus the digests' own cdf-error contribution
+    (two merged digests each within the 0.015 merge cdf bound). Both sides
+    are halves of the same distribution, so a drift-detector false positive
+    (or a digest regression) fails the gate."""
+    from .drift import drift_by_key
+
+    d = drift_by_key(ds_a, ds_b, value_col, key, compression=compression,
+                     num_salts=num_salts, key_name=key_name).to_pandas()
+    n_a = d["n_a"].to_numpy(dtype=np.float64)
+    n_b = d["n_b"].to_numpy(dtype=np.float64)
+    n_h = n_a * n_b / np.maximum(n_a + n_b, 1.0)
+    crit = ks_alpha_c + digest_cdf_err * np.sqrt(n_h)
+    ks_v = d["ks"].to_numpy(dtype=np.float64)
+    out = pd.DataFrame({
+        key_name: d[key_name],
+        "n_a": n_a.astype(np.int64),
+        "n_b": n_b.astype(np.int64),
+        "no_drift": np.isfinite(ks_v) & (ks_v <= crit),
+    })
+    return out

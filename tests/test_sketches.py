@@ -280,3 +280,39 @@ class TestHistograms:
         h.update_batch(rng.uniform(1, 1e5, 5000))
         h2 = LogHistogram.from_bytes(h.to_bytes())
         assert np.array_equal(h.counts, h2.counts)
+
+
+def test_histogram_bitpacked_serde_roundtrip_and_size():
+    """Bit-packed counts encoding (Simple64-style, VERDICT r01 item 8):
+    exact round-trip, big counts, and a real size win on sparse counts."""
+    import struct
+
+    from t_digest_ray.state.histogram import (FloatHistogram, LogHistogram,
+                                              _ENC_RAW, _HEADER_FMT,
+                                              _HEADER_SIZE)
+
+    rng = np.random.default_rng(7)
+    h = FloatHistogram(1e-3, 1e3, 50)
+    h.update_batch(rng.lognormal(0, 1, 20000))
+    h.counts[3] = 2**40 + 17  # wide-width block exercised
+    b = h.to_bytes()
+    h2 = FloatHistogram.from_bytes(b)
+    assert np.array_equal(h.counts, h2.counts)
+    assert (h2.min, h2.max, h2.param) == (h.min, h.max, h.param)
+    raw_size = _HEADER_SIZE + 8 * len(h.counts)
+    assert len(b) < raw_size / 2, (len(b), raw_size)
+
+    lh = LogHistogram(0.1, 1000, 0.1)
+    lh.update_batch(rng.uniform(0.2, 900, 5000))
+    lb = lh.to_bytes()
+    assert np.array_equal(LogHistogram.from_bytes(lb).counts, lh.counts)
+
+    # legacy raw encoding still decodes
+    legacy = struct.pack(_HEADER_FMT, FloatHistogram.magic, h.min, h.max,
+                         h.param, _ENC_RAW) + h.counts.astype("<i8").tobytes()
+    assert np.array_equal(FloatHistogram.from_bytes(legacy).counts, h.counts)
+
+    # empty histogram round-trips
+    e = FloatHistogram(1e-3, 1e3, 50)
+    assert np.array_equal(FloatHistogram.from_bytes(e.to_bytes()).counts,
+                          e.counts)
