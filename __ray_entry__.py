@@ -242,6 +242,43 @@ def knn_cosine_rank(sf_dir: str):
     return out.select_columns(["vec_id", "rank"])
 
 
+def ivf_topk_rank(sf_dir: str):
+    """Build-once/query-many path: persisted IVF index over the embeddings
+    table (partitioned parquet, one dir per inverted list), then a
+    partition-pruned top-10 query for vec_id=0 scanning only 4 of 8 lists.
+
+    VALUE-CHECKED like the validation pipelines: the output rows are the
+    EXACT top-10 (hash-matched vs the knn SQL oracle) plus ivf_recall_ok,
+    asserting the half-scan IVF query recovers >= 50% of the exact top-10.
+    (These synthetic embeddings are isotropic — no cluster structure — so
+    ~recall ~= scanned fraction is the information-theoretic expectation;
+    on clustered real data recall >> scanned fraction.) Deterministic:
+    seed-fixed k-means, tie-broken ranking."""
+    import shutil
+    import uuid
+
+    import pyarrow.parquet as pq
+    from t_digest_ray.stages.ann import brute_force_topk
+    from t_digest_ray.stages.ann_index import build_ivf_index, ivf_topk
+
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    q = np.stack(emb.to_pandas().set_index("vec_id").loc[[0], "embedding"]
+                 .to_numpy())
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    idx = f"/tmp/tdr_ivf_{uuid.uuid4().hex[:8]}"
+    try:
+        build_ivf_index(ds, idx, n_lists=8, sample_size=4096)
+        ivf = (ivf_topk(idx, q, k=10, n_probe=4)
+               .select_columns(["vec_id", "rank"]).to_pandas())
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+    exact = (brute_force_topk(ds, q, k=10)
+             .select_columns(["vec_id", "rank"]).to_pandas())
+    recall = len(set(ivf["vec_id"]) & set(exact["vec_id"])) / len(exact)
+    exact["ivf_recall_ok"] = bool(recall >= 0.5)
+    return exact
+
+
 # --------------------------------------------------------------- approximate
 
 
@@ -300,12 +337,30 @@ def kll_quantiles_by_lang(sf_dir: str):
 
 
 def minhash_dedup_pairs(sf_dir: str):
-    """Near-duplicate candidate pairs via MinHash-LSH over document text."""
-    from t_digest_ray.stages.dedup import minhash_lsh_pairs
+    """Near-duplicate candidate pairs via MinHash-LSH over document text,
+    self-validating: each pair carries exact n-gram Jaccard and a
+    within_tol flag (|estimate - exact| <= 0.25), so a signature/banding
+    regression shows up in-row even though the LSH candidate set itself
+    is not SQL-expressible."""
+    from t_digest_ray.stages.dedup import (minhash_lsh_pairs,
+                                           verify_pairs_exact_jaccard)
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    return minhash_lsh_pairs(ds, "text", "doc_id", k=128, bands=32,
-                             threshold=0.5)
+    pairs = minhash_lsh_pairs(ds, "text", "doc_id", k=128, bands=32,
+                              threshold=0.5)
+    return verify_pairs_exact_jaccard(pairs, ds, "text", "doc_id")
+
+
+def minhash_dedup_survivors(sf_dir: str):
+    """Greedy near-dup removal (keep smallest id of each candidate pair):
+    the distributed drop-set path of minhash_dedup_keep. Returns surviving
+    doc ids (rows-only: the LSH candidate set is probabilistic)."""
+    from t_digest_ray.stages.dedup import minhash_dedup_keep
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    kept = minhash_dedup_keep(ds, "text", "doc_id", k=128, bands=32,
+                              threshold=0.5)
+    return kept.select_columns(["doc_id"])
 
 
 def langid_counts(sf_dir: str):
@@ -601,11 +656,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cms_heavy_event_types": cms_heavy_event_types,
         "heavy_sources": heavy_sources,
         "knn_cosine_rank": knn_cosine_rank,
+        "ivf_topk_rank": ivf_topk_rank,
         "tdigest_quantiles_by_lang": tdigest_quantiles_by_lang,
         "tdigest_events_value": tdigest_events_value,
         "hll_distinct_users_by_type": hll_distinct_users_by_type,
         "kll_quantiles_by_lang": kll_quantiles_by_lang,
         "minhash_dedup_pairs": minhash_dedup_pairs,
+        "minhash_dedup_survivors": minhash_dedup_survivors,
         "langid_counts": langid_counts,
         "quality_by_lang": quality_by_lang,
         "pages_flagship": pages_flagship,
@@ -936,6 +993,15 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY list_cosine_similarity(embedding,
                            (SELECT embedding FROM embeddings WHERE vec_id = 0))
                        DESC, vec_id ASC) AS BIGINT) AS rank
+            FROM embeddings
+            ORDER BY rank LIMIT 10
+        """,
+        "ivf_topk_rank": """
+            SELECT vec_id, CAST(ROW_NUMBER() OVER (
+                       ORDER BY list_cosine_similarity(embedding,
+                           (SELECT embedding FROM embeddings WHERE vec_id = 0))
+                       DESC, vec_id ASC) AS BIGINT) AS rank,
+                   TRUE AS ivf_recall_ok
             FROM embeddings
             ORDER BY rank LIMIT 10
         """,

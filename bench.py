@@ -132,8 +132,16 @@ def run_sketch_scaling_job() -> dict:
     """The N-vs-4N job: per-lang t-digests over SCALE_ROWS numeric samples
     (counter-based deterministic values + Zipf lang key), through the
     standard partial -> two-level-merge pipeline. Compute is dominated by
-    vectorized digest updates (~80 ns/value/core). Fresh process per CPU
-    level; full-size warmup then one timed run."""
+    vectorized digest updates. Fresh process per CPU level; half-size
+    warmup then one timed run.
+
+    The task body generates AND sketches in 256k-row chunks (~2 MB
+    arrays): the whole working set of a chunk stays cache-resident, which
+    measured 2x faster than 1M-row whole-block processing on this box —
+    16 concurrent workers churning ~100 MB of temporaries each were
+    DRAM/allocator-bound (in-UDF time inflated up to 7x under
+    concurrency). Same discipline a real cluster wants: per-chunk memory
+    footprint independent of block size."""
     import numpy as np
     import pyarrow as pa
     import ray
@@ -144,35 +152,46 @@ def run_sketch_scaling_job() -> dict:
     DataContext.get_current().enable_progress_bars = False
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from t_digest_ray.functions.hashing import splitmix64, uniform01
-    from t_digest_ray.pipelines.quantiles import quantiles_by_key
+    from t_digest_ray.pipelines.quantiles import tdigest_spec
     from t_digest_ray.sources.pages import LANGS, _LANG_CDF
+    from t_digest_ray.stages.aggregate import (make_partial_fn,
+                                               merge_partials, summarize)
 
-    ROWS_PER_BLOCK = 1_000_000  # ~8 MB arrays: recycled by the allocator
+    ROWS_PER_BLOCK = 1_000_000   # rows per Ray task
+    CHUNK = 262_144              # rows per in-task generate+sketch chunk
+
+    spec = tdigest_spec(200)
+    partial_fn = make_partial_fn(spec, "value", "lang", num_salts=8)
 
     def gen_block(batch: pa.Table) -> pa.Table:
         # expand each block id into its rows INSIDE the task — the object
         # store never carries the 8B/row id column (counter-based
-        # generation, deterministic at any parallelism)
-        tables = []
+        # generation, deterministic at any parallelism); each chunk is
+        # generated and immediately reduced to KB-sized partial sketch
+        # rows, so the 12 MB value table never exists
+        outs = []
         for bid in batch["id"].to_numpy():
-            ids = (np.uint64(bid) * np.uint64(ROWS_PER_BLOCK)
-                   + np.arange(ROWS_PER_BLOCK, dtype=np.uint64))
-            h = splitmix64(ids)
-            vals = uniform01(h) * 1000.0
-            # integer lang ids (the Zipf key skew of LANGS) — fixed-width
-            # group keys through the shuffle
-            lang = np.searchsorted(_LANG_CDF, uniform01(splitmix64(h)),
-                                   side="left").astype(np.int32)
-            tables.append(pa.table({"lang": pa.array(lang),
-                                    "value": pa.array(vals)}))
-        return pa.concat_tables(tables)
+            base = np.uint64(bid) * np.uint64(ROWS_PER_BLOCK)
+            for off in range(0, ROWS_PER_BLOCK, CHUNK):
+                m = min(CHUNK, ROWS_PER_BLOCK - off)
+                ids = base + np.uint64(off) + np.arange(m, dtype=np.uint64)
+                h = splitmix64(ids)
+                vals = uniform01(h) * 1000.0
+                # integer lang ids (the Zipf key skew of LANGS) —
+                # fixed-width group keys through the shuffle
+                lang = np.searchsorted(_LANG_CDF, uniform01(splitmix64(h)),
+                                       side="left").astype(np.int32)
+                outs.append(partial_fn(pa.table({
+                    "lang": pa.array(lang), "value": pa.array(vals)})))
+        return pa.concat_tables(outs)
 
     def run(n):
         n_blocks = max(n // ROWS_PER_BLOCK, 1)
-        ds = (ray.data.range(n_blocks, override_num_blocks=n_blocks)
-              .map_batches(gen_block, batch_format="pyarrow", batch_size=1))
-        quantiles_by_key(ds, "value", "lang", compression=200,
-                         num_salts=8).count()
+        partials = (ray.data.range(n_blocks, override_num_blocks=n_blocks)
+                    .map_batches(gen_block, batch_format="pyarrow",
+                                 batch_size=1))
+        merged = merge_partials(partials, spec, num_salts=8)
+        summarize(merged, spec, key_name="lang").count()
 
     # warmup at half size: spawns the worker pool and faults in worker
     # heaps / object-store pages (cold first-touch is ~1000x a warm page

@@ -108,6 +108,31 @@ def _merge_group(spec: SketchSpec, carry: tuple[str, ...] = (KEY_COL,)):
     return merge
 
 
+def merge_partials(partials, spec: SketchSpec, num_salts: int = 8,
+                   coalesce_blocks: int = 16):
+    """The wide half of the pipeline: partial sketch rows
+    ``(key, salt, sketch, n)`` -> two-level canonical merge -> one row per
+    key. Public so callers that produce partial rows themselves (e.g. a
+    generator that sketches in-task) reuse the exact same merge topology.
+
+    ``coalesce_blocks``: the partial rows are KB-sized but inherit the
+    input's block COUNT; Ray's sort-based groupby spawns tasks per input
+    block, so hundreds of near-empty blocks would pay seconds of pure task
+    overhead (measured: 16 s of shuffle on 800 rows from 100 blocks vs <1 s
+    coalesced). Repartitioning the tiny rows first makes the wide step cost
+    proportional to the data, not to the upstream block count.
+    """
+    if coalesce_blocks:
+        partials = partials.repartition(coalesce_blocks)
+    merge = _merge_group(spec)
+    if num_salts > 1:
+        level1 = partials.groupby([KEY_COL, SALT_COL]).map_groups(
+            merge, batch_format="pandas")
+    else:
+        level1 = partials
+    return level1.groupby(KEY_COL).map_groups(merge, batch_format="pandas")
+
+
 def sketch_by_key(ds, spec: SketchSpec, value_col: str,
                   key: str | None = None,
                   weight_col: str | None = None,
@@ -118,26 +143,12 @@ def sketch_by_key(ds, spec: SketchSpec, value_col: str,
 
     Returns a Dataset of rows ``(key, sketch: binary, n: float64)`` — one per
     group (a single row with key "" when ``key is None``).
-
-    ``coalesce_blocks``: the partial rows are KB-sized but inherit the
-    input's block COUNT; Ray's sort-based groupby spawns tasks per input
-    block, so hundreds of near-empty blocks would pay seconds of pure task
-    overhead (measured: 16 s of shuffle on 800 rows from 100 blocks vs <1 s
-    coalesced). Repartitioning the tiny rows first makes the wide step cost
-    proportional to the data, not to the upstream block count.
     """
     partials = ds.map_batches(
         make_partial_fn(spec, value_col, key, weight_col, num_salts),
         batch_format="pyarrow", batch_size=batch_size)
-    if coalesce_blocks:
-        partials = partials.repartition(coalesce_blocks)
-    merge = _merge_group(spec)
-    if num_salts > 1:
-        level1 = partials.groupby([KEY_COL, SALT_COL]).map_groups(
-            merge, batch_format="pandas")
-    else:
-        level1 = partials
-    return level1.groupby(KEY_COL).map_groups(merge, batch_format="pandas")
+    return merge_partials(partials, spec, num_salts=num_salts,
+                          coalesce_blocks=coalesce_blocks)
 
 
 METRIC_COL = "metric"

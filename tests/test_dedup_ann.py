@@ -196,3 +196,44 @@ def test_coarse_bucket_count_from_source_metadata(ray_session):
     assert n == -(-10_000_000 // 16384)
     # post-transform: metadata gone -> floor (callers pass n_rows at scale)
     assert coarse_bucket_count(ds.map_batches(lambda b: b)) == 256
+
+
+# ------------------------------------------------------------ IVF index
+
+
+def test_ivf_index_build_query_recall(planted_vectors, tmp_path):
+    """Persisted IVF index: build once, query many; partition-pruned scan;
+    recall vs brute force; deterministic rebuild."""
+    import glob
+    import json
+
+    from t_digest_ray.stages.ann import brute_force_topk
+    from t_digest_ray.stages.ann_index import build_ivf_index, ivf_topk
+
+    ds, vecs, ids = planted_vectors
+    idx = str(tmp_path / "ivf")
+    meta = build_ivf_index(ds, idx, n_lists=8, sample_size=512)
+    assert meta["n_lists"] == 8
+    assert len(glob.glob(f"{idx}/list=*/")) >= 4  # non-degenerate lists
+
+    queries = vecs[:3]
+    got = ivf_topk(idx, queries, k=5, n_probe=8).to_pandas()  # probe all
+    bf = brute_force_topk(ds, queries, k=5).to_pandas()
+    for qi in range(3):
+        g = got[got.query_id == qi].sort_values("rank")["vec_id"].tolist()
+        b = bf[bf.query_id == qi].sort_values("rank")["vec_id"].tolist()
+        assert g == b, f"probe-all IVF must equal brute force (q{qi})"
+
+    # pruned probe still finds each query's own vector at rank 1
+    pruned = ivf_topk(idx, queries, k=5, n_probe=2).to_pandas()
+    for qi in range(3):
+        top1 = pruned[(pruned.query_id == qi)
+                      & (pruned["rank"] == 1)]["vec_id"].iloc[0]
+        assert top1 == ids[qi]
+
+    # deterministic rebuild: identical centroids
+    idx2 = str(tmp_path / "ivf2")
+    build_ivf_index(ds, idx2, n_lists=8, sample_size=512)
+    c1 = np.load(f"{idx}/centroids.npy")
+    c2 = np.load(f"{idx2}/centroids.npy")
+    assert np.array_equal(c1, c2)
