@@ -451,6 +451,50 @@ def purchase_after_click_asof(sf_dir: str):
                      left_id="event_id", right_id="event_id")
 
 
+def events_watermark_stats(sf_dir: str):
+    """Streaming watermark semantics on the replayable event log: events
+    are given a deterministic jittered ARRIVAL order (exact integer hash,
+    reproduced verbatim in SQL), the watermark is the running max event
+    time over strictly-earlier arrivals (distributed two-level prefix-max,
+    exact at any parallelism), and events more than 300 s behind the
+    watermark are flagged late. Output: per-type on-time/late counts."""
+    from ray.data.aggregate import Sum
+    from t_digest_ray.pipelines.windows import watermark_flags
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "event_type"])
+
+    def arrival(b: pa.Table) -> pa.Table:
+        eid = b["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        jit = (eid * 2654435761) % 4294967296 % 7 - 3
+        arr = (eid + jit * 2) * 1048576 + eid
+        return pa.table({"arr": pa.array(arr), "ts": b["ts"],
+                         "event_type": b["event_type"]})
+
+    arrived = ds.map_batches(arrival, batch_format="pyarrow")
+    flags = watermark_flags(arrived, "ts", "arr", lateness_s=300,
+                            carry_cols=("event_type",))
+
+    def to_counts(b: pa.Table) -> pa.Table:
+        on = b["on_time"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_type": b["event_type"],
+            "on_time_i": pa.array(on.astype(np.int64)),
+            "late_i": pa.array((~on).astype(np.int64)),
+        })
+
+    out = (flags.map_batches(to_counts, batch_format="pyarrow")
+           .groupby("event_type")
+           .aggregate(Sum("on_time_i", alias_name="n_on_time"),
+                      Sum("late_i", alias_name="n_late")))
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        df["n_on_time"] = df["n_on_time"].astype(np.int64)
+        df["n_late"] = df["n_late"].astype(np.int64)
+        return df
+
+    return out.map_batches(finalize, batch_format="pandas")
+
+
 def user_sessions(sf_dir: str):
     """Per-user session counts with a 30-minute gap rule."""
     from t_digest_ray.pipelines.windows import sessionize
@@ -677,6 +721,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding_window": events_sliding_window,
         "purchase_after_click_asof": purchase_after_click_asof,
         "user_sessions": user_sessions,
+        "events_watermark_stats": events_watermark_stats,
     }
 
 
@@ -751,6 +796,25 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT * FROM events WHERE event_type = 'purchase') l
             ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') r
               ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        "events_watermark_stats": """
+            WITH a AS (
+              SELECT event_type, epoch_us(ts) AS t,
+                     (event_id + ((event_id * 2654435761) % 4294967296
+                                  % 7 - 3) * 2) * 1048576 + event_id AS arr
+              FROM events
+            ), w AS (
+              SELECT event_type, t,
+                     MAX(t) OVER (ORDER BY arr ROWS BETWEEN UNBOUNDED
+                                  PRECEDING AND 1 PRECEDING) AS wm
+              FROM a
+            )
+            SELECT event_type,
+                   COUNT(*) FILTER (WHERE wm IS NULL
+                       OR t >= wm - 300000000) AS n_on_time,
+                   COUNT(*) FILTER (WHERE wm IS NOT NULL
+                       AND t < wm - 300000000) AS n_late
+            FROM w GROUP BY event_type
         """,
         "user_sessions": """
             WITH d AS (

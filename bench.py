@@ -53,11 +53,20 @@ def _bench_queries():
         return pages_quantiles(pages, value_cols=("text_length", "html_size"),
                                key="lang", num_salts=8)["html_size"]
 
+    def events_digest(sf):
+        # the pure sketch pipeline (the __ray_entry__ query of the same
+        # name is now its validation twin, which also computes exact
+        # quantiles — not what this benchmark measures)
+        import ray.data as rd
+        ds = rd.read_parquet(f"{sf}/events.parquet",
+                             columns=["event_type", "value"])
+        return quantiles_by_key(ds, "value", "event_type", num_salts=4)
+
     return {
         "lineitem_digest": (lineitem_digest, None),
         "pages_flagship": (pages_pipeline, PAGES_ROWS),
         "q1_pricing_summary": (e.q1_pricing_summary, None),
-        "tdigest_events_value": (e.tdigest_events_value, None),
+        "tdigest_events_value": (events_digest, None),
         "exact_dedup_text": (e.exact_dedup_text, None),
     }
 

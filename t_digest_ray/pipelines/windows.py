@@ -167,6 +167,89 @@ def asof_join(left, right, key_col: str, ts_col: str,
                                                batch_format="pandas")
 
 
+def watermark_flags(ds, ts_col: str, order_col: str, lateness_s: int,
+                    carry_cols: tuple[str, ...] = (),
+                    n_buckets: int | None = None):
+    """Streaming watermark semantics on a batch log (event-time vs arrival
+    order): flag each event as on-time or late.
+
+    An event arriving at position ``order_col`` sees watermark
+    ``wm = max(event time of all STRICTLY earlier arrivals)``; it is late
+    iff ``ts < wm - lateness_s`` — the standard allowed-lateness rule a
+    streaming engine applies before closing windows, reproduced exactly on
+    the replayable log.
+
+    Distributed as a two-level prefix-max, layout-independent (exact at
+    any parallelism): arrivals are bucketed by contiguous ``order_col``
+    ranges; a tiny per-bucket max-ts table is reduced on the driver into
+    prefix maxima ``P[b] = max ts of buckets < b`` and broadcast; each
+    bucket group then sorts by arrival and combines ``P[b]`` with its
+    in-bucket running max. One shuffle of (order, ts, carry) rows; the
+    driver holds one row per bucket.
+
+    Returns rows ``(order_col, *carry_cols, on_time: bool)``.
+    """
+    import ray
+
+    from ..stages.partitioning import coarse_bucket_count
+
+    if n_buckets is None:
+        n_buckets = coarse_bucket_count(ds, rows_per_bucket=262144,
+                                        what="watermark_flags")
+
+    # order-value range -> contiguous buckets (layout-independent)
+    from ray.data.aggregate import Max as AggMax
+    from ray.data.aggregate import Min as AggMin
+    rng = ds.aggregate(AggMin(order_col, alias_name="lo"),
+                       AggMax(order_col, alias_name="hi"))
+    lo, hi = int(rng["lo"]), int(rng["hi"])
+    span = max(hi - lo + 1, 1)
+    width = -(-span // n_buckets)
+
+    def project(batch: pa.Table) -> pa.Table:
+        o = batch[order_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        cols = {
+            "bucket": pa.array(((o - lo) // width).astype(np.int32)),
+            order_col: pa.array(o),
+            "ts_us": pa.array(_epoch_us(batch[ts_col])),
+        }
+        for c in carry_cols:
+            cols[c] = batch[c]
+        return pa.table(cols)
+
+    projected = ds.map_batches(project, batch_format="pyarrow")
+
+    # level 1: tiny per-bucket max-ts table -> driver prefix-max
+    from ray.data.aggregate import Max
+    bucket_max = (projected.groupby("bucket")
+                  .aggregate(Max("ts_us", alias_name="max_ts"))).to_pandas()
+    bucket_max = bucket_max.sort_values("bucket")
+    prefix = {}
+    running = -np.inf
+    for _, r in bucket_max.iterrows():
+        prefix[int(r["bucket"])] = running
+        running = max(running, float(r["max_ts"]))
+    prefix_ref = ray.put(prefix)
+    late_us = int(lateness_s) * 1_000_000
+
+    def bucket_flags(g: pd.DataFrame) -> pd.DataFrame:
+        p = ray.get(prefix_ref)
+        g = g.sort_values(order_col, kind="stable")
+        ts = g["ts_us"].to_numpy(dtype=np.float64)
+        base = p.get(int(g["bucket"].iloc[0]), -np.inf)
+        # strictly-preceding running max: shift by one, seed with P[b]
+        run = np.maximum.accumulate(np.r_[base, ts[:-1]])
+        wm = np.maximum(run, base)
+        out = {order_col: g[order_col].to_numpy()}
+        for c in carry_cols:
+            out[c] = g[c].to_numpy()
+        out["on_time"] = ts >= wm - late_us
+        return pd.DataFrame(out)
+
+    return projected.groupby("bucket").map_groups(bucket_flags,
+                                                  batch_format="pandas")
+
+
 def sessionize(ds, user_col: str, ts_col: str, gap_s: int,
                coarse: int | None = None, n_rows: int | None = None):
     """Per-user session counts under a gap rule: a new session starts when

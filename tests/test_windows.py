@@ -117,3 +117,32 @@ def test_asof_parallelism_invariant(ray_session, rng):
             .sort_values("event_id").reset_index(drop=True)
         results.append(out)
     pd.testing.assert_frame_equal(results[0], results[1])
+
+
+def test_watermark_flags_planted(ray_session):
+    """Planted out-of-order arrivals: the strictly-preceding running-max
+    watermark flags exactly the events more than lateness behind it, at
+    any parallelism and bucket count."""
+    import ray
+
+    from t_digest_ray.pipelines.windows import watermark_flags
+
+    # arrival order 0..9; event times in seconds (us timestamps);
+    # event at arrival 3 is 100s behind the max(t0..t2)=200 -> late at 60
+    t = [100, 150, 200, 100, 210, 50, 220, 219, 230, 160]
+    df = pd.DataFrame({
+        "arr": np.arange(10, dtype=np.int64),
+        "ts": pd.to_datetime(np.asarray(t, dtype=np.int64) * 1_000_000_000),
+        "tag": list("abcdefghij"),
+    })
+    # reference: strictly-preceding running max
+    wm = [-np.inf] + list(np.maximum.accumulate(t)[:-1])
+    expect = [ti >= w - 60 for ti, w in zip(t, wm)]
+
+    for parts, nb in ((1, 1), (3, 4), (10, 7)):
+        ds = ray.data.from_pandas(df).repartition(parts)
+        out = (watermark_flags(ds, "ts", "arr", lateness_s=60,
+                               carry_cols=("tag",), n_buckets=nb)
+               .to_pandas().sort_values("arr"))
+        assert out["on_time"].tolist() == expect, (parts, nb)
+        assert out["tag"].tolist() == list("abcdefghij")
