@@ -247,3 +247,84 @@ class AVLTreeDigest:
         d.min, d.max = mn, mx
         d.count = float(sum(d._weights))
         return d
+
+    # ----------------------------------------------- Java-interop encoding
+
+    # AVLTreeDigest.java:501-591: big-endian ByteBuffer layout.
+    # VERBOSE(1): i32 tag, f64 min, f64 max, f64 compression (the
+    # reference casts compression to float before widening — mirrored),
+    # i32 n, n x f64 means, n x i32 counts.
+    # SMALL(2): i32 tag, f64 min, f64 max, f64 compression, i32 n,
+    # n x f32 delta-encoded means, n x varint counts.
+    _JAVA_VERBOSE = 1
+    _JAVA_SMALL = 2
+
+    def to_java_bytes(self, small: bool = False) -> bytes:
+        """Byte-compatible with the reference's AVLTreeDigest asBytes /
+        asSmallBytes, so sketches cross into the Java ecosystem."""
+        from ..functions.varint import encode_varint
+
+        counts = [int(round(w)) for w in self._weights]
+        if any(abs(c - w) > 1e-9 for c, w in zip(counts, self._weights)):
+            raise ValueError("Java layout requires integer centroid counts")
+        if any(c > 0x7FFFFFFF for c in counts):
+            raise ValueError("centroid count exceeds Java int range")
+        out = bytearray()
+        if small:
+            out += struct.pack(">idddi", self._JAVA_SMALL, self.min,
+                               self.max, self.compression, len(self._means))
+            x = 0.0
+            for m in self._means:
+                out += struct.pack(">f", m - x)
+                x = m
+            for c in counts:
+                # reference varint is byte-order-free (7-bit groups)
+                encode_varint(out, c)
+        else:
+            out += struct.pack(">iddd", self._JAVA_VERBOSE, self.min,
+                               self.max,
+                               float(np.float32(self.compression)))
+            out += struct.pack(">i", len(self._means))
+            for m in self._means:
+                out += struct.pack(">d", m)
+            for c in counts:
+                out += struct.pack(">i", c)
+        return bytes(out)
+
+    @classmethod
+    def from_java_bytes(cls, b: bytes,
+                        scale: ScaleFunction | str = K_2) -> "AVLTreeDigest":
+        """Decode the reference's asBytes/asSmallBytes layouts. Mirrors
+        fromBytes semantics: centroids are re-added through clustering."""
+        from ..functions.varint import decode_varint
+
+        (tag,) = struct.unpack_from(">i", b, 0)
+        if tag == cls._JAVA_VERBOSE:
+            mn, mx, comp = struct.unpack_from(">ddd", b, 4)
+            (n,) = struct.unpack_from(">i", b, 28)
+            off = 32
+            means = list(struct.unpack_from(f">{n}d", b, off))
+            off += 8 * n
+            counts = list(struct.unpack_from(f">{n}i", b, off))
+        elif tag == cls._JAVA_SMALL:
+            mn, mx, comp = struct.unpack_from(">ddd", b, 4)
+            (n,) = struct.unpack_from(">i", b, 28)
+            off = 32
+            means = []
+            x = 0.0
+            for i in range(n):
+                (delta,) = struct.unpack_from(">f", b, off)
+                off += 4
+                x += delta
+                means.append(x)
+            counts = []
+            for _ in range(n):
+                c, off = decode_varint(b, off)
+                counts.append(c)
+        else:
+            raise ValueError(f"invalid AVLTreeDigest Java encoding {tag}")
+        d = cls(comp, scale)
+        for m, c in zip(means, counts):
+            d.update(float(m), float(c))
+        d.min, d.max = mn, mx
+        return d

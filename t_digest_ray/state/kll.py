@@ -216,3 +216,92 @@ class KllSketch:
             sk.levels.append(items[pos:pos + ln].astype(np.float64))
             pos += ln
         return sk
+
+
+# --------------------------------------------------- DataSketches interop
+
+_DS_FAMILY_KLL = 15   # Apache DataSketches Family.KLL id
+_DS_M = 8             # DEFAULT_M (minimum level width)
+_F_EMPTY, _F_L0_SORTED, _F_SINGLE = 1, 2, 4
+
+
+def _ds_capacity(k: int, num_levels: int) -> int:
+    return sum(_level_capacity(k, num_levels, h) for h in range(num_levels))
+
+
+def kll_to_java_bytes(sk: KllSketch) -> bytes:
+    """Serialize in the reference's DataSketches KllDoublesSketch layout
+    (KllDoublesSketch.java:183-219 preamble, :796-830 toByteArray):
+    little-endian preamble, absolute level offsets into the capacity
+    array (last offset derived), min/max doubles, then the retained items
+    packed level 0 upward. Levels above 0 are emitted sorted (the
+    DataSketches invariant; item order within a level has no semantic
+    weight in our engine)."""
+    is_empty = sk.n == 0
+    is_single = sk.n == 1
+    pre_ints = 2 if (is_empty or is_single) else 5
+    ser_ver = 2 if is_single else 1
+    flags = ((_F_EMPTY if is_empty else 0)
+             | (_F_SINGLE if is_single else 0))
+    out = bytearray(struct.pack("<BBBBHBB", pre_ints, ser_ver,
+                                _DS_FAMILY_KLL, flags, sk.k, _DS_M, 0))
+    if is_empty:
+        return bytes(out)
+    if is_single:
+        item = next(float(lv[0]) for lv in sk.levels if len(lv))
+        out += struct.pack("<d", item)
+        return bytes(out)
+    L = len(sk.levels)
+    cap = _ds_capacity(sk.k, L)
+    sizes = [len(lv) for lv in sk.levels]
+    # levels_[L] = capacity; level h spans [levels_[h], levels_[h+1]);
+    # all free space sits below levels_[0]
+    offsets = [0] * (L + 1)
+    offsets[L] = cap
+    for h in range(L - 1, -1, -1):
+        offsets[h] = offsets[h + 1] - sizes[h]
+    out += struct.pack("<qHBB", sk.n, sk.k, L, 0)
+    out += struct.pack(f"<{L}i", *offsets[:L])
+    out += struct.pack("<dd", sk.min, sk.max)
+    for h, lv in enumerate(sk.levels):
+        items = np.sort(lv) if h > 0 else np.asarray(lv)
+        out += items.astype("<f8").tobytes()
+    return bytes(out)
+
+
+def kll_from_java_bytes(buf: bytes, seed: int = 42) -> KllSketch:
+    """Decode the DataSketches KllDoublesSketch layout
+    (KllDoublesSketch.java:303-353 heapify semantics)."""
+    pre_ints, ser_ver, family, flags, k, m, _ = struct.unpack_from(
+        "<BBBBHBB", buf, 0)
+    if family != _DS_FAMILY_KLL:
+        raise ValueError(f"not a KLL sketch (family {family})")
+    if m != _DS_M:
+        raise ValueError(f"M must be {_DS_M}, got {m}")
+    sk = KllSketch(k, seed=seed)
+    if flags & _F_EMPTY:
+        return sk
+    if flags & _F_SINGLE:
+        (item,) = struct.unpack_from("<d", buf, 8)
+        sk.levels = [np.asarray([item], dtype=np.float64)]
+        sk.n = 1
+        sk.min = sk.max = item
+        return sk
+    n, min_k, L, _ = struct.unpack_from("<qHBB", buf, 8)
+    off = 20
+    offsets = list(struct.unpack_from(f"<{L}i", buf, off))
+    off += 4 * L
+    offsets.append(_ds_capacity(k, L))
+    mn, mx = struct.unpack_from("<dd", buf, off)
+    off += 16
+    retained = offsets[L] - offsets[0]
+    items = np.frombuffer(buf, "<f8", count=retained, offset=off)
+    sk.levels = []
+    pos = 0
+    for h in range(L):
+        cnt = offsets[h + 1] - offsets[h]
+        sk.levels.append(items[pos:pos + cnt].astype(np.float64))
+        pos += cnt
+    sk.n = n
+    sk.min, sk.max = mn, mx
+    return sk

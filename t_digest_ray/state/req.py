@@ -300,3 +300,96 @@ class ReqSketch:
             off += 8 * cnt
             sk.compactors.append(c)
         return sk
+
+
+# --------------------------------------------------- DataSketches interop
+
+_REQ_FAMILY = 17
+_REQ_SER_VER = 1
+_RF_EMPTY, _RF_HRA, _RF_RAW, _RF_L0SORT = 4, 8, 16, 32
+
+
+def _compactor_to_java(c: _Compactor) -> bytes:
+    """ReqCompactor.java:297-310 layout: i64 state, f32 sectionSizeFlt,
+    u8 lgWeight, u8 numSections, 2 pad, i32 count, count x f64 items."""
+    return (struct.pack("<qfBBxxi", c.state, c.section_size_flt,
+                        c.lg_weight, c.num_sections, len(c.items))
+            + np.asarray(c.items, dtype="<f8").tobytes())
+
+
+def _compactor_from_java(buf: bytes, off: int, hra: bool
+                         ) -> tuple[_Compactor, int]:
+    state, ssf, lgw, nsec, count = struct.unpack_from("<qfBBxxi", buf, off)
+    off += struct.calcsize("<qfBBxxi")
+    items = np.frombuffer(buf, "<f8", count=count, offset=off).copy()
+    off += 8 * count
+    c = _Compactor(lgw, hra, _nearest_even(ssf))
+    c.state = state
+    c.section_size_flt = ssf
+    c.section_size = int(round(ssf))
+    c.num_sections = nsec
+    c.items = items
+    return c, off
+
+
+def req_to_java_bytes(sk: "ReqSketch") -> bytes:
+    """Serialize in the reference's ReqSerDe layout (ReqSerDe.java:38-130
+    formats EMPTY/RAWITEMS/EXACT/ESTIMATION, little-endian)."""
+    is_empty = sk.n == 0
+    raw = 0 < sk.n <= MIN_K
+    estimation = len(sk.compactors) > 1
+    pre_ints = 4 if estimation else 2
+    flags = ((_RF_EMPTY if is_empty else 0)
+             | (_RF_HRA if sk.hra else 0)
+             | (_RF_RAW if raw else 0)
+             | _RF_L0SORT)  # our buffers are kept sorted after compaction
+    n_comp = 0 if is_empty else len(sk.compactors)
+    n_raw = sk.n if raw else 0
+    out = bytearray(struct.pack("<BBBBHBB", pre_ints, _REQ_SER_VER,
+                                _REQ_FAMILY, flags, sk.k, n_comp, n_raw))
+    if is_empty:
+        return bytes(out)
+    if raw:
+        items = np.sort(sk.compactors[0].items)
+        out += items.astype("<f8").tobytes()
+        return bytes(out)
+    if estimation:
+        out += struct.pack("<qdd", sk.n, sk.min, sk.max)
+        for c in sk.compactors:
+            out += _compactor_to_java(c)
+    else:  # EXACT: single compactor, stats derived on decode
+        out += _compactor_to_java(sk.compactors[0])
+    return bytes(out)
+
+
+def req_from_java_bytes(buf: bytes, seed: int = 0xC0FFEE) -> "ReqSketch":
+    """Decode the ReqSerDe layout (ReqSerDe.java:134-196 heapify)."""
+    pre_ints, ser_ver, family, flags, k, n_comp, n_raw = \
+        struct.unpack_from("<BBBBHBB", buf, 0)
+    if family != _REQ_FAMILY:
+        raise ValueError(f"not a REQ sketch (family {family})")
+    hra = bool(flags & _RF_HRA)
+    sk = ReqSketch(k, hra, seed=seed)
+    if flags & _RF_EMPTY:
+        return sk
+    if flags & _RF_RAW:
+        items = np.frombuffer(buf, "<f8", count=n_raw, offset=8)
+        sk.update_batch(items)
+        return sk
+    off = 8
+    if n_comp > 1:  # ESTIMATION
+        n, mn, mx = struct.unpack_from("<qdd", buf, off)
+        off += struct.calcsize("<qdd")
+        sk.compactors = []
+        for _ in range(n_comp):
+            c, off = _compactor_from_java(buf, off, hra)
+            sk.compactors.append(c)
+        sk.n = n
+        sk.min, sk.max = mn, mx
+    else:  # EXACT
+        c, off = _compactor_from_java(buf, off, hra)
+        sk.compactors = [c]
+        sk.n = len(c.items)
+        sk.min = float(c.items.min())
+        sk.max = float(c.items.max())
+    return sk

@@ -95,3 +95,39 @@ def test_agrees_with_merging_digest(rng):
         ra = _rank(s, a.quantile(q))
         rt = _rank(s, t.quantile(q))
         assert abs(ra - q) <= 0.03 and abs(rt - q) <= 0.03
+
+
+def test_java_interop_layout_and_roundtrip():
+    """Byte parity with AVLTreeDigest.java:501-591: exact big-endian field
+    layout (verified by hand-unpacking) and decode-through-clustering."""
+    import struct
+
+    rng = np.random.default_rng(3)
+    d = AVLTreeDigest(100)
+    d.update_batch(rng.uniform(0, 100, 2000))
+    d.compress()
+
+    vb = d.to_java_bytes()
+    tag, mn, mx, comp = struct.unpack_from(">iddd", vb, 0)
+    (n,) = struct.unpack_from(">i", vb, 28)
+    assert tag == 1 and mn == d.min and mx == d.max
+    assert comp == float(np.float32(d.compression))  # reference float cast
+    assert n == len(d._means)
+    means = struct.unpack_from(f">{n}d", vb, 32)
+    assert list(means) == d._means
+    counts = struct.unpack_from(f">{n}i", vb, 32 + 8 * n)
+    assert sum(counts) == int(d.count)
+
+    for small in (False, True):
+        d2 = AVLTreeDigest.from_java_bytes(d.to_java_bytes(small=small))
+        assert d2.min == d.min and d2.max == d.max
+        assert d2.count == d.count
+        # re-adding through clustering preserves quantiles tightly
+        for q in (0.01, 0.25, 0.5, 0.75, 0.99):
+            assert abs(d2.cdf(d.quantile(q)) - q) < 0.02, (small, q)
+
+    # small layout: float32 delta means, varint counts
+    sb = d.to_java_bytes(small=True)
+    tag2, = struct.unpack_from(">i", sb, 0)
+    assert tag2 == 2
+    assert len(sb) < len(vb)

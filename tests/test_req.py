@@ -144,3 +144,45 @@ def test_fractional_weights_rejected():
     with pytest.raises(ValueError, match="integer weights"):
         sk.update_batch([1.0, 2.0], weights=[0.9, 2.7])
     assert sk.n == 0
+
+
+def test_req_datasketches_layout_roundtrip():
+    """ReqSerDe layout parity (ReqSerDe.java:38-130): all four formats
+    round-trip; header fields verified by hand-unpacking."""
+    import struct
+
+    from t_digest_ray.state.req import req_from_java_bytes, req_to_java_bytes
+
+    # EMPTY
+    e = ReqSketch(k=12)
+    be = req_to_java_bytes(e)
+    assert len(be) == 8
+    pre, ver, fam, flags, k, nc, nr = struct.unpack_from("<BBBBHBB", be, 0)
+    assert (pre, ver, fam, k, nc, nr) == (2, 1, 17, 12, 0, 0)
+    assert flags & 4 and flags & 8  # empty + hra
+    assert req_from_java_bytes(be).n == 0
+
+    # RAWITEMS (n <= 4)
+    r = ReqSketch(k=12)
+    r.update_batch([3.0, 1.0, 2.0])
+    br = req_to_java_bytes(r)
+    assert struct.unpack_from("<BBBBHBB", br, 0)[6] == 3
+    r2 = req_from_java_bytes(br)
+    assert r2.n == 3 and r2.min == 1.0 and r2.max == 3.0
+
+    # EXACT (one compactor) and ESTIMATION (many)
+    rng = np.random.default_rng(4)
+    for n_vals, want_pre in ((20, 2), (20000, 4)):
+        sk = ReqSketch(k=12)
+        sk.update_batch(rng.uniform(0, 100, n_vals))
+        b = req_to_java_bytes(sk)
+        assert struct.unpack_from("<B", b, 0)[0] == want_pre
+        sk2 = req_from_java_bytes(b)
+        assert sk2.n == sk.n and sk2.min == sk.min and sk2.max == sk.max
+        assert len(sk2.compactors) == len(sk.compactors)
+        for c1, c2 in zip(sk.compactors, sk2.compactors):
+            assert np.array_equal(np.sort(c1.items), np.sort(c2.items))
+            assert (c1.state, c1.num_sections, c1.lg_weight) == \
+                   (c2.state, c2.num_sections, c2.lg_weight)
+        for q in (0.1, 0.5, 0.9, 0.99):
+            assert sk2.quantile(q) == sk.quantile(q)

@@ -316,3 +316,46 @@ def test_histogram_bitpacked_serde_roundtrip_and_size():
     e = FloatHistogram(1e-3, 1e3, 50)
     assert np.array_equal(FloatHistogram.from_bytes(e.to_bytes()).counts,
                           e.counts)
+
+
+def test_kll_datasketches_layout_roundtrip():
+    """DataSketches KllDoublesSketch byte layout (preamble fields verified
+    by hand-unpacking; KllDoublesSketch.java:183-219, 796-830): empty,
+    single-item, and multi-level sketches round-trip with identical
+    weighted content."""
+    import struct
+
+    from t_digest_ray.state.kll import (KllSketch, kll_from_java_bytes,
+                                        kll_to_java_bytes)
+
+    # empty: 8-byte preamble, flags bit 0
+    e = KllSketch(200)
+    be = kll_to_java_bytes(e)
+    assert len(be) == 8
+    pre, ver, fam, flags, k, m, _ = struct.unpack_from("<BBBBHBB", be, 0)
+    assert (pre, ver, fam, flags, k, m) == (2, 1, 15, 1, 200, 8)
+    assert kll_from_java_bytes(be).n == 0
+
+    # single item: serial version 2, item at offset 8
+    s = KllSketch(200)
+    s.update_batch([42.5])
+    bs = kll_to_java_bytes(s)
+    assert len(bs) == 16
+    assert struct.unpack_from("<d", bs, 8)[0] == 42.5
+    s2 = kll_from_java_bytes(bs)
+    assert s2.n == 1 and s2.min == s2.max == 42.5
+
+    # multi-level: full preamble; weighted content identical after decode
+    rng = np.random.default_rng(9)
+    sk = KllSketch(128)
+    sk.update_batch(rng.uniform(0, 1000, 50000))
+    b = kll_to_java_bytes(sk)
+    pre, ver, fam, flags, k, m, _ = struct.unpack_from("<BBBBHBB", b, 0)
+    assert (pre, ver, fam, k) == (5, 1, 15, 128)
+    n, min_k, L, _ = struct.unpack_from("<qHBB", b, 8)
+    assert n == sk.n and L == len(sk.levels)
+    sk2 = kll_from_java_bytes(b)
+    assert sk2.n == sk.n and sk2.min == sk.min and sk2.max == sk.max
+    it1, w1 = sk._weighted_sorted()
+    it2, w2 = sk2._weighted_sorted()
+    assert np.array_equal(it1, it2) and np.array_equal(w1, w2)
