@@ -44,12 +44,12 @@ def _bench_queries():
 
     def pages_pipeline(sf):
         # block size is a function of the DATA, not the CPU count (as on a
-        # real cluster, where target_max_block_size fixes it): ~16k rows
-        # (~25 MB of html) per block keeps per-batch buffers small enough
-        # for the allocator to recycle, and gives every CPU level the same
-        # work units to schedule
+        # real cluster, where target_max_block_size fixes it): 64k-row
+        # tasks whose bodies generate AND process in 4k-row cache-resident
+        # chunks (see pages_quantiles docstring — measured 4.4x over
+        # whole-block staging on this box)
         pages = synthetic_pages(PAGES_ROWS,
-                                parallelism=max(PAGES_ROWS // 16_384, 1))
+                                parallelism=max(PAGES_ROWS // 65_536, 1))
         return pages_quantiles(pages, value_cols=("text_length", "html_size"),
                                key="lang", num_salts=8)["html_size"]
 

@@ -125,23 +125,49 @@ def quantiles_by_key(ds, value_col: str, key: str | None = None,
 
 def pages_quantiles(pages_ds, value_cols=("text_length", "html_size"),
                     key: str = "lang", compression: float = 100.0,
-                    qs=DEFAULT_QS, num_salts: int = 8):
-    """The flagship: extract + derive, then per-lang digests of each metric
-    from ONE scan (multi_sketch_by_key — the input pass dominates at corpus
-    scale, so all metrics' partials are computed in the same map_batches).
+                    qs=DEFAULT_QS, num_salts: int = 8,
+                    chunk_size: int = 4096):
+    """The flagship: extract + derive + per-metric partial digests from ONE
+    scan, then the two-level salted merge.
+
+    The per-task body processes the block in ``chunk_size``-row slices
+    (extract -> derive -> partials per slice): a ~4k-page chunk keeps the
+    whole working set (html buffers, extracted text, metric arrays,
+    sorts) a few MB — cache-resident and allocator-recyclable. Measured
+    on the 32-CPU box: 4.4x faster than whole-block staging (58k -> 253k
+    pages/s at 2 M pages), because concurrent workers churning ~100 MB of
+    per-stage temporaries were DRAM/allocator-bound. The partial sketch
+    per (chunk, metric, lang) is still KB-sized, so the shuffle is
+    unchanged in kind, just ~4x more (tiny) rows.
 
     Returns a dict {value_col: Dataset of per-lang quantile rows}. The tiny
     merged sketch table is materialized once so consuming several metrics
     never re-runs the scan.
     """
-    from ..stages.aggregate import METRIC_COL, multi_sketch_by_key
+    import pyarrow as pa
 
-    derived = (pages_ds
-               .map_batches(ExtractText(), batch_format="pyarrow")
-               .map_batches(derive_metrics, batch_format="pyarrow"))
+    from ..stages.aggregate import (METRIC_COL, make_partial_fn,
+                                    merge_multi_partials)
+
     spec = tdigest_spec(compression, qs=qs)
-    merged = multi_sketch_by_key(derived, spec, value_cols, key,
-                                 num_salts=num_salts).materialize()
+    extractor = ExtractText()
+    pfs = {vc: make_partial_fn(spec, vc, key, None, num_salts)
+           for vc in value_cols}
+
+    def fused(batch: pa.Table) -> pa.Table:
+        outs = []
+        for off in range(0, batch.num_rows, chunk_size):
+            sub = batch.slice(off, chunk_size)
+            sub = derive_metrics(extractor(sub))
+            for vc, pf in pfs.items():
+                t = pf(sub)
+                outs.append(t.append_column(
+                    METRIC_COL, pa.array([vc] * len(t))))
+        return pa.concat_tables(outs) if outs else pa.table({})
+
+    partials = pages_ds.map_batches(fused, batch_format="pyarrow")
+    merged = merge_multi_partials(partials, spec,
+                                  num_salts=num_salts).materialize()
     out = {}
     for col in value_cols:
         sub = merged.filter(expr=f'{METRIC_COL} == "{col}"') \

@@ -178,15 +178,24 @@ def generate_pages_batch(ids: np.ndarray) -> pa.Table:
     })
 
 
-def synthetic_pages(n_rows: int, parallelism: int = -1):
-    """A lazy Ray Dataset of deterministic pages rows."""
+def synthetic_pages(n_rows: int, parallelism: int = -1,
+                    chunk_size: int = 4096):
+    """A lazy Ray Dataset of deterministic pages rows.
+
+    Generation runs in ``chunk_size``-row slices inside each task, so the
+    string-building buffers stay a few MB (cache-resident, recycled by
+    the allocator); the emitted block has chunked columns — zero-copy
+    concatenation, no full-block rebuild."""
     import ray.data as rd
 
     ds = rd.range(n_rows, override_num_blocks=parallelism
                   if parallelism > 0 else None)
 
     def gen(batch: pa.Table) -> pa.Table:
-        return generate_pages_batch(batch["id"].to_numpy())
+        ids = batch["id"].to_numpy()
+        tables = [generate_pages_batch(ids[off:off + chunk_size])
+                  for off in range(0, len(ids), chunk_size)]
+        return pa.concat_tables(tables)
 
     return ds.map_batches(gen, batch_format="pyarrow")
 

@@ -154,6 +154,21 @@ def sketch_by_key(ds, spec: SketchSpec, value_col: str,
 METRIC_COL = "metric"
 
 
+def merge_multi_partials(partials, spec: SketchSpec, num_salts: int = 8,
+                         coalesce_blocks: int = 16):
+    """merge_partials for multi-metric partial rows (METRIC_COL carried)."""
+    if coalesce_blocks:
+        partials = partials.repartition(coalesce_blocks)
+    merge1 = _merge_group(spec, carry=(METRIC_COL, KEY_COL))
+    if num_salts > 1:
+        level1 = partials.groupby([METRIC_COL, KEY_COL, SALT_COL]).map_groups(
+            merge1, batch_format="pandas")
+    else:
+        level1 = partials
+    return level1.groupby([METRIC_COL, KEY_COL]).map_groups(
+        merge1, batch_format="pandas")
+
+
 def multi_sketch_by_key(ds, spec: SketchSpec, value_cols, key: str | None = None,
                         num_salts: int = 8, batch_size: int | None = None,
                         coalesce_blocks: int = 16):
@@ -179,16 +194,8 @@ def multi_sketch_by_key(ds, spec: SketchSpec, value_cols, key: str | None = None
 
     partials = ds.map_batches(fn, batch_format="pyarrow",
                               batch_size=batch_size)
-    if coalesce_blocks:
-        partials = partials.repartition(coalesce_blocks)
-    merge1 = _merge_group(spec, carry=(METRIC_COL, KEY_COL))
-    if num_salts > 1:
-        level1 = partials.groupby([METRIC_COL, KEY_COL, SALT_COL]).map_groups(
-            merge1, batch_format="pandas")
-    else:
-        level1 = partials
-    return level1.groupby([METRIC_COL, KEY_COL]).map_groups(
-        merge1, batch_format="pandas")
+    return merge_multi_partials(partials, spec, num_salts=num_salts,
+                                coalesce_blocks=coalesce_blocks)
 
 
 def summarize(ds, spec: SketchSpec, key_name: str = KEY_COL):
