@@ -104,6 +104,36 @@ def csv_top_event_types(sf_dir: str):
     return top_k_by_count(ds, "event_type", k=3, count_name="cnt")
 
 
+def filtered_lineitem_revenue(sf_dir: str):
+    """Predicate pushdown at the read: the quantity filter is handed to
+    ray.data.read_parquet as an Arrow dataset filter, so row groups whose
+    statistics exclude the predicate never leave storage, and only two
+    further columns are materialized (column pruning)."""
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_extendedprice", "l_quantity"],
+        filter=pads.field("l_quantity") < 10.0)
+
+    def derive(b: pa.Table) -> pa.Table:
+        return pa.table({"l_returnflag": b["l_returnflag"],
+                         "l_extendedprice": b["l_extendedprice"]})
+
+    out = (ds.map_batches(derive, batch_format="pyarrow")
+           .groupby("l_returnflag")
+           .aggregate(Count(alias_name="n_rows"),
+                      Sum("l_extendedprice", alias_name="sum_price_cents")))
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        return _cents(df, ["sum_price_cents"])
+
+    return out.map_batches(finalize, batch_format="pandas")
+
+
 def exact_quantiles_by_lang(sf_dir: str):
     """Distributed exact quantiles (Dist.java oracle port; small-scale op)."""
     from t_digest_ray.pipelines.relational import exact_quantiles_by_key
@@ -690,6 +720,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jsonl_doc_stats_by_lang": jsonl_doc_stats_by_lang,
         "csv_top_event_types": csv_top_event_types,
         "exact_quantiles_by_lang": exact_quantiles_by_lang,
+        "filtered_lineitem_revenue": filtered_lineitem_revenue,
         "exact_dedup_text": exact_dedup_text,
         "top_event_types": top_event_types,
         "distinct_users_by_type": distinct_users_by_type,
@@ -742,6 +773,13 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
                    MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
             FROM documents GROUP BY lang
+        """,
+        "filtered_lineitem_revenue": """
+            SELECT l_returnflag, COUNT(*) AS n_rows,
+                   CAST(ROUND(SUM(l_extendedprice) * 100) AS BIGINT)
+                       AS sum_price_cents
+            FROM lineitem WHERE l_quantity < 10.0
+            GROUP BY l_returnflag
         """,
         "jsonl_doc_stats_by_lang": """
             SELECT lang, COUNT(*) AS n_docs,
