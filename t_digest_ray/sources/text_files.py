@@ -31,8 +31,12 @@ _CACHE_ROOT = "/tmp/tdr_srccache"
 _N_SHARDS = 4
 
 
-def _cache_dir(sf_dir: str, table: str, fmt: str) -> str:
-    tag = hashlib.sha1(os.path.normpath(sf_dir).encode()).hexdigest()[:10]
+def _cache_dir(sf_dir: str, table: str, columns: list[str],
+               fmt: str) -> str:
+    # columns are part of the cache key: a shard exported with a different
+    # projection would silently parse missing fields as nulls
+    key = f"{os.path.normpath(sf_dir)}|{','.join(columns)}"
+    tag = hashlib.sha1(key.encode()).hexdigest()[:10]
     return os.path.join(_CACHE_ROOT, f"{table}-{fmt}-{tag}")
 
 
@@ -40,7 +44,7 @@ def _export(sf_dir: str, table: str, columns: list[str], fmt: str) -> str:
     """Convert {sf_dir}/{table}.parquet into sharded JSONL/CSV; cached."""
     import pyarrow.parquet as pq
 
-    out_dir = _cache_dir(sf_dir, table, fmt)
+    out_dir = _cache_dir(sf_dir, table, columns, fmt)
     ext = "jsonl" if fmt == "jsonl" else "csv"
     shards = [os.path.join(out_dir, f"part-{i}.{ext}")
               for i in range(_N_SHARDS)]
