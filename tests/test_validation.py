@@ -1,0 +1,106 @@
+"""Validation gates (pipelines/validation.py): the within_bound flag must
+be True for healthy sketches and must FLIP on a planted regression — that
+flip is what turns the driver's hash check into a real gate."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from t_digest_ray.pipelines.quantiles import tdigest_spec
+from t_digest_ray.pipelines.validation import (distinct_bound_check,
+                                               drift_no_change_check,
+                                               quantile_bound_check)
+from t_digest_ray.stages.aggregate import sketch_by_key
+
+
+@pytest.fixture(scope="module")
+def keyed_values(ray_session):
+    import ray
+
+    rng = np.random.default_rng(21)
+    df = pd.DataFrame({
+        "k": np.repeat(["a", "b"], 5000),
+        "x": np.concatenate([rng.uniform(0, 100, 5000),
+                             rng.normal(500, 50, 5000)]),
+    })
+    return ray.data.from_pandas(df).repartition(4), df
+
+
+def test_quantile_bound_check_passes_healthy(keyed_values):
+    ds, df = keyed_values
+    spec = tdigest_spec(100)
+    out = quantile_bound_check(ds, "x", "k", spec,
+                               qs=(0.25, 0.5, 0.75)).to_pandas()
+    assert out["within_bound"].all()
+    # exact columns really are the disc quantiles
+    for _, r in out.iterrows():
+        v = np.sort(df[df.k == r["k"]]["x"].to_numpy())
+        assert r["p50"] == v[max(int(np.ceil(0.5 * len(v))) - 1, 0)]
+
+
+def test_quantile_bound_check_flags_regression(keyed_values):
+    ds, _ = keyed_values
+    spec = tdigest_spec(100)
+    merged = sketch_by_key(ds, spec, "x", "k", num_salts=2).to_pandas()
+    # planted regression: shift one group's sketch values by corrupting
+    # its bytes with a digest built from wrong data
+    bad = spec.factory()
+    bad.update_batch(np.full(5000, 1e9))
+    merged.loc[merged["key"] == "a", "sketch"] = bad.to_bytes()
+    out = quantile_bound_check(ds, "x", "k", spec,
+                               merged_rows=merged).to_pandas()
+    assert not out[out.k == "a"]["within_bound"].iloc[0]
+    assert out[out.k == "b"]["within_bound"].iloc[0]
+
+
+def test_quantile_bound_check_flags_count_mismatch(keyed_values):
+    ds, _ = keyed_values
+    spec = tdigest_spec(100)
+    merged = sketch_by_key(ds, spec, "x", "k", num_salts=2).to_pandas()
+    merged.loc[merged["key"] == "b", "n"] = 123.0  # lost rows
+    out = quantile_bound_check(ds, "x", "k", spec,
+                               merged_rows=merged).to_pandas()
+    assert not out[out.k == "b"]["within_bound"].iloc[0]
+
+
+def test_distinct_bound_check(keyed_values, ray_session):
+    import ray
+
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame({
+        "g": np.repeat(["p", "q"], 20000),
+        "u": np.concatenate([rng.integers(0, 5000, 20000),
+                             rng.integers(0, 500, 20000)]),
+    })
+    ds = ray.data.from_pandas(df).repartition(4)
+    out = distinct_bound_check(ds, "u", "g", p=14, count_name="n_u")
+    assert out["within_bound"].all()
+    want = df.groupby("g")["u"].nunique()
+    got = dict(zip(out["g"], out["n_u"]))
+    assert got == want.to_dict()
+
+
+def test_drift_check_passes_same_distribution(ray_session):
+    import ray
+
+    rng = np.random.default_rng(6)
+    df = pd.DataFrame({"k": np.repeat(["t"], 20000),
+                       "v": rng.normal(10, 2, 20000)})
+    a = ray.data.from_pandas(df.iloc[::2].reset_index(drop=True))
+    b = ray.data.from_pandas(df.iloc[1::2].reset_index(drop=True))
+    out = drift_no_change_check(a, b, "v", "k", key_name="k")
+    assert out["no_drift"].all()
+
+
+def test_drift_check_flags_real_drift(ray_session):
+    import ray
+
+    rng = np.random.default_rng(7)
+    a = ray.data.from_pandas(pd.DataFrame(
+        {"k": ["t"] * 20000, "v": rng.normal(10, 2, 20000)}))
+    b = ray.data.from_pandas(pd.DataFrame(
+        {"k": ["t"] * 20000, "v": rng.normal(30, 2, 20000)}))
+    out = drift_no_change_check(a, b, "v", "k", key_name="k")
+    assert not out["no_drift"].any()
