@@ -24,7 +24,8 @@ from dataclasses import dataclass, field
 from typing import Any
 
 PIPELINES = ("quantiles", "kll", "req", "distinct", "heavy", "dedup",
-             "checkpointed")
+             "dedup_keep", "simhash", "checkpointed", "sessionize",
+             "watermark", "ivf_build", "drift_check")
 
 
 @dataclass
@@ -94,6 +95,38 @@ def run_job(cfg: JobConfig):
     elif cfg.pipeline == "dedup":
         from .stages.dedup import minhash_lsh_pairs
         out = minhash_lsh_pairs(ds, cfg.value_col, cfg.key or "doc_id", **p)
+    elif cfg.pipeline == "dedup_keep":
+        from .stages.dedup import minhash_dedup_keep
+        out = minhash_dedup_keep(ds, cfg.value_col, cfg.key or "doc_id", **p)
+    elif cfg.pipeline == "simhash":
+        from .stages.dedup import simhash_pairs
+        out = simhash_pairs(ds, cfg.value_col, cfg.key or "doc_id", **p)
+    elif cfg.pipeline == "sessionize":
+        from .pipelines.windows import sessionize
+        out = sessionize(ds, cfg.key, cfg.value_col, **p)
+    elif cfg.pipeline == "watermark":
+        from .pipelines.windows import watermark_flags
+        # value_col = event-time column; key = arrival-order column
+        out = watermark_flags(ds, cfg.value_col, cfg.key, **p)
+    elif cfg.pipeline == "ivf_build":
+        from .stages.ann_index import build_ivf_index
+        index_dir = p.pop("index_dir")
+        build_ivf_index(ds, index_dir,
+                        vec_col=cfg.value_col or "embedding",
+                        id_col=cfg.key or "vec_id", **p)
+        import glob
+
+        import ray.data as rd
+        parts = sorted(glob.glob(f"{index_dir}/list=*/*.parquet"))
+        out = rd.read_parquet(parts, columns=[cfg.key or "vec_id"])
+    elif cfg.pipeline == "drift_check":
+        import ray.data as rd
+
+        from .pipelines.validation import drift_no_change_check
+        ds_b = rd.read_parquet(p.pop("input_b"), columns=cfg.columns)
+        out = rd.from_pandas(drift_no_change_check(
+            ds, ds_b, cfg.value_col, cfg.key,
+            key_name=cfg.key or "key", **p))
     elif cfg.pipeline == "checkpointed":
         from .pipelines.checkpoint import (finalize_checkpointed,
                                            run_checkpointed)

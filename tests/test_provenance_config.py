@@ -94,3 +94,47 @@ def test_job_config_validation(tmp_path):
                                "bogus_key": 1}))
     with pytest.raises(ValueError, match="unknown config keys"):
         JobConfig.from_file(str(bad))
+
+
+def test_config_round2_pipelines(ray_session, tmp_path):
+    """The config runner covers the round-2 operators end-to-end."""
+    sf = "/root/testdata/sf0.001"
+
+    out = run_job(JobConfig(pipeline="sessionize",
+                            input=f"{sf}/events.parquet",
+                            columns=["user_id", "ts"],
+                            value_col="ts", key="user_id",
+                            params={"gap_s": 1800})).to_pandas()
+    assert len(out) > 0 and (out["n_sessions"] >= 1).all()
+
+    out = run_job(JobConfig(pipeline="watermark",
+                            input=f"{sf}/events.parquet",
+                            columns=["event_id", "ts"],
+                            value_col="ts", key="event_id",
+                            params={"lateness_s": 600})).to_pandas()
+    assert set(out.columns) >= {"event_id", "on_time"}
+    assert out["on_time"].all()  # events arrive in event_id order
+
+    out = run_job(JobConfig(pipeline="dedup_keep",
+                            input=f"{sf}/documents.parquet",
+                            columns=["doc_id", "text"],
+                            value_col="text", key="doc_id")).to_pandas()
+    assert 0 < len(out) <= 500
+
+    out = run_job(JobConfig(pipeline="drift_check",
+                            input=f"{sf}/events.parquet",
+                            columns=["event_type", "value"],
+                            value_col="value", key="event_type",
+                            params={"input_b": f"{sf}/events.parquet"})
+                  ).to_pandas()
+    assert out["no_drift"].all()  # identical datasets never drift
+
+    idx = str(tmp_path / "cfg_ivf")
+    out = run_job(JobConfig(pipeline="ivf_build",
+                            input=f"{sf}/embeddings.parquet",
+                            columns=["vec_id", "embedding"],
+                            value_col="embedding", key="vec_id",
+                            params={"index_dir": idx, "n_lists": 4,
+                                    "sample_size": 64})).to_pandas()
+    import glob
+    assert glob.glob(f"{idx}/list=*/")
