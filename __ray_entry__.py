@@ -708,6 +708,36 @@ def pages_flagship(sf_dir: str):
 # ----------------------------------------------------------------- contract
 
 
+def pages_flagship_checked(sf_dir: str):
+    """The flagship's correctness twin, VALUE-CHECKED: pages are rebuilt
+    from documents, html -> text extraction runs for real, and the
+    per-lang text_length digests are bound-checked against exact
+    quantile_disc(LENGTH(text)) — which the DuckDB oracle computes from
+    the same documents table. Extraction must be byte-identical per url for
+    the lengths to match at all, so this also gates the north-star
+    per-row invariant end-to-end."""
+    from t_digest_ray.pipelines.quantiles import tdigest_spec
+    from t_digest_ray.pipelines.validation import quantile_bound_check
+    from t_digest_ray.sources.pages import pages_from_documents
+    from t_digest_ray.stages.extract import ExtractText, derive_metrics
+
+    pages = pages_from_documents(sf_dir)
+
+    def project(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        b = derive_metrics(ExtractText()(b))
+        # the digest consumes the EXTRACTED length — a broken extractor
+        # shifts the distribution and fails the bound
+        return pa.table({"lang": b["lang"],
+                         "text_length": pc.cast(pc.utf8_length(
+                             b["extracted_text"]), pa.float64())})
+
+    ds = pages.map_batches(project, batch_format="pyarrow")
+    return quantile_bound_check(ds, "text_length", "lang", tdigest_spec(100),
+                                qs=(0.25, 0.5, 0.75), rank_bound=0.015,
+                                num_salts=2)
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
     return pages_flagship("/root/testdata/sf0.001")
@@ -741,6 +771,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid_counts": langid_counts,
         "quality_by_lang": quality_by_lang,
         "pages_flagship": pages_flagship,
+        "pages_flagship_checked": pages_flagship_checked,
         "req_quantiles_by_lang": req_quantiles_by_lang,
         "drift_events_value": drift_events_value,
         "simhash_dedup_pairs": simhash_dedup_pairs,
@@ -834,6 +865,14 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT * FROM events WHERE event_type = 'purchase') l
             ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') r
               ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        "pages_flagship_checked": """
+            SELECT lang, COUNT(*) AS n,
+                   CAST(quantile_disc(LENGTH(text), 0.25) AS DOUBLE) AS p25,
+                   CAST(quantile_disc(LENGTH(text), 0.50) AS DOUBLE) AS p50,
+                   CAST(quantile_disc(LENGTH(text), 0.75) AS DOUBLE) AS p75,
+                   TRUE AS within_bound
+            FROM documents GROUP BY lang
         """,
         "events_watermark_stats": """
             WITH a AS (
