@@ -215,6 +215,38 @@ def run_sketch_scaling_job() -> dict:
             "rows_per_sec": round(SCALE_ROWS / sec), "num_cpus": NUM_CPUS}
 
 
+SCALE_PAGES = int(os.environ.get("GRAFT_SCALE_PAGES", 4_000_000))
+
+
+def run_flagship_scaling_job() -> dict:
+    """Two-level alternative job (GRAFT_SCALE_JOB=flagship): the full
+    pages pipeline (synthesize -> extract -> derive -> per-lang digests of
+    2 metrics) at SCALE_PAGES rows — the headline pipeline measured at two
+    parallelism levels."""
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from t_digest_ray.pipelines.quantiles import pages_quantiles
+    from t_digest_ray.sources.pages import synthetic_pages
+
+    def run(n):
+        pages = synthetic_pages(n, parallelism=max(n // 65_536, 1))
+        pages_quantiles(pages, value_cols=("text_length", "html_size"),
+                        key="lang", num_salts=8)["html_size"].count()
+
+    run(max(SCALE_PAGES // 2, 500_000))
+    t0 = time.perf_counter()
+    run(SCALE_PAGES)
+    sec = time.perf_counter() - t0
+    ray.shutdown()
+    return {"sec": round(sec, 3), "rows": SCALE_PAGES,
+            "rows_per_sec": round(SCALE_PAGES / sec), "num_cpus": NUM_CPUS}
+
+
 def _cpu_envelope(levels: tuple[int, int], n_iter: int = 40) -> dict:
     """Raw-CPU scaling envelope of THIS MACHINE (no Ray): K busy numpy
     processes each doing fixed work. On this box the host oversubscribes
@@ -252,10 +284,13 @@ def run_scaling() -> dict:
     reported raw AND normalized by the machine's own raw-CPU scaling
     envelope (this sandbox's vCPUs are oversubscribed; a real 4N-node
     cluster adds whole nodes, which the envelope division models)."""
+    job = os.environ.get("GRAFT_SCALE_JOB", "sketch")
+    flag = "--flagship-scaling" if job == "flagship" else "--sketch-scaling"
+
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
         out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--sketch-scaling"],
+            [sys.executable, os.path.abspath(__file__), flag],
             env=env, capture_output=True, text=True, check=True,
             cwd=os.path.dirname(os.path.abspath(__file__)))
         return json.loads(out.stdout.strip().splitlines()[-1])
@@ -278,9 +313,12 @@ def run_scaling() -> dict:
     hw = _cpu_envelope((lo, hi))
     hw_eff = (hw[hi] / hw[lo]) / (hi / lo)
     normalized = engine_eff / hw_eff if hw_eff > 0 else float("nan")
+    job_desc = ("pages flagship" if job == "flagship"
+                else "sketch-update job: per-lang t-digests")
+    rows_used = SCALE_PAGES if job == "flagship" else SCALE_ROWS
     return {
-        "metric": f"scaling efficiency (sketch-update job: per-lang "
-                  f"t-digests over {SCALE_ROWS} values, fresh ray.init at "
+        "metric": f"scaling efficiency ({job_desc} over {rows_used} "
+                  f"rows, fresh ray.init at "
                   f"{lo} vs {hi} CPUs; best of 3 alternating fresh-process "
                   f"samples per level; normalized by this machine's "
                   f"measured raw-CPU scaling envelope — see BASELINE.md)",
@@ -291,7 +329,8 @@ def run_scaling() -> dict:
         "engine_efficiency": round(engine_eff, 3),
         "hardware_envelope_efficiency": round(hw_eff, 3),
         "scaling_efficiency": round(min(normalized, 1.0), 3),
-        "rows": SCALE_ROWS,
+        "rows": rows_used,
+        "job": job,
     }
 
 
@@ -300,5 +339,7 @@ if __name__ == "__main__":
         print(json.dumps(run_scaling()))
     elif "--sketch-scaling" in sys.argv:
         print(json.dumps(run_sketch_scaling_job()))
+    elif "--flagship-scaling" in sys.argv:
+        print(json.dumps(run_flagship_scaling_job()))
     else:
         print(json.dumps(run_bench()))

@@ -169,7 +169,8 @@ def asof_join(left, right, key_col: str, ts_col: str,
 
 def watermark_flags(ds, ts_col: str, order_col: str, lateness_s: int,
                     carry_cols: tuple[str, ...] = (),
-                    n_buckets: int | None = None):
+                    n_buckets: int | None = None,
+                    order_range: tuple[int, int] | None = None):
     """Streaming watermark semantics on a batch log (event-time vs arrival
     order): flag each event as on-time or late.
 
@@ -188,6 +189,11 @@ def watermark_flags(ds, ts_col: str, order_col: str, lateness_s: int,
     driver holds one row per bucket.
 
     Returns rows ``(order_col, *carry_cols, on_time: bool)``.
+
+    ``order_range=(lo, hi)`` (inclusive) skips the min/max pre-pass when
+    the caller already knows the arrival-key range (e.g. dense event ids)
+    — the input is then scanned twice (bucket-max pass + flag pass)
+    instead of three times.
     """
     import ray
 
@@ -198,11 +204,14 @@ def watermark_flags(ds, ts_col: str, order_col: str, lateness_s: int,
                                         what="watermark_flags")
 
     # order-value range -> contiguous buckets (layout-independent)
-    from ray.data.aggregate import Max as AggMax
-    from ray.data.aggregate import Min as AggMin
-    rng = ds.aggregate(AggMin(order_col, alias_name="lo"),
-                       AggMax(order_col, alias_name="hi"))
-    lo, hi = int(rng["lo"]), int(rng["hi"])
+    if order_range is not None:
+        lo, hi = int(order_range[0]), int(order_range[1])
+    else:
+        from ray.data.aggregate import Max as AggMax
+        from ray.data.aggregate import Min as AggMin
+        rng = ds.aggregate(AggMin(order_col, alias_name="lo"),
+                           AggMax(order_col, alias_name="hi"))
+        lo, hi = int(rng["lo"]), int(rng["hi"])
     span = max(hi - lo + 1, 1)
     width = -(-span // n_buckets)
 

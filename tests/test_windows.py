@@ -146,3 +146,24 @@ def test_watermark_flags_planted(ray_session):
                .to_pandas().sort_values("arr"))
         assert out["on_time"].tolist() == expect, (parts, nb)
         assert out["tag"].tolist() == list("abcdefghij")
+
+
+def test_watermark_flags_order_range_param(ray_session):
+    """Passing the known arrival range skips the pre-pass and yields the
+    same flags."""
+    import ray
+
+    from t_digest_ray.pipelines.windows import watermark_flags
+
+    t = [100, 150, 200, 100, 210]
+    df = pd.DataFrame({
+        "arr": np.arange(5, dtype=np.int64),
+        "ts": pd.to_datetime(np.asarray(t, dtype=np.int64) * 1_000_000_000),
+    })
+    ds = ray.data.from_pandas(df).repartition(2)
+    a = (watermark_flags(ds, "ts", "arr", lateness_s=60, n_buckets=3)
+         .to_pandas().sort_values("arr")["on_time"].tolist())
+    b = (watermark_flags(ds, "ts", "arr", lateness_s=60, n_buckets=3,
+                         order_range=(0, 4))
+         .to_pandas().sort_values("arr")["on_time"].tolist())
+    assert a == b
