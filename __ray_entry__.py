@@ -190,12 +190,13 @@ def doc_token_stats(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
     def fn(df: pd.DataFrame) -> pd.DataFrame:
-        from t_digest_ray.functions.text import token_count
+        from t_digest_ray.functions.text import bpe_token_count, token_count
         t = df["text"].fillna("")
         return pd.DataFrame({
             "doc_id": df["doc_id"],
             "n_chars_calc": t.str.len().astype("int64"),
             "n_tokens": token_count(t),
+            "n_bpe_tokens": bpe_token_count(t),
             "n_punct": t.str.count(r"[.,;:!?]").astype("int64"),
             "n_digit": t.str.count(r"[0-9]").astype("int64"),
         })
@@ -479,6 +480,36 @@ def purchase_after_click_asof(sf_dir: str):
     clicks = ds.map_batches(typed("click"), batch_format="pyarrow")
     return asof_join(purchases, clicks, "user_id", "ts",
                      left_id="event_id", right_id="event_id")
+
+
+def events_windowed_value_digest(sf_dir: str):
+    """Windowed sketch aggregate: per (daily window, event_type) t-digest
+    of value, VALUE-CHECKED — the output rows are exact per-window
+    quantile_disc values (hash-matched vs SQL over the same window key)
+    plus within_bound for the digests. The composite window|type key rides
+    the same sketch_by_key machinery as any other key column."""
+    from t_digest_ray.pipelines.quantiles import tdigest_spec
+    from t_digest_ray.pipelines.validation import quantile_bound_check
+
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def keyed(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        ts = b["ts"]
+        if pa.types.is_timestamp(ts.type) and ts.type.unit != "us":
+            ts = pc.cast(ts, pa.timestamp("us"))
+        secs = pc.cast(ts, pa.int64()).to_numpy(zero_copy_only=False) \
+            // 1_000_000
+        ws = (secs // 86400) * 86400
+        wkey = pc.binary_join_element_wise(
+            pa.array(ws.astype("U"), type=pa.string()),
+            b["event_type"], "|")
+        return pa.table({"wkey": wkey, "value": b["value"]})
+
+    ds2 = ds.map_batches(keyed, batch_format="pyarrow")
+    return quantile_bound_check(ds2, "value", "wkey", tdigest_spec(100),
+                                qs=(0.25, 0.5, 0.75), rank_bound=0.015,
+                                num_salts=2)
 
 
 def events_watermark_stats(sf_dir: str):
@@ -784,6 +815,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "purchase_after_click_asof": purchase_after_click_asof,
         "user_sessions": user_sessions,
         "events_watermark_stats": events_watermark_stats,
+        "events_windowed_value_digest": events_windowed_value_digest,
     }
 
 
@@ -873,6 +905,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(quantile_disc(LENGTH(text), 0.75) AS DOUBLE) AS p75,
                    TRUE AS within_bound
             FROM documents GROUP BY lang
+        """,
+        "events_windowed_value_digest": """
+            SELECT CAST(CAST(FLOOR(FLOOR(EPOCH(ts)) / 86400) * 86400
+                        AS BIGINT) AS VARCHAR)
+                       || '|' || event_type AS wkey,
+                   COUNT(*) AS n,
+                   quantile_disc(value, 0.25) AS p25,
+                   quantile_disc(value, 0.50) AS p50,
+                   quantile_disc(value, 0.75) AS p75,
+                   TRUE AS within_bound
+            FROM events GROUP BY 1
         """,
         "events_watermark_stats": """
             WITH a AS (
@@ -1100,6 +1143,9 @@ def oracle_sql() -> dict[str, str]:
                    LENGTH(text) AS n_chars_calc,
                    CAST(LEN(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(text, '\s+'),
                         x -> x <> '')) AS BIGINT) AS n_tokens,
+                   CAST(LEN(REGEXP_EXTRACT_ALL(text,
+                        '''(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+'))
+                        AS BIGINT) AS n_bpe_tokens,
                    CAST(LENGTH(text)
                         - LENGTH(REGEXP_REPLACE(text, '[.,;:!?]', '', 'g'))
                         AS BIGINT) AS n_punct,

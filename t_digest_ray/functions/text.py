@@ -43,6 +43,18 @@ def token_count(texts: pd.Series) -> np.ndarray:
     return texts.fillna("").str.count(r"\S+").to_numpy(dtype=np.int64)
 
 
+# GPT2-style pre-tokenizer, minus the lookahead (so the same RE2-safe
+# pattern runs in DuckDB): contractions, space-prefixed letter runs,
+# digit runs, punctuation runs, residual whitespace
+BPE_PATTERN = r"'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+"
+
+
+def bpe_token_count(texts: pd.Series) -> np.ndarray:
+    """Count of BPE-ish pre-tokenizer segments per row (the proxy for LLM
+    token budgeting; a real tokenizer's merges only split these further)."""
+    return texts.fillna("").str.count(BPE_PATTERN).to_numpy(dtype=np.int64)
+
+
 class LangId:
     """Stopword-profile language id (actor-pool stage: profiles built once)."""
 

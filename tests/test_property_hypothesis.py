@@ -101,3 +101,14 @@ def test_merge_commutative_weight(a, b):
     ma, wa = ab.centroids()
     mb, wb = ba.centroids()
     assert np.array_equal(ma, mb) and np.array_equal(wa, wb)
+
+
+def test_bpe_token_count_segments():
+    """BPE-ish pre-tokenizer counts (contractions, space-prefixed word/
+    digit runs, punctuation runs, residual whitespace)."""
+    import pandas as pd
+
+    from t_digest_ray.functions.text import bpe_token_count
+
+    s = pd.Series(["I'll say don't, twice!", "abc123 def", None, ""])
+    assert bpe_token_count(s).tolist() == [8, 3, 0, 0]
