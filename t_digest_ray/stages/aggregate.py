@@ -199,7 +199,11 @@ def multi_sketch_by_key(ds, spec: SketchSpec, value_cols, key: str | None = None
 
 
 def summarize(ds, spec: SketchSpec, key_name: str = KEY_COL):
-    """Query stage: expand each merged sketch row into result columns."""
+    """Query stage: expand each merged sketch row into result columns.
+
+    The iterrows loop is deliberate: the input is the MERGED sketch table
+    (one row per key — tens of rows), never per-batch partials; do not
+    reuse this on row-counts proportional to the data."""
 
     def fn(df: pd.DataFrame) -> pd.DataFrame:
         rows = []

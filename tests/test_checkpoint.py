@@ -125,3 +125,28 @@ def test_partition_id_distinct_across_directories():
     # stable across repeat calls and trivial path normalization
     assert a == partition_id_for("/data/dir1/part-0.parquet")
     assert a == partition_id_for("/data/dir1//part-0.parquet")
+
+
+def test_same_basename_shards_both_processed(ray_session, tmp_path):
+    """End-to-end regression for the partition-id collision (ADVICE r01):
+    dir1/part-0.parquet and dir2/part-0.parquet must BOTH be processed."""
+    import numpy as np
+    import pyarrow as pa
+
+    from t_digest_ray.pipelines.quantiles import tdigest_spec
+
+    d1 = tmp_path / "dir1"; d1.mkdir()
+    d2 = tmp_path / "dir2"; d2.mkdir()
+    t1 = pa.table({"k": ["a"] * 100, "v": np.arange(100.0)})
+    t2 = pa.table({"k": ["a"] * 50, "v": np.arange(1000.0, 1050.0)})
+    pq.write_table(t1, d1 / "part-0.parquet")
+    pq.write_table(t2, d2 / "part-0.parquet")
+
+    ckpt = str(tmp_path / "ckpt")
+    spec = tdigest_spec(100)
+    files = [str(d1 / "part-0.parquet"), str(d2 / "part-0.parquet")]
+    run = run_checkpointed(files, spec, "v", "k", ckpt)
+    assert run.n_processed == 2
+    assert len(completed_partitions(ckpt)) == 2
+    out = finalize_checkpointed(ckpt, spec, key_name="k").to_pandas()
+    assert out["n"].iloc[0] == 150.0  # both shards' rows counted
