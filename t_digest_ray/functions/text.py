@@ -135,7 +135,14 @@ def fingerprint64(texts: pd.Series) -> np.ndarray:
 
 
 def simhash64(texts: pd.Series) -> np.ndarray:
-    """64-bit SimHash: sign of per-bit vote sums of token hashes."""
+    """64-bit SimHash: sign of per-bit vote sums of token hashes.
+
+    The per-document loop is a MEASURED choice: a fully-vectorized
+    variant (one hash over the flattened token stream + unpackbits +
+    add.reduceat) was built and benchmarked at 1.5 s / 8192 docs vs
+    0.56 s for this loop on the target box — the ~100 MB of batch-wide
+    bit-matrix temporaries lose more to the allocator than the loop
+    overhead costs. Small per-doc allocations stay cache/heap-resident."""
     toks = tokens_series(texts)
     out = np.zeros(len(texts), dtype=np.uint64)
     bits = np.arange(64, dtype=np.uint64)
