@@ -208,21 +208,25 @@ def pages_from_documents(sf_dir: str):
                          columns=["doc_id", "text", "lang", "source"])
 
     def to_pages(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
         doc_id = batch["doc_id"].to_numpy()
-        text = batch["text"].to_pylist()
-        lang = batch["lang"]
-        src = batch["source"].to_pylist()
-        urls = [f"https://{s}.example.com/doc/{i:012d}"
-                for s, i in zip(src, doc_id)]
-        htmls = [(_HTML_PRE + u + _HTML_MID + t + _HTML_POST).encode()
-                 for u, t in zip(urls, text)]
+        # vectorized 'https://{source}.example.com/doc/{id:012d}' (C
+        # kernels; matches the f-string formatting for non-negative ids)
+        id_str = pc.utf8_lpad(pc.cast(batch["doc_id"], pa.string()),
+                              12, "0")
+        urls = pc.binary_join_element_wise(
+            pa.scalar("https://"), batch["source"],
+            pa.scalar(".example.com/doc/"), id_str, "")
+        htmls = pc.cast(pc.binary_join_element_wise(
+            pa.scalar(_HTML_PRE), urls, pa.scalar(_HTML_MID),
+            batch["text"], pa.scalar(_HTML_POST), ""), pa.binary())
         ts = BASE_TS_US + doc_id * 1_000_000
         return pa.table({
-            "url": pa.array(urls, type=pa.string()),
+            "url": urls,
             "warc_ts": pa.array(ts, type=pa.timestamp("us")),
-            "html": pa.array(htmls, type=pa.binary()),
+            "html": htmls,
             "text": batch["text"],
-            "lang": lang,
+            "lang": batch["lang"],
         })
 
     return ds.map_batches(to_pages, batch_format="pyarrow")
