@@ -59,8 +59,49 @@ from ..state.protocol import SketchSpec
 
 ENGINE_VERSION = "0.1.0"
 
+# Partition-id scheme version, stamped into every checkpoint dir. The id
+# format changed once (basename -> basename-pathhash); resuming a dir
+# written under another scheme would silently reprocess every file under
+# new ids and then double-count both generations at finalize (ADVICE r02)
+# — so mismatched / unstamped non-empty dirs are refused, never migrated
+# silently.
+CKPT_FORMAT = "pid-basename-pathhash-v2"
+_FORMAT_FILE = "CKPT_FORMAT"
+
 CKPT_SCHEMA_COLS = ["partition_id", "input_path", "key", "sketch", "n",
                     "n_rows", "wall_ms", "spec_name", "engine_version"]
+
+
+def _check_format(ckpt_dir: str, create: bool) -> None:
+    """Verify the dir's stamped partition-id scheme matches this code.
+
+    ``create=True`` stamps a fresh/unstamped-and-empty dir; a dir that
+    already holds part files without a stamp predates the marker and is
+    refused (its ids cannot be trusted to match the current scheme)."""
+    marker = os.path.join(ckpt_dir, _FORMAT_FILE)
+    if os.path.exists(marker):
+        with open(marker) as f:
+            found = f.read().strip()
+        if found != CKPT_FORMAT:
+            raise ValueError(
+                f"checkpoint dir {ckpt_dir} was written with partition-id "
+                f"scheme {found!r}; this engine uses {CKPT_FORMAT!r}. "
+                "Resuming would re-run every file under new ids and "
+                "double-count at finalize — use a fresh ckpt_dir.")
+        return
+    has_parts = any(f.startswith("part-") and f.endswith(".parquet")
+                    for f in os.listdir(ckpt_dir)) \
+        if os.path.isdir(ckpt_dir) else False
+    if has_parts:
+        raise ValueError(
+            f"checkpoint dir {ckpt_dir} has part files but no "
+            f"{_FORMAT_FILE} marker (written before format versioning); "
+            "refusing to resume — use a fresh ckpt_dir.")
+    if create:
+        tmp = f"{marker}.tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            f.write(CKPT_FORMAT + "\n")
+        os.rename(tmp, marker)
 
 
 def partition_id_for(path: str) -> str:
@@ -119,6 +160,7 @@ def run_checkpointed(input_files: list[str], spec: SketchSpec,
     import ray.data as rd
 
     os.makedirs(ckpt_dir, exist_ok=True)
+    _check_format(ckpt_dir, create=True)
     done = completed_partitions(ckpt_dir)
     todo = [f for f in input_files if partition_id_for(f) not in done]
     if not todo:
@@ -219,6 +261,7 @@ def finalize_checkpointed(ckpt_dir: str, spec: SketchSpec,
 
     from ..stages.aggregate import summarize
 
+    _check_format(ckpt_dir, create=False)
     files = [_part_file(ckpt_dir, pid)
              for pid in sorted(completed_partitions(ckpt_dir))]
     if not files:

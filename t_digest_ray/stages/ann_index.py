@@ -9,11 +9,20 @@ IVF (inverted-file) index as partitioned Parquet:
     {index_dir}/list={i}/part-*.parquet   (vec_id, embedding) of list i
 
 Build: spherical k-means centroids trained driver-side on a deterministic
-sample (hash-selected, seed-fixed — identical rebuilds), then ONE
-``map_batches`` pass assigns every vector to its nearest centroid and the
-rows are written partitioned by list id. At 100 TB each list partition is
-a directory of parquet shards; the build is a single scan + partitioned
-write (resumable: re-running overwrites atomically per partition).
+sample (hash-selected with a keep-rate derived from the corpus row count,
+so the driver gather is ~2x ``sample_size`` rows regardless of corpus
+size, and the kept subset is hash-uniform — not an id-ordered prefix),
+then ONE ``map_batches`` pass assigns every vector to its nearest
+centroid and the rows are written partitioned by list id.
+
+Rebuild atomicity (ADVICE r02): the whole index is built into a fresh
+``{index_dir}.build-*`` staging dir and swapped in with directory
+renames at the end — a rebuild never appends shards into live ``list=*/``
+partitions (Ray's write_parquet adds uuid-named files and removes
+nothing, so in-place rebuilds would duplicate vectors and leave orphan
+lists). A killed build leaves the old index untouched plus an ignorable
+staging dir. At 100 TB each list partition is a directory of parquet
+shards and the build is a single scan + partitioned write.
 
 Query: load centroids (KBs), pick the ``n_probe`` nearest lists per
 query, and ``read_parquet`` ONLY those list directories — IO pruning at
@@ -43,7 +52,7 @@ def _train_centroids(sample: np.ndarray, n_lists: int,
     n = len(sample)
     if n < n_lists:
         raise ValueError(f"sample ({n}) smaller than n_lists ({n_lists})")
-    cent = sample[:n_lists].copy()  # sample arrives in sorted-id order
+    cent = sample[:n_lists].copy()  # sample arrives in hash order (random-ish)
     for _ in range(n_iter):
         assign = np.argmax(sample @ cent.T, axis=1)
         for c in range(n_lists):
@@ -56,39 +65,59 @@ def _train_centroids(sample: np.ndarray, n_lists: int,
 
 def build_ivf_index(ds, index_dir: str, n_lists: int = 16,
                     vec_col: str = "embedding", id_col: str = "vec_id",
-                    sample_size: int = 8192, seed: int = 42) -> dict:
+                    sample_size: int = 8192, seed: int = 42,
+                    n_rows: int | None = None) -> dict:
     """Build and persist the IVF index; returns the meta dict.
 
-    The training sample is hash-selected (``splitmix64(id) % m``), so it is
-    a deterministic, parallelism-independent subset — no driver pass over
-    the corpus beyond the tiny sample gather."""
+    The training sample is hash-selected: rows whose ``splitmix64(id)``
+    falls under a threshold sized so the EXPECTED kept count is
+    ``~2 * sample_size`` (keep-rate = ``2*sample_size / n_rows``), then
+    the lowest ``sample_size`` rows BY HASH are used — a deterministic,
+    parallelism-independent, hash-uniform subset whose driver gather is
+    O(sample_size) no matter the corpus size. ``n_rows`` defaults to the
+    source metadata count (parquet exposes it without executing); pass it
+    explicitly for post-transform inputs to avoid a counting pass."""
+    import shutil
+
     import ray
     import ray.data as rd
 
     from ..functions.hashing import splitmix64
+    from .partitioning import cheap_row_count
 
-    os.makedirs(index_dir, exist_ok=True)
+    if n_rows is None:
+        n_rows = cheap_row_count(ds)
+    if n_rows is None:
+        # correct fallback (one counting pass); at scale pass n_rows
+        n_rows = ds.count()
+    # threshold so that E[kept] ~= 2*sample_size, clamped to keep-all
+    rate = min(1.0, max(2 * sample_size, n_lists * 4) / max(n_rows, 1))
+    threshold = np.uint64(min(int(rate * 2.0 ** 64), 2 ** 64 - 1))
 
-    # deterministic sample: take ids whose hash falls under a threshold
     def sample_batch(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_numpy(zero_copy_only=False)
         h = splitmix64(ids.astype(np.uint64) ^ np.uint64(seed))
-        keep = (h % np.uint64(1 << 16)) < np.uint64(1 << 14)  # ~25%
+        keep = h < threshold if rate < 1.0 else np.ones(len(ids), bool)
         if not keep.any():
-            return pa.table({id_col: pa.array([], pa.int64()),
+            return pa.table({"h": pa.array([], pa.uint64()),
                              "vec": pa.array([], pa.binary())})
         v = _normalize(_embeddings_matrix(batch[vec_col]))[keep]
         return pa.table({
-            id_col: pa.array(ids[keep]),
+            "h": pa.array(h[keep]),
             "vec": pa.array([r.astype("<f4").tobytes() for r in v],
                             type=pa.binary())})
 
     sample_pd = (ds.map_batches(sample_batch, batch_format="pyarrow")
-                 .to_pandas().sort_values(id_col).head(sample_size))
+                 .to_pandas().sort_values("h").head(sample_size))
     sample = np.stack([np.frombuffer(b, dtype=np.float32)
                        for b in sample_pd["vec"]])
     cent = _train_centroids(sample, n_lists)
-    np.save(os.path.join(index_dir, "centroids.npy"), cent)
+
+    # stage the whole index, swap in atomically at the end
+    build_dir = f"{index_dir.rstrip('/')}.build-{os.getpid()}"
+    shutil.rmtree(build_dir, ignore_errors=True)
+    os.makedirs(build_dir)
+    np.save(os.path.join(build_dir, "centroids.npy"), cent)
     cent_ref = ray.put(cent)
 
     def assign(batch: pa.Table) -> pa.Table:
@@ -106,11 +135,20 @@ def build_ivf_index(ds, index_dir: str, n_lists: int = 16,
                          "list": pa.array(lst)})
 
     assigned = ds.map_batches(assign, batch_format="pyarrow")
-    assigned.write_parquet(index_dir, partition_cols=["list"])
+    assigned.write_parquet(build_dir, partition_cols=["list"])
     meta = {"n_lists": int(n_lists), "dim": int(cent.shape[1]),
             "id_col": id_col, "vec_col": vec_col, "seed": int(seed)}
-    with open(os.path.join(index_dir, "meta.json"), "w") as f:
+    with open(os.path.join(build_dir, "meta.json"), "w") as f:
         json.dump(meta, f)
+    # swap: old index (if any) moves aside, staging dir takes its place.
+    # A rebuild therefore replaces — never appends into — list partitions,
+    # and a crash anywhere above leaves the previous index live.
+    old_dir = f"{index_dir.rstrip('/')}.old-{os.getpid()}"
+    shutil.rmtree(old_dir, ignore_errors=True)
+    if os.path.isdir(index_dir):
+        os.rename(index_dir, old_dir)
+    os.rename(build_dir, index_dir)
+    shutil.rmtree(old_dir, ignore_errors=True)
     return meta
 
 

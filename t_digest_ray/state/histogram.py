@@ -23,7 +23,10 @@ same word-aligned fixed-width family as the reference's Simple64
 (Simple64.java:948-969, itself the public Simple-8b scheme of Anh &
 Moffat), re-derived here as vectorized numpy pack/unpack rather than a
 port. Typical sparse histograms shrink ~5-20x vs raw int64 rows, which is
-what crosses the shuffle. A raw-int64 legacy flag is still decodable.
+what crosses the shuffle. Versioning: the bit-packed layout carries v2
+magics (FHG2/LHG2); v1 blobs (v1 magic, no enc byte, raw int64 counts)
+decode on a dedicated legacy branch, and an enc=0 raw flag remains
+decodable inside the v2 layout.
 """
 
 from __future__ import annotations
@@ -34,6 +37,12 @@ import numpy as np
 
 _HEADER_FMT = "<4sdddB"  # magic, min, max, precision-parameter, enc flag
 _HEADER_SIZE = struct.calcsize(_HEADER_FMT)
+# Pre-enc-byte layout (v1 magics): magic, min, max, parameter — followed
+# directly by raw little-endian int64 counts. The enc byte shifted every
+# later offset by one, so the new layout carries NEW magics (FHG2/LHG2)
+# and v1 blobs keep decoding on their own branch (ADVICE r02).
+_LEGACY_HEADER_FMT = "<4sddd"
+_LEGACY_HEADER_SIZE = struct.calcsize(_LEGACY_HEADER_FMT)
 _ENC_RAW = 0      # raw little-endian int64 counts
 _ENC_PACKED = 1   # 64-value blocks, per-block fixed bit width
 _BLOCK = 64
@@ -83,6 +92,7 @@ def _unpack_counts(buf: bytes, offset: int) -> np.ndarray:
 
 class _BaseHistogram:
     magic: bytes
+    legacy_magic: bytes
 
     def __init__(self, min_value: float, max_value: float, param: float):
         if max_value <= 2 * min_value:
@@ -159,6 +169,16 @@ class _BaseHistogram:
 
     @classmethod
     def from_bytes(cls, buf: bytes) -> "_BaseHistogram":
+        if buf[:4] == cls.legacy_magic:
+            # v1 layout: no enc byte, raw int64 counts right after header
+            _, mn, mx, param = struct.unpack_from(_LEGACY_HEADER_FMT, buf, 0)
+            h = cls(mn, mx, param)
+            counts = np.frombuffer(buf, dtype="<i8",
+                                   offset=_LEGACY_HEADER_SIZE).copy()
+            if counts.size != h.counts.size:
+                raise ValueError("bin count mismatch in serialized histogram")
+            h.counts = counts.astype(np.int64)
+            return h
         magic, mn, mx, param, enc = struct.unpack_from(_HEADER_FMT, buf, 0)
         if magic != cls.magic:
             raise ValueError(f"bad histogram magic {magic!r}")
@@ -187,7 +207,8 @@ class _BaseHistogram:
 class FloatHistogram(_BaseHistogram):
     """Log-ish bins via float64 bit truncation (FloatHistogram.java:69-77)."""
 
-    magic = b"FHG1"
+    magic = b"FHG2"
+    legacy_magic = b"FHG1"
 
     def __init__(self, min_value: float, max_value: float,
                  bins_per_decade: float = 50.0):
@@ -233,7 +254,8 @@ def pow2_approx(x: np.ndarray) -> np.ndarray:
 class LogHistogram(_BaseHistogram):
     """Bins of relative width (1 + epsilon) (LogHistogram.java:39-57)."""
 
-    magic = b"LHG1"
+    magic = b"LHG2"
+    legacy_magic = b"LHG1"
 
     def __init__(self, min_value: float, max_value: float,
                  epsilon_factor: float = 0.1):

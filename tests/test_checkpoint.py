@@ -150,3 +150,47 @@ def test_same_basename_shards_both_processed(ray_session, tmp_path):
     assert len(completed_partitions(ckpt)) == 2
     out = finalize_checkpointed(ckpt, spec, key_name="k").to_pandas()
     assert out["n"].iloc[0] == 150.0  # both shards' rows counted
+
+
+def test_format_marker_stamped_and_mismatch_refused(ray_session, tmp_path,
+                                                    sharded_docs):
+    """Partition-id scheme versioning (ADVICE r02): fresh dirs get a
+    CKPT_FORMAT stamp; dirs from another scheme (or pre-marker dirs that
+    already hold part files) are refused instead of silently double-counted
+    at finalize."""
+    import pytest as _pytest
+
+    from t_digest_ray.pipelines.checkpoint import (CKPT_FORMAT, _FORMAT_FILE,
+                                                   run_checkpointed)
+    from t_digest_ray.pipelines.quantiles import tdigest_spec
+
+    spec = tdigest_spec(100)
+
+    # fresh run stamps the marker
+    d = str(tmp_path / "fresh")
+    run_checkpointed(sharded_docs[:2], spec, "n_chars", "lang", d)
+    with open(os.path.join(d, _FORMAT_FILE)) as f:
+        assert f.read().strip() == CKPT_FORMAT
+    # resuming the same dir is fine
+    run_checkpointed(sharded_docs, spec, "n_chars", "lang", d)
+    assert len(completed_partitions(d)) == len(sharded_docs)
+    finalize_checkpointed(d, spec)
+
+    # a dir stamped with a DIFFERENT scheme is refused
+    d2 = str(tmp_path / "other")
+    os.makedirs(d2)
+    with open(os.path.join(d2, _FORMAT_FILE), "w") as f:
+        f.write("pid-basename-v1\n")
+    with _pytest.raises(ValueError, match="scheme"):
+        run_checkpointed(sharded_docs, spec, "n_chars", "lang", d2)
+
+    # a pre-marker dir that already holds part files is refused too
+    d3 = str(tmp_path / "legacy")
+    os.makedirs(d3)
+    a_part = next(f for f in sorted(os.listdir(d)) if f.startswith("part-"))
+    shutil.copy(os.path.join(d, a_part),
+                os.path.join(d3, "part-oldid.parquet"))
+    with _pytest.raises(ValueError, match="marker"):
+        run_checkpointed(sharded_docs, spec, "n_chars", "lang", d3)
+    with _pytest.raises(ValueError, match="marker"):
+        finalize_checkpointed(d3, spec)

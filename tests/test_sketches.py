@@ -318,6 +318,38 @@ def test_histogram_bitpacked_serde_roundtrip_and_size():
                           e.counts)
 
 
+def test_histogram_v1_blobs_decode_on_legacy_magic():
+    """Pre-enc-byte (v1 magic) blobs — header <4sddd + raw int64 counts —
+    decode on the dedicated legacy branch (ADVICE r02); an unknown magic
+    raises a clear error instead of an offset-shifted frombuffer failure."""
+    import struct
+
+    import pytest as _pytest
+
+    from t_digest_ray.state.histogram import (FloatHistogram, LogHistogram,
+                                              _LEGACY_HEADER_FMT)
+
+    rng = np.random.default_rng(3)
+    h = FloatHistogram(1e-3, 1e3, 50)
+    h.update_batch(rng.lognormal(0, 1, 5000))
+    v1 = struct.pack(_LEGACY_HEADER_FMT, FloatHistogram.legacy_magic,
+                     h.min, h.max, h.param) + h.counts.astype("<i8").tobytes()
+    assert np.array_equal(FloatHistogram.from_bytes(v1).counts, h.counts)
+
+    lh = LogHistogram(0.1, 1000, 0.1)
+    lh.update_batch(rng.uniform(0.2, 900, 2000))
+    v1l = struct.pack(_LEGACY_HEADER_FMT, LogHistogram.legacy_magic,
+                      lh.min, lh.max, lh.param) \
+        + lh.counts.astype("<i8").tobytes()
+    assert np.array_equal(LogHistogram.from_bytes(v1l).counts, lh.counts)
+
+    with _pytest.raises(ValueError, match="magic"):
+        FloatHistogram.from_bytes(b"XXX9" + v1[4:])
+    # cross-type decode is refused, not misparsed
+    with _pytest.raises(ValueError, match="magic"):
+        LogHistogram.from_bytes(h.to_bytes())
+
+
 def test_kll_datasketches_layout_roundtrip():
     """DataSketches KllDoublesSketch byte layout (preamble fields verified
     by hand-unpacking; KllDoublesSketch.java:183-219, 796-830): empty,
