@@ -56,28 +56,71 @@ def bpe_token_count(texts: pd.Series) -> np.ndarray:
 
 
 class LangId:
-    """Stopword-profile language id (actor-pool stage: profiles built once)."""
+    """Stopword-profile language id (actor-pool stage: profiles built once).
+
+    ``predict`` is batch-vectorized with Arrow C kernels end to end
+    (VERDICT r02 item 3): lower + whitespace-split + flatten happen ONCE
+    per batch (``utf8_lower`` / ``split_pattern_regex`` / ``list_flatten``
+    — no Python token objects are ever materialized), each profile is one
+    ``pc.is_in`` pass over the flattened token stream, and per-row counts
+    come from a prefix-sum difference over the list offsets. Python-level
+    iteration is zero regardless of token count (was: a per-row lambda
+    over every token x 7 profiles). Tokenization semantics match
+    ``tokens_series`` (split on ``\\s+``, empties dropped) — the same rule
+    the SQL oracle's REGEXP_SPLIT_TO_ARRAY + LIST_FILTER applies."""
 
     def __init__(self, text_col: str = "text", out_col: str = "lang_pred"):
         self.text_col = text_col
         self.out_col = out_col
         self.profiles = sorted(_STOPWORDS.items())  # deterministic order
+        import pyarrow as pa
+        self._profile_sets = [(lang, pa.array(sorted(words), type=pa.string()))
+                              for lang, words in self.profiles]
 
     def predict(self, texts: pd.Series) -> np.ndarray:
-        toks = tokens_series(texts)
-        n = toks.map(len).to_numpy()
-        best_score = np.zeros(len(texts))
-        best_lang = np.full(len(texts), "und", dtype=object)
-        for lang, words in self.profiles:
-            score = toks.map(lambda ts, w=words: sum(t in w for t in ts)) \
-                .to_numpy() / np.maximum(n, 1)
+        """pandas entry point: one object->Arrow conversion, then C."""
+        import pyarrow as pa
+        return self.predict_arrow(
+            pa.array(texts.fillna("").astype(str), type=pa.string()))
+
+    def predict_arrow(self, arr) -> np.ndarray:
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        arr = pc.fill_null(arr, "")
+        toks = pc.split_pattern_regex(pc.utf8_lower(arr), pattern=r"\s+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = pc.list_flatten(toks)
+        offsets = toks.offsets.to_numpy().astype(np.int64)
+        starts, ends = offsets[:-1], offsets[1:]
+        # split("\s+") emits empty strings at text edges; they are not
+        # tokens (findall(\S+) semantics) and never match a profile word
+        nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        cs_n = np.concatenate([[0], np.cumsum(nonempty, dtype=np.int64)])
+        n = cs_n[ends] - cs_n[starts]
+        safe_n = np.maximum(n, 1)  # true division: bit-identical to the
+        best_score = np.zeros(len(arr))  # SQL oracle's count/len rounding
+        best_lang = np.full(len(arr), "und", dtype=object)
+        for lang, words in self._profile_sets:
+            hits = pc.is_in(flat, value_set=words) \
+                .to_numpy(zero_copy_only=False)
+            cs = np.concatenate([[0], np.cumsum(hits, dtype=np.int64)])
+            score = (cs[ends] - cs[starts]) / safe_n
             better = score > best_score  # strict: ties keep earlier (alpha)
             best_score = np.where(better, score, best_score)
             best_lang[better] = lang
         best_lang[best_score <= 0.0] = "und"
         return best_lang
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+    def __call__(self, batch):
+        import pyarrow as pa
+        if isinstance(batch, pa.Table):  # Arrow-native: zero object churn
+            pred = self.predict_arrow(batch[self.text_col])
+            return batch.append_column(self.out_col,
+                                       pa.array(pred, type=pa.string()))
         batch[self.out_col] = self.predict(batch[self.text_col])
         return batch
 

@@ -233,11 +233,10 @@ def watermark_flags(ds, ts_col: str, order_col: str, lateness_s: int,
     bucket_max = (projected.groupby("bucket")
                   .aggregate(Max("ts_us", alias_name="max_ts"))).to_pandas()
     bucket_max = bucket_max.sort_values("bucket")
-    prefix = {}
-    running = -np.inf
-    for _, r in bucket_max.iterrows():
-        prefix[int(r["bucket"])] = running
-        running = max(running, float(r["max_ts"]))
+    # P[b] = max ts of all buckets before b: cummax shifted by one
+    maxima = bucket_max["max_ts"].to_numpy(dtype=np.float64)
+    shifted = np.maximum.accumulate(np.r_[-np.inf, maxima[:-1]])
+    prefix = dict(zip(bucket_max["bucket"].astype(int), shifted))
     prefix_ref = ray.put(prefix)
     late_us = int(lateness_s) * 1_000_000
 
