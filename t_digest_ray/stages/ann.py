@@ -101,7 +101,8 @@ def embedding_near_dup_pairs(ds, threshold: float = 0.9, n_bands: int = 4,
                              id_col: str = "vec_id", seed: int = 42,
                              batch_size: int = 4096,
                              coarse_buckets: int | None = None,
-                             n_rows: int | None = None):
+                             n_rows: int | None = None,
+                             shard_budget: int = 2_000_000):
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine >= t).
 
     Scale path: ``n_bands`` independent random-hyperplane signatures
@@ -114,13 +115,18 @@ def embedding_near_dup_pairs(ds, threshold: float = 0.9, n_bands: int = 4,
     Shuffle discipline: the banding shuffle carries ONLY
     (bucket, band, sig, id) — never the float vector blob (previously each
     vector crossed the wire n_bands times). Verification re-reads the
-    corpus once, keeps just the candidate ids' vectors (a second
+    corpus once and keeps just the candidate ids' vectors (a second
     metadata-pruned scan beats re-shipping every vector through the
-    all-to-all), and broadcasts that small matrix via the object store
-    (one plasma copy per node, zero-copy for workers). The broadcast is
-    bounded by #candidate ids x dim x 4 B — candidates are LSH-rare by
-    design; at extreme duplication raise ``threshold``/``n_planes`` or
-    shard the verify.
+    all-to-all). Two verify paths on the candidate-id count (VERDICT r02
+    item 1):
+
+    * ``<= shard_budget``: the candidate matrix is broadcast via the
+      object store (one plasma copy per node, zero-copy for workers),
+      bounded by #candidates x dim x 4 B.
+    * beyond (adversarial duplication — candidates are O(duplication)):
+      pairs and per-id vector blobs are hash-co-partitioned and the
+      cosine check runs inside ``map_groups`` (``sharded_pair_verify``),
+      so no payload set ever lands on the driver or any single node.
 
     The coarse bucket count scales with the input (~256k sig rows of
     ~30 B per map_groups task); pass ``n_rows`` for post-transform inputs.
@@ -205,20 +211,17 @@ def embedding_near_dup_pairs(ds, threshold: float = 0.9, n_bands: int = 4,
             .aggregate(Count(alias_name="_n")))
 
     # gather the candidate ids' vectors with one more pruned corpus pass
-    cand_ids_pd = (cand.map_batches(
-        lambda b: pa.table({"id": pa.array(np.concatenate([
-            b["id_a"].to_numpy(zero_copy_only=False),
-            b["id_b"].to_numpy(zero_copy_only=False)]))}),
-        batch_format="pyarrow")
-        .groupby("id").aggregate(Count(alias_name="_n"))
-        .to_pandas())
-    if len(cand_ids_pd) == 0:
+    from .dedup import distinct_pair_ids, sharded_pair_verify
+
+    cand_ids_ds = distinct_pair_ids(cand)
+    n_cand = cand_ids_ds.count()
+    if n_cand == 0:
         import ray.data as rd
         return rd.from_pandas(pd.DataFrame(
             {"id_a": pd.Series([], dtype=np.int64),
              "id_b": pd.Series([], dtype=np.int64),
              "cosine": pd.Series([], dtype=np.float64)}))
-    cand_ids = np.sort(cand_ids_pd["id"].to_numpy())
+    cand_ids = np.sort(cand_ids_ds.to_pandas()["id"].to_numpy())
     cand_ref = ray.put(cand_ids)
 
     def gather(batch: pa.Table) -> pa.Table:
@@ -228,39 +231,68 @@ def embedding_near_dup_pairs(ds, threshold: float = 0.9, n_bands: int = 4,
         pos[pos >= len(wanted)] = 0
         mask = wanted[pos] == ids
         if not mask.any():
-            return pa.table({id_col: pa.array([], pa.int64()),
-                             "vec": pa.array([], pa.binary())})
+            return pa.table({"id": pa.array([], pa.int64()),
+                             "payload": pa.array([], pa.binary())})
         v = _normalize(_embeddings_matrix(batch[vec_col]))[mask]
         return pa.table({
-            id_col: pa.array(ids[mask]),
-            "vec": pa.array([row.astype("<f4").tobytes() for row in v],
-                            type=pa.binary()),
+            "id": pa.array(ids[mask].astype(np.int64)),
+            "payload": pa.array([row.astype("<f4").tobytes() for row in v],
+                                type=pa.binary()),
         })
 
-    vec_pd = ds.map_batches(gather, batch_format="pyarrow").to_pandas()
-    lut_ids = vec_pd[id_col].to_numpy()
-    order = np.argsort(lut_ids)
-    lut_ids = lut_ids[order]
-    lut_mat = np.stack([np.frombuffer(b, dtype=np.float32)
-                        for b in vec_pd["vec"].to_numpy()[order]]) \
-        if len(vec_pd) else np.empty((0, 0), np.float32)
-    lut_ref = ray.put((lut_ids, lut_mat))
+    payloads = ds.map_batches(gather, batch_format="pyarrow")
 
-    def verify(batch: pa.Table) -> pa.Table:
-        ids_sorted, mat = ray.get(lut_ref)
-        a = batch["id_a"].to_numpy(zero_copy_only=False)
-        b = batch["id_b"].to_numpy(zero_copy_only=False)
-        va = mat[np.searchsorted(ids_sorted, a)]
-        vb = mat[np.searchsorted(ids_sorted, b)]
+    if n_cand <= shard_budget:
+        vec_pd = payloads.to_pandas()
+        lut_ids = vec_pd["id"].to_numpy()
+        order = np.argsort(lut_ids)
+        lut_ids = lut_ids[order]
+        lut_mat = np.stack([np.frombuffer(b, dtype=np.float32)
+                            for b in vec_pd["payload"].to_numpy()[order]]) \
+            if len(vec_pd) else np.empty((0, 0), np.float32)
+        lut_ref = ray.put((lut_ids, lut_mat))
+
+        def verify(batch: pa.Table) -> pa.Table:
+            ids_sorted, mat = ray.get(lut_ref)
+            a = batch["id_a"].to_numpy(zero_copy_only=False)
+            b = batch["id_b"].to_numpy(zero_copy_only=False)
+            va = mat[np.searchsorted(ids_sorted, a)]
+            vb = mat[np.searchsorted(ids_sorted, b)]
+            cos = np.einsum("ij,ij->i", va, vb).astype(np.float64)
+            keep = cos >= threshold
+            return pa.table({
+                "id_a": pa.array(a[keep]),
+                "id_b": pa.array(b[keep]),
+                "cosine": pa.array(cos[keep]),
+            })
+
+        return cand.map_batches(verify, batch_format="pyarrow")
+
+    # sharded path: vector blobs stay distributed end to end
+    nb_i = coarse_bucket_count(n_rows=n_cand, rows_per_bucket=65536,
+                               what="embedding verify ibuckets")
+    nb_v = coarse_bucket_count(n_rows=n_cand, rows_per_bucket=16384,
+                               fanout=4, what="embedding verify vbuckets")
+
+    def pair_fn(pdf: pd.DataFrame, lut: dict) -> pd.DataFrame:
+        empty = pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
+                              "id_b": pd.Series([], dtype=np.int64),
+                              "cosine": pd.Series([], dtype=np.float64)})
+        if len(pdf) == 0:
+            return empty
+        a = pdf["id_a"].to_numpy(dtype=np.int64)
+        b = pdf["id_b"].to_numpy(dtype=np.int64)
+        va = np.stack([np.frombuffer(lut[x], dtype=np.float32) for x in a])
+        vb = np.stack([np.frombuffer(lut[y], dtype=np.float32) for y in b])
         cos = np.einsum("ij,ij->i", va, vb).astype(np.float64)
         keep = cos >= threshold
-        return pa.table({
-            "id_a": pa.array(a[keep]),
-            "id_b": pa.array(b[keep]),
-            "cosine": pa.array(cos[keep]),
-        })
+        if not keep.any():
+            return empty
+        return pd.DataFrame({"id_a": a[keep], "id_b": b[keep],
+                             "cosine": cos[keep]})
 
-    return cand.map_batches(verify, batch_format="pyarrow")
+    return sharded_pair_verify(cand.select_columns(["id_a", "id_b"]),
+                               payloads, pair_fn, {}, nb_v, nb_i)
 
 
 def _plane_signatures(v: np.ndarray, planes: np.ndarray) -> np.ndarray:

@@ -52,6 +52,28 @@ def test_minhash_recall_and_precision(planted_docs):
         assert exact > 0.3  # no wildly-false candidates survive
 
 
+def test_verify_pairs_sharded_equals_broadcast(planted_docs):
+    """The sharded co-partitioned verify (forced via shard_budget=1) must
+    return exactly the broadcast path's rows (VERDICT r02 item 1)."""
+    from t_digest_ray.stages.dedup import verify_pairs_exact_jaccard
+
+    ds, _ = planted_docs
+    pairs = minhash_lsh_pairs(ds, "text", "doc_id", k=128, bands=32,
+                              threshold=0.5)
+
+    def norm(df):
+        df = df.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+        return df[["id_a", "id_b", "est_jaccard", "exact_jaccard",
+                   "within_tol"]]
+
+    bc = norm(verify_pairs_exact_jaccard(pairs, ds, "text", "doc_id")
+              .to_pandas())
+    sh = norm(verify_pairs_exact_jaccard(pairs, ds, "text", "doc_id",
+                                         shard_budget=1).to_pandas())
+    assert len(bc) > 0
+    pd.testing.assert_frame_equal(bc, sh, check_dtype=False)
+
+
 def test_simhash_exact_dups(planted_docs):
     ds, _ = planted_docs
     pairs = simhash_pairs(ds, "text", "doc_id", max_hamming=3).to_pandas()
@@ -131,6 +153,25 @@ def test_embedding_near_dup_recall_precision(planted_vectors):
         assert float(lookup[p.id_a] @ lookup[p.id_b]) >= 0.99 - 1e-5
 
 
+def test_embedding_near_dup_sharded_equals_broadcast(planted_vectors):
+    """Forced sharded cosine verify (shard_budget=1) returns exactly the
+    broadcast path's pairs (VERDICT r02 item 1)."""
+    from t_digest_ray.stages.ann import embedding_near_dup_pairs
+
+    ds, _, _ = planted_vectors
+    kwargs = dict(threshold=0.99, n_bands=8, n_planes=10)
+
+    def norm(df):
+        return df.sort_values(["id_a", "id_b"]).reset_index(drop=True)[
+            ["id_a", "id_b", "cosine"]]
+
+    bc = norm(embedding_near_dup_pairs(ds, **kwargs).to_pandas())
+    sh = norm(embedding_near_dup_pairs(ds, shard_budget=1,
+                                       **kwargs).to_pandas())
+    assert len(bc) >= 10
+    pd.testing.assert_frame_equal(bc, sh, check_dtype=False)
+
+
 def test_lsh_topk_recall_vs_brute_force(planted_vectors):
     from t_digest_ray.stages.ann import brute_force_topk, lsh_topk
 
@@ -169,6 +210,58 @@ def test_minhash_dedup_keep_broadcast_vs_antijoin(planted_docs):
     # exact dups: larger id dropped, smaller survives
     assert all(1000 + j not in set(kept_bc) for j in range(10))
     assert all(j in set(kept_bc) for j in range(10))
+
+
+def test_pair_graph_min_labels_components(ray_session):
+    """Distributed min-label propagation reaches the component minimum on
+    chains and stars, with exact early stop."""
+    import ray
+
+    from t_digest_ray.stages.dedup import pair_graph_min_labels
+
+    edges = [(1, 5), (3, 5),            # mid-node-heavy chain: min = 1
+             (10, 11),                  # isolated pair
+             (20, 21), (21, 22),        # id-ordered chain
+             (30, 31), (32, 33), (31, 32)]  # 4-chain via two pairs
+    pairs = ray.data.from_items(
+        [{"id_a": a, "id_b": b} for a, b in edges]).repartition(3)
+    got = pair_graph_min_labels(pairs, max_rounds=8).to_pandas()
+    lab = dict(zip(got["node"], got["label"]))
+    assert lab == {1: 1, 3: 1, 5: 1, 10: 10, 11: 10,
+                   20: 20, 21: 20, 22: 20,
+                   30: 30, 31: 30, 32: 30, 33: 30}
+
+
+def test_minhash_dedup_closure_vs_one_round_chain(ray_session):
+    """VERDICT r02 item 5: on a chain A~B~C (A<C<B by id, A !~ C) the
+    legacy one-round rule keeps {A, C}; closure keeps only {A}."""
+    import ray
+
+    from t_digest_ray.stages.dedup import minhash_dedup_keep
+
+    vocab = [f"w{i:03d}" for i in range(400)]
+    S = " ".join(vocab[0:100])      # A-B shared block
+    T = " ".join(vocab[100:200])    # B-C shared block
+    rows = [
+        {"doc_id": 1, "text": " ".join(vocab[200:220]) + " " + S},   # A
+        {"doc_id": 3, "text": T + " " + " ".join(vocab[220:240])},   # C
+        {"doc_id": 5, "text": S + " " + T},                          # B
+    ]
+    rng = np.random.default_rng(23)
+    for i in range(20):  # unrelated padding docs
+        rows.append({"doc_id": 100 + i,
+                     "text": " ".join(rng.choice(vocab[240:], 60))})
+    ds = ray.data.from_pandas(pd.DataFrame(rows)).repartition(3)
+    kwargs = dict(k=128, bands=64, threshold=0.3)
+
+    legacy = set(minhash_dedup_keep(ds, "text", "doc_id", closure_rounds=0,
+                                    **kwargs).to_pandas()["doc_id"])
+    closed = set(minhash_dedup_keep(ds, "text", "doc_id",
+                                    **kwargs).to_pandas()["doc_id"])
+    assert {1, 3} <= legacy and 5 not in legacy, legacy
+    assert 1 in closed and 3 not in closed and 5 not in closed, closed
+    # padding docs untouched either way
+    assert all(100 + i in legacy and 100 + i in closed for i in range(20))
 
 
 def test_coarse_bucket_count_scaling():
@@ -237,3 +330,35 @@ def test_ivf_index_build_query_recall(planted_vectors, tmp_path):
     c1 = np.load(f"{idx}/centroids.npy")
     c2 = np.load(f"{idx2}/centroids.npy")
     assert np.array_equal(c1, c2)
+
+
+def test_ivf_rebuild_replaces_index_atomically(planted_vectors, tmp_path):
+    """Rebuilding into an existing index_dir must REPLACE it (ADVICE r02):
+    no appended duplicate shards in list partitions, no orphan list dirs
+    when rebuilding with fewer lists, and queries stay duplicate-free."""
+    import glob
+
+    from t_digest_ray.stages.ann_index import build_ivf_index, ivf_topk
+
+    ds, vecs, ids = planted_vectors
+    idx = str(tmp_path / "ivf_rebuild")
+    build_ivf_index(ds, idx, n_lists=8, sample_size=512)
+    files_before = sorted(glob.glob(f"{idx}/list=*/*.parquet"))
+
+    # rebuild in place with the same config: same shard count, and top-k
+    # returns each vector once (duplicated rows would surface as dup ids)
+    build_ivf_index(ds, idx, n_lists=8, sample_size=512)
+    files_after = sorted(glob.glob(f"{idx}/list=*/*.parquet"))
+    assert len(files_after) == len(files_before)
+    got = ivf_topk(idx, vecs[:2], k=5, n_probe=8).to_pandas()
+    for qi in range(2):
+        sub = got[got.query_id == qi]["vec_id"]
+        assert sub.is_unique and len(sub) == 5
+
+    # rebuild with FEWER lists: orphan list dirs must be gone
+    build_ivf_index(ds, idx, n_lists=4, sample_size=512)
+    lists = {p.split("list=")[1].rstrip("/")
+             for p in glob.glob(f"{idx}/list=*/")}
+    assert lists <= {"0", "1", "2", "3"}
+    # no staging/old dirs left behind
+    assert not glob.glob(f"{idx}.build-*") and not glob.glob(f"{idx}.old-*")
