@@ -60,3 +60,71 @@ def test_jsonl_csv_match_parquet(ray_session):
                        columns=["event_id"]).to_pandas()
     got_ev = events_csv(SF, ["event_id"]).to_pandas()
     assert sorted(got_ev["event_id"]) == sorted(ev["event_id"])
+
+
+def test_warc_roundtrip_matches_parquet(ray_session):
+    """WARC-style export -> incremental datasource read reproduces the
+    parquet table exactly, payload included (VERDICT r02 item 4)."""
+    import pyarrow.parquet as pq
+
+    from t_digest_ray.sources.warc import documents_warc
+
+    want = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "lang", "n_chars", "text"]) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    got = documents_warc(SF).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert list(got.columns) == ["doc_id", "lang", "n_chars", "text"]
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    assert got["lang"].tolist() == want["lang"].tolist()
+    assert got["n_chars"].tolist() == want["n_chars"].tolist()
+    # payload byte-identical per doc (the north-star per-row invariant)
+    assert (got["text"].fillna("") == want["text"].fillna("")).all()
+
+
+def test_warc_parser_chunk_boundaries_and_errors(tmp_path):
+    """The buffered parser carries partial records across chunk boundaries
+    and rejects malformed/truncated input clearly."""
+    import pytest as _pytest
+
+    from t_digest_ray.sources.warc import (_parse_records, write_warcish)
+
+    payloads = [b"hello world", b"", b"x" * 1000, "café".encode()]
+    headers = [{"X-id": i} for i in range(len(payloads))]
+    dest = str(tmp_path / "t.warc")
+    write_warcish(dest, payloads, headers)
+    blob = open(dest, "rb").read()
+
+    # whole-buffer parse
+    recs, left = _parse_records(blob, eof=True)
+    assert left == b"" and [p for _, p in recs] == payloads
+    assert [h["X-id"] for h, _ in recs] == ["0", "1", "2", "3"]
+
+    # parse under every possible split point: same records
+    for cut in range(0, len(blob), 97):
+        r1, carry = _parse_records(blob[:cut], eof=False)
+        r2, left = _parse_records(carry + blob[cut:], eof=True)
+        assert left == b""
+        assert [p for _, p in r1 + r2] == payloads, cut
+
+    with _pytest.raises(ValueError, match="WARC"):
+        _parse_records(b"GARBAGE/1.0\r\nContent-Length: 0\r\n\r\n", True)
+    with _pytest.raises(ValueError, match="truncated"):
+        _parse_records(blob[:len(blob) - 20], eof=True)
+
+
+def test_warc_multi_chunk_stream(ray_session, tmp_path):
+    """A shard larger than the read buffer streams correctly (records
+    spanning chunk reads)."""
+    from t_digest_ray.sources.warc import read_warcish, write_warcish
+
+    payloads = [("doc %d " % i + "z" * 500).encode() for i in range(200)]
+    headers = [{"X-doc_id": i} for i in range(200)]
+    dest = str(tmp_path / "big.warc")
+    write_warcish(dest, payloads, headers)
+    import pyarrow as pa
+    got = read_warcish(dest, [("doc_id", pa.int64())], "text",
+                       chunk_size=1024).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert len(got) == 200
+    assert got["text"].tolist() == [p.decode() for p in payloads]
