@@ -94,6 +94,25 @@ def jsonl_doc_stats_by_lang(sf_dir: str):
         Max("n_chars", alias_name="max_chars"))
 
 
+def warc_doc_stats_by_lang(sf_dir: str):
+    """doc_stats_by_lang, but ingested from record-delimited WARC-style
+    binary shards (fourth source format, VERDICT r02 item 4): the parquet
+    table is deterministically exported once into WARC/1.0-framed records
+    (headers + Content-Length payload framing), then streamed back through
+    an incremental FileBasedDatasource parser. Same oracle as the parquet
+    path — the container format must not change the answer."""
+    from ray.data.aggregate import Count, Max, Min, Sum
+    from t_digest_ray.sources.warc import documents_warc
+
+    ds = documents_warc(sf_dir, meta_columns=("doc_id", "lang", "n_chars"),
+                        payload_column=None)
+    return ds.groupby("lang").aggregate(
+        Count(alias_name="n_docs"),
+        Sum("n_chars", alias_name="sum_chars"),
+        Min("n_chars", alias_name="min_chars"),
+        Max("n_chars", alias_name="max_chars"))
+
+
 def csv_top_event_types(sf_dir: str):
     """top_event_types over CSV shards: Arrow CSV conversion restricted to
     the one needed column (include_columns projection pushdown)."""
@@ -404,8 +423,8 @@ def langid_counts(sf_dir: str):
     from ray.data.aggregate import Count
     from t_digest_ray.functions.text import LangId
 
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    pred = ds.map_batches(LangId(), batch_format="pandas")
+    ds = _read(sf_dir, "documents", ["text"])
+    pred = ds.map_batches(LangId(), batch_format="pyarrow")
     return pred.groupby("lang_pred").aggregate(Count(alias_name="n_docs"))
 
 
@@ -614,6 +633,89 @@ def simhash_dedup_pairs(sf_dir: str):
     return simhash_pairs(ds, "text", "doc_id", max_hamming=3)
 
 
+def simhash_planted_dup_pairs(sf_dir: str):
+    """SimHash near-dup detection under a FULLY value-checked fixture
+    (VERDICT r02 item 6): deterministic exact-duplicate copies are planted
+    (doc_id + 1_000_000 for doc_id % 7 == 0, token-bearing texts only) and
+    the query returns, for the planted id pairs, the exact hamming
+    distance and a within_band flag. Identical text => identical simhash
+    => guaranteed band collision, so the planted recall set is EXACTLY
+    reproducible in SQL — a banding/signature regression drops rows (or
+    shifts hamming off 0) and fails the hash gate. The output is
+    restricted to planted pairs because the detector legitimately also
+    finds NATURAL hamming-0 near-dups (e.g. sf0.01 docs 70/447 differ by
+    one token whose hash votes flip no majority bit) that no SQL oracle
+    can enumerate; the open-corpus listing stays rows-only in
+    simhash_dedup_pairs."""
+    from t_digest_ray.stages.dedup import simhash_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    n_docs = ds.count()
+
+    def plant(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        keep = ids % 7 == 0
+        copies = pa.table({
+            "doc_id": pa.array(ids[keep] + 1_000_000),
+            "text": b["text"].filter(pa.array(keep))})
+        return pa.concat_tables([b.select(["doc_id", "text"]), copies])
+
+    union = ds.map_batches(plant, batch_format="pyarrow")
+    pairs = simhash_pairs(union, "text", "doc_id", max_hamming=3,
+                          n_rows=int(n_docs * 8 / 7) + 1)
+
+    def planted_only(b: pa.Table) -> pa.Table:
+        a = b["id_a"].to_numpy(zero_copy_only=False)
+        bb = b["id_b"].to_numpy(zero_copy_only=False)
+        ham = b["hamming"].to_numpy(zero_copy_only=False)
+        keep = (bb == a + 1_000_000) & (a % 7 == 0) & (ham == 0)
+        b = b.filter(pa.array(keep))
+        return b.append_column("within_band",
+                               pa.array(np.ones(len(b), dtype=bool)))
+
+    return pairs.map_batches(planted_only, batch_format="pyarrow")
+
+
+def embedding_planted_dup_pairs(sf_dir: str):
+    """Embedding near-dup detection under a FULLY value-checked fixture
+    (VERDICT r02 item 6): exact-duplicate vectors are planted
+    (vec_id + 1_000_000 for vec_id % 17 == 0); identical vectors share
+    every random-hyperplane band signature, so each planted pair is a
+    guaranteed candidate and verifies at cosine ~ 1. The query emits the
+    planted pairs recovered at cosine >= 0.9999 as (id_a, id_b,
+    exact_dup) — reproducible exactly in SQL (restricted to planted ids
+    so natural near-1 pairs, which no SQL oracle can enumerate, cannot
+    perturb the hash)."""
+    from t_digest_ray.stages.ann import embedding_near_dup_pairs
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    n_vecs = ds.count()
+
+    def plant(b: pa.Table) -> pa.Table:
+        ids = b["vec_id"].to_numpy(zero_copy_only=False)
+        keep = ids % 17 == 0
+        copies = pa.table({
+            "vec_id": pa.array(ids[keep] + 1_000_000),
+            "embedding": b["embedding"].filter(pa.array(keep))})
+        return pa.concat_tables([b.select(["vec_id", "embedding"]), copies])
+
+    union = ds.map_batches(plant, batch_format="pyarrow")
+    pairs = embedding_near_dup_pairs(union, threshold=0.9999, n_bands=8,
+                                     n_planes=10,
+                                     n_rows=int(n_vecs * 18 / 17) + 1)
+
+    def finalize(b: pa.Table) -> pa.Table:
+        a = b["id_a"].to_numpy(zero_copy_only=False)
+        bb = b["id_b"].to_numpy(zero_copy_only=False)
+        keep = (bb == a + 1_000_000) & (a % 17 == 0)
+        b = b.filter(pa.array(keep))
+        return pa.table({
+            "id_a": b["id_a"], "id_b": b["id_b"],
+            "exact_dup": pa.array(np.ones(len(b), dtype=bool))})
+
+    return pairs.map_batches(finalize, batch_format="pyarrow")
+
+
 def doc_fingerprints(sf_dir: str):
     """Rolling-hash document fingerprinting: dedup groups by fingerprint.
 
@@ -779,6 +881,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q1_pricing_summary": q1_pricing_summary,
         "doc_stats_by_lang": doc_stats_by_lang,
         "jsonl_doc_stats_by_lang": jsonl_doc_stats_by_lang,
+        "warc_doc_stats_by_lang": warc_doc_stats_by_lang,
         "csv_top_event_types": csv_top_event_types,
         "exact_quantiles_by_lang": exact_quantiles_by_lang,
         "filtered_lineitem_revenue": filtered_lineitem_revenue,
@@ -806,6 +909,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "req_quantiles_by_lang": req_quantiles_by_lang,
         "drift_events_value": drift_events_value,
         "simhash_dedup_pairs": simhash_dedup_pairs,
+        "simhash_planted_dup_pairs": simhash_planted_dup_pairs,
+        "embedding_planted_dup_pairs": embedding_planted_dup_pairs,
         "doc_fingerprints": doc_fingerprints,
         "checkpointed_quantiles_by_lang": checkpointed_quantiles_by_lang,
         "media_decode_stats": media_decode_stats,
@@ -850,6 +955,12 @@ def oracle_sql() -> dict[str, str]:
                    MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
             FROM documents GROUP BY lang
         """,
+        "warc_doc_stats_by_lang": """
+            SELECT lang, COUNT(*) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+                   MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+            FROM documents GROUP BY lang
+        """,
         "csv_top_event_types": """
             SELECT event_type, COUNT(*) AS cnt
             FROM events GROUP BY event_type
@@ -869,6 +980,17 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprints": """
             SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_dupes
             FROM documents GROUP BY text
+        """,
+        "simhash_planted_dup_pairs": r"""
+            SELECT doc_id AS id_a, doc_id + 1000000 AS id_b,
+                   CAST(0 AS BIGINT) AS hamming, TRUE AS within_band
+            FROM documents
+            WHERE doc_id % 7 = 0 AND regexp_matches(text, '\S')
+        """,
+        "embedding_planted_dup_pairs": """
+            SELECT vec_id AS id_a, vec_id + 1000000 AS id_b,
+                   TRUE AS exact_dup
+            FROM embeddings WHERE vec_id % 17 = 0
         """,
         "events_hourly_window": """
             SELECT CAST(FLOOR(FLOOR(EPOCH(ts)) / 3600) * 3600 AS BIGINT)
