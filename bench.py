@@ -32,8 +32,7 @@ PAGES_ROWS = 2_000_000
 def _bench_queries():
     """name -> (callable(sf_dir) -> Dataset, input_rows or None)."""
     import __ray_entry__ as e
-    from t_digest_ray.pipelines.quantiles import quantiles_by_key, pages_quantiles
-    from t_digest_ray.sources.pages import synthetic_pages
+    from t_digest_ray.pipelines.quantiles import quantiles_by_key
 
     def lineitem_digest(sf):
         import ray.data as rd
@@ -45,13 +44,14 @@ def _bench_queries():
     def pages_pipeline(sf):
         # block size is a function of the DATA, not the CPU count (as on a
         # real cluster, where target_max_block_size fixes it): 64k-row
-        # tasks whose bodies generate AND process in 4k-row cache-resident
-        # chunks (see pages_quantiles docstring — measured 4.4x over
-        # whole-block staging on this box)
-        pages = synthetic_pages(PAGES_ROWS,
-                                parallelism=max(PAGES_ROWS // 65_536, 1))
-        return pages_quantiles(pages, value_cols=("text_length", "html_size"),
-                               key="lang", num_salts=8)["html_size"]
+        # tasks whose bodies generate AND reduce in 4k-row cache-resident
+        # chunks; generation is fused into the same chunk loop as
+        # extract/derive/partials, so the pages block never materializes
+        # (see synthetic_pages_quantiles docstring)
+        from t_digest_ray.pipelines.quantiles import synthetic_pages_quantiles
+        return synthetic_pages_quantiles(
+            PAGES_ROWS, value_cols=("text_length", "html_size"),
+            key="lang", num_salts=8)["html_size"]
 
     def events_digest(sf):
         # the pure sketch pipeline (the __ray_entry__ query of the same
@@ -230,13 +230,12 @@ def run_flagship_scaling_job() -> dict:
     from ray.data import DataContext
     DataContext.get_current().enable_progress_bars = False
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    from t_digest_ray.pipelines.quantiles import pages_quantiles
-    from t_digest_ray.sources.pages import synthetic_pages
+    from t_digest_ray.pipelines.quantiles import synthetic_pages_quantiles
 
     def run(n):
-        pages = synthetic_pages(n, parallelism=max(n // 65_536, 1))
-        pages_quantiles(pages, value_cols=("text_length", "html_size"),
-                        key="lang", num_salts=8)["html_size"].count()
+        synthetic_pages_quantiles(
+            n, value_cols=("text_length", "html_size"),
+            key="lang", num_salts=8)["html_size"].count()
 
     run(max(SCALE_PAGES // 2, 500_000))
     t0 = time.perf_counter()
