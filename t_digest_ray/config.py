@@ -7,7 +7,9 @@ Example::
     {
       "pipeline": "quantiles",            // quantiles|kll|req|distinct|
                                           // heavy|dedup|checkpointed
-      "input": "/data/pages",             // parquet file/dir or "synthetic:N"
+      "input": "/data/pages",             // parquet file/dir, "synthetic:N",
+                                          // or "warc:/dir" "jsonl:/dir"
+                                          // "csv:/dir" (see source params)
       "columns": ["lang", "text_length"], // read-pruned columns
       "value_col": "text_length",
       "key": "lang",
@@ -57,10 +59,27 @@ class JobConfig:
         return cls(**known)
 
 
-def build_dataset(cfg: JobConfig):
-    """Input dataset from the config: parquet path or synthetic pages."""
+def _source_paths(path: str, ext: str) -> list[str]:
+    import glob
+    import os
+
+    if os.path.isdir(path):
+        return sorted(glob.glob(os.path.join(path, f"*.{ext}")))
+    return [path]
+
+
+def build_dataset(cfg: JobConfig, params: dict | None = None):
+    """Input dataset from the config: parquet path, synthetic pages, or a
+    ``warc:``/``jsonl:``/``csv:`` prefixed file/dir.
+
+    Source-only options live in ``params`` and are popped here so they
+    never leak into pipeline kwargs: ``warc:`` needs ``meta_fields``
+    (``[[name, arrow-type-alias], ...]``, e.g. ``[["doc_id", "int64"]]``)
+    and optionally ``payload_column``; ``jsonl:`` needs ``schema`` in the
+    same ``[[name, type], ...]`` shape; ``csv:`` uses ``columns``."""
     import ray.data as rd
 
+    p = params if params is not None else dict(cfg.params)
     if cfg.input.startswith("synthetic:"):
         from .sources.pages import synthetic_pages
         from .stages.extract import derive_metrics
@@ -68,6 +87,27 @@ def build_dataset(cfg: JobConfig):
         n = int(cfg.input.split(":", 1)[1])
         pages = synthetic_pages(n, parallelism=max(n // 16_384, 1))
         return pages.map_batches(derive_metrics, batch_format="pyarrow")
+    if cfg.input.startswith(("warc:", "jsonl:", "csv:")):
+        import pyarrow as pa
+
+        fmt, path = cfg.input.split(":", 1)
+        if fmt == "warc":
+            from .sources.warc import read_warcish
+
+            meta = [(n, pa.type_for_alias(t))
+                    for n, t in p.pop("meta_fields")]
+            return read_warcish(_source_paths(path, "warc"), meta,
+                                payload_column=p.pop("payload_column",
+                                                     "text"))
+        if fmt == "jsonl":
+            from .sources.text_files import read_jsonl
+
+            schema = pa.schema([(n, pa.type_for_alias(t))
+                                for n, t in p.pop("schema")])
+            return read_jsonl(_source_paths(path, "jsonl"), schema)
+        from .sources.text_files import read_csv
+
+        return read_csv(_source_paths(path, "csv"), cfg.columns)
     return rd.read_parquet(cfg.input, columns=cfg.columns)
 
 
@@ -75,7 +115,7 @@ def run_job(cfg: JobConfig):
     """Execute the configured pipeline; returns the result Dataset (already
     written to cfg.output if set)."""
     p = dict(cfg.params)
-    ds = build_dataset(cfg)
+    ds = build_dataset(cfg, p)
 
     if cfg.pipeline == "quantiles":
         from .pipelines.quantiles import quantiles_by_key

@@ -10,6 +10,8 @@ The flagship pipeline (SURVEY.md §3 "Ray Data re-architecture"):
 
 from __future__ import annotations
 
+import pyarrow as pa
+
 from ..state.protocol import SketchSpec
 from ..state.scale_functions import K_2
 from ..state.tdigest import TDigest
@@ -154,29 +156,87 @@ def pages_quantiles(pages_ds, value_cols=("text_length", "html_size"),
     return _summaries_per_metric(merged, spec, value_cols, key)
 
 
+class FusedSketchAccumulator:
+    """Running per-(metric, key) sketches fed one pages chunk at a time.
+
+    The r2 fused body emitted a partial-sketch table per chunk; at the
+    measured cache-resident chunk size (~1k rows) that flush — 2 metrics
+    x ~7 langs x serialize + salt hash per chunk — dominated the body.
+    Accumulating across chunks keeps the STRING working set chunk-sized
+    (the DRAM-contention fix) while sketch state stays ~100 KB resident
+    and serializes once per task. Accumulator instances are per-task, so
+    tasks stay stateless and retry-deterministic (the flushed partial
+    depends only on the task's input rows; the canonical one-shot merge
+    downstream is partitioning-invariant, tests/test_ray_aggregate.py).
+    """
+
+    def __init__(self, spec, value_cols, key: str, num_salts: int):
+        self._spec = spec
+        self._value_cols = value_cols
+        self._key = key
+        self._num_salts = num_salts
+        self._extract = ExtractText()
+        self._accs: dict = {}  # (value_col, key) -> [sketch, n]
+
+    def add(self, pages_chunk: pa.Table) -> None:
+        """extract -> derive -> update running sketches, one chunk."""
+        import numpy as np
+
+        sub = derive_metrics(self._extract(pages_chunk))
+        karr = sub[self._key].to_numpy(zero_copy_only=False)
+        order = np.argsort(karr, kind="stable")
+        uniq, starts = np.unique(karr[order], return_index=True)
+        bounds = np.append(starts, len(karr))
+        for vc in self._value_cols:
+            vals = sub[vc].to_numpy(zero_copy_only=False)
+            for i, k in enumerate(uniq):
+                idx = order[bounds[i]:bounds[i + 1]]
+                acc = self._accs.get((vc, k))
+                if acc is None:
+                    self._accs[(vc, k)] = acc = [self._spec.factory(), 0.0]
+                acc[0].update_batch(vals[idx], None)
+                acc[1] += float(len(idx))
+
+    def flush(self) -> pa.Table:
+        """One partial row per (metric, key) with a content-derived salt
+        (same wire schema as ``make_partial_fn`` + METRIC_COL)."""
+        import numpy as np
+
+        from ..functions.hashing import hash64
+        from ..stages.aggregate import (COUNT_COL, KEY_COL, METRIC_COL,
+                                        SALT_COL, SKETCH_COL)
+
+        if not self._accs:
+            return pa.table({})
+        metrics, keys, blobs, ns = [], [], [], []
+        for (vc, k), (sk, n) in self._accs.items():
+            metrics.append(vc)
+            keys.append(k)
+            blobs.append(sk.to_bytes())
+            ns.append(n)
+        salts = (hash64(np.asarray(blobs, dtype=object))
+                 % np.uint64(max(self._num_salts, 1))).astype(np.int32)
+        return pa.table({
+            KEY_COL: pa.array(keys),
+            SALT_COL: pa.array(salts),
+            SKETCH_COL: pa.array(blobs, type=pa.binary()),
+            COUNT_COL: pa.array(ns, type=pa.float64()),
+            METRIC_COL: pa.array(metrics),
+        })
+
+
 def make_fused_partials(spec, value_cols, key: str, num_salts: int,
-                        chunk_size: int = 4096):
-    """The flagship's per-task body: extract -> derive -> per-metric
-    partial digests, processed in ``chunk_size``-row slices (see
-    ``pages_quantiles`` for the cache-residency rationale)."""
-    import pyarrow as pa
-
-    from ..stages.aggregate import METRIC_COL, make_partial_fn
-
-    extractor = ExtractText()
-    pfs = {vc: make_partial_fn(spec, vc, key, None, num_salts)
-           for vc in value_cols}
+                        chunk_size: int = 1024):
+    """The flagship's per-task body: extract -> derive -> running
+    per-metric digests, processed in ``chunk_size``-row slices (see
+    ``pages_quantiles`` for the cache-residency rationale), flushed once
+    per task."""
 
     def fused(batch: pa.Table) -> pa.Table:
-        outs = []
+        acc = FusedSketchAccumulator(spec, value_cols, key, num_salts)
         for off in range(0, batch.num_rows, chunk_size):
-            sub = batch.slice(off, chunk_size)
-            sub = derive_metrics(extractor(sub))
-            for vc, pf in pfs.items():
-                t = pf(sub)
-                outs.append(t.append_column(
-                    METRIC_COL, pa.array([vc] * len(t))))
-        return pa.concat_tables(outs) if outs else pa.table({})
+            acc.add(batch.slice(off, chunk_size))
+        return acc.flush()
 
     return fused
 
@@ -225,15 +285,15 @@ def synthetic_pages_quantiles(n_rows: int, value_cols=("text_length",
     n_blocks = max(-(-n_rows // rows_per_block), 1)
 
     def gen_block(batch: pa.Table) -> pa.Table:
-        outs = []
+        acc = FusedSketchAccumulator(spec, value_cols, key, num_salts)
         for bid in batch["id"].to_numpy():
             base = int(bid) * rows_per_block
             hi = min(base + rows_per_block, n_rows)
             for off in range(base, hi, chunk_size):
                 ids = np.arange(off, min(off + chunk_size, hi),
                                 dtype=np.uint64)
-                outs.append(fused(generate_pages_batch(ids)))
-        return pa.concat_tables(outs)
+                acc.add(generate_pages_batch(ids))
+        return acc.flush()
 
     partials = (rd.range(n_blocks, override_num_blocks=n_blocks)
                 .map_batches(gen_block, batch_format="pyarrow",

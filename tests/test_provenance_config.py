@@ -138,3 +138,60 @@ def test_config_round2_pipelines(ray_session, tmp_path):
                                     "sample_size": 64})).to_pandas()
     import glob
     assert glob.glob(f"{idx}/list=*/")
+
+
+def test_config_source_prefixes(ray_session, tmp_path):
+    """warc:/jsonl:/csv: config inputs run pipelines end-to-end and agree
+    with the parquet-sourced run of the same job."""
+    from t_digest_ray.sources.warc import write_warcish
+
+    sf = "/root/testdata/sf0.001"
+
+    def norm(df):
+        return df.sort_values(df.columns.tolist()).reset_index(drop=True)
+
+    base = norm(run_job(JobConfig(
+        pipeline="distinct", input=f"{sf}/documents.parquet",
+        columns=["lang", "n_chars"], value_col="n_chars", key="lang",
+    )).to_pandas())
+
+    # WARC: documents re-framed as header+payload records
+    import pyarrow.parquet as pq
+    t = pq.read_table(f"{sf}/documents.parquet",
+                      columns=["doc_id", "lang", "n_chars", "text"])
+    rows = t.to_pylist()
+    write_warcish(str(tmp_path / "docs.warc"),
+                  [r["text"].encode() for r in rows],
+                  [{"X-doc_id": r["doc_id"], "X-lang": r["lang"],
+                    "X-n_chars": r["n_chars"]} for r in rows])
+    got = norm(run_job(JobConfig(
+        pipeline="distinct", input=f"warc:{tmp_path}/docs.warc",
+        value_col="n_chars", key="lang",
+        params={"meta_fields": [["lang", "string"],
+                                ["n_chars", "int64"]],
+                "payload_column": None},
+    )).to_pandas())
+    assert got.equals(base)
+
+    # JSONL with an extra field the schema projection must ignore
+    import json as _json
+    with open(tmp_path / "docs.jsonl", "w") as f:
+        for r in rows:
+            f.write(_json.dumps({"lang": r["lang"],
+                                 "n_chars": r["n_chars"],
+                                 "junk": "x"}) + "\n")
+    got = norm(run_job(JobConfig(
+        pipeline="distinct", input=f"jsonl:{tmp_path}/docs.jsonl",
+        value_col="n_chars", key="lang",
+        params={"schema": [["lang", "string"], ["n_chars", "int64"]]},
+    )).to_pandas())
+    assert got.equals(base)
+
+    # CSV projected to the config's columns
+    t.select(["lang", "n_chars"]).to_pandas().to_csv(
+        tmp_path / "docs.csv", index=False)
+    got = norm(run_job(JobConfig(
+        pipeline="distinct", input=f"csv:{tmp_path}/docs.csv",
+        columns=["lang", "n_chars"], value_col="n_chars", key="lang",
+    )).to_pandas())
+    assert got.equals(base)
