@@ -386,6 +386,36 @@ def kll_quantiles_by_lang(sf_dir: str):
                                 num_salts=2, batch_size=8192)
 
 
+def tdigest_cdf_by_lang(sf_dir: str):
+    """Per-lang t-digest CDF at fixed thresholds, VALUE-CHECKED: exact
+    #<=t counts (hash-matched vs DuckDB SUM(CASE WHEN ..)) + within_bound
+    asserting the merged digest's cdf(t) lies inside the 0.015 merge
+    rank-error bound of the empirical cdf interval [#<t, #<=t]/n (tie-
+    midpoint convention, TDigest.java cdf / Dist.java:35-45)."""
+    from t_digest_ray.pipelines.quantiles import tdigest_spec
+    from t_digest_ray.pipelines.validation import cdf_bound_check
+
+    ds = _read(sf_dir, "documents", ["lang", "n_chars"])
+    return cdf_bound_check(ds, "n_chars", "lang", tdigest_spec(100),
+                           thresholds=(150.0, 300.0, 450.0),
+                           cdf_bound=0.015, num_salts=2, batch_size=8192)
+
+
+def kll_cdf_events_value(sf_dir: str):
+    """Per-event-type KLL CDF (mid-rank convention) at fixed thresholds,
+    VALUE-CHECKED: exact #<=t counts + KLL-rank-within-bound at 3x the
+    published 99%-confidence rank error (KllDoublesSketch.java:178)."""
+    from t_digest_ray.pipelines.quantiles import kll_spec
+    from t_digest_ray.pipelines.validation import cdf_bound_check
+
+    k = 200
+    eps = 3 * 2.296 / k ** 0.9723
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    return cdf_bound_check(ds, "value", "event_type", kll_spec(k),
+                           thresholds=(10.0, 50.0, 200.0),
+                           cdf_bound=eps, num_salts=4, batch_size=16384)
+
+
 def minhash_dedup_pairs(sf_dir: str):
     """Near-duplicate candidate pairs via MinHash-LSH over document text,
     self-validating: each pair carries exact n-gram Jaccard and a
@@ -900,6 +930,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tdigest_events_value": tdigest_events_value,
         "hll_distinct_users_by_type": hll_distinct_users_by_type,
         "kll_quantiles_by_lang": kll_quantiles_by_lang,
+        "tdigest_cdf_by_lang": tdigest_cdf_by_lang,
+        "kll_cdf_events_value": kll_cdf_events_value,
         "minhash_dedup_pairs": minhash_dedup_pairs,
         "minhash_dedup_survivors": minhash_dedup_survivors,
         "langid_counts": langid_counts,
@@ -1204,6 +1236,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST(quantile_disc(n_chars, 0.75) AS DOUBLE) AS p75,
                    TRUE AS within_bound
             FROM documents GROUP BY lang
+        """,
+        "tdigest_cdf_by_lang": """
+            SELECT lang, COUNT(*) AS n,
+                   CAST(SUM(CASE WHEN n_chars <= 150 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS le_0,
+                   CAST(SUM(CASE WHEN n_chars <= 300 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS le_1,
+                   CAST(SUM(CASE WHEN n_chars <= 450 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS le_2,
+                   TRUE AS within_bound
+            FROM documents GROUP BY lang
+        """,
+        "kll_cdf_events_value": """
+            SELECT event_type, COUNT(*) AS n,
+                   CAST(SUM(CASE WHEN value <= 10 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS le_0,
+                   CAST(SUM(CASE WHEN value <= 50 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS le_1,
+                   CAST(SUM(CASE WHEN value <= 200 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS le_2,
+                   TRUE AS within_bound
+            FROM events GROUP BY event_type
         """,
         "checkpointed_quantiles_by_lang": """
             SELECT lang, COUNT(*) AS n,

@@ -92,6 +92,87 @@ def quantile_bound_check(ds, value_col: str, key: str, spec: SketchSpec,
     return ds.groupby(key).map_groups(per_group, batch_format="pandas")
 
 
+def cdf_bound_check(ds, value_col: str, key: str, spec: SketchSpec,
+                    thresholds, cdf_bound: float = 0.015,
+                    num_salts: int = 2, batch_size: int | None = None,
+                    key_name: str | None = None) -> pd.DataFrame:
+    """Exact #<=t counts per key + sketch-cdf-within-bound flag.
+
+    The rank-query dual of ``quantile_bound_check`` (the north star names
+    CDF queries explicitly; reference semantics: TDigest.java cdf +
+    Dist.java:35-45 exact cdf). Returns pandas rows
+    ``(key, n, le_0 ... le_{len(thresholds)-1}, within_bound)`` where
+    ``le_i`` is the EXACT count of rows with value <= thresholds[i]
+    (hash-matches ``SUM(CASE WHEN v <= t THEN 1 ELSE 0 END)`` in DuckDB)
+    and ``within_bound`` asserts the merged sketch's ``cdf(t)`` lies
+    within ``max(cdf_bound, 2.5/n)`` of the empirical cdf INTERVAL
+    ``[#<t, #<=t]/n`` for every threshold (an interval because the
+    reference's cdf uses the tie-midpoint convention) — AND the sketch's
+    total weight equals the exact row count.
+
+    Scale shape: exact counts are per-batch vectorized partials summed in
+    a tiny groupby (never a per-row shuffle); the merged sketch rows and
+    the per-key count table are both O(#keys) driver-side.
+    """
+    import pyarrow as pa
+
+    from ray.data.aggregate import Sum
+
+    key_name = key_name or key
+    t_arr = np.asarray(thresholds, dtype=np.float64)
+    merged = sketch_by_key(ds, spec, value_col, key, num_salts=num_salts,
+                           batch_size=batch_size).to_pandas()
+    sk_by_key = {r["key"]: (r["sketch"], float(r["n"]))
+                 for _, r in merged.iterrows()}
+
+    def partials(batch: pa.Table) -> pa.Table:
+        k_np = batch[key].to_numpy(zero_copy_only=False)
+        v = batch[value_col].to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        order = np.argsort(k_np, kind="stable")
+        uniq, starts = np.unique(k_np[order], return_index=True)
+        vs = v[order]
+        cols = {key: pa.array(uniq),
+                "n_part": pa.array(np.diff(np.append(
+                    starts, len(vs))).astype(np.int64))}
+        for i, t in enumerate(t_arr):
+            cols[f"le_{i}"] = pa.array(np.add.reduceat(
+                (vs <= t).astype(np.int64), starts))
+            cols[f"lt_{i}"] = pa.array(np.add.reduceat(
+                (vs < t).astype(np.int64), starts))
+        return pa.table(cols)
+
+    agg_cols = (["n_part"]
+                + [f"le_{i}" for i in range(len(t_arr))]
+                + [f"lt_{i}" for i in range(len(t_arr))])
+    counts = (ds.map_batches(partials, batch_format="pyarrow")
+              .groupby(key)
+              .aggregate(*[Sum(c, alias_name=c) for c in agg_cols])
+              .to_pandas())
+
+    out_rows = []
+    for _, r in counts.iterrows():
+        kval = r[key]
+        n = int(r["n_part"])
+        row = {key_name: kval, "n": np.int64(n)}
+        ok = kval in sk_by_key
+        if ok:
+            blob, sk_n = sk_by_key[kval]
+            ok = sk_n == float(n)
+            sk = spec.from_bytes(blob)
+            est_fn = sk.cdf if hasattr(sk, "cdf") else sk.rank
+        for i, t in enumerate(t_arr):
+            le, lt = int(r[f"le_{i}"]), int(r[f"lt_{i}"])
+            row[f"le_{i}"] = np.int64(le)
+            if ok:
+                b = max(cdf_bound, 2.5 / n)
+                est = float(est_fn(float(t)))
+                ok = (est <= le / n + b) and (est >= lt / n - b)
+        row["within_bound"] = bool(ok)
+        out_rows.append(row)
+    return pd.DataFrame(out_rows)
+
+
 def distinct_bound_check(ds, value_col: str, key: str, p: int = 14,
                          sigma: float = 3.0, num_salts: int = 2,
                          count_name: str = "n_distinct",

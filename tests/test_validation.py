@@ -104,3 +104,45 @@ def test_drift_check_flags_real_drift(ray_session):
         {"k": ["t"] * 20000, "v": rng.normal(30, 2, 20000)}))
     out = drift_no_change_check(a, b, "v", "k", key_name="k")
     assert not out["no_drift"].any()
+
+
+def test_cdf_bound_check_passes_healthy(keyed_values):
+    from t_digest_ray.pipelines.validation import cdf_bound_check
+
+    ds, df = keyed_values
+    out = cdf_bound_check(ds, "x", "k", tdigest_spec(100),
+                          thresholds=(50.0, 100.0, 500.0))
+    assert out["within_bound"].all()
+    # exact columns really are the <= counts, incl. a threshold (100)
+    # that is an entire group's max-side boundary
+    for _, r in out.iterrows():
+        v = df[df.k == r["k"]]["x"].to_numpy()
+        assert r["le_0"] == int((v <= 50.0).sum())
+        assert r["le_1"] == int((v <= 100.0).sum())
+        assert r["le_2"] == int((v <= 500.0).sum())
+        assert r["n"] == len(v)
+
+
+def test_cdf_bound_check_flags_regression(keyed_values, monkeypatch):
+    from t_digest_ray.pipelines import validation as V
+
+    ds, _ = keyed_values
+    spec = tdigest_spec(100)
+    bad = spec.factory()
+    bad.update_batch(np.full(10_000, 1e9))
+    blob = bad.to_bytes()
+
+    real = V.sketch_by_key
+
+    def poisoned(*a, **kw):
+        rows = real(*a, **kw).to_pandas()
+        rows.loc[rows["key"] == "a", "sketch"] = blob
+        rows.loc[rows["key"] == "a", "n"] = 10_000.0
+        import ray.data as rd
+        return rd.from_pandas(rows)
+
+    monkeypatch.setattr(V, "sketch_by_key", poisoned)
+    out = V.cdf_bound_check(ds, "x", "k", spec,
+                            thresholds=(50.0, 100.0, 500.0))
+    assert not out[out.k == "a"]["within_bound"].iloc[0]
+    assert out[out.k == "b"]["within_bound"].iloc[0]
