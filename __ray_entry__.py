@@ -561,6 +561,56 @@ def events_windowed_value_digest(sf_dir: str):
                                 num_salts=2)
 
 
+def events_watermarked_window_digest(sf_dir: str):
+    """Streaming sketch-over-watermarked-windows composition: events get
+    the deterministic jittered arrival order (same hash as
+    events_watermark_stats, reproduced verbatim in SQL), a 6-hour tumbling
+    window closes once the watermark passes window_end + 300 s, events
+    arriving after their window closed are DROPPED and counted, and each
+    open (window, event_type) accumulates a t-digest of value.
+    VALUE-CHECKED output per (window_start, event_type): exact accepted
+    count, exact late-dropped count, exact p50 of accepted values
+    (hash-matched vs DuckDB window SQL) + within_bound for the digest."""
+    from ray.data.aggregate import Sum
+    from t_digest_ray.pipelines.quantiles import tdigest_spec
+    from t_digest_ray.pipelines.validation import quantile_bound_check
+    from t_digest_ray.pipelines.windows import watermarked_window_split
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "event_type", "value"])
+
+    def arrival(b: pa.Table) -> pa.Table:
+        eid = b["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        jit = (eid * 2654435761) % 4294967296 % 7 - 3
+        arr = (eid + jit * 2) * 1048576 + eid
+        return pa.table({"arr": pa.array(arr), "ts": b["ts"],
+                         "event_type": b["event_type"],
+                         "value": b["value"]})
+
+    arrived = ds.map_batches(arrival, batch_format="pyarrow")
+    split = watermarked_window_split(arrived, "ts", "arr", "value",
+                                     window_s=21600, lateness_s=300,
+                                     key_col="event_type")
+    split = split.materialize()  # consumed twice (digest + drop counts)
+
+    def accepted_only(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df["acc_i"] == 1][["wkey", "value"]]
+
+    accepted = split.map_batches(accepted_only, batch_format="pandas")
+    qb = quantile_bound_check(accepted, "value", "wkey", tdigest_spec(100),
+                              qs=(0.5,), rank_bound=0.015,
+                              num_salts=2).to_pandas()
+    drops = (split.groupby("wkey")
+             .aggregate(Sum("drop_i", alias_name="n_dropped"))).to_pandas()
+    out = qb.merge(drops, on="wkey", how="left")
+    parts = out["wkey"].str.split("|", n=1, expand=True)
+    out["window_start"] = parts[0].astype(np.int64)
+    out["event_type"] = parts[1]
+    out["n_dropped"] = out["n_dropped"].fillna(0).astype(np.int64)
+    out["n"] = out["n"].astype(np.int64)
+    return out[["window_start", "event_type", "n", "n_dropped", "p50",
+                "within_bound"]]
+
+
 def events_watermark_stats(sf_dir: str):
     """Streaming watermark semantics on the replayable event log: events
     are given a deterministic jittered ARRIVAL order (exact integer hash,
@@ -953,6 +1003,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_sessions": user_sessions,
         "events_watermark_stats": events_watermark_stats,
         "events_windowed_value_digest": events_windowed_value_digest,
+        "events_watermarked_window_digest": events_watermarked_window_digest,
     }
 
 
@@ -1070,6 +1121,43 @@ def oracle_sql() -> dict[str, str]:
                    quantile_disc(value, 0.75) AS p75,
                    TRUE AS within_bound
             FROM events GROUP BY 1
+        """,
+        "events_watermarked_window_digest": """
+            WITH a AS (
+              SELECT event_type, value, epoch_us(ts) AS t,
+                     (event_id + ((event_id * 2654435761) % 4294967296
+                                  % 7 - 3) * 2) * 1048576 + event_id AS arr
+              FROM events
+            ), w AS (
+              SELECT event_type, value, t,
+                     CAST(FLOOR(t / 21600000000.0) * 21600000000
+                          AS BIGINT) AS ws_us,
+                     MAX(t) OVER (ORDER BY arr ROWS BETWEEN UNBOUNDED
+                                  PRECEDING AND 1 PRECEDING) AS wm
+              FROM a
+            ), cls AS (
+              SELECT event_type, value, CAST(ws_us / 1000000 AS BIGINT)
+                         AS window_start,
+                     CASE WHEN wm IS NOT NULL
+                               AND wm > ws_us + 21600000000 + 300000000
+                          THEN 1 ELSE 0 END AS dropped
+              FROM w
+            ), acc AS (
+              SELECT window_start, event_type, COUNT(*) AS n,
+                     CAST(quantile_disc(value, 0.50) AS DOUBLE) AS p50
+              FROM cls WHERE dropped = 0
+              GROUP BY window_start, event_type
+            ), drp AS (
+              SELECT window_start, event_type,
+                     CAST(SUM(dropped) AS BIGINT) AS n_dropped
+              FROM cls GROUP BY window_start, event_type
+            )
+            SELECT acc.window_start, acc.event_type, acc.n,
+                   COALESCE(drp.n_dropped, 0) AS n_dropped, acc.p50,
+                   TRUE AS within_bound
+            FROM acc LEFT JOIN drp
+              ON acc.window_start = drp.window_start
+             AND acc.event_type = drp.event_type
         """,
         "events_watermark_stats": """
             WITH a AS (

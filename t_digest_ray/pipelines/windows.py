@@ -170,7 +170,8 @@ def asof_join(left, right, key_col: str, ts_col: str,
 def watermark_flags(ds, ts_col: str, order_col: str, lateness_s: int,
                     carry_cols: tuple[str, ...] = (),
                     n_buckets: int | None = None,
-                    order_range: tuple[int, int] | None = None):
+                    order_range: tuple[int, int] | None = None,
+                    emit_wm: bool = False):
     """Streaming watermark semantics on a batch log (event-time vs arrival
     order): flag each event as on-time or late.
 
@@ -252,10 +253,61 @@ def watermark_flags(ds, ts_col: str, order_col: str, lateness_s: int,
         for c in carry_cols:
             out[c] = g[c].to_numpy()
         out["on_time"] = ts >= wm - late_us
+        if emit_wm:
+            # per-event watermark (max ts over strictly earlier arrivals;
+            # -inf for the globally first arrival) + the event time, for
+            # consumers applying their own close rules (window finalize)
+            out["wm_us"] = wm
+            out["ts_us"] = ts
         return pd.DataFrame(out)
 
     return projected.groupby("bucket").map_groups(bucket_flags,
                                                   batch_format="pandas")
+
+
+def watermarked_window_split(ds, ts_col: str, order_col: str,
+                             value_col: str, window_s: int, lateness_s: int,
+                             key_col: str | None = None,
+                             n_buckets: int | None = None,
+                             order_range: tuple[int, int] | None = None):
+    """Streaming window-close semantics on the replayable log: a tumbling
+    window ``[ws, ws + window_s)`` is CLOSED once the watermark passes
+    ``ws + window_s + lateness_s``; an event whose window was already
+    closed at its arrival is dropped (the standard allowed-lateness
+    finalize rule — what a streaming engine does between
+    ``watermark_flags`` and emitting window aggregates).
+
+    Returns one row per event: ``(wkey, value_col, acc_i, drop_i)`` with
+    ``wkey = "<window_start_s>|<key>"`` (or just the window start when
+    ``key_col`` is None) — accepted rows feed any sketch/aggregate
+    pipeline keyed on ``wkey``; ``drop_i`` sums to the per-window
+    late-dropped count. Distribution: the exact two-level prefix-max of
+    ``watermark_flags`` plus one stateless vectorized classify pass.
+    """
+    carry = (value_col,) + ((key_col,) if key_col else ())
+    flags = watermark_flags(ds, ts_col, order_col, lateness_s=lateness_s,
+                            carry_cols=carry, n_buckets=n_buckets,
+                            order_range=order_range, emit_wm=True)
+    win_us = int(window_s) * 1_000_000
+    late_us = int(lateness_s) * 1_000_000
+
+    def classify(df: pd.DataFrame) -> pd.DataFrame:
+        ts = df["ts_us"].to_numpy(dtype=np.int64)
+        wm = df["wm_us"].to_numpy(dtype=np.float64)
+        ws = (ts // win_us) * win_us
+        closed = wm > (ws + win_us + late_us).astype(np.float64)
+        wkey = (ws // 1_000_000).astype(np.int64).astype("U")
+        if key_col is not None:
+            wkey = np.char.add(np.char.add(wkey, "|"),
+                               df[key_col].to_numpy().astype("U"))
+        return pd.DataFrame({
+            "wkey": wkey,
+            value_col: df[value_col].to_numpy(),
+            "acc_i": (~closed).astype(np.int64),
+            "drop_i": closed.astype(np.int64),
+        })
+
+    return flags.map_batches(classify, batch_format="pandas")
 
 
 def sessionize(ds, user_col: str, ts_col: str, gap_s: int,

@@ -167,3 +167,40 @@ def test_watermark_flags_order_range_param(ray_session):
                          order_range=(0, 4))
          .to_pandas().sort_values("arr")["on_time"].tolist())
     assert a == b
+
+
+def test_watermarked_window_split_planted(ray_session):
+    """Planted window-close scenario: an event arriving after the
+    watermark passed its window end + lateness is dropped; late-but-
+    within-lateness and in-order events are accepted. Identical at any
+    bucket count."""
+    import ray
+
+    from t_digest_ray.pipelines.windows import watermarked_window_split
+
+    # window_s=10, lateness=2. Arrival order = arr. Event times:
+    #  arr: 0  1  2   3   4   5   6
+    #  ts : 0  1  2  25   3  26   5
+    # at arr=4 (ts=3): wm=25 > window_end(0..10)=10+2  -> dropped
+    # at arr=6 (ts=5): wm=26 > 12                      -> dropped
+    # at arr=5 (ts=26): wm=25 < 30+2                   -> accepted
+    t = [0, 1, 2, 25, 3, 26, 5]
+    df = pd.DataFrame({
+        "arr": np.arange(7, dtype=np.int64),
+        "ts": pd.to_datetime(np.asarray(t, dtype=np.int64)
+                             * 1_000_000_000),
+        "v": np.asarray(t, dtype=np.float64),
+        "k": ["a"] * 7,
+    })
+    for n_buckets in (1, 3):
+        out = watermarked_window_split(
+            ray.data.from_pandas(df).repartition(3), "ts", "arr", "v",
+            window_s=10, lateness_s=2, key_col="k",
+            n_buckets=n_buckets).to_pandas()
+        acc = out[out.acc_i == 1].sort_values("v")
+        assert acc["v"].tolist() == [0.0, 1.0, 2.0, 25.0, 26.0]
+        assert acc["wkey"].tolist() == ["0|a", "0|a", "0|a", "20|a",
+                                        "20|a"]
+        drp = out[out.drop_i == 1].sort_values("v")
+        assert drp["v"].tolist() == [3.0, 5.0]
+        assert drp["wkey"].tolist() == ["0|a", "0|a"]
