@@ -27,7 +27,8 @@ from typing import Any
 
 PIPELINES = ("quantiles", "kll", "req", "distinct", "heavy", "dedup",
              "dedup_keep", "simhash", "checkpointed", "sessionize",
-             "watermark", "ivf_build", "drift_check")
+             "watermark", "watermarked_window", "cdf", "ivf_build",
+             "drift_check")
 
 
 @dataclass
@@ -148,6 +149,15 @@ def run_job(cfg: JobConfig):
         from .pipelines.windows import watermark_flags
         # value_col = event-time column; key = arrival-order column
         out = watermark_flags(ds, cfg.value_col, cfg.key, **p)
+    elif cfg.pipeline == "watermarked_window":
+        from .pipelines.windows import watermarked_window_split
+        # params: ts_col, window_s, lateness_s (+ optional key_col ...);
+        # value_col = metric column; key = arrival-order column
+        out = watermarked_window_split(ds, p.pop("ts_col"), cfg.key,
+                                       cfg.value_col, **p)
+    elif cfg.pipeline == "cdf":
+        from .pipelines.quantiles import cdf_by_key
+        out = cdf_by_key(ds, cfg.value_col, cfg.key, **p)
     elif cfg.pipeline == "ivf_build":
         from .stages.ann_index import build_ivf_index
         index_dir = p.pop("index_dir")

@@ -125,6 +125,33 @@ def quantiles_by_key(ds, value_col: str, key: str | None = None,
     return summarize(merged, spec, key_name=key_name or (key or "key"))
 
 
+def cdf_by_key(ds, value_col: str, key: str | None = None,
+               thresholds=(0.0,), compression: float = 100.0,
+               num_salts: int = 8, batch_size: int | None = None,
+               key_name: str | None = None, coalesce_blocks: int = 16):
+    """t-digest CDF of ``value_col`` at fixed thresholds, grouped by
+    ``key`` (or global): rank queries, the dual of ``quantiles_by_key``
+    (TDigest.java cdf). Output columns ``cdf_le_<i>`` follow the
+    threshold order; the value-checked gate for this shape is
+    ``validation.cdf_bound_check``."""
+    t_list = [float(t) for t in thresholds]
+
+    def summ(sk: TDigest) -> dict:
+        sk.compress()
+        return {f"cdf_le_{i}": sk.cdf(t) for i, t in enumerate(t_list)}
+
+    spec = SketchSpec(
+        name="tdigest",
+        factory=lambda: TDigest(compression, K_2),
+        from_bytes=lambda b: TDigest.from_bytes(b, K_2),
+        summarize=summ,
+    )
+    merged = sketch_by_key(ds, spec, value_col, key,
+                           num_salts=num_salts, batch_size=batch_size,
+                           coalesce_blocks=coalesce_blocks)
+    return summarize(merged, spec, key_name=key_name or (key or "key"))
+
+
 def pages_quantiles(pages_ds, value_cols=("text_length", "html_size"),
                     key: str = "lang", compression: float = 100.0,
                     qs=DEFAULT_QS, num_salts: int = 8,

@@ -195,3 +195,27 @@ def test_config_source_prefixes(ray_session, tmp_path):
         columns=["lang", "n_chars"], value_col="n_chars", key="lang",
     )).to_pandas())
     assert got.equals(base)
+
+
+def test_config_round3_pipelines(ray_session):
+    """cdf and watermarked_window run from a JobConfig end-to-end."""
+    sf = "/root/testdata/sf0.001"
+
+    out = run_job(JobConfig(
+        pipeline="cdf", input=f"{sf}/documents.parquet",
+        columns=["lang", "n_chars"], value_col="n_chars", key="lang",
+        params={"thresholds": [150.0, 300.0], "num_salts": 2},
+    )).to_pandas()
+    assert set(out.columns) == {"lang", "n", "cdf_le_0", "cdf_le_1"}
+    assert ((out["cdf_le_0"] <= out["cdf_le_1"]) | out["cdf_le_1"].isna()).all()
+    assert out["cdf_le_1"].between(0.0, 1.0).all()
+
+    out = run_job(JobConfig(
+        pipeline="watermarked_window", input=f"{sf}/events.parquet",
+        columns=["event_id", "ts", "value"], value_col="value",
+        key="event_id",
+        params={"ts_col": "ts", "window_s": 21600, "lateness_s": 300},
+    )).to_pandas()
+    assert set(out.columns) == {"wkey", "value", "acc_i", "drop_i"}
+    assert len(out) == 1000
+    assert ((out["acc_i"] + out["drop_i"]) == 1).all()
