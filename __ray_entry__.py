@@ -203,6 +203,93 @@ def customer_nation_stats(sf_dir: str):
     return out.map_batches(finalize, batch_format="pandas")
 
 
+def order_year_revenue(sf_dir: str):
+    """Distributed hash equi-join of two fact tables (lineitem x orders on
+    orderkey — neither side broadcastable at scale): one co-partitioned
+    union+groupby shuffle, vectorized per-bucket merge, then a
+    pre-aggregated rollup of revenue by order year."""
+    from ray.data.aggregate import Count, Sum
+    from t_digest_ray.pipelines.relational import hash_join
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_extendedprice", "l_discount"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+
+    def norm_orders(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        year = pc.year(b["o_orderdate"])
+        return pa.table({"l_orderkey": b["o_orderkey"],
+                         "o_year": pc.cast(year, pa.int64())})
+
+    joined = hash_join(li, orders.map_batches(norm_orders,
+                                              batch_format="pyarrow"),
+                       on="l_orderkey",
+                       left_cols=["l_extendedprice", "l_discount"],
+                       right_cols=["o_year"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        price = b["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = b["l_discount"].to_numpy(zero_copy_only=False)
+        return pa.table({"o_year": b["o_year"],
+                         "rev": pa.array(price * (1.0 - disc))})
+
+    out = (joined.map_batches(partial, batch_format="pyarrow")
+           .groupby("o_year")
+           .aggregate(Count(alias_name="n_items"),
+                      Sum("rev", alias_name="revenue_cents")))
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        return _cents(df, ["revenue_cents"])
+
+    return out.map_batches(finalize, batch_format="pandas")
+
+
+def region_supplier_revenue(sf_dir: str):
+    """Broadcast-chain join: the supplier->nation->region dimension chain
+    is folded into ONE suppkey->region_name dict on the driver (three
+    small tables), shipped via ray.put once, and looked up inside
+    map_batches — lineitem (the fact table) never shuffles for the join,
+    only the KB-sized per-region partials do."""
+    import pyarrow.parquet as pq
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_regionkey"]).to_pandas()
+    reg = pq.read_table(f"{sf_dir}/region.parquet",
+                        columns=["r_regionkey", "r_name"]).to_pandas()
+    chain = (sup.merge(nat, left_on="s_nationkey", right_on="n_nationkey")
+             .merge(reg, left_on="n_regionkey", right_on="r_regionkey"))
+    ref = ray.put(dict(zip(chain["s_suppkey"], chain["r_name"])))
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_suppkey", "l_extendedprice", "l_discount"])
+
+    class Joiner:
+        def __init__(self):
+            self.lookup = ray.get(ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            keys = b["l_suppkey"].to_numpy(zero_copy_only=False)
+            names = pd.Series(keys).map(self.lookup).to_numpy(dtype=object)
+            price = b["l_extendedprice"].to_numpy(zero_copy_only=False)
+            disc = b["l_discount"].to_numpy(zero_copy_only=False)
+            return pa.table({"r_name": pa.array(names, type=pa.string()),
+                             "rev": pa.array(price * (1.0 - disc))})
+
+    out = (ds.map_batches(Joiner, batch_format="pyarrow", concurrency=2)
+           .groupby("r_name")
+           .aggregate(Count(alias_name="n_items"),
+                      Sum("rev", alias_name="revenue_cents")))
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        return _cents(df, ["revenue_cents"])
+
+    return out.map_batches(finalize, batch_format="pandas")
+
+
 def doc_token_stats(sf_dir: str):
     """Row-level text metrics (all integer -> exact oracle): chars, tokens,
     punctuation and digit counts per document."""
@@ -969,6 +1056,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_event_types": top_event_types,
         "distinct_users_by_type": distinct_users_by_type,
         "customer_nation_stats": customer_nation_stats,
+        "order_year_revenue": order_year_revenue,
+        "region_supplier_revenue": region_supplier_revenue,
         "doc_token_stats": doc_token_stats,
         "bloom_semi_join_count": bloom_semi_join_count,
         "linear_histogram_events": linear_histogram_events,
@@ -1324,6 +1413,24 @@ def oracle_sql() -> dict[str, str]:
                    CAST(quantile_disc(n_chars, 0.75) AS DOUBLE) AS p75,
                    TRUE AS within_bound
             FROM documents GROUP BY lang
+        """,
+        "order_year_revenue": """
+            SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+                   COUNT(*) AS n_items,
+                   CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)) * 100)
+                        AS BIGINT) AS revenue_cents
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY 1
+        """,
+        "region_supplier_revenue": """
+            SELECT r_name, COUNT(*) AS n_items,
+                   CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)) * 100)
+                        AS BIGINT) AS revenue_cents
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
         """,
         "tdigest_cdf_by_lang": """
             SELECT lang, COUNT(*) AS n,

@@ -130,6 +130,84 @@ def distinct_count_by_key(ds, key: str, value: str, out_name: str):
             .aggregate(Count(alias_name=out_name)))
 
 
+def hash_join(left, right, on: str, left_cols, right_cols,
+              coarse: int | None = None, n_rows: int | None = None):
+    """Distributed hash equi-join (inner) of two Datasets on ``on``.
+
+    Ray Data (2.49) has no native join; this is the shuffle join the
+    engine uses when NEITHER side fits in memory (use
+    ``broadcast_join_count`` / a plasma lookup when one side is a
+    dimension table). Both sides are tagged with ``hash(on) % coarse``
+    and co-partitioned in ONE union+groupby shuffle; each bucket is then
+    a vectorized pandas merge. Same topology as ``windows.asof_join``.
+
+    Partitioning assumption (documented contract): one bucket's rows
+    from both sides must fit in a worker's heap — ``coarse`` scales with
+    the combined metadata row count (~256k rows/bucket). A pathological
+    hot key (one key = whole dataset) needs pre-aggregation before the
+    join, same as any hash-partitioned engine.
+
+    Returns columns ``[on] + left_cols + right_cols``. Rows ride the
+    shuffle with the other side's columns as nulls (one unified Arrow
+    schema for the union).
+    """
+    from ..functions.hashing import hash64
+    from ..stages.partitioning import cheap_row_count, coarse_bucket_count
+
+    if coarse is None:
+        if n_rows is None:
+            nl, nr = cheap_row_count(left), cheap_row_count(right)
+            n_rows = nl + nr if nl is not None and nr is not None else None
+        coarse = coarse_bucket_count(n_rows=n_rows,
+                                     rows_per_bucket=262144,
+                                     what="hash_join")
+    left_cols = list(left_cols)
+    right_cols = list(right_cols)
+    # one unified Arrow schema for the union: the absent side's columns
+    # are typed nulls (schema() is a metadata read for parquet sources)
+    types = {}
+    for d, cs in ((left, left_cols), (right, right_cols)):
+        sch = d.schema()
+        sch = getattr(sch, "base_schema", sch)
+        if hasattr(sch, "field"):  # pyarrow schema (parquet-backed)
+            for c in cs:
+                types[c] = sch.field(c).type
+        else:  # PandasBlockSchema: parallel names/types of numpy dtypes
+            by_name = dict(zip(sch.names, sch.types))
+            for c in cs:
+                t = by_name[c]
+                types[c] = (pa.string() if t == object
+                            else pa.from_numpy_dtype(t))
+
+    def tag(side: int, own_cols):
+        def fn(batch: pa.Table) -> pa.Table:
+            keys = batch[on].to_numpy(zero_copy_only=False)
+            n = len(keys)
+            cols = {
+                "bucket": pa.array((hash64(keys)
+                                    % np.uint64(coarse)).astype(np.int32)),
+                on: batch[on],
+                "is_left": pa.array(np.full(n, side, dtype=np.int8)),
+            }
+            for c in left_cols + right_cols:
+                cols[c] = (batch[c] if c in own_cols
+                           else pa.nulls(n, type=types[c]))
+            return pa.table(cols)
+        return fn
+
+    tagged = (left.map_batches(tag(1, left_cols), batch_format="pyarrow")
+              .union(right.map_batches(tag(0, right_cols),
+                                       batch_format="pyarrow")))
+
+    def bucket_join(g: pd.DataFrame) -> pd.DataFrame:
+        l = g[g["is_left"] == 1][[on] + left_cols]
+        r = g[g["is_left"] == 0][[on] + right_cols]
+        return l.merge(r, on=on, how="inner")
+
+    return tagged.groupby("bucket").map_groups(bucket_join,
+                                               batch_format="pandas")
+
+
 def broadcast_join_count(ds, small_df: pd.DataFrame, left_key: str,
                          right_key: str, label_col: str,
                          value: str, out_names: dict[str, str],

@@ -1,0 +1,64 @@
+"""hash_join (pipelines/relational.py): the distributed co-partitioned
+equi-join — inner semantics, duplicate keys (per-key cartesian), unmatched
+rows dropped, and bucket-count invariance."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from t_digest_ray.pipelines.relational import hash_join
+
+
+@pytest.fixture(scope="module")
+def join_inputs(ray_session):
+    import ray
+
+    rng = np.random.default_rng(7)
+    left = pd.DataFrame({
+        "k": rng.integers(0, 50, 400).astype(np.int64),
+        "lv": np.arange(400, dtype=np.float64),
+    })
+    # keys 0..39 on the right (10..49 unmatched on part of left),
+    # with duplicates so some joins are per-key cartesian
+    right = pd.DataFrame({
+        "k": np.concatenate([np.arange(40), np.arange(0, 20)])
+            .astype(np.int64),
+        "rv": np.arange(60, dtype=np.int64),
+    })
+    return left, right
+
+
+def _expected(left, right):
+    return (left.merge(right, on="k", how="inner")
+            .sort_values(["k", "lv", "rv"]).reset_index(drop=True))
+
+
+def test_hash_join_matches_pandas(join_inputs, ray_session):
+    import ray
+
+    left, right = join_inputs
+    got = hash_join(ray.data.from_pandas(left).repartition(4),
+                    ray.data.from_pandas(right).repartition(3),
+                    on="k", left_cols=["lv"], right_cols=["rv"]) \
+        .to_pandas().sort_values(["k", "lv", "rv"]).reset_index(drop=True)
+    want = _expected(left, right)
+    pd.testing.assert_frame_equal(
+        got[["k", "lv", "rv"]].astype({"rv": np.int64}),
+        want[["k", "lv", "rv"]])
+
+
+def test_hash_join_bucket_invariance(join_inputs, ray_session):
+    import ray
+
+    left, right = join_inputs
+    outs = []
+    for coarse in (1, 7):
+        outs.append(hash_join(
+            ray.data.from_pandas(left).repartition(2),
+            ray.data.from_pandas(right),
+            on="k", left_cols=["lv"], right_cols=["rv"], coarse=coarse)
+            .to_pandas().sort_values(["k", "lv", "rv"])
+            .reset_index(drop=True))
+    pd.testing.assert_frame_equal(outs[0], outs[1])
