@@ -1038,6 +1038,43 @@ def pages_flagship_checked(sf_dir: str):
                                 num_salts=2)
 
 
+def pages_host_stats(sf_dir: str):
+    """North-star host rollup over the PAGES corpus: pages rebuilt from
+    documents, the host parsed from the real URL (vectorized Arrow split),
+    then per-host exact page counts (hash-matched vs DuckDB) and
+    approximate distinct-url counts — HLL estimate gated within the
+    3-sigma 1.04/sqrt(2^p) envelope of the exact COUNT(DISTINCT url)."""
+    from ray.data.aggregate import Sum
+    from t_digest_ray.pipelines.validation import distinct_bound_check
+    from t_digest_ray.sources.pages import pages_from_documents
+
+    pages = pages_from_documents(sf_dir)
+
+    def to_host(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        # https://{host}/... -> element 2 of the '/'-split (C kernels)
+        host = pc.list_element(pc.split_pattern(b["url"], "/"), 2)
+        return pa.table({"host": host, "url": b["url"]})
+
+    ds = pages.map_batches(to_host, batch_format="pyarrow")
+
+    def partial_counts(b: pa.Table) -> pa.Table:
+        arr = b["host"].to_numpy(zero_copy_only=False)
+        uniq, counts = np.unique(arr, return_counts=True)
+        return pa.table({"host": pa.array(uniq),
+                         "part": pa.array(counts.astype(np.int64))})
+
+    counts = (ds.map_batches(partial_counts, batch_format="pyarrow")
+              .groupby("host")
+              .aggregate(Sum("part", alias_name="n_pages"))).to_pandas()
+    hll = distinct_bound_check(ds, "url", "host", p=14, sigma=3.0,
+                               num_salts=2, count_name="n_urls",
+                               key_name="host")
+    out = counts.merge(hll, on="host")
+    out["n_pages"] = out["n_pages"].astype(np.int64)
+    return out[["host", "n_pages", "n_urls", "within_bound"]]
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
     return pages_flagship("/root/testdata/sf0.001")
@@ -1077,6 +1114,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_by_lang": quality_by_lang,
         "pages_flagship": pages_flagship,
         "pages_flagship_checked": pages_flagship_checked,
+        "pages_host_stats": pages_host_stats,
         "req_quantiles_by_lang": req_quantiles_by_lang,
         "drift_events_value": drift_events_value,
         "simhash_dedup_pairs": simhash_dedup_pairs,
@@ -1199,6 +1237,13 @@ def oracle_sql() -> dict[str, str]:
                    CAST(quantile_disc(LENGTH(text), 0.75) AS DOUBLE) AS p75,
                    TRUE AS within_bound
             FROM documents GROUP BY lang
+        """,
+        "pages_host_stats": """
+            SELECT source || '.example.com' AS host,
+                   COUNT(*) AS n_pages,
+                   COUNT(DISTINCT doc_id) AS n_urls,
+                   TRUE AS within_bound
+            FROM documents GROUP BY 1
         """,
         "events_windowed_value_digest": """
             SELECT CAST(CAST(FLOOR(FLOOR(EPOCH(ts)) / 86400) * 86400
