@@ -419,6 +419,29 @@ def ivf_topk_rank(sf_dir: str):
 # --------------------------------------------------------------- approximate
 
 
+def knn_multi_query_rank(sf_dir: str):
+    """Batched ANN baseline: a (3, d) broadcast query matrix scored
+    against every batch in ONE matmul — exact cosine top-10 per query in
+    a single corpus pass (the scale path for query batches; query
+    vectors fetched with a row-group-pruned filtered read)."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    from t_digest_ray.stages.ann import brute_force_topk
+
+    qids = [0, 7, 23]
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                       columns=["vec_id", "embedding"],
+                       filters=[("vec_id", "in", qids)]).to_pandas()
+    q = np.stack(qt.set_index("vec_id").loc[qids, "embedding"].to_numpy())
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    out = brute_force_topk(ds, q, k=10).to_pandas()
+    out["query_id"] = np.asarray(qids, dtype=np.int64)[
+        out["query_id"].to_numpy()]
+    return (out[["query_id", "vec_id", "rank"]]
+            .sort_values(["query_id", "rank"]).reset_index(drop=True))
+
+
 def tdigest_quantiles_by_lang(sf_dir: str):
     """Per-lang t-digest quantiles of n_chars, VALUE-CHECKED: output is the
     exact quantile_disc values (hash-matched vs DuckDB) plus within_bound,
@@ -1101,6 +1124,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cms_heavy_event_types": cms_heavy_event_types,
         "heavy_sources": heavy_sources,
         "knn_cosine_rank": knn_cosine_rank,
+        "knn_multi_query_rank": knn_multi_query_rank,
         "ivf_topk_rank": ivf_topk_rank,
         "tdigest_quantiles_by_lang": tdigest_quantiles_by_lang,
         "tdigest_events_value": tdigest_events_value,
@@ -1598,6 +1622,18 @@ def oracle_sql() -> dict[str, str]:
                        DESC, vec_id ASC) AS BIGINT) AS rank
             FROM embeddings
             ORDER BY rank LIMIT 10
+        """,
+        "knn_multi_query_rank": """
+            WITH q AS (
+              SELECT vec_id AS query_id, embedding AS qe
+              FROM embeddings WHERE vec_id IN (0, 7, 23)
+            )
+            SELECT q.query_id, e.vec_id,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY q.query_id
+                        ORDER BY list_cosine_similarity(e.embedding, q.qe)
+                            DESC, e.vec_id ASC) AS BIGINT) AS rank
+            FROM embeddings e CROSS JOIN q
+            QUALIFY rank <= 10
         """,
         "ivf_topk_rank": """
             SELECT vec_id, CAST(ROW_NUMBER() OVER (
