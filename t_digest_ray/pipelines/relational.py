@@ -114,20 +114,30 @@ def distinct_count_by_key(ds, key: str, value: str, out_name: str):
     """Exact count(distinct value) per key: dedup on (key, value) pairs
     inside each batch, then a global pair-dedup + count."""
 
-    from ray.data.aggregate import Count
+    from ray.data.aggregate import Sum
+
+    from ..stages.aggregate import hash_bucketed_group_agg
 
     def pairs(batch: pa.Table) -> pa.Table:
         t = batch.select([key, value])
         df = t.to_pandas().drop_duplicates()
         return pa.Table.from_pandas(df, preserve_index=False)
 
-    # two vectorized aggregates: distinct pairs, then pairs-per-key — no
-    # per-group Python (there is one group per distinct value at scale)
-    deduped = (ds.map_batches(pairs, batch_format="pyarrow")
-               .groupby([key, value])
-               .aggregate(Count(alias_name="_c")))
-    return (deduped.groupby(key)
-            .aggregate(Count(alias_name=out_name)))
+    # pair dedup via the vectorized hash-bucketed aggregate (there is one
+    # group per distinct value at scale — Ray's sort-based multi-column
+    # aggregate pays ~1 ms of Python per group), then a per-key count of
+    # the distinct pairs (vectorized partial + a tiny single-key Sum)
+    deduped = hash_bucketed_group_agg(
+        ds.map_batches(pairs, batch_format="pyarrow"),
+        [key, value], {"_c": (key, "count")})
+
+    def per_key_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(key, sort=False).size()
+        return pd.DataFrame({key: g.index, "_part": g.to_numpy()})
+
+    return (deduped.map_batches(per_key_partial, batch_format="pandas")
+            .groupby(key)
+            .aggregate(Sum("_part", alias_name=out_name)))
 
 
 def hash_join(left, right, on: str, left_cols, right_cols,

@@ -245,3 +245,63 @@ def sketch_aggregate_fn(spec: SketchSpec, value_col: str,
         finalize=lambda a: a,
         name=name or f"{spec.name}({value_col})",
     )
+
+
+def hash_bucketed_group_agg(ds, group_cols, aggs: dict,
+                            coarse: int | None = None,
+                            n_rows: int | None = None):
+    """Vectorized many-group aggregation: per-batch pandas partials +
+    hash-bucketed vectorized combine.
+
+    Ray's sort-based ``groupby(cols).aggregate(...)`` pays ~1 ms of
+    Python per DISTINCT GROUP (measured 170 s for 200k groups on this
+    box) — fine for tens of groups, pathological for pair-dedup-shaped
+    outputs with one group per candidate pair. This helper keeps every
+    step vectorized: each batch is pre-aggregated with a C-level pandas
+    groupby (map-side combine), partial rows are hash-bucketed on the
+    group key, and each bucket folds its partials with one more pandas
+    groupby — cost scales with ROWS, not groups, and no group's data
+    spans two tasks.
+
+    ``aggs`` maps ``out_name -> (value_col, how)`` with how in
+    ``count | sum | min | max`` (count ignores value_col). Returns a
+    Dataset of one row per distinct ``group_cols`` combination.
+    """
+    import pandas as pd
+    import pyarrow as pa
+
+    from ..functions.hashing import hash64, splitmix64
+    from .partitioning import coarse_bucket_count
+
+    if coarse is None:
+        coarse = coarse_bucket_count(ds, n_rows=n_rows,
+                                     rows_per_bucket=262144,
+                                     what="hash_bucketed_group_agg")
+    group_cols = list(group_cols)
+    # partial aggregation per batch; 'count' partials combine by sum
+    part_how = {o: (c, {"count": "sum"}.get(h, h))
+                for o, (c, h) in aggs.items()}
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(group_cols, sort=False)
+        outs = {}
+        for out, (col, how) in aggs.items():
+            outs[out] = (g.size() if how == "count"
+                         else g[col].agg(how))
+        p = pd.DataFrame(outs).reset_index()
+        h = np.zeros(len(p), dtype=np.uint64)
+        for c in group_cols:
+            with np.errstate(over="ignore"):
+                h = splitmix64(h ^ hash64(p[c].to_numpy()))
+        p["_gbucket"] = (h % np.uint64(coarse)).astype(np.int32)
+        return p
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(group_cols, sort=False)
+        outs = {out: g[out].agg(how)
+                for out, (_c, how) in part_how.items()}
+        return pd.DataFrame(outs).reset_index()
+
+    return (ds.map_batches(partial, batch_format="pandas")
+            .groupby("_gbucket")
+            .map_groups(combine, batch_format="pandas"))

@@ -204,24 +204,34 @@ def embedding_near_dup_pairs(ds, threshold: float = 0.9, n_bands: int = 4,
         return pd.DataFrame({"id_a": np.concatenate(out_a),
                              "id_b": np.concatenate(out_b)})
 
-    from ray.data.aggregate import Count
-    cand = (exploded.groupby("bucket")
-            .map_groups(bucket_candidates, batch_format="pandas")
-            .groupby(["id_a", "id_b"])
-            .aggregate(Count(alias_name="_n")))
+    from .aggregate import hash_bucketed_group_agg
+
+    # dedup repeated pairs (several bands can surface the same pair) with
+    # the vectorized hash-bucketed aggregate — Ray's sort-based
+    # multi-column aggregate pays ~1 ms of Python per distinct pair.
+    # Then materialize: the pair table is consumed three times
+    # (distinct-id gather, the verify map, and — sharded path — the pair
+    # co-partition); without this the whole signature shuffle re-executes
+    # per consumer. LSH-bounded pair rows are a small result and
+    # object-store blocks spill if a pathological corpus inflates them.
+    raw_pairs = (exploded.groupby("bucket")
+                 .map_groups(bucket_candidates, batch_format="pandas"))
+    cand = hash_bucketed_group_agg(
+        raw_pairs, ["id_a", "id_b"],
+        {"_n": ("id_a", "count")}).materialize()
 
     # gather the candidate ids' vectors with one more pruned corpus pass
     from .dedup import distinct_pair_ids, sharded_pair_verify
 
-    cand_ids_ds = distinct_pair_ids(cand)
-    n_cand = cand_ids_ds.count()
+    cand_ids = np.sort(
+        distinct_pair_ids(cand).to_pandas()["id"].to_numpy())
+    n_cand = len(cand_ids)
     if n_cand == 0:
         import ray.data as rd
         return rd.from_pandas(pd.DataFrame(
             {"id_a": pd.Series([], dtype=np.int64),
              "id_b": pd.Series([], dtype=np.int64),
              "cosine": pd.Series([], dtype=np.float64)}))
-    cand_ids = np.sort(cand_ids_ds.to_pandas()["id"].to_numpy())
     cand_ref = ray.put(cand_ids)
 
     def gather(batch: pa.Table) -> pa.Table:

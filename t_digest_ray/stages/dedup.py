@@ -198,11 +198,14 @@ def minhash_lsh_pairs(ds, text_col: str, id_col: str, k: int = 128,
     pairs = (exploded.map_batches(coarse, batch_format="pyarrow")
              .groupby("bucket")
              .map_groups(bucket_pairs, batch_format="pandas"))
-    # the same pair can surface from several bands: keep one copy via a
-    # vectorized hash aggregate (est_jaccard is identical across bands)
-    from ray.data.aggregate import Max
-    return pairs.groupby(["id_a", "id_b"]).aggregate(
-        Max("est_jaccard", alias_name="est_jaccard"))
+    # the same pair can surface from several bands: keep one copy via the
+    # vectorized hash-bucketed aggregate (est_jaccard is identical across
+    # bands; Ray's sort-based multi-column aggregate pays ~1 ms of Python
+    # per distinct pair — pathological at candidate-pair group counts)
+    from .aggregate import hash_bucketed_group_agg
+    return hash_bucketed_group_agg(
+        pairs, ["id_a", "id_b"],
+        {"est_jaccard": ("est_jaccard", "max")})
 
 
 def distinct_pair_ids(pairs):
@@ -357,15 +360,20 @@ def verify_pairs_exact_jaccard(pairs, ds, text_col: str, id_col: str,
     """
     import ray
 
-    cand = distinct_pair_ids(pairs)
-    n_cand = cand.count()
+    # materialize the pair table: it is consumed by the distinct-id
+    # gather, the verify map, and (sharded path) the pair co-partition —
+    # without this the upstream LSH banding shuffle re-executes per
+    # consumer. LSH-bounded pair rows are a small result; object-store
+    # blocks spill if a pathological corpus inflates them.
+    pairs = pairs.materialize()
+    wanted = np.sort(distinct_pair_ids(pairs).to_pandas()["id"].to_numpy())
+    n_cand = len(wanted)
     if n_cand == 0:
         return pairs.map_batches(
             lambda b: b.append_column(
                 "exact_jaccard", pa.array([], pa.float64())).append_column(
                 "within_tol", pa.array([], pa.bool_())),
             batch_format="pyarrow")
-    wanted = np.sort(cand.to_pandas()["id"].to_numpy())
     want_ref = ray.put(wanted)
 
     if n_cand <= shard_budget:
@@ -784,6 +792,8 @@ def simhash_pairs(ds, text_col: str, id_col: str, max_hamming: int = 3,
     pairs = (exploded.map_batches(coarse, batch_format="pyarrow")
              .groupby("bucket")
              .map_groups(bucket_pairs, batch_format="pandas"))
-    from ray.data.aggregate import Min
-    return pairs.groupby(["id_a", "id_b"]).aggregate(
-        Min("hamming", alias_name="hamming"))
+    # vectorized pair dedup (see minhash_lsh_pairs: Ray's sort-based
+    # multi-column aggregate is per-group Python)
+    from .aggregate import hash_bucketed_group_agg
+    return hash_bucketed_group_agg(
+        pairs, ["id_a", "id_b"], {"hamming": ("hamming", "min")})
