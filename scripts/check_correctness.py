@@ -63,15 +63,18 @@ def main() -> int:
         qs = {k: v for k, v in qs.items() if k in only}
     oracles = e.oracle_sql()
     failures = 0
+    import time
     for name, fn in qs.items():
+        t0 = time.perf_counter()
         try:
             got = canon(to_pandas(fn(sf_dir)))
         except Exception as ex:  # noqa: BLE001
             print(f"FAIL {name}: query raised {type(ex).__name__}: {ex}")
             failures += 1
             continue
+        q_sec = time.perf_counter() - t0
         if name not in oracles:
-            print(f"ok   {name}: rows-only ({len(got)} rows, "
+            print(f"ok   {name}: rows-only [{q_sec:.1f}s] ({len(got)} rows, "
                   f"cols={list(got.columns)})")
             continue
         want = canon(con.execute(oracles[name]).fetchdf())
@@ -101,7 +104,8 @@ def main() -> int:
                       f"want {want[c][mism].head(3).tolist()}")
             failures += 1
         else:
-            print(f"PASS {name}: {len(got)} rows hash-equal")
+            print(f"PASS {name}: {len(got)} rows hash-equal "
+                  f"[{q_sec:.1f}s]")
     print(f"\n{len(qs) - failures}/{len(qs)} ok")
     return 1 if failures else 0
 
