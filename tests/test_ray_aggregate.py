@@ -142,3 +142,32 @@ def test_weighted_sketch_by_key(ray_session):
     d = TDigest.from_bytes(
         out[out.key == "b"]["sketch"].iloc[0])
     assert d.size == 300.0
+
+
+def test_hash_bucketed_group_agg_matches_pandas(ray_session):
+    """The vectorized many-group aggregate equals pandas groupby for
+    count/sum/min/max, at any bucket count."""
+    import ray
+
+    from t_digest_ray.stages.aggregate import hash_bucketed_group_agg
+
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame({
+        "a": rng.integers(0, 300, 20_000).astype(np.int64),
+        "b": rng.integers(0, 50, 20_000).astype(np.int64),
+        "v": rng.normal(size=20_000),
+    })
+    want = (df.groupby(["a", "b"])
+            .agg(n=("v", "size"), s=("v", "sum"),
+                 lo=("v", "min"), hi=("v", "max"))
+            .reset_index().sort_values(["a", "b"]).reset_index(drop=True))
+    for coarse in (1, 64):
+        got = hash_bucketed_group_agg(
+            ray.data.from_pandas(df).repartition(5), ["a", "b"],
+            {"n": ("v", "count"), "s": ("v", "sum"),
+             "lo": ("v", "min"), "hi": ("v", "max")},
+            coarse=coarse).to_pandas()
+        got = got[["a", "b", "n", "s", "lo", "hi"]] \
+            .sort_values(["a", "b"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            got.astype({"n": np.int64}), want.astype({"n": np.int64}))
