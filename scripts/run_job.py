@@ -20,11 +20,17 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:
-    if len(sys.argv) != 2:
-        sys.exit("usage: run_job.py <config.json>")
+    args = sys.argv[1:]
+    metrics_path = None
+    if "--metrics" in args:
+        i = args.index("--metrics")
+        metrics_path = args[i + 1]
+        del args[i:i + 2]
+    if len(args) != 1:
+        sys.exit("usage: run_job.py <config.json> [--metrics out.json]")
     from t_digest_ray.config import JobConfig, run_job
 
-    cfg = JobConfig.from_file(sys.argv[1])
+    cfg = JobConfig.from_file(args[0])
 
     import ray
 
@@ -37,14 +43,29 @@ def main() -> None:
 
     t0 = time.perf_counter()
     out = run_job(cfg)
-    n = out.count()
-    print(json.dumps({
+    if metrics_path:
+        import pandas as pd
+        if not isinstance(out, pd.DataFrame):
+            out = out.materialize()  # stats() needs an executed dataset
+    n = out.count() if not hasattr(out, "shape") else len(out)
+    summary = {
         "pipeline": cfg.pipeline,
         "input": cfg.input,
         "rows_out": n,
         "output": cfg.output,
         "sec": round(time.perf_counter() - t0, 3),
-    }))
+    }
+    if metrics_path:
+        # per-stage execution metrics (ray.data stats: wall/cpu/rows/
+        # object-store bytes per operator) alongside the summary — the
+        # job-level metrics surface next to the checkpoint module's
+        # per-partition lineage
+        with open(metrics_path, "w") as f:
+            json.dump({**summary,
+                       "stats": (out.stats()
+                                 if hasattr(out, "stats") else None)},
+                      f, indent=2)
+    print(json.dumps(summary))
     ray.shutdown()
 
 
