@@ -49,7 +49,6 @@ def tumbling_window(ds, ts_col: str, window_s: int, key: str | None = None,
                     value_col: str | None = None):
     """Per-(window, key) count and optional value sum; window_start_s is the
     epoch-second start of the tumbling window."""
-    from ray.data.aggregate import Count, Sum
 
     def assign(batch: pa.Table) -> pa.Table:
         secs = _epoch_s(batch[ts_col])
@@ -63,17 +62,21 @@ def tumbling_window(ds, ts_col: str, window_s: int, key: str | None = None,
 
     assigned = ds.map_batches(assign, batch_format="pyarrow")
     group = ["window_start_s"] + ([key] if key else [])
-    aggs = [Count(alias_name="cnt")]
+    # one group per (window, key): group counts scale with the time span,
+    # so use the vectorized hash-bucketed aggregate (per-batch pandas
+    # partials double as the map-side combine) instead of Ray's
+    # sort-based aggregate, which pays ~1 ms of Python per group
+    aggs = {"cnt": ("window_start_s", "count")}
     if value_col:
-        aggs.append(Sum(value_col, alias_name="sum_value"))
-    return assigned.groupby(group).aggregate(*aggs)
+        aggs["sum_value"] = (value_col, "sum")
+    from ..stages.aggregate import hash_bucketed_group_agg
+    return hash_bucketed_group_agg(assigned, group, aggs)
 
 
 def sliding_window(ds, ts_col: str, size_s: int, step_s: int,
                    key: str | None = None):
     """Sliding windows on a step grid: a row at time t belongs to every
     window start in (t - size, t] on multiples of step."""
-    from ray.data.aggregate import Count
 
     assert size_s % step_s == 0, "size must be a multiple of step"
     k = size_s // step_s
@@ -93,7 +96,10 @@ def sliding_window(ds, ts_col: str, size_s: int, step_s: int,
 
     exploded = ds.map_batches(explode, batch_format="pyarrow")
     group = ["window_start_s"] + ([key] if key else [])
-    return exploded.groupby(group).aggregate(Count(alias_name="cnt"))
+    # vectorized many-group aggregate (see tumbling_window)
+    from ..stages.aggregate import hash_bucketed_group_agg
+    return hash_bucketed_group_agg(
+        exploded, group, {"cnt": ("window_start_s", "count")})
 
 
 def asof_join(left, right, key_col: str, ts_col: str,
