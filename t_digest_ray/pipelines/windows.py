@@ -4,8 +4,10 @@ The reference has no window/join operators (SURVEY.md §2.4 — "categories the
 reference has no instance of"); a training-data engine needs them, so they
 are built Ray-Data-first here:
 
-* ``tumbling_window``  — pure groupby-aggregate on the truncated timestamp
-  (no custom state; the shuffle carries pre-aggregable rows).
+* ``tumbling_window``  — truncated-timestamp grouping via the vectorized
+  hash-bucketed aggregate (per-batch pandas partials = map-side combine;
+  group counts scale with the time span, so the shuffle carries partial
+  rows, never per-group Python).
 * ``sliding_window``   — each row is exploded to its size/step windows
   inside ``map_batches`` (vectorized repeat), then the same groupby.
 * ``asof_join``        — most recent right row with ``r.ts <= l.ts`` per
@@ -15,8 +17,8 @@ are built Ray-Data-first here:
   per-bucket merge is a sorted cumulative-count lookup, not a nested loop.
 * ``sessionize``       — per-user session segmentation with a gap rule:
   bucket by user hash, detect session starts vectorized on the
-  (user, ts)-sorted bucket, then a global vectorized aggregate of session
-  counts.
+  (user, ts)-sorted bucket; per-user totals are complete within the
+  bucket (hash co-partition), so no second aggregate runs.
 
 Partitioning assumption (documented per the custom-operator rule): asof_join
 and sessionize require all rows of one key in one group — guaranteed by the
@@ -322,7 +324,6 @@ def sessionize(ds, user_col: str, ts_col: str, gap_s: int,
     the time since the user's previous event exceeds ``gap_s``.
     Returns rows (user_col, n_sessions). Bucket count scales with the
     input (~256k rows of ~40 B per group, ~10 MB per map_groups task)."""
-    from ray.data.aggregate import Sum
 
     from ..stages.partitioning import coarse_bucket_count
 
@@ -358,5 +359,12 @@ def sessionize(ds, user_col: str, ts_col: str, gap_s: int,
     starts = (ds.map_batches(project, batch_format="pyarrow")
               .groupby("bucket")
               .map_groups(bucket_sessions, batch_format="pandas"))
-    return starts.groupby(user_col).aggregate(
-        Sum("is_start", alias_name="n_sessions"))
+
+    # a user's rows live in exactly ONE bucket (hash co-partition), so
+    # bucket_sessions already emitted the complete per-user total — no
+    # second aggregate (which would pay per-USER Python in Ray's
+    # sort-based path), just the output name
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        return df.rename(columns={"is_start": "n_sessions"})
+
+    return starts.map_batches(finalize, batch_format="pandas")
