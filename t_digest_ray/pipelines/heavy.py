@@ -44,9 +44,11 @@ def heavy_hitters(ds, key_col: str, k: int = 10,
     Returns a Dataset of rows (key_col, est_count: int64) of length <= k,
     sorted by (est_count desc, key asc).
     """
-    from ray.data.aggregate import Sum
+    from ..stages.aggregate import hash_bucketed_group_agg
+    from ..stages.partitioning import cheap_row_count
 
     spec = cms_spec(width, depth)
+    n_rows = cheap_row_count(ds)
 
     # 1a. CMS partials via the generic sketch topology
     cms_ds = sketch_by_key(ds, spec, key_col, None,
@@ -62,10 +64,18 @@ def heavy_hitters(ds, key_col: str, k: int = 10,
         return pa.table({key_col: pa.array(uniq),
                          "batch_count": pa.array(counts.astype(np.int64))})
 
-    cand = (ds.map_batches(candidates, batch_format="pyarrow",
-                           batch_size=batch_size)
-            .groupby(key_col)
-            .aggregate(Sum("batch_count", alias_name="seen_count")))
+    # one group per distinct candidate key (tens of millions at corpus
+    # scale) — fold with the hash-bucketed vectorized combine. Candidate
+    # rows <= candidates_per_batch per block; estimate blocks at ~128k
+    # rows each (over-sizing buckets here would split the fold into
+    # millions of tiny map_groups tasks, the very cost being avoided).
+    cand_rows = (None if n_rows is None
+                 else max(n_rows // 131072, 1) * candidates_per_batch)
+    cand = hash_bucketed_group_agg(
+        ds.map_batches(candidates, batch_format="pyarrow",
+                       batch_size=batch_size),
+        [key_col], {"seen_count": ("batch_count", "sum")},
+        n_rows=cand_rows)
 
     # 2-3. score candidates against the merged global CMS inside Ray (the
     # candidate set can be large at corpus scale — it never lands on the

@@ -64,32 +64,35 @@ def exact_quantiles_by_key(ds, key: str, value: str,
     return ds.groupby(key).map_groups(per_group, batch_format="pandas")
 
 
-def dedup_exact(ds, content_col: str, id_col: str):
+def dedup_exact(ds, content_col: str, id_col: str,
+                n_rows: int | None = None):
     """Exact dedup: keep the row with the smallest id per distinct content.
 
     Scale path: hash the content inside ``map_batches`` (vectorized) so the
-    shuffle key is a fixed-width uint64, then pick the min-id row per group.
+    shuffle key is a fixed-width uint64, then pick the min-id row per group
+    via the hash-bucketed vectorized combine — there is one group per
+    DISTINCT DOCUMENT (billions at 10^12 rows), so Ray's sort-based
+    ``groupby.aggregate`` (~1 ms of Python per group) is pathological here.
     Returns (id, n_dupes) per kept row.
     """
     from ..functions.hashing import hash64
+    from ..stages.aggregate import hash_bucketed_group_agg
+
+    if n_rows is None:
+        from ..stages.partitioning import cheap_row_count
+        n_rows = cheap_row_count(ds)
 
     def add_hash(batch: pa.Table) -> pa.Table:
         h = hash64(batch[content_col].to_numpy(zero_copy_only=False))
-        return batch.append_column("content_hash",
-                                   pa.array(h.astype(np.int64)))
+        return pa.table({"content_hash": pa.array(h.astype(np.int64)),
+                         id_col: batch[id_col]})
 
     hashed = ds.map_batches(add_hash, batch_format="pyarrow")
-
-    # vectorized hash aggregate — NOT map_groups, which would pay one
-    # Python call per distinct content (millions of groups at scale)
-    from ray.data.aggregate import Count, Min
-
-    return (hashed
-            .select_columns(["content_hash", id_col])
-            .groupby("content_hash")
-            .aggregate(Min(id_col, alias_name=id_col),
-                       Count(alias_name="n_dupes"))
-            .select_columns([id_col, "n_dupes"]))
+    deduped = hash_bucketed_group_agg(
+        hashed, ["content_hash"],
+        {id_col: (id_col, "min"), "n_dupes": (id_col, "count")},
+        n_rows=n_rows)
+    return deduped.select_columns([id_col, "n_dupes"])
 
 
 def top_k_by_count(ds, key: str, k: int, count_name: str = "cnt"):

@@ -237,10 +237,15 @@ def watermark_flags(ds, ts_col: str, order_col: str, lateness_s: int,
 
     projected = ds.map_batches(project, batch_format="pyarrow")
 
-    # level 1: tiny per-bucket max-ts table -> driver prefix-max
-    from ray.data.aggregate import Max
-    bucket_max = (projected.groupby("bucket")
-                  .aggregate(Max("ts_us", alias_name="max_ts"))).to_pandas()
+    # level 1: tiny per-bucket max-ts table -> driver prefix-max. Folded
+    # with the vectorized hash-bucketed combine: up to 2^20 buckets means
+    # up to 2^20 GROUPS, where Ray's sort-based aggregate pays ~1 ms of
+    # Python each; the combine's per-batch partial also shrinks the
+    # shuffle to <= n_buckets rows per block.
+    from ..stages.aggregate import hash_bucketed_group_agg
+    bucket_max = hash_bucketed_group_agg(
+        projected.select_columns(["bucket", "ts_us"]), ["bucket"],
+        {"max_ts": ("ts_us", "max")}, n_rows=n_buckets).to_pandas()
     bucket_max = bucket_max.sort_values("bucket")
     # P[b] = max ts of all buckets before b: cummax shifted by one
     maxima = bucket_max["max_ts"].to_numpy(dtype=np.float64)

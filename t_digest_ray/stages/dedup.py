@@ -208,16 +208,25 @@ def minhash_lsh_pairs(ds, text_col: str, id_col: str, k: int = 128,
         {"est_jaccard": ("est_jaccard", "max")})
 
 
-def distinct_pair_ids(pairs):
-    """Distributed distinct ids referenced by candidate pairs (id_a|id_b)."""
-    from ray.data.aggregate import Count
+def distinct_pair_ids(pairs, n_pairs: int | None = None):
+    """Distributed distinct ids referenced by candidate pairs (id_a|id_b).
 
-    return (pairs.map_batches(
+    One group per CANDIDATE DOC — O(duplication) groups on an adversarial
+    crawl — so this uses the hash-bucketed vectorized combine, not Ray's
+    sort-based aggregate (~1 ms of Python per group)."""
+    from .aggregate import hash_bucketed_group_agg
+    from .partitioning import cheap_row_count
+
+    if n_pairs is None:
+        n_pairs = cheap_row_count(pairs)
+    ids = pairs.map_batches(
         lambda b: pa.table({"id": pa.array(np.concatenate([
             b["id_a"].to_numpy(zero_copy_only=False),
             b["id_b"].to_numpy(zero_copy_only=False)]))}),
         batch_format="pyarrow")
-        .groupby("id").aggregate(Count(alias_name="_n")))
+    return hash_bucketed_group_agg(
+        ids, ["id"], {"_n": ("id", "count")},
+        n_rows=None if n_pairs is None else 2 * n_pairs)
 
 
 def sharded_pair_verify(pairs, payloads, pair_fn, pair_cols: dict,
@@ -474,10 +483,15 @@ def pair_graph_min_labels(pairs, max_rounds: int = 8,
     pair — O(duplicates), not O(corpus)) is materialized between rounds
     so each iteration's lineage stays one round deep.
 
+    Node-keyed folds (one group per graph node = O(duplicates) groups)
+    run through the hash-bucketed vectorized combine — Ray's sort-based
+    per-group aggregate is pathological at that cardinality.
+
     Returns a Dataset ``(node, label)`` for every node referenced by
     ``pairs``, with ``label`` = min id of its connected component."""
-    from ray.data.aggregate import Min as AggMin
     from ray.data.aggregate import Sum as AggSum
+
+    from .aggregate import hash_bucketed_group_agg
 
     E = pairs.select_columns(["id_a", "id_b"]).materialize()
     n_edges = E.count()
@@ -496,9 +510,10 @@ def pair_graph_min_labels(pairs, max_rounds: int = 8,
             batch["id_b"].to_numpy(zero_copy_only=False)]).astype(np.int64)
         return pa.table({"node": pa.array(ids), "label": pa.array(ids)})
 
-    labels = (E.map_batches(nodes0, batch_format="pyarrow")
-              .groupby("node").aggregate(AggMin("label", alias_name="label"))
-              .materialize())
+    labels = hash_bucketed_group_agg(
+        E.map_batches(nodes0, batch_format="pyarrow"),
+        ["node"], {"label": ("label", "min")},
+        n_rows=2 * n_edges).materialize()
 
     def edge_copies(batch: pa.Table) -> pa.Table:
         # one copy keyed by each endpoint: resolve that endpoint's label,
@@ -549,12 +564,11 @@ def pair_graph_min_labels(pairs, max_rounds: int = 8,
                              "cand": batch["label"].cast(pa.int64()),
                              "old": batch["label"].cast(pa.int64())})
 
-        folded = (msgs.union(labels.map_batches(self_rows,
-                                                batch_format="pyarrow"))
-                  .groupby("node")
-                  .aggregate(AggMin("cand", alias_name="label"),
-                             AggMin("old", alias_name="old"))
-                  .materialize())
+        folded = hash_bucketed_group_agg(
+            msgs.union(labels.map_batches(self_rows,
+                                          batch_format="pyarrow")),
+            ["node"], {"label": ("cand", "min"), "old": ("old", "min")},
+            n_rows=3 * n_edges).materialize()
 
         def changed(batch: pa.Table) -> pa.Table:
             lab = batch["label"].to_numpy(zero_copy_only=False)
@@ -605,7 +619,6 @@ def minhash_dedup_keep(ds, text_col: str, id_col: str,
       the drop-set itself is beyond per-node memory.
     """
     import ray
-    from ray.data.aggregate import Count
 
     pairs = minhash_lsh_pairs(ds, text_col, id_col, **kwargs)
     if closure_rounds > 0:
@@ -618,8 +631,10 @@ def minhash_dedup_keep(ds, text_col: str, id_col: str,
 
         drops = labels.map_batches(non_min, batch_format="pyarrow")
     else:
-        drops = (pairs.select_columns(["id_b"])
-                 .groupby("id_b").aggregate(Count(alias_name="_n")))
+        from .aggregate import hash_bucketed_group_agg
+        drops = hash_bucketed_group_agg(
+            pairs.select_columns(["id_b"]), ["id_b"],
+            {"_n": ("id_b", "count")})
     n_drop = drops.count()
     if n_drop == 0:
         return ds
