@@ -944,9 +944,15 @@ def embedding_near_dup_docs(sf_dir: str):
         return pa.table({"vec_id": b["doc_id"],
                          "payload": pc.cast(b["text"], pa.binary())})
 
+    # materialize the (id, vector) projection: embedding_near_dup_pairs
+    # scans its input twice (signature pass + candidate-vector gather),
+    # and without this the actor-pool embed stage re-executes per scan.
+    # Real pipelines read embeddings from a stored table (computed once);
+    # this mirrors that — the projection is ~100x smaller than the text.
     emb = (ds.map_batches(to_media, batch_format="pyarrow")
            .map_batches(EmbedStub, batch_format="pyarrow", concurrency=2)
-           .select_columns(["vec_id", "embedding"]))
+           .select_columns(["vec_id", "embedding"])
+           .materialize())
     return embedding_near_dup_pairs(emb, threshold=0.999, n_bands=8,
                                     n_planes=10)
 

@@ -102,7 +102,8 @@ def embedding_near_dup_pairs(ds, threshold: float = 0.9, n_bands: int = 4,
                              batch_size: int = 4096,
                              coarse_buckets: int | None = None,
                              n_rows: int | None = None,
-                             shard_budget: int = 2_000_000):
+                             shard_budget: int = 2_000_000,
+                             center: bool = True):
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine >= t).
 
     Scale path: ``n_bands`` independent random-hyperplane signatures
@@ -111,6 +112,21 @@ def embedding_near_dup_pairs(ds, threshold: float = 0.9, n_bands: int = 4,
     cosine c collide in one band w.p. (1 - acos(c)/pi)^n_planes; n_bands
     bands boost recall to 1-(1-p)^b. False candidates are removed by an
     exact cosine check.
+
+    ``center=True`` (default) subtracts the corpus mean of the normalized
+    vectors before signing hyperplanes. Real embedding corpora are
+    concentrated on a spherical cap (anisotropy — all pairwise cosines
+    high), where raw-vector hyperplane LSH degenerates: nearly EVERY pair
+    collides in some band and the candidate set goes quadratic (measured
+    here: 121k candidate pairs from 500 byte-histogram embeddings, 97 % of
+    all pairs). Centering spreads the cap over the full sphere; true
+    near-dups (v_a ~= v_b) remain near-identical after ``v - mu`` so
+    recall is preserved, while unrelated pairs decorrelate and stop
+    colliding. The exact-cosine verify always runs on the RAW vectors, so
+    ``threshold`` keeps its meaning; centering only shapes the candidate
+    set. Cost: one extra metadata-pruned pass over ``ds`` emitting ONE
+    (sum, count) row per block — the driver folds ~#blocks KB-sized rows,
+    never vectors.
 
     Shuffle discipline: the banding shuffle carries ONLY
     (bucket, band, sig, id) — never the float vector blob (previously each
@@ -141,10 +157,28 @@ def embedding_near_dup_pairs(ds, threshold: float = 0.9, n_bands: int = 4,
             ds, n_rows=n_rows, rows_per_bucket=262144, fanout=n_bands,
             what="embedding_near_dup_pairs")
 
+    mu = None
+    if center:
+        def vec_sum(batch: pa.Table) -> pa.Table:
+            v = _normalize(_embeddings_matrix(batch[vec_col]))
+            if v.ndim != 2 or len(v) == 0:
+                return pa.table({"s": pa.array([], pa.binary()),
+                                 "n": pa.array([], pa.int64())})
+            return pa.table({
+                "s": pa.array([v.sum(axis=0, dtype=np.float64)
+                               .astype("<f8").tobytes()]),
+                "n": pa.array([len(v)], pa.int64())})
+
+        parts = ds.map_batches(vec_sum, batch_format="pyarrow").to_pandas()
+        if len(parts) and parts["n"].sum() > 0:
+            tot = np.sum([np.frombuffer(b, dtype=np.float64)
+                          for b in parts["s"]], axis=0)
+            mu = (tot / parts["n"].sum()).astype(np.float32)
+
     rng = np.random.default_rng(seed)
     # planes for all bands at once; dim discovered on first batch
-    state = ray.put(rng.standard_normal((n_bands * n_planes, 4096))
-                    .astype(np.float32))
+    state = ray.put((rng.standard_normal((n_bands * n_planes, 4096))
+                     .astype(np.float32), mu))
 
     def signatures(batch: pa.Table) -> pa.Table:
         v = _normalize(_embeddings_matrix(batch[vec_col]))
@@ -155,7 +189,10 @@ def embedding_near_dup_pairs(ds, threshold: float = 0.9, n_bands: int = 4,
                              "band": pa.array([], pa.int32()),
                              "sig": pa.array([], pa.int64()),
                              id_col: pa.array([], pa.int64())})
-        planes = ray.get(state)[:, :d]
+        all_planes, mu_w = ray.get(state)
+        if mu_w is not None:
+            v = _normalize(v - mu_w[:d])
+        planes = all_planes[:, :d]
         out_b, out_s, out_i = [], [], []
         for b in range(n_bands):
             p = planes[b * n_planes:(b + 1) * n_planes]
