@@ -366,6 +366,25 @@ def heavy_sources(sf_dir: str):
     return heavy_hitters(ds, "source", k=5, width=2048, depth=5)
 
 
+def mg_heavy_event_types(sf_dir: str):
+    """Heavy hitters via the Misra-Gries / SpaceSaving summary — the
+    deterministic counter path (no candidate stream, no hashing). With
+    distinct keys <= capacity the counts are exact and the summary's own
+    error bound (max_undercount) is 0, both gated by the oracle."""
+    from t_digest_ray.pipelines.heavy import heavy_hitters_mg
+
+    ds = _read(sf_dir, "events", ["event_type"])
+    return heavy_hitters_mg(ds, "event_type", k=5, capacity=64)
+
+
+def mg_heavy_sources(sf_dir: str):
+    """Misra-Gries heavy hitters over documents.source (host analogue)."""
+    from t_digest_ray.pipelines.heavy import heavy_hitters_mg
+
+    ds = _read(sf_dir, "documents", ["source"])
+    return heavy_hitters_mg(ds, "source", k=5, capacity=64)
+
+
 def knn_cosine_rank(sf_dir: str):
     """Brute-force cosine top-10 for the embedding of vec_id=0 (exact)."""
     import pyarrow.parquet as pq
@@ -1129,6 +1148,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "linear_histogram_events": linear_histogram_events,
         "cms_heavy_event_types": cms_heavy_event_types,
         "heavy_sources": heavy_sources,
+        "mg_heavy_event_types": mg_heavy_event_types,
+        "mg_heavy_sources": mg_heavy_sources,
         "knn_cosine_rank": knn_cosine_rank,
         "knn_multi_query_rank": knn_multi_query_rank,
         "ivf_topk_rank": ivf_topk_rank,
@@ -1618,6 +1639,18 @@ def oracle_sql() -> dict[str, str]:
         """,
         "heavy_sources": """
             SELECT source, COUNT(*) AS est_count
+            FROM documents GROUP BY source
+            ORDER BY est_count DESC, source ASC LIMIT 5
+        """,
+        "mg_heavy_event_types": """
+            SELECT event_type, COUNT(*) AS est_count,
+                   CAST(0 AS BIGINT) AS max_undercount
+            FROM events GROUP BY event_type
+            ORDER BY est_count DESC, event_type ASC LIMIT 5
+        """,
+        "mg_heavy_sources": """
+            SELECT source, COUNT(*) AS est_count,
+                   CAST(0 AS BIGINT) AS max_undercount
             FROM documents GROUP BY source
             ORDER BY est_count DESC, source ASC LIMIT 5
         """,

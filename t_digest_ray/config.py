@@ -25,7 +25,8 @@ import json
 from dataclasses import dataclass, field
 from typing import Any
 
-PIPELINES = ("quantiles", "kll", "req", "distinct", "heavy", "dedup",
+PIPELINES = ("quantiles", "kll", "req", "distinct", "heavy", "heavy_mg",
+             "dedup",
              "dedup_keep", "simhash", "checkpointed", "sessionize",
              "watermark", "watermarked_window", "cdf", "ivf_build",
              "drift_check")
@@ -133,6 +134,9 @@ def run_job(cfg: JobConfig):
     elif cfg.pipeline == "heavy":
         from .pipelines.heavy import heavy_hitters
         out = heavy_hitters(ds, cfg.value_col, **p)
+    elif cfg.pipeline == "heavy_mg":
+        from .pipelines.heavy import heavy_hitters_mg
+        out = heavy_hitters_mg(ds, cfg.value_col, **p)
     elif cfg.pipeline == "dedup":
         from .stages.dedup import minhash_lsh_pairs
         out = minhash_lsh_pairs(ds, cfg.value_col, cfg.key or "doc_id", **p)

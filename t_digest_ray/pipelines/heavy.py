@@ -99,3 +99,39 @@ def heavy_hitters(ds, key_col: str, k: int = 10,
                               concurrency=(1, 4))
     return (scored.sort(["est_count", key_col], descending=[True, False])
             .limit(k))
+
+
+def heavy_hitters_mg(ds, key_col: str, k: int = 10, capacity: int = 256,
+                     batch_size: int | None = None):
+    """Top-k most frequent values of ``key_col`` via a Misra-Gries /
+    SpaceSaving summary (state/mg.py) — the deterministic complement of
+    the CMS path: the summary CARRIES its own candidate set, so there is
+    no separate candidate stream or scoring pass, and the error bound
+    (``true - est <= max_undercount <= n/(capacity+1)``) is deterministic
+    and survives the two-level salted merge tree (Agarwal et al.,
+    "Mergeable Summaries", PODS 2012 §3).
+
+    One scan, one KB-sized-row shuffle, one counter table out. Returns
+    <= k rows ``(key_col, est_count, max_undercount)`` sorted by
+    (est desc, key asc). With distinct keys <= capacity the counts are
+    exact and ``max_undercount == 0``.
+    """
+    import pandas as pd
+
+    from ..state.mg import MisraGries, mg_spec
+
+    spec = mg_spec(capacity)
+    merged = sketch_by_key(ds, spec, key_col, None, batch_size=batch_size)
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        sk = MisraGries.from_bytes(df["sketch"].iloc[0])
+        top = sk.topk(k)
+        return pd.DataFrame({
+            key_col: [t[0] for t in top],
+            "est_count": np.array([t[1] for t in top], dtype=np.int64),
+            "max_undercount": np.full(len(top), sk.max_undercount,
+                                      dtype=np.int64),
+        })
+
+    # the merged dataset is ONE row; finalize is a trivial batch map
+    return merged.map_batches(finalize, batch_format="pandas")

@@ -3,6 +3,7 @@ layer 2/4: each sketch's observed error must sit inside its published bound).
 """
 
 import numpy as np
+import pyarrow as pa
 import pytest
 
 from t_digest_ray.state.bloom import BloomFilter
@@ -391,3 +392,96 @@ def test_kll_datasketches_layout_roundtrip():
     it1, w1 = sk._weighted_sorted()
     it2, w2 = sk2._weighted_sorted()
     assert np.array_equal(it1, it2) and np.array_equal(w1, w2)
+
+
+class TestMisraGries:
+    """Misra-Gries / SpaceSaving heavy-hitter summary (state/mg.py)."""
+
+    def test_exact_when_under_capacity(self):
+        from t_digest_ray.state.mg import MisraGries
+        sk = MisraGries(64)
+        sk.update_batch(np.array(["a"] * 50 + ["b"] * 30 + ["c"] * 5,
+                                 dtype=object))
+        assert sk.max_undercount == 0
+        assert sk.topk(2) == [("a", 50), ("b", 30)]
+        assert list(sk.estimate(["a", "b", "c", "zz"])) == [50, 30, 5, 0]
+
+    def test_deterministic_bound_under_shrink(self):
+        from t_digest_ray.state.mg import MisraGries
+        rng = np.random.default_rng(7)
+        # zipf-ish stream with far more distinct keys than capacity
+        vals = rng.zipf(1.3, 200_000).astype(np.int64)
+        vals = vals[vals < 50_000]
+        sk = MisraGries(32)
+        for chunk in np.array_split(vals, 37):
+            sk.update_batch(chunk)
+        assert sk.n == len(vals)
+        assert 0 < sk.max_undercount <= sk.n // (32 + 1)
+        uniq, cnt = np.unique(vals, return_counts=True)
+        true = dict(zip(uniq, cnt))
+        est = sk.estimate(np.array(list(sk.counts)))
+        for k, e in zip(sk.counts, est):
+            t = true[k]
+            assert e <= t, (k, e, t)  # never overestimates
+            assert t - e <= sk.max_undercount
+        # every key above the guarantee threshold is tracked
+        thresh = sk.n / (32 + 1)
+        tracked = set(sk.counts)
+        for k, t in true.items():
+            if t > thresh:
+                assert int(k) in tracked
+
+    def test_merge_matches_single_stream_bound_and_is_order_free(self):
+        from t_digest_ray.state.mg import MisraGries
+        rng = np.random.default_rng(11)
+        parts = [rng.zipf(1.5, 20_000).astype(np.int64) for _ in range(6)]
+        sks = []
+        for p in parts:
+            s = MisraGries(48)
+            s.update_batch(p)
+            sks.append(s)
+        m1 = MisraGries(48).merge(*sks)
+        # opposite merge order, pairwise tree
+        sks2 = [MisraGries.from_bytes(s.to_bytes()) for s in sks][::-1]
+        left = MisraGries(48).merge(sks2[0], sks2[1], sks2[2])
+        right = MisraGries(48).merge(sks2[3], sks2[4], sks2[5])
+        m2 = MisraGries(48).merge(left, right)
+        allv = np.concatenate(parts)
+        uniq, cnt = np.unique(allv, return_counts=True)
+        true = dict(zip(uniq, cnt))
+        for m in (m1, m2):
+            assert m.n == len(allv)
+            assert m.max_undercount <= m.n // (48 + 1)
+            for k, e in m.counts.items():
+                assert e <= true[k]
+                assert true[k] - e <= m.max_undercount
+
+    def test_weighted_updates_and_serde_roundtrip(self):
+        from t_digest_ray.state.mg import MisraGries
+        sk = MisraGries(8)
+        sk.update_batch(np.array(["x", "y", "x"], dtype=object),
+                        weights=np.array([5, 2, 1]))
+        assert sk.estimate(["x"])[0] == 6 and sk.n == 8
+        b = sk.to_bytes()
+        rt = MisraGries.from_bytes(b)
+        assert rt.counts == sk.counts and rt.n == sk.n
+        assert rt.offset == sk.offset and rt.capacity == sk.capacity
+        assert rt.to_bytes() == b
+        # int keys round-trip through the int layout
+        ik = MisraGries(8)
+        ik.update_batch(np.array([3, 3, 9], dtype=np.int64))
+        rt2 = MisraGries.from_bytes(ik.to_bytes())
+        assert rt2.counts == {3: 2, 9: 1}
+
+    def test_distributed_topology(self, ray_session):
+        import ray.data as rd
+        from t_digest_ray.pipelines.heavy import heavy_hitters_mg
+        rng = np.random.default_rng(3)
+        keys = np.array(["k%02d" % i for i in rng.zipf(1.4, 30_000) % 40])
+        ds = rd.from_arrow(pa.table({"k": pa.array(keys)})).repartition(16)
+        out = heavy_hitters_mg(ds, "k", k=5, capacity=64).to_pandas()
+        uniq, cnt = np.unique(keys, return_counts=True)
+        order = np.lexsort((uniq, -cnt))
+        assert list(out["k"]) == list(uniq[order[:5]])
+        assert list(out["est_count"]) == [int(cnt[i]) for i in order[:5]]
+        assert (out["max_undercount"] == 0).all()  # 40 keys < capacity
