@@ -244,6 +244,88 @@ def order_year_revenue(sf_dir: str):
     return out.map_batches(finalize, batch_format="pandas")
 
 
+def q3_top_orders(sf_dir: str):
+    """TPC-H Q3-shaped shipping-priority query: a two-join chain
+    (customer semi-join orders, then orders hash-join lineitem) where
+    every side is a fact-scale table, composed from the engine's own
+    distributed pieces — filters pushed into the first map over each
+    read, both joins via the co-partitioned ``hash_join``, the
+    one-group-per-order revenue fold via the vectorized hash-bucketed
+    combine, then a global top-10. Revenue is emitted in integer cents
+    for exact oracle comparison (the q1 pattern)."""
+    import datetime
+
+    import pyarrow.compute as pc
+    from t_digest_ray.pipelines.relational import hash_join
+    from t_digest_ray.stages.aggregate import hash_bucketed_group_agg
+    from t_digest_ray.stages.partitioning import cheap_row_count
+
+    cutoff = datetime.date(1995, 3, 15)
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    n_cust = cheap_row_count(cust)
+
+    def cust_f(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.equal(b["c_mktsegment"], "BUILDING"))
+        return pa.table({"key": t["c_custkey"]})
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"])
+    n_ord = cheap_row_count(orders)
+
+    def ord_f(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.less(b["o_orderdate"], pa.scalar(cutoff)))
+        return pa.table({
+            "key": t["o_custkey"],
+            "o_orderkey": t["o_orderkey"],
+            "o_orderdate": pc.strftime(t["o_orderdate"], format="%Y-%m-%d"),
+        })
+
+    j1 = hash_join(orders.map_batches(ord_f, batch_format="pyarrow"),
+                   cust.map_batches(cust_f, batch_format="pyarrow"),
+                   on="key", left_cols=["o_orderkey", "o_orderdate"],
+                   right_cols=[],
+                   n_rows=None if None in (n_cust, n_ord)
+                   else n_cust + n_ord)
+
+    def j1_key(b: pa.Table) -> pa.Table:
+        return pa.table({"okey": b["o_orderkey"],
+                         "o_orderdate": b["o_orderdate"]})
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_extendedprice", "l_discount",
+                "l_shipdate"])
+    n_li = cheap_row_count(li)
+
+    def li_f(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.greater(
+            b["l_shipdate"],
+            pa.scalar(datetime.datetime(1995, 3, 15))))
+        rev = pc.multiply(t["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table({"okey": t["l_orderkey"], "rev": rev})
+
+    j2 = hash_join(li.map_batches(li_f, batch_format="pyarrow"),
+                   j1.map_batches(j1_key, batch_format="pyarrow"),
+                   on="okey", left_cols=["rev"],
+                   right_cols=["o_orderdate"],
+                   n_rows=None if None in (n_li, n_ord)
+                   else n_li + n_ord)
+
+    agg = hash_bucketed_group_agg(j2, ["okey", "o_orderdate"],
+                                  {"revenue_cents": ("rev", "sum")},
+                                  n_rows=n_ord)
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.rename(columns={"okey": "l_orderkey"})
+        return _cents(df, ["revenue_cents"])[
+            ["l_orderkey", "o_orderdate", "revenue_cents"]]
+
+    return (agg.map_batches(fin, batch_format="pandas")
+            .sort(["revenue_cents", "l_orderkey"],
+                  descending=[True, False]).limit(10))
+
+
 def region_supplier_revenue(sf_dir: str):
     """Broadcast-chain join: the supplier->nation->region dimension chain
     is folded into ONE suppkey->region_name dict on the driver (three
@@ -1142,6 +1224,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users_by_type": distinct_users_by_type,
         "customer_nation_stats": customer_nation_stats,
         "order_year_revenue": order_year_revenue,
+        "q3_top_orders": q3_top_orders,
         "region_supplier_revenue": region_supplier_revenue,
         "doc_token_stats": doc_token_stats,
         "bloom_semi_join_count": bloom_semi_join_count,
@@ -1517,6 +1600,18 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS revenue_cents
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             GROUP BY 1
+        """,
+        "q3_top_orders": """
+            SELECT l_orderkey, STRFTIME(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+                   CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)) * 100)
+                        AS BIGINT) AS revenue_cents
+            FROM customer, orders, lineitem
+            WHERE c_mktsegment = 'BUILDING'
+              AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+              AND o_orderdate < DATE '1995-03-15'
+              AND l_shipdate > TIMESTAMP '1995-03-15'
+            GROUP BY l_orderkey, o_orderdate
+            ORDER BY revenue_cents DESC, l_orderkey LIMIT 10
         """,
         "region_supplier_revenue": """
             SELECT r_name, COUNT(*) AS n_items,

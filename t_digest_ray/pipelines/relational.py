@@ -179,7 +179,7 @@ def hash_join(left, right, on: str, left_cols, right_cols,
     # one unified Arrow schema for the union: the absent side's columns
     # are typed nulls (schema() is a metadata read for parquet sources)
     types = {}
-    for d, cs in ((left, left_cols), (right, right_cols)):
+    for d, cs in ((left, [on] + left_cols), (right, right_cols)):
         sch = d.schema()
         sch = getattr(sch, "base_schema", sch)
         if hasattr(sch, "field"):  # pyarrow schema (parquet-backed)
@@ -212,10 +212,22 @@ def hash_join(left, right, on: str, left_cols, right_cols,
               .union(right.map_batches(tag(0, right_cols),
                                        batch_format="pyarrow")))
 
-    def bucket_join(g: pd.DataFrame) -> pd.DataFrame:
+    # the inner join drops every null, but the union's null-padding made
+    # pandas promote int columns to float64 inside each bucket frame —
+    # emit Arrow with the declared source types so the output is
+    # type-stable (joins compose: this output may be the next join's
+    # hash-key input, where float64 vs int64 keys would silently miss)
+    out_fields = [(on, types[on])] + [(c, types[c])
+                                      for c in left_cols + right_cols]
+    out_schema = pa.schema(out_fields)
+
+    def bucket_join(g: pd.DataFrame) -> pa.Table:
         l = g[g["is_left"] == 1][[on] + left_cols]
         r = g[g["is_left"] == 0][[on] + right_cols]
-        return l.merge(r, on=on, how="inner")
+        j = l.merge(r, on=on, how="inner")
+        return pa.table({c: pa.array(j[c].to_numpy(), type=t)
+                         for c, t in out_fields},
+                        schema=out_schema)
 
     return tagged.groupby("bucket").map_groups(bucket_join,
                                                batch_format="pandas")
