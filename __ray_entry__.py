@@ -392,6 +392,103 @@ def doc_token_stats(sf_dir: str):
     return ds.map_batches(fn, batch_format="pandas")
 
 
+# ------------------------------------------------------------------ curation
+# Deterministic corpus-curation operators (pipelines/curation.py). The
+# samplers use splitmix64, which the oracles reproduce bit-exactly in SQL
+# with 128-bit unsigned arithmetic — even the "random" sampling queries are
+# value-hash checked.
+
+_TOKENS_SQL = (r"CAST(LEN(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(text, '\s+'),"
+               r" x -> x <> '')) AS BIGINT)")
+
+_M64 = "CAST(18446744073709551616 AS UHUGEINT)"  # 2^64
+
+
+def _splitmix_ctes(extra_cols: str) -> str:
+    """CTE chain computing h = splitmix64(doc_id) over documents, carrying
+    ``extra_cols``. Constants match functions/hashing.py:23-25."""
+    return f"""
+        m0 AS (SELECT doc_id, {extra_cols},
+                      (CAST(doc_id AS UHUGEINT)
+                       + CAST(11400714819323198485 AS UHUGEINT)) % {_M64} AS z
+               FROM documents),
+        m1 AS (SELECT *, (xor(z, z >> 30)
+                          * CAST(13787848793156543929 AS UHUGEINT))
+                          % {_M64} AS z1 FROM m0),
+        m2 AS (SELECT *, (xor(z1, z1 >> 27)
+                          * CAST(10723151780598845931 AS UHUGEINT))
+                          % {_M64} AS z2 FROM m1),
+        mh AS (SELECT doc_id, {extra_cols}, xor(z2, z2 >> 31) AS h FROM m2)
+    """
+
+
+_SHARD_BUDGET = 4096          # tokens per training shard
+_SAMPLE_RATE = 0.3
+_SAMPLE_THRESHOLD = int(_SAMPLE_RATE * 2.0 ** 64)  # same float op both sides
+
+
+def token_shard_packing(sf_dir: str):
+    """Token-budget training-shard packing: documents in doc_id order are
+    greedily packed into shards of ~4096 tokens via an EXACT distributed
+    prefix sum (two-level: per-bucket sums -> driver exclusive prefix ->
+    broadcast bases — the additive twin of the watermark prefix-max).
+    Layout-independent: same shard ids at any parallelism."""
+    from t_digest_ray.pipelines.curation import prefix_sum_shards
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def tokens(df: pd.DataFrame) -> pd.DataFrame:
+        from t_digest_ray.functions.text import token_count
+        return pd.DataFrame({"doc_id": df["doc_id"],
+                             "n_tokens": token_count(df["text"].fillna(""))})
+
+    packed = prefix_sum_shards(
+        ds.map_batches(tokens, batch_format="pandas"),
+        "doc_id", "n_tokens", budget=_SHARD_BUDGET)
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        return df.rename(columns={"offset": "tok_offset"})[
+            ["doc_id", "n_tokens", "tok_offset", "shard_id"]]
+
+    return packed.map_batches(fin, batch_format="pandas")
+
+
+def stratified_sample_docs(sf_dir: str):
+    """Deterministic k-per-language sample: the 20 docs with the smallest
+    splitmix64(doc_id) per lang — uniform within each stratum yet fully
+    reproducible (no RNG state; identical at any parallelism/retry).
+    Combiner topology: each batch ships <= k rows per key."""
+    from t_digest_ray.pipelines.curation import stratified_sample
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+    return stratified_sample(ds, "lang", "doc_id", k=20)
+
+
+def hash_sampled_doc_stats(sf_dir: str):
+    """Per-lang stats over a deterministic Bernoulli(0.3) hash sample
+    (splitmix64(doc_id) < 0.3 * 2^64): the reproducible corpus downsample /
+    leak-free split primitive. Pure per-batch filter, no shuffle."""
+    from ray.data.aggregate import Count, Sum
+    from t_digest_ray.pipelines.curation import bernoulli_sample
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    kept = bernoulli_sample(ds, "doc_id", _SAMPLE_RATE)
+    return kept.groupby("lang").aggregate(
+        Count(alias_name="n_docs"),
+        Sum("n_chars", alias_name="sum_chars"))
+
+
+def normalized_dedup_stats(sf_dir: str):
+    """Normalization-aware exact dedup: distinct count per lang of the
+    CANONICAL text form (lowercase, \\s+ collapsed, trimmed) — catches the
+    case/whitespace mirror copies byte-exact dedup misses. Shuffles only
+    (lang, uint64 hash) pairs; Arrow RE2 kernels match DuckDB's RE2."""
+    from t_digest_ray.pipelines.curation import normalized_distinct_by_key
+
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+    return normalized_distinct_by_key(ds, "text", "lang")
+
+
 def bloom_semi_join_count(sf_dir: str):
     """Semi join via Bloom prefilter + exact verify (exact result)."""
     import pyarrow.parquet as pq
@@ -1227,6 +1324,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q3_top_orders": q3_top_orders,
         "region_supplier_revenue": region_supplier_revenue,
         "doc_token_stats": doc_token_stats,
+        "token_shard_packing": token_shard_packing,
+        "stratified_sample_docs": stratified_sample_docs,
+        "hash_sampled_doc_stats": hash_sampled_doc_stats,
+        "normalized_dedup_stats": normalized_dedup_stats,
         "bloom_semi_join_count": bloom_semi_join_count,
         "linear_histogram_events": linear_histogram_events,
         "cms_heavy_event_types": cms_heavy_event_types,
@@ -1715,6 +1816,40 @@ def oracle_sql() -> dict[str, str]:
                         - LENGTH(REGEXP_REPLACE(text, '[0-9]', '', 'g'))
                         AS BIGINT) AS n_digit
             FROM documents
+        """,
+        "token_shard_packing": f"""
+            WITH tok AS (SELECT doc_id, {_TOKENS_SQL} AS n_tokens
+                         FROM documents)
+            SELECT doc_id, n_tokens,
+                   CAST(SUM(n_tokens) OVER w - n_tokens AS BIGINT)
+                       AS tok_offset,
+                   CAST((SUM(n_tokens) OVER w - n_tokens)
+                        // {_SHARD_BUDGET} AS BIGINT) AS shard_id
+            FROM tok
+            WINDOW w AS (ORDER BY doc_id
+                         ROWS UNBOUNDED PRECEDING)
+        """,
+        "stratified_sample_docs": f"""
+            WITH {_splitmix_ctes("lang")},
+            ranked AS (SELECT lang, doc_id,
+                              ROW_NUMBER() OVER (PARTITION BY lang
+                                                 ORDER BY h) AS rn
+                       FROM mh)
+            SELECT lang, doc_id FROM ranked WHERE rn <= 20
+        """,
+        "hash_sampled_doc_stats": f"""
+            WITH {_splitmix_ctes("lang, n_chars")}
+            SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars
+            FROM mh
+            WHERE h < CAST({_SAMPLE_THRESHOLD} AS UHUGEINT)
+            GROUP BY lang
+        """,
+        "normalized_dedup_stats": r"""
+            SELECT lang,
+                   COUNT(DISTINCT TRIM(REGEXP_REPLACE(LOWER(text),
+                                                      '\s+', ' ', 'g')))
+                       AS n_distinct
+            FROM documents GROUP BY lang
         """,
         "bloom_semi_join_count": """
             SELECT l_returnflag, COUNT(*) AS n_rows

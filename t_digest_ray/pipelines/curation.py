@@ -1,0 +1,267 @@
+"""Training-data curation operators: deterministic sampling, token-budget
+shard packing, and text-normalization dedup.
+
+These are the corpus-side operations a pretraining-data pipeline runs after
+dedup/quality filtering (the reference engine's sketches answer "what does
+the corpus look like"; these decide "what goes into the training run"):
+
+* ``prefix_sum_shards``   — EXACT distributed prefix-sum over a defined
+  order, used to greedily pack documents into fixed-token-budget training
+  shards. Two-level topology (per-bucket sums -> driver exclusive prefix ->
+  broadcast bases), the additive twin of ``windows.watermark_flags``'
+  prefix-max: the wide state that crosses tasks is ONE float per bucket,
+  so the driver holds #buckets rows, never data. Layout-independent —
+  identical shard ids at any parallelism (the SURVEY §4 invariant).
+* ``stratified_sample``   — per-key deterministic top-k by a splitmix64
+  hash of the row id: a reproducible "random" k-per-stratum sample that
+  needs no RNG state, survives retries, and is order/parallelism
+  independent (splitmix64 is a bijection on uint64, so ranks are total
+  and tie-free for distinct ids). Combiner topology: each batch keeps at
+  most k rows per key, so the shuffle carries <= k * keys_per_block rows,
+  never the corpus.
+* ``bernoulli_sample``    — deterministic hash-rate row sampling
+  (``splitmix64(id) < rate * 2^64``): the standard reproducible corpus
+  downsample / train-eval split. Pure per-batch filter, no shuffle.
+* ``add_normalized_hash`` — canonicalize text (NFC-agnostic ASCII rules:
+  lowercase, collapse ``\\s+`` to one space, strip) and attach a stable
+  64-bit hash of the canonical form, the key for normalization-aware
+  exact dedup (catches whitespace/case mirror copies that byte-exact
+  dedup misses). All Arrow C kernels (RE2), no Python per row.
+
+All hashes come from ``functions.hashing.splitmix64`` and are reproducible
+in ANSI SQL with 128-bit integer arithmetic — every operator here is graded
+against a DuckDB oracle, including the "random" samplers.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.hashing import hash64, splitmix64
+
+
+# ---------------------------------------------------------------------------
+# token-budget shard packing (exact distributed prefix sum)
+# ---------------------------------------------------------------------------
+
+def prefix_sum_shards(ds, order_col: str, weight_col: str, budget: int,
+                      carry_cols: tuple[str, ...] = (),
+                      n_buckets: int | None = None,
+                      order_range: tuple[int, int] | None = None):
+    """Pack rows into fixed-capacity shards by exact prefix sum.
+
+    Rows are taken in ``order_col`` order; row i with weight w_i starts at
+    offset ``S_i = sum(w_j for j < i)`` (the exclusive prefix sum) and is
+    assigned ``shard_id = S_i // budget`` — the deterministic greedy
+    packing a sequence-packing / shard-writing stage uses (a row may
+    straddle a boundary; every shard holds ~``budget`` weight). Equivalent
+    SQL: ``(SUM(w) OVER (ORDER BY order_col) - w) // budget``.
+
+    Distribution (exact at any parallelism): rows are bucketed by
+    contiguous ``order_col`` ranges; a per-bucket weight-sum table (KBs)
+    is reduced on the driver into exclusive prefix bases ``B[b] = sum of
+    all buckets < b`` and broadcast; each bucket group then sorts by
+    ``order_col`` and adds its in-bucket exclusive cumsum to ``B[b]``.
+    One shuffle of (order, weight, carry) rows, one tiny driver table —
+    same two-level shape as ``windows.watermark_flags`` (prefix-max), with
+    ``+`` instead of ``max``.
+
+    Weights must be non-negative integers (token counts); sums are exact
+    int64 (a 100 TB corpus is ~2.5e13 tokens, 18 bits of headroom).
+
+    Returns rows ``(order_col, *carry_cols, weight_col, offset, shard_id)``.
+    """
+    import ray
+
+    from ..stages.aggregate import hash_bucketed_group_agg
+    from ..stages.partitioning import coarse_bucket_count
+
+    if n_buckets is None:
+        n_buckets = coarse_bucket_count(ds, rows_per_bucket=262144,
+                                        what="prefix_sum_shards")
+
+    if order_range is not None:
+        lo, hi = int(order_range[0]), int(order_range[1])
+    else:
+        from ray.data.aggregate import Max as AggMax
+        from ray.data.aggregate import Min as AggMin
+        rng = ds.aggregate(AggMin(order_col, alias_name="lo"),
+                           AggMax(order_col, alias_name="hi"))
+        lo, hi = int(rng["lo"]), int(rng["hi"])
+    span = max(hi - lo + 1, 1)
+    width = -(-span // n_buckets)
+
+    def project(batch: pa.Table) -> pa.Table:
+        o = batch[order_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        w = batch[weight_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(w) and w.min() < 0:
+            raise ValueError("prefix_sum_shards: negative weight")
+        cols = {
+            "bucket": pa.array(((o - lo) // width).astype(np.int32)),
+            order_col: pa.array(o),
+            weight_col: pa.array(w),
+        }
+        for c in carry_cols:
+            cols[c] = batch[c]
+        return pa.table(cols)
+
+    projected = ds.map_batches(project, batch_format="pyarrow")
+
+    # level 1: per-bucket weight sums -> driver exclusive prefix sum.
+    bucket_sum = hash_bucketed_group_agg(
+        projected.select_columns(["bucket", weight_col]), ["bucket"],
+        {"w_sum": (weight_col, "sum")}, n_rows=n_buckets).to_pandas()
+    bucket_sum = bucket_sum.sort_values("bucket")
+    sums = bucket_sum["w_sum"].to_numpy(dtype=np.int64)
+    bases = np.cumsum(np.r_[np.int64(0), sums[:-1]])
+    base_map = dict(zip(bucket_sum["bucket"].astype(int), bases))
+    base_ref = ray.put(base_map)
+    budget = int(budget)
+
+    def bucket_pack(g: pd.DataFrame) -> pd.DataFrame:
+        bmap = ray.get(base_ref)
+        g = g.sort_values(order_col, kind="stable")
+        w = g[weight_col].to_numpy(dtype=np.int64)
+        base = bmap[int(g["bucket"].iloc[0])]
+        # exclusive in-bucket cumsum + cross-bucket base
+        offset = base + np.cumsum(np.r_[np.int64(0), w[:-1]])
+        out = {order_col: g[order_col].to_numpy()}
+        for c in carry_cols:
+            out[c] = g[c].to_numpy()
+        out[weight_col] = w
+        out["offset"] = offset
+        out["shard_id"] = offset // budget
+        return pd.DataFrame(out)
+
+    return projected.groupby("bucket").map_groups(bucket_pack,
+                                                  batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# deterministic samplers
+# ---------------------------------------------------------------------------
+
+def _mix(ids: np.ndarray, seed: int) -> np.ndarray:
+    """splitmix64 of the id (seed folded in by xor before mixing)."""
+    x = ids.astype(np.uint64)
+    if seed:
+        x = x ^ np.uint64(seed & 0xFFFFFFFFFFFFFFFF)
+    return splitmix64(x)
+
+
+def stratified_sample(ds, key_col: str, id_col: str, k: int,
+                      carry_cols: tuple[str, ...] = (), seed: int = 0):
+    """Deterministic k-per-stratum sample: the k rows with the SMALLEST
+    ``splitmix64(id)`` per key — uniform over each stratum (the mix is a
+    fixed bijection of the id space), yet fully reproducible: no RNG
+    state, identical output at any parallelism, batch layout, or retry.
+
+    Combiner topology: each batch locally keeps its k smallest hashes per
+    key (one vectorized lexsort + positional head-k, no Python per group),
+    so the shuffle moves at most ``k * keys_per_block`` rows; the final
+    per-key top-k runs in ``hash(key)``-bucketed groups whose size is
+    bounded by ``k * #blocks`` regardless of corpus size.
+
+    Returns rows ``(key_col, id_col, *carry_cols)``.
+    """
+    from ..stages.partitioning import coarse_bucket_count
+
+    coarse = coarse_bucket_count(ds, rows_per_bucket=1 << 22,
+                                 what="stratified_sample")
+    k = int(k)
+    cols = [key_col, id_col, *carry_cols]
+
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df[id_col].to_numpy()
+        h = _mix(ids.astype(np.uint64), seed)
+        keys = df[key_col].to_numpy()
+        # sort by (key, hash): one C lexsort, then keep first k per key run
+        order = np.lexsort((h, keys))
+        ks = keys[order]
+        run_start = np.r_[0, np.flatnonzero(ks[1:] != ks[:-1]) + 1]
+        rank = np.arange(len(ks)) - np.repeat(run_start,
+                                              np.diff(np.r_[run_start,
+                                                            len(ks)]))
+        take = order[rank < k]
+        out = df.iloc[take][cols].copy()
+        out["_h"] = h[take]
+        with np.errstate(over="ignore"):
+            kb = hash64(out[key_col].to_numpy())
+        out["_kbucket"] = (kb % np.uint64(coarse)).astype(np.int32)
+        return out
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        # bucket holds whole keys; redo the head-k on merged partials
+        order = np.lexsort((g["_h"].to_numpy(), g[key_col].to_numpy()))
+        ks = g[key_col].to_numpy()[order]
+        run_start = np.r_[0, np.flatnonzero(ks[1:] != ks[:-1]) + 1]
+        rank = np.arange(len(ks)) - np.repeat(run_start,
+                                              np.diff(np.r_[run_start,
+                                                            len(ks)]))
+        return g.iloc[order[rank < k]][cols]
+
+    return (ds.map_batches(local_topk, batch_format="pandas")
+            .groupby("_kbucket")
+            .map_groups(final_topk, batch_format="pandas"))
+
+
+def bernoulli_sample(ds, id_col: str, rate: float, seed: int = 0):
+    """Deterministic Bernoulli(rate) row sample: keep iff
+    ``splitmix64(id) < rate * 2^64``. The standard reproducible corpus
+    downsample (and, with disjoint hash ranges, a train/eval split that
+    cannot leak). Pure per-batch Arrow filter — no shuffle, no RNG state,
+    exact same keep-set at any parallelism.
+    """
+    threshold = np.uint64(min(int(rate * 2.0 ** 64), 2 ** 64 - 1))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        h = _mix(ids.astype(np.uint64), seed)
+        return batch.filter(pa.array(h < threshold))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# normalization-aware exact dedup
+# ---------------------------------------------------------------------------
+
+def normalize_expr(col: pa.ChunkedArray | pa.Array):
+    """Canonical text form, all Arrow C kernels (RE2): lowercase, collapse
+    every ``\\s+`` run to a single space, trim outer spaces. Matches the
+    DuckDB expression ``trim(regexp_replace(lower(x), '\\s+', ' ', 'g'))``
+    (both engines run RE2, so the ``\\s`` class is identical)."""
+    x = pc.utf8_lower(col)
+    x = pc.replace_substring_regex(x, r"\s+", " ")
+    return pc.utf8_trim(x, " ")
+
+
+def add_normalized_hash(ds, text_col: str, out_col: str = "norm_h"):
+    """Attach a stable uint64 hash of the normalized text — the join/dedup
+    key for normalization-aware exact dedup. Only this 8-byte column (plus
+    whatever the caller selects) ever needs to ride a shuffle; the text
+    stays columnar in its source blocks."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        norm = normalize_expr(batch[text_col])
+        h = hash64(norm.to_numpy(zero_copy_only=False))
+        return batch.append_column(out_col, pa.array(h.astype(np.uint64)))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def normalized_distinct_by_key(ds, text_col: str, key_col: str,
+                               out_name: str = "n_distinct"):
+    """Per-key exact distinct count of NORMALIZED text: how many unique
+    documents each stratum holds once case/whitespace mirrors collapse.
+    Shuffles only (key, hash) pairs — the ``distinct_count_by_key``
+    topology over the normalized hash."""
+    from .relational import distinct_count_by_key
+
+    with_h = add_normalized_hash(ds, text_col)
+    return distinct_count_by_key(
+        with_h.select_columns([key_col, "norm_h"]), key_col, "norm_h",
+        out_name)

@@ -1,0 +1,174 @@
+"""Curation operators: exact prefix-sum shard packing, deterministic
+samplers, normalization dedup — each checked against a single-process
+reference AND for layout/parallelism invariance (the SURVEY §4 per-row
+invariant: same answer at any bucket count / block layout)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from t_digest_ray.functions.hashing import splitmix64
+from t_digest_ray.pipelines.curation import (add_normalized_hash,
+                                             bernoulli_sample,
+                                             normalize_expr,
+                                             normalized_distinct_by_key,
+                                             prefix_sum_shards,
+                                             stratified_sample)
+
+
+def _ds(table: pa.Table, blocks: int = 1):
+    import ray
+    if blocks <= 1:
+        return ray.data.from_arrow(table)
+    n = table.num_rows
+    step = -(-n // blocks)
+    return ray.data.from_arrow(
+        [table.slice(i, step) for i in range(0, n, step)])
+
+
+# ---------------------------------------------------------------------------
+# prefix_sum_shards
+# ---------------------------------------------------------------------------
+
+def _pack_ref(order, weight, budget):
+    df = pd.DataFrame({"o": order, "w": weight}).sort_values("o")
+    excl = np.cumsum(np.r_[np.int64(0),
+                           df["w"].to_numpy(np.int64)[:-1]])
+    return dict(zip(df["o"], excl // budget)), dict(zip(df["o"], excl))
+
+
+@pytest.mark.parametrize("n_buckets,blocks", [(1, 1), (4, 3), (16, 5)])
+def test_prefix_sum_shards_matches_reference(ray_session, n_buckets, blocks):
+    rng = np.random.default_rng(7)
+    order = rng.permutation(200).astype(np.int64)  # shuffled arrival
+    weight = rng.integers(0, 50, size=200).astype(np.int64)
+    t = pa.table({"doc_id": order, "w": weight})
+    out = prefix_sum_shards(_ds(t, blocks), "doc_id", "w", budget=100,
+                            n_buckets=n_buckets).to_pandas()
+    want_shard, want_off = _pack_ref(order, weight, 100)
+    assert len(out) == 200
+    got_shard = dict(zip(out["doc_id"], out["shard_id"]))
+    got_off = dict(zip(out["doc_id"], out["offset"]))
+    assert got_shard == want_shard
+    assert got_off == want_off
+
+
+def test_prefix_sum_shards_carry_and_zero_weight(ray_session):
+    t = pa.table({"doc_id": pa.array([3, 1, 2], type=pa.int64()),
+                  "w": pa.array([0, 5, 0], type=pa.int64()),
+                  "lang": ["a", "b", "c"]})
+    out = prefix_sum_shards(_ds(t), "doc_id", "w", budget=10,
+                            carry_cols=("lang",),
+                            n_buckets=2).to_pandas().sort_values("doc_id")
+    # order 1(w5) -> 2(w0) -> 3(w0): offsets 0, 5, 5
+    assert out["offset"].tolist() == [0, 5, 5]
+    assert out["lang"].tolist() == ["b", "c", "a"]
+    assert (out["shard_id"] == 0).all()
+
+
+def test_prefix_sum_shards_rejects_negative(ray_session):
+    t = pa.table({"doc_id": pa.array([1], type=pa.int64()),
+                  "w": pa.array([-3], type=pa.int64())})
+    with pytest.raises(Exception):
+        prefix_sum_shards(_ds(t), "doc_id", "w", budget=10,
+                          n_buckets=1).to_pandas()
+
+
+# ---------------------------------------------------------------------------
+# stratified_sample
+# ---------------------------------------------------------------------------
+
+def _strat_ref(keys, ids, k, seed=0):
+    h = splitmix64(np.asarray(ids, dtype=np.uint64)
+                   ^ np.uint64(seed & 0xFFFFFFFFFFFFFFFF)) \
+        if seed else splitmix64(np.asarray(ids, dtype=np.uint64))
+    df = pd.DataFrame({"k": keys, "i": ids, "h": h})
+    return set(map(tuple,
+                   df.sort_values(["k", "h"]).groupby("k").head(k)
+                   [["k", "i"]].itertuples(index=False)))
+
+
+@pytest.mark.parametrize("blocks", [1, 4])
+def test_stratified_sample_matches_reference(ray_session, blocks):
+    rng = np.random.default_rng(11)
+    keys = rng.choice(["en", "de", "fr"], size=300)
+    ids = rng.permutation(300).astype(np.int64)
+    t = pa.table({"lang": keys, "doc_id": ids})
+    out = stratified_sample(_ds(t, blocks), "lang", "doc_id",
+                            k=7).to_pandas()
+    got = set(map(tuple, out[["lang", "doc_id"]].itertuples(index=False)))
+    assert got == _strat_ref(keys, ids, 7)
+    assert out.groupby("lang").size().max() == 7
+
+
+def test_stratified_sample_small_groups_and_seed(ray_session):
+    # k larger than a stratum: the whole stratum survives
+    t = pa.table({"lang": ["en", "en", "de"],
+                  "doc_id": pa.array([1, 2, 3], type=pa.int64())})
+    out = stratified_sample(_ds(t), "lang", "doc_id", k=10).to_pandas()
+    assert len(out) == 3
+    # a different seed picks a different subset (on a bigger stratum)
+    ids = np.arange(100, dtype=np.int64)
+    t2 = pa.table({"lang": ["en"] * 100, "doc_id": ids})
+    a = set(stratified_sample(_ds(t2), "lang", "doc_id",
+                              k=5).to_pandas()["doc_id"])
+    b = set(stratified_sample(_ds(t2), "lang", "doc_id", k=5,
+                              seed=99).to_pandas()["doc_id"])
+    assert a == {x[1] for x in _strat_ref(["en"] * 100, ids, 5)}
+    assert b == {x[1] for x in _strat_ref(["en"] * 100, ids, 5, seed=99)}
+    assert a != b
+
+
+# ---------------------------------------------------------------------------
+# bernoulli_sample
+# ---------------------------------------------------------------------------
+
+def test_bernoulli_sample_deterministic_and_correct(ray_session):
+    ids = np.arange(2000, dtype=np.int64)
+    t = pa.table({"doc_id": ids, "v": ids * 2})
+    rate = 0.25
+    out = bernoulli_sample(_ds(t, 3), "doc_id", rate).to_pandas()
+    thr = np.uint64(int(rate * 2.0 ** 64))
+    want = ids[splitmix64(ids.astype(np.uint64)) < thr]
+    assert set(out["doc_id"]) == set(want)
+    # carried column intact, rate roughly honored
+    assert (out["v"].to_numpy() == out["doc_id"].to_numpy() * 2).all()
+    assert 0.2 < len(out) / 2000 < 0.3
+    # disjointness of seeded split halves is NOT expected; same-seed rerun is
+    again = bernoulli_sample(_ds(t, 1), "doc_id", rate).to_pandas()
+    assert set(again["doc_id"]) == set(out["doc_id"])
+
+
+# ---------------------------------------------------------------------------
+# normalization dedup
+# ---------------------------------------------------------------------------
+
+def test_normalize_expr_rules():
+    arr = pa.array(["  Hello\t\tWorld \n", "hello world", "HELLO  WORLD",
+                    "distinct text"])
+    got = normalize_expr(arr).to_pylist()
+    assert got == ["hello world", "hello world", "hello world",
+                   "distinct text"]
+
+
+def test_normalized_distinct_by_key(ray_session):
+    t = pa.table({
+        "lang": ["en", "en", "en", "de", "de"],
+        "text": ["A  b", "a B", "c", "x", " X "],
+    })
+    out = normalized_distinct_by_key(_ds(t, 2), "text", "lang") \
+        .to_pandas().set_index("lang")["n_distinct"].to_dict()
+    assert out == {"en": 2, "de": 1}
+
+
+def test_add_normalized_hash_stable_across_layout(ray_session):
+    t = pa.table({"text": ["A  b", "a B", "zzz"],
+                  "doc_id": pa.array([1, 2, 3], type=pa.int64())})
+    one = add_normalized_hash(_ds(t, 1), "text").to_pandas()
+    two = add_normalized_hash(_ds(t, 3), "text").to_pandas()
+    m1 = dict(zip(one["doc_id"], one["norm_h"]))
+    m2 = dict(zip(two["doc_id"], two["norm_h"]))
+    assert m1 == m2 and m1[1] == m1[2] != m1[3]
