@@ -1104,6 +1104,81 @@ def embedding_planted_dup_pairs(sf_dir: str):
     return pairs.map_batches(finalize, batch_format="pyarrow")
 
 
+def ngram_jaccard_planted_pairs(sf_dir: str):
+    """Exact word-3-gram Jaccard dedup scoring, FULLY value-checked: for
+    every planted pair (original doc, copy with one appended novel token)
+    the pipeline emits the exact |intersection| / |union| of the two
+    distinct 3-gram sets as integers plus the >= 0.5 dup decision — all
+    reproducible in SQL with list lambdas, so the whole distributed path
+    (shingle hashing, the sharded pair-verify co-partition of dedup.py)
+    is hash-gated, not rows-only. Candidates are planted (doc_id % 11,
+    token count >= 3) rather than LSH-derived so the set is deterministic;
+    LSH recall is graded separately (minhash within_tol)."""
+    from t_digest_ray.stages.dedup import (shingle_hashes,
+                                           sharded_pair_verify)
+    from t_digest_ray.stages.partitioning import (cheap_row_count,
+                                                  coarse_bucket_count)
+
+    PROBE = "zzqjaccardprobe"
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    n_docs = cheap_row_count(ds)
+    n_cand = None if n_docs is None else max(n_docs // 11, 1)
+    nb_i = coarse_bucket_count(n_rows=n_cand, rows_per_bucket=65536,
+                               what="ngram_jaccard ibuckets")
+    nb_v = coarse_bucket_count(n_rows=n_cand, rows_per_bucket=16384,
+                               fanout=4, what="ngram_jaccard vbuckets")
+
+    def _eligible(batch: pa.Table):
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        keep = ids % 11 == 0
+        texts = [(t or "") for t in
+                 batch["text"].filter(pa.array(keep)).to_pylist()]
+        ids = ids[keep]
+        long_enough = np.array([len(t.lower().split()) >= 3
+                                for t in texts], dtype=bool) \
+            if len(texts) else np.zeros(0, dtype=bool)
+        return ids[long_enough], [t for t, k in zip(texts, long_enough)
+                                  if k]
+
+    def pair_rows(batch: pa.Table) -> pa.Table:
+        ids, _ = _eligible(batch)
+        return pa.table({"id_a": pa.array(ids.astype(np.int64)),
+                         "id_b": pa.array((ids + 1_000_000)
+                                          .astype(np.int64))})
+
+    def payload_rows(batch: pa.Table) -> pa.Table:
+        ids, texts = _eligible(batch)
+        out_ids, blobs = [], []
+        for i, t in zip(ids, texts):
+            out_ids.append(int(i))
+            blobs.append(shingle_hashes(t).astype("<u8").tobytes())
+            out_ids.append(int(i) + 1_000_000)
+            blobs.append(shingle_hashes(t + " " + PROBE)
+                         .astype("<u8").tobytes())
+        return pa.table({"id": pa.array(out_ids, type=pa.int64()),
+                         "payload": pa.array(blobs, type=pa.binary())})
+
+    pairs = ds.map_batches(pair_rows, batch_format="pyarrow")
+    payloads = ds.map_batches(payload_rows, batch_format="pyarrow")
+
+    def pair_fn(pdf: pd.DataFrame, lut: dict) -> pd.DataFrame:
+        a = pdf["id_a"].to_numpy(dtype=np.int64)
+        b = pdf["id_b"].to_numpy(dtype=np.int64)
+        inter = np.empty(len(a), dtype=np.int64)
+        uni = np.empty(len(a), dtype=np.int64)
+        for j, (x, y) in enumerate(zip(a, b)):
+            sa = np.frombuffer(lut[x], dtype=np.uint64)
+            sb = np.frombuffer(lut[y], dtype=np.uint64)
+            ni = np.intersect1d(sa, sb, assume_unique=True).size
+            inter[j] = ni
+            uni[j] = sa.size + sb.size - ni
+        return pd.DataFrame({"id_a": a, "id_b": b, "n_inter": inter,
+                             "n_union": uni,
+                             "is_dup": 2 * inter >= uni})
+
+    return sharded_pair_verify(pairs, payloads, pair_fn, {}, nb_v, nb_i)
+
+
 def doc_fingerprints(sf_dir: str):
     """Rolling-hash document fingerprinting: dedup groups by fingerprint.
 
@@ -1354,6 +1429,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "drift_events_value": drift_events_value,
         "simhash_dedup_pairs": simhash_dedup_pairs,
         "simhash_planted_dup_pairs": simhash_planted_dup_pairs,
+        "ngram_jaccard_planted_pairs": ngram_jaccard_planted_pairs,
         "embedding_planted_dup_pairs": embedding_planted_dup_pairs,
         "doc_fingerprints": doc_fingerprints,
         "checkpointed_quantiles_by_lang": checkpointed_quantiles_by_lang,
@@ -1431,6 +1507,39 @@ def oracle_sql() -> dict[str, str]:
                    CAST(0 AS BIGINT) AS hamming, TRUE AS within_band
             FROM documents
             WHERE doc_id % 7 = 0 AND regexp_matches(text, '\S')
+        """,
+        "ngram_jaccard_planted_pairs": r"""
+            WITH base AS (
+                SELECT doc_id,
+                       LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(LOWER(text),
+                                                         '\s+'),
+                                   x -> x <> '') AS ts
+                FROM documents WHERE doc_id % 11 = 0),
+            elig AS (SELECT doc_id, ts,
+                            LIST_CONCAT(ts, ['zzqjaccardprobe']) AS ts2
+                     FROM base WHERE LEN(ts) >= 3),
+            grams AS (
+                SELECT doc_id,
+                       LIST_DISTINCT(LIST_TRANSFORM(
+                           GENERATE_SERIES(1, LEN(ts) - 2),
+                           i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+                       )) AS ga,
+                       LIST_DISTINCT(LIST_TRANSFORM(
+                           GENERATE_SERIES(1, LEN(ts2) - 2),
+                           i -> ts2[i] || ' ' || ts2[i+1] || ' ' || ts2[i+2]
+                       )) AS gb
+                FROM elig),
+            scored AS (
+                SELECT doc_id,
+                       CAST(LEN(LIST_FILTER(ga,
+                            x -> LIST_CONTAINS(gb, x))) AS BIGINT)
+                           AS n_inter,
+                       CAST(LEN(ga) + LEN(gb) AS BIGINT) AS n_ab
+                FROM grams)
+            SELECT doc_id AS id_a, doc_id + 1000000 AS id_b, n_inter,
+                   n_ab - n_inter AS n_union,
+                   2 * n_inter >= n_ab - n_inter AS is_dup
+            FROM scored
         """,
         "embedding_planted_dup_pairs": """
             SELECT vec_id AS id_a, vec_id + 1000000 AS id_b,

@@ -362,3 +362,46 @@ def test_ivf_rebuild_replaces_index_atomically(planted_vectors, tmp_path):
     assert lists <= {"0", "1", "2", "3"}
     # no staging/old dirs left behind
     assert not glob.glob(f"{idx}.build-*") and not glob.glob(f"{idx}.old-*")
+
+
+def test_ngram_jaccard_integer_pair_scores(ray_session):
+    """Exact integer |inter|/|union| of word-3-gram sets through the
+    sharded pair-verify path, vs a direct python reference — including a
+    pair that must land BELOW the 0.5 dup threshold."""
+    import ray
+
+    from t_digest_ray.stages.dedup import (jaccard_exact, sharded_pair_verify,
+                                           shingle_hashes)
+
+    texts = {
+        1: "the quick brown fox jumps over the lazy dog",
+        2: "the quick brown fox jumps over the lazy dog tonight",
+        3: "a completely different document about sketch engines",
+    }
+    pairs = ray.data.from_items([{"id_a": 1, "id_b": 2},
+                                 {"id_a": 1, "id_b": 3}])
+    payloads = ray.data.from_items(
+        [{"id": i, "payload": shingle_hashes(t).astype("<u8").tobytes()}
+         for i, t in texts.items()])
+
+    def pair_fn(pdf, lut):
+        a = pdf["id_a"].to_numpy(dtype=np.int64)
+        b = pdf["id_b"].to_numpy(dtype=np.int64)
+        inter = np.empty(len(a), dtype=np.int64)
+        uni = np.empty(len(a), dtype=np.int64)
+        for j, (x, y) in enumerate(zip(a, b)):
+            sa = np.frombuffer(lut[x], dtype=np.uint64)
+            sb = np.frombuffer(lut[y], dtype=np.uint64)
+            ni = np.intersect1d(sa, sb, assume_unique=True).size
+            inter[j], uni[j] = ni, sa.size + sb.size - ni
+        return pd.DataFrame({"id_a": a, "id_b": b, "n_inter": inter,
+                             "n_union": uni, "is_dup": 2 * inter >= uni})
+
+    out = sharded_pair_verify(pairs, payloads, pair_fn, {}, 2, 2) \
+        .to_pandas().set_index("id_b")
+    sh = {i: shingle_hashes(t) for i, t in texts.items()}
+    for other in (2, 3):
+        want = jaccard_exact(sh[1], sh[other])
+        row = out.loc[other]
+        assert row["n_inter"] / row["n_union"] == pytest.approx(want)
+    assert bool(out.loc[2, "is_dup"]) and not bool(out.loc[3, "is_dup"])
