@@ -29,7 +29,8 @@ PIPELINES = ("quantiles", "kll", "req", "distinct", "heavy", "heavy_mg",
              "dedup",
              "dedup_keep", "simhash", "checkpointed", "sessionize",
              "watermark", "watermarked_window", "cdf", "ivf_build",
-             "drift_check")
+             "drift_check", "pack", "sample_stratified",
+             "sample_bernoulli", "normalized_distinct")
 
 
 @dataclass
@@ -173,6 +174,20 @@ def run_job(cfg: JobConfig):
         import ray.data as rd
         parts = sorted(glob.glob(f"{index_dir}/list=*/*.parquet"))
         out = rd.read_parquet(parts, columns=[cfg.key or "vec_id"])
+    elif cfg.pipeline == "pack":
+        from .pipelines.curation import prefix_sum_shards
+        # key = order column; value_col = weight column (token count)
+        out = prefix_sum_shards(ds, cfg.key, cfg.value_col, **p)
+    elif cfg.pipeline == "sample_stratified":
+        from .pipelines.curation import stratified_sample
+        # key = stratum column; value_col = row-id column
+        out = stratified_sample(ds, cfg.key, cfg.value_col, **p)
+    elif cfg.pipeline == "sample_bernoulli":
+        from .pipelines.curation import bernoulli_sample
+        out = bernoulli_sample(ds, cfg.value_col, **p)
+    elif cfg.pipeline == "normalized_distinct":
+        from .pipelines.curation import normalized_distinct_by_key
+        out = normalized_distinct_by_key(ds, cfg.value_col, cfg.key, **p)
     elif cfg.pipeline == "drift_check":
         import ray.data as rd
 

@@ -219,3 +219,31 @@ def test_config_round3_pipelines(ray_session):
     assert set(out.columns) == {"wkey", "value", "acc_i", "drop_i"}
     assert len(out) == 1000
     assert ((out["acc_i"] + out["drop_i"]) == 1).all()
+
+
+def test_job_config_curation_ops(ray_session):
+    docs = "/root/testdata/sf0.001/documents.parquet"
+    out = run_job(JobConfig(
+        pipeline="pack", input=docs, columns=["doc_id", "n_chars"],
+        key="doc_id", value_col="n_chars",
+        params={"budget": 50000})).to_pandas()
+    assert {"doc_id", "offset", "shard_id"} <= set(out.columns)
+    assert out["shard_id"].min() == 0
+
+    out = run_job(JobConfig(
+        pipeline="sample_stratified", input=docs,
+        columns=["doc_id", "lang"], key="lang", value_col="doc_id",
+        params={"k": 3})).to_pandas()
+    assert out.groupby("lang").size().max() <= 3
+
+    out = run_job(JobConfig(
+        pipeline="sample_bernoulli", input=docs,
+        columns=["doc_id", "lang"], value_col="doc_id",
+        params={"rate": 0.5})).to_pandas()
+    assert 0 < len(out) < 500
+
+    out = run_job(JobConfig(
+        pipeline="normalized_distinct", input=docs,
+        columns=["lang", "text"], key="lang",
+        value_col="text")).to_pandas()
+    assert (out["n_distinct"] >= 1).all()
