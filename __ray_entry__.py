@@ -489,6 +489,63 @@ def normalized_dedup_stats(sf_dir: str):
     return normalized_distinct_by_key(ds, "text", "lang")
 
 
+_MIX_RATES = {"en": 0.5, "de": 0.25}
+_MIX_DEFAULT = 0.1
+
+
+def top_docs_per_lang(sf_dir: str):
+    """Exact top-5 docs per lang by n_chars (ties broken by smallest
+    doc_id — unique, layout-independent result): the per-stratum quota
+    selection primitive ("keep the k best docs per host"). Combiner
+    topology: each batch ships <= k rows per key."""
+    from t_digest_ray.pipelines.curation import topk_per_key
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    return topk_per_key(ds, "lang", "n_chars", "doc_id", k=5)
+
+
+def mixture_sampled_counts(sf_dir: str):
+    """Deterministic dataset-mixing sample (50% en, 25% de, 10% rest via
+    per-stratum splitmix64 thresholds) -> per-lang exact counts. The
+    corpus-remixing primitive; thresholds nest, so raising a rate strictly
+    grows that stratum's keep-set."""
+    from ray.data.aggregate import Count, Sum
+    from t_digest_ray.pipelines.curation import weighted_mixture
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    kept = weighted_mixture(ds, "lang", "doc_id", _MIX_RATES,
+                            default_rate=_MIX_DEFAULT)
+    return kept.groupby("lang").aggregate(
+        Count(alias_name="n_docs"),
+        Sum("n_chars", alias_name="sum_chars"))
+
+
+def range_partition_balance(sf_dir: str):
+    """t-digest range partitioning of events.value into 8 balanced parts
+    (the balanced-sort / TeraSort primitive): emits per-partition rows
+    with the exact global row count and a within_bound flag asserting the
+    partition's mass is 1/8 ± 0.02 absolute — the sketch-accuracy gate
+    pattern (validation.py), since the cutpoints themselves are
+    sketch-derived and no SQL oracle can reproduce them."""
+    from ray.data.aggregate import Count
+    from t_digest_ray.pipelines.curation import quantile_range_partition
+
+    K = 8
+    ds = _read(sf_dir, "events", ["value"])
+    parts = quantile_range_partition(ds, "value", K)
+    counts = (parts.groupby("partition_id")
+              .aggregate(Count(alias_name="n")).to_pandas())
+    counts = counts.set_index("partition_id")["n"] \
+        .reindex(range(K), fill_value=0)
+    total = int(counts.sum())
+    frac = counts.to_numpy(dtype=np.float64) / max(total, 1)
+    return pd.DataFrame({
+        "partition_id": np.arange(K, dtype=np.int64),
+        "n_total": np.int64(total),
+        "within_bound": np.abs(frac - 1.0 / K) <= 0.02,
+    })
+
+
 def bloom_semi_join_count(sf_dir: str):
     """Semi join via Bloom prefilter + exact verify (exact result)."""
     import pyarrow.parquet as pq
@@ -1403,6 +1460,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample_docs": stratified_sample_docs,
         "hash_sampled_doc_stats": hash_sampled_doc_stats,
         "normalized_dedup_stats": normalized_dedup_stats,
+        "top_docs_per_lang": top_docs_per_lang,
+        "mixture_sampled_counts": mixture_sampled_counts,
+        "range_partition_balance": range_partition_balance,
         "bloom_semi_join_count": bloom_semi_join_count,
         "linear_histogram_events": linear_histogram_events,
         "cms_heavy_event_types": cms_heavy_event_types,
@@ -1959,6 +2019,30 @@ def oracle_sql() -> dict[str, str]:
                                                       '\s+', ' ', 'g')))
                        AS n_distinct
             FROM documents GROUP BY lang
+        """,
+        "top_docs_per_lang": """
+            SELECT lang, doc_id, n_chars FROM (
+                SELECT lang, doc_id, n_chars,
+                       ROW_NUMBER() OVER (PARTITION BY lang
+                                          ORDER BY n_chars DESC,
+                                                   doc_id) AS rn
+                FROM documents) WHERE rn <= 5
+        """,
+        "mixture_sampled_counts": f"""
+            WITH {_splitmix_ctes("lang, n_chars")}
+            SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars
+            FROM mh
+            WHERE h < CASE lang
+                {" ".join(f"WHEN '{k}' THEN CAST({int(r * 2.0 ** 64)} AS UHUGEINT)"
+                          for k, r in _MIX_RATES.items())}
+                ELSE CAST({int(_MIX_DEFAULT * 2.0 ** 64)} AS UHUGEINT) END
+            GROUP BY lang
+        """,
+        "range_partition_balance": """
+            SELECT CAST(i AS BIGINT) AS partition_id,
+                   (SELECT COUNT(*) FROM events) AS n_total,
+                   TRUE AS within_bound
+            FROM generate_series(0, 7) t(i)
         """,
         "bloom_semi_join_count": """
             SELECT l_returnflag, COUNT(*) AS n_rows

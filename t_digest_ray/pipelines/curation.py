@@ -178,14 +178,7 @@ def stratified_sample(ds, key_col: str, id_col: str, k: int,
         ids = df[id_col].to_numpy()
         h = _mix(ids.astype(np.uint64), seed)
         keys = df[key_col].to_numpy()
-        # sort by (key, hash): one C lexsort, then keep first k per key run
-        order = np.lexsort((h, keys))
-        ks = keys[order]
-        run_start = np.r_[0, np.flatnonzero(ks[1:] != ks[:-1]) + 1]
-        rank = np.arange(len(ks)) - np.repeat(run_start,
-                                              np.diff(np.r_[run_start,
-                                                            len(ks)]))
-        take = order[rank < k]
+        take = _head_k_per_run((h, keys), keys, k)
         out = df.iloc[take][cols].copy()
         out["_h"] = h[take]
         with np.errstate(over="ignore"):
@@ -195,17 +188,98 @@ def stratified_sample(ds, key_col: str, id_col: str, k: int,
 
     def final_topk(g: pd.DataFrame) -> pd.DataFrame:
         # bucket holds whole keys; redo the head-k on merged partials
-        order = np.lexsort((g["_h"].to_numpy(), g[key_col].to_numpy()))
-        ks = g[key_col].to_numpy()[order]
-        run_start = np.r_[0, np.flatnonzero(ks[1:] != ks[:-1]) + 1]
-        rank = np.arange(len(ks)) - np.repeat(run_start,
-                                              np.diff(np.r_[run_start,
-                                                            len(ks)]))
-        return g.iloc[order[rank < k]][cols]
+        keys = g[key_col].to_numpy()
+        take = _head_k_per_run((g["_h"].to_numpy(), keys), keys, k)
+        return g.iloc[take][cols]
 
     return (ds.map_batches(local_topk, batch_format="pandas")
             .groupby("_kbucket")
             .map_groups(final_topk, batch_format="pandas"))
+
+
+def _head_k_per_run(sort_keys: tuple[np.ndarray, ...],
+                    run_keys: np.ndarray, k: int) -> np.ndarray:
+    """Indices of the first k rows of each key run after sorting by
+    ``sort_keys`` (np.lexsort order: last key is primary). One C lexsort +
+    run-length arithmetic — no Python per group."""
+    order = np.lexsort(sort_keys)
+    ks = run_keys[order]
+    run_start = np.r_[0, np.flatnonzero(ks[1:] != ks[:-1]) + 1]
+    rank = np.arange(len(ks)) - np.repeat(
+        run_start, np.diff(np.r_[run_start, len(ks)]))
+    return order[rank < k]
+
+
+def topk_per_key(ds, key_col: str, value_col: str, id_col: str, k: int,
+                 largest: bool = True,
+                 carry_cols: tuple[str, ...] = ()):
+    """Exact top-k rows per key by ``value_col`` (ties broken by smallest
+    ``id_col`` — total order, so the result is unique and
+    layout-independent). The quota/selection primitive of corpus curation:
+    "keep the k highest-quality documents per host/stratum".
+
+    Same combiner topology as ``stratified_sample``: each batch locally
+    keeps its k best rows per key (one vectorized lexsort), so the shuffle
+    carries at most ``k * keys_per_block`` rows; the final per-key top-k
+    runs in hash(key)-bucketed groups bounded by ``k * #blocks``.
+
+    Returns rows ``(key_col, id_col, value_col, *carry_cols)``.
+    """
+    from ..stages.partitioning import coarse_bucket_count
+
+    coarse = coarse_bucket_count(ds, rows_per_bucket=1 << 22,
+                                 what="topk_per_key")
+    k = int(k)
+    cols = [key_col, id_col, value_col, *carry_cols]
+
+    def rank_take(df: pd.DataFrame) -> np.ndarray:
+        vals = df[value_col].to_numpy()
+        if largest:
+            vals = -vals
+        ids = df[id_col].to_numpy()
+        keys = df[key_col].to_numpy()
+        # lexsort: primary key last -> (id, value, key)
+        return _head_k_per_run((ids, vals, keys), keys, k)
+
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.iloc[rank_take(df)][cols].copy()
+        with np.errstate(over="ignore"):
+            kb = hash64(out[key_col].to_numpy())
+        out["_kbucket"] = (kb % np.uint64(coarse)).astype(np.int32)
+        return out
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        return g.iloc[rank_take(g)][cols]
+
+    return (ds.map_batches(local_topk, batch_format="pandas")
+            .groupby("_kbucket")
+            .map_groups(final_topk, batch_format="pandas"))
+
+
+def weighted_mixture(ds, key_col: str, id_col: str, rates: dict,
+                     default_rate: float = 0.0, seed: int = 0):
+    """Deterministic per-stratum mixture sampling: keep a row of stratum s
+    iff ``splitmix64(id) < rates[s] * 2^64`` — the dataset-mixing
+    primitive ("30% of web, 100% of wiki, 5% of logs") as one reproducible
+    per-batch filter. No shuffle, no RNG state; disjoint thresholds nest,
+    so raising a stratum's rate strictly grows its keep-set (monotone
+    remixing). Strata absent from ``rates`` use ``default_rate``."""
+    thresholds = {key: np.uint64(min(int(float(r) * 2.0 ** 64),
+                                     2 ** 64 - 1))
+                  for key, r in rates.items()}
+    default_thr = np.uint64(min(int(float(default_rate) * 2.0 ** 64),
+                                2 ** 64 - 1))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        h = _mix(ids.astype(np.uint64), seed)
+        keys = batch[key_col].to_numpy(zero_copy_only=False)
+        thr = np.full(len(keys), default_thr, dtype=np.uint64)
+        for key, t in thresholds.items():
+            thr[keys == key] = t
+        return batch.filter(pa.array(h < thr))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
 
 
 def bernoulli_sample(ds, id_col: str, rate: float, seed: int = 0):
@@ -223,6 +297,52 @@ def bernoulli_sample(ds, id_col: str, rate: float, seed: int = 0):
         return batch.filter(pa.array(h < threshold))
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# sketch-apply: quantile-based range partitioning
+# ---------------------------------------------------------------------------
+
+def quantile_range_partition(ds, value_col: str, n_partitions: int,
+                             compression: float = 200.0,
+                             num_salts: int = 4,
+                             out_col: str = "partition_id"):
+    """Assign each row a balanced range-partition id by t-digest quantile
+    cutpoints — the TeraSort/balanced-sort primitive: partition 100 TB by
+    a skewed key into ~equal parts without sorting it first.
+
+    Two streaming passes (inherent to sample-then-partition): pass 1
+    builds ONE global t-digest of ``value_col`` (the engine's partial ->
+    two-level merge topology; only KB sketch rows shuffle), the driver
+    extracts ``n_partitions - 1`` quantile cutpoints (a ~KB array, shipped
+    in the task closure); pass 2 is a pure per-batch ``searchsorted``.
+    Partition sizes are balanced within the digest's rank-error bound
+    (q-weighted for K_2, tightest at the tails) PLUS the mass of any
+    single repeated value straddling a cutpoint — ties all land in one
+    partition by design (ranges must be disjoint).
+
+    The input must be re-executable (parquet-backed or cached); pass 2
+    re-reads it rather than materializing it.
+    """
+    from ..stages.aggregate import sketch_by_key
+    from .quantiles import tdigest_spec
+
+    n_partitions = int(n_partitions)
+    spec = tdigest_spec(compression)
+    merged = sketch_by_key(ds, spec, value_col, None, num_salts=num_salts)
+    row = merged.take_all()[0]
+    sk = spec.from_bytes(row["sketch"])
+    sk.compress()
+    cuts = np.array([sk.quantile(i / n_partitions)
+                     for i in range(1, n_partitions)], dtype=np.float64)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        v = batch[value_col].to_numpy(zero_copy_only=False)
+        pid = np.searchsorted(cuts, v, side="right")
+        return batch.append_column(out_col,
+                                   pa.array(pid.astype(np.int32)))
+
+    return ds.map_batches(assign, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------

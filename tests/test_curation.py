@@ -172,3 +172,67 @@ def test_add_normalized_hash_stable_across_layout(ray_session):
     m1 = dict(zip(one["doc_id"], one["norm_h"]))
     m2 = dict(zip(two["doc_id"], two["norm_h"]))
     assert m1 == m2 and m1[1] == m1[2] != m1[3]
+
+
+# ---------------------------------------------------------------------------
+# topk_per_key / weighted_mixture / quantile_range_partition
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("blocks", [1, 4])
+def test_topk_per_key_matches_reference(ray_session, blocks):
+    rng = np.random.default_rng(3)
+    keys = rng.choice(["a", "b", "c"], size=200)
+    vals = rng.integers(0, 50, size=200).astype(np.int64)  # many ties
+    ids = np.arange(200, dtype=np.int64)
+    t = pa.table({"k": keys, "v": vals, "i": ids})
+    from t_digest_ray.pipelines.curation import topk_per_key
+    out = topk_per_key(_ds(t, blocks), "k", "v", "i", k=4).to_pandas()
+    ref = (pd.DataFrame({"k": keys, "v": vals, "i": ids})
+           .sort_values(["k", "v", "i"], ascending=[True, False, True])
+           .groupby("k").head(4))
+    got = set(map(tuple, out[["k", "i"]].itertuples(index=False)))
+    want = set(map(tuple, ref[["k", "i"]].itertuples(index=False)))
+    assert got == want
+    # smallest=False direction
+    out2 = topk_per_key(_ds(t, blocks), "k", "v", "i", k=4,
+                        largest=False).to_pandas()
+    ref2 = (pd.DataFrame({"k": keys, "v": vals, "i": ids})
+            .sort_values(["k", "v", "i"]).groupby("k").head(4))
+    assert set(map(tuple, out2[["k", "i"]].itertuples(index=False))) == \
+        set(map(tuple, ref2[["k", "i"]].itertuples(index=False)))
+
+
+def test_weighted_mixture_nesting_and_reference(ray_session):
+    ids = np.arange(3000, dtype=np.int64)
+    langs = np.array(["en", "de", "fr"])[ids % 3]
+    t = pa.table({"doc_id": ids, "lang": langs})
+    from t_digest_ray.pipelines.curation import weighted_mixture
+    lo = weighted_mixture(_ds(t, 2), "lang", "doc_id",
+                          {"en": 0.2, "de": 0.5}, 0.1).to_pandas()
+    hi = weighted_mixture(_ds(t, 2), "lang", "doc_id",
+                          {"en": 0.6, "de": 0.5}, 0.1).to_pandas()
+    h = splitmix64(ids.astype(np.uint64))
+    for df, en_rate in ((lo, 0.2), (hi, 0.6)):
+        thr = {"en": en_rate, "de": 0.5, "fr": 0.1}
+        want = {int(i) for i, l_ in zip(ids, langs)
+                if h[i] < np.uint64(int(thr[l_] * 2.0 ** 64))}
+        assert set(df["doc_id"]) == want
+    # raising en's rate strictly grows en's keep-set (nesting)
+    assert set(lo[lo.lang == "en"]["doc_id"]) < \
+        set(hi[hi.lang == "en"]["doc_id"])
+
+
+def test_quantile_range_partition_balance_and_total(ray_session):
+    rng = np.random.default_rng(5)
+    vals = rng.lognormal(0.0, 2.0, size=20000)  # heavy skew
+    t = pa.table({"value": vals})
+    from t_digest_ray.pipelines.curation import quantile_range_partition
+    out = quantile_range_partition(_ds(t, 4), "value", 8).to_pandas()
+    assert len(out) == 20000
+    counts = out["partition_id"].value_counts()
+    assert set(counts.index) == set(range(8))
+    frac = counts.to_numpy() / 20000
+    assert np.abs(frac - 1 / 8).max() <= 0.02
+    # monotone: partition id non-decreasing in value
+    s = out.sort_values("value")
+    assert (np.diff(s["partition_id"].to_numpy()) >= 0).all()
