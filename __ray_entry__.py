@@ -546,6 +546,30 @@ def range_partition_balance(sf_dir: str):
     })
 
 
+def decontaminated_doc_counts(sf_dir: str):
+    """Eval-set decontamination: drop every corpus doc whose CANONICAL
+    text (lowercase, \\s+ collapsed, trimmed) matches a planted eval set
+    (doc_id % 13 == 0), then count survivors per lang. Distributed
+    hash anti-join on the 8-byte normalized hash — raw text never rides
+    the shuffle, output is bounded by the left side (no hot-key blowup)."""
+    from ray.data.aggregate import Count
+    from t_digest_ray.pipelines.curation import add_normalized_hash
+    from t_digest_ray.pipelines.relational import hash_semi_anti_join
+
+    docs = add_normalized_hash(
+        _read(sf_dir, "documents", ["doc_id", "lang", "text"]), "text") \
+        .select_columns(["doc_id", "lang", "norm_h"])
+
+    def eval_set(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(ids % 13 == 0)).select(["norm_h"])
+
+    contamination = docs.map_batches(eval_set, batch_format="pyarrow")
+    clean = hash_semi_anti_join(docs, contamination, "norm_h",
+                                ["doc_id", "lang"], anti=True)
+    return clean.groupby("lang").aggregate(Count(alias_name="n_docs"))
+
+
 def bloom_semi_join_count(sf_dir: str):
     """Semi join via Bloom prefilter + exact verify (exact result)."""
     import pyarrow.parquet as pq
@@ -1463,6 +1487,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_docs_per_lang": top_docs_per_lang,
         "mixture_sampled_counts": mixture_sampled_counts,
         "range_partition_balance": range_partition_balance,
+        "decontaminated_doc_counts": decontaminated_doc_counts,
         "bloom_semi_join_count": bloom_semi_join_count,
         "linear_histogram_events": linear_histogram_events,
         "cms_heavy_event_types": cms_heavy_event_types,
@@ -2043,6 +2068,14 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT COUNT(*) FROM events) AS n_total,
                    TRUE AS within_bound
             FROM generate_series(0, 7) t(i)
+        """,
+        "decontaminated_doc_counts": r"""
+            SELECT lang, COUNT(*) AS n_docs FROM documents
+            WHERE TRIM(REGEXP_REPLACE(LOWER(text), '\s+', ' ', 'g'))
+                  NOT IN (
+                SELECT TRIM(REGEXP_REPLACE(LOWER(text), '\s+', ' ', 'g'))
+                FROM documents WHERE doc_id % 13 = 0)
+            GROUP BY lang
         """,
         "bloom_semi_join_count": """
             SELECT l_returnflag, COUNT(*) AS n_rows

@@ -233,6 +233,84 @@ def hash_join(left, right, on: str, left_cols, right_cols,
                                                batch_format="pandas")
 
 
+def hash_semi_anti_join(left, right, on: str, left_cols,
+                        anti: bool = False,
+                        coarse: int | None = None,
+                        n_rows: int | None = None):
+    """Distributed semi (``anti=False``) or anti (``anti=True``) equi-join:
+    keep left rows whose ``on`` key does / does not appear in ``right``.
+
+    The training-data use is eval decontamination: ``right`` is the
+    contamination list (e.g. normalized-text hashes of an eval set),
+    ``left`` the corpus, ``anti=True`` keeps the clean rows. Same
+    one-shuffle co-partition as ``hash_join`` (hash(on) % coarse buckets),
+    but the right side ships ONLY its key column and each bucket is one
+    vectorized ``isin`` — no pair blowup, output rows <= left rows, so a
+    hot key cannot explode the join (unlike inner join, where it must be
+    pre-aggregated). Use ``distinct.bloom_semi_join`` instead when an
+    approximate prefilter + local verify beats a full shuffle.
+
+    Returns left's ``[on] + left_cols`` with source types preserved.
+    """
+    from ..functions.hashing import hash64
+    from ..stages.partitioning import cheap_row_count, coarse_bucket_count
+
+    if coarse is None:
+        if n_rows is None:
+            nl, nr = cheap_row_count(left), cheap_row_count(right)
+            n_rows = nl + nr if nl is not None and nr is not None else None
+        coarse = coarse_bucket_count(n_rows=n_rows,
+                                     rows_per_bucket=262144,
+                                     what="hash_semi_anti_join")
+    left_cols = list(left_cols)
+    types = {}
+    sch = left.schema()
+    sch = getattr(sch, "base_schema", sch)
+    if hasattr(sch, "field"):
+        for c in [on] + left_cols:
+            types[c] = sch.field(c).type
+    else:
+        by_name = dict(zip(sch.names, sch.types))
+        for c in [on] + left_cols:
+            t = by_name[c]
+            types[c] = (pa.string() if t == object
+                        else pa.from_numpy_dtype(t))
+
+    def tag(side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            keys = batch[on].to_numpy(zero_copy_only=False)
+            n = len(keys)
+            cols = {
+                "bucket": pa.array((hash64(keys)
+                                    % np.uint64(coarse)).astype(np.int32)),
+                on: batch[on].cast(types[on]),
+                "is_left": pa.array(np.full(n, side, dtype=np.int8)),
+            }
+            for c in left_cols:
+                cols[c] = (batch[c] if side == 1
+                           else pa.nulls(n, type=types[c]))
+            return pa.table(cols)
+        return fn
+
+    tagged = (left.map_batches(tag(1), batch_format="pyarrow")
+              .union(right.select_columns([on])
+                     .map_batches(tag(0), batch_format="pyarrow")))
+
+    out_fields = [(on, types[on])] + [(c, types[c]) for c in left_cols]
+    out_schema = pa.schema(out_fields)
+
+    def bucket_filter(g: pd.DataFrame) -> pa.Table:
+        is_l = g["is_left"].to_numpy() == 1
+        lhs = g.loc[is_l]
+        hit = lhs[on].isin(g.loc[~is_l, on]).to_numpy()
+        keep = lhs.loc[~hit if anti else hit]
+        return pa.table({c: pa.array(keep[c].to_numpy(), type=t)
+                         for c, t in out_fields}, schema=out_schema)
+
+    return tagged.groupby("bucket").map_groups(bucket_filter,
+                                               batch_format="pandas")
+
+
 def broadcast_join_count(ds, small_df: pd.DataFrame, left_key: str,
                          right_key: str, label_col: str,
                          value: str, out_names: dict[str, str],

@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import pytest
 
 from t_digest_ray.pipelines.relational import hash_join
@@ -62,3 +63,24 @@ def test_hash_join_bucket_invariance(join_inputs, ray_session):
             .to_pandas().sort_values(["k", "lv", "rv"])
             .reset_index(drop=True))
     pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+@pytest.mark.parametrize("anti", [False, True])
+def test_hash_semi_anti_join(ray_session, anti):
+    import ray
+
+    from t_digest_ray.pipelines.relational import hash_semi_anti_join
+
+    left = pa.table({"k": pa.array([1, 2, 3, 4, 2], type=pa.int64()),
+                     "v": ["a", "b", "c", "d", "e"]})
+    right = pa.table({"k": pa.array([2, 4, 4, 9], type=pa.int64()),
+                      "junk": [0.0, 1.0, 2.0, 3.0]})
+    out = hash_semi_anti_join(ray.data.from_arrow(left),
+                              ray.data.from_arrow(right), "k", ["v"],
+                              anti=anti, coarse=3).to_pandas()
+    got = set(map(tuple, out[["k", "v"]].itertuples(index=False)))
+    want = ({(1, "a"), (3, "c")} if anti
+            else {(2, "b"), (4, "d"), (2, "e")})
+    assert got == want
+    # key dtype preserved (no float64 promotion from the union's nulls)
+    assert out["k"].dtype == np.int64
