@@ -287,3 +287,78 @@ def checkpoint_manifest(ckpt_dir: str) -> pd.DataFrame:
     if not files:
         return pd.DataFrame(columns=CKPT_SCHEMA_COLS)
     return pq.read_table(files).to_pandas()
+
+
+def resumable_map_write(input_files: list[str], transform_fn, out_dir: str,
+                        columns: list[str] | None = None,
+                        reader_batch_size: int = 65536,
+                        concurrency: int | None = None):
+    """Generic resumable partitioned map sink: ``transform_fn`` over each
+    input parquet file, one output partition per input file, finished
+    partitions skipped on re-run (the row-transform analogue of
+    ``run_checkpointed``; north_star "a killed run resumes without
+    recomputing completed partitions" for map-style jobs, not just sketch
+    aggregation).
+
+    Layout: ``{out_dir}/part-{partition_id}.parquet`` with the same stable
+    path-derived partition ids and the same atomicity contract (tmp file +
+    ``os.rename``; a killed run leaves only complete partitions). Each
+    partition streams through its file in ``reader_batch_size``-row chunks
+    — ``transform_fn: pa.Table -> pa.Table`` is applied per chunk and the
+    output is appended to one ParquetWriter, so worker memory is bounded
+    by the chunk, never the file.
+
+    Still a Ray Data pipeline (a dataset OF incomplete files, one task
+    each), so the work distributes, retries map to the same partition id,
+    and the returned ack rows ``(partition_id, input_path, n_rows,
+    wall_ms)`` are a tiny Dataset the caller can count or persist.
+    """
+    import ray.data as rd
+
+    os.makedirs(out_dir, exist_ok=True)
+    _check_format(out_dir, create=True)
+    done = completed_partitions(out_dir)
+    todo = [f for f in input_files if partition_id_for(f) not in done]
+
+    if not todo:
+        return rd.from_items([])
+
+    def process_file(batch: pa.Table) -> pa.Table:
+        path = batch["path"][0].as_py()
+        pid = partition_id_for(path)
+        dest = _part_file(out_dir, pid)
+        tmp = f"{dest}.tmp-{uuid.uuid4().hex[:8]}"
+        t0 = time.monotonic()
+        pf = pq.ParquetFile(path)
+        writer = None
+        n_out = 0
+        try:
+            for chunk in pf.iter_batches(batch_size=reader_batch_size,
+                                         columns=columns):
+                out = transform_fn(pa.Table.from_batches([chunk]))
+                if writer is None:
+                    writer = pq.ParquetWriter(tmp, out.schema)
+                writer.write_table(out)
+                n_out += out.num_rows
+            if writer is None:  # empty input: emit the transformed schema
+                sch = pf.schema_arrow
+                if columns is not None:
+                    sch = pa.schema([sch.field(c) for c in columns])
+                out = transform_fn(sch.empty_table())
+                writer = pq.ParquetWriter(tmp, out.schema)
+                writer.write_table(out)
+        finally:
+            if writer is not None:
+                writer.close()
+        os.rename(tmp, dest)
+        return pa.table({
+            "partition_id": [pid],
+            "input_path": [path],
+            "n_rows": pa.array([n_out], type=pa.int64()),
+            "wall_ms": pa.array([(time.monotonic() - t0) * 1e3]),
+        })
+
+    files_ds = rd.from_items([{"path": f} for f in sorted(todo)])
+    kwargs = {"concurrency": concurrency} if concurrency else {}
+    return files_ds.map_batches(process_file, batch_size=1,
+                                batch_format="pyarrow", **kwargs)

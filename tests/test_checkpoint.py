@@ -8,6 +8,7 @@ import os
 import shutil
 
 import pandas as pd
+import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
 
@@ -194,3 +195,53 @@ def test_format_marker_stamped_and_mismatch_refused(ray_session, tmp_path,
         run_checkpointed(sharded_docs, spec, "n_chars", "lang", d3)
     with _pytest.raises(ValueError, match="marker"):
         finalize_checkpointed(d3, spec)
+
+
+def test_resumable_map_write_skips_completed(ray_session, tmp_path):
+    """Generic map sink: finished partitions are skipped on re-run; resumed
+    output equals a clean full run."""
+    import pyarrow.parquet as pq_
+
+    from t_digest_ray.pipelines.checkpoint import (completed_partitions,
+                                                   partition_id_for,
+                                                   resumable_map_write)
+
+    ins = []
+    for i in range(3):
+        p = str(tmp_path / f"in-{i}.parquet")
+        pq_.write_table(pa.table({"x": pa.array(range(i * 10, i * 10 + 5),
+                                                type=pa.int64())}), p)
+        ins.append(p)
+    out_dir = str(tmp_path / "out")
+
+    def double(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return t.append_column("x2", pc.multiply(t["x"], 2))
+
+    acks = resumable_map_write(ins, double, out_dir).to_pandas()
+    assert len(acks) == 3 and acks["n_rows"].sum() == 15
+    assert completed_partitions(out_dir) == {partition_id_for(p)
+                                             for p in ins}
+
+    # full re-run: nothing to do
+    again = resumable_map_write(ins, double, out_dir).to_pandas()
+    assert len(again) == 0
+
+    # lose one partition, add a new input: exactly those two get processed
+    lost = partition_id_for(ins[1])
+    (tmp_path / "out" / f"part-{lost}.parquet").unlink()
+    p3 = str(tmp_path / "in-3.parquet")
+    pq_.write_table(pa.table({"x": pa.array([100], type=pa.int64())}), p3)
+    ins.append(p3)
+    resumed = resumable_map_write(ins, double, out_dir).to_pandas()
+    assert set(resumed["partition_id"]) == {lost, partition_id_for(p3)}
+
+    import glob
+    got = pq_.read_table(sorted(glob.glob(f"{out_dir}/part-*.parquet"))) \
+        .to_pandas().sort_values("x")
+    assert got["x"].tolist() == sorted(list(range(0, 5))
+                                       + list(range(10, 15))
+                                       + list(range(20, 25)) + [100])
+    assert (got["x2"].to_numpy() == got["x"].to_numpy() * 2).all()
+    # no tmp garbage after clean completion
+    assert not glob.glob(f"{out_dir}/*.tmp-*")
