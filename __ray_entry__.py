@@ -326,6 +326,59 @@ def q3_top_orders(sf_dir: str):
                   descending=[True, False]).limit(10))
 
 
+def q18_large_orders(sf_dir: str):
+    """TPC-H Q18-shaped large-volume-order query: a fact-scale
+    aggregate-then-filter (per-order quantity sums via the vectorized
+    hash-bucketed combine, HAVING > 250) whose survivors join back to
+    orders through the co-partitioned hash join — the aggregate-semijoin
+    composition (one group per order at 100 TB, so Ray's sort-based
+    groupby is replaced by the combine, and neither side broadcasts)."""
+    import pyarrow.compute as pc
+    from t_digest_ray.pipelines.relational import hash_join
+    from t_digest_ray.stages.aggregate import hash_bucketed_group_agg
+    from t_digest_ray.stages.partitioning import cheap_row_count
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+    n_li = cheap_row_count(li)
+    qty = hash_bucketed_group_agg(li, ["l_orderkey"],
+                                  {"sum_qty": ("l_quantity", "sum")},
+                                  n_rows=n_li)
+
+    def big_only(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.greater(b["sum_qty"], 250.0))
+        return pa.table({"key": t["l_orderkey"], "sum_qty": t["sum_qty"]})
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_orderdate", "o_totalprice"])
+    n_ord = cheap_row_count(orders)
+
+    def ord_proj(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "key": b["o_orderkey"],
+            "o_orderdate": pc.strftime(b["o_orderdate"],
+                                       format="%Y-%m-%d"),
+            "o_totalprice": b["o_totalprice"],
+        })
+
+    j = hash_join(orders.map_batches(ord_proj, batch_format="pyarrow"),
+                  qty.map_batches(big_only, batch_format="pyarrow"),
+                  on="key", left_cols=["o_orderdate", "o_totalprice"],
+                  right_cols=["sum_qty"],
+                  n_rows=None if None in (n_li, n_ord)
+                  else n_ord + max(n_li // 20, 1))
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.rename(columns={"key": "o_orderkey"})
+        df = _cents(df.rename(columns={"o_totalprice": "total_cents"}),
+                    ["total_cents"])
+        df["sum_qty"] = np.rint(df["sum_qty"].to_numpy()).astype(np.int64)
+        return df[["o_orderkey", "o_orderdate", "total_cents", "sum_qty"]]
+
+    return (j.map_batches(fin, batch_format="pandas")
+            .sort(["total_cents", "o_orderkey"], descending=[True, False])
+            .limit(20))
+
+
 def region_supplier_revenue(sf_dir: str):
     """Broadcast-chain join: the supplier->nation->region dimension chain
     is folded into ONE suppkey->region_name dict on the driver (three
@@ -1478,6 +1531,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_nation_stats": customer_nation_stats,
         "order_year_revenue": order_year_revenue,
         "q3_top_orders": q3_top_orders,
+        "q18_large_orders": q18_large_orders,
         "region_supplier_revenue": region_supplier_revenue,
         "doc_token_stats": doc_token_stats,
         "token_shard_packing": token_shard_packing,
@@ -1907,6 +1961,19 @@ def oracle_sql() -> dict[str, str]:
               AND l_shipdate > TIMESTAMP '1995-03-15'
             GROUP BY l_orderkey, o_orderdate
             ORDER BY revenue_cents DESC, l_orderkey LIMIT 10
+        """,
+        "q18_large_orders": """
+            SELECT o_orderkey,
+                   STRFTIME(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+                   CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                       AS total_cents,
+                   CAST(ROUND(b.sq) AS BIGINT) AS sum_qty
+            FROM orders JOIN (
+                SELECT l_orderkey, SUM(l_quantity) AS sq
+                FROM lineitem GROUP BY 1
+                HAVING SUM(l_quantity) > 250) b
+              ON o_orderkey = b.l_orderkey
+            ORDER BY total_cents DESC, o_orderkey LIMIT 20
         """,
         "region_supplier_revenue": """
             SELECT r_name, COUNT(*) AS n_items,

@@ -246,6 +246,66 @@ def run_flagship_scaling_job() -> dict:
             "rows_per_sec": round(SCALE_PAGES / sec), "num_cpus": NUM_CPUS}
 
 
+SCALE_DEDUP_ROWS = int(os.environ.get("GRAFT_SCALE_DEDUP_ROWS",
+                                      60_000_000))
+
+
+def run_dedup_scaling_job() -> dict:
+    """Shuffle-heavy N-vs-4N job (GRAFT_SCALE_JOB=dedup): exact dedup of
+    SCALE_DEDUP_ROWS counter-derived uint64 content hashes (every hash
+    planted twice) through the engine's dedup topology — per-batch local
+    ``np.unique`` (map-side combiner), then the hash-bucketed vectorized
+    distinct count. Unlike the sketch/flagship jobs (map-dominated, KBs
+    through the wide step), here the all-to-all exchange of 8-byte keys IS
+    the work, so this evidences the WIDE step's scaling."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from t_digest_ray.functions.hashing import splitmix64
+    from t_digest_ray.stages.aggregate import hash_bucketed_group_agg
+
+    ROWS_PER_BLOCK = 2_000_000
+    CHUNK = 262_144
+
+    def gen_block(batch: pa.Table) -> pa.Table:
+        outs = []
+        for bid in batch["id"].to_numpy():
+            base = np.uint64(bid) * np.uint64(ROWS_PER_BLOCK)
+            for off in range(0, ROWS_PER_BLOCK, CHUNK):
+                m = min(CHUNK, ROWS_PER_BLOCK - off)
+                ids = base + np.uint64(off) + np.arange(m, dtype=np.uint64)
+                # every content hash appears exactly twice (ids i, i+1
+                # share i//2) — the local unique is a real combiner
+                keys = np.unique(splitmix64(ids // np.uint64(2)))
+                outs.append(pa.table({"key": pa.array(keys)}))
+        return pa.concat_tables(outs)
+
+    def run(n):
+        n_blocks = max(n // ROWS_PER_BLOCK, 1)
+        rows = (ray.data.range(n_blocks, override_num_blocks=n_blocks)
+                .map_batches(gen_block, batch_format="pyarrow",
+                             batch_size=1))
+        distinct = hash_bucketed_group_agg(rows, ["key"],
+                                           {"_c": ("key", "count")},
+                                           n_rows=n)
+        distinct.count()
+
+    run(max(SCALE_DEDUP_ROWS // 2, 20_000_000))
+    t0 = time.perf_counter()
+    run(SCALE_DEDUP_ROWS)
+    sec = time.perf_counter() - t0
+    ray.shutdown()
+    return {"sec": round(sec, 3), "rows": SCALE_DEDUP_ROWS,
+            "rows_per_sec": round(SCALE_DEDUP_ROWS / sec),
+            "num_cpus": NUM_CPUS}
+
+
 def _cpu_envelope(levels: tuple[int, int], n_iter: int = 40) -> dict:
     """Raw-CPU scaling envelope of THIS MACHINE (no Ray): K busy numpy
     processes each doing fixed work. On this box the host oversubscribes
@@ -284,7 +344,8 @@ def run_scaling() -> dict:
     envelope (this sandbox's vCPUs are oversubscribed; a real 4N-node
     cluster adds whole nodes, which the envelope division models)."""
     job = os.environ.get("GRAFT_SCALE_JOB", "sketch")
-    flag = "--flagship-scaling" if job == "flagship" else "--sketch-scaling"
+    flag = {"flagship": "--flagship-scaling",
+            "dedup": "--dedup-scaling"}.get(job, "--sketch-scaling")
 
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
@@ -312,9 +373,11 @@ def run_scaling() -> dict:
     hw = _cpu_envelope((lo, hi))
     hw_eff = (hw[hi] / hw[lo]) / (hi / lo)
     normalized = engine_eff / hw_eff if hw_eff > 0 else float("nan")
-    job_desc = ("pages flagship" if job == "flagship"
-                else "sketch-update job: per-lang t-digests")
-    rows_used = SCALE_PAGES if job == "flagship" else SCALE_ROWS
+    job_desc = {"flagship": "pages flagship",
+                "dedup": "exact-dedup shuffle job"}.get(
+        job, "sketch-update job: per-lang t-digests")
+    rows_used = {"flagship": SCALE_PAGES,
+                 "dedup": SCALE_DEDUP_ROWS}.get(job, SCALE_ROWS)
     return {
         "metric": f"scaling efficiency ({job_desc} over {rows_used} "
                   f"rows, fresh ray.init at "
@@ -340,5 +403,7 @@ if __name__ == "__main__":
         print(json.dumps(run_sketch_scaling_job()))
     elif "--flagship-scaling" in sys.argv:
         print(json.dumps(run_flagship_scaling_job()))
+    elif "--dedup-scaling" in sys.argv:
+        print(json.dumps(run_dedup_scaling_job()))
     else:
         print(json.dumps(run_bench()))

@@ -235,6 +235,8 @@ def topk_per_key(ds, key_col: str, value_col: str, id_col: str, k: int,
     def rank_take(df: pd.DataFrame) -> np.ndarray:
         vals = df[value_col].to_numpy()
         if largest:
+            if vals.dtype.kind == "u":  # negation would wrap unsigned
+                vals = vals.astype(np.int64)
             vals = -vals
         ids = df[id_col].to_numpy()
         keys = df[key_col].to_numpy()
