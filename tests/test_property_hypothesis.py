@@ -112,3 +112,60 @@ def test_bpe_token_count_segments():
 
     s = pd.Series(["I'll say don't, twice!", "abc123 def", None, ""])
     assert bpe_token_count(s).tolist() == [8, 3, 0, 0]
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=2**64 - 1),
+                min_size=1, max_size=50, unique=True))
+def test_splitmix64_sql_parity(ids):
+    """The samplers' oracle trick: splitmix64 reproduced in DuckDB via
+    UHUGEINT arithmetic must match the numpy kernel bit-exactly for any
+    uint64 input (this is what makes the 'random' sampling queries
+    value-hash checkable)."""
+    import duckdb
+
+    from t_digest_ray.functions.hashing import splitmix64
+
+    want = splitmix64(np.array(ids, dtype=np.uint64))
+    vals = ", ".join(f"({i})" for i in ids)
+    m64 = "CAST(18446744073709551616 AS UHUGEINT)"
+    got = duckdb.sql(f"""
+        WITH ids(x) AS (SELECT * FROM (VALUES {vals}) t(x)),
+        s0 AS (SELECT x, (CAST(x AS UHUGEINT)
+                          + CAST(11400714819323198485 AS UHUGEINT))
+                          % {m64} AS z FROM ids),
+        s1 AS (SELECT x, (xor(z, z >> 30)
+                          * CAST(13787848793156543929 AS UHUGEINT))
+                          % {m64} AS z FROM s0),
+        s2 AS (SELECT x, (xor(z, z >> 27)
+                          * CAST(10723151780598845931 AS UHUGEINT))
+                          % {m64} AS z FROM s1)
+        SELECT x, xor(z, z >> 31) FROM s2
+    """).fetchall()
+    got_map = {int(x): int(h) for x, h in got}
+    want_map = {int(i): int(w) for i, w in zip(ids, want)}
+    assert got_map == want_map
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.tuples(st.integers(min_value=0, max_value=5),
+                          st.integers(min_value=-100, max_value=100),
+                          st.integers(min_value=0, max_value=10**6)),
+                min_size=1, max_size=120),
+       st.integers(min_value=1, max_value=6))
+def test_head_k_per_run_matches_pandas(rows, k):
+    """The shared top-k kernel (stratified_sample / topk_per_key) equals
+    pandas sort+head for any (key, value, id) multiset."""
+    import pandas as pd
+
+    from t_digest_ray.pipelines.curation import _head_k_per_run
+
+    keys = np.array([r[0] for r in rows], dtype=np.int64)
+    vals = np.array([r[1] for r in rows], dtype=np.int64)
+    ids = np.array([r[2] for r in rows], dtype=np.int64)
+    take = _head_k_per_run((ids, vals, keys), keys, k)
+    got = sorted(zip(keys[take], vals[take], ids[take]))
+    want = sorted(map(tuple, pd.DataFrame({"k": keys, "v": vals, "i": ids})
+                      .sort_values(["k", "v", "i"]).groupby("k").head(k)
+                      .itertuples(index=False)))
+    assert got == want
