@@ -599,6 +599,66 @@ def range_partition_balance(sf_dir: str):
     })
 
 
+def curation_pipeline_docs(sf_dir: str):
+    """END-TO-END corpus-curation pipeline, one composed value-hash
+    oracle: per-doc features -> normalization-exact dedup (keep smallest
+    doc_id per canonical text) -> quality filter (grid-snapped score >=
+    0.85; per-doc snapped scores verified bit-identical between numpy and
+    DuckDB) -> deterministic 10-per-lang stratified sample -> token-budget
+    shard packing (exact distributed prefix sum). Every stage is the
+    engine's distributed operator; only narrow (hash, id, int) columns
+    ride any shuffle after the feature pass."""
+    from t_digest_ray.functions.hashing import hash64
+    from t_digest_ray.functions.text import quality_features
+    from t_digest_ray.pipelines.curation import (normalize_expr,
+                                                 prefix_sum_shards,
+                                                 stratified_sample)
+    from t_digest_ray.stages.partitioning import (cheap_row_count,
+                                                  coarse_bucket_count)
+
+    docs = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
+    n_docs = cheap_row_count(docs)
+    coarse = coarse_bucket_count(n_rows=n_docs,
+                                 what="curation_pipeline dedup")
+
+    def feats(df: pd.DataFrame) -> pd.DataFrame:
+        q = quality_features(df["text"])
+        norm = normalize_expr(pa.array(df["text"].fillna("")))
+        h = hash64(norm.to_numpy(zero_copy_only=False))
+        with np.errstate(over="ignore"):
+            out = pd.DataFrame({
+                "doc_id": df["doc_id"].to_numpy(),
+                "lang": df["lang"].to_numpy(),
+                "norm_h": h.astype(np.uint64),
+                "n_tokens": q["n_tokens"].to_numpy(),
+                "q_e6": np.floor(q["quality_score"].to_numpy() * 1e6
+                                 + 0.5).astype(np.int64),
+                "_b": (h % np.uint64(coarse)).astype(np.int32),
+            })
+        return out
+
+    def dedup_and_filter(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id", kind="stable") \
+            .drop_duplicates("norm_h")
+        g = g[g["q_e6"] >= 850_000]
+        return g[["doc_id", "lang", "n_tokens"]]
+
+    survivors = (docs.map_batches(feats, batch_format="pandas")
+                 .groupby("_b")
+                 .map_groups(dedup_and_filter, batch_format="pandas"))
+
+    sample = stratified_sample(survivors, "lang", "doc_id", k=10,
+                               carry_cols=("n_tokens",))
+    packed = prefix_sum_shards(sample, "doc_id", "n_tokens", budget=2048,
+                               carry_cols=("lang",), n_buckets=coarse)
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        return df.rename(columns={"offset": "tok_offset"})[
+            ["doc_id", "lang", "n_tokens", "tok_offset", "shard_id"]]
+
+    return packed.map_batches(fin, batch_format="pandas")
+
+
 def decontaminated_doc_counts(sf_dir: str):
     """Eval-set decontamination: drop every corpus doc whose CANONICAL
     text (lowercase, \\s+ collapsed, trimmed) matches a planted eval set
@@ -1542,6 +1602,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mixture_sampled_counts": mixture_sampled_counts,
         "range_partition_balance": range_partition_balance,
         "decontaminated_doc_counts": decontaminated_doc_counts,
+        "curation_pipeline_docs": curation_pipeline_docs,
         "bloom_semi_join_count": bloom_semi_join_count,
         "linear_histogram_events": linear_histogram_events,
         "cms_heavy_event_types": cms_heavy_event_types,
@@ -2143,6 +2204,71 @@ def oracle_sql() -> dict[str, str]:
                 SELECT TRIM(REGEXP_REPLACE(LOWER(text), '\s+', ' ', 'g'))
                 FROM documents WHERE doc_id % 13 = 0)
             GROUP BY lang
+        """,
+        "curation_pipeline_docs": f"""
+            WITH f AS (
+              SELECT doc_id, lang,
+                     TRIM(REGEXP_REPLACE(LOWER(text), '\\s+', ' ', 'g'))
+                         AS norm,
+                     CAST(LENGTH(COALESCE(text,'')) AS DOUBLE) AS n_chars,
+                     CAST(LEN(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(
+                          COALESCE(text,''), '\\s+'), x -> x <> ''))
+                          AS DOUBLE) AS n_tok,
+                     CAST(LENGTH(COALESCE(text,''))
+                          - LENGTH(REGEXP_REPLACE(COALESCE(text,''),
+                                   '[0-9]', '', 'g')) AS DOUBLE) AS n_digit,
+                     CAST(LENGTH(COALESCE(text,''))
+                          - LENGTH(REGEXP_REPLACE(COALESCE(text,''),
+                                   '[A-Za-z]', '', 'g')) AS DOUBLE) AS n_alpha
+              FROM documents
+            ), s AS (
+              SELECT doc_id, lang, norm, n_tok,
+                     n_chars / GREATEST(n_tok, 1.0) AS mwl,
+                     n_digit / GREATEST(n_chars, 1.0) AS digit_ratio,
+                     n_alpha / GREATEST(n_chars, 1.0) AS alpha_ratio,
+                     LEAST(GREATEST(LN(1.0 + n_chars) / LN(2000.0), 0), 1)
+                         AS len_ok
+              FROM f
+            ), sc AS (
+              SELECT doc_id, lang, norm, n_tok,
+                     CAST(FLOOR(LEAST(GREATEST(
+                         0.35 * len_ok + 0.3 * alpha_ratio
+                         + 0.25 * EXP(-0.5 * ((mwl - 5.0) / 3.0)
+                                           * ((mwl - 5.0) / 3.0))
+                         + 0.1 * (1.0 - LEAST(digit_ratio * 5.0, 1.0)),
+                         0), 1) * 1e6 + 0.5) AS BIGINT) AS q_e6
+              FROM s
+            ), surv AS (
+              SELECT doc_id, lang, n_tok FROM (
+                SELECT doc_id, lang, n_tok, q_e6,
+                       MIN(doc_id) OVER (PARTITION BY norm) AS keeper
+                FROM sc)
+              WHERE doc_id = keeper AND q_e6 >= 850000
+            ), m0 AS (
+              SELECT *, (CAST(doc_id AS UHUGEINT)
+                         + CAST(11400714819323198485 AS UHUGEINT))
+                         % {_M64} AS z FROM surv
+            ), m1 AS (SELECT *, (xor(z, z >> 30)
+                          * CAST(13787848793156543929 AS UHUGEINT))
+                          % {_M64} AS z1 FROM m0),
+            m2 AS (SELECT *, (xor(z1, z1 >> 27)
+                          * CAST(10723151780598845931 AS UHUGEINT))
+                          % {_M64} AS z2 FROM m1),
+            mh AS (SELECT doc_id, lang, n_tok,
+                          xor(z2, z2 >> 31) AS h FROM m2),
+            samp AS (
+              SELECT doc_id, lang, n_tok FROM (
+                SELECT doc_id, lang, n_tok,
+                       ROW_NUMBER() OVER (PARTITION BY lang
+                                          ORDER BY h) AS rn FROM mh)
+              WHERE rn <= 10)
+            SELECT doc_id, lang, CAST(n_tok AS BIGINT) AS n_tokens,
+                   CAST(SUM(n_tok) OVER w - n_tok AS BIGINT)
+                       AS tok_offset,
+                   CAST(CAST(SUM(n_tok) OVER w - n_tok AS BIGINT)
+                        // 2048 AS BIGINT) AS shard_id
+            FROM samp
+            WINDOW w AS (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
         """,
         "bloom_semi_join_count": """
             SELECT l_returnflag, COUNT(*) AS n_rows
