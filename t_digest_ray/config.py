@@ -30,7 +30,8 @@ PIPELINES = ("quantiles", "kll", "req", "distinct", "heavy", "heavy_mg",
              "dedup_keep", "simhash", "checkpointed", "sessionize",
              "watermark", "watermarked_window", "cdf", "ivf_build",
              "drift_check", "pack", "sample_stratified",
-             "sample_bernoulli", "normalized_distinct")
+             "sample_bernoulli", "normalized_distinct", "semi_join",
+             "anti_join", "topk", "mixture")
 
 
 @dataclass
@@ -188,6 +189,26 @@ def run_job(cfg: JobConfig):
     elif cfg.pipeline == "normalized_distinct":
         from .pipelines.curation import normalized_distinct_by_key
         out = normalized_distinct_by_key(ds, cfg.value_col, cfg.key, **p)
+    elif cfg.pipeline in ("semi_join", "anti_join"):
+        import ray.data as rd
+
+        from .pipelines.relational import hash_semi_anti_join
+        # key = join key; params: input_b (right side, key column only),
+        # carry_cols (left columns to keep)
+        ds_b = rd.read_parquet(p.pop("input_b"), columns=[cfg.key])
+        out = hash_semi_anti_join(ds, ds_b, cfg.key,
+                                  p.pop("carry_cols", []),
+                                  anti=cfg.pipeline == "anti_join", **p)
+    elif cfg.pipeline == "topk":
+        from .pipelines.curation import topk_per_key
+        # key = stratum; value_col = ranking value; params: id_col, k
+        out = topk_per_key(ds, cfg.key, cfg.value_col, p.pop("id_col"),
+                           **p)
+    elif cfg.pipeline == "mixture":
+        from .pipelines.curation import weighted_mixture
+        # key = stratum; value_col = row id; params: rates {key: rate}
+        out = weighted_mixture(ds, cfg.key, cfg.value_col,
+                               p.pop("rates"), **p)
     elif cfg.pipeline == "drift_check":
         import ray.data as rd
 

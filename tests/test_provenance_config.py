@@ -247,3 +247,30 @@ def test_job_config_curation_ops(ray_session):
         columns=["lang", "text"], key="lang",
         value_col="text")).to_pandas()
     assert (out["n_distinct"] >= 1).all()
+
+
+def test_job_config_join_topk_mixture(ray_session):
+    docs = "/root/testdata/sf0.001/documents.parquet"
+    out = run_job(JobConfig(
+        pipeline="anti_join", input=docs, columns=["doc_id", "lang"],
+        key="doc_id",
+        params={"input_b": docs, "carry_cols": ["lang"]})).to_pandas()
+    assert len(out) == 0  # every doc_id joins itself away
+
+    out = run_job(JobConfig(
+        pipeline="semi_join", input=docs, columns=["doc_id", "lang"],
+        key="doc_id",
+        params={"input_b": docs, "carry_cols": ["lang"]})).to_pandas()
+    assert len(out) == 500
+
+    out = run_job(JobConfig(
+        pipeline="topk", input=docs, columns=["doc_id", "lang", "n_chars"],
+        key="lang", value_col="n_chars",
+        params={"id_col": "doc_id", "k": 2})).to_pandas()
+    assert out.groupby("lang").size().max() <= 2
+
+    out = run_job(JobConfig(
+        pipeline="mixture", input=docs, columns=["doc_id", "lang"],
+        key="lang", value_col="doc_id",
+        params={"rates": {"en": 1.0}, "default_rate": 0.0})).to_pandas()
+    assert set(out["lang"]) == {"en"}
