@@ -425,6 +425,130 @@ def region_supplier_revenue(sf_dir: str):
     return out.map_batches(finalize, batch_format="pandas")
 
 
+def q5_local_supplier_revenue(sf_dir: str):
+    """TPC-H Q5-shaped local-supplier-volume query: revenue per nation
+    for orders in a date range where the customer and the supplier sit
+    in the SAME nation of one region. Mixed join strategy, picked per
+    side's true scale: nation⋈region fold and the supplier→nationkey
+    map are driver-folded dimensions (broadcast once via ray.put, looked
+    up with a sorted-array searchsorted inside the lineitem map — the
+    fact table never shuffles for them), while orders⋈customer and
+    lineitem⋈(orders⋈customer) — all fact-scale sides — go through the
+    co-partitioned ``hash_join``. The c_nationkey = s_nationkey equality
+    is applied as a vectorized post-join filter."""
+    import datetime
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray
+    from ray.data.aggregate import Sum
+    from t_digest_ray.pipelines.relational import hash_join
+    from t_digest_ray.stages.partitioning import cheap_row_count
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+    reg = pq.read_table(f"{sf_dir}/region.parquet",
+                        columns=["r_regionkey", "r_name"]).to_pandas()
+    dim = nat.merge(reg, left_on="n_regionkey", right_on="r_regionkey")
+    dim = dim[dim["r_name"] == "ASIA"]
+    nation_name = dict(zip(dim["n_nationkey"].astype(np.int64),
+                           dim["n_name"]))
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    sup = sup[sup["s_nationkey"].astype(np.int64).isin(nation_name)]
+    order_ = np.argsort(sup["s_suppkey"].to_numpy())
+    sup_ref = ray.put((sup["s_suppkey"].to_numpy()[order_].astype(np.int64),
+                       sup["s_nationkey"].to_numpy()[order_].astype(np.int64)))
+
+    region_keys = pa.array(list(nation_name), type=pa.int32())
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    n_cust = cheap_row_count(cust)
+
+    def cust_p(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.is_in(b["c_nationkey"], value_set=region_keys))
+        return pa.table({"key": t["c_custkey"],
+                         "c_nat": pc.cast(t["c_nationkey"], pa.int64())})
+
+    lo = datetime.datetime(1996, 1, 1)
+    hi = datetime.datetime(1998, 1, 1)
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"])
+    n_ord = cheap_row_count(orders)
+
+    def ord_p(b: pa.Table) -> pa.Table:
+        m = pc.and_(pc.greater_equal(b["o_orderdate"], pa.scalar(lo)),
+                    pc.less(b["o_orderdate"], pa.scalar(hi)))
+        t = b.filter(m)
+        return pa.table({"key": t["o_custkey"], "okey": t["o_orderkey"]})
+
+    j1 = hash_join(orders.map_batches(ord_p, batch_format="pyarrow"),
+                   cust.map_batches(cust_p, batch_format="pyarrow"),
+                   on="key", left_cols=["okey"], right_cols=["c_nat"],
+                   n_rows=None if None in (n_cust, n_ord)
+                   else n_cust + n_ord)
+
+    def j1_p(b: pa.Table) -> pa.Table:
+        return pa.table({"okey": b["okey"], "c_nat": b["c_nat"]})
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_suppkey", "l_extendedprice",
+                "l_discount"])
+    n_li = cheap_row_count(li)
+
+    class SupplierLookup:
+        """Actor-pool stage: the broadcast (suppkey, nationkey) arrays are
+        fetched from plasma ONCE per actor; each batch is a vectorized
+        searchsorted membership test + gather (no Python per-row work)."""
+
+        def __init__(self):
+            self.sk, self.sn = ray.get(sup_ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            keys = b["l_suppkey"].to_numpy(zero_copy_only=False)
+            idx = np.searchsorted(self.sk, keys)
+            idx_c = np.minimum(idx, len(self.sk) - 1)
+            hit = (self.sk[idx_c] == keys) if len(self.sk) else \
+                np.zeros(len(keys), dtype=bool)
+            t = b.filter(pa.array(hit))
+            price = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+            disc = t["l_discount"].to_numpy(zero_copy_only=False)
+            return pa.table({
+                "okey": t["l_orderkey"],
+                "rev": pa.array(price * (1.0 - disc)),
+                "s_nat": pa.array(self.sn[idx_c[hit]]),
+            })
+
+    j2 = hash_join(li.map_batches(SupplierLookup, batch_format="pyarrow",
+                                  concurrency=2),
+                   j1.map_batches(j1_p, batch_format="pyarrow"),
+                   on="okey", left_cols=["rev", "s_nat"],
+                   right_cols=["c_nat"],
+                   n_rows=None if None in (n_li, n_ord)
+                   else n_li + n_ord)
+
+    names_k = np.fromiter(nation_name, dtype=np.int64)
+    names_v = np.array([nation_name[k] for k in names_k], dtype=object)
+    no = np.argsort(names_k)
+    names_k, names_v = names_k[no], names_v[no]
+
+    def local_only(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.equal(b["s_nat"], b["c_nat"]))
+        nk = t["s_nat"].to_numpy(zero_copy_only=False)
+        nm = names_v[np.searchsorted(names_k, nk)]
+        return pa.table({"n_name": pa.array(nm, type=pa.string()),
+                         "rev": t["rev"]})
+
+    out = (j2.map_batches(local_only, batch_format="pyarrow")
+           .groupby("n_name")
+           .aggregate(Sum("rev", alias_name="revenue_cents")))
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        return _cents(df, ["revenue_cents"])[["n_name", "revenue_cents"]]
+
+    return (out.map_batches(fin, batch_format="pandas")
+            .sort(["revenue_cents", "n_name"], descending=[True, False]))
+
+
 def doc_token_stats(sf_dir: str):
     """Row-level text metrics (all integer -> exact oracle): chars, tokens,
     punctuation and digit counts per document."""
@@ -1592,6 +1716,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_year_revenue": order_year_revenue,
         "q3_top_orders": q3_top_orders,
         "q18_large_orders": q18_large_orders,
+        "q5_local_supplier_revenue": q5_local_supplier_revenue,
         "region_supplier_revenue": region_supplier_revenue,
         "doc_token_stats": doc_token_stats,
         "token_shard_packing": token_shard_packing,
@@ -2035,6 +2160,20 @@ def oracle_sql() -> dict[str, str]:
                 HAVING SUM(l_quantity) > 250) b
               ON o_orderkey = b.l_orderkey
             ORDER BY total_cents DESC, o_orderkey LIMIT 20
+        """,
+        "q5_local_supplier_revenue": """
+            SELECT n_name,
+                   CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)) * 100)
+                        AS BIGINT) AS revenue_cents
+            FROM customer, orders, lineitem, supplier, nation, region
+            WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+              AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+              AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+              AND r_name = 'ASIA'
+              AND o_orderdate >= DATE '1996-01-01'
+              AND o_orderdate < DATE '1998-01-01'
+            GROUP BY n_name
+            ORDER BY revenue_cents DESC, n_name
         """,
         "region_supplier_revenue": """
             SELECT r_name, COUNT(*) AS n_items,

@@ -84,3 +84,22 @@ def test_hash_semi_anti_join(ray_session, anti):
     assert got == want
     # key dtype preserved (no float64 promotion from the union's nulls)
     assert out["k"].dtype == np.int64
+
+
+def test_q5_shape_matches_duckdb(ray_session):
+    """The Q5 composition (two hash joins + broadcast dimension lookup +
+    same-nation filter) reproduces DuckDB's answer exactly at sf0.001."""
+    import duckdb
+
+    import __ray_entry__ as e
+
+    sf = "/root/testdata/sf0.001"
+    got = e.queries()["q5_local_supplier_revenue"](sf).to_pandas()
+    con = duckdb.connect()
+    for t in ("customer", "orders", "lineitem", "supplier", "nation",
+              "region"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{sf}/{t}.parquet')")
+    want = con.execute(e.oracle_sql()["q5_local_supplier_revenue"]).df()
+    pd.testing.assert_frame_equal(got.reset_index(drop=True),
+                                  want.reset_index(drop=True))
