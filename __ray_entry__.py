@@ -1695,6 +1695,46 @@ def pages_host_stats(sf_dir: str):
     return out[["host", "n_pages", "n_urls", "within_bound"]]
 
 
+def pages_host_quota(sf_dir: str):
+    """Per-host quota + quality-ordered selection over the PAGES corpus —
+    the crawl-curation composition ("keep the 3 best documents per host"):
+    pages rebuilt from documents, text re-extracted from the html payload
+    (the north-star byte-identical invariant gates the whole result: a
+    broken extractor shifts every quality score), grid-snapped quality
+    scores computed vectorized per batch, then the exact distributed
+    ``topk_per_key`` quota (quality desc, url tie-break). Only
+    (host, url, q_e6) rides the combiner shuffle — never html or text."""
+    from t_digest_ray.functions.text import quality_features
+    from t_digest_ray.pipelines.curation import topk_per_key
+    from t_digest_ray.sources.pages import pages_from_documents
+
+    pages = pages_from_documents(sf_dir)
+
+    class HostQuality:
+        def __init__(self):
+            from t_digest_ray.stages.extract import ExtractText
+            self.extract = ExtractText()
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            t = self.extract(b)
+            host = pc.list_element(pc.split_pattern(t["url"], "/"), 2)
+            q = quality_features(t["extracted_text"].to_pandas())
+            q_e6 = np.floor(q["quality_score"].to_numpy() * 1e6
+                            + 0.5).astype(np.int64)
+            return pa.table({"host": host, "url": t["url"],
+                             "q_e6": pa.array(q_e6)})
+
+    scored = pages.map_batches(HostQuality, batch_format="pyarrow",
+                               concurrency=2)
+    sel = topk_per_key(scored, "host", "q_e6", "url", k=3)
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        return df[["host", "url", "q_e6"]]
+
+    return sel.map_batches(fin, batch_format="pandas")
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
     return pages_flagship("/root/testdata/sf0.001")
@@ -1750,6 +1790,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pages_flagship": pages_flagship,
         "pages_flagship_checked": pages_flagship_checked,
         "pages_host_stats": pages_host_stats,
+        "pages_host_quota": pages_host_quota,
         "req_quantiles_by_lang": req_quantiles_by_lang,
         "drift_events_value": drift_events_value,
         "simhash_dedup_pairs": simhash_dedup_pairs,
@@ -1913,6 +1954,46 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(DISTINCT doc_id) AS n_urls,
                    TRUE AS within_bound
             FROM documents GROUP BY 1
+        """,
+        "pages_host_quota": """
+            WITH f AS (
+              SELECT source || '.example.com' AS host,
+                     'https://' || source || '.example.com/doc/'
+                         || LPAD(CAST(doc_id AS VARCHAR), 12, '0') AS url,
+                     CAST(LENGTH(COALESCE(text,'')) AS DOUBLE) AS n_chars,
+                     CAST(LEN(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(
+                          COALESCE(text,''), '\\s+'), x -> x <> ''))
+                          AS DOUBLE) AS n_tok,
+                     CAST(LENGTH(COALESCE(text,''))
+                          - LENGTH(REGEXP_REPLACE(COALESCE(text,''),
+                                   '[0-9]', '', 'g')) AS DOUBLE) AS n_digit,
+                     CAST(LENGTH(COALESCE(text,''))
+                          - LENGTH(REGEXP_REPLACE(COALESCE(text,''),
+                                   '[A-Za-z]', '', 'g')) AS DOUBLE) AS n_alpha
+              FROM documents
+            ), s AS (
+              SELECT host, url,
+                     n_chars / GREATEST(n_tok, 1.0) AS mwl,
+                     n_digit / GREATEST(n_chars, 1.0) AS digit_ratio,
+                     n_alpha / GREATEST(n_chars, 1.0) AS alpha_ratio,
+                     LEAST(GREATEST(LN(1.0 + n_chars) / LN(2000.0), 0), 1)
+                         AS len_ok
+              FROM f
+            ), sc AS (
+              SELECT host, url,
+                     CAST(FLOOR(LEAST(GREATEST(
+                         0.35 * len_ok + 0.3 * alpha_ratio
+                         + 0.25 * EXP(-0.5 * ((mwl - 5.0) / 3.0)
+                                           * ((mwl - 5.0) / 3.0))
+                         + 0.1 * (1.0 - LEAST(digit_ratio * 5.0, 1.0)),
+                         0), 1) * 1e6 + 0.5) AS BIGINT) AS q_e6
+              FROM s
+            )
+            SELECT host, url, q_e6 FROM (
+                SELECT host, url, q_e6,
+                       ROW_NUMBER() OVER (PARTITION BY host
+                                          ORDER BY q_e6 DESC, url) AS rn
+                FROM sc) WHERE rn <= 3
         """,
         "events_windowed_value_digest": """
             SELECT CAST(CAST(FLOOR(FLOOR(EPOCH(ts)) / 86400) * 86400

@@ -236,3 +236,23 @@ def test_quantile_range_partition_balance_and_total(ray_session):
     # monotone: partition id non-decreasing in value
     s = out.sort_values("value")
     assert (np.diff(s["partition_id"].to_numpy()) >= 0).all()
+
+
+def test_pages_host_quota_matches_duckdb(ray_session):
+    """Per-host quota composition: extractor -> quality -> topk_per_key
+    reproduces the SQL window (ROW_NUMBER <= 3) answer exactly."""
+    import duckdb
+    import pandas as pd
+
+    import __ray_entry__ as e
+
+    sf = "/root/testdata/sf0.001"
+    got = e.queries()["pages_host_quota"](sf).to_pandas() \
+        .sort_values(["host", "url"]).reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    want = con.execute(e.oracle_sql()["pages_host_quota"]).df() \
+        .sort_values(["host", "url"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+    assert got.groupby("host").size().max() <= 3
