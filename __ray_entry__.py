@@ -1585,6 +1585,61 @@ def media_decode_stats(sf_dir: str):
     return out.map_batches(finalize, batch_format="pandas")
 
 
+def image_dedup_stats(sf_dir: str):
+    """Image-dedup composition over the stub codec: documents' bytes as
+    opaque image payloads -> actor-pool decode (metadata + decodability
+    filter) -> EXACT payload dedup (uint64 content hash, keep the min
+    doc_id per distinct image via the hash-bucketed combine — one group
+    per distinct image, so the sort-based groupby is replaced) -> a
+    per-channel rollup of the kept set. Payload bytes never leave the
+    decode stage; the dedup shuffle carries (hash, id, channels, width)
+    only — the image twin of the text exact-dedup path."""
+    from ray.data.aggregate import Count, Sum
+    from t_digest_ray.functions.hashing import hash64
+    from t_digest_ray.stages.aggregate import hash_bucketed_group_agg
+    from t_digest_ray.stages.multimodal import ImageDecode
+    from t_digest_ray.stages.partitioning import cheap_row_count
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    n_rows = cheap_row_count(ds)
+
+    def to_media(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return pa.table({"doc_id": b["doc_id"],
+                         "payload": pc.cast(b["text"], pa.binary())})
+
+    decoded = (ds.map_batches(to_media, batch_format="pyarrow")
+               .map_batches(ImageDecode, batch_format="pyarrow",
+                            concurrency=2, batch_size=256))
+
+    def hash_meta(b: pa.Table) -> pa.Table:
+        t = b.filter(b["decode_ok"])
+        h = hash64(t["payload"].to_numpy(zero_copy_only=False))
+        return pa.table({"img_h": pa.array(h.astype(np.int64)),
+                         "doc_id": t["doc_id"],
+                         "channels": t["channels"],
+                         "width": t["width"]})
+
+    kept = hash_bucketed_group_agg(
+        decoded.map_batches(hash_meta, batch_format="pyarrow"),
+        ["img_h"],
+        {"doc_id": ("doc_id", "min"), "n_dupes": ("doc_id", "count"),
+         "channels": ("channels", "min"), "width": ("width", "min")},
+        n_rows=n_rows)
+
+    out = (kept.groupby("channels")
+           .aggregate(Count(alias_name="n_kept"),
+                      Sum("n_dupes", alias_name="n_total"),
+                      Sum("width", alias_name="sum_width")))
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        for c in ("channels", "n_total", "sum_width"):
+            df[c] = df[c].astype(np.int64)
+        return df[["channels", "n_kept", "n_total", "sum_width"]]
+
+    return out.map_batches(fin, batch_format="pandas")
+
+
 def checkpointed_quantiles_by_lang(sf_dir: str):
     """The resumable pipeline: per-file sketch checkpoints with lineage,
     then a canonical merge of the checkpoint rows (north_star resume path).
@@ -1800,6 +1855,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprints": doc_fingerprints,
         "checkpointed_quantiles_by_lang": checkpointed_quantiles_by_lang,
         "media_decode_stats": media_decode_stats,
+        "image_dedup_stats": image_dedup_stats,
         "embedding_near_dup_docs": embedding_near_dup_docs,
         "events_hourly_window": events_hourly_window,
         "events_sliding_window": events_sliding_window,
@@ -2074,6 +2130,20 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT user_id, CAST(SUM(is_start) AS BIGINT) AS n_sessions
             FROM d GROUP BY user_id
+        """,
+        "image_dedup_stats": """
+            WITH grp AS (
+                SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_dupes,
+                       1 + (ASCII(SUBSTR(text, -1, 1)) % 3) AS channels,
+                       16 + (LENGTH(text) % 624) AS w
+                FROM documents WHERE LENGTH(text) > 0
+                GROUP BY text
+            )
+            SELECT CAST(channels AS BIGINT) AS channels,
+                   COUNT(*) AS n_kept,
+                   CAST(SUM(n_dupes) AS BIGINT) AS n_total,
+                   CAST(SUM(w) AS BIGINT) AS sum_width
+            FROM grp GROUP BY channels
         """,
         "media_decode_stats": """
             WITH meta AS (

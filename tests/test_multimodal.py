@@ -95,3 +95,46 @@ def test_actor_pool_pipeline(ray_session):
     ldf = local.to_pandas().sort_values("doc_id").reset_index(drop=True)
     assert (df["target_width"] == ldf["target_width"]).all()
     assert np.allclose(np.stack(df["embedding"]), np.stack(ldf["embedding"]))
+
+
+def test_image_dedup_stats_matches_duckdb(ray_session):
+    """decode -> exact payload dedup -> per-channel rollup reproduces the
+    SQL GROUP BY text answer exactly (the image twin of exact text dedup)."""
+    import duckdb
+    import pandas as pd
+
+    import __ray_entry__ as e
+
+    sf = "/root/testdata/sf0.001"
+    got = e.queries()["image_dedup_stats"](sf).to_pandas() \
+        .sort_values("channels").reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    want = con.execute(e.oracle_sql()["image_dedup_stats"]).df() \
+        .sort_values("channels").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_image_embed_near_dup_composition(ray_session):
+    """Image near-dup over stub embeddings: planted byte-identical payload
+    pairs (id, id+10000) must all surface via EmbedStub -> hyperplane-LSH
+    candidate banding -> exact cosine verify (cos=1 for identical bytes)."""
+    import ray
+
+    from t_digest_ray.stages.ann import embedding_near_dup_pairs
+
+    rng = np.random.default_rng(3)
+    payloads = [rng.integers(32, 127, size=rng.integers(50, 400))
+                .astype(np.uint8).tobytes() for _ in range(120)]
+    ids = list(range(120)) + list(range(10000, 10040))
+    blobs = payloads + payloads[:40]  # 40 exact duplicate images
+    t = pa.table({"vec_id": pa.array(ids, type=pa.int64()),
+                  "payload": pa.array(blobs, type=pa.binary())})
+    ds = ray.data.from_arrow(t).repartition(4) \
+        .map_batches(EmbedStub(), batch_format="pyarrow") \
+        .select_columns(["vec_id", "embedding"])
+    pairs = embedding_near_dup_pairs(ds, threshold=0.999).to_pandas()
+    got = set(map(tuple, pairs[["id_a", "id_b"]].itertuples(index=False)))
+    want = {(i, i + 10000) for i in range(40)}
+    assert want <= got  # every planted duplicate image is found
