@@ -1750,6 +1750,26 @@ def pages_host_stats(sf_dir: str):
     return out[["host", "n_pages", "n_urls", "within_bound"]]
 
 
+def greedy_packed_docs(sf_dir: str):
+    """Sequence-packing, NO-STRADDLE variant: documents in doc_id order
+    fill a shard until the next doc would exceed the char budget, which
+    then opens a new shard (the rule real training-shard writers use — a
+    doc never spans shards). The recurrence is inherently sequential;
+    the engine runs it EXACTLY distributed via per-bucket function
+    summaries + a KB-sized driver fold (pipelines/curation.py:
+    greedy_pack_shards). Oracle: the same scan as a recursive SQL CTE."""
+    from t_digest_ray.pipelines.curation import greedy_pack_shards
+
+    docs = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    out = greedy_pack_shards(docs, "doc_id", "n_chars", budget=1500,
+                             carry_cols=("lang",))
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        return df[["doc_id", "lang", "n_chars", "shard_id"]]
+
+    return out.map_batches(fin, batch_format="pandas")
+
+
 def pages_host_quota(sf_dir: str):
     """Per-host quota + quality-ordered selection over the PAGES corpus —
     the crawl-curation composition ("keep the 3 best documents per host"):
@@ -1846,6 +1866,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pages_flagship_checked": pages_flagship_checked,
         "pages_host_stats": pages_host_stats,
         "pages_host_quota": pages_host_quota,
+        "greedy_packed_docs": greedy_packed_docs,
         "req_quantiles_by_lang": req_quantiles_by_lang,
         "drift_events_value": drift_events_value,
         "simhash_dedup_pairs": simhash_dedup_pairs,
@@ -2010,6 +2031,28 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(DISTINCT doc_id) AS n_urls,
                    TRUE AS within_bound
             FROM documents GROUP BY 1
+        """,
+        "greedy_packed_docs": """
+            WITH RECURSIVE d AS (
+              SELECT doc_id, lang, n_chars,
+                     ROW_NUMBER() OVER (ORDER BY doc_id) AS rn
+              FROM documents
+            ), pack AS (
+              SELECT rn, doc_id, lang, n_chars,
+                     CASE WHEN n_chars > 1500 THEN 1 ELSE 0 END AS s,
+                     n_chars AS fill
+              FROM d WHERE rn = 1
+              UNION ALL
+              SELECT d.rn, d.doc_id, d.lang, d.n_chars,
+                     CASE WHEN p.fill + d.n_chars > 1500
+                          THEN p.s + 1 ELSE p.s END,
+                     CASE WHEN p.fill + d.n_chars > 1500
+                          THEN d.n_chars ELSE p.fill + d.n_chars END
+              FROM pack p JOIN d ON d.rn = p.rn + 1
+            )
+            SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+                   CAST(s AS BIGINT) AS shard_id
+            FROM pack
         """,
         "pages_host_quota": """
             WITH f AS (

@@ -31,7 +31,7 @@ PIPELINES = ("quantiles", "kll", "req", "distinct", "heavy", "heavy_mg",
              "watermark", "watermarked_window", "cdf", "ivf_build",
              "drift_check", "pack", "sample_stratified",
              "sample_bernoulli", "normalized_distinct", "semi_join",
-             "anti_join", "topk", "mixture")
+             "anti_join", "topk", "mixture", "pack_nostraddle")
 
 
 @dataclass
@@ -179,6 +179,10 @@ def run_job(cfg: JobConfig):
         from .pipelines.curation import prefix_sum_shards
         # key = order column; value_col = weight column (token count)
         out = prefix_sum_shards(ds, cfg.key, cfg.value_col, **p)
+    elif cfg.pipeline == "pack_nostraddle":
+        from .pipelines.curation import greedy_pack_shards
+        # key = order column; value_col = weight column (token count)
+        out = greedy_pack_shards(ds, cfg.key, cfg.value_col, **p)
     elif cfg.pipeline == "sample_stratified":
         from .pipelines.curation import stratified_sample
         # key = stratum column; value_col = row-id column

@@ -141,6 +141,187 @@ def prefix_sum_shards(ds, order_col: str, weight_col: str, budget: int,
 
 
 # ---------------------------------------------------------------------------
+# no-straddle (greedy bin) shard packing
+# ---------------------------------------------------------------------------
+
+def _pack_jump(P: np.ndarray, budget: int) -> np.ndarray:
+    """``e[i]``: exclusive end of a FRESH shard starting at doc i, given the
+    inclusive prefix-sum array ``P`` (``P[0] = 0``, length m+1): the largest
+    k with ``P[k] - P[i] <= budget``. Oversize docs (w > budget) become
+    singleton shards (``e = i + 1``)."""
+    m = len(P) - 1
+    e = np.searchsorted(P, P[:-1] + budget, side="right") - 1
+    return np.maximum(e, np.arange(1, m + 1, dtype=np.int64))
+
+
+def _fresh_pack_summary(P: np.ndarray, budget: int):
+    """For every start index i: ``K[i]`` = number of shards a fresh greedy
+    pack of docs ``i..m`` uses, and ``last[i]`` = start index of its LAST
+    (still-open) shard — computed for ALL i at once by vectorized binary
+    lifting over the jump graph (absorbing at m), O(m log m) numpy, no
+    Python per row. ``K[m] = 0``."""
+    m = len(P) - 1
+    jump = np.empty(m + 1, dtype=np.int64)
+    if m:
+        jump[:m] = _pack_jump(P, budget)
+    jump[m] = m
+    tables = [jump]
+    while not (tables[-1][:-1] == m).all() and len(tables) < 64:
+        t = tables[-1]
+        tables.append(t[t])
+    pos = np.arange(m + 1, dtype=np.int64)
+    K = np.zeros(m + 1, dtype=np.int64)
+    for lvl in range(len(tables) - 1, -1, -1):
+        cand = tables[lvl][pos]
+        take = cand < m
+        K[take] += np.int64(1) << lvl
+        pos[take] = cand[take]
+    # after the descent, one final jump from ``pos`` reaches m
+    K += (np.arange(m + 1) < m).astype(np.int64)
+    return K, pos
+
+
+def greedy_pack_shards(ds, order_col: str, weight_col: str, budget: int,
+                       carry_cols: tuple[str, ...] = (),
+                       n_buckets: int | None = None,
+                       order_range: tuple[int, int] | None = None):
+    """NO-STRADDLE shard packing: rows in ``order_col`` order fill a shard
+    until the next row would exceed ``budget``, which then OPENS a new
+    shard — no row spans a boundary (the sequence-packing rule real
+    training-shard writers use; contrast ``prefix_sum_shards`` where a row
+    may straddle). Semantics are exactly the sequential scan::
+
+        shard, fill = 0, 0                  # shard 0 starts open+empty
+        for w in weights:                   # in order_col order
+            if fill + w > budget: shard += 1; fill = w
+            else:                 fill += w
+
+    (an oversize row w > budget gets a singleton shard).
+
+    This recurrence is inherently sequential, but a contiguous run's
+    effect is a composable FUNCTION of the incoming fill: given fill f,
+    the first ``j(f)`` rows extend the open shard (``j(f)`` = largest j
+    with ``P[j] <= budget - f``), and everything after packs FRESH —
+    independent of f. So each order-range bucket ships a compact summary
+    (lead prefix sums of its first fresh shard — at most the rows one
+    shard can hold — plus fresh-pack shard counts / final fills for each
+    possible cut, via binary lifting), the driver folds the per-bucket
+    functions left-to-right (KBs of state: O(n_buckets x rows_per_shard)),
+    broadcasts each bucket's (open-shard index, incoming fill), and a
+    second pass assigns ids. EXACT at any parallelism / batch layout.
+
+    Returns rows ``(order_col, *carry_cols, weight_col, shard_id)``.
+    """
+    import ray
+
+    from ..stages.partitioning import coarse_bucket_count
+
+    if n_buckets is None:
+        n_buckets = coarse_bucket_count(ds, rows_per_bucket=262144,
+                                        what="greedy_pack_shards")
+    budget = int(budget)
+
+    if order_range is not None:
+        lo, hi = int(order_range[0]), int(order_range[1])
+    else:
+        from ray.data.aggregate import Max as AggMax
+        from ray.data.aggregate import Min as AggMin
+        rng = ds.aggregate(AggMin(order_col, alias_name="lo"),
+                           AggMax(order_col, alias_name="hi"))
+        lo, hi = int(rng["lo"]), int(rng["hi"])
+    span = max(hi - lo + 1, 1)
+    width = -(-span // n_buckets)
+
+    def project(batch: pa.Table) -> pa.Table:
+        o = batch[order_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        w = batch[weight_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(w) and w.min() < 0:
+            raise ValueError("greedy_pack_shards: negative weight")
+        cols = {
+            "bucket": pa.array(((o - lo) // width).astype(np.int32)),
+            order_col: pa.array(o),
+            weight_col: pa.array(w),
+        }
+        for c in carry_cols:
+            cols[c] = batch[c]
+        return pa.table(cols)
+
+    projected = ds.map_batches(project, batch_format="pyarrow")
+
+    # pass A (narrow: bucket/order/weight only): per-bucket function summary
+    def summarize(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(order_col, kind="stable")
+        w = g[weight_col].to_numpy(dtype=np.int64)
+        m = len(w)
+        P = np.concatenate(([np.int64(0)], np.cumsum(w)))
+        K, last = _fresh_pack_summary(P, budget)
+        j0 = int(_pack_jump(P, budget)[0]) if m else 0
+        sl = slice(0, j0 + 1)
+        F = np.where(np.arange(m + 1)[sl] < m,
+                     P[m] - P[last[sl]], np.int64(0))
+        return pd.DataFrame({
+            "bucket": np.full(j0 + 1, int(g["bucket"].iloc[0]),
+                              dtype=np.int32),
+            "j": np.arange(j0 + 1, dtype=np.int64),
+            "p": P[sl],            # lead prefix sums
+            "k": K[sl],            # fresh-pack shard count from cut j
+            "f": F,                # fresh-pack final fill from cut j
+            "m": np.full(j0 + 1, m, dtype=np.int64),
+            "tot": np.full(j0 + 1, P[m], dtype=np.int64),
+        })
+
+    summary = (projected.select_columns(["bucket", order_col, weight_col])
+               .groupby("bucket")
+               .map_groups(summarize, batch_format="pandas")).to_pandas()
+
+    # driver fold: evaluate each bucket's function at its incoming fill
+    meta = {}
+    base, fill = 0, 0
+    for b, g in summary.sort_values(["bucket", "j"]).groupby(
+            "bucket", sort=True):
+        meta[int(b)] = (base, fill)
+        P_s = g["p"].to_numpy()
+        m = int(g["m"].iloc[0])
+        j = max(int(np.searchsorted(P_s, budget - fill, side="right")) - 1,
+                0)
+        if j == m:                      # whole bucket extends the open shard
+            fill += int(g["tot"].iloc[0])
+        else:
+            base += int(g["k"].to_numpy()[j])
+            fill = int(g["f"].to_numpy()[j])
+    meta_ref = ray.put(meta)
+
+    # pass B: re-sort each bucket, assign ids from (open-shard base, fill)
+    def assign(g: pd.DataFrame) -> pd.DataFrame:
+        bmeta = ray.get(meta_ref)
+        g = g.sort_values(order_col, kind="stable")
+        base_, fill_ = bmeta[int(g["bucket"].iloc[0])]
+        w = g[weight_col].to_numpy(dtype=np.int64)
+        m = len(w)
+        P = np.concatenate(([np.int64(0)], np.cumsum(w)))
+        jump = _pack_jump(P, budget)
+        j = max(int(np.searchsorted(P, budget - fill_, side="right")) - 1,
+                0)
+        shard = np.empty(m, dtype=np.int64)
+        shard[:j] = base_
+        pos, t = j, base_
+        while pos < m:                  # one iteration PER SHARD, not row
+            t += 1
+            end = int(jump[pos])
+            shard[pos:end] = t
+            pos = end
+        out = {order_col: g[order_col].to_numpy()}
+        for c in carry_cols:
+            out[c] = g[c].to_numpy()
+        out[weight_col] = w
+        out["shard_id"] = shard
+        return pd.DataFrame(out)
+
+    return projected.groupby("bucket").map_groups(assign,
+                                                  batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
 # deterministic samplers
 # ---------------------------------------------------------------------------
 

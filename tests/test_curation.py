@@ -256,3 +256,44 @@ def test_pages_host_quota_matches_duckdb(ray_session):
         .sort_values(["host", "url"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(got, want)
     assert got.groupby("host").size().max() <= 3
+
+
+def _seq_pack(weights, budget):
+    s, f, out = 0, 0, []
+    for w in weights:
+        if f + w > budget:
+            s += 1
+            f = w
+        else:
+            f += w
+        out.append(s)
+    return np.asarray(out, dtype=np.int64)
+
+
+@pytest.mark.parametrize("n_buckets,parts", [(1, 2), (7, 4), (32, 8)])
+def test_greedy_pack_matches_sequential(ray_session, n_buckets, parts):
+    """No-straddle packing == the sequential scan at ANY bucket count /
+    parallelism, including zero-weight and oversize rows."""
+    import ray
+
+    from t_digest_ray.pipelines.curation import greedy_pack_shards
+
+    rng = np.random.default_rng(11)
+    n = 3000
+    w = rng.integers(0, 400, size=n).astype(np.int64)
+    w[rng.integers(0, n, 5)] = 0          # zero-weight rows
+    w[rng.integers(0, n, 3)] = 5000       # oversize (> budget) rows
+    order = rng.permutation(n).astype(np.int64)  # ids arrive shuffled
+    t = pa.table({"oid": order, "w": w[order]})
+    got = greedy_pack_shards(_ds(t, parts), "oid", "w", budget=1024,
+                             n_buckets=n_buckets).to_pandas() \
+        .sort_values("oid").reset_index(drop=True)
+    # sequential reference over rows in oid order
+    w_in_order = t.to_pandas().sort_values("oid")["w"].to_numpy()
+    want = _seq_pack(w_in_order, 1024)
+    assert (got["oid"].to_numpy() == np.arange(n)).all()
+    np.testing.assert_array_equal(got["shard_id"].to_numpy(), want)
+    # no-straddle invariant: every non-oversize shard's load <= budget
+    load = got.groupby("shard_id")["w"].sum()
+    n_rows = got.groupby("shard_id").size()
+    assert ((load <= 1024) | (n_rows == 1)).all()

@@ -274,3 +274,14 @@ def test_job_config_join_topk_mixture(ray_session):
         key="lang", value_col="doc_id",
         params={"rates": {"en": 1.0}, "default_rate": 0.0})).to_pandas()
     assert set(out["lang"]) == {"en"}
+
+
+def test_job_config_pack_nostraddle(ray_session):
+    out = run_job(JobConfig(
+        pipeline="pack_nostraddle",
+        input="/root/testdata/sf0.001/documents.parquet",
+        columns=["doc_id", "n_chars"], key="doc_id", value_col="n_chars",
+        params={"budget": 1500})).to_pandas()
+    assert len(out) == 500
+    load = out.groupby("shard_id")["n_chars"].sum()
+    assert (load <= 1500).all()  # no doc straddles, none oversize here
