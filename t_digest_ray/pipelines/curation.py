@@ -206,9 +206,18 @@ def greedy_pack_shards(ds, order_col: str, weight_col: str, budget: int,
     (lead prefix sums of its first fresh shard — at most the rows one
     shard can hold — plus fresh-pack shard counts / final fills for each
     possible cut, via binary lifting), the driver folds the per-bucket
-    functions left-to-right (KBs of state: O(n_buckets x rows_per_shard)),
-    broadcasts each bucket's (open-shard index, incoming fill), and a
-    second pass assigns ids. EXACT at any parallelism / batch layout.
+    functions left-to-right, broadcasts each bucket's (open-shard index,
+    incoming fill), and a second pass assigns ids. EXACT at any
+    parallelism / batch layout.
+
+    Driver memory bound: the fold holds ``O(n_buckets x rows_per_shard)``
+    summary rows (each bucket ships at most one shard's worth of lead
+    prefix sums). At 10^12 rows / 256k-row buckets / ~10 docs per shard
+    that is ~40M small rows — raise ``rows_per_bucket`` via ``n_buckets``
+    if shards hold many tiny docs. Pass A's binary-lifting scratch is
+    ``O(rows_per_bucket x log2(rows_per_bucket))`` int64 per task
+    (~40 MB at the 262144 default), which also caps the useful bucket
+    size.
 
     Returns rows ``(order_col, *carry_cols, weight_col, shard_id)``.
     """
