@@ -1770,6 +1770,24 @@ def greedy_packed_docs(sf_dir: str):
     return out.map_batches(fin, batch_format="pandas")
 
 
+def lang_packed_docs(sf_dir: str):
+    """Per-stratum no-straddle packing: every lang packs its own fresh
+    shard sequence (homogeneous training shards per language) —
+    embarrassingly parallel, no cross-task state (contrast
+    ``greedy_packed_docs``' global sequence, which needs the driver
+    fold). Shard ids are local to the lang."""
+    from t_digest_ray.pipelines.curation import greedy_pack_by_key
+
+    docs = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    out = greedy_pack_by_key(docs, "lang", "doc_id", "n_chars",
+                             budget=1500)
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        return df[["lang", "doc_id", "n_chars", "shard_id"]]
+
+    return out.map_batches(fin, batch_format="pandas")
+
+
 def pages_host_quota(sf_dir: str):
     """Per-host quota + quality-ordered selection over the PAGES corpus —
     the crawl-curation composition ("keep the 3 best documents per host"):
@@ -1867,6 +1885,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pages_host_stats": pages_host_stats,
         "pages_host_quota": pages_host_quota,
         "greedy_packed_docs": greedy_packed_docs,
+        "lang_packed_docs": lang_packed_docs,
         "req_quantiles_by_lang": req_quantiles_by_lang,
         "drift_events_value": drift_events_value,
         "simhash_dedup_pairs": simhash_dedup_pairs,
@@ -2031,6 +2050,29 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(DISTINCT doc_id) AS n_urls,
                    TRUE AS within_bound
             FROM documents GROUP BY 1
+        """,
+        "lang_packed_docs": """
+            WITH RECURSIVE d AS (
+              SELECT lang, doc_id, n_chars,
+                     ROW_NUMBER() OVER (PARTITION BY lang
+                                        ORDER BY doc_id) AS rn
+              FROM documents
+            ), pack AS (
+              SELECT lang, rn, doc_id, n_chars,
+                     0 AS s, n_chars AS fill
+              FROM d WHERE rn = 1
+              UNION ALL
+              SELECT d.lang, d.rn, d.doc_id, d.n_chars,
+                     CASE WHEN p.fill + d.n_chars > 1500
+                          THEN p.s + 1 ELSE p.s END,
+                     CASE WHEN p.fill + d.n_chars > 1500
+                          THEN d.n_chars ELSE p.fill + d.n_chars END
+              FROM pack p
+              JOIN d ON d.lang = p.lang AND d.rn = p.rn + 1
+            )
+            SELECT lang, doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+                   CAST(s AS BIGINT) AS shard_id
+            FROM pack
         """,
         "greedy_packed_docs": """
             WITH RECURSIVE d AS (

@@ -31,7 +31,8 @@ PIPELINES = ("quantiles", "kll", "req", "distinct", "heavy", "heavy_mg",
              "watermark", "watermarked_window", "cdf", "ivf_build",
              "drift_check", "pack", "sample_stratified",
              "sample_bernoulli", "normalized_distinct", "semi_join",
-             "anti_join", "topk", "mixture", "pack_nostraddle")
+             "anti_join", "topk", "mixture", "pack_nostraddle",
+             "pack_by_key")
 
 
 @dataclass
@@ -183,6 +184,11 @@ def run_job(cfg: JobConfig):
         from .pipelines.curation import greedy_pack_shards
         # key = order column; value_col = weight column (token count)
         out = greedy_pack_shards(ds, cfg.key, cfg.value_col, **p)
+    elif cfg.pipeline == "pack_by_key":
+        from .pipelines.curation import greedy_pack_by_key
+        # key = stratum; value_col = weight; params: order_col, budget
+        out = greedy_pack_by_key(ds, cfg.key, p.pop("order_col"),
+                                 cfg.value_col, **p)
     elif cfg.pipeline == "sample_stratified":
         from .pipelines.curation import stratified_sample
         # key = stratum column; value_col = row-id column

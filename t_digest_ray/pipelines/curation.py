@@ -330,6 +330,46 @@ def greedy_pack_shards(ds, order_col: str, weight_col: str, budget: int,
                                                   batch_format="pandas")
 
 
+def greedy_pack_by_key(ds, key_col: str, order_col: str, weight_col: str,
+                       budget: int, carry_cols: tuple[str, ...] = ()):
+    """Per-key no-straddle packing: each key (lang / source / host) packs
+    its own shard sequence fresh — the usual layout when training shards
+    must be homogeneous per stratum. Embarrassingly parallel (one
+    hash(key) group per stratum, no cross-task state, no driver fold);
+    the in-group assignment walks the same jump graph as
+    ``greedy_pack_shards``, one step per SHARD, not per row.
+
+    Partitioning assumption (same as any per-key map_groups): one key's
+    rows fit in a worker's heap. Returns rows
+    ``(key_col, order_col, *carry_cols, weight_col, shard_id)`` with
+    shard ids local to the key (0-based).
+    """
+    budget = int(budget)
+    cols = [key_col, order_col, *carry_cols, weight_col]
+
+    def pack_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(order_col, kind="stable")
+        w = g[weight_col].to_numpy(dtype=np.int64)
+        if len(w) and w.min() < 0:
+            raise ValueError("greedy_pack_by_key: negative weight")
+        m = len(w)
+        P = np.concatenate(([np.int64(0)], np.cumsum(w)))
+        jump = _pack_jump(P, budget)
+        shard = np.empty(m, dtype=np.int64)
+        pos, t = 0, -1
+        while pos < m:
+            t += 1
+            end = int(jump[pos])
+            shard[pos:end] = t
+            pos = end
+        out = g[cols].copy()
+        out["shard_id"] = shard
+        return out
+
+    return ds.groupby(key_col).map_groups(pack_group,
+                                          batch_format="pandas")
+
+
 # ---------------------------------------------------------------------------
 # deterministic samplers
 # ---------------------------------------------------------------------------

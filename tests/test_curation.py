@@ -297,3 +297,42 @@ def test_greedy_pack_matches_sequential(ray_session, n_buckets, parts):
     load = got.groupby("shard_id")["w"].sum()
     n_rows = got.groupby("shard_id").size()
     assert ((load <= 1024) | (n_rows == 1)).all()
+
+
+def test_greedy_pack_by_key_fresh_per_key(ray_session):
+    """Each key packs fresh (local ids from 0); result equals the per-key
+    sequential scan and is invariant to input layout."""
+    from t_digest_ray.pipelines.curation import greedy_pack_by_key
+
+    rng = np.random.default_rng(23)
+    n = 2000
+    t = pa.table({
+        "k": pa.array(rng.integers(0, 7, n).astype(np.int64)),
+        "oid": pa.array(np.arange(n, dtype=np.int64)),
+        "w": pa.array(rng.integers(1, 300, n).astype(np.int64)),
+    })
+    outs = []
+    for parts in (2, 8):
+        outs.append(greedy_pack_by_key(_ds(t, parts), "k", "oid", "w",
+                                       budget=700).to_pandas()
+                    .sort_values(["k", "oid"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    df = t.to_pandas()
+    for k, g in df.groupby("k"):
+        want = _seq_pack_fresh(g.sort_values("oid")["w"].to_numpy(), 700)
+        got = outs[0][outs[0]["k"] == k]["shard_id"].to_numpy()
+        np.testing.assert_array_equal(got, want)
+
+
+def _seq_pack_fresh(weights, budget):
+    s, f, out = 0, None, []
+    for w in weights:
+        if f is None:
+            f = w
+        elif f + w > budget:
+            s += 1
+            f = w
+        else:
+            f += w
+        out.append(s)
+    return np.asarray(out, dtype=np.int64)

@@ -285,3 +285,15 @@ def test_job_config_pack_nostraddle(ray_session):
     assert len(out) == 500
     load = out.groupby("shard_id")["n_chars"].sum()
     assert (load <= 1500).all()  # no doc straddles, none oversize here
+
+
+def test_job_config_pack_by_key(ray_session):
+    out = run_job(JobConfig(
+        pipeline="pack_by_key",
+        input="/root/testdata/sf0.001/documents.parquet",
+        columns=["doc_id", "lang", "n_chars"], key="lang",
+        value_col="n_chars",
+        params={"order_col": "doc_id", "budget": 1500})).to_pandas()
+    assert len(out) == 500
+    load = out.groupby(["lang", "shard_id"])["n_chars"].sum()
+    assert (load <= 1500).all()
