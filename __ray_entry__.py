@@ -225,7 +225,8 @@ def order_year_revenue(sf_dir: str):
                                               batch_format="pyarrow"),
                        on="l_orderkey",
                        left_cols=["l_extendedprice", "l_discount"],
-                       right_cols=["o_year"])
+                       right_cols=["o_year"],
+                       types={"o_year": pa.int64()})
 
     def partial(b: pa.Table) -> pa.Table:
         price = b["l_extendedprice"].to_numpy(zero_copy_only=False)
@@ -286,7 +287,9 @@ def q3_top_orders(sf_dir: str):
                    on="key", left_cols=["o_orderkey", "o_orderdate"],
                    right_cols=[],
                    n_rows=None if None in (n_cust, n_ord)
-                   else n_cust + n_ord)
+                   else n_cust + n_ord,
+                   types={"key": pa.int64(), "o_orderkey": pa.int64(),
+                          "o_orderdate": pa.string()})
 
     def j1_key(b: pa.Table) -> pa.Table:
         return pa.table({"okey": b["o_orderkey"],
@@ -310,7 +313,9 @@ def q3_top_orders(sf_dir: str):
                    on="okey", left_cols=["rev"],
                    right_cols=["o_orderdate"],
                    n_rows=None if None in (n_li, n_ord)
-                   else n_li + n_ord)
+                   else n_li + n_ord,
+                   types={"okey": pa.int64(), "rev": pa.float64(),
+                          "o_orderdate": pa.string()})
 
     agg = hash_bucketed_group_agg(j2, ["okey", "o_orderdate"],
                                   {"revenue_cents": ("rev", "sum")},
@@ -365,7 +370,10 @@ def q18_large_orders(sf_dir: str):
                   on="key", left_cols=["o_orderdate", "o_totalprice"],
                   right_cols=["sum_qty"],
                   n_rows=None if None in (n_li, n_ord)
-                  else n_ord + max(n_li // 20, 1))
+                  else n_ord + max(n_li // 20, 1),
+                  types={"key": pa.int64(), "o_orderdate": pa.string(),
+                         "o_totalprice": pa.float64(),
+                         "sum_qty": pa.float64()})
 
     def fin(df: pd.DataFrame) -> pd.DataFrame:
         df = df.rename(columns={"key": "o_orderkey"})
@@ -485,7 +493,9 @@ def q5_local_supplier_revenue(sf_dir: str):
                    cust.map_batches(cust_p, batch_format="pyarrow"),
                    on="key", left_cols=["okey"], right_cols=["c_nat"],
                    n_rows=None if None in (n_cust, n_ord)
-                   else n_cust + n_ord)
+                   else n_cust + n_ord,
+                   types={"key": pa.int64(), "okey": pa.int64(),
+                          "c_nat": pa.int64()})
 
     def j1_p(b: pa.Table) -> pa.Table:
         return pa.table({"okey": b["okey"], "c_nat": b["c_nat"]})
@@ -524,7 +534,9 @@ def q5_local_supplier_revenue(sf_dir: str):
                    on="okey", left_cols=["rev", "s_nat"],
                    right_cols=["c_nat"],
                    n_rows=None if None in (n_li, n_ord)
-                   else n_li + n_ord)
+                   else n_li + n_ord,
+                   types={"okey": pa.int64(), "rev": pa.float64(),
+                          "s_nat": pa.int64(), "c_nat": pa.int64()})
 
     names_k = np.fromiter(nation_name, dtype=np.int64)
     names_v = np.array([nation_name[k] for k in names_k], dtype=object)
@@ -803,7 +815,10 @@ def decontaminated_doc_counts(sf_dir: str):
 
     contamination = docs.map_batches(eval_set, batch_format="pyarrow")
     clean = hash_semi_anti_join(docs, contamination, "norm_h",
-                                ["doc_id", "lang"], anti=True)
+                                ["doc_id", "lang"], anti=True,
+                                types={"norm_h": pa.uint64(),
+                                       "doc_id": pa.int64(),
+                                       "lang": pa.string()})
     return clean.groupby("lang").aggregate(Count(alias_name="n_docs"))
 
 

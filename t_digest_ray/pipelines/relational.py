@@ -144,7 +144,8 @@ def distinct_count_by_key(ds, key: str, value: str, out_name: str):
 
 
 def hash_join(left, right, on: str, left_cols, right_cols,
-              coarse: int | None = None, n_rows: int | None = None):
+              coarse: int | None = None, n_rows: int | None = None,
+              types: dict | None = None):
     """Distributed hash equi-join (inner) of two Datasets on ``on``.
 
     Ray Data (2.49) has no native join; this is the shuffle join the
@@ -163,6 +164,12 @@ def hash_join(left, right, on: str, left_cols, right_cols,
     Returns columns ``[on] + left_cols + right_cols``. Rows ride the
     shuffle with the other side's columns as nulls (one unified Arrow
     schema for the union).
+
+    ``types`` (optional): explicit ``{col: pyarrow.DataType}`` for the
+    output columns. Pass it whenever an input is a mapped/joined Dataset:
+    ``Dataset.schema()`` on those EXECUTES the upstream plan to produce a
+    block (for a join-of-joins input that re-runs the whole upstream
+    shuffle), whereas on parquet-backed reads it is a metadata lookup.
     """
     from ..functions.hashing import hash64
     from ..stages.partitioning import cheap_row_count, coarse_bucket_count
@@ -177,9 +184,13 @@ def hash_join(left, right, on: str, left_cols, right_cols,
     left_cols = list(left_cols)
     right_cols = list(right_cols)
     # one unified Arrow schema for the union: the absent side's columns
-    # are typed nulls (schema() is a metadata read for parquet sources)
-    types = {}
+    # are typed nulls (schema() is a metadata read for parquet sources;
+    # explicit ``types`` skips schema inspection entirely)
+    types = dict(types) if types else {}
     for d, cs in ((left, [on] + left_cols), (right, right_cols)):
+        cs = [c for c in cs if c not in types]
+        if not cs:
+            continue
         sch = d.schema()
         sch = getattr(sch, "base_schema", sch)
         if hasattr(sch, "field"):  # pyarrow schema (parquet-backed)
@@ -236,7 +247,8 @@ def hash_join(left, right, on: str, left_cols, right_cols,
 def hash_semi_anti_join(left, right, on: str, left_cols,
                         anti: bool = False,
                         coarse: int | None = None,
-                        n_rows: int | None = None):
+                        n_rows: int | None = None,
+                        types: dict | None = None):
     """Distributed semi (``anti=False``) or anti (``anti=True``) equi-join:
     keep left rows whose ``on`` key does / does not appear in ``right``.
 
@@ -263,18 +275,22 @@ def hash_semi_anti_join(left, right, on: str, left_cols,
                                      rows_per_bucket=262144,
                                      what="hash_semi_anti_join")
     left_cols = list(left_cols)
-    types = {}
-    sch = left.schema()
-    sch = getattr(sch, "base_schema", sch)
-    if hasattr(sch, "field"):
-        for c in [on] + left_cols:
-            types[c] = sch.field(c).type
-    else:
-        by_name = dict(zip(sch.names, sch.types))
-        for c in [on] + left_cols:
-            t = by_name[c]
-            types[c] = (pa.string() if t == object
-                        else pa.from_numpy_dtype(t))
+    # explicit ``types`` skips schema inspection (Dataset.schema() on a
+    # mapped/joined input executes its upstream plan; see hash_join)
+    types = dict(types) if types else {}
+    missing = [c for c in [on] + left_cols if c not in types]
+    if missing:
+        sch = left.schema()
+        sch = getattr(sch, "base_schema", sch)
+        if hasattr(sch, "field"):
+            for c in missing:
+                types[c] = sch.field(c).type
+        else:
+            by_name = dict(zip(sch.names, sch.types))
+            for c in missing:
+                t = by_name[c]
+                types[c] = (pa.string() if t == object
+                            else pa.from_numpy_dtype(t))
 
     def tag(side: int):
         def fn(batch: pa.Table) -> pa.Table:
