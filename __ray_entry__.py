@@ -667,6 +667,30 @@ def hash_sampled_doc_stats(sf_dir: str):
         Sum("n_chars", alias_name="sum_chars"))
 
 
+def weighted_sampled_doc_stats(sf_dir: str):
+    """Per-lang stats over a WEIGHT-proportional deterministic sample:
+    doc kept with probability min(1, n_chars * 3 / 2^12) — the
+    quality/length-weighted downsample. The dyadic rate keeps the
+    threshold exact integer arithmetic on both engines (uint64 shifts
+    here, UHUGEINT products in the oracle), so the keep-set is
+    bit-reproducible, not just statistically equivalent."""
+    from ray.data.aggregate import Count, Sum
+    from t_digest_ray.pipelines.curation import weighted_bernoulli_sample
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    kept = weighted_bernoulli_sample(ds, "doc_id", "n_chars", num=3,
+                                     log2_den=12)
+    out = kept.groupby("lang").aggregate(
+        Count(alias_name="n_docs"),
+        Sum("n_chars", alias_name="sum_chars"))
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        df["sum_chars"] = df["sum_chars"].astype(np.int64)
+        return df
+
+    return out.map_batches(fin, batch_format="pandas")
+
+
 def normalized_dedup_stats(sf_dir: str):
     """Normalization-aware exact dedup: distinct count per lang of the
     CANONICAL text form (lowercase, \\s+ collapsed, trimmed) — catches the
@@ -1873,6 +1897,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "normalized_dedup_stats": normalized_dedup_stats,
         "top_docs_per_lang": top_docs_per_lang,
         "mixture_sampled_counts": mixture_sampled_counts,
+        "weighted_sampled_doc_stats": weighted_sampled_doc_stats,
         "range_partition_balance": range_partition_balance,
         "decontaminated_doc_counts": decontaminated_doc_counts,
         "curation_pipeline_docs": curation_pipeline_docs,
@@ -2579,6 +2604,16 @@ def oracle_sql() -> dict[str, str]:
                 {" ".join(f"WHEN '{k}' THEN CAST({int(r * 2.0 ** 64)} AS UHUGEINT)"
                           for k, r in _MIX_RATES.items())}
                 ELSE CAST({int(_MIX_DEFAULT * 2.0 ** 64)} AS UHUGEINT) END
+            GROUP BY lang
+        """,
+        "weighted_sampled_doc_stats": f"""
+            WITH {_splitmix_ctes("lang, n_chars")}
+            SELECT lang, COUNT(*) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+            FROM mh
+            WHERE n_chars * 3 >= 4096
+               OR h < CAST(n_chars AS UHUGEINT) * 3
+                      * CAST(4503599627370496 AS UHUGEINT)
             GROUP BY lang
         """,
         "range_partition_balance": """

@@ -32,7 +32,7 @@ PIPELINES = ("quantiles", "kll", "req", "distinct", "heavy", "heavy_mg",
              "drift_check", "pack", "sample_stratified",
              "sample_bernoulli", "normalized_distinct", "semi_join",
              "anti_join", "topk", "mixture", "pack_nostraddle",
-             "pack_by_key")
+             "pack_by_key", "sample_weighted")
 
 
 @dataclass
@@ -196,6 +196,10 @@ def run_job(cfg: JobConfig):
     elif cfg.pipeline == "sample_bernoulli":
         from .pipelines.curation import bernoulli_sample
         out = bernoulli_sample(ds, cfg.value_col, **p)
+    elif cfg.pipeline == "sample_weighted":
+        from .pipelines.curation import weighted_bernoulli_sample
+        # key = id column; value_col = weight; params: num, log2_den
+        out = weighted_bernoulli_sample(ds, cfg.key, cfg.value_col, **p)
     elif cfg.pipeline == "normalized_distinct":
         from .pipelines.curation import normalized_distinct_by_key
         out = normalized_distinct_by_key(ds, cfg.value_col, cfg.key, **p)

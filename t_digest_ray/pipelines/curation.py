@@ -531,6 +531,39 @@ def bernoulli_sample(ds, id_col: str, rate: float, seed: int = 0):
     return ds.map_batches(keep, batch_format="pyarrow")
 
 
+def weighted_bernoulli_sample(ds, id_col: str, weight_col: str, num: int,
+                              log2_den: int = 20, seed: int = 0):
+    """Deterministic weight-proportional row sample: keep row iff
+    ``splitmix64(id) < w * num / 2^log2_den * 2^64`` — inclusion
+    probability ``min(1, w * num / 2^log2_den)``, the quality- or
+    length-weighted corpus downsample (weight = quality score grid,
+    token count, ...). The rate is a dyadic rational so the threshold is
+    EXACT integer arithmetic on both sides of the oracle (uint64 shifts
+    here, UHUGEINT products in SQL — no float rounding to disagree on a
+    boundary row). Pure per-batch filter: no shuffle, no RNG state,
+    identical keep-set at any parallelism.
+
+    Requires non-negative integer weights with ``w * num < 2^62``.
+    """
+    num = int(num)
+    den = 1 << int(log2_den)
+    shift = np.uint64(64 - int(log2_den))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        w = batch[weight_col].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        if len(w) and w.min() < 0:
+            raise ValueError("weighted_bernoulli_sample: negative weight")
+        h = _mix(ids.astype(np.uint64), seed)
+        wn = w * num
+        always = wn >= den                       # probability clamps at 1
+        thr = np.minimum(wn, den - 1).astype(np.uint64) << shift
+        return batch.filter(pa.array(always | (h < thr)))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # sketch-apply: quantile-based range partitioning
 # ---------------------------------------------------------------------------

@@ -336,3 +336,26 @@ def _seq_pack_fresh(weights, budget):
             f += w
         out.append(s)
     return np.asarray(out, dtype=np.int64)
+
+
+def test_weighted_bernoulli_sample(ray_session):
+    """Keep-set equals the exact big-int reference (p = min(1, w*num/2^12)),
+    is layout-invariant, and clamps to always-keep for heavy rows."""
+    from t_digest_ray.pipelines.curation import weighted_bernoulli_sample
+
+    rng = np.random.default_rng(31)
+    ids = np.arange(4000, dtype=np.int64)
+    w = rng.integers(0, 600, 4000).astype(np.int64)
+    w[:10] = 2000  # w*3 >= 2^12 -> probability clamps at 1
+    t = pa.table({"doc_id": ids, "w": w})
+    h = splitmix64(ids.astype(np.uint64))
+    want = {int(i) for i, hi, wi in zip(ids, h, w)
+            if wi * 3 >= 4096 or int(hi) < (wi * 3) << 52}
+    for parts in (1, 5):
+        out = weighted_bernoulli_sample(_ds(t, parts), "doc_id", "w",
+                                        num=3, log2_den=12).to_pandas()
+        assert set(out["doc_id"]) == want
+    assert set(ids[:10]) <= want  # clamp rows always kept
+    # rough proportionality: keep rate ~ E[min(1, 3w/4096)]
+    p = np.minimum(1.0, 3.0 * w / 4096)
+    assert abs(len(want) / 4000 - p.mean()) < 0.03

@@ -297,3 +297,12 @@ def test_job_config_pack_by_key(ray_session):
     assert len(out) == 500
     load = out.groupby(["lang", "shard_id"])["n_chars"].sum()
     assert (load <= 1500).all()
+
+
+def test_job_config_sample_weighted(ray_session):
+    out = run_job(JobConfig(
+        pipeline="sample_weighted",
+        input="/root/testdata/sf0.001/documents.parquet",
+        columns=["doc_id", "n_chars"], key="doc_id", value_col="n_chars",
+        params={"num": 3, "log2_den": 12})).to_pandas()
+    assert 0 < len(out) < 500
