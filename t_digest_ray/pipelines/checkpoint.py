@@ -362,3 +362,97 @@ def resumable_map_write(input_files: list[str], transform_fn, out_dir: str,
     kwargs = {"concurrency": concurrency} if concurrency else {}
     return files_ds.map_batches(process_file, batch_size=1,
                                 batch_format="pyarrow", **kwargs)
+
+
+PACK_FORMAT_FILE = "PACK_FORMAT"
+
+
+def write_packed_shards(ds, order_col: str, weight_col: str, budget: int,
+                        out_dir: str, carry_cols: tuple[str, ...] = (),
+                        shards_per_partition: int = 64,
+                        n_buckets: int | None = None,
+                        order_range: tuple[int, int] | None = None):
+    """Resumable training-shard writer: no-straddle pack (see
+    ``curation.greedy_pack_shards``) + one parquet partition per
+    ``shards_per_partition`` consecutive shards, finished partitions
+    skipped on re-run.
+
+    The packing is bit-deterministic at any parallelism, so a re-run
+    recomputes the identical shard assignment and only writes the
+    partitions a killed run didn't finish (tmp + ``os.rename``
+    atomicity: a partition either exists complete or not at all). The
+    packing PARAMETERS are stamped into ``{out_dir}/PACK_FORMAT`` —
+    resuming with a different budget / partition width would silently
+    interleave two incompatible layouts, so a mismatch is refused (same
+    contract as the sketch checkpoint's format marker).
+
+    Returns a tiny ack Dataset ``(partition_id, n_rows, n_shards,
+    wall_ms)`` — one row per partition written THIS run.
+    """
+    from .curation import greedy_pack_shards
+
+    spp = int(shards_per_partition)
+    fmt = f"packed-shards-v1 budget={int(budget)} spp={spp}"
+    os.makedirs(out_dir, exist_ok=True)
+    marker = os.path.join(out_dir, PACK_FORMAT_FILE)
+    if os.path.exists(marker):
+        with open(marker) as f:
+            found = f.read().strip()
+        if found != fmt:
+            raise ValueError(
+                f"pack dir {out_dir} was written as {found!r}; this call "
+                f"is {fmt!r}. Mixing layouts would interleave incompatible "
+                "shards — use a fresh out_dir.")
+    else:
+        if any(f.startswith("part-") and f.endswith(".parquet")
+               for f in os.listdir(out_dir)):
+            raise ValueError(
+                f"pack dir {out_dir} has part files but no "
+                f"{PACK_FORMAT_FILE} marker; refusing to resume.")
+        with open(marker, "w") as f:
+            f.write(fmt + "\n")
+
+    done = np.sort(np.array(
+        [int(f[5:-8]) for f in os.listdir(out_dir)
+         if f.startswith("part-") and f.endswith(".parquet")],
+        dtype=np.int64))
+
+    packed = greedy_pack_shards(ds, order_col, weight_col, budget,
+                                carry_cols=carry_cols, n_buckets=n_buckets,
+                                order_range=order_range)
+
+    def tag_and_skip(batch: pa.Table) -> pa.Table:
+        pid = (batch["shard_id"].to_numpy(zero_copy_only=False)
+               // spp).astype(np.int64)
+        batch = batch.append_column("_pid", pa.array(pid))
+        if len(done):
+            batch = batch.filter(pa.array(~np.isin(pid, done)))
+        return batch
+
+    cols = [order_col, *carry_cols, weight_col, "shard_id"]
+
+    def write_group(g) -> pa.Table:
+        t0 = time.monotonic()
+        pid = int(g["_pid"].iloc[0])
+        dest = os.path.join(out_dir, f"part-{pid:09d}.parquet")
+        if os.path.exists(dest):            # raced re-run already wrote it
+            return pa.table({"partition_id": pa.array([], type=pa.int64()),
+                             "n_rows": pa.array([], type=pa.int64()),
+                             "n_shards": pa.array([], type=pa.int64()),
+                             "wall_ms": pa.array([], type=pa.float64())})
+        g = g.sort_values(order_col, kind="stable")
+        tmp = f"{dest}.tmp-{uuid.uuid4().hex[:8]}"
+        pq.write_table(pa.Table.from_pandas(g[cols], preserve_index=False),
+                       tmp)
+        os.rename(tmp, dest)
+        return pa.table({
+            "partition_id": pa.array([pid], type=pa.int64()),
+            "n_rows": pa.array([len(g)], type=pa.int64()),
+            "n_shards": pa.array([g["shard_id"].nunique()],
+                                 type=pa.int64()),
+            "wall_ms": pa.array([(time.monotonic() - t0) * 1e3]),
+        })
+
+    return (packed.map_batches(tag_and_skip, batch_format="pyarrow")
+            .groupby("_pid")
+            .map_groups(write_group, batch_format="pandas"))

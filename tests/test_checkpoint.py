@@ -245,3 +245,56 @@ def test_resumable_map_write_skips_completed(ray_session, tmp_path):
     assert (got["x2"].to_numpy() == got["x"].to_numpy() * 2).all()
     # no tmp garbage after clean completion
     assert not glob.glob(f"{out_dir}/*.tmp-*")
+
+
+def test_write_packed_shards_resumable(ray_session, tmp_path):
+    """Pack -> partitioned shard write: a re-run after losing partitions
+    rewrites ONLY the missing ones (others untouched), the full read-back
+    equals a clean one-shot write, and parameter drift is refused."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray
+
+    from t_digest_ray.pipelines.checkpoint import write_packed_shards
+
+    rng = np.random.default_rng(17)
+    n = 4000
+    t = pa.table({"oid": pa.array(np.arange(n, dtype=np.int64)),
+                  "w": pa.array(rng.integers(1, 200, n).astype(np.int64))})
+    out_dir = str(tmp_path / "packs")
+    ds = ray.data.from_arrow(t).repartition(4)
+    acks = write_packed_shards(ds, "oid", "w", budget=512,
+                               out_dir=out_dir,
+                               shards_per_partition=16).to_pandas()
+    assert acks["n_rows"].sum() == n
+    parts = sorted(f for f in os.listdir(out_dir) if f.endswith(".parquet"))
+    assert len(parts) == len(acks)
+
+    import pyarrow.parquet as pq
+
+    def read_all():
+        fs = sorted(os.path.join(out_dir, f) for f in os.listdir(out_dir)
+                    if f.endswith(".parquet"))
+        return pa.concat_tables([pq.read_table(f) for f in fs]) \
+            .to_pandas().sort_values("oid").reset_index(drop=True)
+
+    full = read_all()
+
+    # lose two partitions; record the others' mtimes
+    for victim in parts[1:3]:
+        os.unlink(os.path.join(out_dir, victim))
+    mtimes = {f: os.path.getmtime(os.path.join(out_dir, f))
+              for f in parts if f not in parts[1:3]}
+    acks2 = write_packed_shards(ds, "oid", "w", budget=512,
+                                out_dir=out_dir,
+                                shards_per_partition=16).to_pandas()
+    assert sorted(acks2["partition_id"]) == [
+        int(v[5:-8]) for v in parts[1:3]]
+    for f, m in mtimes.items():
+        assert os.path.getmtime(os.path.join(out_dir, f)) == m
+    pd.testing.assert_frame_equal(read_all(), full)
+
+    with pytest.raises(ValueError, match="packed-shards"):
+        write_packed_shards(ds, "oid", "w", budget=1024, out_dir=out_dir,
+                            shards_per_partition=16)
