@@ -561,6 +561,101 @@ def q5_local_supplier_revenue(sf_dir: str):
             .sort(["revenue_cents", "n_name"], descending=[True, False]))
 
 
+def q10_returned_item_revenue(sf_dir: str):
+    """TPC-H Q10-shaped returned-item report: revenue per customer over a
+    quarter for returned lineitems — a three-table fact chain (lineitem
+    filtered on returnflag ⋈ orders filtered on date ⋈ customer) through
+    two co-partitioned ``hash_join``s with explicit output types (no
+    schema-inferring execution), a per-customer fold via the
+    hash-bucketed combine (one group per customer at fact scale), the
+    nation dimension broadcast as a tiny driver array, then a global
+    top-20. Revenue is rounded to integer cents PER ITEM before the sum
+    (``floor(x*100 + 0.5)``, matching SQL ROUND): the per-item doubles
+    are bit-identical across engines, so the int64 sums are exact and
+    independent of accumulation order — unlike round-after-sum, which
+    can land on a half-cent boundary and disagree by 1."""
+    import datetime
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    from t_digest_ray.pipelines.relational import hash_join
+    from t_digest_ray.stages.aggregate import hash_bucketed_group_agg
+    from t_digest_ray.stages.partitioning import cheap_row_count
+
+    lo = datetime.datetime(1996, 1, 1)
+    hi = datetime.datetime(1996, 7, 1)
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_returnflag", "l_extendedprice",
+                "l_discount"])
+    n_li = cheap_row_count(li)
+
+    def li_f(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.equal(b["l_returnflag"], "R"))
+        price = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = t["l_discount"].to_numpy(zero_copy_only=False)
+        cents = np.floor(price * (1.0 - disc) * 100.0 + 0.5) \
+            .astype(np.int64)
+        return pa.table({"okey": t["l_orderkey"],
+                         "rev": pa.array(cents)})
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"])
+    n_ord = cheap_row_count(orders)
+
+    def ord_f(b: pa.Table) -> pa.Table:
+        m = pc.and_(pc.greater_equal(b["o_orderdate"], pa.scalar(lo)),
+                    pc.less(b["o_orderdate"], pa.scalar(hi)))
+        t = b.filter(m)
+        return pa.table({"okey": t["o_orderkey"], "ckey": t["o_custkey"]})
+
+    j1 = hash_join(li.map_batches(li_f, batch_format="pyarrow"),
+                   orders.map_batches(ord_f, batch_format="pyarrow"),
+                   on="okey", left_cols=["rev"], right_cols=["ckey"],
+                   n_rows=None if None in (n_li, n_ord)
+                   else n_li + n_ord,
+                   types={"okey": pa.int64(), "rev": pa.float64(),
+                          "ckey": pa.int64()})
+
+    per_cust = hash_bucketed_group_agg(
+        j1, ["ckey"], {"revenue_cents": ("rev", "sum")}, n_rows=n_ord)
+
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_name", "c_nationkey"])
+    n_cust = cheap_row_count(cust)
+
+    def cust_p(b: pa.Table) -> pa.Table:
+        return pa.table({"ckey": b["c_custkey"], "c_name": b["c_name"],
+                         "c_nat": pc.cast(b["c_nationkey"], pa.int64())})
+
+    j2 = hash_join(per_cust, cust.map_batches(cust_p,
+                                              batch_format="pyarrow"),
+                   on="ckey", left_cols=["revenue_cents"],
+                   right_cols=["c_name", "c_nat"],
+                   n_rows=None if None in (n_cust, n_ord)
+                   else n_cust + n_ord,
+                   types={"ckey": pa.int64(),
+                          "revenue_cents": pa.int64(),
+                          "c_name": pa.string(), "c_nat": pa.int64()})
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_name"]).to_pandas()
+    nk = nat["n_nationkey"].to_numpy().astype(np.int64)
+    nv = nat["n_name"].to_numpy(dtype=object)
+    no = np.argsort(nk)
+    nk, nv = nk[no], nv[no]
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.rename(columns={"ckey": "c_custkey"})
+        df["n_name"] = nv[np.searchsorted(nk, df["c_nat"].to_numpy())]
+        df["revenue_cents"] = df["revenue_cents"].astype(np.int64)
+        return df[["c_custkey", "c_name", "n_name", "revenue_cents"]]
+
+    return (j2.map_batches(fin, batch_format="pandas")
+            .sort(["revenue_cents", "c_custkey"],
+                  descending=[True, False]).limit(20))
+
+
 def doc_token_stats(sf_dir: str):
     """Row-level text metrics (all integer -> exact oracle): chars, tokens,
     punctuation and digit counts per document."""
@@ -1889,6 +1984,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q3_top_orders": q3_top_orders,
         "q18_large_orders": q18_large_orders,
         "q5_local_supplier_revenue": q5_local_supplier_revenue,
+        "q10_returned_item_revenue": q10_returned_item_revenue,
         "region_supplier_revenue": region_supplier_revenue,
         "doc_token_stats": doc_token_stats,
         "token_shard_packing": token_shard_packing,
@@ -2450,6 +2546,19 @@ def oracle_sql() -> dict[str, str]:
               AND o_orderdate < DATE '1998-01-01'
             GROUP BY n_name
             ORDER BY revenue_cents DESC, n_name
+        """,
+        "q10_returned_item_revenue": """
+            SELECT c_custkey, c_name, n_name,
+                   CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount)
+                                       * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS revenue_cents
+            FROM customer, orders, lineitem, nation
+            WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+              AND o_orderdate >= DATE '1996-01-01'
+              AND o_orderdate < DATE '1996-07-01'
+              AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+            GROUP BY 1, 2, 3
+            ORDER BY revenue_cents DESC, c_custkey LIMIT 20
         """,
         "region_supplier_revenue": """
             SELECT r_name, COUNT(*) AS n_items,

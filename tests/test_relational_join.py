@@ -103,3 +103,23 @@ def test_q5_shape_matches_duckdb(ray_session):
     want = con.execute(e.oracle_sql()["q5_local_supplier_revenue"]).df()
     pd.testing.assert_frame_equal(got.reset_index(drop=True),
                                   want.reset_index(drop=True))
+
+
+def test_q10_shape_matches_duckdb(ray_session):
+    """Q10 composition (two hash joins + per-customer fold + broadcast
+    nation + top-20) with per-item integer-cents revenue — exact at any
+    accumulation order."""
+    import duckdb
+
+    import __ray_entry__ as e
+
+    sf = "/root/testdata/sf0.001"
+    got = e.queries()["q10_returned_item_revenue"](sf).to_pandas() \
+        .reset_index(drop=True)
+    con = duckdb.connect()
+    for t in ("customer", "orders", "lineitem", "nation"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{sf}/{t}.parquet')")
+    want = con.execute(e.oracle_sql()["q10_returned_item_revenue"]).df() \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
