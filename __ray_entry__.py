@@ -3,9 +3,12 @@
 ``entry()`` runs the flagship pages pipeline at sf0.001. ``queries()`` maps
 operator names to callables over an ``sf_dir``; every SQL-expressible one has
 a DuckDB oracle in ``oracle_sql()`` designed for exact value-hash equality:
-outputs carry only group keys, int64 counts, integer-cents sums
-(``round(sum*100)``; float64 accumulation error ≪ 0.5 cents, so both engines
-round to the same integer), exact min/max (actual data elements) and
+outputs carry only group keys, int64 counts, integer-cents sums (money is
+rounded to cents PER ITEM — ``floor(x*100 + 0.5)``, = SQL ROUND for positive
+values — then summed as int64: per-item doubles are bit-identical across
+engines, so sums are exact and independent of accumulation order; the old
+round-after-sum convention could land on a half-cent boundary and flip by
+one with block arrival order), exact min/max (actual data elements) and
 ``quantile_disc``-convention exact quantiles. Approximate sketch queries have
 no oracle (rows-only check) — their accuracy is asserted against exact
 oracles in ``tests/`` within the published error bounds instead.
@@ -30,8 +33,11 @@ def _read(sf_dir: str, table: str, columns=None):
 
 
 def _cents(df: pd.DataFrame, cols) -> pd.DataFrame:
+    """Per-ROW money -> integer cents. floor(x*100 + 0.5) = SQL ROUND for
+    positive money (half-up; np.rint would tie-break half-to-even and can
+    disagree with the oracle exactly on a boundary)."""
     for c in cols:
-        df[c] = np.rint(df[c].to_numpy() * 100).astype(np.int64)
+        df[c] = np.floor(df[c].to_numpy() * 100 + 0.5).astype(np.int64)
     return df
 
 
@@ -47,21 +53,33 @@ def q1_pricing_summary(sf_dir: str):
                 "l_extendedprice", "l_discount"])
 
     def derive(b: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-        rev = pc.multiply(b["l_extendedprice"],
-                          pc.subtract(pa.scalar(1.0), b["l_discount"]))
-        return b.append_column("disc_price", rev)
+        # per-item integer cents (floor(x*100+0.5) = SQL ROUND for
+        # positive money): the per-item doubles are bit-identical across
+        # engines, so the int64 sums are exact and independent of
+        # accumulation order (round-after-sum can land on a half-cent
+        # boundary and flip by 1 with block arrival order)
+        price = b["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = b["l_discount"].to_numpy(zero_copy_only=False)
+        base = np.floor(price * 100.0 + 0.5).astype(np.int64)
+        dp = np.floor(price * (1.0 - disc) * 100.0 + 0.5).astype(np.int64)
+        return pa.table({"l_returnflag": b["l_returnflag"],
+                         "l_linestatus": b["l_linestatus"],
+                         "l_quantity": b["l_quantity"],
+                         "base_cents": pa.array(base),
+                         "disc_cents": pa.array(dp)})
 
     out = (ds.map_batches(derive, batch_format="pyarrow")
            .groupby(["l_returnflag", "l_linestatus"])
            .aggregate(Sum("l_quantity", alias_name="sum_qty"),
-                      Sum("l_extendedprice", alias_name="sum_base_price_cents"),
-                      Sum("disc_price", alias_name="sum_disc_price_cents"),
+                      Sum("base_cents", alias_name="sum_base_price_cents"),
+                      Sum("disc_cents", alias_name="sum_disc_price_cents"),
                       Count(alias_name="count_order")))
 
     def finalize(df: pd.DataFrame) -> pd.DataFrame:
         df["sum_qty"] = np.rint(df["sum_qty"].to_numpy()).astype(np.int64)
-        return _cents(df, ["sum_base_price_cents", "sum_disc_price_cents"])
+        for c in ("sum_base_price_cents", "sum_disc_price_cents"):
+            df[c] = df[c].astype(np.int64)
+        return df
 
     return out.map_batches(finalize, batch_format="pandas")
 
@@ -139,16 +157,19 @@ def filtered_lineitem_revenue(sf_dir: str):
         filter=pads.field("l_quantity") < 10.0)
 
     def derive(b: pa.Table) -> pa.Table:
+        price = b["l_extendedprice"].to_numpy(zero_copy_only=False)
+        cents = np.floor(price * 100.0 + 0.5).astype(np.int64)
         return pa.table({"l_returnflag": b["l_returnflag"],
-                         "l_extendedprice": b["l_extendedprice"]})
+                         "cents": pa.array(cents)})
 
     out = (ds.map_batches(derive, batch_format="pyarrow")
            .groupby("l_returnflag")
            .aggregate(Count(alias_name="n_rows"),
-                      Sum("l_extendedprice", alias_name="sum_price_cents")))
+                      Sum("cents", alias_name="sum_price_cents")))
 
     def finalize(df: pd.DataFrame) -> pd.DataFrame:
-        return _cents(df, ["sum_price_cents"])
+        df["sum_price_cents"] = df["sum_price_cents"].astype(np.int64)
+        return df
 
     return out.map_batches(finalize, batch_format="pandas")
 
@@ -231,8 +252,10 @@ def order_year_revenue(sf_dir: str):
     def partial(b: pa.Table) -> pa.Table:
         price = b["l_extendedprice"].to_numpy(zero_copy_only=False)
         disc = b["l_discount"].to_numpy(zero_copy_only=False)
+        cents = np.floor(price * (1.0 - disc) * 100.0 + 0.5) \
+            .astype(np.int64)
         return pa.table({"o_year": b["o_year"],
-                         "rev": pa.array(price * (1.0 - disc))})
+                         "rev": pa.array(cents)})
 
     out = (joined.map_batches(partial, batch_format="pyarrow")
            .groupby("o_year")
@@ -240,7 +263,8 @@ def order_year_revenue(sf_dir: str):
                       Sum("rev", alias_name="revenue_cents")))
 
     def finalize(df: pd.DataFrame) -> pd.DataFrame:
-        return _cents(df, ["revenue_cents"])
+        df["revenue_cents"] = df["revenue_cents"].astype(np.int64)
+        return df
 
     return out.map_batches(finalize, batch_format="pandas")
 
@@ -304,9 +328,11 @@ def q3_top_orders(sf_dir: str):
         t = b.filter(pc.greater(
             b["l_shipdate"],
             pa.scalar(datetime.datetime(1995, 3, 15))))
-        rev = pc.multiply(t["l_extendedprice"],
-                          pc.subtract(pa.scalar(1.0), t["l_discount"]))
-        return pa.table({"okey": t["l_orderkey"], "rev": rev})
+        price = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = t["l_discount"].to_numpy(zero_copy_only=False)
+        cents = np.floor(price * (1.0 - disc) * 100.0 + 0.5) \
+            .astype(np.int64)
+        return pa.table({"okey": t["l_orderkey"], "rev": pa.array(cents)})
 
     j2 = hash_join(li.map_batches(li_f, batch_format="pyarrow"),
                    j1.map_batches(j1_key, batch_format="pyarrow"),
@@ -314,7 +340,7 @@ def q3_top_orders(sf_dir: str):
                    right_cols=["o_orderdate"],
                    n_rows=None if None in (n_li, n_ord)
                    else n_li + n_ord,
-                   types={"okey": pa.int64(), "rev": pa.float64(),
+                   types={"okey": pa.int64(), "rev": pa.int64(),
                           "o_orderdate": pa.string()})
 
     agg = hash_bucketed_group_agg(j2, ["okey", "o_orderdate"],
@@ -323,8 +349,8 @@ def q3_top_orders(sf_dir: str):
 
     def fin(df: pd.DataFrame) -> pd.DataFrame:
         df = df.rename(columns={"okey": "l_orderkey"})
-        return _cents(df, ["revenue_cents"])[
-            ["l_orderkey", "o_orderdate", "revenue_cents"]]
+        df["revenue_cents"] = df["revenue_cents"].astype(np.int64)
+        return df[["l_orderkey", "o_orderdate", "revenue_cents"]]
 
     return (agg.map_batches(fin, batch_format="pandas")
             .sort(["revenue_cents", "l_orderkey"],
@@ -419,8 +445,10 @@ def region_supplier_revenue(sf_dir: str):
             names = pd.Series(keys).map(self.lookup).to_numpy(dtype=object)
             price = b["l_extendedprice"].to_numpy(zero_copy_only=False)
             disc = b["l_discount"].to_numpy(zero_copy_only=False)
+            cents = np.floor(price * (1.0 - disc) * 100.0 + 0.5) \
+                .astype(np.int64)
             return pa.table({"r_name": pa.array(names, type=pa.string()),
-                             "rev": pa.array(price * (1.0 - disc))})
+                             "rev": pa.array(cents)})
 
     out = (ds.map_batches(Joiner, batch_format="pyarrow", concurrency=2)
            .groupby("r_name")
@@ -428,7 +456,8 @@ def region_supplier_revenue(sf_dir: str):
                       Sum("rev", alias_name="revenue_cents")))
 
     def finalize(df: pd.DataFrame) -> pd.DataFrame:
-        return _cents(df, ["revenue_cents"])
+        df["revenue_cents"] = df["revenue_cents"].astype(np.int64)
+        return df
 
     return out.map_batches(finalize, batch_format="pandas")
 
@@ -522,9 +551,11 @@ def q5_local_supplier_revenue(sf_dir: str):
             t = b.filter(pa.array(hit))
             price = t["l_extendedprice"].to_numpy(zero_copy_only=False)
             disc = t["l_discount"].to_numpy(zero_copy_only=False)
+            cents = np.floor(price * (1.0 - disc) * 100.0 + 0.5) \
+                .astype(np.int64)
             return pa.table({
                 "okey": t["l_orderkey"],
-                "rev": pa.array(price * (1.0 - disc)),
+                "rev": pa.array(cents),
                 "s_nat": pa.array(self.sn[idx_c[hit]]),
             })
 
@@ -535,7 +566,7 @@ def q5_local_supplier_revenue(sf_dir: str):
                    right_cols=["c_nat"],
                    n_rows=None if None in (n_li, n_ord)
                    else n_li + n_ord,
-                   types={"okey": pa.int64(), "rev": pa.float64(),
+                   types={"okey": pa.int64(), "rev": pa.int64(),
                           "s_nat": pa.int64(), "c_nat": pa.int64()})
 
     names_k = np.fromiter(nation_name, dtype=np.int64)
@@ -555,7 +586,8 @@ def q5_local_supplier_revenue(sf_dir: str):
            .aggregate(Sum("rev", alias_name="revenue_cents")))
 
     def fin(df: pd.DataFrame) -> pd.DataFrame:
-        return _cents(df, ["revenue_cents"])[["n_name", "revenue_cents"]]
+        df["revenue_cents"] = df["revenue_cents"].astype(np.int64)
+        return df[["n_name", "revenue_cents"]]
 
     return (out.map_batches(fin, batch_format="pandas")
             .sort(["revenue_cents", "n_name"], descending=[True, False]))
@@ -2048,10 +2080,12 @@ def oracle_sql() -> dict[str, str]:
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    CAST(ROUND(SUM(l_quantity)) AS BIGINT) AS sum_qty,
-                   CAST(ROUND(SUM(l_extendedprice) * 100) AS BIGINT)
+                   CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5)
+                                 AS BIGINT)) AS BIGINT)
                        AS sum_base_price_cents,
-                   CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)) * 100)
-                       AS BIGINT) AS sum_disc_price_cents,
+                   CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount)
+                                       * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                       AS sum_disc_price_cents,
                    COUNT(*) AS count_order
             FROM lineitem GROUP BY l_returnflag, l_linestatus
         """,
@@ -2063,7 +2097,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "filtered_lineitem_revenue": """
             SELECT l_returnflag, COUNT(*) AS n_rows,
-                   CAST(ROUND(SUM(l_extendedprice) * 100) AS BIGINT)
+                   CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5)
+                                 AS BIGINT)) AS BIGINT)
                        AS sum_price_cents
             FROM lineitem WHERE l_quantity < 10.0
             GROUP BY l_returnflag
@@ -2503,15 +2538,17 @@ def oracle_sql() -> dict[str, str]:
         "order_year_revenue": """
             SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
                    COUNT(*) AS n_items,
-                   CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)) * 100)
-                        AS BIGINT) AS revenue_cents
+                   CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount)
+                                       * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                       AS revenue_cents
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             GROUP BY 1
         """,
         "q3_top_orders": """
             SELECT l_orderkey, STRFTIME(o_orderdate, '%Y-%m-%d') AS o_orderdate,
-                   CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)) * 100)
-                        AS BIGINT) AS revenue_cents
+                   CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount)
+                                       * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                       AS revenue_cents
             FROM customer, orders, lineitem
             WHERE c_mktsegment = 'BUILDING'
               AND c_custkey = o_custkey AND l_orderkey = o_orderkey
@@ -2535,8 +2572,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q5_local_supplier_revenue": """
             SELECT n_name,
-                   CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)) * 100)
-                        AS BIGINT) AS revenue_cents
+                   CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount)
+                                       * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                       AS revenue_cents
             FROM customer, orders, lineitem, supplier, nation, region
             WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
               AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
@@ -2562,8 +2600,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "region_supplier_revenue": """
             SELECT r_name, COUNT(*) AS n_items,
-                   CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)) * 100)
-                        AS BIGINT) AS revenue_cents
+                   CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount)
+                                       * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                       AS revenue_cents
             FROM lineitem
             JOIN supplier ON l_suppkey = s_suppkey
             JOIN nation ON s_nationkey = n_nationkey
