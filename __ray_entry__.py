@@ -204,22 +204,38 @@ def distinct_users_by_type(sf_dir: str):
 
 
 def customer_nation_stats(sf_dir: str):
-    """Broadcast join (small dimension side) + grouped count."""
+    """Broadcast join (small dimension side) + grouped count. Balances are
+    converted to integer cents PER ROW before aggregating (half-away
+    rounding = SQL ROUND — acctbal can be negative), so the sums are
+    exact int64 at any accumulation order and min/max stay exact data
+    elements."""
     import pyarrow.parquet as pq
     from t_digest_ray.pipelines.relational import broadcast_join_count
 
     nation = pq.read_table(f"{sf_dir}/nation.parquet",
                            columns=["n_nationkey", "n_name"]).to_pandas()
     ds = _read(sf_dir, "customer", ["c_nationkey", "c_acctbal"])
-    out = broadcast_join_count(ds, nation, "c_nationkey", "n_nationkey",
-                               "n_name", "c_acctbal",
-                               {"count": "n_customers", "sum": "sum_acctbal_cents",
-                                "avg": "avg_drop", "min": "min_acctbal",
-                                "max": "max_acctbal"})
+
+    def to_cents(b: pa.Table) -> pa.Table:
+        v = b["c_acctbal"].to_numpy(zero_copy_only=False)
+        cents = np.copysign(np.floor(np.abs(v) * 100.0 + 0.5), v) \
+            .astype(np.int64)
+        return pa.table({"c_nationkey": b["c_nationkey"],
+                         "acct_cents": pa.array(cents)})
+
+    out = broadcast_join_count(
+        ds.map_batches(to_cents, batch_format="pyarrow"), nation,
+        "c_nationkey", "n_nationkey", "n_name", "acct_cents",
+        {"count": "n_customers", "sum": "sum_acctbal_cents",
+         "avg": "avg_drop", "min": "min_acctbal_cents",
+         "max": "max_acctbal_cents"})
 
     def finalize(df: pd.DataFrame) -> pd.DataFrame:
         df = df.drop(columns=["avg_drop"])
-        return _cents(df, ["sum_acctbal_cents"])
+        for c in ("sum_acctbal_cents", "min_acctbal_cents",
+                  "max_acctbal_cents"):
+            df[c] = df[c].astype(np.int64)
+        return df
 
     return out.map_batches(finalize, batch_format="pandas")
 
@@ -2679,10 +2695,12 @@ def oracle_sql() -> dict[str, str]:
         "customer_nation_stats": """
             SELECT n.n_name,
                    COUNT(*) AS n_customers,
-                   CAST(ROUND(SUM(c.c_acctbal) * 100) AS BIGINT)
-                       AS sum_acctbal_cents,
-                   MIN(c.c_acctbal) AS min_acctbal,
-                   MAX(c.c_acctbal) AS max_acctbal
+                   CAST(SUM(CAST(ROUND(c.c_acctbal * 100) AS BIGINT))
+                        AS BIGINT) AS sum_acctbal_cents,
+                   MIN(CAST(ROUND(c.c_acctbal * 100) AS BIGINT))
+                       AS min_acctbal_cents,
+                   MAX(CAST(ROUND(c.c_acctbal * 100) AS BIGINT))
+                       AS max_acctbal_cents
             FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
             GROUP BY n.n_name
         """,
