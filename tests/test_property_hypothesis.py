@@ -169,3 +169,46 @@ def test_head_k_per_run_matches_pandas(rows, k):
                       .sort_values(["k", "v", "i"]).groupby("k").head(k)
                       .itertuples(index=False)))
     assert got == want
+
+
+@settings(max_examples=60, deadline=None)
+@given(arrays(np.int64, st.integers(0, 120),
+              elements=st.integers(0, 50)),
+       st.integers(1, 40))
+def test_fresh_pack_summary_matches_sequential(w, budget):
+    """Binary-lifting fresh-pack DP == the naive sequential scan for EVERY
+    suffix start, any weights (zeros and oversize included)."""
+    from t_digest_ray.pipelines.curation import (_fresh_pack_summary,
+                                                 _pack_jump)
+
+    P = np.concatenate(([np.int64(0)], np.cumsum(w)))
+    K, last = _fresh_pack_summary(P, budget)
+    m = len(w)
+
+    def seq_fresh(i):
+        # pack w[i:] starting a new empty shard; oversize -> singleton
+        shards, fill, start, pos = 0, 0, i, i
+        if i == m:
+            return 0, i
+        shards, fill, start = 1, 0, i
+        for j in range(i, m):
+            wj = int(w[j])
+            if j > i and (fill + wj > budget or w[start] > budget):
+                shards += 1
+                start = j
+                fill = wj
+            else:
+                fill += wj
+        return shards, start
+
+    for i in range(m + 1):
+        ks, ls = seq_fresh(i)
+        assert K[i] == ks, (i, list(w), budget)
+        if i < m:
+            assert last[i] == ls, (i, list(w), budget)
+    # jump sanity: a fresh shard never exceeds budget unless singleton
+    if m:
+        e = _pack_jump(P, budget)
+        for i in range(m):
+            if e[i] > i + 1:
+                assert P[e[i]] - P[i] <= budget
