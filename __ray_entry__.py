@@ -1239,6 +1239,47 @@ def minhash_dedup_pairs(sf_dir: str):
     return verify_pairs_exact_jaccard(pairs, ds, "text", "doc_id")
 
 
+def minhash_planted_dup_pairs(sf_dir: str):
+    """MinHash-LSH recall under a FULLY value-checked fixture (the
+    simhash/embedding planted-pair pattern): deterministic exact-duplicate
+    copies are planted (doc_id + 1_000_000 for doc_id % 11 == 0,
+    token-bearing texts only). Identical text => identical shingle set =>
+    identical signature => collision in EVERY band, so every planted pair
+    MUST surface with est_jaccard exactly 1 — the planted set is exactly
+    reproducible in SQL, and a signature/banding regression drops rows.
+    The open-corpus candidate listing stays in minhash_dedup_pairs (in-row
+    within_tol exact-Jaccard check; the LSH set itself is probabilistic)."""
+    from t_digest_ray.stages.dedup import minhash_lsh_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    n_docs = ds.count()
+
+    def plant(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        keep = ids % 11 == 0
+        copies = pa.table({
+            "doc_id": pa.array(ids[keep] + 1_000_000),
+            "text": b["text"].filter(pa.array(keep))})
+        return pa.concat_tables([b.select(["doc_id", "text"]), copies])
+
+    union = ds.map_batches(plant, batch_format="pyarrow")
+    pairs = minhash_lsh_pairs(union, "text", "doc_id", k=128, bands=32,
+                              threshold=0.5,
+                              n_rows=int(n_docs * 12 / 11) + 1)
+
+    def planted_only(b: pa.Table) -> pa.Table:
+        a = b["id_a"].to_numpy(zero_copy_only=False)
+        bb = b["id_b"].to_numpy(zero_copy_only=False)
+        est = b["est_jaccard"].to_numpy(zero_copy_only=False)
+        keep = (bb == a + 1_000_000) & (a % 11 == 0) & (est == 1.0)
+        t = b.filter(pa.array(keep))
+        return pa.table({"id_a": t["id_a"], "id_b": t["id_b"],
+                         "est_one": pa.array(
+                             np.ones(len(t), dtype=np.int64))})
+
+    return pairs.map_batches(planted_only, batch_format="pyarrow")
+
+
 def minhash_dedup_survivors(sf_dir: str):
     """Greedy near-dup removal (keep smallest id of each candidate pair):
     the distributed drop-set path of minhash_dedup_keep. Returns surviving
@@ -2062,6 +2103,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kll_cdf_events_value": kll_cdf_events_value,
         "minhash_dedup_pairs": minhash_dedup_pairs,
         "minhash_dedup_survivors": minhash_dedup_survivors,
+        "minhash_planted_dup_pairs": minhash_planted_dup_pairs,
         "langid_counts": langid_counts,
         "quality_by_lang": quality_by_lang,
         "pages_flagship": pages_flagship,
@@ -2150,6 +2192,12 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprints": """
             SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_dupes
             FROM documents GROUP BY text
+        """,
+        "minhash_planted_dup_pairs": r"""
+            SELECT doc_id AS id_a, doc_id + 1000000 AS id_b,
+                   CAST(1 AS BIGINT) AS est_one
+            FROM documents
+            WHERE doc_id % 11 = 0 AND regexp_matches(text, '\S')
         """,
         "simhash_planted_dup_pairs": r"""
             SELECT doc_id AS id_a, doc_id + 1000000 AS id_b,

@@ -405,3 +405,22 @@ def test_ngram_jaccard_integer_pair_scores(ray_session):
         row = out.loc[other]
         assert row["n_inter"] / row["n_union"] == pytest.approx(want)
     assert bool(out.loc[2, "is_dup"]) and not bool(out.loc[3, "is_dup"])
+
+
+def test_minhash_planted_pairs_matches_oracle(ray_session):
+    """Every planted exact-duplicate pair surfaces with est_jaccard == 1
+    (identical signature collides in every band); matches the SQL set."""
+    import duckdb
+    import pandas as pd
+
+    import __ray_entry__ as e
+
+    sf = "/root/testdata/sf0.001"
+    got = e.queries()["minhash_planted_dup_pairs"](sf).to_pandas() \
+        .sort_values("id_a").reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    want = con.execute(e.oracle_sql()["minhash_planted_dup_pairs"]).df() \
+        .sort_values("id_a").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
