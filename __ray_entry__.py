@@ -1064,6 +1064,42 @@ def mg_heavy_sources(sf_dir: str):
     return heavy_hitters_mg(ds, "source", k=5, capacity=64)
 
 
+def events_windowed_heavy(sf_dir: str):
+    """Per-window heavy hitters: a Misra-Gries summary PER tumbling day
+    window (sketch-per-group machinery, the streaming "trending now"
+    query). With per-window distinct keys <= capacity the counters are
+    exact and max_undercount == 0 — both hash-gated by the exact SQL
+    oracle. Only (window, KB summary) rows ride the merge shuffle."""
+    from t_digest_ray.stages.aggregate import sketch_by_key
+    from t_digest_ray.state.mg import MisraGries, mg_spec
+
+    ds = _read(sf_dir, "events", ["ts", "event_type"])
+
+    def win(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        epoch = pc.cast(b["ts"], pa.int64()).to_numpy(
+            zero_copy_only=False) // 1_000_000
+        w = (epoch // 86400) * 86400
+        return pa.table({"w": pa.array(w.astype(np.int64)),
+                         "event_type": b["event_type"]})
+
+    merged = sketch_by_key(ds.map_batches(win, batch_format="pyarrow"),
+                           mg_spec(64), "event_type", key="w",
+                           num_salts=4)
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for _, r in df.iterrows():   # one row PER WINDOW (tens), not data
+            sk = MisraGries.from_bytes(r["sketch"])
+            for key, est in sk.topk(3):
+                rows.append((int(r["key"]), key, int(est),
+                             int(sk.max_undercount)))
+        return pd.DataFrame(rows, columns=["w", "event_type", "est_count",
+                                           "max_undercount"])
+
+    return merged.map_batches(fin, batch_format="pandas")
+
+
 def knn_cosine_rank(sf_dir: str):
     """Brute-force cosine top-10 for the embedding of vec_id=0 (exact)."""
     import pyarrow.parquet as pq
@@ -2092,6 +2128,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_sources": heavy_sources,
         "mg_heavy_event_types": mg_heavy_event_types,
         "mg_heavy_sources": mg_heavy_sources,
+        "events_windowed_heavy": events_windowed_heavy,
         "knn_cosine_rank": knn_cosine_rank,
         "knn_multi_query_rank": knn_multi_query_rank,
         "ivf_topk_rank": ivf_topk_rank,
@@ -2941,6 +2978,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(0 AS BIGINT) AS max_undercount
             FROM documents GROUP BY source
             ORDER BY est_count DESC, source ASC LIMIT 5
+        """,
+        "events_windowed_heavy": """
+            WITH c AS (
+                SELECT CAST(FLOOR(EPOCH(ts) / 86400) * 86400 AS BIGINT)
+                           AS w,
+                       event_type, COUNT(*) AS n
+                FROM events GROUP BY 1, 2
+            )
+            SELECT w, event_type, CAST(n AS BIGINT) AS est_count,
+                   CAST(0 AS BIGINT) AS max_undercount
+            FROM (SELECT *, ROW_NUMBER() OVER (
+                      PARTITION BY w ORDER BY n DESC, event_type) AS rn
+                  FROM c)
+            WHERE rn <= 3
         """,
         "knn_cosine_rank": """
             SELECT vec_id, CAST(ROW_NUMBER() OVER (

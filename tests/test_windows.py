@@ -204,3 +204,25 @@ def test_watermarked_window_split_planted(ray_session):
         drp = out[out.drop_i == 1].sort_values("v")
         assert drp["v"].tolist() == [3.0, 5.0]
         assert drp["wkey"].tolist() == ["0|a", "0|a"]
+
+
+def test_events_windowed_heavy_exact(ray_session):
+    """Per-window Misra-Gries top-3 equals the exact SQL window counts
+    (distinct keys <= capacity => exact, max_undercount == 0)."""
+    import duckdb
+
+    import __ray_entry__ as e
+
+    sf = "/root/testdata/sf0.001"
+    sort = ["w", "est_count", "event_type"]
+    got = e.queries()["events_windowed_heavy"](sf).to_pandas() \
+        .sort_values(sort, ascending=[True, False, True]) \
+        .reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute("CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{sf}/events.parquet')")
+    want = con.execute(e.oracle_sql()["events_windowed_heavy"]).df() \
+        .sort_values(sort, ascending=[True, False, True]) \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+    assert (got["max_undercount"] == 0).all()
