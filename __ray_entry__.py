@@ -1287,8 +1287,10 @@ def minhash_planted_dup_pairs(sf_dir: str):
     within_tol exact-Jaccard check; the LSH set itself is probabilistic)."""
     from t_digest_ray.stages.dedup import minhash_lsh_pairs
 
+    from t_digest_ray.stages.partitioning import cheap_row_count
+
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    n_docs = ds.count()
+    n_docs = cheap_row_count(ds) or ds.count()  # metadata; no exec pass
 
     def plant(b: pa.Table) -> pa.Table:
         ids = b["doc_id"].to_numpy(zero_copy_only=False)
@@ -1614,8 +1616,10 @@ def simhash_planted_dup_pairs(sf_dir: str):
     simhash_dedup_pairs."""
     from t_digest_ray.stages.dedup import simhash_pairs
 
+    from t_digest_ray.stages.partitioning import cheap_row_count
+
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    n_docs = ds.count()
+    n_docs = cheap_row_count(ds) or ds.count()  # metadata; no exec pass
 
     def plant(b: pa.Table) -> pa.Table:
         ids = b["doc_id"].to_numpy(zero_copy_only=False)
@@ -1653,8 +1657,10 @@ def embedding_planted_dup_pairs(sf_dir: str):
     perturb the hash)."""
     from t_digest_ray.stages.ann import embedding_near_dup_pairs
 
+    from t_digest_ray.stages.partitioning import cheap_row_count
+
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    n_vecs = ds.count()
+    n_vecs = cheap_row_count(ds) or ds.count()  # metadata; no exec pass
 
     def plant(b: pa.Table) -> pa.Table:
         ids = b["vec_id"].to_numpy(zero_copy_only=False)
