@@ -456,3 +456,107 @@ def write_packed_shards(ds, order_col: str, weight_col: str, budget: int,
     return (packed.map_batches(tag_and_skip, batch_format="pyarrow")
             .groupby("_pid")
             .map_groups(write_group, batch_format="pandas"))
+
+
+SORT_FORMAT_FILE = "SORT_FORMAT"
+
+
+def sorted_range_write(ds, value_col: str, out_dir: str,
+                       n_partitions: int,
+                       carry_cols: tuple[str, ...] = (),
+                       compression: float = 200.0):
+    """Globally-sorted resumable partitioned sink (the TeraSort shape):
+    t-digest cutpoints range-partition the rows into ~equal disjoint
+    value ranges, each range is sorted locally and written as one atomic
+    parquet partition — reading ``part-0000.., part-0001..`` in order
+    yields the full dataset in global ``value_col`` order, with no
+    all-to-all sort of the data (only KB sketch rows shuffle for the
+    cutpoints; the rows move ONCE, to their range).
+
+    Resume correctness: the digest (and so the cutpoints) is merge-order
+    dependent, so a re-run must not recompute it — the cutpoints are
+    STAMPED into ``{out_dir}/SORT_FORMAT`` (exact float64s via JSON
+    repr round-trip) on the first run and REUSED on resume; finished
+    partitions are skipped, so partition boundaries stay aligned.
+    Mismatched value_col / n_partitions is refused.
+
+    Returns an ack Dataset ``(partition_id, n_rows, vmin, vmax,
+    wall_ms)`` — one row per partition written THIS run.
+    """
+    import json
+
+    from .curation import quantile_range_partition, range_cutpoints
+
+    os.makedirs(out_dir, exist_ok=True)
+    marker = os.path.join(out_dir, SORT_FORMAT_FILE)
+    n_partitions = int(n_partitions)
+    if os.path.exists(marker):
+        with open(marker) as f:
+            m = json.load(f)
+        if m["value_col"] != value_col or \
+                int(m["n_partitions"]) != n_partitions or \
+                tuple(m.get("carry_cols", ())) != tuple(carry_cols):
+            raise ValueError(
+                f"sort dir {out_dir} was written for "
+                f"({m['value_col']!r}, {m['n_partitions']}, "
+                f"{tuple(m.get('carry_cols', ()))}); this call is "
+                f"({value_col!r}, {n_partitions}, {tuple(carry_cols)}) "
+                "— use a fresh out_dir.")
+        cuts = np.array(m["cutpoints"], dtype=np.float64)
+    else:
+        if any(f.startswith("part-") and f.endswith(".parquet")
+               for f in os.listdir(out_dir)):
+            raise ValueError(
+                f"sort dir {out_dir} has part files but no "
+                f"{SORT_FORMAT_FILE} manifest; refusing to resume.")
+        cuts = range_cutpoints(ds, value_col, n_partitions,
+                               compression=compression)
+        with open(marker, "w") as f:
+            json.dump({"value_col": value_col,
+                       "n_partitions": n_partitions,
+                       "carry_cols": list(carry_cols),
+                       "cutpoints": list(map(float, cuts))}, f)
+
+    done = np.sort(np.array(
+        [int(f[5:-8]) for f in os.listdir(out_dir)
+         if f.startswith("part-") and f.endswith(".parquet")],
+        dtype=np.int64))
+
+    assigned = quantile_range_partition(
+        ds, value_col, n_partitions, cuts=cuts)
+
+    def skip_done(batch: pa.Table) -> pa.Table:
+        if not len(done):
+            return batch
+        pid = batch["partition_id"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(~np.isin(pid, done)))
+
+    cols = [value_col, *carry_cols]
+
+    def write_group(g) -> pa.Table:
+        t0 = time.monotonic()
+        pid = int(g["partition_id"].iloc[0])
+        dest = os.path.join(out_dir, f"part-{pid:06d}.parquet")
+        if os.path.exists(dest):
+            return pa.table({"partition_id": pa.array([], type=pa.int64()),
+                             "n_rows": pa.array([], type=pa.int64()),
+                             "vmin": pa.array([], type=pa.float64()),
+                             "vmax": pa.array([], type=pa.float64()),
+                             "wall_ms": pa.array([], type=pa.float64())})
+        g = g.sort_values(value_col, kind="stable")
+        tmp = f"{dest}.tmp-{uuid.uuid4().hex[:8]}"
+        pq.write_table(pa.Table.from_pandas(g[cols], preserve_index=False),
+                       tmp)
+        os.rename(tmp, dest)
+        v = g[value_col].to_numpy()
+        return pa.table({
+            "partition_id": pa.array([pid], type=pa.int64()),
+            "n_rows": pa.array([len(g)], type=pa.int64()),
+            "vmin": pa.array([float(v[0])]),
+            "vmax": pa.array([float(v[-1])]),
+            "wall_ms": pa.array([(time.monotonic() - t0) * 1e3]),
+        })
+
+    return (assigned.map_batches(skip_done, batch_format="pyarrow")
+            .groupby("partition_id")
+            .map_groups(write_group, batch_format="pandas"))

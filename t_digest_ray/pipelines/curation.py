@@ -568,10 +568,31 @@ def weighted_bernoulli_sample(ds, id_col: str, weight_col: str, num: int,
 # sketch-apply: quantile-based range partitioning
 # ---------------------------------------------------------------------------
 
+def range_cutpoints(ds, value_col: str, n_partitions: int,
+                    compression: float = 200.0,
+                    num_salts: int = 4) -> np.ndarray:
+    """The ``n_partitions - 1`` t-digest quantile cutpoints of
+    ``value_col`` (pass 1 of quantile_range_partition, exposed so sinks
+    can persist them: the digest is merge-order dependent, so a resumed
+    run must REUSE stored cutpoints rather than recompute)."""
+    from ..stages.aggregate import sketch_by_key
+    from .quantiles import tdigest_spec
+
+    n_partitions = int(n_partitions)
+    spec = tdigest_spec(compression)
+    merged = sketch_by_key(ds, spec, value_col, None, num_salts=num_salts)
+    row = merged.take_all()[0]
+    sk = spec.from_bytes(row["sketch"])
+    sk.compress()
+    return np.array([sk.quantile(i / n_partitions)
+                     for i in range(1, n_partitions)], dtype=np.float64)
+
+
 def quantile_range_partition(ds, value_col: str, n_partitions: int,
                              compression: float = 200.0,
                              num_salts: int = 4,
-                             out_col: str = "partition_id"):
+                             out_col: str = "partition_id",
+                             cuts: np.ndarray | None = None):
     """Assign each row a balanced range-partition id by t-digest quantile
     cutpoints — the TeraSort/balanced-sort primitive: partition 100 TB by
     a skewed key into ~equal parts without sorting it first.
@@ -587,19 +608,14 @@ def quantile_range_partition(ds, value_col: str, n_partitions: int,
     partition by design (ranges must be disjoint).
 
     The input must be re-executable (parquet-backed or cached); pass 2
-    re-reads it rather than materializing it.
+    re-reads it rather than materializing it. Pass precomputed ``cuts``
+    (e.g. from a sink manifest) to skip pass 1 entirely.
     """
-    from ..stages.aggregate import sketch_by_key
-    from .quantiles import tdigest_spec
-
-    n_partitions = int(n_partitions)
-    spec = tdigest_spec(compression)
-    merged = sketch_by_key(ds, spec, value_col, None, num_salts=num_salts)
-    row = merged.take_all()[0]
-    sk = spec.from_bytes(row["sketch"])
-    sk.compress()
-    cuts = np.array([sk.quantile(i / n_partitions)
-                     for i in range(1, n_partitions)], dtype=np.float64)
+    if cuts is None:
+        cuts = range_cutpoints(ds, value_col, n_partitions,
+                               compression=compression,
+                               num_salts=num_salts)
+    cuts = np.asarray(cuts, dtype=np.float64)
 
     def assign(batch: pa.Table) -> pa.Table:
         v = batch[value_col].to_numpy(zero_copy_only=False)

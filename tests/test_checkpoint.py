@@ -298,3 +298,58 @@ def test_write_packed_shards_resumable(ray_session, tmp_path):
     with pytest.raises(ValueError, match="packed-shards"):
         write_packed_shards(ds, "oid", "w", budget=1024, out_dir=out_dir,
                             shards_per_partition=16)
+
+
+def test_sorted_range_write_global_order_and_resume(ray_session, tmp_path):
+    """Range-partitioned sort sink: part files in id order read back as the
+    globally sorted dataset; resume reuses STORED cutpoints so a rewritten
+    partition is byte-identical; param drift is refused."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from t_digest_ray.pipelines.checkpoint import sorted_range_write
+
+    rng = np.random.default_rng(41)
+    vals = rng.lognormal(0.0, 2.0, 30000)  # heavy skew
+    t = pa.table({"value": pa.array(vals),
+                  "rid": pa.array(np.arange(30000, dtype=np.int64))})
+    out_dir = str(tmp_path / "sorted")
+    ds = ray.data.from_arrow(t).repartition(6)
+    acks = sorted_range_write(ds, "value", out_dir, n_partitions=8,
+                              carry_cols=("rid",)).to_pandas()
+    assert acks["n_rows"].sum() == 30000
+    assert len(acks) == 8
+    # disjoint, ordered ranges; balanced within digest error
+    a = acks.sort_values("partition_id").reset_index(drop=True)
+    assert (a["vmax"].to_numpy()[:-1] <= a["vmin"].to_numpy()[1:]).all()
+    assert np.abs(a["n_rows"].to_numpy() / 30000 - 1 / 8).max() <= 0.03
+
+    def read_concat():
+        fs = sorted(f for f in os.listdir(out_dir) if f.endswith(".parquet"))
+        return pa.concat_tables([pq.read_table(os.path.join(out_dir, f))
+                                 for f in fs])
+
+    full = read_concat()
+    v = full["value"].to_numpy()
+    assert (np.diff(v) >= 0).all()          # global order
+    assert sorted(full["rid"].to_pylist()) == list(range(30000))
+
+    # lose one partition; resume rewrites ONLY it, byte-identical
+    victim = sorted(f for f in os.listdir(out_dir)
+                    if f.endswith(".parquet"))[3]
+    old_bytes = open(os.path.join(out_dir, victim), "rb").read()
+    os.unlink(os.path.join(out_dir, victim))
+    acks2 = sorted_range_write(ds, "value", out_dir, n_partitions=8,
+                               carry_cols=("rid",)).to_pandas()
+    assert list(acks2["partition_id"]) == [3]
+    # content identical (cutpoints reused from the manifest)
+    new = pq.read_table(os.path.join(out_dir, victim))
+    old = pq.read_table(pa.BufferReader(old_bytes))
+    assert new.equals(old)
+
+    with pytest.raises(ValueError, match="sort dir"):
+        sorted_range_write(ds, "value", out_dir, n_partitions=4,
+                           carry_cols=("rid",))
+    with pytest.raises(ValueError, match="sort dir"):
+        sorted_range_write(ds, "value", out_dir, n_partitions=8)
