@@ -1448,6 +1448,55 @@ def events_windowed_value_digest(sf_dir: str):
                                 num_salts=2)
 
 
+def events_watermarked_trending(sf_dir: str):
+    """Streaming "trending now" under watermark semantics: the
+    deterministic jittered arrival order drives the exact two-level
+    prefix-max watermark; a 6-hour tumbling window closes at
+    watermark > end + 300 s; events arriving after close are DROPPED;
+    the per-window top-3 event types over the ACCEPTED stream come from
+    one Misra-Gries summary per window (exact, undercount 0, since
+    per-window distinct types <= capacity). The accept/drop split is
+    exactly SQL-reproducible, so the whole composition is hash-gated."""
+    from t_digest_ray.pipelines.windows import watermarked_window_split
+    from t_digest_ray.stages.aggregate import sketch_by_key
+    from t_digest_ray.state.mg import MisraGries, mg_spec
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "event_type"])
+
+    def arrival(b: pa.Table) -> pa.Table:
+        eid = b["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        jit = (eid * 2654435761) % 4294967296 % 7 - 3
+        arr = (eid + jit * 2) * 1048576 + eid
+        return pa.table({"arr": pa.array(arr), "ts": b["ts"],
+                         "event_type": b["event_type"]})
+
+    arrived = ds.map_batches(arrival, batch_format="pyarrow")
+    split = watermarked_window_split(arrived, "ts", "arr", "event_type",
+                                     window_s=21600, lateness_s=300)
+
+    def accepted(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        t = b.filter(pc.equal(b["acc_i"], 1))
+        return pa.table({"wkey": t["wkey"],
+                         "event_type": t["event_type"]})
+
+    merged = sketch_by_key(
+        split.map_batches(accepted, batch_format="pyarrow"),
+        mg_spec(64), "event_type", key="wkey", num_salts=4)
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for _, r in df.iterrows():   # one row PER WINDOW, not data
+            sk = MisraGries.from_bytes(r["sketch"])
+            for key, est in sk.topk(3):
+                rows.append((int(r["key"]), key, int(est),
+                             int(sk.max_undercount)))
+        return pd.DataFrame(rows, columns=["window_start", "event_type",
+                                           "est_count", "max_undercount"])
+
+    return merged.map_batches(fin, batch_format="pandas")
+
+
 def events_watermarked_window_digest(sf_dir: str):
     """Streaming sketch-over-watermarked-windows composition: events get
     the deterministic jittered arrival order (same hash as
@@ -2173,6 +2222,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_watermark_stats": events_watermark_stats,
         "events_windowed_value_digest": events_windowed_value_digest,
         "events_watermarked_window_digest": events_watermarked_window_digest,
+        "events_watermarked_trending": events_watermarked_trending,
     }
 
 
@@ -2424,6 +2474,38 @@ def oracle_sql() -> dict[str, str]:
                    quantile_disc(value, 0.75) AS p75,
                    TRUE AS within_bound
             FROM events GROUP BY 1
+        """,
+        "events_watermarked_trending": """
+            WITH a AS (
+              SELECT event_type, epoch_us(ts) AS t,
+                     (event_id + ((event_id * 2654435761) % 4294967296
+                                  % 7 - 3) * 2) * 1048576 + event_id AS arr
+              FROM events
+            ), w AS (
+              SELECT event_type, t,
+                     CAST(FLOOR(t / 21600000000.0) * 21600000000
+                          AS BIGINT) AS ws_us,
+                     MAX(t) OVER (ORDER BY arr ROWS BETWEEN UNBOUNDED
+                                  PRECEDING AND 1 PRECEDING) AS wm
+              FROM a
+            ), cls AS (
+              SELECT event_type, CAST(ws_us / 1000000 AS BIGINT)
+                         AS window_start,
+                     CASE WHEN wm IS NOT NULL
+                               AND wm > ws_us + 21600000000 + 300000000
+                          THEN 1 ELSE 0 END AS dropped
+              FROM w
+            ), c AS (
+              SELECT window_start, event_type, COUNT(*) AS n
+              FROM cls WHERE dropped = 0 GROUP BY 1, 2
+            )
+            SELECT window_start, event_type,
+                   CAST(n AS BIGINT) AS est_count,
+                   CAST(0 AS BIGINT) AS max_undercount
+            FROM (SELECT *, ROW_NUMBER() OVER (
+                      PARTITION BY window_start
+                      ORDER BY n DESC, event_type) AS rn FROM c)
+            WHERE rn <= 3
         """,
         "events_watermarked_window_digest": """
             WITH a AS (

@@ -226,3 +226,25 @@ def test_events_windowed_heavy_exact(ray_session):
         .reset_index(drop=True)
     pd.testing.assert_frame_equal(got, want)
     assert (got["max_undercount"] == 0).all()
+
+
+def test_events_watermarked_trending_exact(ray_session):
+    """Watermark-gated per-window top-3 equals exact SQL counts over the
+    accepted stream (late-dropped events excluded on both sides)."""
+    import duckdb
+
+    import __ray_entry__ as e
+
+    sf = "/root/testdata/sf0.001"
+    srt = ["window_start", "est_count", "event_type"]
+    got = e.queries()["events_watermarked_trending"](sf).to_pandas() \
+        .sort_values(srt, ascending=[True, False, True]) \
+        .reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute("CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{sf}/events.parquet')")
+    want = con.execute(e.oracle_sql()["events_watermarked_trending"]).df() \
+        .sort_values(srt, ascending=[True, False, True]) \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+    assert (got["max_undercount"] == 0).all()
