@@ -32,7 +32,7 @@ PIPELINES = ("quantiles", "kll", "req", "distinct", "heavy", "heavy_mg",
              "drift_check", "pack", "sample_stratified",
              "sample_bernoulli", "normalized_distinct", "semi_join",
              "anti_join", "topk", "mixture", "pack_nostraddle",
-             "pack_by_key", "sample_weighted")
+             "pack_by_key", "sample_weighted", "pack_write", "sort_write")
 
 
 @dataclass
@@ -189,6 +189,16 @@ def run_job(cfg: JobConfig):
         # key = stratum; value_col = weight; params: order_col, budget
         out = greedy_pack_by_key(ds, cfg.key, p.pop("order_col"),
                                  cfg.value_col, **p)
+    elif cfg.pipeline == "pack_write":
+        from .pipelines.checkpoint import write_packed_shards
+        # key = order column; value_col = weight; params: budget, out_dir
+        out = write_packed_shards(ds, cfg.key, cfg.value_col,
+                                  p.pop("budget"), p.pop("out_dir"), **p)
+    elif cfg.pipeline == "sort_write":
+        from .pipelines.checkpoint import sorted_range_write
+        # value_col = sort column; params: out_dir, n_partitions
+        out = sorted_range_write(ds, cfg.value_col, p.pop("out_dir"),
+                                 p.pop("n_partitions"), **p)
     elif cfg.pipeline == "sample_stratified":
         from .pipelines.curation import stratified_sample
         # key = stratum column; value_col = row-id column

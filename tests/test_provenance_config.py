@@ -306,3 +306,20 @@ def test_job_config_sample_weighted(ray_session):
         columns=["doc_id", "n_chars"], key="doc_id", value_col="n_chars",
         params={"num": 3, "log2_den": 12})).to_pandas()
     assert 0 < len(out) < 500
+
+
+def test_job_config_sink_pipelines(ray_session, tmp_path):
+    docs = "/root/testdata/sf0.001/documents.parquet"
+    acks = run_job(JobConfig(
+        pipeline="pack_write", input=docs,
+        columns=["doc_id", "n_chars"], key="doc_id", value_col="n_chars",
+        params={"budget": 1500, "out_dir": str(tmp_path / "p"),
+                "shards_per_partition": 32})).to_pandas()
+    assert acks["n_rows"].sum() == 500
+
+    acks = run_job(JobConfig(
+        pipeline="sort_write", input=docs,
+        columns=["doc_id", "n_chars"], value_col="n_chars",
+        params={"out_dir": str(tmp_path / "s"), "n_partitions": 4,
+                "carry_cols": ("doc_id",)})).to_pandas()
+    assert acks["n_rows"].sum() == 500
