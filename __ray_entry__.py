@@ -609,6 +609,133 @@ def q5_local_supplier_revenue(sf_dir: str):
             .sort(["revenue_cents", "n_name"], descending=[True, False]))
 
 
+def q7_nation_volume(sf_dir: str):
+    """TPC-H Q7-shaped volume-shipping query: revenue flowing between TWO
+    chosen nations, broken down by (supplier nation, customer nation,
+    order year) — the two-dimensional dimension filter: the supplier and
+    customer sides are restricted by DIFFERENT dimension paths, joined
+    through the fact chain, and the cross-nation constraint
+    (supp != cust) is a vectorized post-join filter. Supplier side via a
+    broadcast searchsorted lookup; orders⋈customer and
+    lineitem⋈(orders⋈customer) via the explicit-type co-partitioned
+    ``hash_join``. Per-item integer cents throughout."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray
+    from ray.data.aggregate import Sum
+    from t_digest_ray.pipelines.relational import hash_join
+    from t_digest_ray.stages.partitioning import cheap_row_count
+
+    pair = ("NATION_3", "NATION_19")
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_name"]).to_pandas()
+    nat = nat[nat["n_name"].isin(pair)]
+    nation_name = dict(zip(nat["n_nationkey"].astype(np.int64),
+                           nat["n_name"]))
+    pair_keys = pa.array(list(nation_name), type=pa.int32())
+
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    sup = sup[sup["s_nationkey"].astype(np.int64).isin(nation_name)]
+    order_ = np.argsort(sup["s_suppkey"].to_numpy())
+    sup_ref = ray.put((sup["s_suppkey"].to_numpy()[order_].astype(np.int64),
+                       sup["s_nationkey"].to_numpy()[order_]
+                       .astype(np.int64)))
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    n_cust = cheap_row_count(cust)
+
+    def cust_p(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.is_in(b["c_nationkey"], value_set=pair_keys))
+        return pa.table({"key": t["c_custkey"],
+                         "c_nat": pc.cast(t["c_nationkey"], pa.int64())})
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"])
+    n_ord = cheap_row_count(orders)
+
+    def ord_p(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "key": b["o_custkey"], "okey": b["o_orderkey"],
+            "o_year": pc.cast(pc.year(b["o_orderdate"]), pa.int64())})
+
+    j1 = hash_join(orders.map_batches(ord_p, batch_format="pyarrow"),
+                   cust.map_batches(cust_p, batch_format="pyarrow"),
+                   on="key", left_cols=["okey", "o_year"],
+                   right_cols=["c_nat"],
+                   n_rows=None if None in (n_cust, n_ord)
+                   else n_cust + n_ord,
+                   types={"key": pa.int64(), "okey": pa.int64(),
+                          "o_year": pa.int64(), "c_nat": pa.int64()})
+
+    def j1_p(b: pa.Table) -> pa.Table:
+        return pa.table({"okey": b["okey"], "o_year": b["o_year"],
+                         "c_nat": b["c_nat"]})
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_suppkey", "l_extendedprice",
+                "l_discount"])
+    n_li = cheap_row_count(li)
+
+    class SupplierLookup:
+        def __init__(self):
+            self.sk, self.sn = ray.get(sup_ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            keys = b["l_suppkey"].to_numpy(zero_copy_only=False)
+            idx = np.searchsorted(self.sk, keys)
+            idx_c = np.minimum(idx, len(self.sk) - 1)
+            hit = (self.sk[idx_c] == keys) if len(self.sk) else \
+                np.zeros(len(keys), dtype=bool)
+            t = b.filter(pa.array(hit))
+            price = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+            disc = t["l_discount"].to_numpy(zero_copy_only=False)
+            cents = np.floor(price * (1.0 - disc) * 100.0 + 0.5) \
+                .astype(np.int64)
+            return pa.table({"okey": t["l_orderkey"],
+                             "rev": pa.array(cents),
+                             "s_nat": pa.array(self.sn[idx_c[hit]])})
+
+    j2 = hash_join(li.map_batches(SupplierLookup, batch_format="pyarrow",
+                                  concurrency=2),
+                   j1.map_batches(j1_p, batch_format="pyarrow"),
+                   on="okey", left_cols=["rev", "s_nat"],
+                   right_cols=["o_year", "c_nat"],
+                   n_rows=None if None in (n_li, n_ord)
+                   else n_li + n_ord,
+                   types={"okey": pa.int64(), "rev": pa.int64(),
+                          "s_nat": pa.int64(), "o_year": pa.int64(),
+                          "c_nat": pa.int64()})
+
+    nk = np.fromiter(nation_name, dtype=np.int64)
+    nv = np.array([nation_name[k] for k in nk], dtype=object)
+    no = np.argsort(nk)
+    nk, nv = nk[no], nv[no]
+
+    def cross_only(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.not_equal(b["s_nat"], b["c_nat"]))
+        sn = nv[np.searchsorted(nk, t["s_nat"].to_numpy(
+            zero_copy_only=False))]
+        cn = nv[np.searchsorted(nk, t["c_nat"].to_numpy(
+            zero_copy_only=False))]
+        return pa.table({
+            "supp_nation": pa.array(sn, type=pa.string()),
+            "cust_nation": pa.array(cn, type=pa.string()),
+            "l_year": t["o_year"], "rev": t["rev"]})
+
+    out = (j2.map_batches(cross_only, batch_format="pyarrow")
+           .groupby(["supp_nation", "cust_nation", "l_year"])
+           .aggregate(Sum("rev", alias_name="revenue_cents")))
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        df["revenue_cents"] = df["revenue_cents"].astype(np.int64)
+        return df[["supp_nation", "cust_nation", "l_year",
+                   "revenue_cents"]]
+
+    return (out.map_batches(fin, batch_format="pandas")
+            .sort(["supp_nation", "cust_nation", "l_year"]))
+
+
 def q10_returned_item_revenue(sf_dir: str):
     """TPC-H Q10-shaped returned-item report: revenue per customer over a
     quarter for returned lineitems — a three-table fact chain (lineitem
@@ -2165,6 +2292,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q18_large_orders": q18_large_orders,
         "q5_local_supplier_revenue": q5_local_supplier_revenue,
         "q10_returned_item_revenue": q10_returned_item_revenue,
+        "q7_nation_volume": q7_nation_volume,
         "region_supplier_revenue": region_supplier_revenue,
         "doc_token_stats": doc_token_stats,
         "token_shard_packing": token_shard_packing,
@@ -2773,6 +2901,23 @@ def oracle_sql() -> dict[str, str]:
               AND o_orderdate < DATE '1998-01-01'
             GROUP BY n_name
             ORDER BY revenue_cents DESC, n_name
+        """,
+        "q7_nation_volume": """
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   CAST(EXTRACT(year FROM o_orderdate) AS BIGINT)
+                       AS l_year,
+                   CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount)
+                                       * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                       AS revenue_cents
+            FROM supplier, lineitem, orders, customer, nation n1, nation n2
+            WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+              AND c_custkey = o_custkey
+              AND s_nationkey = n1.n_nationkey
+              AND c_nationkey = n2.n_nationkey
+              AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_19')
+                OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_3'))
+            GROUP BY 1, 2, 3
+            ORDER BY 1, 2, 3
         """,
         "q10_returned_item_revenue": """
             SELECT c_custkey, c_name, n_name,

@@ -123,3 +123,22 @@ def test_q10_shape_matches_duckdb(ray_session):
     want = con.execute(e.oracle_sql()["q10_returned_item_revenue"]).df() \
         .reset_index(drop=True)
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_q7_shape_matches_duckdb(ray_session):
+    """Q7 composition (two-dimensional dimension filter through the fact
+    chain, cross-nation post-join filter) reproduces DuckDB exactly."""
+    import duckdb
+
+    import __ray_entry__ as e
+
+    sf = "/root/testdata/sf0.001"
+    got = e.queries()["q7_nation_volume"](sf).to_pandas() \
+        .reset_index(drop=True)
+    con = duckdb.connect()
+    for t in ("customer", "orders", "lineitem", "supplier", "nation"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{sf}/{t}.parquet')")
+    want = con.execute(e.oracle_sql()["q7_nation_volume"]).df() \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
