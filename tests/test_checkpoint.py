@@ -294,6 +294,11 @@ def test_write_packed_shards_resumable(ray_session, tmp_path):
     for f, m in mtimes.items():
         assert os.path.getmtime(os.path.join(out_dir, f)) == m
     pd.testing.assert_frame_equal(read_all(), full)
+    # fully-complete resume is a clean no-op (empty ack dataset)
+    acks3 = write_packed_shards(ds, "oid", "w", budget=512,
+                                out_dir=out_dir,
+                                shards_per_partition=16).to_pandas()
+    assert len(acks3) == 0
 
     with pytest.raises(ValueError, match="packed-shards"):
         write_packed_shards(ds, "oid", "w", budget=1024, out_dir=out_dir,
@@ -347,6 +352,11 @@ def test_sorted_range_write_global_order_and_resume(ray_session, tmp_path):
     new = pq.read_table(os.path.join(out_dir, victim))
     old = pq.read_table(pa.BufferReader(old_bytes))
     assert new.equals(old)
+
+    # fully-complete resume is a clean no-op (empty ack dataset)
+    acks3 = sorted_range_write(ds, "value", out_dir, n_partitions=8,
+                               carry_cols=("rid",)).to_pandas()
+    assert len(acks3) == 0
 
     with pytest.raises(ValueError, match="sort dir"):
         sorted_range_write(ds, "value", out_dir, n_partitions=4,
