@@ -87,15 +87,34 @@ def main() -> int:
             failures += 1
             continue
         bad = []
+        dtype_bad = []
         for c in got.columns:
             a, b = got[c].to_numpy(), want[c].to_numpy()
-            if np.issubdtype(a.dtype, np.floating) or np.issubdtype(b.dtype, np.floating):
-                eq = np.array_equal(a.astype(np.float64), b.astype(np.float64))
-            else:
-                eq = np.array_equal(a.astype(str) if a.dtype == object else a,
-                                    b.astype(str) if b.dtype == object else b)
-            if not eq:
+            # Driver-strict: the driver's value-hash is TYPED, so an
+            # int64 engine column vs a float64/HUGEINT oracle column is a
+            # hash mismatch even when numerically equal (r3 failure mode:
+            # DuckDB SUM(BIGINT) -> HUGEINT -> float64 via fetchdf).
+            # Fail on any dtype-kind or width difference except str-vs-str.
+            if a.dtype == object:
+                a = a.astype(str)
+            if b.dtype == object:
+                b = b.astype(str)
+            if a.dtype.kind == "U" and b.dtype.kind == "U":
+                pass  # strings: width is storage detail, kinds match
+            elif a.dtype.kind == "M" and b.dtype.kind == "M":
+                a = a.astype("datetime64[ns]")
+                b = b.astype("datetime64[ns]")
+            elif a.dtype != b.dtype:
+                dtype_bad.append((c, str(got[c].dtype), str(want[c].dtype)))
+                continue
+            if not np.array_equal(a, b):
                 bad.append(c)
+        if dtype_bad:
+            print(f"FAIL {name}: dtype mismatch (driver hash is typed): "
+                  + ", ".join(f"{c} got={ga} want={wa}"
+                              for c, ga, wa in dtype_bad))
+            failures += 1
+            continue
         if bad:
             print(f"FAIL {name}: value mismatch in columns {bad}")
             for c in bad[:2]:
