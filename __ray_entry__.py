@@ -1537,6 +1537,92 @@ def minhash_planted_survivors(sf_dir: str):
     return agg.map_batches(fin, batch_format="pyarrow")
 
 
+_KMEANS_K, _KMEANS_DIM, _KMEANS_ITERS = 8, 64, 4
+
+
+def kmeans_embedding_clusters(sf_dir: str):
+    """Distributed k-means (Lloyd's) over the embeddings table — the
+    SemDeDup-style semantic-clustering primitive — with a FULL value-hash
+    oracle for an iterative algorithm: embeddings are quantized once to an
+    int64 1e-6 grid, every distance / partial-sum / centroid update is
+    exact integer arithmetic (grid-rounded means via floor-division), and
+    argmin ties break toward the smallest cluster id, so the DuckDB oracle
+    replays all 4 iterations bit-for-bit as an unrolled CTE chain. Each
+    Ray iteration is one streaming pass shipping only k x (d+1) int64
+    partial cells per batch through the shuffle (see
+    pipelines/clustering.py)."""
+    from t_digest_ray.pipelines.clustering import kmeans_cluster_stats
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return kmeans_cluster_stats(ds, "embedding", "vec_id",
+                                k=_KMEANS_K, dim=_KMEANS_DIM,
+                                iters=_KMEANS_ITERS)
+
+
+def _kmeans_oracle_sql(k: int, dim: int, iters: int) -> str:
+    """Unrolled-iteration DuckDB replay of kmeans_embedding_clusters.
+
+    Floor-division is emulated with a positive-mod rewrite because
+    DuckDB's integer division truncates toward zero while the engine's
+    numpy ``//`` floors; all sums are CAST back to BIGINT immediately so
+    HUGEINT never reaches the compared columns."""
+    parts = [f"""
+        WITH pts AS (
+            SELECT vec_id, i - 1 AS dim,
+                   CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000
+                              + 0.5) AS BIGINT) AS q
+            FROM embeddings, generate_series(1, {dim}) AS t(i)
+        ),
+        seeds AS (
+            SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS c
+            FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k})
+        ),
+        c0 AS (
+            SELECT s.c, p.dim, p.q AS val
+            FROM seeds s JOIN pts p USING (vec_id)
+        )"""]
+    for t in range(1, iters + 1):
+        parts.append(f""",
+        a{t} AS (
+            SELECT p.vec_id, cc.c
+            FROM pts p JOIN c{t - 1} cc ON p.dim = cc.dim
+            GROUP BY p.vec_id, cc.c
+            QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY p.vec_id
+                ORDER BY SUM((p.q - cc.val) * (p.q - cc.val)), cc.c) = 1
+        ),
+        s{t} AS (
+            SELECT a.c, p.dim, CAST(SUM(p.q) AS BIGINT) AS s,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM a{t} a JOIN pts p USING (vec_id)
+            GROUP BY a.c, p.dim
+        ),
+        c{t} AS (
+            SELECT prev.c, prev.dim,
+                   COALESCE(CAST((2 * s.s + s.n
+                                  - ((((2 * s.s + s.n) % (2 * s.n))
+                                      + 2 * s.n) % (2 * s.n)))
+                                 / (2 * s.n) AS BIGINT),
+                            prev.val) AS val
+            FROM c{t - 1} prev
+            LEFT JOIN s{t} s ON s.c = prev.c AND s.dim = prev.dim
+        )""")
+    parts.append(f""",
+        final_assign AS (
+            SELECT p.vec_id, cc.c
+            FROM pts p JOIN c{iters} cc ON p.dim = cc.dim
+            GROUP BY p.vec_id, cc.c
+            QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY p.vec_id
+                ORDER BY SUM((p.q - cc.val) * (p.q - cc.val)), cc.c) = 1
+        )
+        SELECT c AS cluster_id, COUNT(*) AS n_vecs,
+               CAST(SUM(vec_id) AS BIGINT) AS sum_id,
+               MIN(vec_id) AS min_id, MAX(vec_id) AS max_id
+        FROM final_assign GROUP BY c""")
+    return "".join(parts)
+
+
 def langid_counts(sf_dir: str):
     """Language-ID heuristic prediction counts over documents,
     VALUE-CHECKED: the stopword-profile argmax (strict-improvement scan in
@@ -2394,6 +2480,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_sampled_doc_stats": hash_sampled_doc_stats,
         "mixture_sampled_counts": mixture_sampled_counts,
         "minhash_planted_survivors": minhash_planted_survivors,
+        "kmeans_embedding_clusters": kmeans_embedding_clusters,
         # --- (b) cheap representatives of each operator family ---
         "tdigest_quantiles_by_lang": tdigest_quantiles_by_lang,
         "tdigest_events_value": tdigest_events_value,
@@ -2519,6 +2606,8 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             WHERE doc_id % 11 = 0 AND regexp_matches(text, '\S')
         """,
+        "kmeans_embedding_clusters": _kmeans_oracle_sql(
+            _KMEANS_K, _KMEANS_DIM, _KMEANS_ITERS),
         "simhash_planted_dup_pairs": r"""
             SELECT doc_id AS id_a, doc_id + 1000000 AS id_b,
                    CAST(0 AS BIGINT) AS hamming, TRUE AS within_band

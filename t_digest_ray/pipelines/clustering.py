@@ -1,0 +1,211 @@
+"""Distributed k-means over embedding columns (Lloyd's algorithm).
+
+The SemDeDup-style semantic-clustering primitive for training-data
+curation: cluster document embeddings, then dedup / rebalance / quota
+within clusters. Expressed Ray-Data-first:
+
+* each iteration is ONE streaming pass — ``map_batches`` computes
+  per-batch partial sums (k x (d+1) int64 cells, a KB-sized row per
+  batch) against a plasma-broadcast centroid matrix, and only those
+  KB rows go through the ``groupby("cluster")`` shuffle; the corpus
+  itself never re-shuffles.
+* the driver folds exactly k x d aggregated cells per iteration (the
+  classic tiny-model / big-data iterative layout), re-broadcasts via
+  ``ray.put`` and launches the next pass.
+
+EXACT cross-engine arithmetic (the DuckDB oracle in ``__ray_entry__``
+replays every iteration bit-for-bit as an unrolled CTE chain):
+
+* embeddings are quantized ONCE to an int64 grid
+  ``q = floor(float64(x) * 1e6 + 0.5)`` — float32 -> float64 widening is
+  exact and IEEE multiply/floor agree across engines;
+* distances, partial sums and counts are all int64 (|q| <= ~2**21, so
+  squared-distance sums stay far below 2**63);
+* the centroid update rounds the rational mean sum/count to the grid
+  half-up via pure FLOOR-division ``(2*sum + count) fdiv (2*count)``
+  (numpy ``//`` floors; the SQL side emulates floor-div with a
+  positive-mod rewrite since DuckDB's integer ``/`` truncates);
+* argmin ties break toward the smallest cluster id on both engines.
+
+So the final assignment — and any aggregate of it — is value-hash
+reproducible at any parallelism, batch layout or retry, which is the
+whole point: an *iterative* operator with a full SQL oracle instead of
+a rows-only check.
+
+Initialization is deterministic: centroid j starts at the quantized
+embedding of the row with the j-th smallest id (k rows broadcast from
+one tiny sorted read; at 10^12-row scale pin seeds by id range or pass
+explicit ``init`` ids).
+
+Reference analogue: the reference repo validates iterative drivers by
+exact replay of deterministic state (AccuracyTest.java:80-120); this
+module applies that discipline to a distributed iterative algorithm.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+GRID = 1_000_000  # quantization grid: 1e-6 of embedding space
+
+
+def quantize_batch(batch: pa.Table, embedding_col: str, id_col: str,
+                   dim: int) -> pa.Table:
+    """(id, list<float> embedding) -> (id, fixed int64 q0..q{d-1} matrix
+    packed as a single binary column for zero-copy numpy round-trips)."""
+    ids = batch[id_col].to_numpy(zero_copy_only=False)
+    emb = batch[embedding_col].combine_chunks()
+    flat = np.asarray(emb.values.to_numpy(zero_copy_only=False),
+                      dtype=np.float64)
+    n = len(ids)
+    if flat.size != n * dim:
+        raise ValueError(
+            f"ragged embedding column: {flat.size} values for {n} rows "
+            f"of dim {dim}")
+    q = np.floor(flat * GRID + 0.5).astype(np.int64).reshape(n, dim)
+    buf = q.tobytes(order="C")
+    step = dim * 8
+    return pa.table({
+        id_col: pa.array(ids),
+        "q": pa.array([buf[i * step:(i + 1) * step] for i in range(n)],
+                      type=pa.binary()),
+    })
+
+
+def _q_matrix(batch: pa.Table, dim: int) -> np.ndarray:
+    blobs = batch["q"].to_pylist()
+    if not blobs:
+        return np.empty((0, dim), dtype=np.int64)
+    return np.frombuffer(b"".join(blobs), dtype=np.int64).reshape(-1, dim)
+
+
+def assign_ids(q: np.ndarray, cents: np.ndarray) -> np.ndarray:
+    """Exact int64 argmin_j ||q - c_j||^2, first (smallest j) on ties.
+
+    Expanded form ||q||^2 - 2 q.c + ||c||^2; the ||q||^2 term is
+    constant per row and dropped, so the whole score matrix is one
+    integer matmul — no n x k x d temporary (env rule: keep per-batch
+    buffers small)."""
+    cross = q @ cents.T                        # (n, k) int64, exact
+    c2 = np.einsum("kd,kd->k", cents, cents)   # (k,) int64
+    return np.argmin(c2[None, :] - 2 * cross, axis=1)
+
+
+def centroid_update(sums: np.ndarray, counts: np.ndarray,
+                    prev: np.ndarray) -> np.ndarray:
+    """Grid-rounded mean: floor((2*sum + count) / (2*count)) per cell
+    (= round-half-up of sum/count); empty clusters keep their previous
+    centroid."""
+    out = prev.copy()
+    nz = counts > 0
+    if nz.any():
+        n = counts[nz][:, None]
+        out[nz] = (2 * sums[nz] + n) // (2 * n)
+    return out
+
+
+def kmeans_fit_predict(ds, embedding_col: str, id_col: str, *,
+                       k: int = 8, dim: int, iters: int = 4,
+                       batch_size: int | None = None):
+    """Run ``iters`` exact Lloyd iterations; returns (assignments
+    Dataset with columns (id_col, cluster), final centroid matrix).
+
+    Scale notes: the quantized corpus is materialized once (int64
+    columns, same volume as the input floats) and each iteration
+    streams it once; all shuffle traffic is the k x (d+1) partial rows
+    per batch. ``k * dim`` driver state is a few KB."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    qds = ds.map_batches(
+        lambda b: quantize_batch(b, embedding_col, id_col, dim),
+        batch_format="pyarrow", batch_size=batch_size).materialize()
+
+    # deterministic init: the k smallest ids. Per-batch k-min prefilter
+    # first so the sort+limit runs over k rows per BLOCK, never the
+    # corpus (a full global sort for k seed rows would be a scale bug).
+    def local_min_k(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        if len(ids) <= k:
+            return batch
+        keep = np.argsort(ids, kind="stable")[:k]
+        return batch.take(pa.array(np.sort(keep)))
+
+    seed_rows = (qds.map_batches(local_min_k, batch_format="pyarrow")
+                 .sort(id_col).limit(k).take_all())
+    cents = np.stack([np.frombuffer(r["q"], dtype=np.int64)
+                      for r in seed_rows]).astype(np.int64)
+    if cents.shape != (k, dim):
+        raise ValueError(f"init expected ({k},{dim}), got {cents.shape}")
+
+    for _ in range(iters):
+        ref = ray.put(cents)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            c = ray.get(ref)
+            q = _q_matrix(batch, dim)
+            a = assign_ids(q, c)
+            rows_c, rows_d, rows_s, rows_n = [], [], [], []
+            for j in np.unique(a):
+                sel = q[a == j]
+                rows_c.append(np.full(dim, j, dtype=np.int64))
+                rows_d.append(np.arange(dim, dtype=np.int64))
+                rows_s.append(sel.sum(axis=0, dtype=np.int64))
+                rows_n.append(np.full(dim, sel.shape[0], dtype=np.int64))
+            if not rows_c:
+                return pa.table({"cluster": pa.array([], type=pa.int64()),
+                                 "dim": pa.array([], type=pa.int64()),
+                                 "s": pa.array([], type=pa.int64()),
+                                 "n": pa.array([], type=pa.int64())})
+            return pa.table({"cluster": pa.array(np.concatenate(rows_c)),
+                             "dim": pa.array(np.concatenate(rows_d)),
+                             "s": pa.array(np.concatenate(rows_s)),
+                             "n": pa.array(np.concatenate(rows_n))})
+
+        agg = (qds.map_batches(partial, batch_format="pyarrow")
+               .groupby(["cluster", "dim"])
+               .aggregate(Sum("s", alias_name="s"),
+                          Sum("n", alias_name="n"))
+               .take_all())  # k*d tiny rows
+        sums = np.zeros((k, dim), dtype=np.int64)
+        counts = np.zeros(k, dtype=np.int64)
+        for r in agg:
+            sums[r["cluster"], r["dim"]] = r["s"]
+            if r["dim"] == 0:
+                counts[r["cluster"]] = r["n"]
+        cents = centroid_update(sums, counts, cents)
+
+    final_ref = ray.put(cents)
+
+    def assign_out(batch: pa.Table) -> pa.Table:
+        c = ray.get(final_ref)
+        q = _q_matrix(batch, dim)
+        a = assign_ids(q, c)
+        return pa.table({id_col: batch[id_col],
+                         "cluster": pa.array(a.astype(np.int64))})
+
+    return qds.map_batches(assign_out, batch_format="pyarrow"), cents
+
+
+def kmeans_cluster_stats(ds, embedding_col: str, id_col: str, *,
+                         k: int = 8, dim: int, iters: int = 4):
+    """Per-cluster summary of the final assignment: (cluster_id, n_vecs,
+    sum of ids, min/max id) — the value-hash surface for the oracle."""
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    assigned, _ = kmeans_fit_predict(ds, embedding_col, id_col,
+                                     k=k, dim=dim, iters=iters)
+    out = assigned.groupby("cluster").aggregate(
+        Count(alias_name="n_vecs"),
+        Sum(id_col, alias_name="sum_id"),
+        Min(id_col, alias_name="min_id"),
+        Max(id_col, alias_name="max_id"))
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.rename(columns={"cluster": "cluster_id"})
+        df["sum_id"] = df["sum_id"].astype(np.int64)
+        return df
+
+    return out.map_batches(fin, batch_format="pandas")

@@ -1,0 +1,93 @@
+"""Distributed k-means (pipelines/clustering.py): exactness, determinism
+across parallelism, planted-cluster recovery."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from t_digest_ray.pipelines.clustering import (GRID, assign_ids,
+                                               centroid_update,
+                                               kmeans_cluster_stats,
+                                               kmeans_fit_predict)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _emb_ds(ray, rows):
+    import ray.data as rd
+    return rd.from_arrow(pa.table(rows))
+
+
+def test_assign_ids_exact_and_tie_break():
+    q = np.array([[0, 0], [10, 0], [5, 0]], dtype=np.int64)
+    cents = np.array([[0, 0], [10, 0]], dtype=np.int64)
+    a = assign_ids(q, cents)
+    # midpoint (5,0) is equidistant -> smallest cluster id wins
+    assert a.tolist() == [0, 1, 0]
+
+
+def test_assign_ids_matches_bruteforce(rng):
+    q = rng.integers(-GRID, GRID, size=(200, 16)).astype(np.int64)
+    c = rng.integers(-GRID, GRID, size=(7, 16)).astype(np.int64)
+    d2 = ((q[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+    assert np.array_equal(assign_ids(q, c), np.argmin(d2, axis=1))
+
+
+def test_centroid_update_half_up_and_empty():
+    sums = np.array([[7], [-7], [0]], dtype=np.int64)
+    counts = np.array([2, 2, 0], dtype=np.int64)
+    prev = np.array([[100], [100], [42]], dtype=np.int64)
+    out = centroid_update(sums, counts, prev)
+    # 7/2 = 3.5 -> 4 (half-up); -7/2 = -3.5 -> -3 (half-up = toward +inf)
+    assert out[:, 0].tolist() == [4, -3, 42]
+
+
+def test_kmeans_planted_recovery(ray_session):
+    """Three well-separated planted blobs must be recovered exactly and
+    deterministically regardless of row order."""
+    rng = np.random.default_rng(7)
+    centers = np.array([[-0.4] * 8, [0.0] * 8, [0.4] * 8])
+    rows_id, rows_emb, truth = [], [], []
+    for i in range(240):
+        g = i % 3
+        rows_id.append(i)
+        truth.append(g)
+        rows_emb.append((centers[g]
+                         + rng.normal(0, 0.01, size=8)).astype(np.float32))
+    ds = _emb_ds(ray_session, {
+        "vec_id": pa.array(rows_id, type=pa.int64()),
+        "embedding": pa.array([list(map(float, e)) for e in rows_emb],
+                              type=pa.list_(pa.float32()))})
+    assigned, cents = kmeans_fit_predict(
+        ds, "embedding", "vec_id", k=3, dim=8, iters=5)
+    df = assigned.to_pandas().sort_values("vec_id").reset_index(drop=True)
+    # each planted blob maps to exactly one cluster id (a bijection)
+    tab = pd.crosstab(pd.Series(truth), df["cluster"])
+    assert (tab.to_numpy() > 0).sum() == 3
+    assert sorted(tab.max(axis=1)) == [80, 80, 80]
+    # recovered centroids sit on the planted grid points within noise
+    means = np.sort(cents[:, 0]) / GRID
+    assert np.allclose(means, [-0.4, 0.0, 0.4], atol=0.01)
+
+
+def test_kmeans_stats_parallelism_invariant(ray_session):
+    """Identical value surface at different block layouts (the project's
+    north-star determinism invariant) on the real embeddings table."""
+    import ray.data as rd
+
+    def run(parallelism):
+        ds = rd.read_parquet(f"{SF}/embeddings.parquet",
+                             columns=["vec_id", "embedding"],
+                             override_num_blocks=parallelism)
+        out = kmeans_cluster_stats(ds, "embedding", "vec_id",
+                                   k=4, dim=64, iters=2)
+        return (out.to_pandas().sort_values("cluster_id")
+                .reset_index(drop=True))
+
+    a, b = run(1), run(7)
+    pd.testing.assert_frame_equal(a, b)
+    assert a["n_vecs"].sum() == 500
+    assert a["sum_id"].dtype == np.int64
