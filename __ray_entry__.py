@@ -1559,6 +1559,20 @@ def kmeans_embedding_clusters(sf_dir: str):
                                 iters=_KMEANS_ITERS)
 
 
+def kmeans_prototype_docs(sf_dir: str):
+    """Per-cluster prototype selection (SemDeDup-style pruning): after the
+    same exact-integer k-means run as kmeans_embedding_clusters, keep the
+    10 vectors CLOSEST to their final centroid per cluster (exact int64
+    squared distance, smallest-id ties). Fully value-hash checked — the
+    oracle extends the unrolled k-means CTE with a distance rank."""
+    from t_digest_ray.pipelines.clustering import kmeans_prototypes
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return kmeans_prototypes(ds, "embedding", "vec_id",
+                             k=_KMEANS_K, dim=_KMEANS_DIM,
+                             iters=_KMEANS_ITERS, m=10)
+
+
 def _kmeans_oracle_sql(k: int, dim: int, iters: int) -> str:
     """Unrolled-iteration DuckDB replay of kmeans_embedding_clusters.
 
@@ -1609,18 +1623,33 @@ def _kmeans_oracle_sql(k: int, dim: int, iters: int) -> str:
         )""")
     parts.append(f""",
         final_assign AS (
-            SELECT p.vec_id, cc.c
+            SELECT p.vec_id, cc.c,
+                   CAST(SUM((p.q - cc.val) * (p.q - cc.val)) AS BIGINT)
+                       AS d2
             FROM pts p JOIN c{iters} cc ON p.dim = cc.dim
             GROUP BY p.vec_id, cc.c
             QUALIFY ROW_NUMBER() OVER (
                 PARTITION BY p.vec_id
                 ORDER BY SUM((p.q - cc.val) * (p.q - cc.val)), cc.c) = 1
-        )
+        )""")
+    return "".join(parts)
+
+
+def _kmeans_stats_oracle(k: int, dim: int, iters: int) -> str:
+    return _kmeans_oracle_sql(k, dim, iters) + """
         SELECT c AS cluster_id, COUNT(*) AS n_vecs,
                CAST(SUM(vec_id) AS BIGINT) AS sum_id,
                MIN(vec_id) AS min_id, MAX(vec_id) AS max_id
-        FROM final_assign GROUP BY c""")
-    return "".join(parts)
+        FROM final_assign GROUP BY c"""
+
+
+def _kmeans_prototypes_oracle(k: int, dim: int, iters: int,
+                              m: int) -> str:
+    return _kmeans_oracle_sql(k, dim, iters) + f"""
+        SELECT c AS cluster_id, vec_id, d2
+        FROM final_assign
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY c ORDER BY d2, vec_id) <= {m}"""
 
 
 def langid_counts(sf_dir: str):
@@ -2481,6 +2510,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mixture_sampled_counts": mixture_sampled_counts,
         "minhash_planted_survivors": minhash_planted_survivors,
         "kmeans_embedding_clusters": kmeans_embedding_clusters,
+        "kmeans_prototype_docs": kmeans_prototype_docs,
         # --- (b) cheap representatives of each operator family ---
         "tdigest_quantiles_by_lang": tdigest_quantiles_by_lang,
         "tdigest_events_value": tdigest_events_value,
@@ -2606,8 +2636,10 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             WHERE doc_id % 11 = 0 AND regexp_matches(text, '\S')
         """,
-        "kmeans_embedding_clusters": _kmeans_oracle_sql(
+        "kmeans_embedding_clusters": _kmeans_stats_oracle(
             _KMEANS_K, _KMEANS_DIM, _KMEANS_ITERS),
+        "kmeans_prototype_docs": _kmeans_prototypes_oracle(
+            _KMEANS_K, _KMEANS_DIM, _KMEANS_ITERS, 10),
         "simhash_planted_dup_pairs": r"""
             SELECT doc_id AS id_a, doc_id + 1000000 AS id_b,
                    CAST(0 AS BIGINT) AS hamming, TRUE AS within_band

@@ -182,11 +182,40 @@ def kmeans_fit_predict(ds, embedding_col: str, id_col: str, *,
     def assign_out(batch: pa.Table) -> pa.Table:
         c = ray.get(final_ref)
         q = _q_matrix(batch, dim)
-        a = assign_ids(q, c)
+        cross = q @ c.T
+        c2 = np.einsum("kd,kd->k", c, c)
+        score = c2[None, :] - 2 * cross          # d2 minus the ||q||^2 term
+        a = np.argmin(score, axis=1)
+        d2 = (np.einsum("nd,nd->n", q, q)
+              + score[np.arange(len(a)), a])     # exact int64 distance
         return pa.table({id_col: batch[id_col],
-                         "cluster": pa.array(a.astype(np.int64))})
+                         "cluster": pa.array(a.astype(np.int64)),
+                         "d2": pa.array(d2.astype(np.int64))})
 
     return qds.map_batches(assign_out, batch_format="pyarrow"), cents
+
+
+def kmeans_prototypes(ds, embedding_col: str, id_col: str, *,
+                      k: int = 8, dim: int, iters: int = 4, m: int = 10):
+    """Per-cluster prototype selection: the ``m`` vectors CLOSEST to
+    their final centroid (exact int64 squared distance, ties broken by
+    smallest id) — the SemDeDup / prototypicality-pruning curation
+    primitive ("keep the most representative docs of each semantic
+    cluster"). Built on the same combiner-topology ``topk_per_key`` the
+    quality-quota selections use, so the shuffle carries <= m rows per
+    cluster per block."""
+    from .curation import topk_per_key
+
+    assigned, _ = kmeans_fit_predict(ds, embedding_col, id_col,
+                                     k=k, dim=dim, iters=iters)
+    out = topk_per_key(assigned, "cluster", "d2", id_col, k=m,
+                       largest=False)
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.rename(columns={"cluster": "cluster_id"})
+                [["cluster_id", id_col, "d2"]])
+
+    return out.map_batches(fin, batch_format="pandas")
 
 
 def kmeans_cluster_stats(ds, embedding_col: str, id_col: str, *,

@@ -73,6 +73,32 @@ def test_kmeans_planted_recovery(ray_session):
     assert np.allclose(means, [-0.4, 0.0, 0.4], atol=0.01)
 
 
+def test_kmeans_prototypes_are_closest(ray_session):
+    """Prototype selection returns exactly the m smallest distances per
+    cluster, verified against a brute-force recompute of the full
+    assignment."""
+    import ray.data as rd
+    from t_digest_ray.pipelines.clustering import kmeans_prototypes
+
+    ds = rd.read_parquet(f"{SF}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    m = 5
+    protos = kmeans_prototypes(ds, "embedding", "vec_id",
+                               k=4, dim=64, iters=2, m=m).to_pandas()
+    assigned, _ = kmeans_fit_predict(
+        rd.read_parquet(f"{SF}/embeddings.parquet",
+                        columns=["vec_id", "embedding"]),
+        "embedding", "vec_id", k=4, dim=64, iters=2)
+    full = assigned.to_pandas()
+    for c, grp in full.groupby("cluster"):
+        want = (grp.sort_values(["d2", "vec_id"]).head(m)
+                [["vec_id", "d2"]].reset_index(drop=True))
+        got = (protos[protos["cluster_id"] == c]
+               .sort_values(["d2", "vec_id"])[["vec_id", "d2"]]
+               .reset_index(drop=True))
+        pd.testing.assert_frame_equal(got, want)
+
+
 def test_kmeans_stats_parallelism_invariant(ray_session):
     """Identical value surface at different block layouts (the project's
     north-star determinism invariant) on the real embeddings table."""
