@@ -32,6 +32,15 @@ def _read(sf_dir: str, table: str, columns=None):
     return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
+def _pool():
+    """Autoscaling actor-pool bounds for fact-scale stateful stages:
+    start at 2 actors, grow to the cluster's CPU count on demand (r3
+    verdict: a hardcoded concurrency=2 starves these stages at 32 CPUs
+    and on any real cluster)."""
+    import ray
+    return (2, max(2, int(ray.cluster_resources().get("CPU", 8))))
+
+
 def _cents(df: pd.DataFrame, cols) -> pd.DataFrame:
     """Per-ROW money -> integer cents. floor(x*100 + 0.5) = SQL ROUND for
     positive money (half-up; np.rint would tie-break half-to-even and can
@@ -466,7 +475,7 @@ def region_supplier_revenue(sf_dir: str):
             return pa.table({"r_name": pa.array(names, type=pa.string()),
                              "rev": pa.array(cents)})
 
-    out = (ds.map_batches(Joiner, batch_format="pyarrow", concurrency=2)
+    out = (ds.map_batches(Joiner, batch_format="pyarrow", concurrency=_pool())
            .groupby("r_name")
            .aggregate(Count(alias_name="n_items"),
                       Sum("rev", alias_name="revenue_cents")))
@@ -576,7 +585,7 @@ def q5_local_supplier_revenue(sf_dir: str):
             })
 
     j2 = hash_join(li.map_batches(SupplierLookup, batch_format="pyarrow",
-                                  concurrency=2),
+                                  concurrency=_pool()),
                    j1.map_batches(j1_p, batch_format="pyarrow"),
                    on="okey", left_cols=["rev", "s_nat"],
                    right_cols=["c_nat"],
@@ -697,7 +706,7 @@ def q7_nation_volume(sf_dir: str):
                              "s_nat": pa.array(self.sn[idx_c[hit]])})
 
     j2 = hash_join(li.map_batches(SupplierLookup, batch_format="pyarrow",
-                                  concurrency=2),
+                                  concurrency=_pool()),
                    j1.map_batches(j1_p, batch_format="pyarrow"),
                    on="okey", left_cols=["rev", "s_nat"],
                    right_cols=["o_year", "c_nat"],
@@ -734,6 +743,138 @@ def q7_nation_volume(sf_dir: str):
 
     return (out.map_batches(fin, batch_format="pandas")
             .sort(["supp_nation", "cust_nation", "l_year"]))
+
+
+def q8_market_share(sf_dir: str):
+    """TPC-H Q8-shaped national-market-share query: within region AMERICA
+    customers, what share of PROMO-part revenue per order year is supplied
+    by NATION_6. Exercises the ratio-of-aggregates shape: numerator and
+    denominator are exact int64 cent sums (hash-checkable on their own)
+    and the share is ONE IEEE double division of those two ints, so even
+    the float column is bit-identical to the oracle. Join plan: part
+    (type-filtered) and supplier (suppkey -> nationkey) ride as broadcast
+    sorted-array lookups inside the lineitem map — at a scale where
+    supplier/part no longer fit a node, the q3/q5 co-partitioned
+    ``hash_join`` is the drop-in fallback; orders x region-customers and
+    lineitem x that result use ``hash_join`` with explicit types."""
+    import datetime
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray
+    from ray.data.aggregate import Sum
+    from t_digest_ray.pipelines.relational import hash_join
+    from t_digest_ray.stages.partitioning import cheap_row_count
+
+    target_nation, region_name, part_type = "NATION_6", "AMERICA", "PROMO"
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+    reg = pq.read_table(f"{sf_dir}/region.parquet").to_pandas()
+    amer = nat.merge(reg, left_on="n_regionkey", right_on="r_regionkey")
+    amer = amer[amer["r_name"] == region_name]
+    region_keys = pa.array(amer["n_nationkey"].astype("int32"))
+    target_key = int(nat.loc[nat["n_name"] == target_nation,
+                             "n_nationkey"].iloc[0])
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_type"]).to_pandas()
+    pk = np.sort(part.loc[part["p_type"] == part_type, "p_partkey"]
+                 .to_numpy().astype(np.int64))
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    so = np.argsort(sup["s_suppkey"].to_numpy())
+    dims_ref = ray.put((pk,
+                        sup["s_suppkey"].to_numpy()[so].astype(np.int64),
+                        sup["s_nationkey"].to_numpy()[so].astype(np.int64)))
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    n_cust = cheap_row_count(cust)
+
+    def cust_p(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.is_in(b["c_nationkey"], value_set=region_keys))
+        return pa.table({"key": t["c_custkey"]})
+
+    lo = datetime.datetime(1995, 1, 1)
+    hi = datetime.datetime(1997, 1, 1)
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"])
+    n_ord = cheap_row_count(orders)
+
+    def ord_p(b: pa.Table) -> pa.Table:
+        m = pc.and_(pc.greater_equal(b["o_orderdate"], pa.scalar(lo)),
+                    pc.less(b["o_orderdate"], pa.scalar(hi)))
+        t = b.filter(m)
+        return pa.table({
+            "key": t["o_custkey"], "okey": t["o_orderkey"],
+            "o_year": pc.cast(pc.year(t["o_orderdate"]), pa.int64())})
+
+    j1 = hash_join(orders.map_batches(ord_p, batch_format="pyarrow"),
+                   cust.map_batches(cust_p, batch_format="pyarrow"),
+                   on="key", left_cols=["okey", "o_year"], right_cols=[],
+                   n_rows=None if None in (n_cust, n_ord)
+                   else n_cust + n_ord,
+                   types={"key": pa.int64(), "okey": pa.int64(),
+                          "o_year": pa.int64()})
+
+    def j1_p(b: pa.Table) -> pa.Table:
+        return pa.table({"okey": b["okey"], "o_year": b["o_year"]})
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_partkey", "l_suppkey",
+                "l_extendedprice", "l_discount"])
+    n_li = cheap_row_count(li)
+
+    class DimLookup:
+        """Actor-pool stage: PROMO partkeys + supplier nation map fetched
+        from plasma once per actor; per batch two vectorized searchsorted
+        passes (part membership, supplier nation gather)."""
+
+        def __init__(self):
+            self.pk, self.sk, self.sn = ray.get(dims_ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            lpk = b["l_partkey"].to_numpy(zero_copy_only=False)
+            pidx = np.searchsorted(self.pk, lpk)
+            pidx_c = np.minimum(pidx, len(self.pk) - 1)
+            hit = (self.pk[pidx_c] == lpk) if len(self.pk) else \
+                np.zeros(len(lpk), dtype=bool)
+            t = b.filter(pa.array(hit))
+            keys = t["l_suppkey"].to_numpy(zero_copy_only=False)
+            sidx = np.minimum(np.searchsorted(self.sk, keys),
+                              len(self.sk) - 1)
+            price = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+            disc = t["l_discount"].to_numpy(zero_copy_only=False)
+            cents = np.floor(price * (1.0 - disc) * 100.0 + 0.5) \
+                .astype(np.int64)
+            is_t = (self.sn[sidx] == target_key).astype(np.int64)
+            return pa.table({"okey": t["l_orderkey"],
+                             "rev": pa.array(cents),
+                             "rev_t": pa.array(cents * is_t)})
+
+    j2 = hash_join(li.map_batches(DimLookup, batch_format="pyarrow",
+                                  concurrency=_pool()),
+                   j1.map_batches(j1_p, batch_format="pyarrow"),
+                   on="okey", left_cols=["rev", "rev_t"],
+                   right_cols=["o_year"],
+                   n_rows=None if None in (n_li, n_ord)
+                   else n_li + n_ord,
+                   types={"okey": pa.int64(), "rev": pa.int64(),
+                          "rev_t": pa.int64(), "o_year": pa.int64()})
+
+    out = (j2.groupby("o_year")
+           .aggregate(Sum("rev_t", alias_name="share_num_cents"),
+                      Sum("rev", alias_name="share_den_cents")))
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        num = df["share_num_cents"].astype(np.int64)
+        den = df["share_den_cents"].astype(np.int64)
+        return pd.DataFrame({
+            "o_year": df["o_year"],
+            "share_num_cents": num, "share_den_cents": den,
+            "mkt_share": num.to_numpy().astype(np.float64)
+            / den.to_numpy().astype(np.float64)})
+
+    return out.map_batches(fin, batch_format="pandas").sort("o_year")
 
 
 def q10_returned_item_revenue(sf_dir: str):
@@ -2177,7 +2318,7 @@ def embedding_near_dup_docs(sf_dir: str):
     # Real pipelines read embeddings from a stored table (computed once);
     # this mirrors that — the projection is ~100x smaller than the text.
     emb = (ds.map_batches(to_media, batch_format="pyarrow")
-           .map_batches(EmbedStub, batch_format="pyarrow", concurrency=2)
+           .map_batches(EmbedStub, batch_format="pyarrow", concurrency=_pool())
            .select_columns(["vec_id", "embedding"])
            .materialize())
     return embedding_near_dup_pairs(emb, threshold=0.999, n_bands=8,
@@ -2202,7 +2343,7 @@ def media_decode_stats(sf_dir: str):
 
     media = (ds.map_batches(to_media, batch_format="pyarrow")
              .map_batches(ImageDecode, batch_format="pyarrow",
-                          concurrency=2, batch_size=256)
+                          concurrency=_pool(), batch_size=256)
              .map_batches(ImageResize(), batch_format="pyarrow")
              .map_batches(FrameSample(), batch_format="pyarrow"))
     out = (media.groupby("channels")
@@ -2246,7 +2387,7 @@ def image_dedup_stats(sf_dir: str):
 
     decoded = (ds.map_batches(to_media, batch_format="pyarrow")
                .map_batches(ImageDecode, batch_format="pyarrow",
-                            concurrency=2, batch_size=256))
+                            concurrency=_pool(), batch_size=256))
 
     def hash_meta(b: pa.Table) -> pa.Table:
         t = b.filter(b["decode_ok"])
@@ -2455,7 +2596,7 @@ def pages_host_quota(sf_dir: str):
                              "q_e6": pa.array(q_e6)})
 
     scored = pages.map_batches(HostQuality, batch_format="pyarrow",
-                               concurrency=2)
+                               concurrency=_pool())
     sel = topk_per_key(scored, "host", "q_e6", "url", k=3)
 
     def fin(df: pd.DataFrame) -> pd.DataFrame:
@@ -2561,6 +2702,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q5_local_supplier_revenue": q5_local_supplier_revenue,
         "q10_returned_item_revenue": q10_returned_item_revenue,
         "q7_nation_volume": q7_nation_volume,
+        "q8_market_share": q8_market_share,
     }
 
 
@@ -3139,6 +3281,36 @@ def oracle_sql() -> dict[str, str]:
                 OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_3'))
             GROUP BY 1, 2, 3
             ORDER BY 1, 2, 3
+        """,
+        "q8_market_share": """
+            WITH rev AS (
+                SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT)
+                           AS o_year,
+                       CAST(FLOOR(l_extendedprice * (1 - l_discount)
+                                  * 100 + 0.5) AS BIGINT) AS rev,
+                       s_nationkey
+                FROM lineitem, orders, customer, part, supplier,
+                     nation, region
+                WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+                  AND l_partkey = p_partkey AND l_suppkey = s_suppkey
+                  AND c_nationkey = n_nationkey
+                  AND n_regionkey = r_regionkey
+                  AND r_name = 'AMERICA' AND p_type = 'PROMO'
+                  AND o_orderdate >= TIMESTAMP '1995-01-01'
+                  AND o_orderdate < TIMESTAMP '1997-01-01'
+            )
+            SELECT o_year,
+                   CAST(SUM(CASE WHEN s_nationkey =
+                       (SELECT n_nationkey FROM nation
+                        WHERE n_name = 'NATION_6')
+                       THEN rev ELSE 0 END) AS BIGINT) AS share_num_cents,
+                   CAST(SUM(rev) AS BIGINT) AS share_den_cents,
+                   CAST(SUM(CASE WHEN s_nationkey =
+                       (SELECT n_nationkey FROM nation
+                        WHERE n_name = 'NATION_6')
+                       THEN rev ELSE 0 END) AS DOUBLE)
+                       / CAST(SUM(rev) AS DOUBLE) AS mkt_share
+            FROM rev GROUP BY o_year ORDER BY o_year
         """,
         "q10_returned_item_revenue": """
             SELECT c_custkey, c_name, n_name,
