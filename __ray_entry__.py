@@ -1678,6 +1678,31 @@ def minhash_planted_survivors(sf_dir: str):
     return agg.map_batches(fin, batch_format="pyarrow")
 
 
+def cm_join_size_events(sf_dir: str):
+    """Join-size (cardinality) estimation via count-min inner product —
+    the query-optimizer primitive: |clicks JOIN purchases ON user_id|.
+    The EXACT size is computed distributed (per-batch unique-count
+    combiners, one co-partitioning groupby of distinct keys) and hash-
+    checked; within_bound asserts the CM estimate obeys the published
+    two-sided bound exact <= est <= exact + eps*n_a*n_b (CM paper §4.2),
+    so a sketch/merge regression flips the flag and fails the hash."""
+    import pyarrow.compute as pc
+    from t_digest_ray.pipelines.heavy import join_size_estimate
+
+    ev = _read(sf_dir, "events", ["event_type", "user_id"])
+
+    def side(t: str):
+        def fn(b: pa.Table) -> pa.Table:
+            return (b.filter(pc.equal(b["event_type"], t))
+                    .select(["user_id"]))
+        return fn
+
+    return join_size_estimate(
+        ev.map_batches(side("click"), batch_format="pyarrow"),
+        ev.map_batches(side("purchase"), batch_format="pyarrow"),
+        "user_id")
+
+
 _KMEANS_K, _KMEANS_DIM, _KMEANS_ITERS = 8, 64, 4
 
 
@@ -2652,6 +2677,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_planted_survivors": minhash_planted_survivors,
         "kmeans_embedding_clusters": kmeans_embedding_clusters,
         "kmeans_prototype_docs": kmeans_prototype_docs,
+        "cm_join_size_events": cm_join_size_events,
+        "q8_market_share": q8_market_share,
         # --- (b) cheap representatives of each operator family ---
         "tdigest_quantiles_by_lang": tdigest_quantiles_by_lang,
         "tdigest_events_value": tdigest_events_value,
@@ -2702,7 +2729,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q5_local_supplier_revenue": q5_local_supplier_revenue,
         "q10_returned_item_revenue": q10_returned_item_revenue,
         "q7_nation_volume": q7_nation_volume,
-        "q8_market_share": q8_market_share,
     }
 
 
@@ -2782,6 +2808,15 @@ def oracle_sql() -> dict[str, str]:
             _KMEANS_K, _KMEANS_DIM, _KMEANS_ITERS),
         "kmeans_prototype_docs": _kmeans_prototypes_oracle(
             _KMEANS_K, _KMEANS_DIM, _KMEANS_ITERS, 10),
+        "cm_join_size_events": """
+            SELECT CAST(SUM(a.c * b.c) AS BIGINT) AS exact_pairs,
+                   TRUE AS within_bound
+            FROM (SELECT user_id, COUNT(*) AS c FROM events
+                  WHERE event_type = 'click' GROUP BY user_id) a
+            JOIN (SELECT user_id, COUNT(*) AS c FROM events
+                  WHERE event_type = 'purchase' GROUP BY user_id) b
+                 USING (user_id)
+        """,
         "simhash_planted_dup_pairs": r"""
             SELECT doc_id AS id_a, doc_id + 1000000 AS id_b,
                    CAST(0 AS BIGINT) AS hamming, TRUE AS within_band

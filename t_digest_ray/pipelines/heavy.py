@@ -135,3 +135,71 @@ def heavy_hitters_mg(ds, key_col: str, k: int = 10, capacity: int = 256,
 
     # the merged dataset is ONE row; finalize is a trivial batch map
     return merged.map_batches(finalize, batch_format="pandas")
+
+
+def join_size_estimate(ds_a, ds_b, value_col: str, width: int = 2048,
+                       depth: int = 8, batch_size: int | None = None):
+    """Equi-join size estimation via count-min inner product (Cormode,
+    Muthukrishnan 2005 §4.2) — the query-optimizer cardinality primitive —
+    gated against the EXACT join size computed in the same pass topology.
+
+    Three tiny-result pipelines, no fact-scale driver materialization:
+
+    * two global CMS sketches (one per input) through the standard
+      partial -> two-level salted merge (KB rows on the shuffle);
+    * the exact ``sum_k f_a(k) * f_b(k)``: per-batch ``np.unique``
+      combiners emit (key, count) rows, one union + groupby co-partitions
+      both sides (shuffle carries distinct keys per batch, not rows),
+      per-key products fold to one int64 per block and then one scalar.
+
+    Returns a ONE-ROW pyarrow Table ``(exact_pairs, within_bound)`` where
+    ``within_bound`` asserts ``exact <= est <= exact + eps * n_a * n_b``
+    (eps = e/width, holds with prob 1 - e^-depth) — a sketch regression
+    flips the flag and fails the value hash."""
+    import math
+
+    from ray.data.aggregate import Sum
+
+    from ..state.countmin import CountMin
+
+    spec = cms_spec(width, depth)
+    sk_a_ds = sketch_by_key(ds_a, spec, value_col, None,
+                            batch_size=batch_size)
+    sk_b_ds = sketch_by_key(ds_b, spec, value_col, None,
+                            batch_size=batch_size)
+
+    def count_fn(a_side: bool):
+        def fn(batch: pa.Table) -> pa.Table:
+            vals = batch[value_col].to_numpy(zero_copy_only=False)
+            keys, cnt = np.unique(vals, return_counts=True)
+            cnt = cnt.astype(np.int64)
+            z = np.zeros(len(keys), dtype=np.int64)
+            return pa.table({"k": pa.array(keys),
+                             "ca": pa.array(cnt if a_side else z),
+                             "cb": pa.array(z if a_side else cnt)})
+        return fn
+
+    per_key = (ds_a.map_batches(count_fn(True), batch_format="pyarrow")
+               .union(ds_b.map_batches(count_fn(False),
+                                       batch_format="pyarrow"))
+               .groupby("k")
+               .aggregate(Sum("ca", alias_name="ca"),
+                          Sum("cb", alias_name="cb")))
+
+    def prod_partial(batch: pa.Table) -> pa.Table:
+        p = (batch["ca"].to_numpy(zero_copy_only=False)
+             * batch["cb"].to_numpy(zero_copy_only=False))
+        return pa.table({"p": pa.array([int(p.sum())], type=pa.int64())})
+
+    exact = int(per_key.map_batches(prod_partial, batch_format="pyarrow")
+                .sum("p") or 0)
+
+    cm_a = CountMin.from_bytes(sk_a_ds.take_all()[0]["sketch"])
+    cm_b = CountMin.from_bytes(sk_b_ds.take_all()[0]["sketch"])
+    est = cm_a.inner_product(cm_b)
+    slack = int(math.ceil(cm_a.epsilon * cm_a.n * cm_b.n))
+    within = bool(exact <= est <= exact + slack)
+    return pa.table({
+        "exact_pairs": pa.array([exact], type=pa.int64()),
+        "within_bound": pa.array([within], type=pa.bool_()),
+    })

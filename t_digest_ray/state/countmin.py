@@ -67,6 +67,22 @@ class CountMin:
         ests = np.stack([self.table[i][pos[i]] for i in range(self.depth)])
         return ests.min(axis=0)
 
+    def inner_product(self, other: "CountMin") -> int:
+        """CM estimate of the inner product sum_k f_a(k) * f_b(k) — the
+        equi-join size of the two sketched multisets (Cormode,
+        Muthukrishnan 2005 §4.2): min over rows of the row-wise counter
+        dot products. Guarantees ``est >= true`` and
+        ``est <= true + eps * n_a * n_b`` with probability ``1 - delta``.
+        Requires identical (width, depth) so the hash family matches.
+        Exact big-int arithmetic (object dtype) — the dot product of two
+        petabyte-scale counter rows must not wrap int64."""
+        if other.width != self.width or other.depth != self.depth:
+            raise ValueError("Cannot inner-product CMS of different shapes")
+        return min(
+            int((self.table[i].astype(object)
+                 * other.table[i].astype(object)).sum())
+            for i in range(self.depth))
+
     def merge(self, *others: "CountMin") -> "CountMin":
         for o in others:
             if o.width != self.width or o.depth != self.depth:

@@ -187,6 +187,23 @@ class TestCountMin:
         c2 = CountMin.from_bytes(c.to_bytes())
         assert np.array_equal(c.table, c2.table) and c2.n == c.n
 
+    def test_inner_product_bound(self, rng):
+        """est >= true inner product and within eps * na * nb."""
+        a, b = CountMin(2048, 8), CountMin(2048, 8)
+        keys = np.arange(200)
+        ca = rng.integers(1, 50, size=200)
+        cb = rng.integers(1, 50, size=200)
+        a.update_batch(keys, weights=ca)
+        b.update_batch(keys[:100], weights=cb[:100])
+        true = int((ca[:100] * cb[:100]).sum())
+        est = a.inner_product(b)
+        assert est >= true
+        assert est <= true + a.epsilon * a.n * b.n
+
+    def test_inner_product_shape_mismatch(self):
+        with pytest.raises(ValueError):
+            CountMin(1024, 4).inner_product(CountMin(2048, 4))
+
 
 # -------------------------------------------------------------------- Bloom
 
