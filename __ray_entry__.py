@@ -1678,6 +1678,44 @@ def minhash_planted_survivors(sf_dir: str):
     return agg.map_batches(fin, batch_format="pyarrow")
 
 
+def decayed_event_weights(sf_dir: str):
+    """Time-decayed frequency (exponential decay, halflife = 1 day) per
+    event type — the streaming freshness-weighting primitive (decayed
+    counters / recency-weighted sampling). Decay weights are EXACT
+    integers: age k whole days before the corpus max timestamp weighs
+    2^(40-k) micro-units (one int64 left-shift; zero past 40 halflives),
+    so the weighted sums are order-independent int64 folds and value-hash
+    reproducible — no float decay drift at any parallelism. Two streaming
+    passes: a max(ts) fold, then a per-batch shift+sum combine."""
+    from ray.data.aggregate import Count, Sum
+
+    ev = _read(sf_dir, "events", ["event_type", "ts"])
+    anchor = ev.max("ts")
+    anchor_us = int(pd.Timestamp(anchor).value // 1000)
+    day_us = 86_400_000_000
+
+    def weigh(b: pa.Table) -> pa.Table:
+        ts = b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        d = (anchor_us - ts) // day_us
+        wt = np.where(d <= 40,
+                      np.left_shift(np.int64(1),
+                                    np.maximum(40 - d, 0).astype(np.int64)),
+                      np.int64(0)).astype(np.int64)
+        return pa.table({"event_type": b["event_type"],
+                         "w": pa.array(wt)})
+
+    out = (ev.map_batches(weigh, batch_format="pyarrow")
+           .groupby("event_type")
+           .aggregate(Count(alias_name="n_events"),
+                      Sum("w", alias_name="decayed_weight")))
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        df["decayed_weight"] = df["decayed_weight"].astype(np.int64)
+        return df
+
+    return out.map_batches(fin, batch_format="pandas")
+
+
 def cm_join_size_events(sf_dir: str):
     """Join-size (cardinality) estimation via count-min inner product —
     the query-optimizer primitive: |clicks JOIN purchases ON user_id|.
@@ -2679,6 +2717,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_prototype_docs": kmeans_prototype_docs,
         "cm_join_size_events": cm_join_size_events,
         "q8_market_share": q8_market_share,
+        "decayed_event_weights": decayed_event_weights,
         # --- (b) cheap representatives of each operator family ---
         "tdigest_quantiles_by_lang": tdigest_quantiles_by_lang,
         "tdigest_events_value": tdigest_events_value,
@@ -2808,6 +2847,18 @@ def oracle_sql() -> dict[str, str]:
             _KMEANS_K, _KMEANS_DIM, _KMEANS_ITERS),
         "kmeans_prototype_docs": _kmeans_prototypes_oracle(
             _KMEANS_K, _KMEANS_DIM, _KMEANS_ITERS, 10),
+        "decayed_event_weights": """
+            SELECT event_type, COUNT(*) AS n_events,
+                   CAST(SUM(CASE WHEN d <= 40
+                            THEN (CAST(1 AS BIGINT) << CAST(40 - d AS INT))
+                            ELSE 0 END) AS BIGINT) AS decayed_weight
+            FROM (SELECT event_type,
+                         date_diff('microsecond', ts,
+                                   (SELECT MAX(ts) FROM events))
+                         // 86400000000 AS d
+                  FROM events)
+            GROUP BY event_type
+        """,
         "cm_join_size_events": """
             SELECT CAST(SUM(a.c * b.c) AS BIGINT) AS exact_pairs,
                    TRUE AS within_bound
