@@ -1716,6 +1716,33 @@ def decayed_event_weights(sf_dir: str):
     return out.map_batches(fin, batch_format="pandas")
 
 
+def range_join_click_purchase(sf_dir: str):
+    """Distributed RANGE (band) join — the tolerance-matching operator Ray
+    Data lacks natively: count (click, purchase) value pairs within 0.5 of
+    each other, grouped by click-value hundreds. Both sides quantize to an
+    exact 1e-6 integer grid so the band predicate has no float-boundary
+    ambiguity; lefts live in their own band-width bucket, rights replicate
+    to the 3 adjacent buckets, one union+groupby co-partition, two
+    searchsorted probes per bucket (never an all-pairs materialization).
+    Full value-hash oracle (DuckDB evaluates the same integer predicate
+    with its inequality join)."""
+    import pyarrow.compute as pc
+    from t_digest_ray.pipelines.relational import range_join_count
+
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+
+    def side(t: str):
+        def fn(b: pa.Table) -> pa.Table:
+            return (b.filter(pc.equal(b["event_type"], t))
+                    .select(["value"]))
+        return fn
+
+    return range_join_count(
+        ev.map_batches(side("click"), batch_format="pyarrow"),
+        ev.map_batches(side("purchase"), batch_format="pyarrow"),
+        "value", "value", delta_units=500_000)
+
+
 def cm_join_size_events(sf_dir: str):
     """Join-size (cardinality) estimation via count-min inner product —
     the query-optimizer primitive: |clicks JOIN purchases ON user_id|.
@@ -2718,6 +2745,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cm_join_size_events": cm_join_size_events,
         "q8_market_share": q8_market_share,
         "decayed_event_weights": decayed_event_weights,
+        "range_join_click_purchase": range_join_click_purchase,
         # --- (b) cheap representatives of each operator family ---
         "tdigest_quantiles_by_lang": tdigest_quantiles_by_lang,
         "tdigest_events_value": tdigest_events_value,
@@ -2847,6 +2875,16 @@ def oracle_sql() -> dict[str, str]:
             _KMEANS_K, _KMEANS_DIM, _KMEANS_ITERS),
         "kmeans_prototype_docs": _kmeans_prototypes_oracle(
             _KMEANS_K, _KMEANS_DIM, _KMEANS_ITERS, 10),
+        "range_join_click_purchase": """
+            SELECT qa // 100000000 AS bucket,
+                   CAST(COUNT(*) AS BIGINT) AS n_pairs
+            FROM (SELECT CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT)
+                      AS qa FROM events WHERE event_type = 'click') a,
+                 (SELECT CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT)
+                      AS qb FROM events WHERE event_type = 'purchase') b
+            WHERE ABS(qa - qb) <= 500000
+            GROUP BY 1
+        """,
         "decayed_event_weights": """
             SELECT event_type, COUNT(*) AS n_events,
                    CAST(SUM(CASE WHEN d <= 40

@@ -369,3 +369,82 @@ def broadcast_join_count(ds, small_df: pd.DataFrame, left_key: str,
     joined = ds.map_batches(Joiner, batch_format="pyarrow",
                             concurrency=(2, max(2, cpus)))
     return grouped_stats(joined, label_col, value, out_names, nd)
+
+
+def range_join_count(left, right, left_val: str, right_val: str,
+                     delta_units: int, grid: float = 1e6,
+                     out_div: int | None = None,
+                     out_name: str = "bucket"):
+    """Distributed RANGE (band) join pair-count: pairs (a, b) with
+    ``|q(a) - q(b)| <= delta_units`` where ``q(x) = floor(x*grid + 0.5)``
+    — tolerance matching on an exact integer grid, so the predicate has
+    no float-boundary ambiguity and an exact SQL oracle.
+
+    Topology (the operator Ray Data lacks natively): quantize both
+    sides; the LEFT row lives in bucket ``q // delta_units`` only, the
+    RIGHT row is replicated to buckets {k-1, k, k+1} — every qualifying
+    pair co-locates in exactly the left row's bucket (bucket width =
+    the band width), nothing is double-counted. One union+groupby
+    co-partitions both sides; inside each bucket the rights are sorted
+    once and every left counts its matches with two vectorized
+    searchsorted probes — O((nL + nR) log nR) per bucket, never an
+    all-pairs materialization. Per-bucket partial counts (grouped by
+    ``q // out_div``) ride the second tiny shuffle.
+
+    Partitioning assumption (same contract as ``hash_join``): one value
+    band's rows must fit a worker. A pathological value distribution
+    (everything inside one band) needs a salted two-level count.
+    """
+    from ray.data.aggregate import Sum
+
+    if out_div is None:
+        out_div = delta_units * 200
+
+    def quant(col: str, is_left: bool):
+        def fn(b: pa.Table) -> pa.Table:
+            v = b[col].to_numpy(zero_copy_only=False)
+            q = np.floor(v * grid + 0.5).astype(np.int64)
+            k = q // np.int64(delta_units)
+            if is_left:
+                return pa.table({"bkt": pa.array(k), "q": pa.array(q),
+                                 "is_left": pa.array(
+                                     np.ones(len(q), dtype=np.int8))})
+            reps = np.concatenate([k - 1, k, k + 1])
+            return pa.table({"bkt": pa.array(reps),
+                             "q": pa.array(np.tile(q, 3)),
+                             "is_left": pa.array(
+                                 np.zeros(3 * len(q), dtype=np.int8))})
+        return fn
+
+    tagged = (left.map_batches(quant(left_val, True),
+                               batch_format="pyarrow")
+              .union(right.map_batches(quant(right_val, False),
+                                       batch_format="pyarrow")))
+
+    def bucket_count(g: pd.DataFrame) -> pa.Table:
+        is_l = g["is_left"].to_numpy() == 1
+        ql = g["q"].to_numpy()[is_l]
+        qr = np.sort(g["q"].to_numpy()[~is_l])
+        if not len(ql) or not len(qr):
+            return pa.table({out_name: pa.array([], type=pa.int64()),
+                             "_n": pa.array([], type=pa.int64())})
+        lo = np.searchsorted(qr, ql - delta_units, side="left")
+        hi = np.searchsorted(qr, ql + delta_units, side="right")
+        n = (hi - lo).astype(np.int64)
+        keys = ql // np.int64(out_div)
+        uk, inv = np.unique(keys, return_inverse=True)
+        sums = np.zeros(len(uk), dtype=np.int64)
+        np.add.at(sums, inv, n)
+        return pa.table({out_name: pa.array(uk), "_n": pa.array(sums)})
+
+    partial = tagged.groupby("bkt").map_groups(bucket_count,
+                                               batch_format="pandas")
+    out = partial.groupby(out_name).aggregate(
+        Sum("_n", alias_name="n_pairs"))
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["n_pairs"] > 0].copy()
+        df["n_pairs"] = df["n_pairs"].astype(np.int64)
+        return df
+
+    return out.map_batches(fin, batch_format="pandas")

@@ -142,3 +142,35 @@ def test_q7_shape_matches_duckdb(ray_session):
     want = con.execute(e.oracle_sql()["q7_nation_volume"]).df() \
         .reset_index(drop=True)
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_range_join_matches_bruteforce(ray_session):
+    """Band join counts equal the all-pairs brute force, including band
+    boundaries (|qa - qb| == delta_units exactly) and bucket edges."""
+    import ray.data as rd
+
+    from t_digest_ray.pipelines.relational import range_join_count
+
+    rng = np.random.default_rng(11)
+    a = rng.uniform(0, 30, 700)
+    b = rng.uniform(0, 30, 600)
+    # force exact-boundary and bucket-edge cases onto the grid
+    a = np.concatenate([a, [1.0, 2.0, 2.5, 10.0]])
+    b = np.concatenate([b, [1.5, 2.5, 3.0, 9.5]])
+    delta_units, grid = 500_000, 1e6
+
+    qa = np.floor(a * grid + 0.5).astype(np.int64)
+    qb = np.floor(b * grid + 0.5).astype(np.int64)
+    match = np.abs(qa[:, None] - qb[None, :]) <= delta_units
+    keys = qa // np.int64(delta_units * 200)
+    want = (pd.DataFrame({"bucket": keys, "n": match.sum(axis=1)})
+            .groupby("bucket")["n"].sum())
+    want = want[want > 0]
+
+    out = range_join_count(
+        rd.from_pandas(pd.DataFrame({"v": a})).repartition(5),
+        rd.from_pandas(pd.DataFrame({"v": b})).repartition(3),
+        "v", "v", delta_units=delta_units).to_pandas()
+    got = out.set_index("bucket")["n_pairs"].sort_index()
+    pd.testing.assert_series_equal(got, want.astype(np.int64),
+                                   check_names=False)
