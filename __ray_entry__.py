@@ -1678,6 +1678,82 @@ def minhash_planted_survivors(sf_dir: str):
     return agg.map_batches(fin, batch_format="pyarrow")
 
 
+_DQ_LANGS = ("de", "en", "es", "fr", "zh")
+
+
+def data_quality_report(sf_dir: str):
+    """Expectation / constraint-checking operator (the Great-Expectations
+    primitive of a production pipeline): one streaming pass computes
+    per-batch violation counts for five vectorized checks (null text,
+    blank text, n_chars != utf8 length, n_chars < 100 quality floor,
+    lang outside the allowed set) plus an exact duplicate-doc_id check via
+    the hash-bucketed distinct count; all counts are exact int64 with a
+    UNION-ALL SQL oracle. Hard constraints hold at 0 violations (a real
+    gate: corrupting either engine's check flips the hash), soft quality
+    checks report non-zero counts."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+    from t_digest_ray.stages.aggregate import hash_bucketed_group_agg
+    from t_digest_ray.stages.partitioning import cheap_row_count
+
+    ds = _read(sf_dir, "documents",
+               ["doc_id", "text", "lang", "n_chars"])
+    n_rows = cheap_row_count(ds)
+    allowed = pa.array(list(_DQ_LANGS))
+
+    def checks(b: pa.Table) -> pa.Table:
+        n = len(b)
+        text = b["text"]
+        nulls = int(pc.sum(pc.is_null(text).cast(pa.int64())).as_py() or 0)
+        nonblank = pc.match_substring_regex(
+            pc.fill_null(text, ""), r"\S").cast(pa.int64())
+        blank = n - int(pc.sum(nonblank).as_py() or 0) - nulls
+        lens = pc.utf8_length(pc.fill_null(text, ""))
+        mism = int(pc.sum(pc.not_equal(
+            lens.cast(pa.int64()), b["n_chars"]).cast(pa.int64()))
+            .as_py() or 0)
+        short = int(pc.sum(pc.less(b["n_chars"], pa.scalar(100))
+                           .cast(pa.int64())).as_py() or 0)
+        bad_lang = n - int(pc.sum(pc.is_in(b["lang"], value_set=allowed)
+                                  .cast(pa.int64())).as_py() or 0)
+        names = ["null_text", "blank_text", "len_mismatch",
+                 "short_text", "lang_invalid"]
+        viol = np.array([nulls, blank, mism, short, bad_lang],
+                        dtype=np.int64)
+        return pa.table({
+            "check_name": pa.array(names),
+            "n_violations": pa.array(viol),
+            "n_checked": pa.array(np.full(5, n, dtype=np.int64))})
+
+    per_check = (ds.map_batches(checks, batch_format="pyarrow")
+                 .groupby("check_name")
+                 .aggregate(Sum("n_violations", alias_name="n_violations"),
+                            Sum("n_checked", alias_name="n_checked")))
+
+    # exact duplicate-id check: distinct count via the hash-bucketed
+    # vectorized combine (cost ~ rows, not groups), violations = n - D
+    ids_only = ds.map_batches(
+        lambda b: b.select(["doc_id"]), batch_format="pyarrow")
+    distinct = hash_bucketed_group_agg(
+        ids_only, ["doc_id"], {"_c": ("doc_id", "count")},
+        n_rows=n_rows).count()
+    total = n_rows if n_rows is not None else ds.count()
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        df["n_violations"] = df["n_violations"].astype(np.int64)
+        df["n_checked"] = df["n_checked"].astype(np.int64)
+        dup = pd.DataFrame({
+            "check_name": ["dup_doc_id"],
+            "n_violations": np.array([total - distinct], dtype=np.int64),
+            "n_checked": np.array([total], dtype=np.int64)})
+        return pd.concat([df, dup], ignore_index=True)
+
+    # the aggregate is 5 rows; repartition(1) guarantees fin sees them as
+    # ONE batch so the dup row is appended exactly once
+    return per_check.repartition(1).map_batches(fin,
+                                                batch_format="pandas")
+
+
 def decayed_event_weights(sf_dir: str):
     """Time-decayed frequency (exponential decay, halflife = 1 day) per
     event type — the streaming freshness-weighting primitive (decayed
@@ -2746,6 +2822,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q8_market_share": q8_market_share,
         "decayed_event_weights": decayed_event_weights,
         "range_join_click_purchase": range_join_click_purchase,
+        "data_quality_report": data_quality_report,
         # --- (b) cheap representatives of each operator family ---
         "tdigest_quantiles_by_lang": tdigest_quantiles_by_lang,
         "tdigest_events_value": tdigest_events_value,
@@ -2875,6 +2952,32 @@ def oracle_sql() -> dict[str, str]:
             _KMEANS_K, _KMEANS_DIM, _KMEANS_ITERS),
         "kmeans_prototype_docs": _kmeans_prototypes_oracle(
             _KMEANS_K, _KMEANS_DIM, _KMEANS_ITERS, 10),
+        "data_quality_report": r"""
+            WITH t AS (SELECT COUNT(*) AS n FROM documents)
+            SELECT 'null_text' AS check_name,
+                   CAST((SELECT COUNT(*) FROM documents
+                         WHERE text IS NULL) AS BIGINT) AS n_violations,
+                   CAST((SELECT n FROM t) AS BIGINT) AS n_checked
+            UNION ALL SELECT 'blank_text',
+                   (SELECT COUNT(*) FROM documents WHERE text IS NOT NULL
+                    AND NOT regexp_matches(text, '\S')),
+                   (SELECT n FROM t)
+            UNION ALL SELECT 'len_mismatch',
+                   (SELECT COUNT(*) FROM documents
+                    WHERE n_chars != LENGTH(COALESCE(text, ''))),
+                   (SELECT n FROM t)
+            UNION ALL SELECT 'short_text',
+                   (SELECT COUNT(*) FROM documents WHERE n_chars < 100),
+                   (SELECT n FROM t)
+            UNION ALL SELECT 'lang_invalid',
+                   (SELECT COUNT(*) FROM documents
+                    WHERE lang NOT IN ('de','en','es','fr','zh')),
+                   (SELECT n FROM t)
+            UNION ALL SELECT 'dup_doc_id',
+                   (SELECT COUNT(*) - COUNT(DISTINCT doc_id)
+                    FROM documents),
+                   (SELECT n FROM t)
+        """,
         "range_join_click_purchase": """
             SELECT qa // 100000000 AS bucket,
                    CAST(COUNT(*) AS BIGINT) AS n_pairs

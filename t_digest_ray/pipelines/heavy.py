@@ -163,10 +163,23 @@ def join_size_estimate(ds_a, ds_b, value_col: str, width: int = 2048,
     from ..state.countmin import CountMin
 
     spec = cms_spec(width, depth)
-    sk_a_ds = sketch_by_key(ds_a, spec, value_col, None,
-                            batch_size=batch_size)
-    sk_b_ds = sketch_by_key(ds_b, spec, value_col, None,
-                            batch_size=batch_size)
+
+    # ONE keyed sketch pass builds both sketches (side = group key)
+    # instead of two full pipeline executions over the inputs.
+    def tag(side: str):
+        def fn(b: pa.Table) -> pa.Table:
+            return pa.table({
+                value_col: b[value_col],
+                "side": pa.array(np.repeat(side, len(b)))})
+        return fn
+
+    tagged_union = (ds_a.map_batches(tag("a"), batch_format="pyarrow")
+                    .union(ds_b.map_batches(tag("b"),
+                                            batch_format="pyarrow")))
+    sketches = {r["key"]: r["sketch"]
+                for r in sketch_by_key(tagged_union, spec, value_col,
+                                       "side",
+                                       batch_size=batch_size).take_all()}
 
     def count_fn(a_side: bool):
         def fn(batch: pa.Table) -> pa.Table:
@@ -194,8 +207,10 @@ def join_size_estimate(ds_a, ds_b, value_col: str, width: int = 2048,
     exact = int(per_key.map_batches(prod_partial, batch_format="pyarrow")
                 .sum("p") or 0)
 
-    cm_a = CountMin.from_bytes(sk_a_ds.take_all()[0]["sketch"])
-    cm_b = CountMin.from_bytes(sk_b_ds.take_all()[0]["sketch"])
+    cm_a = CountMin.from_bytes(sketches["a"]) if "a" in sketches \
+        else spec.factory()
+    cm_b = CountMin.from_bytes(sketches["b"]) if "b" in sketches \
+        else spec.factory()
     est = cm_a.inner_product(cm_b)
     slack = int(math.ceil(cm_a.epsilon * cm_a.n * cm_b.n))
     within = bool(exact <= est <= exact + slack)
