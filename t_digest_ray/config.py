@@ -32,7 +32,8 @@ PIPELINES = ("quantiles", "kll", "req", "distinct", "heavy", "heavy_mg",
              "drift_check", "pack", "sample_stratified",
              "sample_bernoulli", "normalized_distinct", "semi_join",
              "anti_join", "topk", "mixture", "pack_nostraddle",
-             "pack_by_key", "sample_weighted", "pack_write", "sort_write")
+             "pack_by_key", "sample_weighted", "pack_write", "sort_write",
+             "kmeans", "kmeans_prototypes", "range_join", "join_size")
 
 
 @dataclass
@@ -233,6 +234,32 @@ def run_job(cfg: JobConfig):
         # key = stratum; value_col = row id; params: rates {key: rate}
         out = weighted_mixture(ds, cfg.key, cfg.value_col,
                                p.pop("rates"), **p)
+    elif cfg.pipeline == "kmeans":
+        from .pipelines.clustering import kmeans_cluster_stats
+        # key = id column; value_col = embedding column; params: k, dim,
+        # iters
+        out = kmeans_cluster_stats(ds, cfg.value_col or "embedding",
+                                   cfg.key or "vec_id", **p)
+    elif cfg.pipeline == "kmeans_prototypes":
+        from .pipelines.clustering import kmeans_prototypes
+        out = kmeans_prototypes(ds, cfg.value_col or "embedding",
+                                cfg.key or "vec_id", **p)
+    elif cfg.pipeline == "range_join":
+        import ray.data as rd
+
+        from .pipelines.relational import range_join_count
+        # value_col = left value column; params: input_b, right_val,
+        # delta_units (+ grid, out_div)
+        right_val = p.pop("right_val", cfg.value_col)
+        ds_b = rd.read_parquet(p.pop("input_b"), columns=[right_val])
+        out = range_join_count(ds, ds_b, cfg.value_col, right_val, **p)
+    elif cfg.pipeline == "join_size":
+        import ray.data as rd
+
+        from .pipelines.heavy import join_size_estimate
+        ds_b = rd.read_parquet(p.pop("input_b"), columns=[cfg.value_col])
+        out = rd.from_arrow(join_size_estimate(ds, ds_b, cfg.value_col,
+                                               **p))
     elif cfg.pipeline == "drift_check":
         import ray.data as rd
 

@@ -323,3 +323,33 @@ def test_job_config_sink_pipelines(ray_session, tmp_path):
         params={"out_dir": str(tmp_path / "s"), "n_partitions": 4,
                 "carry_cols": ("doc_id",)})).to_pandas()
     assert acks["n_rows"].sum() == 500
+
+
+def test_job_config_r4_ops(ray_session):
+    emb = "/root/testdata/sf0.001/embeddings.parquet"
+    ev = "/root/testdata/sf0.001/events.parquet"
+
+    out = run_job(JobConfig(
+        pipeline="kmeans", input=emb, columns=["vec_id", "embedding"],
+        key="vec_id", value_col="embedding",
+        params={"k": 4, "dim": 64, "iters": 2})).to_pandas()
+    assert out["n_vecs"].sum() == 500 and len(out) <= 4
+
+    out = run_job(JobConfig(
+        pipeline="kmeans_prototypes", input=emb,
+        columns=["vec_id", "embedding"], key="vec_id",
+        value_col="embedding",
+        params={"k": 4, "dim": 64, "iters": 2, "m": 3})).to_pandas()
+    assert out.groupby("cluster_id").size().max() <= 3
+
+    out = run_job(JobConfig(
+        pipeline="range_join", input=ev, columns=["value"],
+        value_col="value",
+        params={"input_b": ev, "delta_units": 1000})).to_pandas()
+    assert (out["n_pairs"] > 0).all()  # every value matches itself
+
+    out = run_job(JobConfig(
+        pipeline="join_size", input=ev, columns=["user_id"],
+        value_col="user_id", params={"input_b": ev})).to_pandas()
+    assert out["exact_pairs"].iloc[0] > 0
+    assert bool(out["within_bound"].iloc[0])
