@@ -1792,6 +1792,32 @@ def decayed_event_weights(sf_dir: str):
     return out.map_batches(fin, batch_format="pandas")
 
 
+def windowed_join_user_funnel(sf_dir: str):
+    """Stream-stream WINDOWED equi-join (the interval-join primitive of
+    streaming engines): per user, count (click, purchase) pairs where the
+    purchase lands within 1 hour AFTER the click — exact integer-µs band
+    arithmetic on a composite (user, time-bucket) co-partition (left in
+    its own bucket, right replicated to the two covering buckets, two
+    searchsorted probes per bucket; pipelines/windows.py
+    windowed_join_count). Full value-hash oracle via DuckDB's interval
+    join."""
+    import pyarrow.compute as pc
+    from t_digest_ray.pipelines.windows import windowed_join_count
+
+    ev = _read(sf_dir, "events", ["event_type", "user_id", "ts"])
+
+    def side(t: str):
+        def fn(b: pa.Table) -> pa.Table:
+            return (b.filter(pc.equal(b["event_type"], t))
+                    .select(["user_id", "ts"]))
+        return fn
+
+    return windowed_join_count(
+        ev.map_batches(side("click"), batch_format="pyarrow"),
+        ev.map_batches(side("purchase"), batch_format="pyarrow"),
+        "user_id", "ts", window_s=3600)
+
+
 def range_join_click_purchase(sf_dir: str):
     """Distributed RANGE (band) join — the tolerance-matching operator Ray
     Data lacks natively: count (click, purchase) value pairs within 0.5 of
@@ -2823,6 +2849,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decayed_event_weights": decayed_event_weights,
         "range_join_click_purchase": range_join_click_purchase,
         "data_quality_report": data_quality_report,
+        "windowed_join_user_funnel": windowed_join_user_funnel,
         # --- (b) cheap representatives of each operator family ---
         "tdigest_quantiles_by_lang": tdigest_quantiles_by_lang,
         "tdigest_events_value": tdigest_events_value,
@@ -2952,6 +2979,18 @@ def oracle_sql() -> dict[str, str]:
             _KMEANS_K, _KMEANS_DIM, _KMEANS_ITERS),
         "kmeans_prototype_docs": _kmeans_prototypes_oracle(
             _KMEANS_K, _KMEANS_DIM, _KMEANS_ITERS, 10),
+        "windowed_join_user_funnel": """
+            SELECT c.user_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_pairs
+            FROM (SELECT user_id, ts FROM events
+                  WHERE event_type = 'click') c
+            JOIN (SELECT user_id, ts FROM events
+                  WHERE event_type = 'purchase') p
+              ON c.user_id = p.user_id
+             AND date_diff('microsecond', c.ts, p.ts)
+                 BETWEEN 0 AND 3600000000
+            GROUP BY c.user_id
+        """,
         "data_quality_report": r"""
             WITH t AS (SELECT COUNT(*) AS n FROM documents)
             SELECT 'null_text' AS check_name,

@@ -373,3 +373,76 @@ def sessionize(ds, user_col: str, ts_col: str, gap_s: int,
         return df.rename(columns={"is_start": "n_sessions"})
 
     return starts.map_batches(finalize, batch_format="pandas")
+
+
+def windowed_join_count(left, right, key_col: str, ts_col: str,
+                        window_s: int, out_count: str = "n_pairs"):
+    """Stream-stream WINDOWED equi-join pair count: for each key, count
+    (left, right) event pairs with ``0 <= t_right - t_left <= window_s``
+    — "purchases within an hour after a click", the interval-join
+    primitive of streaming engines. Exact integer microsecond arithmetic
+    (no float time math), so the count has an exact SQL oracle.
+
+    Topology (the band-join pattern of ``relational.range_join_count``
+    lifted to a composite key): left rows live in their own
+    (key, t // W) bucket; right rows replicate to time buckets
+    {j-1, j} so every directional pair co-locates exactly once in the
+    left row's bucket. ONE union+groupby co-partitions both streams;
+    within a bucket the rights are sorted once and each left counts its
+    window with two searchsorted probes. Skew: a hot key spreads over
+    its time buckets — only a key that is ALSO temporally concentrated
+    inside one window width lands in one task (then pre-aggregate or
+    salt, same contract as hash_join).
+
+    Returns (key_col, n_pairs) per key with at least one pair.
+    """
+    from ray.data.aggregate import Sum
+
+    w_us = np.int64(int(window_s) * 1_000_000)
+
+    def quant(is_left: bool):
+        def fn(b: pa.Table) -> pa.Table:
+            t = _epoch_us(b[ts_col])
+            k = t // w_us
+            keys = b[key_col].to_numpy(zero_copy_only=False)
+            if is_left:
+                return pa.table({
+                    key_col: pa.array(keys), "tbkt": pa.array(k),
+                    "t": pa.array(t),
+                    "is_left": pa.array(np.ones(len(t), dtype=np.int8))})
+            return pa.table({
+                key_col: pa.array(np.tile(keys, 2)),
+                "tbkt": pa.array(np.concatenate([k - 1, k])),
+                "t": pa.array(np.tile(t, 2)),
+                "is_left": pa.array(np.zeros(2 * len(t), dtype=np.int8))})
+        return fn
+
+    tagged = (left.map_batches(quant(True), batch_format="pyarrow")
+              .union(right.map_batches(quant(False),
+                                       batch_format="pyarrow")))
+
+    def bucket_count(g: pd.DataFrame) -> pd.DataFrame:
+        is_l = g["is_left"].to_numpy() == 1
+        tl = g["t"].to_numpy()[is_l]
+        tr = np.sort(g["t"].to_numpy()[~is_l])
+        n = 0
+        if len(tl) and len(tr):
+            lo = np.searchsorted(tr, tl, side="left")
+            hi = np.searchsorted(tr, tl + w_us, side="right")
+            n = int((hi - lo).sum())
+        head = g[key_col].iloc[:1] if n > 0 else g[key_col].iloc[:0]
+        return pd.DataFrame({
+            key_col: head.reset_index(drop=True),
+            "_n": np.full(len(head), n, dtype=np.int64)})
+
+    partial = tagged.groupby([key_col, "tbkt"]).map_groups(
+        bucket_count, batch_format="pandas")
+    out = partial.groupby(key_col).aggregate(
+        Sum("_n", alias_name=out_count))
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df[out_count] > 0].copy()
+        df[out_count] = df[out_count].astype(np.int64)
+        return df
+
+    return out.map_batches(fin, batch_format="pandas")

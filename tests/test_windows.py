@@ -248,3 +248,42 @@ def test_events_watermarked_trending_exact(ray_session):
         .reset_index(drop=True)
     pd.testing.assert_frame_equal(got, want)
     assert (got["max_undercount"] == 0).all()
+
+
+def test_windowed_join_count_bruteforce(ray_session):
+    """Stream-stream interval join matches the all-pairs brute force,
+    including exact 0 and window_s boundaries and bucket edges."""
+    import ray.data as rd
+
+    from t_digest_ray.pipelines.windows import windowed_join_count
+
+    rng = np.random.default_rng(13)
+    base = pd.Timestamp("2024-01-01").value // 1000  # us
+    w_s = 60
+    n_l, n_r = 400, 350
+    tl = base + rng.integers(0, 3600 * 4, n_l) * 1_000_000
+    tr = base + rng.integers(0, 3600 * 4, n_r) * 1_000_000
+    # force boundary hits: dt == 0 and dt == exactly w_s
+    tl = np.concatenate([tl, [base, base + 120_000_000]])
+    tr = np.concatenate([tr, [base, base + 120_000_000 + w_s * 1_000_000]])
+    kl = rng.integers(0, 8, len(tl)).astype(np.int64)
+    kr = rng.integers(0, 8, len(tr)).astype(np.int64)
+    kl[-2:] = 7
+    kr[-2:] = 7
+
+    left = pd.DataFrame({"u": kl, "ts": pd.to_datetime(tl, unit="us")})
+    right = pd.DataFrame({"u": kr, "ts": pd.to_datetime(tr, unit="us")})
+
+    dt = tr[None, :] - tl[:, None]
+    match = (kl[:, None] == kr[None, :]) & (dt >= 0) \
+        & (dt <= w_s * 1_000_000)
+    want = (pd.DataFrame({"u": kl, "n": match.sum(axis=1)})
+            .groupby("u")["n"].sum())
+    want = want[want > 0].astype(np.int64)
+
+    out = windowed_join_count(
+        rd.from_pandas(left).repartition(4),
+        rd.from_pandas(right).repartition(3),
+        "u", "ts", window_s=w_s).to_pandas()
+    got = out.set_index("u")["n_pairs"].sort_index()
+    pd.testing.assert_series_equal(got, want, check_names=False)
