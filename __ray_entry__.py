@@ -1792,6 +1792,30 @@ def decayed_event_weights(sf_dir: str):
     return out.map_batches(fin, batch_format="pandas")
 
 
+def hll_user_set_algebra(sf_dir: str):
+    """HLL set algebra over distinct users: |clickers UNION purchasers|
+    via register-max sketch merge and |clickers INTERSECT purchasers| via
+    inclusion-exclusion, gated against EXACT distributed counts (per-batch
+    presence partials, one distinct-key co-partition, per-block scalar
+    folds). Exact counts hash-check; the within flags assert the sketch
+    estimates sit inside the 3-sigma 1.04/sqrt(2^p) envelopes."""
+    import pyarrow.compute as pc
+    from t_digest_ray.pipelines.distinct import hll_set_algebra_gate
+
+    ev = _read(sf_dir, "events", ["event_type", "user_id"])
+
+    def side(t: str):
+        def fn(b: pa.Table) -> pa.Table:
+            return (b.filter(pc.equal(b["event_type"], t))
+                    .select(["user_id"]))
+        return fn
+
+    return hll_set_algebra_gate(
+        ev.map_batches(side("click"), batch_format="pyarrow"),
+        ev.map_batches(side("purchase"), batch_format="pyarrow"),
+        "user_id")
+
+
 def windowed_join_user_funnel(sf_dir: str):
     """Stream-stream WINDOWED equi-join (the interval-join primitive of
     streaming engines): per user, count (click, purchase) pairs where the
@@ -2850,6 +2874,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_join_click_purchase": range_join_click_purchase,
         "data_quality_report": data_quality_report,
         "windowed_join_user_funnel": windowed_join_user_funnel,
+        "hll_user_set_algebra": hll_user_set_algebra,
         # --- (b) cheap representatives of each operator family ---
         "tdigest_quantiles_by_lang": tdigest_quantiles_by_lang,
         "tdigest_events_value": tdigest_events_value,
@@ -2979,6 +3004,20 @@ def oracle_sql() -> dict[str, str]:
             _KMEANS_K, _KMEANS_DIM, _KMEANS_ITERS),
         "kmeans_prototype_docs": _kmeans_prototypes_oracle(
             _KMEANS_K, _KMEANS_DIM, _KMEANS_ITERS, 10),
+        "hll_user_set_algebra": """
+            WITH a AS (SELECT DISTINCT user_id FROM events
+                       WHERE event_type = 'click'),
+                 b AS (SELECT DISTINCT user_id FROM events
+                       WHERE event_type = 'purchase')
+            SELECT CAST((SELECT COUNT(*) FROM
+                         (SELECT user_id FROM a UNION
+                          SELECT user_id FROM b)) AS BIGINT) AS n_union,
+                   CAST((SELECT COUNT(*) FROM a
+                         WHERE user_id IN (SELECT user_id FROM b))
+                        AS BIGINT) AS n_intersect,
+                   TRUE AS union_within,
+                   TRUE AS intersect_within
+        """,
         "windowed_join_user_funnel": """
             SELECT c.user_id,
                    CAST(COUNT(*) AS BIGINT) AS n_pairs

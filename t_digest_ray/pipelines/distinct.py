@@ -87,3 +87,90 @@ def bloom_semi_join(probe_ds, bloom: BloomFilter, probe_col: str,
 
     return probe_ds.map_batches(Probe, batch_format="pyarrow",
                                 concurrency=(1, 8))
+
+
+def hll_set_algebra_gate(ds_a, ds_b, value_col: str, p: int = 14,
+                         sigma: float = 3.0,
+                         batch_size: int | None = None):
+    """HLL set algebra — union by register-max merge, intersection by
+    inclusion-exclusion — gated against the EXACT distributed counts.
+
+    One keyed sketch pass builds both side sketches (side = group key);
+    the union sketch is their mergeable register max (the property the
+    north-star requires of every sketch), and ``|A ∩ B| ≈ est(A) +
+    est(B) - est(A ∪ B)``. The exact side: per-batch (value, in_a, in_b)
+    presence partials co-partition on the value (distinct values per
+    batch ride the shuffle, not rows), per-key Max folds membership,
+    per-block partial sums fold to two scalars.
+
+    Returns a ONE-ROW pyarrow Table ``(n_union, n_intersect,
+    union_within, intersect_within)``: exact counts hash-check; the
+    flags assert the estimates sit inside sigma * 1.04/sqrt(2^p)
+    relative envelopes (x3 union-sized terms for inclusion-exclusion),
+    so a register/merge regression flips a flag and fails the hash."""
+    from ray.data.aggregate import Max, Sum
+
+    from ..state.hll import HyperLogLog
+
+    spec = hll_spec(p)
+
+    def tag(side: str):
+        def fn(b: pa.Table) -> pa.Table:
+            return pa.table({
+                value_col: b[value_col],
+                "side": pa.array(np.repeat(side, len(b)))})
+        return fn
+
+    tagged = (ds_a.map_batches(tag("a"), batch_format="pyarrow")
+              .union(ds_b.map_batches(tag("b"), batch_format="pyarrow")))
+    sketches = {r["key"]: HyperLogLog.from_bytes(r["sketch"])
+                for r in sketch_by_key(tagged, spec, value_col, "side",
+                                       num_salts=4,
+                                       batch_size=batch_size).take_all()}
+    hll_a = sketches.get("a", HyperLogLog(p))
+    hll_b = sketches.get("b", HyperLogLog(p))
+    est_a, est_b = hll_a.estimate(), hll_b.estimate()
+    est_union = HyperLogLog(p).merge(hll_a, hll_b).estimate()
+    est_inter = est_a + est_b - est_union
+
+    def presence(a_side: bool):
+        def fn(b: pa.Table) -> pa.Table:
+            vals = np.unique(b[value_col].to_numpy(zero_copy_only=False))
+            one = np.ones(len(vals), dtype=np.int64)
+            zero = np.zeros(len(vals), dtype=np.int64)
+            return pa.table({value_col: pa.array(vals),
+                             "in_a": pa.array(one if a_side else zero),
+                             "in_b": pa.array(zero if a_side else one)})
+        return fn
+
+    members = (ds_a.map_batches(presence(True), batch_format="pyarrow")
+               .union(ds_b.map_batches(presence(False),
+                                       batch_format="pyarrow"))
+               .groupby(value_col)
+               .aggregate(Max("in_a", alias_name="in_a"),
+                          Max("in_b", alias_name="in_b")))
+
+    def fold(b: pa.Table) -> pa.Table:
+        ia = b["in_a"].to_numpy(zero_copy_only=False)
+        ib = b["in_b"].to_numpy(zero_copy_only=False)
+        return pa.table({"u": pa.array([len(b)], type=pa.int64()),
+                         "i": pa.array([int((ia * ib).sum())],
+                                       type=pa.int64())})
+
+    # ONE aggregate execution for both scalars (two .sum() calls would
+    # re-run the whole exact pipeline twice)
+    totals = (members.map_batches(fold, batch_format="pyarrow")
+              .aggregate(Sum("u", alias_name="u"),
+                         Sum("i", alias_name="i")))
+    n_union = int(totals["u"] or 0)
+    n_inter = int(totals["i"] or 0)
+
+    rel = sigma * 1.04 / np.sqrt(2.0 ** p)
+    union_ok = abs(est_union - n_union) <= rel * max(n_union, 1)
+    inter_ok = abs(est_inter - n_inter) <= 3 * rel * max(n_union, 1)
+    return pa.table({
+        "n_union": pa.array([n_union], type=pa.int64()),
+        "n_intersect": pa.array([n_inter], type=pa.int64()),
+        "union_within": pa.array([bool(union_ok)]),
+        "intersect_within": pa.array([bool(inter_ok)]),
+    })
