@@ -1792,6 +1792,59 @@ def decayed_event_weights(sf_dir: str):
     return out.map_batches(fin, batch_format="pandas")
 
 
+def tdigest_rollup_by_lang(sf_dir: str):
+    """HIERARCHICAL digest-of-digests rollup as a user-facing query
+    (SURVEY §2 #3 exercised as an OLAP cube path, not just a merge-tree
+    internal): per-(lang, source) t-digests are built first, then those
+    finished digests re-merge UP to per-lang through the same canonical
+    merge topology — the pre-aggregated-cube pattern where fine-grained
+    sketches are stored once and coarser groupings are answered by
+    merging, never rescanning. VALUE-CHECKED like tdigest_quantiles_by_
+    lang: exact quantile_disc values hash-match and within_bound asserts
+    the ROLLED-UP digest sits inside a 0.02 rank bound (one extra merge
+    level over the 0.015 single-level merge bound,
+    AccuracyTest.java:137-149)."""
+    from t_digest_ray.pipelines.quantiles import tdigest_spec
+    from t_digest_ray.pipelines.validation import quantile_bound_check
+    from t_digest_ray.stages.aggregate import merge_partials, sketch_by_key
+
+    spec = tdigest_spec(100)
+    ds = _read(sf_dir, "documents", ["lang", "source", "n_chars"])
+
+    def combo(b: pa.Table) -> pa.Table:
+        lang = b["lang"].to_numpy(zero_copy_only=False)
+        src = b["source"].to_numpy(zero_copy_only=False)
+        key = np.array([f"{a}\x1f{s}" for a, s in zip(lang, src)],
+                       dtype=object)
+        return pa.table({"combo": pa.array(key, type=pa.string()),
+                         "n_chars": b["n_chars"]})
+
+    fine = sketch_by_key(ds.map_batches(combo, batch_format="pyarrow"),
+                         spec, "n_chars", "combo", num_salts=2,
+                         batch_size=8192)
+
+    # re-key each finished (lang, source) digest to its lang and push it
+    # back through the canonical merge — the rollup ships only KB sketch
+    # rows, the raw table is never rescanned
+    def rekey(b: pa.Table) -> pa.Table:
+        keys = b["key"].to_numpy(zero_copy_only=False)
+        lang = np.array([k.split("\x1f", 1)[0] for k in keys],
+                        dtype=object)
+        return pa.table({"key": pa.array(lang, type=pa.string()),
+                         "salt": pa.array(
+                             np.zeros(len(keys), dtype=np.int64)),
+                         "sketch": b["sketch"], "n": b["n"]})
+
+    rolled = merge_partials(fine.map_batches(rekey,
+                                             batch_format="pyarrow"),
+                            spec, num_salts=1,
+                            coalesce_blocks=4).to_pandas()
+
+    return quantile_bound_check(ds, "n_chars", "lang", spec,
+                                qs=(0.25, 0.5, 0.75), rank_bound=0.02,
+                                merged_rows=rolled)
+
+
 def hll_user_set_algebra(sf_dir: str):
     """HLL set algebra over distinct users: |clickers UNION purchasers|
     via register-max sketch merge and |clickers INTERSECT purchasers| via
@@ -2875,6 +2928,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "data_quality_report": data_quality_report,
         "windowed_join_user_funnel": windowed_join_user_funnel,
         "hll_user_set_algebra": hll_user_set_algebra,
+        "tdigest_rollup_by_lang": tdigest_rollup_by_lang,
         # --- (b) cheap representatives of each operator family ---
         "tdigest_quantiles_by_lang": tdigest_quantiles_by_lang,
         "tdigest_events_value": tdigest_events_value,
@@ -3503,6 +3557,14 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT lang_pred, COUNT(*) AS n_docs
             FROM pick GROUP BY lang_pred
+        """,
+        "tdigest_rollup_by_lang": """
+            SELECT lang, COUNT(*) AS n,
+                   CAST(quantile_disc(n_chars, 0.25) AS DOUBLE) AS p25,
+                   CAST(quantile_disc(n_chars, 0.50) AS DOUBLE) AS p50,
+                   CAST(quantile_disc(n_chars, 0.75) AS DOUBLE) AS p75,
+                   TRUE AS within_bound
+            FROM documents GROUP BY lang
         """,
         "tdigest_quantiles_by_lang": """
             SELECT lang, COUNT(*) AS n,
