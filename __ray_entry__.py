@@ -2874,6 +2874,259 @@ def pages_host_quota(sf_dir: str):
     return sel.map_batches(fin, batch_format="pandas")
 
 
+# ------------------------------------------------------- round-4 additions
+
+
+def q4_order_priority(sf_dir: str):
+    """TPC-H Q4-shaped order-priority check: count orders per priority in
+    a two-quarter window that have at least one heavy lineitem (the
+    EXISTS shape). Exercises the distributed SEMI join
+    (``hash_semi_anti_join``): the probe side ships only its key column
+    through the one co-partitioning shuffle, so output rows <= left rows
+    and duplicate probe keys cannot blow up the join."""
+    import datetime
+
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count
+    from t_digest_ray.pipelines.relational import hash_semi_anti_join
+    from t_digest_ray.stages.partitioning import cheap_row_count
+
+    lo = datetime.datetime(1996, 1, 1)
+    hi = datetime.datetime(1996, 7, 1)
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_orderdate", "o_orderpriority"])
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+    n_ord, n_li = cheap_row_count(orders), cheap_row_count(li)
+
+    def ord_p(b: pa.Table) -> pa.Table:
+        m = pc.and_(pc.greater_equal(b["o_orderdate"], pa.scalar(lo)),
+                    pc.less(b["o_orderdate"], pa.scalar(hi)))
+        t = b.filter(m)
+        return pa.table({"okey": t["o_orderkey"],
+                         "o_orderpriority": t["o_orderpriority"]})
+
+    def li_p(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.greater_equal(b["l_quantity"], pa.scalar(45.0)))
+        return pa.table({"okey": t["l_orderkey"]})
+
+    semi = hash_semi_anti_join(
+        orders.map_batches(ord_p, batch_format="pyarrow"),
+        li.map_batches(li_p, batch_format="pyarrow"),
+        on="okey", left_cols=["o_orderpriority"],
+        n_rows=None if None in (n_ord, n_li) else n_ord + n_li,
+        types={"okey": pa.int64(), "o_orderpriority": pa.string()})
+    return (semi.groupby("o_orderpriority")
+            .aggregate(Count(alias_name="order_count")))
+
+
+def q14_promo_revenue(sf_dir: str):
+    """TPC-H Q14-shaped promotion effect: share of shipped revenue in a
+    two-quarter window coming from PROMO parts. The part table rides as a
+    broadcast sorted-partkey membership array (``ray.put`` once, fetched
+    per actor, searchsorted per batch — never re-shipped per batch);
+    each batch emits a ONE-ROW partial (promo/total cent sums), so the
+    final groupby moves rows = number of batches. promo_share is one IEEE
+    expression over the two exact int64 sums — bit-identical to the
+    oracle (q8 convention)."""
+    import datetime
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray
+    from ray.data.aggregate import Sum
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_type"]).to_pandas()
+    pk = np.sort(part.loc[part["p_type"] == "PROMO", "p_partkey"]
+                 .to_numpy().astype(np.int64))
+    pk_ref = ray.put(pk)
+    lo = datetime.datetime(1996, 1, 1)
+    hi = datetime.datetime(1996, 7, 1)
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"])
+
+    class PromoPartial:
+        def __init__(self):
+            self.pk = ray.get(pk_ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            m = pc.and_(pc.greater_equal(b["l_shipdate"], pa.scalar(lo)),
+                        pc.less(b["l_shipdate"], pa.scalar(hi)))
+            t = b.filter(m)
+            lpk = t["l_partkey"].to_numpy(zero_copy_only=False)
+            if len(self.pk):
+                idx = np.minimum(np.searchsorted(self.pk, lpk),
+                                 len(self.pk) - 1)
+                promo = self.pk[idx] == lpk
+            else:
+                promo = np.zeros(len(lpk), dtype=bool)
+            price = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+            disc = t["l_discount"].to_numpy(zero_copy_only=False)
+            cents = np.floor(price * (1.0 - disc) * 100.0 + 0.5) \
+                .astype(np.int64)
+            return pa.table({
+                "g": pa.array([0], type=pa.int64()),
+                "promo_cents": pa.array([int(cents[promo].sum())]),
+                "total_cents": pa.array([int(cents.sum())])})
+
+    out = (li.map_batches(PromoPartial, batch_format="pyarrow",
+                          concurrency=_pool())
+           .groupby("g")
+           .aggregate(Sum("promo_cents", alias_name="promo_cents"),
+                      Sum("total_cents", alias_name="total_cents")))
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        num = df["promo_cents"].astype(np.int64)
+        den = df["total_cents"].astype(np.int64)
+        return pd.DataFrame({
+            "promo_cents": num, "total_cents": den,
+            "promo_share": 100.0 * (num.to_numpy().astype(np.float64)
+                                    / den.to_numpy().astype(np.float64))})
+
+    return out.map_batches(fin, batch_format="pandas")
+
+
+def q19_bracket_revenue(sf_dir: str):
+    """TPC-H Q19-shaped discounted-revenue brackets: disjunctive
+    (brand, size, quantity) predicates across lineitem x part. Part
+    attributes are pre-folded into ONE broadcast int8 bracket id per
+    partkey (the disjunction's part-side is evaluated once on the small
+    side, not per lineitem), then each batch is two gathers + a
+    vectorized quantity-range test; per-bracket exact cent sums ride a
+    3-group aggregate."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    part = pq.read_table(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_brand", "p_size"]).to_pandas()
+    order = np.argsort(part["p_partkey"].to_numpy())
+    pkeys = part["p_partkey"].to_numpy()[order].astype(np.int64)
+    brand = part["p_brand"].to_numpy()[order]
+    size = part["p_size"].to_numpy()[order].astype(np.int64)
+    bracket = np.zeros(len(pkeys), dtype=np.int8)
+    bracket[(brand == "Brand#12") & (size >= 1) & (size <= 15)] = 1
+    bracket[(brand == "Brand#23") & (size >= 1) & (size <= 25)] = 2
+    bracket[(brand == "Brand#3") & (size >= 1) & (size <= 35)] = 3
+    dims_ref = ray.put((pkeys, bracket))
+    qlo = np.array([0, 1, 10, 20], dtype=np.float64)
+    qhi = np.array([-1, 20, 30, 40], dtype=np.float64)
+
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_quantity", "l_extendedprice", "l_discount"])
+
+    class BracketTag:
+        def __init__(self):
+            self.pkeys, self.bracket = ray.get(dims_ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            lpk = b["l_partkey"].to_numpy(zero_copy_only=False)
+            idx = np.minimum(np.searchsorted(self.pkeys, lpk),
+                             len(self.pkeys) - 1)
+            br = np.where(self.pkeys[idx] == lpk,
+                          self.bracket[idx], 0).astype(np.int64)
+            qty = b["l_quantity"].to_numpy(zero_copy_only=False)
+            keep = (br > 0) & (qty >= qlo[br]) & (qty <= qhi[br])
+            t = b.filter(pa.array(keep))
+            price = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+            disc = t["l_discount"].to_numpy(zero_copy_only=False)
+            cents = np.floor(price * (1.0 - disc) * 100.0 + 0.5) \
+                .astype(np.int64)
+            return pa.table({"bracket": pa.array(br[keep]),
+                             "cents": pa.array(cents)})
+
+    out = (li.map_batches(BracketTag, batch_format="pyarrow",
+                          concurrency=_pool())
+           .groupby("bracket")
+           .aggregate(Count(alias_name="n_items"),
+                      Sum("cents", alias_name="revenue_cents")))
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        df["revenue_cents"] = df["revenue_cents"].astype(np.int64)
+        return df
+
+    return out.map_batches(fin, batch_format="pandas")
+
+
+def corpus_top_tokens(sf_dir: str):
+    """Corpus-level token-frequency top-k — the unnest-heavy aggregation
+    shape of web-text vocabulary analysis. Each batch splits + counts
+    locally (Arrow C kernels: split_pattern -> list_flatten ->
+    value_counts), so only vocabulary-sized (token, partial) rows ride
+    the shuffle — cost ~ distinct tokens per batch, never corpus tokens.
+    Deterministic (count desc, token asc) tie-break on the tiny final
+    sort."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(pc.split_pattern(
+            b["text"].combine_chunks(), " "))
+        toks = toks.filter(pc.not_equal(toks, ""))
+        vc = toks.value_counts()
+        return pa.table({"token": vc.field("values"),
+                         "partial": pc.cast(vc.field("counts"),
+                                            pa.int64())})
+
+    counts = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby("token").aggregate(Sum("partial", alias_name="cnt")))
+    return counts.sort(["cnt", "token"],
+                       descending=[True, False]).limit(20)
+
+
+def regex_scrub_stats(sf_dir: str):
+    """PII-style regex scrubbing over the corpus (vectorized Arrow RE2
+    kernels: count_substring_regex for the audit count,
+    replace_substring_regex for the rewrite) — the redaction stage of a
+    training-data pipeline. Output per lang: docs touched, total
+    redactions, exact post-scrub character count (hash-matched vs DuckDB
+    regexp_extract_all / regexp_replace, both RE2)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Sum
+
+    pat = r"\b(customer|user|row)\b"
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+
+    def scrub(b: pa.Table) -> pa.Table:
+        hits = pc.count_substring_regex(b["text"], pat)
+        redacted = pc.replace_substring_regex(b["text"], pat, "<PII>")
+        return pa.table({
+            "lang": b["lang"],
+            "n_hits": pc.cast(hits, pa.int64()),
+            "touched": pc.cast(pc.greater(hits, 0), pa.int64()),
+            "chars_after": pc.cast(pc.utf8_length(redacted), pa.int64())})
+
+    return (ds.map_batches(scrub, batch_format="pyarrow")
+            .groupby("lang")
+            .aggregate(Count(alias_name="n_docs"),
+                       Sum("touched", alias_name="docs_touched"),
+                       Sum("n_hits", alias_name="n_redactions"),
+                       Sum("chars_after", alias_name="chars_after_scrub")))
+
+
+def prefix_cluster_dedup(sf_dir: str):
+    """Boilerplate-prefix clustering (the crawl-curation trick of
+    deduping on a fixed-width document prefix): dedup_exact over the
+    first 64 characters — only the 8-byte prefix hash rides the shuffle,
+    the prefix text itself never leaves the map stage."""
+    import pyarrow.compute as pc
+    from t_digest_ray.pipelines.relational import dedup_exact
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def prefix(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "prefix": pc.utf8_slice_codeunits(b["text"], 0, 64)})
+
+    pref = ds.map_batches(prefix, batch_format="pyarrow")
+    return dedup_exact(pref, "prefix", "doc_id")
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
     return pages_flagship("/root/testdata/sf0.001")
@@ -2929,6 +3182,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "windowed_join_user_funnel": windowed_join_user_funnel,
         "hll_user_set_algebra": hll_user_set_algebra,
         "tdigest_rollup_by_lang": tdigest_rollup_by_lang,
+        "q4_order_priority": q4_order_priority,
+        "q14_promo_revenue": q14_promo_revenue,
+        "q19_bracket_revenue": q19_bracket_revenue,
+        "corpus_top_tokens": corpus_top_tokens,
+        "regex_scrub_stats": regex_scrub_stats,
+        "prefix_cluster_dedup": prefix_cluster_dedup,
         # --- (b) cheap representatives of each operator family ---
         "tdigest_quantiles_by_lang": tdigest_quantiles_by_lang,
         "tdigest_events_value": tdigest_events_value,
@@ -3053,6 +3312,74 @@ def oracle_sql() -> dict[str, str]:
                    CAST(1 AS BIGINT) AS dropped
             FROM documents
             WHERE doc_id % 11 = 0 AND regexp_matches(text, '\S')
+        """,
+        "q4_order_priority": """
+            SELECT o_orderpriority, COUNT(*) AS order_count
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1996-07-01'
+              AND EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey
+                            AND l_quantity >= 45)
+            GROUP BY o_orderpriority
+        """,
+        "q14_promo_revenue": """
+            WITH f AS (SELECT l_partkey,
+                              CAST(FLOOR(l_extendedprice * (1 - l_discount)
+                                         * 100 + 0.5) AS BIGINT) AS cents
+                       FROM lineitem
+                       WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                         AND l_shipdate < TIMESTAMP '1996-07-01')
+            SELECT CAST(SUM(CASE WHEN p_type = 'PROMO' THEN cents
+                                 ELSE 0 END) AS BIGINT) AS promo_cents,
+                   CAST(SUM(cents) AS BIGINT) AS total_cents,
+                   100.0 * (CAST(SUM(CASE WHEN p_type = 'PROMO' THEN cents
+                                          ELSE 0 END) AS DOUBLE)
+                            / CAST(SUM(cents) AS DOUBLE)) AS promo_share
+            FROM f JOIN part ON l_partkey = p_partkey
+        """,
+        "q19_bracket_revenue": """
+            WITH j AS (
+              SELECT CAST(CASE WHEN p_brand = 'Brand#12'
+                               AND p_size BETWEEN 1 AND 15
+                               AND l_quantity BETWEEN 1 AND 20 THEN 1
+                          WHEN p_brand = 'Brand#23'
+                               AND p_size BETWEEN 1 AND 25
+                               AND l_quantity BETWEEN 10 AND 30 THEN 2
+                          WHEN p_brand = 'Brand#3'
+                               AND p_size BETWEEN 1 AND 35
+                               AND l_quantity BETWEEN 20 AND 40 THEN 3
+                          ELSE 0 END AS BIGINT) AS bracket,
+                     CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100
+                                + 0.5) AS BIGINT) AS cents
+              FROM lineitem JOIN part ON l_partkey = p_partkey)
+            SELECT bracket, COUNT(*) AS n_items,
+                   CAST(SUM(cents) AS BIGINT) AS revenue_cents
+            FROM j WHERE bracket > 0 GROUP BY bracket
+        """,
+        "corpus_top_tokens": """
+            SELECT tok AS token, COUNT(*) AS cnt
+            FROM (SELECT unnest(string_split(text, ' ')) AS tok
+                  FROM documents) t
+            WHERE tok <> '' GROUP BY tok
+            ORDER BY cnt DESC, tok ASC LIMIT 20
+        """,
+        "regex_scrub_stats": r"""
+            SELECT lang, COUNT(*) AS n_docs,
+                   CAST(SUM(CASE WHEN len(regexp_extract_all(
+                            text, '\b(customer|user|row)\b')) > 0
+                            THEN 1 ELSE 0 END) AS BIGINT) AS docs_touched,
+                   CAST(SUM(len(regexp_extract_all(
+                            text, '\b(customer|user|row)\b')))
+                        AS BIGINT) AS n_redactions,
+                   CAST(SUM(LENGTH(regexp_replace(
+                            text, '\b(customer|user|row)\b', '<PII>', 'g')))
+                        AS BIGINT) AS chars_after_scrub
+            FROM documents GROUP BY lang
+        """,
+        "prefix_cluster_dedup": """
+            SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_dupes
+            FROM documents GROUP BY substr(text, 1, 64)
         """,
         "kmeans_embedding_clusters": _kmeans_stats_oracle(
             _KMEANS_K, _KMEANS_DIM, _KMEANS_ITERS),
