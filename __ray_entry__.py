@@ -3127,6 +3127,23 @@ def prefix_cluster_dedup(sf_dir: str):
     return dedup_exact(pref, "prefix", "doc_id")
 
 
+def tdigest_trimmed_mean_by_lang(sf_dir: str):
+    """Per-lang trimmed mean (10-90%) of n_chars, VALUE-CHECKED: output
+    is the exact trimmed count/int-sum/mean (hash-matched vs a DuckDB
+    ROW_NUMBER window) plus within_bound asserting the merged t-digest's
+    centroid-mass trimmed_mean sits inside the worst-case mean shift of
+    the 0.015 merge rank-error bound. The robust-statistics analogue of
+    tdigest_quantiles_by_lang."""
+    from t_digest_ray.pipelines.quantiles import tdigest_spec
+    from t_digest_ray.pipelines.validation import trimmed_mean_bound_check
+
+    ds = _read(sf_dir, "documents", ["lang", "n_chars"])
+    return trimmed_mean_bound_check(ds, "n_chars", "lang",
+                                    tdigest_spec(100), trim=0.1,
+                                    rank_bound=0.015, num_salts=2,
+                                    batch_size=8192)
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
     return pages_flagship("/root/testdata/sf0.001")
@@ -3188,6 +3205,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_top_tokens": corpus_top_tokens,
         "regex_scrub_stats": regex_scrub_stats,
         "prefix_cluster_dedup": prefix_cluster_dedup,
+        "tdigest_trimmed_mean_by_lang": tdigest_trimmed_mean_by_lang,
         # --- (b) cheap representatives of each operator family ---
         "tdigest_quantiles_by_lang": tdigest_quantiles_by_lang,
         "tdigest_events_value": tdigest_events_value,
@@ -3380,6 +3398,23 @@ def oracle_sql() -> dict[str, str]:
         "prefix_cluster_dedup": """
             SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_dupes
             FROM documents GROUP BY substr(text, 1, 64)
+        """,
+        "tdigest_trimmed_mean_by_lang": """
+            WITH r AS (SELECT lang, n_chars,
+                              ROW_NUMBER() OVER (PARTITION BY lang
+                                                 ORDER BY n_chars) AS rn,
+                              COUNT(*) OVER (PARTITION BY lang) AS n
+                       FROM documents)
+            SELECT lang, CAST(MAX(n) AS BIGINT) AS n,
+                   COUNT(*) AS trim_count,
+                   CAST(SUM(n_chars) AS BIGINT) AS trim_sum,
+                   CAST(SUM(n_chars) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                       AS trimmed_mean,
+                   TRUE AS within_bound
+            FROM r
+            WHERE rn > CAST(FLOOR(n * 0.1) AS BIGINT)
+              AND rn <= n - CAST(FLOOR(n * 0.1) AS BIGINT)
+            GROUP BY lang
         """,
         "kmeans_embedding_clusters": _kmeans_stats_oracle(
             _KMEANS_K, _KMEANS_DIM, _KMEANS_ITERS),

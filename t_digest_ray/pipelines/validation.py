@@ -92,6 +92,67 @@ def quantile_bound_check(ds, value_col: str, key: str, spec: SketchSpec,
     return ds.groupby(key).map_groups(per_group, batch_format="pandas")
 
 
+def trimmed_mean_bound_check(ds, value_col: str, key: str,
+                             spec: SketchSpec,
+                             trim: float = 0.1,
+                             rank_bound: float = 0.015,
+                             num_salts: int = 2,
+                             batch_size: int | None = None,
+                             merged_rows: pd.DataFrame | None = None):
+    """Exact per-key symmetric trimmed stats + a digest bound flag.
+
+    Exact side (hash-checkable vs a SQL ROW_NUMBER window): drop
+    ``floor(n*trim)`` ranked values at EACH end — the drop count is the
+    same IEEE double expression the SQL oracle computes (one multiply +
+    floor; deriving the top cut from ``1-trim`` instead can disagree by
+    one rank because ``n*(1-t) != n - n*t`` in floats) — then emit the
+    surviving count, the exact int64 sum (requires integer-valued
+    data), and ``trimmed_mean`` as ONE IEEE double division of those
+    two ints — bit-identical across engines.
+
+    Gate: the merged digest's ``trimmed_mean(trim, 1-trim)`` (t-digest
+    centroid-mass integration, state/tdigest.py) must sit within
+    ``2 * max(rank_bound, 2.5/n) * n * (max - min) / trim_count`` of
+    the exact trimmed mean — the worst-case mean shift from misplacing
+    eps*n mass across the two window edges — AND the sketch's total
+    weight must equal the exact row count. A digest regression flips
+    ``within_bound`` and fails the driver's hash.
+    """
+    bad = float("nan")
+    if merged_rows is None:
+        merged_rows = sketch_by_key(ds, spec, value_col, key,
+                                    num_salts=num_salts,
+                                    batch_size=batch_size).to_pandas()
+    sk_bytes = {r["key"]: (r["sketch"], float(r["n"]))
+                for _, r in merged_rows.iterrows()}
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(g[value_col].to_numpy())
+        n = len(v)
+        kval = g[key].iloc[0]
+        drop = int(math.floor(n * trim))
+        window = v[drop:n - drop]
+        tc = len(window)
+        tsum = int(window.astype(np.int64).sum())
+        tmean = float(np.float64(tsum) / np.float64(max(tc, 1)))
+        ok = kval in sk_bytes and tc > 0
+        if ok:
+            raw, sk_n = sk_bytes[kval]
+            ok = sk_n == float(n)
+            if ok:
+                est = spec.from_bytes(raw).trimmed_mean(trim, 1.0 - trim)
+                b = max(rank_bound, 2.5 / n)
+                bound = 2.0 * b * n * float(v[-1] - v[0]) / tc
+                ok = math.isfinite(est) and abs(est - tmean) <= bound
+        return pd.DataFrame({key: [kval], "n": [np.int64(n)],
+                             "trim_count": [np.int64(tc)],
+                             "trim_sum": [np.int64(tsum)],
+                             "trimmed_mean": [tmean if tc else bad],
+                             "within_bound": [bool(ok)]})
+
+    return ds.groupby(key).map_groups(per_group, batch_format="pandas")
+
+
 def cdf_bound_check(ds, value_col: str, key: str, spec: SketchSpec,
                     thresholds, cdf_bound: float = 0.015,
                     num_salts: int = 2, batch_size: int | None = None,

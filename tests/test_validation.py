@@ -65,6 +65,52 @@ def test_quantile_bound_check_flags_count_mismatch(keyed_values):
     assert not out[out.k == "b"]["within_bound"].iloc[0]
 
 
+@pytest.fixture(scope="module")
+def keyed_int_values(ray_session):
+    import ray
+
+    rng = np.random.default_rng(33)
+    df = pd.DataFrame({
+        "k": np.repeat(["a", "b"], 4000),
+        "x": np.concatenate([
+            rng.integers(0, 1000, 4000),
+            rng.integers(400, 2000, 4000)]).astype(np.int64),
+    })
+    return ray.data.from_pandas(df).repartition(4), df
+
+
+def test_trimmed_mean_bound_check_passes_healthy(keyed_int_values):
+    from t_digest_ray.pipelines.validation import trimmed_mean_bound_check
+
+    ds, df = keyed_int_values
+    out = trimmed_mean_bound_check(ds, "x", "k", tdigest_spec(100),
+                                   trim=0.1).to_pandas()
+    assert out["within_bound"].all()
+    for _, r in out.iterrows():
+        v = np.sort(df[df.k == r["k"]]["x"].to_numpy())
+        n = len(v)
+        w = v[int(n * 0.1):n - int(n * 0.1)]
+        assert r["trim_count"] == len(w)
+        assert r["trim_sum"] == int(w.sum())
+        assert r["trimmed_mean"] == float(
+            np.float64(int(w.sum())) / np.float64(len(w)))
+
+
+def test_trimmed_mean_bound_check_flags_regression(keyed_int_values):
+    from t_digest_ray.pipelines.validation import trimmed_mean_bound_check
+
+    ds, _ = keyed_int_values
+    spec = tdigest_spec(100)
+    merged = sketch_by_key(ds, spec, "x", "k", num_salts=2).to_pandas()
+    bad = spec.factory()
+    bad.update_batch(np.full(4000, 1e9))
+    merged.loc[merged["key"] == "a", "sketch"] = bad.to_bytes()
+    out = trimmed_mean_bound_check(ds, "x", "k", spec,
+                                   merged_rows=merged).to_pandas()
+    assert not out[out.k == "a"]["within_bound"].iloc[0]
+    assert out[out.k == "b"]["within_bound"].iloc[0]
+
+
 def test_distinct_bound_check(keyed_values, ray_session):
     import ray
 
