@@ -3051,61 +3051,24 @@ def q19_bracket_revenue(sf_dir: str):
 
 
 def corpus_top_tokens(sf_dir: str):
-    """Corpus-level token-frequency top-k — the unnest-heavy aggregation
-    shape of web-text vocabulary analysis. Each batch splits + counts
-    locally (Arrow C kernels: split_pattern -> list_flatten ->
-    value_counts), so only vocabulary-sized (token, partial) rows ride
-    the shuffle — cost ~ distinct tokens per batch, never corpus tokens.
-    Deterministic (count desc, token asc) tie-break on the tiny final
-    sort."""
-    import pyarrow.compute as pc
-    from ray.data.aggregate import Sum
+    """Corpus-level token-frequency top-k (pipelines/textstats.token_topk):
+    vocabulary-sized per-batch combiners, deterministic (count desc,
+    token asc) tie-break."""
+    from t_digest_ray.pipelines.textstats import token_topk
 
     ds = _read(sf_dir, "documents", ["text"])
-
-    def partial(b: pa.Table) -> pa.Table:
-        toks = pc.list_flatten(pc.split_pattern(
-            b["text"].combine_chunks(), " "))
-        toks = toks.filter(pc.not_equal(toks, ""))
-        vc = toks.value_counts()
-        return pa.table({"token": vc.field("values"),
-                         "partial": pc.cast(vc.field("counts"),
-                                            pa.int64())})
-
-    counts = (ds.map_batches(partial, batch_format="pyarrow")
-              .groupby("token").aggregate(Sum("partial", alias_name="cnt")))
-    return counts.sort(["cnt", "token"],
-                       descending=[True, False]).limit(20)
+    return token_topk(ds, "text", k=20, count_name="cnt")
 
 
 def regex_scrub_stats(sf_dir: str):
-    """PII-style regex scrubbing over the corpus (vectorized Arrow RE2
-    kernels: count_substring_regex for the audit count,
-    replace_substring_regex for the rewrite) — the redaction stage of a
-    training-data pipeline. Output per lang: docs touched, total
-    redactions, exact post-scrub character count (hash-matched vs DuckDB
-    regexp_extract_all / regexp_replace, both RE2)."""
-    import pyarrow.compute as pc
-    from ray.data.aggregate import Count, Sum
+    """PII-style regex redaction audit per lang
+    (pipelines/textstats.regex_scrub_stats): vectorized Arrow RE2
+    kernels, hash-matched vs DuckDB regexp_extract_all/regexp_replace
+    (RE2 on both sides)."""
+    from t_digest_ray.pipelines.textstats import regex_scrub_stats as scrub
 
-    pat = r"\b(customer|user|row)\b"
     ds = _read(sf_dir, "documents", ["lang", "text"])
-
-    def scrub(b: pa.Table) -> pa.Table:
-        hits = pc.count_substring_regex(b["text"], pat)
-        redacted = pc.replace_substring_regex(b["text"], pat, "<PII>")
-        return pa.table({
-            "lang": b["lang"],
-            "n_hits": pc.cast(hits, pa.int64()),
-            "touched": pc.cast(pc.greater(hits, 0), pa.int64()),
-            "chars_after": pc.cast(pc.utf8_length(redacted), pa.int64())})
-
-    return (ds.map_batches(scrub, batch_format="pyarrow")
-            .groupby("lang")
-            .aggregate(Count(alias_name="n_docs"),
-                       Sum("touched", alias_name="docs_touched"),
-                       Sum("n_hits", alias_name="n_redactions"),
-                       Sum("chars_after", alias_name="chars_after_scrub")))
+    return scrub(ds, "text", "lang", r"\b(customer|user|row)\b", "<PII>")
 
 
 def prefix_cluster_dedup(sf_dir: str):
@@ -3125,6 +3088,27 @@ def prefix_cluster_dedup(sf_dir: str):
 
     pref = ds.map_batches(prefix, batch_format="pyarrow")
     return dedup_exact(pref, "prefix", "doc_id")
+
+
+def token_df_stats(sf_dir: str):
+    """Inverted-index posting statistics per token (TF-IDF foundation;
+    pipelines/textstats.token_df_stats): document frequency, corpus
+    frequency, smallest posting doc_id."""
+    from t_digest_ray.pipelines.textstats import token_df_stats as tdf
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return tdf(ds, "text", "doc_id")
+
+
+def doc_dominant_term(sf_dir: str):
+    """Per-document dominant term + its global df
+    (pipelines/textstats.dominant_term): the broadcast-of-an-aggregate
+    pattern — the vocabulary-sized df table from a first aggregation
+    pass is ray.put once and merged vectorized inside each batch."""
+    from t_digest_ray.pipelines.textstats import dominant_term
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return dominant_term(ds, "text", "doc_id", concurrency=_pool())
 
 
 def tdigest_trimmed_mean_by_lang(sf_dir: str):
@@ -3206,6 +3190,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "regex_scrub_stats": regex_scrub_stats,
         "prefix_cluster_dedup": prefix_cluster_dedup,
         "tdigest_trimmed_mean_by_lang": tdigest_trimmed_mean_by_lang,
+        "token_df_stats": token_df_stats,
+        "doc_dominant_term": doc_dominant_term,
         # --- (b) cheap representatives of each operator family ---
         "tdigest_quantiles_by_lang": tdigest_quantiles_by_lang,
         "tdigest_events_value": tdigest_events_value,
@@ -3415,6 +3401,27 @@ def oracle_sql() -> dict[str, str]:
             WHERE rn > CAST(FLOOR(n * 0.1) AS BIGINT)
               AND rn <= n - CAST(FLOOR(n * 0.1) AS BIGINT)
             GROUP BY lang
+        """,
+        "token_df_stats": """
+            WITH p AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                       FROM documents)
+            SELECT tok AS token,
+                   COUNT(DISTINCT doc_id) AS df, COUNT(*) AS cf,
+                   MIN(doc_id) AS min_doc
+            FROM p WHERE tok <> '' GROUP BY tok
+        """,
+        "doc_dominant_term": """
+            WITH p AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                       FROM documents),
+                 tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM p
+                        WHERE tok <> '' GROUP BY doc_id, tok),
+                 ranked AS (SELECT doc_id, tok, tf,
+                            ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY tf DESC, tok ASC) AS rn FROM tf),
+                 dfreq AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM p
+                           WHERE tok <> '' GROUP BY tok)
+            SELECT r.doc_id, r.tok AS term, r.tf, d.df
+            FROM ranked r JOIN dfreq d ON r.tok = d.tok WHERE rn = 1
         """,
         "kmeans_embedding_clusters": _kmeans_stats_oracle(
             _KMEANS_K, _KMEANS_DIM, _KMEANS_ITERS),

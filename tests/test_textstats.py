@@ -1,0 +1,133 @@
+"""Corpus token statistics (pipelines/textstats.py) vs in-process pandas
+references, plus their JobConfig routes."""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+from t_digest_ray.config import JobConfig, run_job
+
+DOCS = "/root/testdata/sf0.001/documents.parquet"
+
+
+@pytest.fixture(scope="module")
+def docs_ds(ray_session):
+    import ray.data as rd
+    return rd.read_parquet(DOCS, columns=["doc_id", "text"]).repartition(4)
+
+
+@pytest.fixture(scope="module")
+def docs_df():
+    return pq.read_table(DOCS, columns=["doc_id", "text"]).to_pandas()
+
+
+def _pairs(df: pd.DataFrame) -> pd.DataFrame:
+    rows = []
+    for _, r in df.iterrows():
+        for tok in r["text"].split(" "):
+            if tok:
+                rows.append((r["doc_id"], tok))
+    return pd.DataFrame(rows, columns=["doc_id", "token"])
+
+
+def test_token_topk_matches_reference(docs_ds, docs_df):
+    from t_digest_ray.pipelines.textstats import token_topk
+
+    out = token_topk(docs_ds, "text", k=10).to_pandas()
+    ref = (_pairs(docs_df).groupby("token").size()
+           .reset_index(name="cnt")
+           .sort_values(["cnt", "token"], ascending=[False, True])
+           .head(10).reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        out.reset_index(drop=True)[["token", "cnt"]], ref)
+
+
+def test_token_df_stats_matches_reference(docs_ds, docs_df):
+    from t_digest_ray.pipelines.textstats import token_df_stats
+
+    out = (token_df_stats(docs_ds, "text", "doc_id").to_pandas()
+           .sort_values("token").reset_index(drop=True))
+    p = _pairs(docs_df)
+    ref = (p.groupby("token")
+           .agg(df=("doc_id", "nunique"), cf=("doc_id", "size"),
+                min_doc=("doc_id", "min")).reset_index()
+           .sort_values("token").reset_index(drop=True))
+    ref[["df", "cf", "min_doc"]] = ref[["df", "cf", "min_doc"]] \
+        .astype(np.int64)
+    pd.testing.assert_frame_equal(out, ref)
+
+
+def test_dominant_term_matches_reference(docs_ds, docs_df):
+    from t_digest_ray.pipelines.textstats import dominant_term
+
+    out = (dominant_term(docs_ds, "text", "doc_id").to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    p = _pairs(docs_df)
+    tf = p.groupby(["doc_id", "token"]).size().reset_index(name="tf")
+    top = (tf.sort_values(["doc_id", "tf", "token"],
+                          ascending=[True, False, True], kind="mergesort")
+           .drop_duplicates("doc_id"))
+    dfreq = p.groupby("token")["doc_id"].nunique().rename("df")
+    ref = (top.merge(dfreq, left_on="token", right_index=True)
+           .rename(columns={"token": "term"})
+           .sort_values("doc_id").reset_index(drop=True))
+    ref[["doc_id", "tf", "df"]] = ref[["doc_id", "tf", "df"]] \
+        .astype(np.int64)
+    pd.testing.assert_frame_equal(out, ref[["doc_id", "term", "tf", "df"]])
+
+
+def test_scrub_text_matches_re(docs_ds, docs_df):
+    from t_digest_ray.pipelines.textstats import scrub_text
+
+    pat = r"\b(customer|row)\b"
+    out = (scrub_text(docs_ds, "text", "doc_id", pat, "<X>").to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    ref = docs_df.sort_values("doc_id").reset_index(drop=True)
+    creg = re.compile(pat)
+    exp = ref["text"].map(lambda t: creg.sub("<X>", t))
+    assert (out["text"] == exp).all()
+    exp_n = ref["text"].map(lambda t: len(creg.findall(t)))
+    assert (out["n_redactions"].to_numpy() == exp_n.to_numpy()).all()
+
+
+def test_config_textstats_routes(ray_session):
+    out = run_job(JobConfig(
+        pipeline="token_topk", input=DOCS, columns=["text"],
+        value_col="text", params={"k": 5})).to_pandas()
+    assert len(out) == 5 and {"token", "cnt"} <= set(out.columns)
+
+    out = run_job(JobConfig(
+        pipeline="token_df", input=DOCS, columns=["doc_id", "text"],
+        value_col="text", key="doc_id")).to_pandas()
+    assert {"token", "df", "cf", "min_doc"} <= set(out.columns)
+    assert (out["cf"] >= out["df"]).all()
+
+    out = run_job(JobConfig(
+        pipeline="dominant_term", input=DOCS,
+        columns=["doc_id", "text"], value_col="text",
+        key="doc_id")).to_pandas()
+    assert (out["tf"] >= 1).all()
+
+    out = run_job(JobConfig(
+        pipeline="scrub_stats", input=DOCS, columns=["lang", "text"],
+        value_col="text", key="lang",
+        params={"pattern": r"\brow\b"})).to_pandas()
+    assert (out["n_redactions"] >= out["docs_touched"]).all()
+
+    out = run_job(JobConfig(
+        pipeline="scrub", input=DOCS, columns=["doc_id", "text"],
+        value_col="text", key="doc_id",
+        params={"pattern": r"\brow\b",
+                "replacement": "<R>"})).to_pandas()
+    assert len(out) == 500
+
+    out = run_job(JobConfig(
+        pipeline="trimmed_mean", input=DOCS,
+        columns=["lang", "n_chars"], value_col="n_chars", key="lang",
+        params={"trim": 0.1, "num_salts": 2})).to_pandas()
+    assert out["within_bound"].all()
