@@ -3111,6 +3111,28 @@ def doc_dominant_term(sf_dir: str):
     return dominant_term(ds, "text", "doc_id", concurrency=_pool())
 
 
+def rollup_doc_stats(sf_dir: str):
+    """Hierarchical ROLLUP report (pipelines/relational.rollup_stats):
+    (lang, source) -> (lang) -> () levels of count/sum/min/max over
+    n_chars, with the coarser levels DERIVED from the finest aggregate
+    (one scan, one shuffle; the derive runs on KB rows). Rolled-up keys
+    carry 'ALL' — the COALESCE convention of SQL GROUP BY ROLLUP."""
+    from t_digest_ray.pipelines.relational import rollup_stats
+
+    ds = _read(sf_dir, "documents", ["lang", "source", "n_chars"])
+    return rollup_stats(ds, ["lang", "source"], "n_chars")
+
+
+def corpus_top_bigrams(sf_dir: str):
+    """Corpus bigram top-k (pipelines/textstats.bigram_topk): adjacent
+    in-document token pairs, Arrow-vectorized shifted-slice join, only
+    bigram-vocabulary-sized partials on the shuffle."""
+    from t_digest_ray.pipelines.textstats import bigram_topk
+
+    ds = _read(sf_dir, "documents", ["text"])
+    return bigram_topk(ds, "text", k=15, count_name="cnt")
+
+
 def tdigest_trimmed_mean_by_lang(sf_dir: str):
     """Per-lang trimmed mean (10-90%) of n_chars, VALUE-CHECKED: output
     is the exact trimmed count/int-sum/mean (hash-matched vs a DuckDB
@@ -3192,6 +3214,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tdigest_trimmed_mean_by_lang": tdigest_trimmed_mean_by_lang,
         "token_df_stats": token_df_stats,
         "doc_dominant_term": doc_dominant_term,
+        "rollup_doc_stats": rollup_doc_stats,
+        "corpus_top_bigrams": corpus_top_bigrams,
         # --- (b) cheap representatives of each operator family ---
         "tdigest_quantiles_by_lang": tdigest_quantiles_by_lang,
         "tdigest_events_value": tdigest_events_value,
@@ -3401,6 +3425,23 @@ def oracle_sql() -> dict[str, str]:
             WHERE rn > CAST(FLOOR(n * 0.1) AS BIGINT)
               AND rn <= n - CAST(FLOOR(n * 0.1) AS BIGINT)
             GROUP BY lang
+        """,
+        "rollup_doc_stats": """
+            SELECT COALESCE(lang, 'ALL') AS lang,
+                   COALESCE(source, 'ALL') AS source,
+                   COUNT(*) AS n_rows,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_v,
+                   MIN(n_chars) AS min_v, MAX(n_chars) AS max_v
+            FROM documents GROUP BY ROLLUP(lang, source)
+        """,
+        "corpus_top_bigrams": """
+            WITH s AS (SELECT string_split(text, ' ') AS l
+                       FROM documents),
+                 b AS (SELECT l[i] || ' ' || l[i + 1] AS bigram
+                       FROM s, UNNEST(range(1, len(l))) AS t(i)
+                       WHERE l[i] <> '' AND l[i + 1] <> '')
+            SELECT bigram, COUNT(*) AS cnt FROM b GROUP BY bigram
+            ORDER BY cnt DESC, bigram ASC LIMIT 15
         """,
         "token_df_stats": """
             WITH p AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok

@@ -35,7 +35,7 @@ PIPELINES = ("quantiles", "kll", "req", "distinct", "heavy", "heavy_mg",
              "pack_by_key", "sample_weighted", "pack_write", "sort_write",
              "kmeans", "kmeans_prototypes", "range_join", "join_size",
              "token_topk", "token_df", "dominant_term", "scrub_stats",
-             "scrub", "trimmed_mean")
+             "scrub", "trimmed_mean", "bigram_topk", "rollup")
 
 
 @dataclass
@@ -266,6 +266,17 @@ def run_job(cfg: JobConfig):
         from .pipelines.textstats import token_topk
         # value_col = text column; params: k
         out = token_topk(ds, cfg.value_col or "text", p.pop("k", 20), **p)
+    elif cfg.pipeline == "bigram_topk":
+        from .pipelines.textstats import bigram_topk
+        out = bigram_topk(ds, cfg.value_col or "text", p.pop("k", 20),
+                          **p)
+    elif cfg.pipeline == "rollup":
+        import ray.data as rd
+
+        from .pipelines.relational import rollup_stats
+        # key = comma-joined key hierarchy; value_col = metric
+        out = rd.from_pandas(rollup_stats(ds, cfg.key.split(","),
+                                          cfg.value_col, **p))
     elif cfg.pipeline == "token_df":
         from .pipelines.textstats import token_df_stats
         # value_col = text column; key = id column

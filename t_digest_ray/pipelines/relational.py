@@ -113,6 +113,52 @@ def top_k_by_count(ds, key: str, k: int, count_name: str = "cnt"):
     return top
 
 
+def rollup_stats(ds, keys, value: str, all_label: str = "ALL"):
+    """Hierarchical ROLLUP aggregate (count / sum / min / max of ``value``
+    at every prefix level of ``keys``): the input is scanned ONCE for the
+    finest (all-keys) level; every coarser level is derived by
+    re-aggregating the finest result — counts/sums add, min/max of group
+    min/max — which is KB-sized (one row per finest group), so the extra
+    levels cost no second pass over the data. Rolled-up key columns carry
+    ``all_label`` (the COALESCE convention of SQL GROUP BY ROLLUP).
+
+    Partitioning assumption: the FINEST group count fits the driver for
+    the derive step (same bound as any top-k/report consumer of the
+    aggregate); the wide shuffle itself is the one Ray groupby.
+    """
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    keys = list(keys)
+    finest = (ds.groupby(keys)
+              .aggregate(Count(alias_name="n_rows"),
+                         Sum(value, alias_name="sum_v"),
+                         Min(value, alias_name="min_v"),
+                         Max(value, alias_name="max_v"))).to_pandas()
+    finest["sum_v"] = finest["sum_v"].astype(np.int64)
+
+    levels = [finest]
+    for depth in range(len(keys) - 1, -1, -1):
+        kept = keys[:depth]
+        g = finest.groupby(kept, sort=False) if kept else finest
+        agg = (g.agg(n_rows=("n_rows", "sum"), sum_v=("sum_v", "sum"),
+                     min_v=("min_v", "min"), max_v=("max_v", "max"))
+               if kept else pd.DataFrame({
+                   "n_rows": [finest["n_rows"].sum()],
+                   "sum_v": [finest["sum_v"].sum()],
+                   "min_v": [finest["min_v"].min()],
+                   "max_v": [finest["max_v"].max()]}))
+        if kept:
+            agg = agg.reset_index()
+        for c in keys[depth:]:
+            agg[c] = all_label
+        levels.append(agg[keys + ["n_rows", "sum_v", "min_v", "max_v"]])
+
+    out = pd.concat(levels, ignore_index=True)
+    out["n_rows"] = out["n_rows"].astype(np.int64)
+    out["sum_v"] = out["sum_v"].astype(np.int64)
+    return out
+
+
 def distinct_count_by_key(ds, key: str, value: str, out_name: str):
     """Exact count(distinct value) per key: dedup on (key, value) pairs
     inside each batch, then a global pair-dedup + count."""

@@ -61,6 +61,47 @@ def token_topk(ds, text_col: str, k: int, count_name: str = "cnt"):
                        descending=[True, False]).limit(k)
 
 
+def bigram_topk(ds, text_col: str, k: int, count_name: str = "cnt"):
+    """Corpus bigram-frequency top-k: adjacent-token pairs WITHIN each
+    document (split arrays are never joined across docs), both tokens
+    non-empty. Fully Arrow-vectorized — the pair array is two shifted
+    slices of the flattened token array joined by
+    ``binary_join_element_wise``; adjacency across document boundaries
+    is masked with a repeat of the per-doc list lengths. Only
+    bigram-vocabulary-sized partials ride the shuffle."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        lists = pc.split_pattern(b[text_col].combine_chunks(), " ")
+        flat = pc.list_flatten(lists)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        n = len(flat)
+        if n < 2:
+            return pa.table({"bigram": pa.array([], type=pa.string()),
+                             "partial": pa.array([], type=pa.int64())})
+        lens = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
+        doc_idx = np.repeat(np.arange(len(lens)), lens)
+        same_doc = doc_idx[:-1] == doc_idx[1:]
+        a = flat.slice(0, n - 1)
+        c = flat.slice(1)
+        nonempty = pc.and_(pc.not_equal(a, ""), pc.not_equal(c, ""))
+        mask = pc.and_(nonempty, pa.array(same_doc))
+        big = pc.binary_join_element_wise(a.filter(mask),
+                                          c.filter(mask), " ")
+        vc = big.value_counts()
+        return pa.table({"bigram": vc.field("values"),
+                         "partial": pc.cast(vc.field("counts"),
+                                            pa.int64())})
+
+    counts = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby("bigram")
+              .aggregate(Sum("partial", alias_name=count_name)))
+    return counts.sort([count_name, "bigram"],
+                       descending=[True, False]).limit(k)
+
+
 def token_df_stats(ds, text_col: str, id_col: str):
     """Inverted-index posting statistics: per token its document
     frequency (``df``), corpus frequency (``cf``) and smallest posting

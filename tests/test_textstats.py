@@ -95,6 +95,54 @@ def test_scrub_text_matches_re(docs_ds, docs_df):
     assert (out["n_redactions"].to_numpy() == exp_n.to_numpy()).all()
 
 
+def test_bigram_topk_matches_reference(docs_ds, docs_df):
+    from t_digest_ray.pipelines.textstats import bigram_topk
+
+    out = bigram_topk(docs_ds, "text", k=12).to_pandas()
+    rows = []
+    for _, r in docs_df.iterrows():
+        toks = r["text"].split(" ")
+        rows.extend(f"{a} {b}" for a, b in zip(toks, toks[1:])
+                    if a and b)
+    ref = (pd.Series(rows).value_counts().rename_axis("bigram")
+           .reset_index(name="cnt"))
+    ref = (ref.sort_values(["cnt", "bigram"], ascending=[False, True])
+           .head(12).reset_index(drop=True))
+    ref["cnt"] = ref["cnt"].astype(np.int64)
+    pd.testing.assert_frame_equal(
+        out.reset_index(drop=True)[["bigram", "cnt"]], ref)
+
+
+def test_rollup_stats_matches_reference(docs_ds, ray_session):
+    import ray.data as rd
+
+    from t_digest_ray.pipelines.relational import rollup_stats
+
+    ds = rd.read_parquet(DOCS, columns=["lang", "source", "n_chars"]) \
+        .repartition(4)
+    out = rollup_stats(ds, ["lang", "source"], "n_chars")
+    base = pq.read_table(
+        DOCS, columns=["lang", "source", "n_chars"]).to_pandas()
+    # total level
+    tot = out[(out.lang == "ALL") & (out.source == "ALL")]
+    assert len(tot) == 1
+    assert tot["n_rows"].iloc[0] == len(base)
+    assert tot["sum_v"].iloc[0] == base["n_chars"].sum()
+    assert tot["min_v"].iloc[0] == base["n_chars"].min()
+    # lang level equals direct groupby
+    lang_lvl = out[(out.lang != "ALL") & (out.source == "ALL")] \
+        .set_index("lang").sort_index()
+    direct = base.groupby("lang")["n_chars"] \
+        .agg(["size", "sum", "min", "max"]).sort_index()
+    assert (lang_lvl["n_rows"].to_numpy()
+            == direct["size"].to_numpy()).all()
+    assert (lang_lvl["max_v"].to_numpy()
+            == direct["max"].to_numpy()).all()
+    # finest level row count = distinct (lang, source) pairs
+    finest = out[(out.lang != "ALL") & (out.source != "ALL")]
+    assert len(finest) == len(base[["lang", "source"]].drop_duplicates())
+
+
 def test_config_textstats_routes(ray_session):
     out = run_job(JobConfig(
         pipeline="token_topk", input=DOCS, columns=["text"],
@@ -131,3 +179,14 @@ def test_config_textstats_routes(ray_session):
         columns=["lang", "n_chars"], value_col="n_chars", key="lang",
         params={"trim": 0.1, "num_salts": 2})).to_pandas()
     assert out["within_bound"].all()
+
+    out = run_job(JobConfig(
+        pipeline="bigram_topk", input=DOCS, columns=["text"],
+        value_col="text", params={"k": 7})).to_pandas()
+    assert len(out) == 7 and (out["cnt"] >= 1).all()
+
+    out = run_job(JobConfig(
+        pipeline="rollup", input=DOCS,
+        columns=["lang", "source", "n_chars"], value_col="n_chars",
+        key="lang,source")).to_pandas()
+    assert ((out.lang == "ALL") & (out.source == "ALL")).sum() == 1
