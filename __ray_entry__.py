@@ -3133,6 +3133,28 @@ def corpus_top_bigrams(sf_dir: str):
     return bigram_topk(ds, "text", k=15, count_name="cnt")
 
 
+def doc_repetition_stats(sf_dir: str):
+    """Gopher-style repetition quality metrics per document
+    (pipelines/textstats.repetition_stats): token count, max token
+    repetition, max in-doc bigram repetition, integer-arithmetic
+    repetitive flag — the repetition filter of LLM-corpus curation."""
+    from t_digest_ray.pipelines.textstats import repetition_stats
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return repetition_stats(ds, "text", "doc_id", max_tf_pct=20)
+
+
+def iqr_outlier_docs(sf_dir: str):
+    """Tukey IQR outlier report per lang over n_chars
+    (pipelines/relational.iqr_outlier_stats): exact disc Q1/Q3 and the
+    count outside the 1.5*IQR fences — the length-outlier trimming step
+    of corpus curation, value-checked bit-for-bit."""
+    from t_digest_ray.pipelines.relational import iqr_outlier_stats
+
+    ds = _read(sf_dir, "documents", ["lang", "n_chars"])
+    return iqr_outlier_stats(ds, "lang", "n_chars", k=1.5)
+
+
 def tdigest_trimmed_mean_by_lang(sf_dir: str):
     """Per-lang trimmed mean (10-90%) of n_chars, VALUE-CHECKED: output
     is the exact trimmed count/int-sum/mean (hash-matched vs a DuckDB
@@ -3216,6 +3238,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_dominant_term": doc_dominant_term,
         "rollup_doc_stats": rollup_doc_stats,
         "corpus_top_bigrams": corpus_top_bigrams,
+        "doc_repetition_stats": doc_repetition_stats,
+        "iqr_outlier_docs": iqr_outlier_docs,
         # --- (b) cheap representatives of each operator family ---
         "tdigest_quantiles_by_lang": tdigest_quantiles_by_lang,
         "tdigest_events_value": tdigest_events_value,
@@ -3425,6 +3449,52 @@ def oracle_sql() -> dict[str, str]:
             WHERE rn > CAST(FLOOR(n * 0.1) AS BIGINT)
               AND rn <= n - CAST(FLOOR(n * 0.1) AS BIGINT)
             GROUP BY lang
+        """,
+        "doc_repetition_stats": """
+            WITH p AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                       FROM documents),
+                 tf AS (SELECT doc_id, tok, COUNT(*) AS c FROM p
+                        WHERE tok <> '' GROUP BY doc_id, tok),
+                 mt AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+                               CAST(MAX(c) AS BIGINT) AS max_tf
+                        FROM tf GROUP BY doc_id),
+                 s AS (SELECT doc_id, string_split(text, ' ') AS l
+                       FROM documents),
+                 bg AS (SELECT doc_id, l[i] || ' ' || l[i + 1] AS bigram
+                        FROM s, UNNEST(range(1, len(l))) AS t(i)
+                        WHERE l[i] <> '' AND l[i + 1] <> ''),
+                 btf AS (SELECT doc_id, bigram, COUNT(*) AS c FROM bg
+                         GROUP BY doc_id, bigram),
+                 mb AS (SELECT doc_id, CAST(MAX(c) AS BIGINT)
+                               AS max_bigram_tf FROM btf GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CAST(COALESCE(mt.n_tokens, 0) AS BIGINT) AS n_tokens,
+                   CAST(COALESCE(mt.max_tf, 0) AS BIGINT) AS max_tf,
+                   CAST(COALESCE(mb.max_bigram_tf, 0) AS BIGINT)
+                       AS max_bigram_tf,
+                   CAST(CASE WHEN COALESCE(mt.max_tf, 0) * 100
+                                  > COALESCE(mt.n_tokens, 0) * 20
+                             THEN 1 ELSE 0 END AS BIGINT) AS repetitive
+            FROM documents d
+            LEFT JOIN mt ON d.doc_id = mt.doc_id
+            LEFT JOIN mb ON d.doc_id = mb.doc_id
+        """,
+        "iqr_outlier_docs": """
+            WITH q AS (SELECT lang,
+                              CAST(quantile_disc(n_chars, 0.25) AS DOUBLE)
+                                  AS q1,
+                              CAST(quantile_disc(n_chars, 0.75) AS DOUBLE)
+                                  AS q3
+                       FROM documents GROUP BY lang)
+            SELECT d.lang, MAX(q.q1) AS q1, MAX(q.q3) AS q3,
+                   COUNT(*) AS n_total,
+                   CAST(SUM(CASE WHEN CAST(d.n_chars AS DOUBLE)
+                                      < q.q1 - 1.5 * (q.q3 - q.q1)
+                                   OR CAST(d.n_chars AS DOUBLE)
+                                      > q.q3 + 1.5 * (q.q3 - q.q1)
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_outliers
+            FROM documents d JOIN q ON d.lang = q.lang GROUP BY d.lang
         """,
         "rollup_doc_stats": """
             SELECT COALESCE(lang, 'ALL') AS lang,

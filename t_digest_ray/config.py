@@ -35,7 +35,8 @@ PIPELINES = ("quantiles", "kll", "req", "distinct", "heavy", "heavy_mg",
              "pack_by_key", "sample_weighted", "pack_write", "sort_write",
              "kmeans", "kmeans_prototypes", "range_join", "join_size",
              "token_topk", "token_df", "dominant_term", "scrub_stats",
-             "scrub", "trimmed_mean", "bigram_topk", "rollup")
+             "scrub", "trimmed_mean", "bigram_topk", "rollup",
+             "repetition", "iqr_outliers")
 
 
 @dataclass
@@ -277,6 +278,13 @@ def run_job(cfg: JobConfig):
         # key = comma-joined key hierarchy; value_col = metric
         out = rd.from_pandas(rollup_stats(ds, cfg.key.split(","),
                                           cfg.value_col, **p))
+    elif cfg.pipeline == "repetition":
+        from .pipelines.textstats import repetition_stats
+        out = repetition_stats(ds, cfg.value_col or "text",
+                               cfg.key or "doc_id", **p)
+    elif cfg.pipeline == "iqr_outliers":
+        from .pipelines.relational import iqr_outlier_stats
+        out = iqr_outlier_stats(ds, cfg.key, cfg.value_col, **p)
     elif cfg.pipeline == "token_df":
         from .pipelines.textstats import token_df_stats
         # value_col = text column; key = id column

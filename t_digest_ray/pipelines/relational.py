@@ -113,6 +113,31 @@ def top_k_by_count(ds, key: str, k: int, count_name: str = "cnt"):
     return top
 
 
+def iqr_outlier_stats(ds, key: str, value: str, k: float = 1.5):
+    """Tukey IQR outlier report per key: exact disc quantiles Q1/Q3, the
+    group size and the count outside ``[Q1 - k*IQR, Q3 + k*IQR]``. The
+    fence arithmetic is ONE float expression over the exact integer
+    quantiles, so the counts are bit-reproducible in SQL. Per-group
+    exact (oracle-scale op, same contract as exact_quantiles_by_key);
+    the 100-TB path for the same filter is quantile sketches + a
+    broadcast of the per-key fences."""
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(g[value].to_numpy())
+        n = len(v)
+        q1 = float(v[max(int(math.ceil(0.25 * n)) - 1, 0)])
+        q3 = float(v[max(int(math.ceil(0.75 * n)) - 1, 0)])
+        iqr = q3 - q1
+        lo, hi = q1 - k * iqr, q3 + k * iqr
+        vf = v.astype(np.float64)
+        out = int(((vf < lo) | (vf > hi)).sum())
+        return pd.DataFrame({key: [g[key].iloc[0]], "q1": [q1],
+                             "q3": [q3], "n_total": [np.int64(n)],
+                             "n_outliers": [np.int64(out)]})
+
+    return ds.groupby(key).map_groups(per_group, batch_format="pandas")
+
+
 def rollup_stats(ds, keys, value: str, all_label: str = "ALL"):
     """Hierarchical ROLLUP aggregate (count / sum / min / max of ``value``
     at every prefix level of ``keys``): the input is scanned ONCE for the

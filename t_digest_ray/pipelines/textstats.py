@@ -138,6 +138,72 @@ def token_df_stats(ds, text_col: str, id_col: str):
     return out.map_batches(fin, batch_format="pandas")
 
 
+def repetition_stats(ds, text_col: str, id_col: str,
+                     max_tf_pct: int = 20):
+    """Gopher-style repetition metrics per document (the repetition
+    quality filter of LLM-corpus curation): total token count, count of
+    the most-repeated token, count of the most-repeated in-doc bigram,
+    and a ``repetitive`` flag (most-repeated token above
+    ``max_tf_pct`` % of tokens — evaluated as an INTEGER
+    cross-multiplication ``max_tf * 100 > n_tokens * pct`` so the flag
+    is bit-reproducible in SQL). Fully per-batch local (a doc lives in
+    one batch); emits one small row per document."""
+    import pyarrow.compute as pc
+
+    def per_batch(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        pairs = _token_doc_pairs(b, text_col, id_col)
+        tf = (pairs.groupby(["doc", "token"], sort=False)
+              .size().reset_index(name="c"))
+        mt = (tf.groupby("doc", sort=False)["c"]
+              .agg(n_tokens="sum", max_tf="max").reset_index())
+
+        lists = pc.split_pattern(b[text_col].combine_chunks(), " ")
+        flat = pc.list_flatten(lists)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        lens = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
+        doc_idx = np.repeat(np.arange(len(lens)), lens)
+        n = len(flat)
+        if n >= 2:
+            a = flat.slice(0, n - 1)
+            c = flat.slice(1)
+            mask_np = doc_idx[:-1] == doc_idx[1:]
+            mask = pc.and_(pc.and_(pc.not_equal(a, ""),
+                                   pc.not_equal(c, "")),
+                           pa.array(mask_np))
+            big = pc.binary_join_element_wise(a.filter(mask),
+                                              c.filter(mask), " ")
+            bdf = pd.DataFrame({
+                "doc": ids[doc_idx[:-1][mask.to_numpy(
+                    zero_copy_only=False)]],
+                "bigram": big.to_pandas()})
+            btf = (bdf.groupby(["doc", "bigram"], sort=False)
+                   .size().reset_index(name="c"))
+            mb = (btf.groupby("doc", sort=False)["c"].max()
+                  .rename("max_bigram_tf").reset_index())
+        else:
+            mb = pd.DataFrame({"doc": [], "max_bigram_tf": []})
+
+        out = pd.DataFrame({id_col: ids})
+        out = out.merge(mt.rename(columns={"doc": id_col}),
+                        on=id_col, how="left")
+        out = out.merge(mb.rename(columns={"doc": id_col}),
+                        on=id_col, how="left")
+        n_tok = out["n_tokens"].fillna(0).to_numpy(np.int64)
+        max_tf = out["max_tf"].fillna(0).to_numpy(np.int64)
+        max_b = out["max_bigram_tf"].fillna(0).to_numpy(np.int64)
+        return pa.table({
+            id_col: pa.array(ids.astype(np.int64)),
+            "n_tokens": pa.array(n_tok),
+            "max_tf": pa.array(max_tf),
+            "max_bigram_tf": pa.array(max_b),
+            "repetitive": pa.array(
+                (max_tf * 100 > n_tok * max_tf_pct).astype(np.int64))})
+
+    return ds.map_batches(per_batch, batch_format="pyarrow")
+
+
 def dominant_term(ds, text_col: str, id_col: str, concurrency=None):
     """Per-document dominant term (highest tf, token-asc tie-break)
     joined with that term's global document frequency — the

@@ -143,6 +143,49 @@ def test_rollup_stats_matches_reference(docs_ds, ray_session):
     assert len(finest) == len(base[["lang", "source"]].drop_duplicates())
 
 
+def test_repetition_stats_matches_reference(docs_ds, docs_df):
+    from collections import Counter
+
+    from t_digest_ray.pipelines.textstats import repetition_stats
+
+    out = (repetition_stats(docs_ds, "text", "doc_id").to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    ref = docs_df.sort_values("doc_id").reset_index(drop=True)
+    for i in range(0, len(ref), 37):  # spot-check a deterministic slice
+        toks = [t for t in ref["text"].iloc[i].split(" ") if t]
+        bigs = [f"{a} {b}"
+                for a, b in zip(toks, toks[1:])]
+        r = out.iloc[i]
+        assert r["n_tokens"] == len(toks)
+        assert r["max_tf"] == (max(Counter(toks).values())
+                               if toks else 0)
+        assert r["max_bigram_tf"] == (max(Counter(bigs).values())
+                                      if bigs else 0)
+        assert r["repetitive"] == int(r["max_tf"] * 100
+                                      > r["n_tokens"] * 20)
+
+
+def test_iqr_outlier_stats_matches_reference(ray_session):
+    import ray.data as rd
+
+    from t_digest_ray.pipelines.relational import iqr_outlier_stats
+
+    ds = rd.read_parquet(DOCS, columns=["lang", "n_chars"]).repartition(4)
+    out = iqr_outlier_stats(ds, "lang", "n_chars").to_pandas() \
+        .set_index("lang").sort_index()
+    base = pq.read_table(DOCS, columns=["lang", "n_chars"]).to_pandas()
+    for lang, g in base.groupby("lang"):
+        v = np.sort(g["n_chars"].to_numpy())
+        n = len(v)
+        q1 = float(v[max(int(np.ceil(0.25 * n)) - 1, 0)])
+        q3 = float(v[max(int(np.ceil(0.75 * n)) - 1, 0)])
+        lo, hi = q1 - 1.5 * (q3 - q1), q3 + 1.5 * (q3 - q1)
+        r = out.loc[lang]
+        assert r["q1"] == q1 and r["q3"] == q3
+        assert r["n_total"] == n
+        assert r["n_outliers"] == int(((v < lo) | (v > hi)).sum())
+
+
 def test_config_textstats_routes(ray_session):
     out = run_job(JobConfig(
         pipeline="token_topk", input=DOCS, columns=["text"],
@@ -190,3 +233,14 @@ def test_config_textstats_routes(ray_session):
         columns=["lang", "source", "n_chars"], value_col="n_chars",
         key="lang,source")).to_pandas()
     assert ((out.lang == "ALL") & (out.source == "ALL")).sum() == 1
+
+    out = run_job(JobConfig(
+        pipeline="repetition", input=DOCS, columns=["doc_id", "text"],
+        value_col="text", key="doc_id")).to_pandas()
+    assert len(out) == 500 and (out["max_tf"] <= out["n_tokens"]).all()
+
+    out = run_job(JobConfig(
+        pipeline="iqr_outliers", input=DOCS,
+        columns=["lang", "n_chars"], value_col="n_chars",
+        key="lang")).to_pandas()
+    assert (out["n_outliers"] <= out["n_total"]).all()
