@@ -3133,6 +3133,63 @@ def corpus_top_bigrams(sf_dir: str):
     return bigram_topk(ds, "text", k=15, count_name="cnt")
 
 
+def left_join_order_heavy(sf_dir: str):
+    """LEFT outer hash join: every order survives, matched or not, with
+    per-order heavy-lineitem counts null-filled to zero after the join
+    (pipelines/relational.hash_join how='left' — unmatched rows carry
+    typed Arrow nulls through the co-partitioned bucket merge). The
+    probe side is pre-aggregated to one row per order BEFORE the join
+    (hot-key contract), so the exchange moves KB aggregates."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Sum
+    from t_digest_ray.pipelines.relational import hash_join
+    from t_digest_ray.stages.partitioning import cheap_row_count
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+    n_ord, n_li = cheap_row_count(orders), cheap_row_count(li)
+
+    def li_p(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.greater_equal(b["l_quantity"], pa.scalar(49.0)))
+        return pa.table({"okey": t["l_orderkey"]})
+
+    heavy = (li.map_batches(li_p, batch_format="pyarrow")
+             .groupby("okey").aggregate(Count(alias_name="heavy")))
+
+    def ord_p(b: pa.Table) -> pa.Table:
+        return pa.table({"okey": b["o_orderkey"],
+                         "o_orderpriority": b["o_orderpriority"]})
+
+    j = hash_join(orders.map_batches(ord_p, batch_format="pyarrow"),
+                  heavy, on="okey", left_cols=["o_orderpriority"],
+                  right_cols=["heavy"], how="left",
+                  n_rows=None if None in (n_ord, n_li)
+                  else n_ord + n_li,
+                  types={"okey": pa.int64(),
+                         "o_orderpriority": pa.string(),
+                         "heavy": pa.int64()})
+
+    def tag(b: pa.Table) -> pa.Table:
+        hv = b["heavy"]
+        return pa.table({
+            "o_orderpriority": b["o_orderpriority"],
+            "matched": pc.cast(pc.is_valid(hv), pa.int64()),
+            "heavy": pc.fill_null(pc.cast(hv, pa.int64()), 0)})
+
+    out = (j.map_batches(tag, batch_format="pyarrow")
+           .groupby("o_orderpriority")
+           .aggregate(Count(alias_name="n_orders"),
+                      Sum("matched", alias_name="n_matched"),
+                      Sum("heavy", alias_name="heavy_items")))
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        for c in ("n_matched", "heavy_items"):
+            df[c] = df[c].astype(np.int64)
+        return df
+
+    return out.map_batches(fin, batch_format="pandas")
+
+
 def doc_repetition_stats(sf_dir: str):
     """Gopher-style repetition quality metrics per document
     (pipelines/textstats.repetition_stats): token count, max token
@@ -3240,6 +3297,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_top_bigrams": corpus_top_bigrams,
         "doc_repetition_stats": doc_repetition_stats,
         "iqr_outlier_docs": iqr_outlier_docs,
+        "left_join_order_heavy": left_join_order_heavy,
         # --- (b) cheap representatives of each operator family ---
         "tdigest_quantiles_by_lang": tdigest_quantiles_by_lang,
         "tdigest_events_value": tdigest_events_value,
@@ -3449,6 +3507,19 @@ def oracle_sql() -> dict[str, str]:
             WHERE rn > CAST(FLOOR(n * 0.1) AS BIGINT)
               AND rn <= n - CAST(FLOOR(n * 0.1) AS BIGINT)
             GROUP BY lang
+        """,
+        "left_join_order_heavy": """
+            WITH h AS (SELECT l_orderkey, COUNT(*) AS heavy
+                       FROM lineitem WHERE l_quantity >= 49
+                       GROUP BY l_orderkey)
+            SELECT o.o_orderpriority, COUNT(*) AS n_orders,
+                   CAST(SUM(CASE WHEN h.l_orderkey IS NULL
+                                 THEN 0 ELSE 1 END) AS BIGINT)
+                       AS n_matched,
+                   CAST(SUM(COALESCE(h.heavy, 0)) AS BIGINT)
+                       AS heavy_items
+            FROM orders o LEFT JOIN h ON o.o_orderkey = h.l_orderkey
+            GROUP BY o.o_orderpriority
         """,
         "doc_repetition_stats": """
             WITH p AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok

@@ -216,8 +216,14 @@ def distinct_count_by_key(ds, key: str, value: str, out_name: str):
 
 def hash_join(left, right, on: str, left_cols, right_cols,
               coarse: int | None = None, n_rows: int | None = None,
-              types: dict | None = None):
-    """Distributed hash equi-join (inner) of two Datasets on ``on``.
+              types: dict | None = None, how: str = "inner"):
+    """Distributed hash equi-join (``how`` = "inner" or "left") of two
+    Datasets on ``on``.
+
+    LEFT join: unmatched left rows survive with the right columns null
+    (the per-bucket merge emits them via ``from_pandas`` null
+    conversion), so a downstream COALESCE/fillna sees proper Arrow
+    nulls, not NaN-coerced floats.
 
     Ray Data (2.49) has no native join; this is the shuffle join the
     engine uses when NEITHER side fits in memory (use
@@ -303,11 +309,21 @@ def hash_join(left, right, on: str, left_cols, right_cols,
                                       for c in left_cols + right_cols]
     out_schema = pa.schema(out_fields)
 
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+
     def bucket_join(g: pd.DataFrame) -> pa.Table:
         l = g[g["is_left"] == 1][[on] + left_cols]
         r = g[g["is_left"] == 0][[on] + right_cols]
-        j = l.merge(r, on=on, how="inner")
-        return pa.table({c: pa.array(j[c].to_numpy(), type=t)
+        j = l.merge(r, on=on, how=how)
+        if how == "inner":
+            return pa.table({c: pa.array(j[c].to_numpy(), type=t)
+                             for c, t in out_fields},
+                            schema=out_schema)
+        # left join: unmatched right columns are NaN in the merged frame;
+        # from_pandas converts them to typed Arrow nulls (a plain
+        # to_numpy() would coerce int columns to float64)
+        return pa.table({c: pa.array(j[c], type=t, from_pandas=True)
                          for c, t in out_fields},
                         schema=out_schema)
 

@@ -50,6 +50,43 @@ def test_hash_join_matches_pandas(join_inputs, ray_session):
         want[["k", "lv", "rv"]])
 
 
+def test_hash_left_join_matches_pandas(join_inputs, ray_session):
+    import ray
+
+    left, right = join_inputs
+    got = hash_join(ray.data.from_pandas(left).repartition(4),
+                    ray.data.from_pandas(right).repartition(3),
+                    on="k", left_cols=["lv"], right_cols=["rv"],
+                    how="left").to_pandas() \
+        .sort_values(["k", "lv", "rv"]).reset_index(drop=True)
+    want = (left.merge(right, on="k", how="left")
+            .sort_values(["k", "lv", "rv"]).reset_index(drop=True))
+    # unmatched left rows survive (keys 40..49 have no right match)
+    assert len(got) == len(want) > len(_expected(left, right))
+    assert got["rv"].isna().to_numpy().sum() \
+        == want["rv"].isna().to_numpy().sum() > 0
+    # rv keeps its INTEGER dtype with nulls (typed Arrow nulls, not a
+    # NaN-coerced float column)
+    matched = got[got["rv"].notna()]
+    pd.testing.assert_frame_equal(
+        matched.reset_index(drop=True)[["k", "lv"]],
+        want[want["rv"].notna()].reset_index(drop=True)[["k", "lv"]])
+    assert (matched["rv"].to_numpy(dtype=np.int64)
+            == want.loc[want["rv"].notna(), "rv"]
+            .to_numpy(dtype=np.int64)).all()
+
+
+def test_hash_join_rejects_unknown_how(join_inputs, ray_session):
+    import ray
+
+    left, right = join_inputs
+    with pytest.raises(ValueError, match="how"):
+        hash_join(ray.data.from_pandas(left),
+                  ray.data.from_pandas(right),
+                  on="k", left_cols=["lv"], right_cols=["rv"],
+                  how="outer")
+
+
 def test_hash_join_bucket_invariance(join_inputs, ray_session):
     import ray
 
