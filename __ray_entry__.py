@@ -3133,6 +3133,32 @@ def corpus_top_bigrams(sf_dir: str):
     return bigram_topk(ds, "text", k=15, count_name="cnt")
 
 
+def events_windowed_distinct(sf_dir: str):
+    """Distinct users per tumbling hour window, VALUE-CHECKED: exact
+    COUNT(DISTINCT) per window (hash-matched) + within_bound asserting
+    the per-window HLL estimate sits in the 3-sigma envelope — completes
+    the streaming-window trio (windowed digests, windowed heavy hitters,
+    windowed distinct) via the same composite-window-key machinery."""
+    from t_digest_ray.pipelines.validation import distinct_bound_check
+    from t_digest_ray.pipelines.windows import _epoch_s
+
+    ds = _read(sf_dir, "events", ["ts", "user_id"])
+
+    def assign(b: pa.Table) -> pa.Table:
+        ws = (_epoch_s(b["ts"]) // 3600) * 3600
+        return pa.table({"window_start_s": pa.array(ws),
+                         "user_id": b["user_id"]})
+
+    win = ds.map_batches(assign, batch_format="pyarrow")
+    # abs_floor=3: per-hour windows hold tens of users, where the HLL
+    # estimate is linear counting over an integer register count — one
+    # register collision moves it by ~1, below the relative envelope's
+    # resolution (see distinct_bound_check docstring)
+    return distinct_bound_check(win, "user_id", "window_start_s",
+                                p=14, sigma=3.0, num_salts=2,
+                                count_name="n_users", abs_floor=3.0)
+
+
 def left_join_order_heavy(sf_dir: str):
     """LEFT outer hash join: every order survives, matched or not, with
     per-order heavy-lineitem counts null-filled to zero after the join
@@ -3298,6 +3324,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_repetition_stats": doc_repetition_stats,
         "iqr_outlier_docs": iqr_outlier_docs,
         "left_join_order_heavy": left_join_order_heavy,
+        "events_windowed_distinct": events_windowed_distinct,
         # --- (b) cheap representatives of each operator family ---
         "tdigest_quantiles_by_lang": tdigest_quantiles_by_lang,
         "tdigest_events_value": tdigest_events_value,
@@ -3507,6 +3534,13 @@ def oracle_sql() -> dict[str, str]:
             WHERE rn > CAST(FLOOR(n * 0.1) AS BIGINT)
               AND rn <= n - CAST(FLOOR(n * 0.1) AS BIGINT)
             GROUP BY lang
+        """,
+        "events_windowed_distinct": """
+            SELECT CAST(FLOOR(FLOOR(EPOCH(ts)) / 3600) * 3600 AS BIGINT)
+                       AS window_start_s,
+                   COUNT(DISTINCT user_id) AS n_users,
+                   TRUE AS within_bound
+            FROM events GROUP BY 1
         """,
         "left_join_order_heavy": """
             WITH h AS (SELECT l_orderkey, COUNT(*) AS heavy

@@ -237,13 +237,21 @@ def cdf_bound_check(ds, value_col: str, key: str, spec: SketchSpec,
 def distinct_bound_check(ds, value_col: str, key: str, p: int = 14,
                          sigma: float = 3.0, num_salts: int = 2,
                          count_name: str = "n_distinct",
-                         key_name: str | None = None) -> pd.DataFrame:
+                         key_name: str | None = None,
+                         abs_floor: float = 0.0) -> pd.DataFrame:
     """Exact distinct count per key + HLL-within-bound flag.
 
     Returns pandas rows ``(key, n_distinct, within_bound)``: the exact
     count hash-matches ``COUNT(DISTINCT ...)``; ``within_bound`` asserts
     the HLL estimate is within ``sigma * 1.04/sqrt(2^p)`` relative error
-    (the standard HLL error bound; sigma=3 is a ~99.7% envelope)."""
+    (the standard HLL error bound; sigma=3 is a ~99.7% envelope).
+
+    ``abs_floor``: absolute error allowance for SMALL groups (n << 2^p),
+    where the estimate comes from linear counting over the empty-register
+    count — an integer, so one register collision shifts the estimate by
+    ~1 regardless of the relative bound. Keys with tens of distinct
+    values (e.g. per-hour windows) need ``abs_floor≈3``; the default 0
+    keeps the strict envelope for large groups."""
     from .distinct import distinct_by_key
     from .relational import distinct_count_by_key
 
@@ -258,7 +266,8 @@ def distinct_bound_check(ds, value_col: str, key: str, p: int = 14,
     exact_n = out[count_name].to_numpy(dtype=np.float64)
     est_n = np.array([est_by_key.get(k, np.nan)
                       for k in out[key_name]], dtype=np.float64)
-    ok = np.abs(est_n - exact_n) <= rel_bound * np.maximum(exact_n, 1.0)
+    ok = np.abs(est_n - exact_n) <= np.maximum(
+        rel_bound * np.maximum(exact_n, 1.0), abs_floor)
     out["within_bound"] = ok & np.isfinite(est_n)
     out[count_name] = out[count_name].astype(np.int64)
     return out[[key_name, count_name, "within_bound"]]
