@@ -36,7 +36,7 @@ PIPELINES = ("quantiles", "kll", "req", "distinct", "heavy", "heavy_mg",
              "kmeans", "kmeans_prototypes", "range_join", "join_size",
              "token_topk", "token_df", "dominant_term", "scrub_stats",
              "scrub", "trimmed_mean", "bigram_topk", "rollup",
-             "repetition", "iqr_outliers")
+             "repetition", "iqr_outliers", "export_text")
 
 
 @dataclass
@@ -318,6 +318,17 @@ def run_job(cfg: JobConfig):
         out = rd.from_pandas(drift_no_change_check(
             ds, ds_b, cfg.value_col, cfg.key,
             key_name=cfg.key or "key", **p))
+    elif cfg.pipeline == "export_text":
+        import glob
+        import os
+
+        from .pipelines.checkpoint import resumable_text_write
+        files = sorted(glob.glob(os.path.join(cfg.input, "*.parquet"))) \
+            if os.path.isdir(cfg.input) else [cfg.input]
+        # params: out_dir, fmt (jsonl|csv)
+        out = resumable_text_write(files, p.pop("out_dir"),
+                                   fmt=p.pop("fmt", "jsonl"),
+                                   columns=cfg.columns, **p)
     elif cfg.pipeline == "checkpointed":
         from .pipelines.checkpoint import (finalize_checkpointed,
                                            run_checkpointed)

@@ -364,6 +364,88 @@ def resumable_map_write(input_files: list[str], transform_fn, out_dir: str,
                                 batch_format="pyarrow", **kwargs)
 
 
+def resumable_text_write(input_files: list[str], out_dir: str,
+                         fmt: str = "jsonl",
+                         transform_fn=None,
+                         columns: list[str] | None = None,
+                         reader_batch_size: int = 65536,
+                         concurrency: int | None = None):
+    """Resumable partitioned TEXT export (the CSV/JSONL sink twin of
+    ``resumable_map_write``; reference parity: the Java driver's CSV
+    result sink, IIDgenerator.java write paths): one ``part-{pid}.csv``
+    / ``.jsonl`` per input parquet file, finished partitions skipped on
+    re-run, tmp + ``os.rename`` atomicity.
+
+    Chunk-streamed: Arrow CSVWriter appends record batches (header once);
+    JSONL appends pandas ``to_json(lines=True)`` chunk bytes — worker
+    memory is bounded by the chunk, never the file. ``transform_fn``
+    (optional, ``pa.Table -> pa.Table``) runs per chunk before
+    serialization.
+    """
+    import ray.data as rd
+
+    if fmt not in ("jsonl", "csv"):
+        raise ValueError(f"fmt must be 'jsonl' or 'csv', got {fmt!r}")
+    os.makedirs(out_dir, exist_ok=True)
+    _check_format(out_dir, create=True)
+    ext = f".{fmt}"
+    done = {f[len("part-"):-len(ext)] for f in os.listdir(out_dir)
+            if f.startswith("part-") and f.endswith(ext)}
+    todo = [f for f in input_files if partition_id_for(f) not in done]
+    if not todo:
+        return rd.from_items([])
+
+    def process_file(batch: pa.Table) -> pa.Table:
+        from pyarrow import csv as pacsv
+
+        path = batch["path"][0].as_py()
+        pid = partition_id_for(path)
+        dest = os.path.join(out_dir, f"part-{pid}{ext}")
+        tmp = f"{dest}.tmp-{uuid.uuid4().hex[:8]}"
+        t0 = time.monotonic()
+        pf = pq.ParquetFile(path)
+        n_out = 0
+        writer = None
+        try:
+            with open(tmp, "wb") as sink:
+                for chunk in pf.iter_batches(
+                        batch_size=reader_batch_size, columns=columns):
+                    out = pa.Table.from_batches([chunk])
+                    if transform_fn is not None:
+                        out = transform_fn(out)
+                    if fmt == "csv":
+                        if writer is None:
+                            writer = pacsv.CSVWriter(sink, out.schema)
+                        writer.write(out)
+                    elif out.num_rows:
+                        # lines=True emits no trailing newline — append
+                        # one so the next chunk starts a fresh record
+                        data = out.to_pandas().to_json(
+                            orient="records", lines=True)
+                        sink.write(data.encode("utf-8"))
+                        if not data.endswith("\n"):
+                            sink.write(b"\n")
+                    n_out += out.num_rows
+                if writer is not None:
+                    writer.close()
+                    writer = None
+        finally:
+            if writer is not None:
+                writer.close()
+        os.rename(tmp, dest)
+        return pa.table({
+            "partition_id": [pid],
+            "input_path": [path],
+            "n_rows": pa.array([n_out], type=pa.int64()),
+            "wall_ms": pa.array([(time.monotonic() - t0) * 1e3]),
+        })
+
+    files_ds = rd.from_items([{"path": f} for f in sorted(todo)])
+    kwargs = {"concurrency": concurrency} if concurrency else {}
+    return files_ds.map_batches(process_file, batch_size=1,
+                                batch_format="pyarrow", **kwargs)
+
+
 PACK_FORMAT_FILE = "PACK_FORMAT"
 
 

@@ -247,6 +247,67 @@ def test_resumable_map_write_skips_completed(ray_session, tmp_path):
     assert not glob.glob(f"{out_dir}/*.tmp-*")
 
 
+def test_resumable_text_write_jsonl_and_csv(ray_session, tmp_path):
+    """Text export sink: JSONL/CSV shards round-trip the data, chunked
+    appends don't glue records, finished partitions skip on re-run and a
+    lost partition is rewritten byte-identical."""
+    import json
+
+    import pyarrow.parquet as pq_
+
+    from t_digest_ray.pipelines.checkpoint import (partition_id_for,
+                                                   resumable_text_write)
+
+    ins = []
+    for i in range(2):
+        p = str(tmp_path / f"in-{i}.parquet")
+        pq_.write_table(pa.table({
+            "doc_id": pa.array(range(i * 100, i * 100 + 50),
+                               type=pa.int64()),
+            "text": pa.array([f"w{j} body" for j in range(50)])}), p)
+        ins.append(p)
+
+    jdir = str(tmp_path / "jsonl")
+    acks = resumable_text_write(ins, jdir, fmt="jsonl",
+                                reader_batch_size=7).to_pandas()
+    assert len(acks) == 2 and acks["n_rows"].sum() == 100
+    rows = []
+    for f in sorted((tmp_path / "jsonl").glob("part-*.jsonl")):
+        for line in f.read_text().splitlines():
+            rows.append(json.loads(line))
+    assert sorted(r["doc_id"] for r in rows) == sorted(
+        list(range(0, 50)) + list(range(100, 150)))
+    assert all(r["text"].endswith(" body") for r in rows)
+
+    # re-run: nothing to do; lost partition rewritten byte-identical
+    assert len(resumable_text_write(ins, jdir, fmt="jsonl",
+                                    reader_batch_size=7).to_pandas()) == 0
+    lost = tmp_path / "jsonl" / f"part-{partition_id_for(ins[0])}.jsonl"
+    before = lost.read_bytes()
+    lost.unlink()
+    again = resumable_text_write(ins, jdir, fmt="jsonl",
+                                 reader_batch_size=7).to_pandas()
+    assert set(again["partition_id"]) == {partition_id_for(ins[0])}
+    assert lost.read_bytes() == before
+
+    cdir = str(tmp_path / "csv")
+    acks = resumable_text_write(ins, cdir, fmt="csv",
+                                columns=["doc_id"],
+                                reader_batch_size=13).to_pandas()
+    assert acks["n_rows"].sum() == 100
+    from pyarrow import csv as pacsv
+    got = pa.concat_tables([
+        pacsv.read_csv(str(f))
+        for f in sorted((tmp_path / "csv").glob("part-*.csv"))])
+    assert got.num_rows == 100 and got.column_names == ["doc_id"]
+    assert sorted(got["doc_id"].to_pylist()) == sorted(
+        list(range(0, 50)) + list(range(100, 150)))
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="fmt"):
+        resumable_text_write(ins, str(tmp_path / "x"), fmt="tsv")
+
+
 def test_write_packed_shards_resumable(ray_session, tmp_path):
     """Pack -> partitioned shard write: a re-run after losing partitions
     rewrites ONLY the missing ones (others untouched), the full read-back
