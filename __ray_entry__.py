@@ -3255,6 +3255,110 @@ def tdigest_trimmed_mean_by_lang(sf_dir: str):
                                     batch_size=8192)
 
 
+def chars_tokens_linear_fit(sf_dir: str):
+    """Per-lang OLS fit of whitespace-token count against n_chars from
+    EXACT integer moment sums (pipelines/stats.grouped_linear_fit): the
+    regression shape as a mergeable partial-sum aggregate. Only
+    O(groups) int64 partial rows ride the exchange; the bignum driver
+    combine makes Σx² overflow-proof at 10^12 rows, and the final
+    slope/intercept doubles use a fixed IEEE expression order so DuckDB
+    reproduces them bit-for-bit from HUGEINT sums."""
+    import pyarrow.compute as pc
+    from t_digest_ray.pipelines.stats import grouped_linear_fit
+
+    ds = _read(sf_dir, "documents", ["lang", "text", "n_chars"])
+
+    def derive(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(b["text"].combine_chunks(), " ")
+        flat = pc.list_flatten(toks)
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        emp = pc.equal(flat, "").to_numpy(zero_copy_only=False)
+        doc_idx = np.repeat(np.arange(len(lens)), lens)
+        n_empty = np.bincount(doc_idx[emp], minlength=len(lens))
+        return pa.table({
+            "lang": b["lang"], "n_chars": b["n_chars"],
+            "n_tokens": pa.array((lens - n_empty).astype(np.int64))})
+
+    return grouped_linear_fit(ds.map_batches(derive,
+                                             batch_format="pyarrow"),
+                              "lang", "n_chars", "n_tokens")
+
+
+def dup_cluster_size_histogram(sf_dir: str):
+    """Duplicate-cluster-size histogram over the 64-char boilerplate
+    prefix (pipelines/relational.cluster_size_histogram): the dedup-audit
+    report ("how much of the corpus is k-times duplicated?"). Prefix
+    clustering instead of whole-text so the test corpus exercises the
+    multi-size path; only the 8-byte content hash rides the wide
+    shuffle, the prefix never leaves the map stage."""
+    import pyarrow.compute as pc
+    from t_digest_ray.pipelines.relational import cluster_size_histogram
+
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def prefix(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "prefix": pc.utf8_slice_codeunits(b["text"], 0, 64)})
+
+    return cluster_size_histogram(
+        ds.map_batches(prefix, batch_format="pyarrow"), "prefix")
+
+
+_DECON_N = 5
+_DECON_BENCH_MAX_ID = 25
+
+
+def ngram_decontamination_counts(sf_dir: str):
+    """Benchmark n-gram decontamination audit (the GPT-3/Llama 13-gram
+    trick at n=5): docs sharing any word 5-gram with the 'benchmark'
+    slice (doc_id < 25) are flagged, per-lang counts emitted
+    (pipelines/textstats.ngram_contamination_counts). The benchmark
+    gram-hash set is built driver-side from the KB-sized small side and
+    broadcast once via ray.put; the corpus side is one vectorized
+    filter-count pass, no text on any shuffle."""
+    import ray
+    from t_digest_ray.pipelines.textstats import (
+        benchmark_gram_set, ngram_contamination_counts)
+
+    import duckdb
+    bench = duckdb.connect().execute(
+        f"SELECT text FROM '{sf_dir}/documents.parquet' "
+        f"WHERE doc_id < {_DECON_BENCH_MAX_ID}").fetchdf()["text"]
+    ref = ray.put(benchmark_gram_set(bench, _DECON_N))
+    docs = _read(sf_dir, "documents", ["doc_id", "lang", "text"]) \
+        .filter(expr=f"doc_id >= {_DECON_BENCH_MAX_ID}")
+    return ngram_contamination_counts(docs, ref, _DECON_N, "lang")
+
+
+def interarrival_quantiles_by_type(sf_dir: str):
+    """Per-event-type exact quantiles of per-user inter-arrival gaps in
+    integer microseconds — the LAG(ts) OVER (PARTITION BY user ORDER BY
+    ts) shape (pipelines/stats.interarrival_gaps). Each user's events
+    co-locate once; only (event_type, gap_us) pairs leave the stage;
+    the quantile step is the exact-oracle path."""
+    from t_digest_ray.pipelines.relational import exact_quantiles_by_key
+    from t_digest_ray.pipelines.stats import interarrival_gaps
+
+    ev = _read(sf_dir, "events",
+               ["user_id", "ts", "event_id", "event_type"])
+    gaps = interarrival_gaps(ev, "user_id", "ts", "event_id",
+                             "event_type")
+    return exact_quantiles_by_key(gaps, "event_type", "gap_us",
+                                  qs=(0.25, 0.5, 0.75))
+
+
+def p99_anomaly_counts(sf_dir: str):
+    """Two-pass per-type anomaly count (pipelines/stats.
+    threshold_exceed_counts): exact disc p99 cutpoint per event_type,
+    broadcast the 5 floats, then a streaming value>cut filter-count.
+    The 100-TB swap-in replaces pass 1 with a t-digest cutpoint and
+    keeps pass 2 unchanged."""
+    from t_digest_ray.pipelines.stats import threshold_exceed_counts
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    return threshold_exceed_counts(ds, "event_type", "value", q=0.99)
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
     return pages_flagship("/root/testdata/sf0.001")
@@ -3325,6 +3429,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "iqr_outlier_docs": iqr_outlier_docs,
         "left_join_order_heavy": left_join_order_heavy,
         "events_windowed_distinct": events_windowed_distinct,
+        "chars_tokens_linear_fit": chars_tokens_linear_fit,
+        "dup_cluster_size_histogram": dup_cluster_size_histogram,
+        "ngram_decontamination_counts": ngram_decontamination_counts,
+        "interarrival_quantiles_by_type": interarrival_quantiles_by_type,
+        "p99_anomaly_counts": p99_anomaly_counts,
         # --- (b) cheap representatives of each operator family ---
         "tdigest_quantiles_by_lang": tdigest_quantiles_by_lang,
         "tdigest_events_value": tdigest_events_value,
@@ -3541,6 +3650,81 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(DISTINCT user_id) AS n_users,
                    TRUE AS within_bound
             FROM events GROUP BY 1
+        """,
+        "chars_tokens_linear_fit": r"""
+            WITH t AS (SELECT lang, n_chars,
+                              len(list_filter(string_split(text, ' '),
+                                              t -> t <> '')) AS n_tokens
+                       FROM documents),
+            s AS (SELECT lang, COUNT(*) AS n, SUM(n_chars) AS sx,
+                         SUM(n_tokens) AS sy,
+                         SUM(n_chars * n_tokens) AS sxy,
+                         SUM(n_chars * n_chars) AS sxx
+                  FROM t GROUP BY lang),
+            f AS (SELECT lang, n, sx, sy,
+                         CAST(n * sxy - sx * sy AS DOUBLE)
+                             / CAST(n * sxx - sx * sx AS DOUBLE) AS slope
+                  FROM s)
+            SELECT lang, CAST(n AS BIGINT) AS n_rows, slope,
+                   (CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))
+                       / CAST(n AS DOUBLE) AS intercept
+            FROM f
+        """,
+        "dup_cluster_size_histogram": """
+            SELECT CAST(cnt AS BIGINT) AS cluster_size,
+                   COUNT(*) AS n_clusters
+            FROM (SELECT COUNT(*) AS cnt FROM documents
+                  GROUP BY substr(text, 1, 64))
+            GROUP BY cnt
+        """,
+        "ngram_decontamination_counts": f"""
+            WITH toks AS (SELECT doc_id, lang,
+                                 list_filter(string_split(text, ' '),
+                                             t -> t <> '') AS ts
+                          FROM documents),
+            grams AS (SELECT doc_id,
+                             array_to_string(ts[i:i+{_DECON_N - 1}],
+                                             ' ') AS g
+                      FROM toks,
+                           LATERAL (SELECT UNNEST(generate_series(
+                               1, len(ts) - {_DECON_N - 1})) AS i) s),
+            bench AS (SELECT DISTINCT g FROM grams
+                      WHERE doc_id < {_DECON_BENCH_MAX_ID}),
+            flag AS (SELECT t.doc_id, t.lang,
+                            EXISTS (SELECT 1 FROM grams gr
+                                    JOIN bench b ON gr.g = b.g
+                                    WHERE gr.doc_id = t.doc_id) AS cont
+                     FROM toks t
+                     WHERE t.doc_id >= {_DECON_BENCH_MAX_ID})
+            SELECT lang, COUNT(*) AS n_docs,
+                   CAST(SUM(CASE WHEN cont THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_contaminated
+            FROM flag GROUP BY lang
+        """,
+        "interarrival_quantiles_by_type": """
+            WITH g AS (SELECT event_type,
+                              CAST(epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                                  PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS BIGINT)
+                                  AS gap_us
+                       FROM events),
+            d AS (SELECT * FROM g WHERE gap_us IS NOT NULL)
+            SELECT event_type,
+                   CAST(quantile_disc(gap_us, 0.25) AS DOUBLE) AS p25,
+                   CAST(quantile_disc(gap_us, 0.5) AS DOUBLE) AS p50,
+                   CAST(quantile_disc(gap_us, 0.75) AS DOUBLE) AS p75
+            FROM d GROUP BY event_type
+        """,
+        "p99_anomaly_counts": """
+            WITH c AS (SELECT event_type,
+                              CAST(quantile_disc(value, 0.99) AS DOUBLE)
+                                  AS p99
+                       FROM events GROUP BY event_type)
+            SELECT e.event_type, ANY_VALUE(c.p99) AS p99,
+                   CAST(SUM(CASE WHEN e.value > c.p99 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_above
+            FROM events e JOIN c USING (event_type)
+            GROUP BY e.event_type
         """,
         "left_join_order_heavy": """
             WITH h AS (SELECT l_orderkey, COUNT(*) AS heavy

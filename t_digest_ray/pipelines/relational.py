@@ -95,6 +95,48 @@ def dedup_exact(ds, content_col: str, id_col: str,
     return deduped.select_columns([id_col, "n_dupes"])
 
 
+def cluster_size_histogram(ds, content_col: str,
+                           n_rows: int | None = None):
+    """Duplicate-cluster-size histogram: for each distinct content value,
+    the cluster size (row count), then the number of clusters per size —
+    the dedup-audit report ("how much of the corpus is 2×/3×/k×
+    duplicated?").
+
+    Topology: only the 8-byte content hash rides the wide shuffle
+    (hash-bucketed vectorized combine, cost ∝ rows); the second groupby
+    runs over O(distinct sizes) rows — a few dozen. Same content-hash
+    identity convention as dedup_exact (64-bit collisions negligible and
+    documented there).
+    """
+    from ray.data.aggregate import Count
+
+    from ..functions.hashing import hash64
+    from ..stages.aggregate import hash_bucketed_group_agg
+
+    if n_rows is None:
+        from ..stages.partitioning import cheap_row_count
+        n_rows = cheap_row_count(ds)
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        h = hash64(batch[content_col].to_numpy(zero_copy_only=False))
+        return pa.table({"content_hash": pa.array(h.astype(np.int64))})
+
+    hashed = ds.map_batches(add_hash, batch_format="pyarrow")
+    per_cluster = hash_bucketed_group_agg(
+        hashed, ["content_hash"],
+        {"cluster_size": ("content_hash", "count")},
+        n_rows=n_rows)
+    out = (per_cluster.groupby("cluster_size")
+           .aggregate(Count(alias_name="n_clusters")))
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        df["cluster_size"] = df["cluster_size"].astype(np.int64)
+        df["n_clusters"] = df["n_clusters"].astype(np.int64)
+        return df
+
+    return out.map_batches(fin, batch_format="pandas")
+
+
 def top_k_by_count(ds, key: str, k: int, count_name: str = "cnt"):
     """Top-k keys by row count with a deterministic (count desc, key asc)
     tie-break. Pre-aggregated per batch before the shuffle."""

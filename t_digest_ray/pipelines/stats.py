@@ -1,0 +1,145 @@
+"""Exact mergeable moment statistics and two-pass threshold analytics.
+
+The regression / anomaly family of corpus analytics, built on the same
+partial-then-combine topology as the sketch aggregates (stages/aggregate):
+each op ships only O(groups) integer partial rows through the exchange,
+never data rows.
+
+- ``grouped_linear_fit``       per-key OLS fit from exact integer moments
+- ``threshold_exceed_counts``  exact per-key p-quantile cutpoint broadcast
+                               + streaming exceed-count second pass
+- ``interarrival_gaps``        per-user LAG-shaped event gaps (µs, exact)
+
+Reference parity note: the exact-moment design mirrors the reference's
+exact-oracle discipline (Dist.java computes ground truth that sketches
+are checked against); here the "sketch" analogue is a float-accumulating
+regression, and these ops ARE the exact path — integer partial sums are
+associative and overflow-checked, so the final doubles are bit-identical
+regardless of block arrival order.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def grouped_linear_fit(ds, key: str, x_col: str, y_col: str):
+    """Per-key ordinary-least-squares fit y = slope*x + intercept over two
+    INTEGER columns, computed from exact integer moment sums
+    (n, Σx, Σy, Σxy, Σx²).
+
+    Topology: one vectorized per-batch partial (O(groups-per-batch) rows
+    ride the exchange), then a driver-side exact combine with Python
+    arbitrary-precision ints — the partial table is KB-sized (batches ×
+    groups), and promoting the combine to bignum makes the op immune to
+    Σx² overflow at 10^12-row scale where an int64 tree-sum would wrap.
+    The final slope/intercept doubles are derived from the exact integer
+    sums with a fixed IEEE expression order, so they are bit-identical
+    to a SQL oracle computing the same expression over HUGEINT sums.
+    """
+
+    def partial(b: pa.Table) -> pa.Table:
+        x = b[x_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = b[y_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        df = pd.DataFrame({key: b[key].to_numpy(zero_copy_only=False)})
+        df["n"] = np.int64(1)
+        df["sx"] = x
+        df["sy"] = y
+        df["sxy"] = x * y
+        df["sxx"] = x * x
+        g = df.groupby(key, as_index=False, sort=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    # KB-sized combiner output: one row per (batch, group). The driver
+    # fold below is over that tiny table, not over data rows.
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+
+    rows = []
+    for k, g in parts.groupby(key, sort=True):
+        # Python ints: exact at any scale (no Σx² wrap at 10^12 rows).
+        n = int(g["n"].sum())
+        sx = sum(int(v) for v in g["sx"])
+        sy = sum(int(v) for v in g["sy"])
+        sxy = sum(int(v) for v in g["sxy"])
+        sxx = sum(int(v) for v in g["sxx"])
+        num = n * sxy - sx * sy
+        den = n * sxx - sx * sx
+        # fixed IEEE order: round each exact int to double, then divide
+        # (matches CAST(num AS DOUBLE)/CAST(den AS DOUBLE) in SQL)
+        slope = float(num) / float(den)
+        intercept = (float(sy) - slope * float(sx)) / float(n)
+        rows.append({key: k, "n_rows": np.int64(n),
+                     "slope": slope, "intercept": intercept})
+    return pd.DataFrame(rows)
+
+
+def threshold_exceed_counts(ds, key: str, value: str, q: float = 0.99,
+                            thr_name: str = "p99",
+                            count_name: str = "n_above"):
+    """Two-pass per-key anomaly count: exact disc-quantile cutpoint per
+    key (pass 1), broadcast the tiny cutpoint table, then a streaming
+    vectorized ``value > cut[key]`` filter-count (pass 2).
+
+    Pass 1 is the exact-oracle quantile path (per-group sort; groups
+    must fit a worker heap — same contract as exact_quantiles_by_key);
+    the 100-TB swap-in is a t-digest cutpoint with the identical pass-2.
+    Pass 2 ships only O(groups) count rows; the cutpoints travel once
+    via closure capture (a handful of floats), not per batch.
+    """
+    from ray.data.aggregate import Sum
+
+    from .relational import exact_quantiles_by_key
+
+    pct = f"p{int(q * 100)}"
+    cuts = exact_quantiles_by_key(ds, key, value, qs=(q,)).to_pandas()
+    keys = cuts[key].to_numpy()
+    thr = cuts[pct].to_numpy(dtype=np.float64)
+
+    def count_above(b: pa.Table) -> pa.Table:
+        kv = b[key].to_numpy(zero_copy_only=False)
+        v = b[value].to_numpy(zero_copy_only=False).astype(np.float64)
+        codes = pd.Categorical(kv, categories=keys).codes
+        above = v > thr[codes]
+        df = pd.DataFrame({key: kv[above]})
+        df["partial"] = np.int64(1)
+        g = df.groupby(key, as_index=False, sort=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    counts = (ds.map_batches(count_above, batch_format="pyarrow")
+              .groupby(key).aggregate(Sum("partial",
+                                          alias_name=count_name)))
+
+    def attach(df: pd.DataFrame) -> pd.DataFrame:
+        codes = pd.Categorical(df[key], categories=keys).codes
+        df[thr_name] = thr[codes]
+        df[count_name] = df[count_name].astype(np.int64)
+        return df[[key, thr_name, count_name]]
+
+    return counts.map_batches(attach, batch_format="pandas")
+
+
+def interarrival_gaps(ds, user_col: str, ts_col: str, tie_col: str,
+                      carry_col: str):
+    """Per-user event inter-arrival gaps in exact integer microseconds —
+    the distributed LAG(ts) OVER (PARTITION BY user ORDER BY ts, tie)
+    shape. Each gap row carries ``carry_col`` of the LATER event.
+
+    Scale contract: one user's events fit a worker heap (true for web
+    event streams); the groupby shuffles each user's rows to one worker
+    once, and only (carry, gap_us) pairs leave the stage.
+    """
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([ts_col, tie_col], kind="stable")
+        us = g[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        if len(us) < 2:
+            return pd.DataFrame({carry_col: [], "gap_us": []}).astype(
+                {carry_col: g[carry_col].dtype, "gap_us": np.int64})
+        return pd.DataFrame({
+            carry_col: g[carry_col].to_numpy()[1:],
+            "gap_us": np.diff(us)})
+
+    return ds.groupby(user_col).map_groups(per_user,
+                                           batch_format="pandas")

@@ -297,3 +297,90 @@ def scrub_text(ds, text_col: str, id_col: str, pattern: str,
             "n_redactions": pc.cast(hits, pa.int64())})
 
     return ds.map_batches(scrub, batch_format="pyarrow")
+
+
+def _word_gram_hashes(texts: pa.ChunkedArray | pa.Array, n: int):
+    """uint64 hashes of word n-grams for an Arrow string column, fully
+    vectorized: split → drop empty tokens → n shifted slices joined with
+    one binary_join_element_wise → hash64. Returns ``(hashes, doc_of)``
+    where ``doc_of[i]`` is the row index the i-th gram came from.
+
+    Gram identity is the literal space-joined token string, so a SQL
+    oracle can reproduce the exact same gram set with
+    ``array_to_string(tokens[i:i+n-1], ' ')``.
+    """
+    import pyarrow.compute as pc
+
+    from ..functions.hashing import hash64
+
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    lists = pc.split_pattern(texts, " ")
+    toks = pc.list_flatten(lists)
+    lens = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
+    mask = pc.not_equal(toks, "").to_numpy(zero_copy_only=False)
+    n_docs = len(lens)
+    doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), lens)
+    flens = np.bincount(doc_idx[mask], minlength=n_docs)
+    ftoks = toks.filter(pa.array(mask))
+    m = len(ftoks)
+    if m < n:
+        return (np.empty(0, dtype=np.uint64),
+                np.empty(0, dtype=np.int64))
+    import pyarrow.compute as pc2
+    shifted = [ftoks.slice(j, m - n + 1) for j in range(n)]
+    grams = pc2.binary_join_element_wise(*shifted, " ")
+    # drop grams straddling a document boundary
+    starts = np.concatenate(([0], np.cumsum(flens)))[:-1]
+    doc_of = np.repeat(np.arange(n_docs, dtype=np.int64),
+                       flens)[:m - n + 1]
+    valid = (np.arange(m - n + 1) + n) <= (starts + flens)[doc_of]
+    grams = grams.filter(pa.array(valid))
+    return hash64(grams.to_numpy(zero_copy_only=False)), doc_of[valid]
+
+
+def benchmark_gram_set(texts, n: int) -> np.ndarray:
+    """Sorted unique gram-hash array for the SMALL benchmark side of an
+    n-gram decontamination pass (driver-side by design: eval benchmarks
+    are KB–MB, the corpus is the 100-TB side)."""
+    h, _ = _word_gram_hashes(pa.array(list(texts), type=pa.string()), n)
+    return np.unique(h)
+
+
+def ngram_contamination_counts(ds, bench_hashes_ref, n: int, key: str,
+                               text_col: str = "text"):
+    """Benchmark n-gram decontamination audit (the GPT-3/Llama 13-gram
+    trick, here parameterized): a corpus doc is CONTAMINATED if it shares
+    any word n-gram with the benchmark set. Emits per-key
+    (n_docs, n_contaminated).
+
+    Topology: the benchmark gram-hash set is broadcast once via
+    ``ray.put`` (read zero-copy in every task); each batch computes its
+    gram hashes vectorized and membership via ``np.isin`` against the
+    sorted broadcast array; only O(keys) count rows leave the stage. No
+    shuffle touches text.
+    """
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    def audit(b: pa.Table) -> pa.Table:
+        bench = ray.get(bench_hashes_ref)
+        gh, doc_of = _word_gram_hashes(b[text_col], n)
+        hit = np.isin(gh, bench)  # bench is sorted; isin uses searchsorted
+        contaminated = np.zeros(b.num_rows, dtype=bool)
+        if len(gh):
+            contaminated[np.unique(doc_of[hit])] = True
+        return pa.table({
+            key: b[key],
+            "contaminated": pa.array(contaminated.astype(np.int64))})
+
+    out = (ds.map_batches(audit, batch_format="pyarrow")
+           .groupby(key)
+           .aggregate(Count(alias_name="n_docs"),
+                      Sum("contaminated", alias_name="n_contaminated")))
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        df["n_contaminated"] = df["n_contaminated"].astype(np.int64)
+        return df
+
+    return out.map_batches(fin, batch_format="pandas")

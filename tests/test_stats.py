@@ -1,0 +1,153 @@
+"""Exact-moment statistics (pipelines/stats.py) and the n-gram
+decontamination / cluster-histogram ops vs in-process references."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+DOCS = "/root/testdata/sf0.001/documents.parquet"
+EVENTS = "/root/testdata/sf0.001/events.parquet"
+
+
+@pytest.fixture(scope="module")
+def events_df():
+    return pq.read_table(EVENTS).to_pandas()
+
+
+def test_grouped_linear_fit_matches_numpy(ray_session):
+    import ray.data as rd
+
+    from t_digest_ray.pipelines.stats import grouped_linear_fit
+
+    rng = np.random.default_rng(7)
+    n = 5000
+    df = pd.DataFrame({
+        "k": rng.choice(["a", "b", "c"], size=n),
+        "x": rng.integers(1, 1000, size=n).astype(np.int64),
+    })
+    df["y"] = (df["x"] * 3 + rng.integers(0, 50, size=n)).astype(np.int64)
+
+    got = grouped_linear_fit(rd.from_pandas(df).repartition(8),
+                             "k", "x", "y").set_index("k")
+    for k, g in df.groupby("k"):
+        slope, intercept = np.polyfit(g["x"], g["y"], 1)
+        assert got.loc[k, "n_rows"] == len(g)
+        assert abs(got.loc[k, "slope"] - slope) < 1e-9
+        assert abs(got.loc[k, "intercept"] - intercept) < 1e-6
+
+
+def test_grouped_linear_fit_partition_invariant(ray_session):
+    """Exact integer moments: bit-identical result at any partitioning."""
+    import ray.data as rd
+
+    from t_digest_ray.pipelines.stats import grouped_linear_fit
+
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame({
+        "k": rng.choice(["p", "q"], size=800),
+        "x": rng.integers(1, 10_000, size=800).astype(np.int64),
+        "y": rng.integers(1, 10_000, size=800).astype(np.int64),
+    })
+    a = grouped_linear_fit(rd.from_pandas(df).repartition(1),
+                           "k", "x", "y")
+    b = grouped_linear_fit(rd.from_pandas(df).repartition(13),
+                           "k", "x", "y")
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))
+
+
+def test_threshold_exceed_counts_matches_pandas(ray_session, events_df):
+    import math
+
+    import ray.data as rd
+
+    from t_digest_ray.pipelines.stats import threshold_exceed_counts
+
+    got = (threshold_exceed_counts(
+        rd.read_parquet(EVENTS, columns=["event_type", "value"])
+        .repartition(6), "event_type", "value", q=0.99)
+        .to_pandas().set_index("event_type").sort_index())
+
+    for k, g in events_df.groupby("event_type"):
+        v = np.sort(g["value"].to_numpy())
+        p99 = float(v[max(int(math.ceil(0.99 * len(v))) - 1, 0)])
+        assert got.loc[k, "p99"] == p99
+        assert got.loc[k, "n_above"] == int((g["value"] > p99).sum())
+
+
+def test_interarrival_gaps_match_pandas_lag(ray_session, events_df):
+    import ray.data as rd
+
+    from t_digest_ray.pipelines.stats import interarrival_gaps
+
+    ev = rd.read_parquet(
+        EVENTS, columns=["user_id", "ts", "event_id", "event_type"]) \
+        .repartition(6)
+    got = interarrival_gaps(ev, "user_id", "ts", "event_id",
+                            "event_type").to_pandas()
+
+    df = events_df.sort_values(["user_id", "ts", "event_id"])
+    us = df["ts"].astype("datetime64[us]").astype(np.int64)
+    gap = us.groupby(df["user_id"]).diff()
+    want = pd.DataFrame({"event_type": df["event_type"][gap.notna()],
+                         "gap_us": gap[gap.notna()].astype(np.int64)})
+    key = ["event_type", "gap_us"]
+    pd.testing.assert_frame_equal(
+        got.sort_values(key).reset_index(drop=True)[key],
+        want.sort_values(key).reset_index(drop=True)[key])
+
+
+def test_cluster_size_histogram(ray_session):
+    import ray.data as rd
+
+    from t_digest_ray.pipelines.relational import cluster_size_histogram
+
+    df = pd.DataFrame({"c": ["x"] * 5 + ["y"] * 5 + ["z"] * 2
+                       + list("abcd")})
+    got = (cluster_size_histogram(rd.from_pandas(df).repartition(4), "c")
+           .to_pandas().sort_values("cluster_size")
+           .reset_index(drop=True))
+    want = pd.DataFrame({"cluster_size": np.int64([1, 2, 5]),
+                         "n_clusters": np.int64([4, 1, 2])})
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_word_gram_hashes_boundaries():
+    from t_digest_ray.functions.hashing import hash64
+    from t_digest_ray.pipelines.textstats import _word_gram_hashes
+
+    texts = pa.array(["a b c d", "x  y", "q", ""])
+    h, doc_of = _word_gram_hashes(texts, 2)
+    # doc0: "a b","b c","c d"; doc1 (empty token dropped): "x y";
+    # doc2/doc3: too short
+    want = hash64(np.array(["a b", "b c", "c d", "x y"], dtype=object))
+    assert list(doc_of) == [0, 0, 0, 1]
+    assert np.array_equal(np.sort(h), np.sort(want))
+
+
+def test_ngram_contamination_counts(ray_session):
+    import ray
+    import ray.data as rd
+
+    from t_digest_ray.pipelines.textstats import (benchmark_gram_set,
+                                                  ngram_contamination_counts)
+
+    bench = ["the quick brown fox jumps", "hello world again and again"]
+    docs = pd.DataFrame({
+        "lang": ["en", "en", "de", "de"],
+        "text": ["we saw the quick brown fox jumps high",  # contaminated
+                 "completely clean text with no overlap at all",
+                 "hello world again and again said twice",  # contaminated
+                 "noch ein sauberes dokument ohne treffer"]})
+    ref = ray.put(benchmark_gram_set(bench, 5))
+    got = (ngram_contamination_counts(
+        rd.from_pandas(docs).repartition(2), ref, 5, "lang")
+        .to_pandas().sort_values("lang").reset_index(drop=True))
+    want = pd.DataFrame({"lang": ["de", "en"],
+                         "n_docs": np.int64([2, 2]),
+                         "n_contaminated": np.int64([1, 1])})
+    pd.testing.assert_frame_equal(got, want)
