@@ -36,7 +36,9 @@ PIPELINES = ("quantiles", "kll", "req", "distinct", "heavy", "heavy_mg",
              "kmeans", "kmeans_prototypes", "range_join", "join_size",
              "token_topk", "token_df", "dominant_term", "scrub_stats",
              "scrub", "trimmed_mean", "bigram_topk", "rollup",
-             "repetition", "iqr_outliers", "export_text")
+             "repetition", "iqr_outliers", "export_text", "linear_fit",
+             "cluster_hist", "decontaminate", "interarrival",
+             "threshold_exceed")
 
 
 @dataclass
@@ -318,6 +320,41 @@ def run_job(cfg: JobConfig):
         out = rd.from_pandas(drift_no_change_check(
             ds, ds_b, cfg.value_col, cfg.key,
             key_name=cfg.key or "key", **p))
+    elif cfg.pipeline == "linear_fit":
+        import ray.data as rd
+
+        from .pipelines.stats import grouped_linear_fit
+        # value_col = x column; params: y_col
+        out = rd.from_pandas(grouped_linear_fit(
+            ds, cfg.key, cfg.value_col, p.pop("y_col")))
+    elif cfg.pipeline == "cluster_hist":
+        from .pipelines.relational import cluster_size_histogram
+        out = cluster_size_histogram(ds, cfg.value_col or "text", **p)
+    elif cfg.pipeline == "decontaminate":
+        import ray
+
+        import pyarrow.parquet as pq
+
+        from .pipelines.textstats import (benchmark_gram_set,
+                                          ngram_contamination_counts)
+        # params: bench_input (parquet of the SMALL benchmark side),
+        # n (gram width); value_col = text column; key = group column
+        text_col = cfg.value_col or "text"
+        bench = pq.read_table(p.pop("bench_input"),
+                              columns=[text_col])[text_col]
+        n = int(p.pop("n", 13))
+        ref = ray.put(benchmark_gram_set(bench.to_pylist(), n))
+        out = ngram_contamination_counts(ds, ref, n, cfg.key,
+                                         text_col=text_col, **p)
+    elif cfg.pipeline == "interarrival":
+        from .pipelines.stats import interarrival_gaps
+        # key = user column; value_col = ts column; params: tie_col,
+        # carry_col
+        out = interarrival_gaps(ds, cfg.key, cfg.value_col,
+                                p.pop("tie_col"), p.pop("carry_col"))
+    elif cfg.pipeline == "threshold_exceed":
+        from .pipelines.stats import threshold_exceed_counts
+        out = threshold_exceed_counts(ds, cfg.key, cfg.value_col, **p)
     elif cfg.pipeline == "export_text":
         import glob
         import os

@@ -151,3 +151,51 @@ def test_ngram_contamination_counts(ray_session):
                          "n_docs": np.int64([2, 2]),
                          "n_contaminated": np.int64([1, 1])})
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_config_routes_stats_ops(ray_session, tmp_path):
+    """The config runner covers the stats/decontamination operators."""
+    from t_digest_ray.config import JobConfig, run_job
+
+    sf = "/root/testdata/sf0.001"
+
+    out = run_job(JobConfig(pipeline="linear_fit",
+                            input=f"{sf}/documents.parquet",
+                            columns=["lang", "n_chars", "doc_id"],
+                            key="lang", value_col="n_chars",
+                            params={"y_col": "doc_id"})).to_pandas()
+    assert len(out) == 5 and set(out.columns) == {
+        "lang", "n_rows", "slope", "intercept"}
+
+    out = run_job(JobConfig(pipeline="cluster_hist",
+                            input=f"{sf}/documents.parquet",
+                            columns=["text"],
+                            value_col="text")).to_pandas()
+    assert (out["cluster_size"] >= 1).all()
+
+    out = run_job(JobConfig(pipeline="decontaminate",
+                            input=f"{sf}/documents.parquet",
+                            columns=["lang", "text"],
+                            key="lang", value_col="text",
+                            params={"bench_input":
+                                    f"{sf}/documents.parquet",
+                                    "n": 5})).to_pandas()
+    # benchmark == corpus: every doc with >=5 tokens is contaminated
+    assert (out["n_contaminated"] > 0).all()
+
+    out = run_job(JobConfig(pipeline="interarrival",
+                            input=f"{sf}/events.parquet",
+                            columns=["user_id", "ts", "event_id",
+                                     "event_type"],
+                            key="user_id", value_col="ts",
+                            params={"tie_col": "event_id",
+                                    "carry_col": "event_type"})) \
+        .to_pandas()
+    assert (out["gap_us"] >= 0).all() and len(out) > 0
+
+    out = run_job(JobConfig(pipeline="threshold_exceed",
+                            input=f"{sf}/events.parquet",
+                            columns=["event_type", "value"],
+                            key="event_type", value_col="value",
+                            params={"q": 0.9})).to_pandas()
+    assert len(out) == 5 and (out["n_above"] > 0).all()
