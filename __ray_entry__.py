@@ -3359,6 +3359,26 @@ def p99_anomaly_counts(sf_dir: str):
     return threshold_exceed_counts(ds, "event_type", "value", q=0.99)
 
 
+def weighted_quantiles_by_flag(sf_dir: str):
+    """WEIGHTED quantiles of l_extendedprice with l_quantity as weight,
+    per returnflag — exercises the reference's weighted add(x, w) path
+    (TDigest.java:92) through the distributed sketch pipeline, gated
+    in-row: exact weighted disc quantiles (SQL window-cumsum twin) +
+    within_bound asserting the weighted t-digest's estimate sits inside
+    the rank bound AND its total weight equals the exact Σw
+    (pipelines/validation.weighted_quantile_bound_check)."""
+    from t_digest_ray.pipelines.quantiles import tdigest_spec
+    from t_digest_ray.pipelines.validation import (
+        weighted_quantile_bound_check)
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_extendedprice", "l_quantity"])
+    return weighted_quantile_bound_check(
+        ds, "l_extendedprice", "l_quantity", "l_returnflag",
+        tdigest_spec(100), qs=(0.25, 0.5, 0.75), rank_bound=0.015,
+        num_salts=2, batch_size=8192)
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
     return pages_flagship("/root/testdata/sf0.001")
@@ -3434,6 +3454,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_decontamination_counts": ngram_decontamination_counts,
         "interarrival_quantiles_by_type": interarrival_quantiles_by_type,
         "p99_anomaly_counts": p99_anomaly_counts,
+        "weighted_quantiles_by_flag": weighted_quantiles_by_flag,
         # --- (b) cheap representatives of each operator family ---
         "tdigest_quantiles_by_lang": tdigest_quantiles_by_lang,
         "tdigest_events_value": tdigest_events_value,
@@ -3725,6 +3746,22 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS n_above
             FROM events e JOIN c USING (event_type)
             GROUP BY e.event_type
+        """,
+        "weighted_quantiles_by_flag": """
+            WITH o AS (SELECT l_returnflag AS k, l_extendedprice AS v,
+                              SUM(l_quantity) OVER (
+                                  PARTITION BY l_returnflag
+                                  ORDER BY l_extendedprice
+                                  ROWS UNBOUNDED PRECEDING) AS cw,
+                              SUM(l_quantity) OVER (
+                                  PARTITION BY l_returnflag) AS tw
+                       FROM lineitem)
+            SELECT k AS l_returnflag, COUNT(*) AS n,
+                   MIN(CASE WHEN cw >= 0.25 * tw THEN v END) AS wp25,
+                   MIN(CASE WHEN cw >= 0.5 * tw THEN v END) AS wp50,
+                   MIN(CASE WHEN cw >= 0.75 * tw THEN v END) AS wp75,
+                   TRUE AS within_bound
+            FROM o GROUP BY k
         """,
         "left_join_order_heavy": """
             WITH h AS (SELECT l_orderkey, COUNT(*) AS heavy

@@ -306,3 +306,60 @@ def drift_no_change_check(ds_a, ds_b, value_col: str, key: str,
         "no_drift": np.isfinite(ks_v) & (ks_v <= crit),
     })
     return out
+
+
+def weighted_quantile_bound_check(ds, value_col: str, weight_col: str,
+                                  key: str, spec: SketchSpec,
+                                  qs=(0.25, 0.5, 0.75),
+                                  rank_bound: float = 0.015,
+                                  num_salts: int = 2,
+                                  batch_size: int | None = None):
+    """WEIGHTED quantiles, value-checked: exact weighted disc quantiles
+    per key + a within_bound flag for the distributed WEIGHTED t-digest
+    (the reference's ``add(x, w)`` path, TDigest.java:92 /
+    MergingDigest.java:175-191, exercised through sketch_by_key's
+    weight_col plumbing).
+
+    Exact weighted disc quantile: sort by value, cumulative weight; the
+    smallest value whose cumulative weight reaches ``q * W``. With
+    integral float weights both the cumsum and the ``q * W`` threshold
+    are reproducible doubles, so the wp-columns hash-match a SQL window
+    oracle bit-for-bit. ``within_bound`` asserts the sketch estimate's
+    WEIGHTED empirical rank interval overlaps ``[q - b, q + b]`` and the
+    sketch's total weight equals the exact Σw.
+    """
+    bound_at = rank_bound if callable(rank_bound) else (lambda q: rank_bound)
+    merged = sketch_by_key(ds, spec, value_col, key,
+                           weight_col=weight_col, num_salts=num_salts,
+                           batch_size=batch_size).to_pandas()
+    sk_bytes = {r["key"]: r["sketch"] for _, r in merged.iterrows()}
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        order = np.argsort(g[value_col].to_numpy(), kind="stable")
+        v = g[value_col].to_numpy()[order]
+        w = g[weight_col].to_numpy(dtype=np.float64)[order]
+        cw = np.cumsum(w)
+        W = float(cw[-1])
+        n = len(v)
+        kval = g[key].iloc[0]
+        row: dict = {key: [kval], "n": [np.int64(n)]}
+        ok = kval in sk_bytes
+        sk = spec.from_bytes(sk_bytes[kval]) if ok else None
+        if ok:
+            ok = float(sk.size) == W
+        for q in qs:
+            thr = q * W
+            idx = int(np.searchsorted(cw, thr, side="left"))
+            row[f"wp{int(q * 100)}"] = [float(v[min(idx, n - 1)])]
+            if ok:
+                b = max(bound_at(q), 2.5 / n)
+                est = float(sk.quantile(q))
+                lo = int(np.searchsorted(v, est, side="left"))
+                hi = int(np.searchsorted(v, est, side="right"))
+                r_lo = (cw[lo - 1] / W) if lo else 0.0
+                r_hi = (cw[hi - 1] / W) if hi else 0.0
+                ok = (r_lo <= q + b) and (r_hi >= q - b)
+        row["within_bound"] = [bool(ok)]
+        return pd.DataFrame(row)
+
+    return ds.groupby(key).map_groups(per_group, batch_format="pandas")

@@ -192,3 +192,55 @@ def test_cdf_bound_check_flags_regression(keyed_values, monkeypatch):
                             thresholds=(50.0, 100.0, 500.0))
     assert not out[out.k == "a"]["within_bound"].iloc[0]
     assert out[out.k == "b"]["within_bound"].iloc[0]
+
+
+@pytest.fixture(scope="module")
+def weighted_values(ray_session):
+    import ray
+
+    rng = np.random.default_rng(33)
+    df = pd.DataFrame({
+        "k": np.repeat(["a", "b"], 4000),
+        "x": np.concatenate([rng.uniform(0, 100, 4000),
+                             rng.normal(500, 50, 4000)]),
+        "w": rng.integers(1, 50, 8000).astype(np.float64),
+    })
+    return ray.data.from_pandas(df).repartition(4), df
+
+
+def test_weighted_quantile_bound_check_healthy(weighted_values):
+    from t_digest_ray.pipelines.validation import (
+        weighted_quantile_bound_check)
+
+    ds, df = weighted_values
+    out = weighted_quantile_bound_check(
+        ds, "x", "w", "k", tdigest_spec(100),
+        qs=(0.25, 0.5, 0.75)).to_pandas()
+    assert out["within_bound"].all()
+    # exact columns really are the weighted disc quantiles
+    for _, r in out.iterrows():
+        g = df[df.k == r["k"]].sort_values("x", kind="stable")
+        cw = g["w"].cumsum().to_numpy()
+        v = g["x"].to_numpy()
+        idx = int(np.searchsorted(cw, 0.5 * cw[-1], side="left"))
+        assert r["wp50"] == v[idx]
+
+
+def test_weighted_quantile_gate_trips_on_unweighted_sketch(
+        weighted_values, monkeypatch):
+    """A sketch built WITHOUT the weights (the regression this gate
+    exists for) must flip within_bound: its total weight is the row
+    count, not Σw."""
+    import t_digest_ray.pipelines.validation as V
+
+    ds, _ = weighted_values
+
+    real = V.sketch_by_key
+
+    def unweighted(ds_, spec, value_col, key, weight_col=None, **kw):
+        return real(ds_, spec, value_col, key, weight_col=None, **kw)
+
+    monkeypatch.setattr(V, "sketch_by_key", unweighted)
+    out = V.weighted_quantile_bound_check(
+        ds, "x", "w", "k", tdigest_spec(100)).to_pandas()
+    assert not out["within_bound"].any()
