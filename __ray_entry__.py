@@ -3379,6 +3379,31 @@ def weighted_quantiles_by_flag(sf_dir: str):
         num_salts=2, batch_size=8192)
 
 
+def zscore_outlier_docs(sf_dir: str):
+    """Per-lang z-score outlier report from EXACT integer moments
+    (pipelines/stats.grouped_zscore_outliers): n, mean, sample std —
+    derived from exact Σx/Σx² with a fixed IEEE expression order, so
+    they hash-match a HUGEINT SQL oracle (a float-accumulating
+    AVG/STDDEV would not) — plus the count beyond 2σ via a
+    broadcast-threshold second pass."""
+    from t_digest_ray.pipelines.stats import grouped_zscore_outliers
+
+    ds = _read(sf_dir, "documents", ["lang", "n_chars"])
+    return grouped_zscore_outliers(ds, "lang", "n_chars", z=2.0)
+
+
+def decile_bucket_counts(sf_dir: str):
+    """Per-lang decile-bucket feature assignment audited as counts
+    (pipelines/stats.quantile_bucket_counts): exact disc cutpoints per
+    lang, broadcast, bucket = #{cutpoints < x} per row (strict-< keeps
+    ties from straddling, so SQL reproduces it exactly) — the
+    percentile-feature / equi-depth bucketing primitive."""
+    from t_digest_ray.pipelines.stats import quantile_bucket_counts
+
+    ds = _read(sf_dir, "documents", ["lang", "n_chars"])
+    return quantile_bucket_counts(ds, "lang", "n_chars")
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
     return pages_flagship("/root/testdata/sf0.001")
@@ -3455,6 +3480,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "interarrival_quantiles_by_type": interarrival_quantiles_by_type,
         "p99_anomaly_counts": p99_anomaly_counts,
         "weighted_quantiles_by_flag": weighted_quantiles_by_flag,
+        "zscore_outlier_docs": zscore_outlier_docs,
+        "decile_bucket_counts": decile_bucket_counts,
         # --- (b) cheap representatives of each operator family ---
         "tdigest_quantiles_by_lang": tdigest_quantiles_by_lang,
         "tdigest_events_value": tdigest_events_value,
@@ -3746,6 +3773,38 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS n_above
             FROM events e JOIN c USING (event_type)
             GROUP BY e.event_type
+        """,
+        "zscore_outlier_docs": """
+            WITH s AS (SELECT lang, COUNT(*) AS n, SUM(n_chars) AS sx,
+                              SUM(n_chars * n_chars) AS sxx
+                       FROM documents GROUP BY lang),
+            m AS (SELECT lang, CAST(n AS BIGINT) AS n_rows,
+                         CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+                         sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                              / (CAST(n AS DOUBLE)
+                                 * CAST(n - 1 AS DOUBLE))) AS std
+                  FROM s)
+            SELECT d.lang, ANY_VALUE(m.n_rows) AS n_rows,
+                   ANY_VALUE(m.mean) AS mean, ANY_VALUE(m.std) AS std,
+                   CAST(SUM(CASE WHEN ABS(CAST(d.n_chars AS DOUBLE)
+                                          - m.mean) > 2.0 * m.std
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_outliers
+            FROM documents d JOIN m USING (lang) GROUP BY d.lang
+        """,
+        "decile_bucket_counts": """
+            WITH cuts AS (SELECT lang,
+                                 UNNEST(quantile_disc(n_chars,
+                                     [0.1, 0.2, 0.3, 0.4, 0.5,
+                                      0.6, 0.7, 0.8, 0.9])) AS c
+                          FROM documents GROUP BY lang),
+            b AS (SELECT d.doc_id, ANY_VALUE(d.lang) AS lang,
+                         CAST(COUNT(*) FILTER (WHERE d.n_chars > cuts.c)
+                              AS BIGINT) AS bucket
+                  FROM documents d JOIN cuts USING (lang)
+                  GROUP BY d.doc_id)
+            SELECT lang, bucket, COUNT(*) AS n_rows
+            FROM b GROUP BY lang, bucket
         """,
         "weighted_quantiles_by_flag": """
             WITH o AS (SELECT l_returnflag AS k, l_extendedprice AS v,

@@ -38,7 +38,7 @@ PIPELINES = ("quantiles", "kll", "req", "distinct", "heavy", "heavy_mg",
              "scrub", "trimmed_mean", "bigram_topk", "rollup",
              "repetition", "iqr_outliers", "export_text", "linear_fit",
              "cluster_hist", "decontaminate", "interarrival",
-             "threshold_exceed")
+             "threshold_exceed", "zscore_outliers", "quantile_buckets")
 
 
 @dataclass
@@ -355,6 +355,15 @@ def run_job(cfg: JobConfig):
     elif cfg.pipeline == "threshold_exceed":
         from .pipelines.stats import threshold_exceed_counts
         out = threshold_exceed_counts(ds, cfg.key, cfg.value_col, **p)
+    elif cfg.pipeline == "zscore_outliers":
+        import ray.data as rd
+
+        from .pipelines.stats import grouped_zscore_outliers
+        out = rd.from_pandas(grouped_zscore_outliers(
+            ds, cfg.key, cfg.value_col, **p))
+    elif cfg.pipeline == "quantile_buckets":
+        from .pipelines.stats import quantile_bucket_counts
+        out = quantile_bucket_counts(ds, cfg.key, cfg.value_col, **p)
     elif cfg.pipeline == "export_text":
         import glob
         import os

@@ -102,8 +102,9 @@ def threshold_exceed_counts(ds, key: str, value: str, q: float = 0.99,
         v = b[value].to_numpy(zero_copy_only=False).astype(np.float64)
         codes = pd.Categorical(kv, categories=keys).codes
         above = v > thr[codes]
-        df = pd.DataFrame({key: kv[above]})
-        df["partial"] = np.int64(1)
+        # zero rows kept per present key: batch output schema is stable
+        # even when no value exceeds the cut in this batch
+        df = pd.DataFrame({key: kv, "partial": above.astype(np.int64)})
         g = df.groupby(key, as_index=False, sort=False).sum()
         return pa.Table.from_pandas(g, preserve_index=False)
 
@@ -143,3 +144,110 @@ def interarrival_gaps(ds, user_col: str, ts_col: str, tie_col: str,
 
     return ds.groupby(user_col).map_groups(per_user,
                                            batch_format="pandas")
+
+
+def grouped_zscore_outliers(ds, key: str, x_col: str, z: float = 3.0):
+    """Per-key z-score outlier report from EXACT integer moments: n, mean,
+    sample std (derived from exact Σx/Σx² with a fixed IEEE expression
+    order — reproducible in SQL from HUGEINT sums, unlike a float
+    accumulating AVG/STDDEV), and the count of rows with
+    ``|x - mean| > z * std`` via a broadcast-threshold second pass.
+
+    Same two-pass topology as threshold_exceed_counts; both passes ship
+    only O(groups) rows.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        x = b[x_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        df = pd.DataFrame({key: b[key].to_numpy(zero_copy_only=False)})
+        df["n"] = np.int64(1)
+        df["sx"] = x
+        df["sxx"] = x * x
+        g = df.groupby(key, as_index=False, sort=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+
+    keys, means, stds, ns = [], [], [], []
+    for k, g in parts.groupby(key, sort=True):
+        n = int(g["n"].sum())
+        sx = sum(int(v) for v in g["sx"])
+        sxx = sum(int(v) for v in g["sxx"])
+        mean = float(sx) / float(n)
+        # sample variance from exact ints: (nΣx² - (Σx)²) / (n(n-1))
+        std = float(np.sqrt(float(n * sxx - sx * sx)
+                            / (float(n) * float(n - 1))))
+        keys.append(k)
+        means.append(mean)
+        stds.append(std)
+        ns.append(n)
+    karr = np.asarray(keys)
+    marr = np.asarray(means)
+    sarr = np.asarray(stds)
+
+    def count_out(b: pa.Table) -> pa.Table:
+        kv = b[key].to_numpy(zero_copy_only=False)
+        x = b[x_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        codes = pd.Categorical(kv, categories=karr).codes
+        out = np.abs(x - marr[codes]) > z * sarr[codes]
+        # zero rows kept per present key: stable batch output schema
+        df = pd.DataFrame({key: kv, "partial": out.astype(np.int64)})
+        g = df.groupby(key, as_index=False, sort=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    counts = (ds.map_batches(count_out, batch_format="pyarrow")
+              .groupby(key)
+              .aggregate(Sum("partial", alias_name="n_outliers"))
+              .to_pandas().set_index(key)["n_outliers"])
+
+    return pd.DataFrame({
+        key: karr, "n_rows": np.asarray(ns, dtype=np.int64),
+        "mean": marr, "std": sarr,
+        "n_outliers": np.asarray(
+            [int(counts.get(k, 0)) for k in karr], dtype=np.int64)})
+
+
+def quantile_bucket_counts(ds, key: str, x_col: str,
+                           qs=tuple(i / 10 for i in range(1, 10))):
+    """Per-key quantile-bucket feature assignment, audited as counts:
+    exact disc cutpoints per key (pass 1), broadcast the key→cutpoints
+    table, assign each row ``bucket = #{cutpoints < x}`` vectorized
+    (pass 2), emit (key, bucket, n_rows) — the percentile-feature /
+    equi-depth bucketing primitive of ML feature pipelines.
+
+    The strict-< bucket rule makes the assignment value-deterministic
+    (ties never straddle), so a SQL twin counting ``x > cutpoint``
+    reproduces it exactly.
+    """
+    from ray.data.aggregate import Sum
+
+    from .relational import exact_quantiles_by_key
+
+    cuts = exact_quantiles_by_key(ds, key, x_col, qs=qs).to_pandas()
+    pct_cols = [f"p{int(q * 100)}" for q in qs]
+    keys = cuts[key].to_numpy()
+    cut_mat = cuts[pct_cols].to_numpy(dtype=np.float64)  # keys × len(qs)
+
+    def assign(b: pa.Table) -> pa.Table:
+        kv = b[key].to_numpy(zero_copy_only=False)
+        x = b[x_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        codes = pd.Categorical(kv, categories=keys).codes
+        # bucket = #{c < x} per row against that key's sorted cutpoints
+        row_cuts = cut_mat[codes]                      # rows × len(qs)
+        bucket = (row_cuts < x[:, None]).sum(axis=1).astype(np.int64)
+        df = pd.DataFrame({key: kv, "bucket": bucket})
+        df["partial"] = np.int64(1)
+        g = df.groupby([key, "bucket"], as_index=False, sort=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (ds.map_batches(assign, batch_format="pyarrow")
+           .groupby([key, "bucket"])
+           .aggregate(Sum("partial", alias_name="n_rows")))
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        df["bucket"] = df["bucket"].astype(np.int64)
+        df["n_rows"] = df["n_rows"].astype(np.int64)
+        return df
+
+    return out.map_batches(fin, batch_format="pandas")

@@ -199,3 +199,60 @@ def test_config_routes_stats_ops(ray_session, tmp_path):
                             key="event_type", value_col="value",
                             params={"q": 0.9})).to_pandas()
     assert len(out) == 5 and (out["n_above"] > 0).all()
+
+
+def test_grouped_zscore_outliers_matches_pandas(ray_session):
+    import ray.data as rd
+
+    from t_digest_ray.pipelines.stats import grouped_zscore_outliers
+
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame({
+        "k": rng.choice(["a", "b"], size=4000),
+        "x": rng.integers(0, 1000, size=4000).astype(np.int64)})
+    got = grouped_zscore_outliers(rd.from_pandas(df).repartition(7),
+                                  "k", "x", z=1.5).set_index("k")
+    for k, g in df.groupby("k"):
+        x = g["x"].to_numpy(dtype=np.float64)
+        mean, std = x.mean(), x.std(ddof=1)
+        assert got.loc[k, "n_rows"] == len(g)
+        assert abs(got.loc[k, "mean"] - mean) < 1e-9
+        assert abs(got.loc[k, "std"] - std) < 1e-9
+        assert got.loc[k, "n_outliers"] == int(
+            (np.abs(x - got.loc[k, "mean"])
+             > 1.5 * got.loc[k, "std"]).sum())
+
+
+def test_quantile_bucket_counts_balanced(ray_session):
+    import ray.data as rd
+
+    from t_digest_ray.pipelines.stats import quantile_bucket_counts
+
+    rng = np.random.default_rng(9)
+    df = pd.DataFrame({"k": ["a"] * 1000,
+                       "x": rng.permutation(1000).astype(np.int64)})
+    got = (quantile_bucket_counts(rd.from_pandas(df).repartition(5),
+                                  "k", "x")
+           .to_pandas().sort_values("bucket").reset_index(drop=True))
+    # distinct uniform values: exactly 100 rows per decile bucket
+    assert got["bucket"].tolist() == list(range(10))
+    assert (got["n_rows"] == 100).all()
+    assert int(got["n_rows"].sum()) == 1000
+
+
+def test_config_routes_zscore_buckets(ray_session):
+    from t_digest_ray.config import JobConfig, run_job
+
+    sf = "/root/testdata/sf0.001"
+    out = run_job(JobConfig(pipeline="zscore_outliers",
+                            input=f"{sf}/documents.parquet",
+                            columns=["lang", "n_chars"],
+                            key="lang", value_col="n_chars",
+                            params={"z": 2.0})).to_pandas()
+    assert len(out) == 5 and "n_outliers" in out.columns
+
+    out = run_job(JobConfig(pipeline="quantile_buckets",
+                            input=f"{sf}/documents.parquet",
+                            columns=["lang", "n_chars"],
+                            key="lang", value_col="n_chars")).to_pandas()
+    assert int(out["n_rows"].sum()) == 500
