@@ -3404,6 +3404,18 @@ def decile_bucket_counts(sf_dir: str):
     return quantile_bucket_counts(ds, "lang", "n_chars")
 
 
+def user_key_skew_report(sf_dir: str):
+    """Shuffle-planning skew diagnostic over events.user_id
+    (pipelines/relational.key_skew_report): group-size distribution —
+    n_rows, n_keys, max group size, exact disc p50/p90/p99 of group
+    sizes, hottest key's ppm share (integer arithmetic). The measurement
+    behind the engine's hot-key salting contracts."""
+    from t_digest_ray.pipelines.relational import key_skew_report
+
+    ds = _read(sf_dir, "events", ["user_id"])
+    return key_skew_report(ds, "user_id")
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
     return pages_flagship("/root/testdata/sf0.001")
@@ -3482,6 +3494,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_quantiles_by_flag": weighted_quantiles_by_flag,
         "zscore_outlier_docs": zscore_outlier_docs,
         "decile_bucket_counts": decile_bucket_counts,
+        "user_key_skew_report": user_key_skew_report,
         # --- (b) cheap representatives of each operator family ---
         "tdigest_quantiles_by_lang": tdigest_quantiles_by_lang,
         "tdigest_events_value": tdigest_events_value,
@@ -3773,6 +3786,20 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS n_above
             FROM events e JOIN c USING (event_type)
             GROUP BY e.event_type
+        """,
+        "user_key_skew_report": """
+            WITH c AS (SELECT user_id, COUNT(*) AS cnt
+                       FROM events GROUP BY user_id)
+            SELECT CAST(SUM(cnt) AS BIGINT) AS n_rows,
+                   COUNT(*) AS n_keys,
+                   CAST(MAX(cnt) AS BIGINT) AS max_count,
+                   CAST(quantile_disc(cnt, 0.5) AS BIGINT) AS p50_count,
+                   CAST(quantile_disc(cnt, 0.9) AS BIGINT) AS p90_count,
+                   CAST(quantile_disc(cnt, 0.99) AS BIGINT)
+                       AS p99_count,
+                   CAST(MAX(cnt) * 1000000 // SUM(cnt) AS BIGINT)
+                       AS top_share_ppm
+            FROM c
         """,
         "zscore_outlier_docs": """
             WITH s AS (SELECT lang, COUNT(*) AS n, SUM(n_chars) AS sx,

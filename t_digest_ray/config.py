@@ -38,7 +38,8 @@ PIPELINES = ("quantiles", "kll", "req", "distinct", "heavy", "heavy_mg",
              "scrub", "trimmed_mean", "bigram_topk", "rollup",
              "repetition", "iqr_outliers", "export_text", "linear_fit",
              "cluster_hist", "decontaminate", "interarrival",
-             "threshold_exceed", "zscore_outliers", "quantile_buckets")
+             "threshold_exceed", "zscore_outliers", "quantile_buckets",
+             "key_skew")
 
 
 @dataclass
@@ -364,6 +365,9 @@ def run_job(cfg: JobConfig):
     elif cfg.pipeline == "quantile_buckets":
         from .pipelines.stats import quantile_bucket_counts
         out = quantile_bucket_counts(ds, cfg.key, cfg.value_col, **p)
+    elif cfg.pipeline == "key_skew":
+        from .pipelines.relational import key_skew_report
+        out = key_skew_report(ds, cfg.key, **p)
     elif cfg.pipeline == "export_text":
         import glob
         import os

@@ -137,6 +137,48 @@ def cluster_size_histogram(ds, content_col: str,
     return out.map_batches(fin, batch_format="pandas")
 
 
+def key_skew_report(ds, key: str, n_rows: int | None = None):
+    """Shuffle-planning skew diagnostic: the distribution of group sizes
+    for a prospective partition key — row count, distinct keys, max
+    group size, exact disc p50/p90/p99 of group sizes, and the hottest
+    key's share in ppm (integer arithmetic, order-independent). This is
+    the measurement behind the engine's hot-key salting contracts
+    (SURVEY §2.4: "skew-aware salting for hot languages/hosts").
+
+    Topology: per-key counts via the hash-bucketed vectorized combine
+    (cost ∝ rows); the quantile pass runs over one row PER DISTINCT KEY
+    — a diagnostic-scale table (the same contract as the exact-oracle
+    quantile path).
+    """
+    from ..stages.aggregate import hash_bucketed_group_agg
+
+    if n_rows is None:
+        from ..stages.partitioning import cheap_row_count
+        n_rows = cheap_row_count(ds)
+
+    counts = hash_bucketed_group_agg(
+        ds.select_columns([key]), [key], {"cnt": (key, "count")},
+        n_rows=n_rows)
+
+    def summarize(df: pd.DataFrame) -> pd.DataFrame:
+        c = np.sort(df["cnt"].to_numpy(dtype=np.int64))
+        n_keys = len(c)
+        total = int(c.sum())
+        row = {"n_rows": [np.int64(total)],
+               "n_keys": [np.int64(n_keys)],
+               "max_count": [np.int64(c[-1])]}
+        for q in (0.5, 0.9, 0.99):
+            row[f"p{int(q * 100)}_count"] = [np.int64(
+                c[max(int(math.ceil(q * n_keys)) - 1, 0)])]
+        row["top_share_ppm"] = [np.int64(c[-1] * 1_000_000 // total)]
+        return pd.DataFrame(row)
+
+    # the counts table is one row per distinct key; fold it in one task
+    return counts.repartition(1).map_batches(
+        summarize, batch_format="pandas",
+        batch_size=None)
+
+
 def top_k_by_count(ds, key: str, k: int, count_name: str = "cnt"):
     """Top-k keys by row count with a deterministic (count desc, key asc)
     tie-break. Pre-aggregated per batch before the shuffle."""

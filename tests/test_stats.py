@@ -256,3 +256,28 @@ def test_config_routes_zscore_buckets(ray_session):
                             columns=["lang", "n_chars"],
                             key="lang", value_col="n_chars")).to_pandas()
     assert int(out["n_rows"].sum()) == 500
+
+
+def test_key_skew_report(ray_session):
+    import ray.data as rd
+
+    from t_digest_ray.pipelines.relational import key_skew_report
+
+    df = pd.DataFrame({"k": ["hot"] * 90 + list("abcdefghij")})
+    out = (key_skew_report(rd.from_pandas(df).repartition(4), "k")
+           .to_pandas())
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert r["n_rows"] == 100 and r["n_keys"] == 11
+    assert r["max_count"] == 90 and r["p50_count"] == 1
+    assert r["top_share_ppm"] == 900_000
+
+
+def test_config_route_key_skew(ray_session):
+    from t_digest_ray.config import JobConfig, run_job
+
+    out = run_job(JobConfig(pipeline="key_skew",
+                            input="/root/testdata/sf0.001/events.parquet",
+                            columns=["user_id"],
+                            key="user_id")).to_pandas()
+    assert len(out) == 1 and out.iloc[0]["n_rows"] == 1000
