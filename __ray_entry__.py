@@ -3416,6 +3416,77 @@ def user_key_skew_report(sf_dir: str):
     return key_skew_report(ds, "user_id")
 
 
+def curation_pipeline_v2_docs(sf_dir: str):
+    """END-TO-END curation v2 — curation_pipeline_docs with the n-gram
+    DECONTAMINATION REWRITE wired in as stage 0 (textstats.
+    ngram_decontaminate_filter: drop docs sharing any word 5-gram with
+    the doc_id<25 benchmark, broadcast gram-hash set) before
+    normalization-exact dedup -> quality filter -> stratified sample ->
+    token-budget packing. One composed value-hash oracle covers the full
+    five-stage chain; only narrow columns ride any shuffle after the
+    feature pass."""
+    import ray
+
+    import duckdb
+    from t_digest_ray.functions.hashing import hash64
+    from t_digest_ray.functions.text import quality_features
+    from t_digest_ray.pipelines.curation import (normalize_expr,
+                                                 prefix_sum_shards,
+                                                 stratified_sample)
+    from t_digest_ray.pipelines.textstats import (
+        benchmark_gram_set, ngram_decontaminate_filter)
+    from t_digest_ray.stages.partitioning import (cheap_row_count,
+                                                  coarse_bucket_count)
+
+    bench = duckdb.connect().execute(
+        f"SELECT text FROM '{sf_dir}/documents.parquet' "
+        f"WHERE doc_id < {_DECON_BENCH_MAX_ID}").fetchdf()["text"]
+    ref = ray.put(benchmark_gram_set(bench, _DECON_N))
+
+    raw = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
+    n_docs = cheap_row_count(raw)
+    coarse = coarse_bucket_count(n_rows=n_docs,
+                                 what="curation_pipeline_v2 dedup")
+    clean = ngram_decontaminate_filter(
+        raw.filter(expr=f"doc_id >= {_DECON_BENCH_MAX_ID}"), ref,
+        _DECON_N)
+
+    def feats(df: pd.DataFrame) -> pd.DataFrame:
+        q = quality_features(df["text"])
+        norm = normalize_expr(pa.array(df["text"].fillna("")))
+        h = hash64(norm.to_numpy(zero_copy_only=False))
+        with np.errstate(over="ignore"):
+            return pd.DataFrame({
+                "doc_id": df["doc_id"].to_numpy(),
+                "lang": df["lang"].to_numpy(),
+                "norm_h": h.astype(np.uint64),
+                "n_tokens": q["n_tokens"].to_numpy(),
+                "q_e6": np.floor(q["quality_score"].to_numpy() * 1e6
+                                 + 0.5).astype(np.int64),
+                "_b": (h % np.uint64(coarse)).astype(np.int32),
+            })
+
+    def dedup_and_filter(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id", kind="stable") \
+            .drop_duplicates("norm_h")
+        g = g[g["q_e6"] >= 850_000]
+        return g[["doc_id", "lang", "n_tokens"]]
+
+    survivors = (clean.map_batches(feats, batch_format="pandas")
+                 .groupby("_b")
+                 .map_groups(dedup_and_filter, batch_format="pandas"))
+    sample = stratified_sample(survivors, "lang", "doc_id", k=10,
+                               carry_cols=("n_tokens",))
+    packed = prefix_sum_shards(sample, "doc_id", "n_tokens", budget=2048,
+                               carry_cols=("lang",), n_buckets=coarse)
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        return df.rename(columns={"offset": "tok_offset"})[
+            ["doc_id", "lang", "n_tokens", "tok_offset", "shard_id"]]
+
+    return packed.map_batches(fin, batch_format="pandas")
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
     return pages_flagship("/root/testdata/sf0.001")
@@ -3495,6 +3566,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zscore_outlier_docs": zscore_outlier_docs,
         "decile_bucket_counts": decile_bucket_counts,
         "user_key_skew_report": user_key_skew_report,
+        "curation_pipeline_v2_docs": curation_pipeline_v2_docs,
         # --- (b) cheap representatives of each operator family ---
         "tdigest_quantiles_by_lang": tdigest_quantiles_by_lang,
         "tdigest_events_value": tdigest_events_value,
@@ -3786,6 +3858,89 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS n_above
             FROM events e JOIN c USING (event_type)
             GROUP BY e.event_type
+        """,
+        "curation_pipeline_v2_docs": f"""
+            WITH toks0 AS (
+              SELECT doc_id, list_filter(string_split(text, ' '),
+                                         t -> t <> '') AS ts
+              FROM documents
+            ), grams0 AS (
+              SELECT doc_id,
+                     array_to_string(ts[i:i+{_DECON_N - 1}], ' ') AS g
+              FROM toks0, LATERAL (SELECT UNNEST(generate_series(
+                  1, len(ts) - {_DECON_N - 1})) AS i) s
+            ), bench0 AS (
+              SELECT DISTINCT g FROM grams0
+              WHERE doc_id < {_DECON_BENCH_MAX_ID}
+            ), clean AS (
+              SELECT d.doc_id, d.lang, d.text FROM documents d
+              WHERE d.doc_id >= {_DECON_BENCH_MAX_ID}
+                AND NOT EXISTS (SELECT 1 FROM grams0 gr
+                                JOIN bench0 b ON gr.g = b.g
+                                WHERE gr.doc_id = d.doc_id)
+            ), f AS (
+              SELECT doc_id, lang,
+                     TRIM(REGEXP_REPLACE(LOWER(text), '\\s+', ' ', 'g'))
+                         AS norm,
+                     CAST(LENGTH(COALESCE(text,'')) AS DOUBLE) AS n_chars,
+                     CAST(LEN(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(
+                          COALESCE(text,''), '\\s+'), x -> x <> ''))
+                          AS DOUBLE) AS n_tok,
+                     CAST(LENGTH(COALESCE(text,''))
+                          - LENGTH(REGEXP_REPLACE(COALESCE(text,''),
+                                   '[0-9]', '', 'g')) AS DOUBLE) AS n_digit,
+                     CAST(LENGTH(COALESCE(text,''))
+                          - LENGTH(REGEXP_REPLACE(COALESCE(text,''),
+                                   '[A-Za-z]', '', 'g')) AS DOUBLE) AS n_alpha
+              FROM clean
+            ), s AS (
+              SELECT doc_id, lang, norm, n_tok,
+                     n_chars / GREATEST(n_tok, 1.0) AS mwl,
+                     n_digit / GREATEST(n_chars, 1.0) AS digit_ratio,
+                     n_alpha / GREATEST(n_chars, 1.0) AS alpha_ratio,
+                     LEAST(GREATEST(LN(1.0 + n_chars) / LN(2000.0), 0), 1)
+                         AS len_ok
+              FROM f
+            ), sc AS (
+              SELECT doc_id, lang, norm, n_tok,
+                     CAST(FLOOR(LEAST(GREATEST(
+                         0.35 * len_ok + 0.3 * alpha_ratio
+                         + 0.25 * EXP(-0.5 * ((mwl - 5.0) / 3.0)
+                                           * ((mwl - 5.0) / 3.0))
+                         + 0.1 * (1.0 - LEAST(digit_ratio * 5.0, 1.0)),
+                         0), 1) * 1e6 + 0.5) AS BIGINT) AS q_e6
+              FROM s
+            ), surv AS (
+              SELECT doc_id, lang, n_tok FROM (
+                SELECT doc_id, lang, n_tok, q_e6,
+                       MIN(doc_id) OVER (PARTITION BY norm) AS keeper
+                FROM sc)
+              WHERE doc_id = keeper AND q_e6 >= 850000
+            ), m0 AS (
+              SELECT *, (CAST(doc_id AS UHUGEINT)
+                         + CAST(11400714819323198485 AS UHUGEINT))
+                         % {_M64} AS z FROM surv
+            ), m1 AS (SELECT *, (xor(z, z >> 30)
+                          * CAST(13787848793156543929 AS UHUGEINT))
+                          % {_M64} AS z1 FROM m0),
+            m2 AS (SELECT *, (xor(z1, z1 >> 27)
+                          * CAST(10723151780598845931 AS UHUGEINT))
+                          % {_M64} AS z2 FROM m1),
+            mh AS (SELECT doc_id, lang, n_tok,
+                          xor(z2, z2 >> 31) AS h FROM m2),
+            samp AS (
+              SELECT doc_id, lang, n_tok FROM (
+                SELECT doc_id, lang, n_tok,
+                       ROW_NUMBER() OVER (PARTITION BY lang
+                                          ORDER BY h) AS rn FROM mh)
+              WHERE rn <= 10)
+            SELECT doc_id, lang, CAST(n_tok AS BIGINT) AS n_tokens,
+                   CAST(SUM(n_tok) OVER w - n_tok AS BIGINT)
+                       AS tok_offset,
+                   CAST(CAST(SUM(n_tok) OVER w - n_tok AS BIGINT)
+                        // 2048 AS BIGINT) AS shard_id
+            FROM samp
+            WINDOW w AS (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
         """,
         "user_key_skew_report": """
             WITH c AS (SELECT user_id, COUNT(*) AS cnt

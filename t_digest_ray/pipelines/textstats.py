@@ -384,3 +384,23 @@ def ngram_contamination_counts(ds, bench_hashes_ref, n: int, key: str,
         return df
 
     return out.map_batches(fin, batch_format="pandas")
+
+
+def ngram_decontaminate_filter(ds, bench_hashes_ref, n: int,
+                               text_col: str = "text"):
+    """The decontamination REWRITE: drop every row sharing any word
+    n-gram with the broadcast benchmark set, keep all columns — the
+    stage a real curation pipeline wires before dedup/quality/packing
+    (counts-only audit: ngram_contamination_counts)."""
+    import ray
+
+    def keep_clean(b: pa.Table) -> pa.Table:
+        bench = ray.get(bench_hashes_ref)
+        gh, doc_of = _word_gram_hashes(b[text_col], n)
+        contaminated = np.zeros(b.num_rows, dtype=bool)
+        if len(gh):
+            hit = np.isin(gh, bench)
+            contaminated[np.unique(doc_of[hit])] = True
+        return b.filter(pa.array(~contaminated))
+
+    return ds.map_batches(keep_clean, batch_format="pyarrow")

@@ -281,3 +281,22 @@ def test_config_route_key_skew(ray_session):
                             columns=["user_id"],
                             key="user_id")).to_pandas()
     assert len(out) == 1 and out.iloc[0]["n_rows"] == 1000
+
+
+def test_ngram_decontaminate_filter_drops_rows(ray_session):
+    import ray
+    import ray.data as rd
+
+    from t_digest_ray.pipelines.textstats import (
+        benchmark_gram_set, ngram_decontaminate_filter)
+
+    bench = ["one two three four five"]
+    docs = pd.DataFrame({
+        "doc_id": np.int64([1, 2]),
+        "text": ["zero one two three four five six",   # contaminated
+                 "totally different words in this document"]})
+    ref = ray.put(benchmark_gram_set(bench, 5))
+    out = ngram_decontaminate_filter(
+        rd.from_pandas(docs).repartition(2), ref, 5).to_pandas()
+    assert out["doc_id"].tolist() == [2]
+    assert set(out.columns) == {"doc_id", "text"}
