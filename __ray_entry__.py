@@ -3487,6 +3487,48 @@ def curation_pipeline_v2_docs(sf_dir: str):
     return packed.map_batches(fin, batch_format="pandas")
 
 
+def turnstile_quantiles_events(sf_dir: str):
+    """KLL± TURNSTILE quantiles (insert+delete stream; paired-sketch
+    construction of the VLDB'21 KLL± paper, state/kllpm.py): every event
+    value is inserted and values of user_id%7==0 rows are then DELETED;
+    the net-distribution estimate is gated against exact disc quantiles
+    of the surviving multiset (validation.turnstile_quantile_bound_check
+    — net-count equality uses exact integer counters, rank bound scales
+    by n_abs/n_net per the paper's regime). The ±1 op column rides the
+    standard sketch_by_key weight plumbing — deletions are just rows."""
+    import pyarrow.compute as pc
+    from t_digest_ray.pipelines.validation import (
+        turnstile_quantile_bound_check)
+
+    ev = _read(sf_dir, "events", ["event_type", "value", "user_id"])
+
+    def expand(b: pa.Table) -> pa.Table:
+        u = b["user_id"].to_numpy(zero_copy_only=False)
+        mask = pa.array((u % 7) == 0)
+        ins = pa.table({"event_type": b["event_type"],
+                        "value": b["value"],
+                        "op": pa.array(np.ones(b.num_rows,
+                                               dtype=np.int64))})
+        dels = pa.table({
+            "event_type": b["event_type"].filter(mask),
+            "value": b["value"].filter(mask),
+            "op": pa.array(np.full(int(np.sum((u % 7) == 0)), -1,
+                                   dtype=np.int64))})
+        return pa.concat_tables([ins, dels])
+
+    def survivors(b: pa.Table) -> pa.Table:
+        u = b["user_id"].to_numpy(zero_copy_only=False)
+        keep = pa.array((u % 7) != 0)
+        return pa.table({"event_type": b["event_type"].filter(keep),
+                         "value": b["value"].filter(keep)})
+
+    stream = ev.map_batches(expand, batch_format="pyarrow")
+    net = ev.map_batches(survivors, batch_format="pyarrow")
+    return turnstile_quantile_bound_check(
+        stream, net, "value", "op", "event_type", k=200,
+        qs=(0.25, 0.5, 0.75), num_salts=2, batch_size=8192)
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
     return pages_flagship("/root/testdata/sf0.001")
@@ -3567,6 +3609,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decile_bucket_counts": decile_bucket_counts,
         "user_key_skew_report": user_key_skew_report,
         "curation_pipeline_v2_docs": curation_pipeline_v2_docs,
+        "turnstile_quantiles_events": turnstile_quantiles_events,
         # --- (b) cheap representatives of each operator family ---
         "tdigest_quantiles_by_lang": tdigest_quantiles_by_lang,
         "tdigest_events_value": tdigest_events_value,
@@ -3858,6 +3901,15 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS n_above
             FROM events e JOIN c USING (event_type)
             GROUP BY e.event_type
+        """,
+        "turnstile_quantiles_events": """
+            SELECT event_type, COUNT(*) AS n,
+                   CAST(quantile_disc(value, 0.25) AS DOUBLE) AS p25,
+                   CAST(quantile_disc(value, 0.5) AS DOUBLE) AS p50,
+                   CAST(quantile_disc(value, 0.75) AS DOUBLE) AS p75,
+                   TRUE AS within_bound
+            FROM events WHERE user_id % 7 <> 0
+            GROUP BY event_type
         """,
         "curation_pipeline_v2_docs": f"""
             WITH toks0 AS (

@@ -39,7 +39,7 @@ PIPELINES = ("quantiles", "kll", "req", "distinct", "heavy", "heavy_mg",
              "repetition", "iqr_outliers", "export_text", "linear_fit",
              "cluster_hist", "decontaminate", "interarrival",
              "threshold_exceed", "zscore_outliers", "quantile_buckets",
-             "key_skew")
+             "key_skew", "turnstile")
 
 
 @dataclass
@@ -368,6 +368,23 @@ def run_job(cfg: JobConfig):
     elif cfg.pipeline == "key_skew":
         from .pipelines.relational import key_skew_report
         out = key_skew_report(ds, cfg.key, **p)
+    elif cfg.pipeline == "turnstile":
+        from .pipelines.quantiles import q_col
+        from .stages.aggregate import sketch_by_key, summarize
+        from .state.kllpm import KllPM
+        from .state.protocol import SketchSpec
+        # params: k, qs, op_col (the ±1 insert/delete sign column)
+        k = int(p.pop("k", 200))
+        qs = tuple(p.pop("qs", (0.25, 0.5, 0.75)))
+        spec = SketchSpec(
+            name="kllpm", factory=lambda: KllPM(k),
+            from_bytes=lambda b: KllPM.from_bytes(b),
+            summarize=lambda sk: {
+                "n_net": sk.size,
+                **{q_col(q): sk.quantile(q) for q in qs}})
+        merged = sketch_by_key(ds, spec, cfg.value_col, cfg.key,
+                               weight_col=p.pop("op_col", "op"), **p)
+        out = summarize(merged, spec, key_name=cfg.key or "key")
     elif cfg.pipeline == "export_text":
         import glob
         import os

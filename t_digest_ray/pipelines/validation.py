@@ -363,3 +363,58 @@ def weighted_quantile_bound_check(ds, value_col: str, weight_col: str,
         return pd.DataFrame(row)
 
     return ds.groupby(key).map_groups(per_group, batch_format="pandas")
+
+
+def turnstile_quantile_bound_check(stream_ds, net_ds, value_col: str,
+                                   op_col: str, key: str, k: int = 200,
+                                   qs=(0.25, 0.5, 0.75),
+                                   bound_mult: float = 3.0,
+                                   num_salts: int = 2,
+                                   batch_size: int | None = None):
+    """TURNSTILE (insert+delete) quantiles, value-checked: the KLL±
+    paired sketch (state/kllpm.py, VLDB 2021 construction) is built
+    distributedly from the ±1-op stream through the standard
+    sketch_by_key plumbing (op column rides weight_col), then gated
+    against exact disc quantiles of the NET multiset: within_bound
+    asserts the estimate's empirical net-rank interval overlaps
+    ``[q - b, q + b]`` with ``b = bound_mult * net_rank_bound`` (the
+    published KLL rank error scaled by n_abs/n_net, the KLL± regime)
+    AND the sketch's net count equals the exact net row count (exact
+    integer counters).
+    """
+    from ..state.kllpm import KllPM
+    from ..state.protocol import SketchSpec
+
+    spec = SketchSpec(
+        name="kllpm",
+        factory=lambda: KllPM(k),
+        from_bytes=lambda b: KllPM.from_bytes(b),
+        summarize=lambda sk: {"n_net": sk.size},
+    )
+    merged = sketch_by_key(stream_ds, spec, value_col, key,
+                           weight_col=op_col, num_salts=num_salts,
+                           batch_size=batch_size).to_pandas()
+    sk_bytes = {r["key"]: r["sketch"] for _, r in merged.iterrows()}
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(g[value_col].to_numpy())
+        n = len(v)
+        kval = g[key].iloc[0]
+        row: dict = {key: [kval], "n": [np.int64(n)]}
+        ok = kval in sk_bytes
+        sk = KllPM.from_bytes(sk_bytes[kval]) if ok else None
+        if ok:
+            ok = float(sk.size) == float(n)
+        for q in qs:
+            row[f"p{int(q * 100)}"] = [float(v[_disc_index(q, n)])]
+            if ok:
+                b = max(bound_mult * sk.net_rank_bound(), 2.5 / n)
+                est = float(sk.quantile(q))
+                r_lo = np.searchsorted(v, est, side="left") / n
+                r_hi = np.searchsorted(v, est, side="right") / n
+                ok = (r_lo <= q + b) and (r_hi >= q - b)
+        row["within_bound"] = [bool(ok)]
+        return pd.DataFrame(row)
+
+    return net_ds.groupby(key).map_groups(per_group,
+                                          batch_format="pandas")
