@@ -212,3 +212,45 @@ def test_fresh_pack_summary_matches_sequential(w, budget):
         for i in range(m):
             if e[i] > i + 1:
                 assert P[e[i]] - P[i] <= budget
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.lists(st.sampled_from(["aa", "b", "ccc", "dd", ""]),
+                         min_size=0, max_size=12),
+                min_size=1, max_size=8),
+       st.integers(2, 4))
+def test_word_gram_hashes_match_python_reference(docs_tokens, n):
+    """Gram extraction must equal the obvious per-doc Python loop for
+    ANY token layout (empties dropped, boundaries never straddled)."""
+    import pyarrow as pa
+
+    from t_digest_ray.functions.hashing import hash64
+    from t_digest_ray.pipelines.textstats import _word_gram_hashes
+
+    texts = [" ".join(toks) for toks in docs_tokens]
+    h, doc_of = _word_gram_hashes(pa.array(texts, type=pa.string()), n)
+
+    want_pairs = []
+    for i, toks in enumerate(docs_tokens):
+        toks = [t for t in toks if t]
+        for j in range(len(toks) - n + 1):
+            want_pairs.append((i, " ".join(toks[j:j + n])))
+    got = sorted(zip(doc_of.tolist(), h.tolist()))
+    want = sorted((i, int(hash64(np.array([g], dtype=object))[0]))
+                  for i, g in want_pairs)
+    assert got == want
+
+
+@settings(max_examples=30, deadline=None)
+@given(values, st.floats(min_value=0.05, max_value=0.95))
+def test_kllpm_pure_inserts_equals_plain_kll(v, q):
+    """With no deletions KLL± must degenerate to the base KLL exactly
+    (same seed, same stream -> same retained items -> same answer)."""
+    from t_digest_ray.state.kllpm import KllPM
+
+    base = KllSketch(200)
+    base.update_batch(v)
+    pm = KllPM(200)
+    pm.update_batch(v)
+    assert pm.size == base.n
+    assert pm.quantile(q) == base.quantile(q)
