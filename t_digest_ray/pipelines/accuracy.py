@@ -68,12 +68,32 @@ def _make_sketches(compression: float, kll_k: int, req_k: int) -> dict:
 def _trial_errors(dist: str, n: int, trial: int, n_ranks: int,
                   compression: float, kll_k: int, req_k: int,
                   chunks: int, base_seed: int,
-                  max_exp: float = 6.0) -> pd.DataFrame:
+                  max_exp: float = 6.0,
+                  turnstile_frac: float = 0.0) -> pd.DataFrame:
     data = generate(dist, n, base_seed + trial, max_exp)
     sketches = _make_sketches(compression, kll_k, req_k)
     for chunk in np.array_split(data, chunks):
         for sk in sketches.values():
             sk.update_batch(chunk)
+    pm = del_mask = None
+    if turnstile_frac > 0.0:
+        # KLL± leg: delete a deterministic fraction of the inserted
+        # stream (splitmix-derived mask, trial-seeded) and measure the
+        # net-distribution rank error like the other sketches
+        from ..functions.hashing import splitmix64
+        from ..state.kllpm import KllPM
+
+        pm = KllPM(kll_k)
+        idx = np.arange(n, dtype=np.uint64) \
+            + np.uint64((base_seed + trial) & 0xFFFFFFFF)
+        del_mask = (splitmix64(idx).astype(np.float64)
+                    < turnstile_frac * 2.0 ** 64)
+        for chunk, mchunk in zip(np.array_split(data, chunks),
+                                 np.array_split(del_mask, chunks)):
+            pm.update_batch(chunk)
+            if mchunk.any():
+                pm.update_batch(chunk[mchunk],
+                                -np.ones(int(mchunk.sum())))
     s = np.sort(data)
     qs = np.linspace(0.0, 1.0, n_ranks)
     items = s[np.minimum((qs * (n - 1)).astype(np.int64), n - 1)]
@@ -96,6 +116,21 @@ def _trial_errors(dist: str, n: int, trial: int, n_ranks: int,
             "rank": np.round(qs, 6),
             "err": err,
         }))
+    if pm is not None:
+        s_net = np.sort(data[~del_mask])
+        n_net = len(s_net)
+        items_n = s_net[np.minimum((qs * (n_net - 1)).astype(np.int64),
+                                   n_net - 1)]
+        lo_n = np.searchsorted(s_net, items_n, side="left") / n_net
+        hi_n = np.searchsorted(s_net, items_n, side="right") / n_net
+        est = np.array([pm.rank(x) for x in items_n])
+        err = np.where(est < lo_n, est - lo_n,
+                       np.where(est > hi_n, est - hi_n, 0.0))
+        rows.append(pd.DataFrame({
+            "sketch": "kllpm",
+            "rank": np.round(qs, 6),
+            "err": err,
+        }))
     return pd.concat(rows, ignore_index=True)
 
 
@@ -104,7 +139,8 @@ def accuracy_experiment(dist: str = "uniform", n: int = 1 << 16,
                         compression: float = 100.0, kll_k: int = 200,
                         req_k: int = 12, chunks: int = 16,
                         base_seed: int = 20_240_101, err_kll_k: int = 200,
-                        max_exp: float = 6.0):
+                        max_exp: float = 6.0,
+                        turnstile_frac: float = 0.0):
     """Run the experiment; returns a Ray Dataset with one row per
     (sketch, rank): err_median / err_lo / err_hi / err_max columns."""
     import ray.data as rd
@@ -116,7 +152,8 @@ def accuracy_experiment(dist: str = "uniform", n: int = 1 << 16,
     def run(batch: pa.Table) -> pa.Table:
         frames = [
             _trial_errors(dist, n, int(t), n_ranks, compression, kll_k,
-                          req_k, chunks, base_seed, max_exp)
+                          req_k, chunks, base_seed, max_exp,
+                          turnstile_frac)
             for t in batch["id"].to_pylist()]
         out = pd.concat(frames, ignore_index=True)
         out["probe"] = out["sketch"] + "@" + out["rank"].map("{:.6f}".format)

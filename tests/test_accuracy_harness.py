@@ -92,3 +92,21 @@ def test_heavy_tail_distribution(ray_session):
         compression=100).to_pandas()
     td = out[out["sketch"] == "tdigest"]
     assert td["err_max"].abs().max() <= 0.08
+
+
+def test_kllpm_turnstile_envelope(ray_session):
+    """KLL± error envelope over the NET distribution with 25% deletions:
+    bounded by the paper's n_abs/n_net-scaled KLL rank error."""
+    from t_digest_ray.state.kll import KllSketch
+
+    out = accuracy_experiment(
+        dist="uniform", n=1 << 15, trials=6, n_ranks=21,
+        compression=100, kll_k=200, req_k=12,
+        turnstile_frac=0.25).to_pandas()
+    pm = out[out["sketch"] == "kllpm"]
+    assert len(pm) == 21
+    # n_abs/n_net = 1.25/0.75 ~ 1.67; published kll nre ~ 1.3% at k=200
+    bound = KllSketch.normalized_rank_error(200) * (1.25 / 0.75)
+    assert pm["err_max"].abs().max() <= 2.0 * bound
+    assert pm["err_hi"].abs().max() <= bound
+    assert pm["err_lo"].abs().max() <= bound
