@@ -3529,6 +3529,59 @@ def turnstile_quantiles_events(sf_dir: str):
         qs=(0.25, 0.5, 0.75), num_salts=2, batch_size=8192)
 
 
+def bloom_incremental_dedup(sf_dir: str):
+    """CROSS-RUN incremental dedup via a PERSISTED Bloom index
+    (pipelines/distinct.save_bloom_index / incremental_dedup_counts):
+    the 'historical crawl' (doc_id%3==0) builds a Bloom filter which is
+    written to disk, reloaded, and broadcast to audit the 'new crawl'
+    (the rest) — per-lang exact already-seen counts (hash-matched in
+    SQL) with within_bound asserting zero Bloom false negatives and
+    false positives inside the fill-derived sigma envelope."""
+    import os
+    import tempfile
+
+    import pyarrow.compute as pc
+    import ray
+    from t_digest_ray.functions.hashing import hash64
+    from t_digest_ray.pipelines.distinct import (build_bloom,
+                                                 incremental_dedup_counts,
+                                                 load_bloom_index,
+                                                 save_bloom_index)
+    from t_digest_ray.state.bloom import BloomFilter
+
+    docs = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
+
+    def hist(b: pa.Table) -> pa.Table:
+        u = b["doc_id"].to_numpy(zero_copy_only=False)
+        keep = pa.array((u % 3) == 0)
+        return pa.table({"text": b["text"].filter(keep)})
+
+    def new_crawl(b: pa.Table) -> pa.Table:
+        u = b["doc_id"].to_numpy(zero_copy_only=False)
+        keep = pa.array((u % 3) != 0)
+        return pa.table({"lang": b["lang"].filter(keep),
+                         "text": b["text"].filter(keep)})
+
+    hist_ds = docs.map_batches(hist, batch_format="pyarrow")
+    n_hist = hist_ds.count()
+    sized = BloomFilter.from_capacity(max(n_hist, 1), 0.01)
+    bloom = build_bloom(hist_ds, "text", n_bits=sized.m, k=sized.k)
+    # persist + reload: the cross-run contract under test
+    path = os.path.join(tempfile.gettempdir(),
+                        f"bloom_idx_{os.getpid()}.bin")
+    save_bloom_index(bloom, path)
+    bloom = load_bloom_index(path)
+    # exact member hashes (the small historical side, KB at test scale;
+    # the 100-TB path keeps only the bitset — documented in the op)
+    member_hashes = hash64(np.concatenate(
+        [b["text"].to_numpy(zero_copy_only=False)
+         for b in hist_ds.iter_batches(batch_format="pyarrow")]
+        or [np.empty(0, dtype=object)]))
+    return incremental_dedup_counts(
+        docs.map_batches(new_crawl, batch_format="pyarrow"),
+        bloom, member_hashes, "text", "lang")
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
     return pages_flagship("/root/testdata/sf0.001")
@@ -3610,6 +3663,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_key_skew_report": user_key_skew_report,
         "curation_pipeline_v2_docs": curation_pipeline_v2_docs,
         "turnstile_quantiles_events": turnstile_quantiles_events,
+        "bloom_incremental_dedup": bloom_incremental_dedup,
         # --- (b) cheap representatives of each operator family ---
         "tdigest_quantiles_by_lang": tdigest_quantiles_by_lang,
         "tdigest_events_value": tdigest_events_value,
@@ -3901,6 +3955,17 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS n_above
             FROM events e JOIN c USING (event_type)
             GROUP BY e.event_type
+        """,
+        "bloom_incremental_dedup": """
+            WITH hist AS (SELECT DISTINCT text FROM documents
+                          WHERE doc_id % 3 = 0)
+            SELECT d.lang, COUNT(*) AS n_docs,
+                   CAST(SUM(CASE WHEN d.text IN (SELECT text FROM hist)
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_members,
+                   TRUE AS within_bound
+            FROM documents d WHERE d.doc_id % 3 <> 0
+            GROUP BY d.lang
         """,
         "turnstile_quantiles_events": """
             SELECT event_type, COUNT(*) AS n,

@@ -174,3 +174,100 @@ def hll_set_algebra_gate(ds_a, ds_b, value_col: str, p: int = 14,
         "union_within": pa.array([bool(union_ok)]),
         "intersect_within": pa.array([bool(inter_ok)]),
     })
+
+
+_BLOOM_INDEX_MAGIC = b"TDRBLOOM1\n"
+
+
+def save_bloom_index(bloom: BloomFilter, path: str) -> None:
+    """Persist a Bloom filter for CROSS-RUN incremental dedup (filter a
+    new crawl against a historical corpus without a join). Atomic
+    tmp+rename with a format magic, same durability contract as the
+    checkpoint sinks (pipelines/checkpoint.py)."""
+    import os
+
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "wb") as f:
+        f.write(_BLOOM_INDEX_MAGIC)
+        f.write(bloom.to_bytes())
+    os.replace(tmp, path)
+
+
+def load_bloom_index(path: str) -> BloomFilter:
+    with open(path, "rb") as f:
+        buf = f.read()
+    if not buf.startswith(_BLOOM_INDEX_MAGIC):
+        raise ValueError(f"{path} is not a bloom index (bad magic)")
+    return BloomFilter.from_bytes(buf[len(_BLOOM_INDEX_MAGIC):])
+
+
+def incremental_dedup_counts(new_ds, bloom: BloomFilter,
+                             member_hashes: np.ndarray, value_col: str,
+                             key: str, sigma: float = 3.0):
+    """Incremental-crawl dedup audit, value-checked: per key, the new
+    corpus's row count and its EXACT already-seen count (8-byte-hash
+    membership against the historical corpus — SQL-reproducible), plus
+    ``within_bound`` asserting the PERSISTED Bloom index behaves: zero
+    false negatives (every exact member is a Bloom hit, a hard
+    guarantee) and false positives within a sigma envelope of the
+    filter's fill-derived rate.
+
+    Topology: the Bloom bitset and the sorted member-hash array are
+    broadcast once via ray.put; one vectorized pass emits O(keys) count
+    rows. The 100-TB path drops the exact array and keeps only the
+    KB–MB bitset — the envelope then comes from fpp alone.
+    """
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    from ..functions.hashing import hash64
+
+    bloom_ref = ray.put(bloom.to_bytes())
+    members_ref = ray.put(np.sort(np.asarray(member_hashes,
+                                             dtype=np.uint64)))
+
+    class Audit:
+        def __init__(self):
+            self.bloom = BloomFilter.from_bytes(ray.get(bloom_ref))
+            self.members = ray.get(members_ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            vals = b[value_col].to_numpy(zero_copy_only=False)
+            hits = self.bloom.contains(vals)
+            member = np.isin(hash64(vals), self.members)
+            return pa.table({
+                key: b[key],
+                "member": pa.array(member.astype(np.int64)),
+                "bloom_hit": pa.array(hits.astype(np.int64)),
+                # a member the Bloom filter missed = false negative,
+                # impossible for a correct filter
+                "false_neg": pa.array((member & ~hits).astype(np.int64)),
+            })
+
+    out = (new_ds.map_batches(Audit, batch_format="pyarrow",
+                              concurrency=(1, 8))
+           .groupby(key)
+           .aggregate(Count(alias_name="n_docs"),
+                      Sum("member", alias_name="n_members"),
+                      Sum("bloom_hit", alias_name="_hits"),
+                      Sum("false_neg", alias_name="_fn")))
+
+    fpp = bloom.fpp_estimate()
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["n_docs"].to_numpy(dtype=np.float64)
+        mem = df["n_members"].to_numpy(dtype=np.float64)
+        fp = df["_hits"].to_numpy(dtype=np.float64) - mem
+        n_nonmem = n - mem
+        envelope = (n_nonmem * fpp
+                    + sigma * np.sqrt(np.maximum(
+                        n_nonmem * fpp * (1 - fpp), 0.0)) + 3.0)
+        ok = (df["_fn"].to_numpy() == 0) & (fp >= 0) & (fp <= envelope)
+        return pd.DataFrame({
+            key: df[key],
+            "n_docs": df["n_docs"].astype(np.int64),
+            "n_members": df["n_members"].astype(np.int64),
+            "within_bound": ok,
+        })
+
+    return out.map_batches(fin, batch_format="pandas")
