@@ -3582,6 +3582,20 @@ def bloom_incremental_dedup(sf_dir: str):
         bloom, member_hashes, "text", "lang")
 
 
+def line_dedup_doc_stats(sf_dir: str):
+    """C4-style cross-document LINE dedup audit
+    (pipelines/curation.line_dedup_stats): docs explode into '. '-split
+    lines, each line's global occurrence count is computed inside its
+    hash bucket (one wide shuffle of (lang, 8-byte line hash, len) —
+    the duplicate set never materializes or broadcasts), and per lang we
+    report line instances, duplicated instances (count >= 2) and the
+    characters that survive dropping them."""
+    from t_digest_ray.pipelines.curation import line_dedup_stats
+
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+    return line_dedup_stats(ds, "text", "lang", sep=". ", min_dup=2)
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
     return pages_flagship("/root/testdata/sf0.001")
@@ -3664,6 +3678,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curation_pipeline_v2_docs": curation_pipeline_v2_docs,
         "turnstile_quantiles_events": turnstile_quantiles_events,
         "bloom_incremental_dedup": bloom_incremental_dedup,
+        "line_dedup_doc_stats": line_dedup_doc_stats,
         # --- (b) cheap representatives of each operator family ---
         "tdigest_quantiles_by_lang": tdigest_quantiles_by_lang,
         "tdigest_events_value": tdigest_events_value,
@@ -3955,6 +3970,21 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS n_above
             FROM events e JOIN c USING (event_type)
             GROUP BY e.event_type
+        """,
+        "line_dedup_doc_stats": """
+            WITH lines AS (SELECT lang,
+                                  UNNEST(string_split(text, '. '))
+                                      AS line
+                           FROM documents),
+            c AS (SELECT line, COUNT(*) AS cnt FROM lines
+                  GROUP BY line)
+            SELECT l.lang, COUNT(*) AS n_lines,
+                   CAST(SUM(CASE WHEN c.cnt >= 2 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_dup_lines,
+                   CAST(SUM(CASE WHEN c.cnt < 2 THEN LENGTH(l.line)
+                                 ELSE 0 END) AS BIGINT) AS chars_kept
+            FROM lines l JOIN c USING (line)
+            GROUP BY l.lang
         """,
         "bloom_incremental_dedup": """
             WITH hist AS (SELECT DISTINCT text FROM documents

@@ -666,3 +666,140 @@ def normalized_distinct_by_key(ds, text_col: str, key_col: str,
     return distinct_count_by_key(
         with_h.select_columns([key_col, "norm_h"]), key_col, "norm_h",
         out_name)
+
+
+def _explode_lines(b, text_col: str, carry_cols, sep: str):
+    """Vectorized doc→line explode: one row per line with carried doc
+    columns repeated; emits (carry..., line_h: uint64->int64, line_len,
+    line_idx). Line identity is the literal separator-split segment, so
+    SQL's string_split reproduces the exact same line set."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..functions.hashing import hash64
+
+    lists = pc.split_pattern(b[text_col].combine_chunks(), sep)
+    lines = pc.list_flatten(lists)
+    lens = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
+    rep = np.repeat(np.arange(len(lens)), lens)
+    cols = {c: b[c].take(pa.array(rep)) for c in carry_cols}
+    cols["line_h"] = pa.array(
+        hash64(lines.to_numpy(zero_copy_only=False)).astype(np.int64))
+    cols["line_len"] = pa.array(
+        pc.utf8_length(lines).to_numpy(zero_copy_only=False)
+        .astype(np.int64))
+    # within-doc position, for order-preserving rebuilds
+    starts = np.concatenate(([0], np.cumsum(lens)))[:-1]
+    cols["line_idx"] = pa.array(
+        (np.arange(len(rep)) - starts[rep]).astype(np.int64))
+    return pa.table(cols)
+
+
+def line_dedup_stats(ds, text_col: str, key_col: str, sep: str = ". ",
+                     min_dup: int = 2, n_rows: int | None = None):
+    """C4-style cross-document LINE dedup audit: explode docs into
+    separator-split lines, count each distinct line's global occurrences,
+    and report per key how many line instances are duplicated
+    (occurrence count >= min_dup) and how many characters survive if
+    duplicated lines are dropped.
+
+    ONE wide shuffle: exploded (key, line_h, line_len) rows co-partition
+    on the 8-byte line hash (hash-bucketed, cost ∝ line instances); the
+    count-and-mark happens inside each bucket, and only O(keys) partial
+    rows leave it. No broadcast of the duplicate set — it never
+    materializes anywhere.
+    """
+    import pyarrow as pa
+
+    from ..stages.partitioning import coarse_bucket_count
+
+    if n_rows is None:
+        from ..stages.partitioning import cheap_row_count
+        n_rows = cheap_row_count(ds)
+    # fanout: docs explode into ~tens of lines each before the shuffle
+    coarse = coarse_bucket_count(n_rows=n_rows,
+                                 rows_per_bucket=262144, fanout=64,
+                                 what="line_dedup_stats")
+
+    def explode(b: pa.Table) -> pa.Table:
+        t = _explode_lines(b, text_col, [key_col], sep)
+        h = t["line_h"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        return t.append_column(
+            "_b", pa.array((h % np.uint64(coarse)).astype(np.int32)))
+
+    def mark(g: pd.DataFrame) -> pd.DataFrame:
+        cnt = g.groupby("line_h")["line_h"].transform("size")
+        dup = (cnt >= min_dup).to_numpy()
+        keep_chars = np.where(dup, 0, g["line_len"].to_numpy())
+        out = pd.DataFrame({
+            key_col: g[key_col].to_numpy(),
+            "n_lines": np.int64(1),
+            "n_dup_lines": dup.astype(np.int64),
+            "chars_kept": keep_chars.astype(np.int64)})
+        return out.groupby(key_col, as_index=False, sort=False).sum()
+
+    from ray.data.aggregate import Sum
+
+    out = (ds.map_batches(explode, batch_format="pyarrow")
+           .groupby("_b").map_groups(mark, batch_format="pandas")
+           .groupby(key_col)
+           .aggregate(Sum("n_lines", alias_name="n_lines"),
+                      Sum("n_dup_lines", alias_name="n_dup_lines"),
+                      Sum("chars_kept", alias_name="chars_kept")))
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        for c in ("n_lines", "n_dup_lines", "chars_kept"):
+            df[c] = df[c].astype(np.int64)
+        return df
+
+    return out.map_batches(fin, batch_format="pandas")
+
+
+def drop_duplicate_lines(ds, text_col: str, id_col: str,
+                         sep: str = ". ", min_dup: int = 2,
+                         n_rows: int | None = None):
+    """The C4 line-dedup REWRITE: remove every line whose global
+    occurrence count reaches ``min_dup`` and rebuild each document in
+    original line order. Returns (id, text, n_dropped).
+
+    Two keyed exchanges, both ∝ line instances (inherent for a rewrite —
+    the lines ARE the output): co-partition on the line hash to mark
+    duplicates, then regroup by document to rebuild. The duplicate set
+    itself never materializes.
+    """
+    import pyarrow as pa
+
+    from ..stages.partitioning import coarse_bucket_count
+
+    if n_rows is None:
+        from ..stages.partitioning import cheap_row_count
+        n_rows = cheap_row_count(ds)
+    coarse = coarse_bucket_count(n_rows=n_rows,
+                                 rows_per_bucket=262144, fanout=64,
+                                 what="drop_duplicate_lines")
+
+    def explode(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        t = _explode_lines(b, text_col, [id_col], sep)
+        lists = pc.split_pattern(b[text_col].combine_chunks(), sep)
+        t = t.append_column("line", pc.list_flatten(lists))
+        h = t["line_h"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        return t.append_column(
+            "_b", pa.array((h % np.uint64(coarse)).astype(np.int32)))
+
+    def mark(g: pd.DataFrame) -> pd.DataFrame:
+        cnt = g.groupby("line_h")["line_h"].transform("size")
+        g = g.assign(_dup=(cnt >= min_dup).to_numpy())
+        return g[[id_col, "line_idx", "line", "_dup"]]
+
+    def rebuild(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("line_idx", kind="stable")
+        keep = ~g["_dup"].to_numpy()
+        return pd.DataFrame({
+            id_col: [g[id_col].iloc[0]],
+            text_col: [sep.join(g["line"].to_numpy()[keep])],
+            "n_dropped": [np.int64((~keep).sum())]})
+
+    return (ds.map_batches(explode, batch_format="pyarrow")
+            .groupby("_b").map_groups(mark, batch_format="pandas")
+            .groupby(id_col).map_groups(rebuild, batch_format="pandas"))

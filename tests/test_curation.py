@@ -359,3 +359,34 @@ def test_weighted_bernoulli_sample(ray_session):
     # rough proportionality: keep rate ~ E[min(1, 3w/4096)]
     p = np.minimum(1.0, 3.0 * w / 4096)
     assert abs(len(want) / 4000 - p.mean()) < 0.03
+
+
+def test_line_dedup_stats_and_rewrite(ray_session):
+    import ray.data as rd
+
+    from t_digest_ray.pipelines.curation import (drop_duplicate_lines,
+                                                 line_dedup_stats)
+
+    boiler = "subscribe to our newsletter"
+    docs = pd.DataFrame({
+        "doc_id": np.int64([1, 2, 3]),
+        "lang": ["en", "en", "de"],
+        "text": [f"alpha one. {boiler}. beta two",
+                 f"{boiler}. gamma three",
+                 "delta four. epsilon five"]})
+    ds = rd.from_pandas(docs).repartition(3)
+
+    stats = (line_dedup_stats(ds, "text", "lang", sep=". ")
+             .to_pandas().set_index("lang").sort_index())
+    assert stats.loc["en", "n_lines"] == 5
+    assert stats.loc["en", "n_dup_lines"] == 2      # boiler twice
+    assert stats.loc["de", "n_dup_lines"] == 0
+    assert stats.loc["en", "chars_kept"] == sum(
+        len(s) for s in ["alpha one", "beta two", "gamma three"])
+
+    out = (drop_duplicate_lines(ds, "text", "doc_id", sep=". ")
+           .to_pandas().set_index("doc_id").sort_index())
+    assert out.loc[1, "text"] == "alpha one. beta two"
+    assert out.loc[2, "text"] == "gamma three"
+    assert out.loc[3, "text"] == "delta four. epsilon five"
+    assert out["n_dropped"].tolist() == [1, 1, 0]
