@@ -3562,9 +3562,13 @@ def bloom_incremental_dedup(sf_dir: str):
         return pa.table({"lang": b["lang"].filter(keep),
                          "text": b["text"].filter(keep)})
 
+    from t_digest_ray.stages.partitioning import cheap_row_count
+
     hist_ds = docs.map_batches(hist, batch_format="pyarrow")
-    n_hist = hist_ds.count()
-    sized = BloomFilter.from_capacity(max(n_hist, 1), 0.01)
+    # size from parquet metadata (free): total docs upper-bounds the
+    # historical third, so the realized fpp is only lower
+    n_upper = cheap_row_count(docs) or 1
+    sized = BloomFilter.from_capacity(max(n_upper, 1), 0.01)
     bloom = build_bloom(hist_ds, "text", n_bits=sized.m, k=sized.k)
     # persist + reload: the cross-run contract under test
     path = os.path.join(tempfile.gettempdir(),

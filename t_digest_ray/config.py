@@ -39,7 +39,7 @@ PIPELINES = ("quantiles", "kll", "req", "distinct", "heavy", "heavy_mg",
              "repetition", "iqr_outliers", "export_text", "linear_fit",
              "cluster_hist", "decontaminate", "interarrival",
              "threshold_exceed", "zscore_outliers", "quantile_buckets",
-             "key_skew", "turnstile")
+             "key_skew", "turnstile", "line_dedup_stats", "line_dedup")
 
 
 @dataclass
@@ -368,6 +368,13 @@ def run_job(cfg: JobConfig):
     elif cfg.pipeline == "key_skew":
         from .pipelines.relational import key_skew_report
         out = key_skew_report(ds, cfg.key, **p)
+    elif cfg.pipeline == "line_dedup_stats":
+        from .pipelines.curation import line_dedup_stats
+        out = line_dedup_stats(ds, cfg.value_col or "text", cfg.key, **p)
+    elif cfg.pipeline == "line_dedup":
+        from .pipelines.curation import drop_duplicate_lines
+        out = drop_duplicate_lines(ds, cfg.value_col or "text",
+                                   cfg.key or "doc_id", **p)
     elif cfg.pipeline == "turnstile":
         from .pipelines.quantiles import q_col
         from .stages.aggregate import sketch_by_key, summarize

@@ -390,3 +390,20 @@ def test_line_dedup_stats_and_rewrite(ray_session):
     assert out.loc[2, "text"] == "gamma three"
     assert out.loc[3, "text"] == "delta four. epsilon five"
     assert out["n_dropped"].tolist() == [1, 1, 0]
+
+
+def test_config_routes_line_dedup(ray_session):
+    from t_digest_ray.config import JobConfig, run_job
+
+    sf = "/root/testdata/sf0.001"
+    out = run_job(JobConfig(pipeline="line_dedup_stats",
+                            input=f"{sf}/documents.parquet",
+                            columns=["lang", "text"],
+                            key="lang", value_col="text")).to_pandas()
+    assert len(out) == 5 and (out["n_lines"] > 0).all()
+
+    out = run_job(JobConfig(pipeline="line_dedup",
+                            input=f"{sf}/documents.parquet",
+                            columns=["doc_id", "text"],
+                            key="doc_id", value_col="text")).to_pandas()
+    assert len(out) == 500 and "n_dropped" in out.columns
