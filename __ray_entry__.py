@@ -3600,6 +3600,19 @@ def line_dedup_doc_stats(sf_dir: str):
     return line_dedup_stats(ds, "text", "lang", sep=". ", min_dup=2)
 
 
+def line_dedup_rewrite_docs(sf_dir: str):
+    """The C4 line-dedup REWRITE as a full-text value-hash query
+    (pipelines/curation.drop_duplicate_lines): duplicated lines removed,
+    each document rebuilt in original line order — per-row output
+    fidelity (the rebuilt text itself) hash-checked against a SQL
+    string_agg twin, not just aggregate counts."""
+    from t_digest_ray.pipelines.curation import drop_duplicate_lines
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return drop_duplicate_lines(ds, "text", "doc_id", sep=". ",
+                                min_dup=2)
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
     return pages_flagship("/root/testdata/sf0.001")
@@ -3683,6 +3696,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "turnstile_quantiles_events": turnstile_quantiles_events,
         "bloom_incremental_dedup": bloom_incremental_dedup,
         "line_dedup_doc_stats": line_dedup_doc_stats,
+        "line_dedup_rewrite_docs": line_dedup_rewrite_docs,
         # --- (b) cheap representatives of each operator family ---
         "tdigest_quantiles_by_lang": tdigest_quantiles_by_lang,
         "tdigest_events_value": tdigest_events_value,
@@ -3974,6 +3988,23 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS n_above
             FROM events e JOIN c USING (event_type)
             GROUP BY e.event_type
+        """,
+        "line_dedup_rewrite_docs": """
+            WITH toks AS (SELECT doc_id, string_split(text, '. ') AS ls
+                          FROM documents),
+            lines AS (SELECT doc_id, i AS idx, ls[i] AS line
+                      FROM toks, LATERAL (SELECT UNNEST(
+                          generate_series(1, len(ls))) AS i) s),
+            c AS (SELECT line, COUNT(*) AS cnt FROM lines
+                  GROUP BY line),
+            j AS (SELECT l.doc_id, l.idx, l.line, c.cnt
+                  FROM lines l JOIN c USING (line))
+            SELECT doc_id,
+                   COALESCE(STRING_AGG(line, '. ' ORDER BY idx)
+                            FILTER (WHERE cnt < 2), '') AS text,
+                   CAST(SUM(CASE WHEN cnt >= 2 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_dropped
+            FROM j GROUP BY doc_id
         """,
         "line_dedup_doc_stats": """
             WITH lines AS (SELECT lang,
