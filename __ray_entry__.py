@@ -3613,6 +3613,47 @@ def line_dedup_rewrite_docs(sf_dir: str):
                                 min_dup=2)
 
 
+def q21_exclusive_suppliers(sf_dir: str):
+    """TPC-H Q21-SHAPED exclusive-supplier ranking (the EXISTS /
+    NOT-EXISTS-other pattern): orders served by exactly ONE supplier,
+    counted per supplier, top 10 by count with a (count desc, name asc)
+    tie-break. The correlated anti-join collapses into one per-order
+    min=max aggregate (hash-bucketed, cost ∝ rows); the supplier
+    dimension broadcasts for the name attach."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count
+    from t_digest_ray.stages.aggregate import hash_bucketed_group_agg
+    from t_digest_ray.stages.partitioning import cheap_row_count
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey"])
+    n_li = cheap_row_count(li)
+    per_order = hash_bucketed_group_agg(
+        li, ["l_orderkey"],
+        {"sk_min": ("l_suppkey", "min"), "sk_max": ("l_suppkey", "max")},
+        n_rows=n_li)
+
+    def solo(b: pa.Table) -> pa.Table:
+        keep = pc.equal(b["sk_min"], b["sk_max"])
+        return pa.table({"sk": b["sk_min"].filter(keep)})
+
+    counts = (per_order.map_batches(solo, batch_format="pyarrow")
+              .groupby("sk").aggregate(Count(alias_name="n_solo_orders")))
+
+    # supplier dimension: tiny, attach names driver-side on the
+    # aggregate (KB rows), then the deterministic top-10
+    import duckdb
+    names = duckdb.connect().execute(
+        f"SELECT s_suppkey, s_name FROM '{sf_dir}/supplier.parquet'"
+    ).fetchdf().set_index("s_suppkey")["s_name"]
+
+    df = counts.to_pandas()
+    df["s_name"] = df["sk"].map(names)
+    df["n_solo_orders"] = df["n_solo_orders"].astype(np.int64)
+    df = df.sort_values(["n_solo_orders", "s_name"],
+                        ascending=[False, True], kind="stable").head(10)
+    return df[["s_name", "n_solo_orders"]].reset_index(drop=True)
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
     return pages_flagship("/root/testdata/sf0.001")
@@ -3697,6 +3738,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_incremental_dedup": bloom_incremental_dedup,
         "line_dedup_doc_stats": line_dedup_doc_stats,
         "line_dedup_rewrite_docs": line_dedup_rewrite_docs,
+        "q21_exclusive_suppliers": q21_exclusive_suppliers,
         # --- (b) cheap representatives of each operator family ---
         "tdigest_quantiles_by_lang": tdigest_quantiles_by_lang,
         "tdigest_events_value": tdigest_events_value,
@@ -3988,6 +4030,15 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS n_above
             FROM events e JOIN c USING (event_type)
             GROUP BY e.event_type
+        """,
+        "q21_exclusive_suppliers": """
+            WITH solo AS (SELECT l_orderkey, MIN(l_suppkey) AS sk
+                          FROM lineitem GROUP BY l_orderkey
+                          HAVING MIN(l_suppkey) = MAX(l_suppkey)),
+            cnt AS (SELECT sk, COUNT(*) AS n FROM solo GROUP BY sk)
+            SELECT s.s_name, CAST(cnt.n AS BIGINT) AS n_solo_orders
+            FROM cnt JOIN supplier s ON s.s_suppkey = cnt.sk
+            ORDER BY n_solo_orders DESC, s.s_name LIMIT 10
         """,
         "line_dedup_rewrite_docs": """
             WITH toks AS (SELECT doc_id, string_split(text, '. ') AS ls
