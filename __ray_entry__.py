@@ -3654,6 +3654,83 @@ def q21_exclusive_suppliers(sf_dir: str):
     return df[["s_name", "n_solo_orders"]].reset_index(drop=True)
 
 
+def q22_idle_rich_customers(sf_dir: str):
+    """TPC-H Q22-shaped global-sentiment query: customers whose balance
+    exceeds the positive-balance average AND who have placed no URGENT
+    orders (scalar-subquery threshold + distributed ANTI join), per-nation
+    count and integer-cents balance sum. The threshold is ONE double
+    derived from exact integer-cents sums (bignum driver fold, same
+    discipline as the other moment queries); the anti join is the
+    engine's hash_semi_anti_join (only the custkey column leaves the
+    orders side)."""
+    from ray.data.aggregate import Count, Sum
+    from t_digest_ray.pipelines.relational import hash_semi_anti_join
+    from t_digest_ray.stages.partitioning import cheap_row_count
+
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_nationkey", "c_acctbal"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+    n_cust, n_ord = cheap_row_count(cust), cheap_row_count(orders)
+
+    def cents(b: pa.Table) -> pa.Table:
+        bal = b["c_acctbal"].to_numpy(zero_copy_only=False)
+        # sign-aware per-row integer cents (repo money convention)
+        c = np.floor(np.abs(bal) * 100.0 + 0.5).astype(np.int64) \
+            * np.sign(bal).astype(np.int64)
+        import pyarrow.compute as pc
+        return pa.table({"c_custkey": b["c_custkey"],
+                         "c_nationkey": pc.cast(b["c_nationkey"],
+                                                pa.int64()),
+                         "bal_cents": pa.array(c)})
+
+    cc = cust.map_batches(cents, batch_format="pyarrow")
+
+    # scalar threshold from exact integer sums over positive balances
+    def pos_partial(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        t = b.filter(pc.greater(b["bal_cents"], pa.scalar(0)))
+        return pa.table({
+            "n": pa.array([t.num_rows], type=pa.int64()),
+            "s": pa.array([int(t["bal_cents"].to_numpy(
+                zero_copy_only=False).sum()) if t.num_rows else 0],
+                type=pa.int64())})
+
+    parts = cc.map_batches(pos_partial, batch_format="pyarrow") \
+        .to_pandas()
+    n_pos = int(parts["n"].sum())
+    s_pos = sum(int(v) for v in parts["s"])
+    thr = float(s_pos) / float(max(n_pos, 1))
+
+    import pyarrow.compute as pc
+
+    def above(b: pa.Table) -> pa.Table:
+        keep = pc.greater(pc.cast(b["bal_cents"], pa.float64()),
+                          pa.scalar(thr))
+        return b.filter(keep)
+
+    rich = cc.map_batches(above, batch_format="pyarrow")
+    def urgent(b: pa.Table) -> pa.Table:
+        keep = pc.equal(b["o_orderpriority"], pa.scalar("1-URGENT"))
+        return pa.table({"c_custkey": b["o_custkey"].filter(keep)})
+
+    idle = hash_semi_anti_join(
+        rich, orders.map_batches(urgent, batch_format="pyarrow"),
+        on="c_custkey", left_cols=["c_nationkey", "bal_cents"],
+        anti=True, n_rows=(None if None in (n_cust, n_ord)
+                           else n_cust + n_ord),
+        types={"c_custkey": pa.int64(), "c_nationkey": pa.int64(),
+               "bal_cents": pa.int64()})
+    out = (idle.groupby("c_nationkey")
+           .aggregate(Count(alias_name="n_custs"),
+                      Sum("bal_cents", alias_name="sum_bal_cents")))
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        df["sum_bal_cents"] = df["sum_bal_cents"].astype(np.int64)
+        return df
+
+    return out.map_batches(fin, batch_format="pandas")
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
     return pages_flagship("/root/testdata/sf0.001")
@@ -3739,6 +3816,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "line_dedup_doc_stats": line_dedup_doc_stats,
         "line_dedup_rewrite_docs": line_dedup_rewrite_docs,
         "q21_exclusive_suppliers": q21_exclusive_suppliers,
+        "q22_idle_rich_customers": q22_idle_rich_customers,
         # --- (b) cheap representatives of each operator family ---
         "tdigest_quantiles_by_lang": tdigest_quantiles_by_lang,
         "tdigest_events_value": tdigest_events_value,
@@ -4030,6 +4108,25 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS n_above
             FROM events e JOIN c USING (event_type)
             GROUP BY e.event_type
+        """,
+        "q22_idle_rich_customers": """
+            WITH c AS (SELECT c_custkey, c_nationkey,
+                              CAST(FLOOR(ABS(c_acctbal) * 100 + 0.5)
+                                   AS BIGINT) * SIGN(c_acctbal)
+                                  AS bal_cents
+                       FROM customer),
+            t AS (SELECT CAST(SUM(bal_cents) AS DOUBLE)
+                         / CAST(COUNT(*) AS DOUBLE) AS thr
+                  FROM c WHERE bal_cents > 0)
+            SELECT CAST(c.c_nationkey AS BIGINT) AS c_nationkey,
+                   COUNT(*) AS n_custs,
+                   CAST(SUM(c.bal_cents) AS BIGINT) AS sum_bal_cents
+            FROM c, t
+            WHERE CAST(c.bal_cents AS DOUBLE) > t.thr
+              AND NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey
+                                AND o.o_orderpriority = '1-URGENT')
+            GROUP BY c.c_nationkey
         """,
         "q21_exclusive_suppliers": """
             WITH solo AS (SELECT l_orderkey, MIN(l_suppkey) AS sk
