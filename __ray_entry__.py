@@ -3791,12 +3791,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q19_bracket_revenue": q19_bracket_revenue,
         "corpus_top_tokens": corpus_top_tokens,
         "regex_scrub_stats": regex_scrub_stats,
-        "prefix_cluster_dedup": prefix_cluster_dedup,
+        "turnstile_quantiles_events": turnstile_quantiles_events,
+        "curation_pipeline_v2_docs": curation_pipeline_v2_docs,
+        "line_dedup_doc_stats": line_dedup_doc_stats,
         "tdigest_trimmed_mean_by_lang": tdigest_trimmed_mean_by_lang,
         "token_df_stats": token_df_stats,
-        "doc_dominant_term": doc_dominant_term,
         "rollup_doc_stats": rollup_doc_stats,
-        "corpus_top_bigrams": corpus_top_bigrams,
         "doc_repetition_stats": doc_repetition_stats,
         "iqr_outlier_docs": iqr_outlier_docs,
         "left_join_order_heavy": left_join_order_heavy,
@@ -3810,13 +3810,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zscore_outlier_docs": zscore_outlier_docs,
         "decile_bucket_counts": decile_bucket_counts,
         "user_key_skew_report": user_key_skew_report,
-        "curation_pipeline_v2_docs": curation_pipeline_v2_docs,
-        "turnstile_quantiles_events": turnstile_quantiles_events,
         "bloom_incremental_dedup": bloom_incremental_dedup,
-        "line_dedup_doc_stats": line_dedup_doc_stats,
         "line_dedup_rewrite_docs": line_dedup_rewrite_docs,
         "q21_exclusive_suppliers": q21_exclusive_suppliers,
         "q22_idle_rich_customers": q22_idle_rich_customers,
+        "prefix_cluster_dedup": prefix_cluster_dedup,
+        "corpus_top_bigrams": corpus_top_bigrams,
+        "doc_dominant_term": doc_dominant_term,
         # --- (b) cheap representatives of each operator family ---
         "tdigest_quantiles_by_lang": tdigest_quantiles_by_lang,
         "tdigest_events_value": tdigest_events_value,
