@@ -3731,6 +3731,32 @@ def q22_idle_rich_customers(sf_dir: str):
     return out.map_batches(fin, batch_format="pandas")
 
 
+def kmv_distinct_users_by_type(sf_dir: str):
+    """KMV/Theta bottom-k distinct (state/kmv.py, Beyer et al. 2007)
+    alongside the HLL: per event_type exact COUNT(DISTINCT user_id)
+    (hash-matched) + within_bound asserting the KMV estimate sits inside
+    3/sqrt(k-2) relative error — EXACT equality enforced for groups
+    below k distinct values."""
+    from t_digest_ray.pipelines.validation import kmv_distinct_bound_check
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+    return kmv_distinct_bound_check(ds, "user_id", "event_type",
+                                    k=1024, sigma=3.0, num_salts=2)
+
+
+def kmv_user_overlap(sf_dir: str):
+    """Theta-style SET-OPERATION estimation the HLL can't give unbiased:
+    Jaccard/intersection of the click-user and view-user sets via KMV
+    bottom-k union semantics (pipelines/validation.
+    kmv_overlap_bound_check), gated against the exact distinct and
+    intersection counts computed by one co-partitioned presence fold."""
+    from t_digest_ray.pipelines.validation import kmv_overlap_bound_check
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+    return kmv_overlap_bound_check(ds, "user_id", "event_type",
+                                   "click", "view", k=2048)
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
     return pages_flagship("/root/testdata/sf0.001")
@@ -3794,6 +3820,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "turnstile_quantiles_events": turnstile_quantiles_events,
         "curation_pipeline_v2_docs": curation_pipeline_v2_docs,
         "line_dedup_doc_stats": line_dedup_doc_stats,
+        "kmv_distinct_users_by_type": kmv_distinct_users_by_type,
+        "kmv_user_overlap": kmv_user_overlap,
         "tdigest_trimmed_mean_by_lang": tdigest_trimmed_mean_by_lang,
         "token_df_stats": token_df_stats,
         "rollup_doc_stats": rollup_doc_stats,
@@ -4153,6 +4181,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CASE WHEN cnt >= 2 THEN 1 ELSE 0 END)
                         AS BIGINT) AS n_dropped
             FROM j GROUP BY doc_id
+        """,
+        "kmv_distinct_users_by_type": """
+            SELECT event_type,
+                   COUNT(DISTINCT user_id) AS n_distinct,
+                   TRUE AS within_bound
+            FROM events GROUP BY event_type
+        """,
+        "kmv_user_overlap": """
+            WITH a AS (SELECT DISTINCT user_id FROM events
+                       WHERE event_type = 'click'),
+            b AS (SELECT DISTINCT user_id FROM events
+                  WHERE event_type = 'view')
+            SELECT (SELECT COUNT(*) FROM a) AS n_a,
+                   (SELECT COUNT(*) FROM b) AS n_b,
+                   (SELECT COUNT(*) FROM a JOIN b USING (user_id))
+                       AS n_intersect,
+                   TRUE AS within_bound
         """,
         "line_dedup_doc_stats": """
             WITH lines AS (SELECT lang,

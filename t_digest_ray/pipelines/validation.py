@@ -27,6 +27,7 @@ import math
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 from ..stages.aggregate import sketch_by_key
 from ..state.protocol import SketchSpec
@@ -418,3 +419,113 @@ def turnstile_quantile_bound_check(stream_ds, net_ds, value_col: str,
 
     return net_ds.groupby(key).map_groups(per_group,
                                           batch_format="pandas")
+
+
+def kmv_distinct_bound_check(ds, value_col: str, key: str,
+                             k: int = 1024, sigma: float = 3.0,
+                             num_salts: int = 2,
+                             count_name: str = "n_distinct"):
+    """Exact distinct count per key + KMV/Theta-within-bound flag
+    (state/kmv.py, Beyer et al. 2007): the bottom-k estimate must sit
+    within ``sigma / sqrt(k-2)`` relative error — and is EXACT (equal)
+    for groups below k distinct values, which the gate also enforces."""
+    from ..state.kmv import KmvSketch
+    from ..state.protocol import SketchSpec
+    from .relational import distinct_count_by_key
+
+    spec = SketchSpec(name="kmv", factory=lambda: KmvSketch(k),
+                      from_bytes=KmvSketch.from_bytes)
+    merged = sketch_by_key(ds, spec, value_col, key,
+                           num_salts=num_salts).to_pandas()
+    sk_by_key = {r["key"]: KmvSketch.from_bytes(r["sketch"])
+                 for _, r in merged.iterrows()}
+    exact = distinct_count_by_key(ds, key, value_col,
+                                  count_name).to_pandas()
+    rel = sigma / math.sqrt(k - 2)
+    oks = []
+    for _, r in exact.iterrows():
+        sk = sk_by_key.get(r[key])
+        if sk is None:
+            oks.append(False)
+            continue
+        est = sk.distinct_estimate()
+        n = float(r[count_name])
+        oks.append(est == n if sk.is_exact
+                   else abs(est - n) <= rel * max(n, 1.0))
+    exact[count_name] = exact[count_name].astype(np.int64)
+    exact["within_bound"] = oks
+    return exact[[key, count_name, "within_bound"]]
+
+
+def kmv_overlap_bound_check(ds, value_col: str, key: str,
+                            key_a, key_b, k: int = 2048,
+                            sigma: float = 3.0, num_salts: int = 2):
+    """Set-overlap estimation between two key groups' value sets via
+    KMV/Theta bottom-k union semantics, gated against EXACT counts: one
+    row ``(n_a, n_b, n_intersect, within_bound)`` where the exact
+    columns hash-match SQL and within_bound asserts the KMV Jaccard and
+    intersection estimates sit inside sigma/sqrt(k-2)-derived envelopes
+    (× union size for the intersection). This is the estimator HLL
+    inclusion-exclusion can't give unbiased."""
+    import pyarrow.compute as pc
+
+    from ..state.kmv import KmvSketch
+    from ..state.protocol import SketchSpec
+    from .relational import distinct_count_by_key
+
+    both = ds.map_batches(
+        lambda b: b.filter(pc.is_in(b[key],
+                                    pa.array([key_a, key_b]))),
+        batch_format="pyarrow")
+    spec = SketchSpec(name="kmv", factory=lambda: KmvSketch(k),
+                      from_bytes=KmvSketch.from_bytes)
+    merged = sketch_by_key(both, spec, value_col, key,
+                           num_salts=num_salts).to_pandas()
+    sks = {r["key"]: KmvSketch.from_bytes(r["sketch"])
+           for _, r in merged.iterrows()}
+
+    # exact side: distinct per group + exact intersection via one
+    # co-partitioned presence fold (value-hash rides the shuffle)
+    from ray.data.aggregate import Max, Sum
+
+    def presence(b: pa.Table) -> pa.Table:
+        import pandas as pd2
+        kv = b[key].to_numpy(zero_copy_only=False)
+        df = pd2.DataFrame({
+            "v": b[value_col].to_numpy(zero_copy_only=False),
+            "in_a": (kv == key_a).astype(np.int64),
+            "in_b": (kv == key_b).astype(np.int64)})
+        g = df.groupby("v", as_index=False, sort=False).max()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    pres = (both.map_batches(presence, batch_format="pyarrow")
+            .groupby("v").aggregate(Max("in_a", alias_name="a"),
+                                    Max("in_b", alias_name="b")))
+
+    def inter_partial(b: pa.Table) -> pa.Table:
+        a = b["a"].to_numpy(zero_copy_only=False)
+        bb = b["b"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "n_a": pa.array([int(a.sum())], type=pa.int64()),
+            "n_b": pa.array([int(bb.sum())], type=pa.int64()),
+            "n_i": pa.array([int((a & bb).sum())], type=pa.int64())})
+
+    tot = pres.map_batches(inter_partial,
+                           batch_format="pyarrow").to_pandas().sum()
+    n_a, n_b, n_i = int(tot["n_a"]), int(tot["n_b"]), int(tot["n_i"])
+    n_u = n_a + n_b - n_i
+
+    ok = key_a in sks and key_b in sks
+    if ok:
+        A, B = sks[key_a], sks[key_b]
+        rel = sigma / math.sqrt(k - 2)
+        j_true = n_i / max(n_u, 1)
+        # Jaccard error ~ binomial over the union's bottom-k sample
+        j_bound = sigma * math.sqrt(max(j_true * (1 - j_true), 0.25 / k)
+                                    / k) + rel * j_true
+        ok = abs(A.jaccard(B) - j_true) <= j_bound + 1.0 / k
+        ok = ok and abs(A.intersection_estimate(B) - n_i) \
+            <= (j_bound + rel) * max(n_u, 1.0) + 3.0
+    return pd.DataFrame({
+        "n_a": [np.int64(n_a)], "n_b": [np.int64(n_b)],
+        "n_intersect": [np.int64(n_i)], "within_bound": [bool(ok)]})

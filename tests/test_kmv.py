@@ -1,0 +1,81 @@
+"""KMV/Theta bottom-k distinct sketch (state/kmv.py) and its gates."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from t_digest_ray.state.kmv import KmvSketch
+
+
+def test_kmv_estimate_within_bound():
+    rng = np.random.default_rng(4)
+    vals = rng.integers(0, 200_000, 400_000)
+    true = len(np.unique(vals))
+    sk = KmvSketch(1024)
+    for chunk in np.array_split(vals, 16):
+        sk.update_batch(chunk)
+    assert abs(sk.distinct_estimate() - true) / true <= 3 * sk.rse()
+
+
+def test_kmv_exact_below_k():
+    sk = KmvSketch(1024)
+    sk.update_batch(np.arange(257))
+    assert sk.is_exact and sk.distinct_estimate() == 257.0
+
+
+def test_kmv_merge_equals_whole_and_roundtrips():
+    rng = np.random.default_rng(9)
+    vals = rng.integers(0, 50_000, 120_000)
+    whole = KmvSketch(512)
+    whole.update_batch(vals)
+    parts = []
+    for c in np.array_split(vals, 7):
+        s = KmvSketch(512)
+        s.update_batch(c)
+        parts.append(s)
+    merged = KmvSketch(512).merge(*parts)
+    # bottom-k of a union is order-independent and equals the whole pass
+    assert np.array_equal(merged.mins, whole.mins)
+    rt = KmvSketch.from_bytes(merged.to_bytes())
+    assert np.array_equal(rt.mins, merged.mins)
+    assert rt.k == merged.k
+
+
+def test_kmv_jaccard_and_intersection():
+    A = KmvSketch(2048)
+    A.update_batch(np.arange(0, 60_000))
+    B = KmvSketch(2048)
+    B.update_batch(np.arange(30_000, 90_000))
+    assert abs(A.jaccard(B) - 1 / 3) < 0.05
+    assert abs(A.intersection_estimate(B) - 30_000) / 30_000 < 0.1
+
+
+def test_kmv_distinct_gate_flips_on_corrupt_sketch(ray_session,
+                                                   monkeypatch):
+    import t_digest_ray.pipelines.validation as V
+
+    rng = np.random.default_rng(2)
+    df = pd.DataFrame({
+        "k": ["a"] * 8000,
+        "v": rng.integers(0, 5000, 8000)})
+    import ray.data as rd
+    ds = rd.from_pandas(df).repartition(4)
+
+    good = V.kmv_distinct_bound_check(ds, "v", "k", k=512)
+    assert good["within_bound"].all()
+
+    real = V.sketch_by_key
+
+    def poisoned(*a, **kw):
+        rows = real(*a, **kw).to_pandas()
+        bad = KmvSketch(512)
+        bad.update_batch(np.arange(37))  # claims 37 distinct, exact mode
+        rows["sketch"] = bad.to_bytes()
+        import ray.data as rd2
+        return rd2.from_pandas(rows)
+
+    monkeypatch.setattr(V, "sketch_by_key", poisoned)
+    bad = V.kmv_distinct_bound_check(ds, "v", "k", k=512)
+    assert not bad["within_bound"].any()
