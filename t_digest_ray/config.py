@@ -39,7 +39,8 @@ PIPELINES = ("quantiles", "kll", "req", "distinct", "heavy", "heavy_mg",
              "repetition", "iqr_outliers", "export_text", "linear_fit",
              "cluster_hist", "decontaminate", "interarrival",
              "threshold_exceed", "zscore_outliers", "quantile_buckets",
-             "key_skew", "turnstile", "line_dedup_stats", "line_dedup")
+             "key_skew", "turnstile", "line_dedup_stats", "line_dedup",
+             "kmv_distinct")
 
 
 @dataclass
@@ -368,6 +369,19 @@ def run_job(cfg: JobConfig):
     elif cfg.pipeline == "key_skew":
         from .pipelines.relational import key_skew_report
         out = key_skew_report(ds, cfg.key, **p)
+    elif cfg.pipeline == "kmv_distinct":
+        from .stages.aggregate import sketch_by_key, summarize
+        from .state.kmv import KmvSketch
+        from .state.protocol import SketchSpec
+        k = int(p.pop("k", 1024))
+        spec = SketchSpec(
+            name="kmv", factory=lambda: KmvSketch(k),
+            from_bytes=KmvSketch.from_bytes,
+            summarize=lambda sk: {
+                "distinct_estimate": sk.distinct_estimate(),
+                "is_exact": bool(sk.is_exact)})
+        merged = sketch_by_key(ds, spec, cfg.value_col, cfg.key, **p)
+        out = summarize(merged, spec, key_name=cfg.key or "key")
     elif cfg.pipeline == "line_dedup_stats":
         from .pipelines.curation import line_dedup_stats
         out = line_dedup_stats(ds, cfg.value_col or "text", cfg.key, **p)

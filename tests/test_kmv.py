@@ -79,3 +79,18 @@ def test_kmv_distinct_gate_flips_on_corrupt_sketch(ray_session,
     monkeypatch.setattr(V, "sketch_by_key", poisoned)
     bad = V.kmv_distinct_bound_check(ds, "v", "k", k=512)
     assert not bad["within_bound"].any()
+
+
+def test_config_route_kmv_distinct(ray_session):
+    from t_digest_ray.config import JobConfig, run_job
+
+    out = run_job(JobConfig(pipeline="kmv_distinct",
+                            input="/root/testdata/sf0.001/events.parquet",
+                            columns=["event_type", "user_id"],
+                            key="event_type", value_col="user_id",
+                            params={"k": 1024, "num_salts": 2})) \
+        .to_pandas()
+    assert len(out) == 5
+    # 200 users at sf0.001: below k, the sketch is exact
+    assert out["is_exact"].all()
+    assert (out["distinct_estimate"] <= 200).all()
