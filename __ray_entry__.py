@@ -3757,6 +3757,32 @@ def kmv_user_overlap(sf_dir: str):
                                    "click", "view", k=2048)
 
 
+def cube_doc_stats(sf_dir: str):
+    """GROUP BY CUBE over (lang, source) on documents
+    (pipelines/relational.cube_stats): all four grouping sets derived
+    from the single finest-level scan — counts/sums re-add, min/max
+    re-fold over the KB-sized finest table."""
+    from t_digest_ray.pipelines.relational import cube_stats
+
+    ds = _read(sf_dir, "documents", ["lang", "source", "n_chars"])
+    return cube_stats(ds, ["lang", "source"], "n_chars")
+
+
+def pivot_lang_by_source(sf_dir: str):
+    """Crosstab / PIVOT: per lang one count column per source value
+    (pipelines/relational.pivot_counts) — the wide-report shape,
+    pivoted inside the combiner so only (lang, 3×int64) cells ride the
+    exchange."""
+    import duckdb
+    from t_digest_ray.pipelines.relational import pivot_counts
+
+    srcs = duckdb.connect().execute(
+        f"SELECT DISTINCT source FROM '{sf_dir}/documents.parquet' "
+        f"ORDER BY source").fetchdf()["source"].tolist()
+    ds = _read(sf_dir, "documents", ["lang", "source"])
+    return pivot_counts(ds, "lang", "source", srcs)
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
     return pages_flagship("/root/testdata/sf0.001")
@@ -3821,6 +3847,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curation_pipeline_v2_docs": curation_pipeline_v2_docs,
         "line_dedup_doc_stats": line_dedup_doc_stats,
         "kmv_distinct_users_by_type": kmv_distinct_users_by_type,
+        "cube_doc_stats": cube_doc_stats,
+        "pivot_lang_by_source": pivot_lang_by_source,
         "kmv_user_overlap": kmv_user_overlap,
         "tdigest_trimmed_mean_by_lang": tdigest_trimmed_mean_by_lang,
         "token_df_stats": token_df_stats,
@@ -4181,6 +4209,39 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CASE WHEN cnt >= 2 THEN 1 ELSE 0 END)
                         AS BIGINT) AS n_dropped
             FROM j GROUP BY doc_id
+        """,
+        "cube_doc_stats": """
+            SELECT COALESCE(lang, 'ALL') AS lang,
+                   COALESCE(source, 'ALL') AS source,
+                   COUNT(*) AS n_rows,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_v,
+                   CAST(MIN(n_chars) AS BIGINT) AS min_v,
+                   CAST(MAX(n_chars) AS BIGINT) AS max_v
+            FROM documents GROUP BY CUBE (lang, source)
+        """,
+        "pivot_lang_by_source": """
+            SELECT lang,
+                   CAST(SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS n_src0,
+                   CAST(SUM(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS BIGINT) AS n_src1,
+                   CAST(SUM(CASE WHEN source = 'src2' THEN 1 ELSE 0 END) AS BIGINT) AS n_src2,
+                   CAST(SUM(CASE WHEN source = 'src3' THEN 1 ELSE 0 END) AS BIGINT) AS n_src3,
+                   CAST(SUM(CASE WHEN source = 'src4' THEN 1 ELSE 0 END) AS BIGINT) AS n_src4,
+                   CAST(SUM(CASE WHEN source = 'src5' THEN 1 ELSE 0 END) AS BIGINT) AS n_src5,
+                   CAST(SUM(CASE WHEN source = 'src6' THEN 1 ELSE 0 END) AS BIGINT) AS n_src6,
+                   CAST(SUM(CASE WHEN source = 'src7' THEN 1 ELSE 0 END) AS BIGINT) AS n_src7,
+                   CAST(SUM(CASE WHEN source = 'src8' THEN 1 ELSE 0 END) AS BIGINT) AS n_src8,
+                   CAST(SUM(CASE WHEN source = 'src9' THEN 1 ELSE 0 END) AS BIGINT) AS n_src9,
+                   CAST(SUM(CASE WHEN source = 'src10' THEN 1 ELSE 0 END) AS BIGINT) AS n_src10,
+                   CAST(SUM(CASE WHEN source = 'src11' THEN 1 ELSE 0 END) AS BIGINT) AS n_src11,
+                   CAST(SUM(CASE WHEN source = 'src12' THEN 1 ELSE 0 END) AS BIGINT) AS n_src12,
+                   CAST(SUM(CASE WHEN source = 'src13' THEN 1 ELSE 0 END) AS BIGINT) AS n_src13,
+                   CAST(SUM(CASE WHEN source = 'src14' THEN 1 ELSE 0 END) AS BIGINT) AS n_src14,
+                   CAST(SUM(CASE WHEN source = 'src15' THEN 1 ELSE 0 END) AS BIGINT) AS n_src15,
+                   CAST(SUM(CASE WHEN source = 'src16' THEN 1 ELSE 0 END) AS BIGINT) AS n_src16,
+                   CAST(SUM(CASE WHEN source = 'src17' THEN 1 ELSE 0 END) AS BIGINT) AS n_src17,
+                   CAST(SUM(CASE WHEN source = 'src18' THEN 1 ELSE 0 END) AS BIGINT) AS n_src18,
+                   CAST(SUM(CASE WHEN source = 'src19' THEN 1 ELSE 0 END) AS BIGINT) AS n_src19
+            FROM documents GROUP BY lang
         """,
         "kmv_distinct_users_by_type": """
             SELECT event_type,

@@ -268,6 +268,89 @@ def rollup_stats(ds, keys, value: str, all_label: str = "ALL"):
     return out
 
 
+def cube_stats(ds, keys, value: str, all_label: str = "ALL"):
+    """GROUP BY CUBE aggregate: every SUBSET of ``keys`` (2^k grouping
+    sets), all derived from the single finest-level scan the same way as
+    rollup_stats — counts/sums re-add, min/max re-fold over the KB-sized
+    finest table, so the extra 2^k - 1 levels cost no second data pass.
+    Same driver-side finest-group bound as rollup_stats.
+    """
+    from itertools import combinations
+
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    keys = list(keys)
+    finest = (ds.groupby(keys)
+              .aggregate(Count(alias_name="n_rows"),
+                         Sum(value, alias_name="sum_v"),
+                         Min(value, alias_name="min_v"),
+                         Max(value, alias_name="max_v"))).to_pandas()
+    finest["sum_v"] = finest["sum_v"].astype(np.int64)
+
+    levels = []
+    for r in range(len(keys), -1, -1):
+        for kept in combinations(keys, r):
+            kept = list(kept)
+            if len(kept) == len(keys):
+                agg = finest.copy()
+            elif kept:
+                agg = (finest.groupby(kept, sort=False)
+                       .agg(n_rows=("n_rows", "sum"),
+                            sum_v=("sum_v", "sum"),
+                            min_v=("min_v", "min"),
+                            max_v=("max_v", "max")).reset_index())
+            else:
+                agg = pd.DataFrame({
+                    "n_rows": [finest["n_rows"].sum()],
+                    "sum_v": [finest["sum_v"].sum()],
+                    "min_v": [finest["min_v"].min()],
+                    "max_v": [finest["max_v"].max()]})
+            for c in keys:
+                if c not in kept:
+                    agg[c] = all_label
+            levels.append(agg[keys + ["n_rows", "sum_v",
+                                      "min_v", "max_v"]])
+
+    out = pd.concat(levels, ignore_index=True)
+    out["n_rows"] = out["n_rows"].astype(np.int64)
+    out["sum_v"] = out["sum_v"].astype(np.int64)
+    return out
+
+
+def pivot_counts(ds, row_key: str, col_key: str, col_values,
+                 prefix: str = "n_"):
+    """Crosstab / PIVOT: per ``row_key`` one row with a count column per
+    ``col_key`` value (the wide-report shape). One vectorized per-batch
+    partial (rows × |col_values| int64 cells) rides the exchange; the
+    pivot itself happens in the combiner, so no second shuffle and no
+    per-row Python.
+    """
+    from ray.data.aggregate import Sum
+
+    col_values = list(col_values)
+
+    def partial(b: pa.Table) -> pa.Table:
+        rk = b[row_key].to_numpy(zero_copy_only=False)
+        ck = b[col_key].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({row_key: rk})
+        for v in col_values:
+            df[f"{prefix}{v}"] = (ck == v).astype(np.int64)
+        g = df.groupby(row_key, as_index=False, sort=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    aggs = [Sum(f"{prefix}{v}", alias_name=f"{prefix}{v}")
+            for v in col_values]
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby(row_key).aggregate(*aggs))
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        for v in col_values:
+            df[f"{prefix}{v}"] = df[f"{prefix}{v}"].astype(np.int64)
+        return df
+
+    return out.map_batches(fin, batch_format="pandas")
+
+
 def distinct_count_by_key(ds, key: str, value: str, out_name: str):
     """Exact count(distinct value) per key: dedup on (key, value) pairs
     inside each batch, then a global pair-dedup + count."""

@@ -211,3 +211,45 @@ def test_range_join_matches_bruteforce(ray_session):
     got = out.set_index("bucket")["n_pairs"].sort_index()
     pd.testing.assert_series_equal(got, want.astype(np.int64),
                                    check_names=False)
+
+
+def test_cube_stats_matches_pandas(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from t_digest_ray.pipelines.relational import cube_stats
+
+    rng = np.random.default_rng(6)
+    df = pd.DataFrame({
+        "a": rng.choice(["x", "y"], 300),
+        "b": rng.choice(["p", "q", "r"], 300),
+        "v": rng.integers(0, 100, 300).astype(np.int64)})
+    out = cube_stats(rd.from_pandas(df).repartition(4), ["a", "b"], "v")
+    # 2^2 grouping sets: finest (6 rows) + by a (2) + by b (3) + total (1)
+    assert len(out) == 6 + 2 + 3 + 1
+    tot = out[(out.a == "ALL") & (out.b == "ALL")].iloc[0]
+    assert tot["n_rows"] == 300 and tot["sum_v"] == df["v"].sum()
+    by_a = out[(out.a == "x") & (out.b == "ALL")].iloc[0]
+    g = df[df.a == "x"]["v"]
+    assert by_a["n_rows"] == len(g) and by_a["min_v"] == g.min()
+
+
+def test_pivot_counts_matches_crosstab(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from t_digest_ray.pipelines.relational import pivot_counts
+
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame({
+        "r": rng.choice(["m", "n"], 500),
+        "c": rng.choice(["u", "v", "w"], 500)})
+    out = (pivot_counts(rd.from_pandas(df).repartition(4), "r", "c",
+                        ["u", "v", "w"])
+           .to_pandas().set_index("r").sort_index())
+    want = pd.crosstab(df["r"], df["c"])
+    for r in ("m", "n"):
+        for c in ("u", "v", "w"):
+            assert out.loc[r, f"n_{c}"] == want.loc[r, c]
