@@ -3783,6 +3783,17 @@ def pivot_lang_by_source(sf_dir: str):
     return pivot_counts(ds, "lang", "source", srcs)
 
 
+def mad_event_values(sf_dir: str):
+    """Per-type median absolute deviation of events.value
+    (pipelines/relational.mad_stats): exact disc median, then disc
+    median of |x - median| with the per-key medians broadcast — the
+    robust-scale twin of the IQR and z-score reports."""
+    from t_digest_ray.pipelines.relational import mad_stats
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    return mad_stats(ds, "event_type", "value")
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
     return pages_flagship("/root/testdata/sf0.001")
@@ -3849,6 +3860,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmv_distinct_users_by_type": kmv_distinct_users_by_type,
         "cube_doc_stats": cube_doc_stats,
         "pivot_lang_by_source": pivot_lang_by_source,
+        "mad_event_values": mad_event_values,
         "kmv_user_overlap": kmv_user_overlap,
         "tdigest_trimmed_mean_by_lang": tdigest_trimmed_mean_by_lang,
         "token_df_stats": token_df_stats,
@@ -4209,6 +4221,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CASE WHEN cnt >= 2 THEN 1 ELSE 0 END)
                         AS BIGINT) AS n_dropped
             FROM j GROUP BY doc_id
+        """,
+        "mad_event_values": """
+            WITH m AS (SELECT event_type,
+                              CAST(quantile_disc(value, 0.5) AS DOUBLE)
+                                  AS median_v
+                       FROM events GROUP BY event_type)
+            SELECT e.event_type, COUNT(*) AS n,
+                   ANY_VALUE(m.median_v) AS median_v,
+                   CAST(quantile_disc(ABS(e.value - m.median_v), 0.5)
+                        AS DOUBLE) AS mad
+            FROM events e JOIN m USING (event_type)
+            GROUP BY e.event_type
         """,
         "cube_doc_stats": """
             SELECT COALESCE(lang, 'ALL') AS lang,

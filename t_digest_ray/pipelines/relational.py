@@ -317,6 +317,29 @@ def cube_stats(ds, keys, value: str, all_label: str = "ALL"):
     return out
 
 
+def mad_stats(ds, key: str, value: str):
+    """Per-key MEDIAN ABSOLUTE DEVIATION (disc convention): median via
+    the exact per-group path, then the disc-median of |x - median| in a
+    second pass with the per-key medians broadcast (a handful of
+    floats via closure). Completes the robust-scale family alongside
+    IQR fences and exact-moment z-scores; same heap-bound exact-oracle
+    contract as exact_quantiles_by_key.
+    """
+    meds = exact_quantiles_by_key(ds, key, value, qs=(0.5,)).to_pandas()
+    med_by_key = dict(zip(meds[key], meds["p50"]))
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        kval = g[key].iloc[0]
+        med = float(med_by_key[kval])
+        dev = np.sort(np.abs(g[value].to_numpy(dtype=np.float64) - med))
+        n = len(dev)
+        idx = max(int(math.ceil(0.5 * n)) - 1, 0)
+        return pd.DataFrame({key: [kval], "n": [np.int64(n)],
+                             "median_v": [med], "mad": [float(dev[idx])]})
+
+    return ds.groupby(key).map_groups(per_group, batch_format="pandas")
+
+
 def pivot_counts(ds, row_key: str, col_key: str, col_values,
                  prefix: str = "n_"):
     """Crosstab / PIVOT: per ``row_key`` one row with a count column per

@@ -253,3 +253,26 @@ def test_pivot_counts_matches_crosstab(ray_session):
     for r in ("m", "n"):
         for c in ("u", "v", "w"):
             assert out.loc[r, f"n_{c}"] == want.loc[r, c]
+
+
+def test_mad_stats_matches_numpy(ray_session):
+    import math
+
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from t_digest_ray.pipelines.relational import mad_stats
+
+    rng = np.random.default_rng(13)
+    df = pd.DataFrame({"k": rng.choice(["a", "b"], 2000),
+                       "v": rng.normal(10, 3, 2000)})
+    out = mad_stats(rd.from_pandas(df).repartition(5), "k", "v") \
+        .to_pandas().set_index("k")
+    for k, g in df.groupby("k"):
+        v = np.sort(g["v"].to_numpy())
+        med = v[max(int(math.ceil(0.5 * len(v))) - 1, 0)]
+        dev = np.sort(np.abs(g["v"].to_numpy() - med))
+        mad = dev[max(int(math.ceil(0.5 * len(dev))) - 1, 0)]
+        assert out.loc[k, "median_v"] == med
+        assert out.loc[k, "mad"] == mad
