@@ -3794,6 +3794,18 @@ def mad_event_values(sf_dir: str):
     return mad_stats(ds, "event_type", "value")
 
 
+def retention_cohorts_events(sf_dir: str):
+    """Day-1 / day-7 cohort retention over events
+    (pipelines/windows.retention_cohorts): per activity day and delta,
+    the active-user count and how many were active again exactly delta
+    days later — globally-distinct (user, day) presence via the
+    hash-bucketed combine, per-user day sets co-located once."""
+    from t_digest_ray.pipelines.windows import retention_cohorts
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    return retention_cohorts(ds, "user_id", "ts", deltas=(1, 7))
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
     return pages_flagship("/root/testdata/sf0.001")
@@ -3861,6 +3873,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cube_doc_stats": cube_doc_stats,
         "pivot_lang_by_source": pivot_lang_by_source,
         "mad_event_values": mad_event_values,
+        "retention_cohorts_events": retention_cohorts_events,
         "kmv_user_overlap": kmv_user_overlap,
         "tdigest_trimmed_mean_by_lang": tdigest_trimmed_mean_by_lang,
         "token_df_stats": token_df_stats,
@@ -4221,6 +4234,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CASE WHEN cnt >= 2 THEN 1 ELSE 0 END)
                         AS BIGINT) AS n_dropped
             FROM j GROUP BY doc_id
+        """,
+        "retention_cohorts_events": """
+            WITH p AS (SELECT DISTINCT user_id,
+                              CAST(FLOOR(EPOCH(ts) / 86400) AS BIGINT)
+                                  AS day
+                       FROM events),
+            d AS (SELECT UNNEST([1, 7]) AS delta),
+            a AS (SELECT day, COUNT(*) AS n_active FROM p GROUP BY day),
+            r AS (SELECT p1.day, dd.delta, COUNT(*) AS n_ret
+                  FROM p p1 CROSS JOIN d dd
+                  JOIN p p2 ON p2.user_id = p1.user_id
+                           AND p2.day = p1.day + dd.delta
+                  GROUP BY p1.day, dd.delta)
+            SELECT a.day, CAST(d.delta AS BIGINT) AS delta, a.n_active,
+                   CAST(COALESCE(r.n_ret, 0) AS BIGINT) AS n_retained
+            FROM a CROSS JOIN d
+            LEFT JOIN r ON r.day = a.day AND r.delta = d.delta
         """,
         "mad_event_values": """
             WITH m AS (SELECT event_type,

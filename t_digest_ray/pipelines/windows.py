@@ -446,3 +446,61 @@ def windowed_join_count(left, right, key_col: str, ts_col: str,
         return df
 
     return out.map_batches(fin, batch_format="pandas")
+
+
+def retention_cohorts(ds, user_col: str, ts_col: str,
+                      deltas=(1, 7), n_rows: int | None = None):
+    """Cohort retention matrix: for each activity day and each delta in
+    ``deltas``, how many of that day's active users were active again
+    exactly ``delta`` days later — the classic day-1/day-7 retention
+    report.
+
+    Topology: (user, day) presence is made globally distinct with the
+    hash-bucketed combine (8-byte pairs on the one wide shuffle), then
+    each user's day set co-locates once and emits O(active-days ×
+    |deltas|) tiny rows; the final groupby runs over (day, delta) —
+    calendar-sized. No step touches raw events twice.
+    """
+    from ray.data.aggregate import Sum
+
+    from ..stages.aggregate import hash_bucketed_group_agg
+
+    deltas = [int(d) for d in deltas]
+    if n_rows is None:
+        from ..stages.partitioning import cheap_row_count
+        n_rows = cheap_row_count(ds)
+
+    def project(b: pa.Table) -> pa.Table:
+        day = (_epoch_s(b[ts_col]) // 86400).astype(np.int64)
+        return pa.table({
+            user_col: b[user_col],
+            "day": pa.array(day)})
+
+    pairs = hash_bucketed_group_agg(
+        ds.map_batches(project, batch_format="pyarrow"),
+        [user_col, "day"], {"_one": ("day", "min")}, n_rows=n_rows)
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        days = np.sort(g["day"].to_numpy(dtype=np.int64))
+        frames = []
+        for d in deltas:
+            ret = np.isin(days + d, days)
+            frames.append(pd.DataFrame({
+                "day": days, "delta": np.int64(d),
+                "active": np.int64(1),
+                "retained": ret.astype(np.int64)}))
+        return pd.concat(frames, ignore_index=True)
+
+    out = (pairs.select_columns([user_col, "day"])
+           .groupby(user_col).map_groups(per_user,
+                                         batch_format="pandas")
+           .groupby(["day", "delta"])
+           .aggregate(Sum("active", alias_name="n_active"),
+                      Sum("retained", alias_name="n_retained")))
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        for c in ("day", "delta", "n_active", "n_retained"):
+            df[c] = df[c].astype(np.int64)
+        return df
+
+    return out.map_batches(fin, batch_format="pandas")

@@ -287,3 +287,34 @@ def test_windowed_join_count_bruteforce(ray_session):
         "u", "ts", window_s=w_s).to_pandas()
     got = out.set_index("u")["n_pairs"].sort_index()
     pd.testing.assert_series_equal(got, want, check_names=False)
+
+
+def test_retention_cohorts_matches_pandas(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from t_digest_ray.pipelines.windows import retention_cohorts
+
+    base = pd.Timestamp("2026-01-01")
+    rows = []
+    # u1 active days 0,1,7; u2 active days 0,2; u3 active day 1,2
+    for u, days in ((1, [0, 1, 7]), (2, [0, 2]), (3, [1, 2])):
+        for d in days:
+            rows.append({"user_id": u, "ts": base + pd.Timedelta(days=d,
+                                                                 hours=3)})
+            rows.append({"user_id": u, "ts": base + pd.Timedelta(days=d,
+                                                                 hours=9)})
+    df = pd.DataFrame(rows)
+    out = (retention_cohorts(rd.from_pandas(df).repartition(3),
+                             "user_id", "ts", deltas=(1, 7))
+           .to_pandas().set_index(["day", "delta"]).sort_index())
+    d0 = int((base - pd.Timestamp("1970-01-01")).days)
+    # day 0: active {u1,u2}; day+1 active {u1,u3} -> retained u1
+    assert out.loc[(d0, 1), "n_active"] == 2
+    assert out.loc[(d0, 1), "n_retained"] == 1
+    # day 0 delta 7: u1 active on day 7 -> retained 1 of 2
+    assert out.loc[(d0, 7), "n_retained"] == 1
+    # day 1: active {u1,u3}; day 2 active {u2,u3} -> retained u3
+    assert out.loc[(d0 + 1, 1), "n_active"] == 2
+    assert out.loc[(d0 + 1, 1), "n_retained"] == 1
