@@ -3806,6 +3806,19 @@ def retention_cohorts_events(sf_dir: str):
     return retention_cohorts(ds, "user_id", "ts", deltas=(1, 7))
 
 
+def funnel_click_view_purchase(sf_dir: str):
+    """Ordered conversion funnel click -> view -> purchase
+    (pipelines/windows.funnel_counts): users completing each step
+    strictly after their previous step's first completion — per-user
+    vectorized forward scan, one flags-row per user on the exchange,
+    SQL-reproducible strict-after convention."""
+    from t_digest_ray.pipelines.windows import funnel_counts
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+    return funnel_counts(ds, "user_id", "ts", "event_type",
+                         ["click", "view", "purchase"])
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
     return pages_flagship("/root/testdata/sf0.001")
@@ -3874,6 +3887,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pivot_lang_by_source": pivot_lang_by_source,
         "mad_event_values": mad_event_values,
         "retention_cohorts_events": retention_cohorts_events,
+        "funnel_click_view_purchase": funnel_click_view_purchase,
         "kmv_user_overlap": kmv_user_overlap,
         "tdigest_trimmed_mean_by_lang": tdigest_trimmed_mean_by_lang,
         "token_df_stats": token_df_stats,
@@ -4234,6 +4248,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CASE WHEN cnt >= 2 THEN 1 ELSE 0 END)
                         AS BIGINT) AS n_dropped
             FROM j GROUP BY doc_id
+        """,
+        "funnel_click_view_purchase": """
+            WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+                        WHERE event_type = 'click' GROUP BY user_id),
+            s2 AS (SELECT e.user_id, MIN(e.ts) AS t2
+                   FROM events e JOIN s1 USING (user_id)
+                   WHERE e.event_type = 'view' AND e.ts > s1.t1
+                   GROUP BY e.user_id),
+            s3 AS (SELECT e.user_id, MIN(e.ts) AS t3
+                   FROM events e JOIN s2 USING (user_id)
+                   WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+                   GROUP BY e.user_id)
+            SELECT (SELECT COUNT(*) FROM s1) AS n_step1,
+                   (SELECT COUNT(*) FROM s2) AS n_step2,
+                   (SELECT COUNT(*) FROM s3) AS n_step3
         """,
         "retention_cohorts_events": """
             WITH p AS (SELECT DISTINCT user_id,

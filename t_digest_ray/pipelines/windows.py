@@ -504,3 +504,42 @@ def retention_cohorts(ds, user_col: str, ts_col: str,
         return df
 
     return out.map_batches(fin, batch_format="pandas")
+
+
+def funnel_counts(ds, user_col: str, ts_col: str, type_col: str,
+                  steps):
+    """Ordered multi-step funnel: how many users complete step 1, then
+    step 2 STRICTLY AFTER their first step-1 event, then step 3 strictly
+    after that, ... (the product-analytics conversion funnel; timestamps
+    compared with ``>`` so the convention is SQL-reproducible).
+
+    Each user's events co-locate once; per user the funnel is a
+    vectorized forward scan (one min() per step over masked timestamps);
+    only one flags-row per user leaves the stage and the final fold is
+    a single sum. Returns ONE row ``(n_step1, ..., n_stepK)``.
+    """
+    from ray.data.aggregate import Sum
+
+    steps = list(steps)
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        ts = g[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        et = g[type_col].to_numpy()
+        t = -np.inf
+        flags = {}
+        for i, s in enumerate(steps, 1):
+            cand = ts[(et == s) & (ts > t)]
+            if len(cand):
+                t = int(cand.min())
+                flags[f"n_step{i}"] = [np.int64(1)]
+            else:
+                for j in range(i, len(steps) + 1):
+                    flags[f"n_step{j}"] = [np.int64(0)]
+                break
+        return pd.DataFrame(flags)
+
+    cols = [f"n_step{i}" for i in range(1, len(steps) + 1)]
+    out = (ds.groupby(user_col)
+           .map_groups(per_user, batch_format="pandas")
+           .aggregate(*[Sum(c, alias_name=c) for c in cols]))
+    return pd.DataFrame({c: [np.int64(out[c])] for c in cols})

@@ -318,3 +318,34 @@ def test_retention_cohorts_matches_pandas(ray_session):
     # day 1: active {u1,u3}; day 2 active {u2,u3} -> retained u3
     assert out.loc[(d0 + 1, 1), "n_active"] == 2
     assert out.loc[(d0 + 1, 1), "n_retained"] == 1
+
+
+def test_funnel_counts_strict_order(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from t_digest_ray.pipelines.windows import funnel_counts
+
+    t0 = pd.Timestamp("2026-01-01")
+
+    def ev(u, minutes, typ):
+        return {"user_id": u, "ts": t0 + pd.Timedelta(minutes=minutes),
+                "event_type": typ}
+
+    rows = [
+        # u1 completes all three in order
+        ev(1, 0, "click"), ev(1, 5, "view"), ev(1, 9, "purchase"),
+        # u2: view BEFORE click -> only step 1
+        ev(2, 3, "view"), ev(2, 4, "click"),
+        # u3: click then view, purchase before view -> steps 1-2
+        ev(3, 0, "purchase"), ev(3, 1, "click"), ev(3, 2, "view"),
+        # u4: no click at all -> zero steps
+        ev(4, 0, "view"), ev(4, 1, "purchase"),
+    ]
+    out = funnel_counts(rd.from_pandas(pd.DataFrame(rows)).repartition(3),
+                        "user_id", "ts", "event_type",
+                        ["click", "view", "purchase"])
+    assert out.iloc[0]["n_step1"] == 3   # u1, u2, u3 clicked
+    assert out.iloc[0]["n_step2"] == 2   # u1, u3 viewed after click
+    assert out.iloc[0]["n_step3"] == 1   # only u1 purchased after view
