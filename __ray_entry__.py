@@ -3819,6 +3819,18 @@ def funnel_click_view_purchase(sf_dir: str):
                          ["click", "view", "purchase"])
 
 
+def event_transition_matrix(sf_dir: str):
+    """First-order event-type transition counts per user stream
+    (pipelines/windows.transition_counts) — the Markov / session-flow
+    matrix; LAG-shaped per-user co-location, |types|^2-sized exchange."""
+    from t_digest_ray.pipelines.windows import transition_counts
+
+    ds = _read(sf_dir, "events",
+               ["user_id", "ts", "event_id", "event_type"])
+    return transition_counts(ds, "user_id", "ts", "event_id",
+                             "event_type")
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
     return pages_flagship("/root/testdata/sf0.001")
@@ -3888,6 +3900,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mad_event_values": mad_event_values,
         "retention_cohorts_events": retention_cohorts_events,
         "funnel_click_view_purchase": funnel_click_view_purchase,
+        "event_transition_matrix": event_transition_matrix,
         "kmv_user_overlap": kmv_user_overlap,
         "tdigest_trimmed_mean_by_lang": tdigest_trimmed_mean_by_lang,
         "token_df_stats": token_df_stats,
@@ -4248,6 +4261,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CASE WHEN cnt >= 2 THEN 1 ELSE 0 END)
                         AS BIGINT) AS n_dropped
             FROM j GROUP BY doc_id
+        """,
+        "event_transition_matrix": """
+            WITH o AS (SELECT user_id, event_type,
+                              LAG(event_type) OVER (
+                                  PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS prev
+                       FROM events)
+            SELECT prev AS prev_type, event_type AS next_type,
+                   COUNT(*) AS n
+            FROM o WHERE prev IS NOT NULL
+            GROUP BY prev, event_type
         """,
         "funnel_click_view_purchase": """
             WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events

@@ -543,3 +543,38 @@ def funnel_counts(ds, user_col: str, ts_col: str, type_col: str,
            .map_groups(per_user, batch_format="pandas")
            .aggregate(*[Sum(c, alias_name=c) for c in cols]))
     return pd.DataFrame({c: [np.int64(out[c])] for c in cols})
+
+
+def transition_counts(ds, user_col: str, ts_col: str, tie_col: str,
+                      type_col: str):
+    """First-order event-sequence transition matrix (the Markov-chain /
+    session-flow report): per user, consecutive (prev_type, next_type)
+    pairs under (ts, tie) order, counted globally. Each user's events
+    co-locate once; only per-user PAIR COUNTS (≤ |types|² rows per user)
+    leave the stage; the final groupby is |types|²-sized.
+    """
+    from ray.data.aggregate import Sum
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([ts_col, tie_col], kind="stable")
+        et = g[type_col].to_numpy()
+        if len(et) < 2:
+            return pd.DataFrame({"prev_type": [], "next_type": [],
+                                 "partial": []}).astype(
+                {"prev_type": et.dtype, "next_type": et.dtype,
+                 "partial": np.int64})
+        df = pd.DataFrame({"prev_type": et[:-1], "next_type": et[1:]})
+        df["partial"] = np.int64(1)
+        return df.groupby(["prev_type", "next_type"],
+                          as_index=False, sort=False).sum()
+
+    out = (ds.groupby(user_col)
+           .map_groups(per_user, batch_format="pandas")
+           .groupby(["prev_type", "next_type"])
+           .aggregate(Sum("partial", alias_name="n")))
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        df["n"] = df["n"].astype(np.int64)
+        return df
+
+    return out.map_batches(fin, batch_format="pandas")

@@ -349,3 +349,32 @@ def test_funnel_counts_strict_order(ray_session):
     assert out.iloc[0]["n_step1"] == 3   # u1, u2, u3 clicked
     assert out.iloc[0]["n_step2"] == 2   # u1, u3 viewed after click
     assert out.iloc[0]["n_step3"] == 1   # only u1 purchased after view
+
+
+def test_transition_counts_matches_pandas_lag(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from t_digest_ray.pipelines.windows import transition_counts
+
+    rng = np.random.default_rng(17)
+    n = 600
+    df = pd.DataFrame({
+        "user_id": rng.integers(0, 12, n),
+        "ts": pd.Timestamp("2026-01-01")
+        + pd.to_timedelta(rng.integers(0, 10_000, n), unit="s"),
+        "event_id": np.arange(n),
+        "event_type": rng.choice(["a", "b", "c"], n)})
+    got = (transition_counts(rd.from_pandas(df).repartition(4),
+                             "user_id", "ts", "event_id", "event_type")
+           .to_pandas().set_index(["prev_type", "next_type"])
+           .sort_index())
+
+    d = df.sort_values(["user_id", "ts", "event_id"])
+    prev = d.groupby("user_id")["event_type"].shift()
+    want = (pd.DataFrame({"prev_type": prev, "next_type": d["event_type"]})
+            .dropna().groupby(["prev_type", "next_type"]).size())
+    assert len(got) == len(want)
+    for k, v in want.items():
+        assert got.loc[k, "n"] == v
