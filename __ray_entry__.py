@@ -3831,6 +3831,88 @@ def event_transition_matrix(sf_dir: str):
                              "event_type")
 
 
+
+def langid_confusion_matrix(sf_dir: str):
+    """Language-ID confusion matrix: predicted vs ACTUAL lang counts —
+    the classifier-audit shape. Same vectorized stopword-argmax as
+    langid_counts (functions/text.LangId) with the actual lang carried
+    through; the oracle reuses the exact same picker CTE via
+    _langid_pick_sql('lang')."""
+    from ray.data.aggregate import Count
+    from t_digest_ray.functions.text import LangId
+
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+    lid = LangId()
+
+    def pred(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "lang": b["lang"],
+            "lang_pred": pa.array(lid.predict_arrow(b["text"]),
+                                  type=pa.string())})
+
+    return (ds.map_batches(pred, batch_format="pyarrow")
+            .groupby(["lang", "lang_pred"])
+            .aggregate(Count(alias_name="n_docs")))
+
+
+def _langid_pick_sql(carry: str = "") -> str:
+    """Shared stopword-argmax CTE chain for langid oracles; ``carry``
+    threads extra source columns (e.g. ``lang,``) through every level so
+    the confusion-matrix twin reuses the exact same picker."""
+    c = f"{carry}, " if carry else ""
+    return f"""
+            WITH toks AS (
+              SELECT {c}LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(
+                       LOWER(COALESCE(text, '')), '\\s+'),
+                       x -> x <> '') AS ts
+              FROM documents
+            ), scores AS (
+              SELECT {c}
+
+                CAST(LEN(LIST_FILTER(ts, x -> LIST_CONTAINS(['der','die',
+                  'das','und','ist','von','zu','den','mit','nicht'], x)))
+                  AS DOUBLE) / GREATEST(LEN(ts), 1) AS s_de,
+                CAST(LEN(LIST_FILTER(ts, x -> LIST_CONTAINS(['the','and',
+                  'of','to','a','in','is','that','it','for'], x)))
+                  AS DOUBLE) / GREATEST(LEN(ts), 1) AS s_en,
+                CAST(LEN(LIST_FILTER(ts, x -> LIST_CONTAINS(['el','la',
+                  'los','las','y','de','que','es','en','por'], x)))
+                  AS DOUBLE) / GREATEST(LEN(ts), 1) AS s_es,
+                CAST(LEN(LIST_FILTER(ts, x -> LIST_CONTAINS(['le','la',
+                  'les','et','de','un','une','est','pour','que'], x)))
+                  AS DOUBLE) / GREATEST(LEN(ts), 1) AS s_fr,
+                CAST(LEN(LIST_FILTER(ts, x -> LIST_CONTAINS(['il','la',
+                  'di','e','che','un','per','sono','con','non'], x)))
+                  AS DOUBLE) / GREATEST(LEN(ts), 1) AS s_it,
+                CAST(LEN(LIST_FILTER(ts, x -> LIST_CONTAINS(['de','het',
+                  'een','en','van','is','dat','op','te','met'], x)))
+                  AS DOUBLE) / GREATEST(LEN(ts), 1) AS s_nl,
+                CAST(LEN(LIST_FILTER(ts, x -> LIST_CONTAINS(['o','a',
+                  'os','as','de','que','e','em','para','com'], x)))
+                  AS DOUBLE) / GREATEST(LEN(ts), 1) AS s_pt
+              FROM toks
+            ), pick AS (
+              SELECT {c}CASE
+                WHEN GREATEST(s_de,s_en,s_es,s_fr,s_it,s_nl,s_pt) <= 0
+                    THEN 'und'
+                WHEN s_de = GREATEST(s_de,s_en,s_es,s_fr,s_it,s_nl,s_pt)
+                    THEN 'de'
+                WHEN s_en = GREATEST(s_de,s_en,s_es,s_fr,s_it,s_nl,s_pt)
+                    THEN 'en'
+                WHEN s_es = GREATEST(s_de,s_en,s_es,s_fr,s_it,s_nl,s_pt)
+                    THEN 'es'
+                WHEN s_fr = GREATEST(s_de,s_en,s_es,s_fr,s_it,s_nl,s_pt)
+                    THEN 'fr'
+                WHEN s_it = GREATEST(s_de,s_en,s_es,s_fr,s_it,s_nl,s_pt)
+                    THEN 'it'
+                WHEN s_nl = GREATEST(s_de,s_en,s_es,s_fr,s_it,s_nl,s_pt)
+                    THEN 'nl'
+                ELSE 'pt' END AS lang_pred
+              FROM scores
+            )
+"""
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
     return pages_flagship("/root/testdata/sf0.001")
@@ -3901,6 +3983,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "retention_cohorts_events": retention_cohorts_events,
         "funnel_click_view_purchase": funnel_click_view_purchase,
         "event_transition_matrix": event_transition_matrix,
+        "langid_confusion_matrix": langid_confusion_matrix,
         "kmv_user_overlap": kmv_user_overlap,
         "tdigest_trimmed_mean_by_lang": tdigest_trimmed_mean_by_lang,
         "token_df_stats": token_df_stats,
@@ -5096,57 +5179,13 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(n_tok) AS BIGINT) AS sum_tokens
             FROM sc GROUP BY lang
         """,
-        "langid_counts": r"""
-            WITH toks AS (
-              SELECT LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(
-                       LOWER(COALESCE(text, '')), '\s+'),
-                       x -> x <> '') AS ts
-              FROM documents
-            ), scores AS (
-              SELECT
-                CAST(LEN(LIST_FILTER(ts, x -> LIST_CONTAINS(['der','die',
-                  'das','und','ist','von','zu','den','mit','nicht'], x)))
-                  AS DOUBLE) / GREATEST(LEN(ts), 1) AS s_de,
-                CAST(LEN(LIST_FILTER(ts, x -> LIST_CONTAINS(['the','and',
-                  'of','to','a','in','is','that','it','for'], x)))
-                  AS DOUBLE) / GREATEST(LEN(ts), 1) AS s_en,
-                CAST(LEN(LIST_FILTER(ts, x -> LIST_CONTAINS(['el','la',
-                  'los','las','y','de','que','es','en','por'], x)))
-                  AS DOUBLE) / GREATEST(LEN(ts), 1) AS s_es,
-                CAST(LEN(LIST_FILTER(ts, x -> LIST_CONTAINS(['le','la',
-                  'les','et','de','un','une','est','pour','que'], x)))
-                  AS DOUBLE) / GREATEST(LEN(ts), 1) AS s_fr,
-                CAST(LEN(LIST_FILTER(ts, x -> LIST_CONTAINS(['il','la',
-                  'di','e','che','un','per','sono','con','non'], x)))
-                  AS DOUBLE) / GREATEST(LEN(ts), 1) AS s_it,
-                CAST(LEN(LIST_FILTER(ts, x -> LIST_CONTAINS(['de','het',
-                  'een','en','van','is','dat','op','te','met'], x)))
-                  AS DOUBLE) / GREATEST(LEN(ts), 1) AS s_nl,
-                CAST(LEN(LIST_FILTER(ts, x -> LIST_CONTAINS(['o','a',
-                  'os','as','de','que','e','em','para','com'], x)))
-                  AS DOUBLE) / GREATEST(LEN(ts), 1) AS s_pt
-              FROM toks
-            ), pick AS (
-              SELECT CASE
-                WHEN GREATEST(s_de,s_en,s_es,s_fr,s_it,s_nl,s_pt) <= 0
-                    THEN 'und'
-                WHEN s_de = GREATEST(s_de,s_en,s_es,s_fr,s_it,s_nl,s_pt)
-                    THEN 'de'
-                WHEN s_en = GREATEST(s_de,s_en,s_es,s_fr,s_it,s_nl,s_pt)
-                    THEN 'en'
-                WHEN s_es = GREATEST(s_de,s_en,s_es,s_fr,s_it,s_nl,s_pt)
-                    THEN 'es'
-                WHEN s_fr = GREATEST(s_de,s_en,s_es,s_fr,s_it,s_nl,s_pt)
-                    THEN 'fr'
-                WHEN s_it = GREATEST(s_de,s_en,s_es,s_fr,s_it,s_nl,s_pt)
-                    THEN 'it'
-                WHEN s_nl = GREATEST(s_de,s_en,s_es,s_fr,s_it,s_nl,s_pt)
-                    THEN 'nl'
-                ELSE 'pt' END AS lang_pred
-              FROM scores
-            )
+        "langid_counts": _langid_pick_sql() + """
             SELECT lang_pred, COUNT(*) AS n_docs
             FROM pick GROUP BY lang_pred
+        """,
+        "langid_confusion_matrix": _langid_pick_sql("lang") + """
+            SELECT lang, lang_pred, COUNT(*) AS n_docs
+            FROM pick GROUP BY lang, lang_pred
         """,
         "tdigest_rollup_by_lang": """
             SELECT lang, COUNT(*) AS n,
