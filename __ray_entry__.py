@@ -3731,6 +3731,491 @@ def q22_idle_rich_customers(sf_dir: str):
     return out.map_batches(fin, batch_format="pandas")
 
 
+def q6_forecast_revenue(sf_dir: str):
+    """TPC-H Q6-shaped forecast-revenue delta: ONE tight column-pruned
+    scan of lineitem (shipdate year window, discount band, quantity cap)
+    with a per-row integer-cents derive (extendedprice * discount) and a
+    one-row-per-batch partial — the final groupby moves rows = number of
+    batches, nothing else. The canonical 'predicate + scalar aggregate'
+    scan shape; zero shuffles of fact rows."""
+    import datetime
+
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    lo = datetime.datetime(1996, 1, 1)
+    hi = datetime.datetime(1997, 1, 1)
+    li = _read(sf_dir, "lineitem",
+               ["l_shipdate", "l_discount", "l_quantity",
+                "l_extendedprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.and_(pc.greater_equal(b["l_shipdate"], pa.scalar(lo)),
+                    pc.less(b["l_shipdate"], pa.scalar(hi))),
+            pc.and_(
+                pc.and_(pc.greater_equal(b["l_discount"],
+                                         pa.scalar(0.05)),
+                        pc.less_equal(b["l_discount"], pa.scalar(0.07))),
+                pc.less(b["l_quantity"], pa.scalar(24.0))))
+        t = b.filter(m)
+        price = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = t["l_discount"].to_numpy(zero_copy_only=False)
+        cents = np.floor(price * disc * 100.0 + 0.5).astype(np.int64)
+        return pa.table({"g": pa.array([0], type=pa.int64()),
+                         "revenue_cents": pa.array([int(cents.sum())]),
+                         "n_items": pa.array([t.num_rows],
+                                             type=pa.int64())})
+
+    out = (li.map_batches(partial, batch_format="pyarrow")
+           .groupby("g")
+           .aggregate(Sum("revenue_cents", alias_name="revenue_cents"),
+                      Sum("n_items", alias_name="n_items")))
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "revenue_cents": df["revenue_cents"].astype(np.int64),
+            "n_items": df["n_items"].astype(np.int64)})
+
+    return out.map_batches(fin, batch_format="pandas")
+
+
+def q12_late_shipment_priority(sf_dir: str):
+    """TPC-H Q12-shaped late-shipment priority split (reshaped: the
+    testdata has no shipmode/commitdate, so 'late' is shipdate more than
+    90 days after the order date). One co-partitioned ``hash_join`` of
+    the year-filtered lineitems against orders, then a vectorized
+    date-arithmetic filter and a 2-group priority-class count."""
+    import datetime
+
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+    from t_digest_ray.pipelines.relational import hash_join
+    from t_digest_ray.stages.partitioning import cheap_row_count
+
+    lo = datetime.datetime(1996, 1, 1)
+    hi = datetime.datetime(1997, 1, 1)
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_linestatus", "l_shipdate"])
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_orderdate", "o_orderpriority"])
+    n_li, n_ord = cheap_row_count(li), cheap_row_count(orders)
+
+    def li_p(b: pa.Table) -> pa.Table:
+        m = pc.and_(pc.greater_equal(b["l_shipdate"], pa.scalar(lo)),
+                    pc.less(b["l_shipdate"], pa.scalar(hi)))
+        t = b.filter(m)
+        return pa.table({"okey": t["l_orderkey"],
+                         "l_linestatus": t["l_linestatus"],
+                         "ship": t["l_shipdate"]})
+
+    def ord_p(b: pa.Table) -> pa.Table:
+        return pa.table({"okey": b["o_orderkey"],
+                         "odate": b["o_orderdate"],
+                         "o_orderpriority": b["o_orderpriority"]})
+
+    j = hash_join(li.map_batches(li_p, batch_format="pyarrow"),
+                  orders.map_batches(ord_p, batch_format="pyarrow"),
+                  on="okey", left_cols=["l_linestatus", "ship"],
+                  right_cols=["odate", "o_orderpriority"],
+                  n_rows=None if None in (n_li, n_ord)
+                  else n_li + n_ord,
+                  types={"okey": pa.int64(), "l_linestatus": pa.string(),
+                         "ship": pa.timestamp("us"),
+                         "odate": pa.timestamp("us"),
+                         "o_orderpriority": pa.string()})
+
+    late_by = np.timedelta64(90, "D")
+
+    def split(b: pa.Table) -> pa.Table:
+        ship = b["ship"].to_numpy(zero_copy_only=False)
+        odate = b["odate"].to_numpy(zero_copy_only=False)
+        late = (ship - odate) > late_by
+        t = b.filter(pa.array(late))
+        prio = t["o_orderpriority"].to_numpy(zero_copy_only=False)
+        high = ((prio == "1-URGENT") | (prio == "2-HIGH")) \
+            .astype(np.int64)
+        return pa.table({"l_linestatus": t["l_linestatus"],
+                         "high": pa.array(high),
+                         "low": pa.array(1 - high)})
+
+    out = (j.map_batches(split, batch_format="pyarrow")
+           .groupby("l_linestatus")
+           .aggregate(Sum("high", alias_name="high_line_count"),
+                      Sum("low", alias_name="low_line_count")))
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        df["high_line_count"] = df["high_line_count"].astype(np.int64)
+        df["low_line_count"] = df["low_line_count"].astype(np.int64)
+        return df
+
+    return out.map_batches(fin, batch_format="pandas")
+
+
+def q13_customer_order_distribution(sf_dir: str):
+    """TPC-H Q13-shaped customer order-count distribution: orders per
+    customer (a filtered fact groupby), LEFT-joined back onto the full
+    customer key set so zero-order customers appear with count 0, then
+    the distribution of counts. Exercises the engine's distributed LEFT
+    join null path end-to-end (typed Arrow nulls -> fillna(0))."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count
+    from t_digest_ray.pipelines.relational import hash_join
+    from t_digest_ray.stages.partitioning import cheap_row_count
+
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+    n_cust, n_ord = cheap_row_count(cust), cheap_row_count(orders)
+
+    def ord_p(b: pa.Table) -> pa.Table:
+        keep = pc.not_equal(b["o_orderpriority"],
+                            pa.scalar("4-NOT SPECIFIED"))
+        return pa.table({"c_custkey": b["o_custkey"].filter(keep)})
+
+    per_cust = (orders.map_batches(ord_p, batch_format="pyarrow")
+                .groupby("c_custkey")
+                .aggregate(Count(alias_name="c_count")))
+
+    j = hash_join(cust, per_cust, on="c_custkey", left_cols=[],
+                  right_cols=["c_count"], how="left",
+                  n_rows=None if None in (n_cust, n_ord)
+                  else n_cust + n_ord,
+                  types={"c_custkey": pa.int64(), "c_count": pa.int64()})
+
+    def zero_fill(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_count": pc.fill_null(b["c_count"], pa.scalar(0))})
+
+    out = (j.map_batches(zero_fill, batch_format="pyarrow")
+           .groupby("c_count")
+           .aggregate(Count(alias_name="custdist")))
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        df["c_count"] = df["c_count"].astype(np.int64)
+        df["custdist"] = df["custdist"].astype(np.int64)
+        return df
+
+    return out.map_batches(fin, batch_format="pandas")
+
+
+def q15_top_supplier(sf_dir: str):
+    """TPC-H Q15-shaped top supplier: per-supplier revenue in a quarter
+    window via per-batch keyed cent partials + one supplier-cardinality
+    groupby, then the max-revenue supplier(s) WITH TIES. The aggregate is
+    dimension-sized (rows = suppliers), so the max-filter + name join is
+    a deliberate driver fold — documented small-side materialization."""
+    import datetime
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Sum
+
+    lo = datetime.datetime(1996, 1, 1)
+    hi = datetime.datetime(1996, 4, 1)
+    li = _read(sf_dir, "lineitem",
+               ["l_suppkey", "l_shipdate", "l_extendedprice",
+                "l_discount"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        m = pc.and_(pc.greater_equal(b["l_shipdate"], pa.scalar(lo)),
+                    pc.less(b["l_shipdate"], pa.scalar(hi)))
+        t = b.filter(m)
+        price = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = t["l_discount"].to_numpy(zero_copy_only=False)
+        cents = np.floor(price * (1.0 - disc) * 100.0 + 0.5) \
+            .astype(np.int64)
+        return pa.table({"s_suppkey": t["l_suppkey"],
+                         "cents": pa.array(cents)})
+
+    rev = (li.map_batches(partial, batch_format="pyarrow")
+           .groupby("s_suppkey")
+           .aggregate(Sum("cents", alias_name="total_revenue_cents"))
+           .to_pandas())  # rows = suppliers with sales: dimension-sized
+    rev["total_revenue_cents"] = rev["total_revenue_cents"] \
+        .astype(np.int64)
+    top = rev[rev["total_revenue_cents"]
+              == rev["total_revenue_cents"].max()]
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_name"]).to_pandas()
+    out = top.merge(sup, on="s_suppkey")
+    return out[["s_suppkey", "s_name", "total_revenue_cents"]] \
+        .reset_index(drop=True)
+
+
+def q17_small_quantity_revenue(sf_dir: str):
+    """TPC-H Q17-shaped small-quantity revenue: for one brand+type part
+    family, revenue from lineitems whose quantity is below 20% of that
+    part's average. Two passes over lineitem, both pruned by a broadcast
+    sorted-partkey filter: pass 1 folds per-part (sum qty, count) into a
+    part-cardinality threshold table (0.2 * avg as ONE double expression
+    from exact integer sums — bit-identical to the oracle), pass 2
+    applies the per-part threshold via searchsorted gather and emits
+    one-row cent partials."""
+    import pyarrow.compute as pc  # noqa: F401  (kept for parity w/ kin)
+    import pyarrow.parquet as pq
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_brand",
+                                  "p_type"]).to_pandas()
+    sel = part[(part["p_brand"] == "Brand#23")
+               & (part["p_type"] == "PROMO")]
+    pk = np.sort(sel["p_partkey"].to_numpy().astype(np.int64))
+    pk_ref = ray.put(pk)
+
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_quantity", "l_extendedprice"])
+
+    class QtyPartial:
+        def __init__(self):
+            self.pk = ray.get(pk_ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            lpk = b["l_partkey"].to_numpy(zero_copy_only=False)
+            if len(self.pk):
+                idx = np.minimum(np.searchsorted(self.pk, lpk),
+                                 len(self.pk) - 1)
+                hit = self.pk[idx] == lpk
+            else:
+                hit = np.zeros(len(lpk), dtype=bool)
+            t = b.filter(pa.array(hit))
+            qty = t["l_quantity"].to_numpy(zero_copy_only=False) \
+                .astype(np.int64)  # quantities are integral by contract
+            return pa.table({"pk": t["l_partkey"],
+                             "sumq": pa.array(qty)})
+
+    per_part = (li.map_batches(QtyPartial, batch_format="pyarrow",
+                               concurrency=_pool())
+                .groupby("pk")
+                .aggregate(Sum("sumq", alias_name="sumq"),
+                           Count(alias_name="n"))
+                .to_pandas())  # rows = parts in the family: tiny
+    tk = per_part["pk"].to_numpy().astype(np.int64)
+    order = np.argsort(tk)
+    tk = tk[order]
+    # 0.2 * (exact int sum / exact int count): one IEEE expression,
+    # matches DuckDB's 0.2 * (SUM / COUNT) bit for bit
+    thr = 0.2 * (per_part["sumq"].to_numpy().astype(np.float64)[order]
+                 / per_part["n"].to_numpy().astype(np.float64)[order])
+    thr_ref = ray.put((tk, thr))
+
+    class BelowAvg:
+        def __init__(self):
+            self.tk, self.thr = ray.get(thr_ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            lpk = b["l_partkey"].to_numpy(zero_copy_only=False)
+            if len(self.tk):
+                idx = np.minimum(np.searchsorted(self.tk, lpk),
+                                 len(self.tk) - 1)
+                hit = self.tk[idx] == lpk
+            else:
+                idx = np.zeros(len(lpk), dtype=np.int64)
+                hit = np.zeros(len(lpk), dtype=bool)
+            qty = b["l_quantity"].to_numpy(zero_copy_only=False)
+            keep = hit & (qty < np.where(hit, self.thr[idx], 0.0))
+            t = b.filter(pa.array(keep))
+            price = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+            cents = np.floor(price * 100.0 + 0.5).astype(np.int64)
+            return pa.table({"g": pa.array([0], type=pa.int64()),
+                             "total_cents": pa.array([int(cents.sum())]),
+                             "n_items": pa.array([t.num_rows],
+                                                 type=pa.int64())})
+
+    out = (li.map_batches(BelowAvg, batch_format="pyarrow",
+                          concurrency=_pool())
+           .groupby("g")
+           .aggregate(Sum("total_cents", alias_name="total_cents"),
+                      Sum("n_items", alias_name="n_items")))
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        total = df["total_cents"].astype(np.int64)
+        return pd.DataFrame({
+            "total_cents": total,
+            "n_items": df["n_items"].astype(np.int64),
+            "avg_yearly": total.to_numpy().astype(np.float64) / 700.0})
+
+    return out.map_batches(fin, batch_format="pandas")
+
+
+def q9_nation_profit(sf_dir: str):
+    """TPC-H Q9-shaped product-profit by nation and year (reshaped:
+    profit = discounted revenue; the testdata has no partsupp/supplycost).
+    Part-name filter and supplier->nation resolve ride as broadcast
+    sorted arrays inside the lineitem scan (the fact table shuffles only
+    for the orders join, which supplies the order year). Group by
+    (nation, year), exact integer-cents sums."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray
+    from ray.data.aggregate import Sum
+    from t_digest_ray.pipelines.relational import hash_join
+    from t_digest_ray.stages.partitioning import cheap_row_count
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_name"]).to_pandas()
+    pk = np.sort(part.loc[part["p_name"].str.contains("red"),
+                          "p_partkey"].to_numpy().astype(np.int64))
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    so = np.argsort(sup["s_suppkey"].to_numpy())
+    sk = sup["s_suppkey"].to_numpy()[so].astype(np.int64)
+    snat = sup["s_nationkey"].to_numpy()[so].astype(np.int64)
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_name"]).to_pandas()
+    no = np.argsort(nat["n_nationkey"].to_numpy())
+    nk = nat["n_nationkey"].to_numpy()[no].astype(np.int64)
+    nname = nat["n_name"].to_numpy()[no].astype(object)
+    dims_ref = ray.put((pk, sk, snat, nk, nname))
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_partkey", "l_suppkey",
+                "l_extendedprice", "l_discount"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+    n_li, n_ord = cheap_row_count(li), cheap_row_count(orders)
+
+    class PartNation:
+        def __init__(self):
+            (self.pk, self.sk, self.snat,
+             self.nk, self.nname) = ray.get(dims_ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            lpk = b["l_partkey"].to_numpy(zero_copy_only=False)
+            if len(self.pk):
+                idx = np.minimum(np.searchsorted(self.pk, lpk),
+                                 len(self.pk) - 1)
+                hit = self.pk[idx] == lpk
+            else:
+                hit = np.zeros(len(lpk), dtype=bool)
+            t = b.filter(pa.array(hit))
+            spk = t["l_suppkey"].to_numpy(zero_copy_only=False)
+            si = np.searchsorted(self.sk, spk)
+            nkey = self.snat[np.minimum(si, len(self.sk) - 1)]
+            names = self.nname[np.searchsorted(self.nk, nkey)]
+            price = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+            disc = t["l_discount"].to_numpy(zero_copy_only=False)
+            cents = np.floor(price * (1.0 - disc) * 100.0 + 0.5) \
+                .astype(np.int64)
+            return pa.table({"okey": t["l_orderkey"],
+                             "nation": pa.array(names,
+                                                type=pa.string()),
+                             "cents": pa.array(cents)})
+
+    def ord_p(b: pa.Table) -> pa.Table:
+        return pa.table({"okey": b["o_orderkey"],
+                         "o_year": pc.cast(pc.year(b["o_orderdate"]),
+                                           pa.int64())})
+
+    j = hash_join(li.map_batches(PartNation, batch_format="pyarrow",
+                                 concurrency=_pool()),
+                  orders.map_batches(ord_p, batch_format="pyarrow"),
+                  on="okey", left_cols=["nation", "cents"],
+                  right_cols=["o_year"],
+                  n_rows=None if None in (n_li, n_ord)
+                  else n_li + n_ord,
+                  types={"okey": pa.int64(), "nation": pa.string(),
+                         "cents": pa.int64(), "o_year": pa.int64()})
+
+    out = (j.groupby(["nation", "o_year"])
+           .aggregate(Sum("cents", alias_name="profit_cents")))
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        df["profit_cents"] = df["profit_cents"].astype(np.int64)
+        return df[["nation", "o_year", "profit_cents"]]
+
+    return out.map_batches(fin, batch_format="pandas")
+
+
+def q20_heavy_shippers(sf_dir: str):
+    """TPC-H Q20-shaped heavy-shipper detection (reshaped: no partsupp,
+    so 'heavy' = a (supplier, part) pair shipping >20% of that part's
+    total windowed quantity). Pair quantities fold in a two-key groupby
+    (pairs, not rows, survive); part totals — a part-cardinality table —
+    come back to the driver and re-broadcast as sorted threshold arrays;
+    the final per-supplier count is dimension-sized."""
+    import datetime
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray
+    from ray.data.aggregate import Sum
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_name"]).to_pandas()
+    pk = np.sort(part.loc[part["p_name"].str.startswith("small"),
+                          "p_partkey"].to_numpy().astype(np.int64))
+    pk_ref = ray.put(pk)
+    lo = datetime.datetime(1996, 1, 1)
+    hi = datetime.datetime(1997, 1, 1)
+
+    li = _read(sf_dir, "lineitem",
+               ["l_suppkey", "l_partkey", "l_quantity", "l_shipdate"])
+
+    class PairPartial:
+        def __init__(self):
+            self.pk = ray.get(pk_ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            m = pc.and_(pc.greater_equal(b["l_shipdate"], pa.scalar(lo)),
+                        pc.less(b["l_shipdate"], pa.scalar(hi)))
+            t = b.filter(m)
+            lpk = t["l_partkey"].to_numpy(zero_copy_only=False)
+            if len(self.pk):
+                idx = np.minimum(np.searchsorted(self.pk, lpk),
+                                 len(self.pk) - 1)
+                hit = self.pk[idx] == lpk
+            else:
+                hit = np.zeros(len(lpk), dtype=bool)
+            t = t.filter(pa.array(hit))
+            qty = t["l_quantity"].to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            return pa.table({"s_suppkey": t["l_suppkey"],
+                             "pk": t["l_partkey"],
+                             "q": pa.array(qty)})
+
+    pairs = (li.map_batches(PairPartial, batch_format="pyarrow",
+                            concurrency=_pool())
+             .groupby(["s_suppkey", "pk"])
+             .aggregate(Sum("q", alias_name="pair_qty")))
+    pairs = pairs.materialize()  # reused twice below; pair-cardinality
+
+    totals = (pairs.groupby("pk")
+              .aggregate(Sum("pair_qty", alias_name="part_qty"))
+              .to_pandas())  # rows = parts in the family: tiny
+    tk = totals["pk"].to_numpy().astype(np.int64)
+    order = np.argsort(tk)
+    tk = tk[order]
+    tq = totals["part_qty"].to_numpy().astype(np.float64)[order]
+    thr_ref = ray.put((tk, 0.2 * tq))
+
+    class HeavyFilter:
+        def __init__(self):
+            self.tk, self.thr = ray.get(thr_ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            pk_ = b["pk"].to_numpy(zero_copy_only=False)
+            idx = np.searchsorted(self.tk, pk_)  # totals cover every pk
+            heavy = (b["pair_qty"].to_numpy(zero_copy_only=False)
+                     .astype(np.float64) > self.thr[idx])
+            t = b.filter(pa.array(heavy))
+            return pa.table({"s_suppkey": t["s_suppkey"],
+                             "one": pa.array(
+                                 np.ones(t.num_rows, dtype=np.int64))})
+
+    counts = (pairs.map_batches(HeavyFilter, batch_format="pyarrow",
+                                concurrency=_pool())
+              .groupby("s_suppkey")
+              .aggregate(Sum("one", alias_name="n_heavy_parts"))
+              .to_pandas())  # rows = suppliers: dimension-sized
+    counts["n_heavy_parts"] = counts["n_heavy_parts"].astype(np.int64)
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_name"]).to_pandas()
+    out = counts.merge(sup, on="s_suppkey")
+    return out[["s_suppkey", "s_name", "n_heavy_parts"]] \
+        .reset_index(drop=True)
+
+
 def kmv_distinct_users_by_type(sf_dir: str):
     """KMV/Theta bottom-k distinct (state/kmv.py, Beyer et al. 2007)
     alongside the HLL: per event_type exact COUNT(DISTINCT user_id)
@@ -3980,6 +4465,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cube_doc_stats": cube_doc_stats,
         "pivot_lang_by_source": pivot_lang_by_source,
         "mad_event_values": mad_event_values,
+        "q6_forecast_revenue": q6_forecast_revenue,
+        "q9_nation_profit": q9_nation_profit,
+        "q12_late_shipment_priority": q12_late_shipment_priority,
+        "q13_customer_order_distribution": q13_customer_order_distribution,
+        "q15_top_supplier": q15_top_supplier,
+        "q17_small_quantity_revenue": q17_small_quantity_revenue,
+        "q20_heavy_shippers": q20_heavy_shippers,
         "retention_cohorts_events": retention_cohorts_events,
         "funnel_click_view_purchase": funnel_click_view_purchase,
         "event_transition_matrix": event_transition_matrix,
@@ -4399,6 +4891,108 @@ def oracle_sql() -> dict[str, str]:
                         AS DOUBLE) AS mad
             FROM events e JOIN m USING (event_type)
             GROUP BY e.event_type
+        """,
+        "q6_forecast_revenue": """
+            SELECT CAST(SUM(CAST(FLOOR(l_extendedprice * l_discount * 100
+                                       + 0.5) AS BIGINT)) AS BIGINT)
+                       AS revenue_cents,
+                   COUNT(*) AS n_items
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+              AND l_discount BETWEEN 0.05 AND 0.07
+              AND l_quantity < 24
+        """,
+        "q9_nation_profit": """
+            SELECT n_name AS nation,
+                   CAST(EXTRACT(year FROM o_orderdate) AS BIGINT)
+                       AS o_year,
+                   CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount)
+                                       * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                       AS profit_cents
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN part ON l_partkey = p_partkey
+            WHERE p_name LIKE '%red%'
+            GROUP BY 1, 2
+        """,
+        "q12_late_shipment_priority": """
+            SELECT l_linestatus,
+                   CAST(SUM(CASE WHEN o_orderpriority IN
+                                      ('1-URGENT', '2-HIGH')
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS high_line_count,
+                   CAST(SUM(CASE WHEN o_orderpriority IN
+                                      ('1-URGENT', '2-HIGH')
+                                 THEN 0 ELSE 1 END) AS BIGINT)
+                       AS low_line_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+              AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+            GROUP BY l_linestatus
+        """,
+        "q13_customer_order_distribution": """
+            SELECT c_count, COUNT(*) AS custdist
+            FROM (SELECT c_custkey, COUNT(o_custkey) AS c_count
+                  FROM customer LEFT JOIN orders
+                       ON c_custkey = o_custkey
+                       AND o_orderpriority <> '4-NOT SPECIFIED'
+                  GROUP BY c_custkey) t
+            GROUP BY c_count
+        """,
+        "q15_top_supplier": """
+            WITH r AS (SELECT l_suppkey AS s_suppkey,
+                              CAST(SUM(CAST(FLOOR(l_extendedprice
+                                   * (1 - l_discount) * 100 + 0.5)
+                                   AS BIGINT)) AS BIGINT)
+                                  AS total_revenue_cents
+                       FROM lineitem
+                       WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                         AND l_shipdate < TIMESTAMP '1996-04-01'
+                       GROUP BY l_suppkey)
+            SELECT s_suppkey, s_name, total_revenue_cents
+            FROM r JOIN supplier USING (s_suppkey)
+            WHERE total_revenue_cents =
+                  (SELECT MAX(total_revenue_cents) FROM r)
+        """,
+        "q17_small_quantity_revenue": """
+            WITH p AS (SELECT p_partkey FROM part
+                       WHERE p_brand = 'Brand#23' AND p_type = 'PROMO'),
+                 l AS (SELECT l_partkey, l_quantity,
+                              CAST(FLOOR(l_extendedprice * 100 + 0.5)
+                                   AS BIGINT) AS cents
+                       FROM lineitem JOIN p ON l_partkey = p_partkey),
+                 a AS (SELECT l_partkey,
+                              0.2 * (SUM(l_quantity) / COUNT(*)) AS thr
+                       FROM l GROUP BY l_partkey)
+            SELECT CAST(SUM(cents) AS BIGINT) AS total_cents,
+                   COUNT(*) AS n_items,
+                   CAST(SUM(cents) AS DOUBLE) / 700.0 AS avg_yearly
+            FROM l JOIN a USING (l_partkey)
+            WHERE l_quantity < thr
+        """,
+        "q20_heavy_shippers": """
+            WITH p AS (SELECT p_partkey FROM part
+                       WHERE p_name LIKE 'small%'),
+                 l AS (SELECT l_suppkey AS s_suppkey, l_partkey,
+                              CAST(SUM(CAST(l_quantity AS BIGINT))
+                                   AS BIGINT) AS pair_qty
+                       FROM lineitem JOIN p ON l_partkey = p_partkey
+                       WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                         AND l_shipdate < TIMESTAMP '1997-01-01'
+                       GROUP BY s_suppkey, l_partkey),
+                 t AS (SELECT l_partkey,
+                              CAST(SUM(pair_qty) AS BIGINT) AS part_qty
+                       FROM l GROUP BY l_partkey)
+            SELECT s_suppkey, s_name, COUNT(*) AS n_heavy_parts
+            FROM l JOIN t USING (l_partkey)
+                   JOIN supplier USING (s_suppkey)
+            WHERE CAST(pair_qty AS DOUBLE)
+                  > 0.2 * CAST(part_qty AS DOUBLE)
+            GROUP BY s_suppkey, s_name
         """,
         "cube_doc_stats": """
             SELECT COALESCE(lang, 'ALL') AS lang,
