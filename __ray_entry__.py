@@ -1540,6 +1540,45 @@ def kll_cdf_events_value(sf_dir: str):
                            cdf_bound=eps, num_salts=4, batch_size=16384)
 
 
+def ddsketch_quantiles_by_lang(sf_dir: str):
+    """Per-lang DDSketch quantiles, VALUE-CHECKED: exact quantile_disc
+    values (hash-matched) + within_bound asserting the merged sketch's
+    estimates sit within the paper's VALUE-relative guarantee
+    |est - x| <= alpha * |x| (Masson et al., VLDB 2019, Thm 1) — the
+    relative-error complement of the rank-error t-digest/KLL gates."""
+    from t_digest_ray.pipelines.validation import \
+        relative_quantile_bound_check
+
+    ds = _read(sf_dir, "documents", ["lang", "n_chars"])
+    return relative_quantile_bound_check(ds, "n_chars", "lang", alpha=0.01,
+                                         qs=(0.25, 0.5, 0.75),
+                                         num_salts=2, batch_size=8192)
+
+
+def countsketch_heavy_event_types(sf_dir: str):
+    """Top event types, VALUE-CHECKED, gating the UNBIASED Count-Sketch
+    estimator (Charikar et al. 2002): exact counts hash-match SQL;
+    within_bound asserts |est - exact| <= 3*sqrt(F2_res/width) — the
+    L2 (not eps*N) error contract CMS cannot give."""
+    from t_digest_ray.pipelines.heavy import heavy_hitters_unbiased
+
+    ds = _read(sf_dir, "events", ["event_type"])
+    return heavy_hitters_unbiased(ds, "event_type", k=5,
+                                  width=8192, depth=5)
+
+
+def freqdir_gram_embeddings(sf_dir: str):
+    """Frequent-Directions covariance sketch of the embedding stream
+    (Liberty 2013), VALUE-CHECKED: (n_rows, d) hash-match SQL;
+    within_bound asserts the merged sketch's Gram underestimate is PSD
+    and within 2*||A||_F^2/l spectral error of the exact Gram computed
+    in the same single pass."""
+    from t_digest_ray.pipelines.clustering import gram_sketch_check
+
+    ds = _read(sf_dir, "embeddings", ["embedding"])
+    return gram_sketch_check(ds, "embedding", l=16)
+
+
 def minhash_dedup_pairs(sf_dir: str):
     """Near-duplicate candidate pairs via MinHash-LSH over document text,
     self-validating: each pair carries exact n-gram Jaccard and a
@@ -4419,6 +4458,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pages_flagship_checked": pages_flagship_checked,
         "pages_host_stats": pages_host_stats,
         "pages_host_quota": pages_host_quota,
+        "ddsketch_quantiles_by_lang": ddsketch_quantiles_by_lang,
+        "countsketch_heavy_event_types": countsketch_heavy_event_types,
+        "freqdir_gram_embeddings": freqdir_gram_embeddings,
         "greedy_packed_docs": greedy_packed_docs,
         "lang_packed_docs": lang_packed_docs,
         "req_quantiles_by_lang": req_quantiles_by_lang,
@@ -5804,6 +5846,26 @@ def oracle_sql() -> dict[str, str]:
                    CAST(quantile_disc(n_chars, 0.75) AS DOUBLE) AS p75,
                    TRUE AS within_bound
             FROM documents GROUP BY lang
+        """,
+        "ddsketch_quantiles_by_lang": """
+            SELECT lang, COUNT(*) AS n,
+                   CAST(quantile_disc(n_chars, 0.25) AS DOUBLE) AS p25,
+                   CAST(quantile_disc(n_chars, 0.50) AS DOUBLE) AS p50,
+                   CAST(quantile_disc(n_chars, 0.75) AS DOUBLE) AS p75,
+                   TRUE AS within_bound
+            FROM documents GROUP BY lang
+        """,
+        "countsketch_heavy_event_types": """
+            SELECT event_type, COUNT(*) AS exact_count,
+                   TRUE AS within_bound
+            FROM events GROUP BY event_type
+            ORDER BY exact_count DESC, event_type ASC LIMIT 5
+        """,
+        "freqdir_gram_embeddings": """
+            SELECT COUNT(*) AS n_rows,
+                   CAST(MAX(len(embedding)) AS BIGINT) AS d,
+                   TRUE AS within_bound
+            FROM embeddings
         """,
         "order_year_revenue": """
             SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,

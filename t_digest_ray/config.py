@@ -40,7 +40,8 @@ PIPELINES = ("quantiles", "kll", "req", "distinct", "heavy", "heavy_mg",
              "cluster_hist", "decontaminate", "interarrival",
              "threshold_exceed", "zscore_outliers", "quantile_buckets",
              "key_skew", "turnstile", "line_dedup_stats", "line_dedup",
-             "kmv_distinct")
+             "kmv_distinct", "ddsketch", "countsketch_topk",
+             "freqdir_gram")
 
 
 @dataclass
@@ -406,6 +407,30 @@ def run_job(cfg: JobConfig):
         merged = sketch_by_key(ds, spec, cfg.value_col, cfg.key,
                                weight_col=p.pop("op_col", "op"), **p)
         out = summarize(merged, spec, key_name=cfg.key or "key")
+    elif cfg.pipeline == "ddsketch":
+        from .pipelines.quantiles import q_col
+        from .stages.aggregate import sketch_by_key, summarize
+        from .state.ddsketch import DDSketch
+        from .state.protocol import SketchSpec
+        alpha = float(p.pop("alpha", 0.01))
+        max_bins = int(p.pop("max_bins", 2048))
+        qs = tuple(p.pop("qs", (0.25, 0.5, 0.75)))
+        spec = SketchSpec(
+            name="ddsketch",
+            factory=lambda: DDSketch(alpha, max_bins),
+            from_bytes=DDSketch.from_bytes,
+            summarize=lambda sk: {q_col(q): sk.quantile(q) for q in qs})
+        merged = sketch_by_key(ds, spec, cfg.value_col, cfg.key, **p)
+        out = summarize(merged, spec, key_name=cfg.key or "key")
+    elif cfg.pipeline == "countsketch_topk":
+        from .pipelines.heavy import heavy_hitters_unbiased
+        out = heavy_hitters_unbiased(ds, cfg.key or cfg.value_col, **p)
+    elif cfg.pipeline == "freqdir_gram":
+        import ray.data as rd
+
+        from .pipelines.clustering import gram_sketch_check
+        out = rd.from_arrow(gram_sketch_check(
+            ds, cfg.value_col or "embedding", **p))
     elif cfg.pipeline == "export_text":
         import glob
         import os

@@ -238,3 +238,93 @@ def kmeans_cluster_stats(ds, embedding_col: str, id_col: str, *,
         return df
 
     return out.map_batches(fin, batch_format="pandas")
+
+
+class _FdGram:
+    """Frequent-Directions sketch paired with the EXACT Gram matrix — one
+    scan builds both, so the check is a single pass + one KB-row shuffle.
+
+    The exact side (sum over batches of X^T X, d x d float64) is itself
+    an associative mergeable summary, so it rides the same partial ->
+    two-level merge topology as every sketch (stages/aggregate.py);
+    only d*d*8-byte rows shuffle, never embeddings.
+    """
+
+    def __init__(self, l: int = 16):
+        from ..state.freqdir import FreqDir
+        self.fd = FreqDir(l)
+        self.gram: np.ndarray | None = None
+
+    def update_batch(self, values, weights=None) -> None:
+        import numpy as _np
+        rows = _np.stack(_np.asarray(values).tolist()).astype(_np.float64) \
+            if len(values) else _np.zeros((0, 0))
+        if rows.size == 0:
+            return
+        if weights is not None:
+            rows = rows * _np.sqrt(_np.asarray(weights, float))[:, None]
+        self.fd.update_batch(rows)
+        g = rows.T @ rows
+        self.gram = g if self.gram is None else self.gram + g
+
+    def merge(self, *others: "_FdGram") -> "_FdGram":
+        self.fd.merge(*[o.fd for o in others])
+        for o in others:
+            if o.gram is None:
+                continue
+            self.gram = o.gram.copy() if self.gram is None \
+                else self.gram + o.gram
+        return self
+
+    def to_bytes(self) -> bytes:
+        import struct
+        fd_b = self.fd.to_bytes()
+        d = 0 if self.gram is None else self.gram.shape[0]
+        return (struct.pack("<ii", len(fd_b), d) + fd_b
+                + (b"" if d == 0 else self.gram.astype("<f8").tobytes()))
+
+    @classmethod
+    def from_bytes(cls, buf: bytes) -> "_FdGram":
+        import struct
+
+        from ..state.freqdir import FreqDir
+        n_fd, d = struct.unpack_from("<ii", buf, 0)
+        out = cls.__new__(cls)
+        out.fd = FreqDir.from_bytes(buf[8:8 + n_fd])
+        out.gram = None if d == 0 else \
+            np.frombuffer(buf, dtype="<f8", offset=8 + n_fd,
+                          count=d * d).reshape(d, d).copy()
+        return out
+
+
+def gram_sketch_check(ds, embedding_col: str = "embedding", l: int = 16,
+                      num_salts: int = 4, batch_size: int | None = None):
+    """Frequent-Directions covariance sketch of the embedding stream,
+    VALUE-CHECKED: emits ONE row ``(n_rows, d, within_bound)`` where
+    n_rows / d hash-match ``COUNT(*)`` / ``len(embedding)`` SQL and
+    ``within_bound`` asserts Liberty 2013 Thm 1.1 for the merged sketch:
+    ``A^T A - B^T B`` is PSD (eigmin >= -tol) AND its spectral norm is
+    <= ``2 * ||A||_F^2 / l`` — against the exact Gram computed in the
+    same pass. An SVD-shrink or merge regression flips the flag."""
+    from ..stages.aggregate import sketch_by_key
+    from ..state.protocol import SketchSpec
+
+    spec = SketchSpec(name="fdgram", factory=lambda: _FdGram(l),
+                      from_bytes=_FdGram.from_bytes)
+    row = sketch_by_key(ds, spec, embedding_col, None,
+                        num_salts=num_salts,
+                        batch_size=batch_size).take(1)[0]
+    sk: _FdGram = _FdGram.from_bytes(row["sketch"])
+    n = int(row["n"])
+    ok = sk.gram is not None and sk.fd.n_rows == n
+    d = 0 if sk.gram is None else sk.gram.shape[0]
+    if ok:
+        diff = sk.gram - sk.fd.cov_estimate()
+        eig = np.linalg.eigvalsh(diff)
+        tol = 1e-6 * max(sk.fd.energy, 1.0)
+        ok = bool(eig[0] >= -tol and eig[-1] <= sk.fd.error_bound() + tol)
+    return pa.table({
+        "n_rows": pa.array([n], type=pa.int64()),
+        "d": pa.array([d], type=pa.int64()),
+        "within_bound": pa.array([bool(ok)], type=pa.bool_()),
+    })

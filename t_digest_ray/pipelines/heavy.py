@@ -218,3 +218,93 @@ def join_size_estimate(ds_a, ds_b, value_col: str, width: int = 2048,
         "exact_pairs": pa.array([exact], type=pa.int64()),
         "within_bound": pa.array([within], type=pa.bool_()),
     })
+
+
+def countsketch_spec(width: int = 8192, depth: int = 5) -> SketchSpec:
+    """SketchSpec for the signed Count-Sketch (state/countsketch.py)."""
+    from ..state.countsketch import CountSketch
+    return SketchSpec(
+        name="countsketch",
+        factory=lambda: CountSketch(width, depth),
+        from_bytes=CountSketch.from_bytes,
+    )
+
+
+def heavy_hitters_unbiased(ds, key_col: str, k: int = 5,
+                           width: int = 8192, depth: int = 5,
+                           batch_size: int | None = None):
+    """Top-k frequencies, VALUE-CHECKED, gating the UNBIASED Count-Sketch
+    point estimator (Charikar et al. 2002) — the third heavy-hitter path
+    next to count-min (one-sided) and Misra-Gries (deterministic).
+
+    Exact side (hash-matches ``COUNT(*) GROUP BY`` SQL): per-batch
+    ``np.unique`` combiners -> hash-bucketed vectorized fold -> exact
+    per-key counts; the top-k rows by (count desc, key asc) are emitted
+    as ``(key, exact_count)``. Gate: the merged global Count-Sketch's
+    median-of-signed-rows estimate for each emitted key must sit within
+    the paper's Lemma-4 bound ``3 * sqrt(F2_res / width)`` of the exact
+    count (F2_res = second moment of the OTHER keys, computed from the
+    same exact counts table), driven to near-certainty by the median
+    over ``depth`` rows. A hashing/merge regression flips
+    ``within_bound`` and fails the driver's hash.
+
+    Scale: raw values never shuffle — the CS pass moves KB sketch rows,
+    the exact pass moves per-batch distinct (key, count) rows. The exact
+    counts table (one row per distinct key) is materialized once because
+    it feeds both the F2 fold and the top-k; it is post-aggregation,
+    #distinct-keys-sized, never the input.
+    """
+    import ray
+
+    from ..state.countsketch import CountSketch
+    from ..stages.aggregate import hash_bucketed_group_agg
+    from ..stages.partitioning import cheap_row_count
+
+    spec = countsketch_spec(width, depth)
+    n_rows = cheap_row_count(ds)
+
+    cs_ds = sketch_by_key(ds, spec, key_col, None,
+                          num_salts=8, batch_size=batch_size)
+
+    def batch_counts(batch: pa.Table) -> pa.Table:
+        arr = batch[key_col].to_numpy(zero_copy_only=False)
+        uniq, counts = np.unique(arr, return_counts=True)
+        return pa.table({key_col: pa.array(uniq),
+                         "batch_count": pa.array(counts.astype(np.int64))})
+
+    counts = hash_bucketed_group_agg(
+        ds.map_batches(batch_counts, batch_format="pyarrow",
+                       batch_size=batch_size),
+        [key_col], {"exact_count": ("batch_count", "sum")},
+        n_rows=n_rows).materialize()
+
+    def f2_partial(batch: pa.Table) -> pa.Table:
+        c = batch["exact_count"].to_numpy(zero_copy_only=False)
+        return pa.table({"f2": pa.array([int((c.astype(object) ** 2).sum())],
+                                        type=pa.int64())})
+
+    f2 = int(counts.map_batches(f2_partial, batch_format="pyarrow")
+             .sum("f2") or 0)
+
+    cs_ref = ray.put(cs_ds.take(1)[0]["sketch"])
+
+    class Gate:
+        def __init__(self):
+            self.cs = CountSketch.from_bytes(ray.get(cs_ref))
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            keys = batch[key_col].to_numpy(zero_copy_only=False)
+            exact = batch["exact_count"].to_numpy(zero_copy_only=False)
+            est = self.cs.estimate(keys.astype(object))
+            f2_res = np.maximum(f2 - exact.astype(np.float64) ** 2, 0.0)
+            bound = 3.0 * np.sqrt(f2_res / self.cs.width)
+            ok = np.abs(est - exact) <= bound + 1e-9
+            return pa.table({
+                key_col: pa.array(keys),
+                "exact_count": pa.array(exact.astype(np.int64)),
+                "within_bound": pa.array(ok),
+            })
+
+    return (counts.sort(["exact_count", key_col],
+                        descending=[True, False]).limit(k)
+            .map_batches(Gate, batch_format="pyarrow", concurrency=(1, 2)))

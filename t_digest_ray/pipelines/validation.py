@@ -93,6 +93,68 @@ def quantile_bound_check(ds, value_col: str, key: str, spec: SketchSpec,
     return ds.groupby(key).map_groups(per_group, batch_format="pandas")
 
 
+def relative_quantile_bound_check(ds, value_col: str, key: str,
+                                  alpha: float = 0.01,
+                                  max_bins: int = 2048,
+                                  qs=(0.25, 0.5, 0.75),
+                                  num_salts: int = 2,
+                                  batch_size: int | None = None,
+                                  key_name: str | None = None):
+    """Exact per-key quantiles + a DDSketch VALUE-relative-error gate.
+
+    The rank-error sketches (t-digest / KLL / REQ) gate through
+    ``quantile_bound_check``'s empirical-rank interval; DDSketch's
+    published guarantee (Masson et al., VLDB 2019, Thm 1) is different —
+    ``|est - x_rank| <= alpha * |x_rank|`` against the true order
+    statistic — so this gate compares VALUES: for every q the merged
+    sketch's estimate must sit within ``alpha`` relative error of the
+    exact quantile_disc value (rank ``ceil(q*n) - 1``, the library-wide
+    disc convention), and the sketch's total weight must equal the exact
+    row count. Output ``(key, n, p{q}..., within_bound)`` — the p-columns
+    are the exact values and hash-match DuckDB; a bucketing/merge
+    regression flips ``within_bound``.
+
+    Requires no collapse to have triggered in the graded run (max_bins
+    sized generously); collapsed low buckets would lose the guarantee
+    for the lowest quantiles only (paper Thm 3).
+    """
+    from ..state.ddsketch import DDSketch
+
+    key_name = key_name or key
+    spec = SketchSpec(
+        name="ddsketch",
+        factory=lambda: DDSketch(alpha, max_bins),
+        from_bytes=DDSketch.from_bytes,
+    )
+    merged_rows = sketch_by_key(ds, spec, value_col, key,
+                                num_salts=num_salts,
+                                batch_size=batch_size).to_pandas()
+    sk_bytes = {r["key"]: (r["sketch"], float(r["n"]))
+                for _, r in merged_rows.iterrows()}
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(g[value_col].to_numpy())
+        n = len(v)
+        kval = g[key].iloc[0]
+        row: dict = {key_name: [kval], "n": [np.int64(n)]}
+        ok = kval in sk_bytes
+        sk = spec.from_bytes(sk_bytes[kval][0]) if ok else None
+        if ok:
+            ok = sk_bytes[kval][1] == float(n)
+        for q in qs:
+            exact_v = float(v[_disc_index(q, n)])
+            row[f"p{int(q * 100)}"] = [exact_v]
+            if ok:
+                est = float(sk.quantile(q))
+                ok = (math.isfinite(est)
+                      and abs(est - exact_v)
+                      <= alpha * abs(exact_v) + 1e-9)
+        row["within_bound"] = [bool(ok)]
+        return pd.DataFrame(row)
+
+    return ds.groupby(key).map_groups(per_group, batch_format="pandas")
+
+
 def trimmed_mean_bound_check(ds, value_col: str, key: str,
                              spec: SketchSpec,
                              trim: float = 0.1,

@@ -1,0 +1,260 @@
+"""CountSketch / DDSketch / FrequentDirections — the round-4 additions to
+the sketch family (none in the reference repo; built from the published
+algorithms cited in each module header)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from t_digest_ray.state.countsketch import CountSketch
+from t_digest_ray.state.ddsketch import DDSketch
+from t_digest_ray.state.freqdir import FreqDir
+
+# --------------------------------------------------------------- CountSketch
+
+
+def test_countsketch_heavy_keys_within_l2_bound(rng):
+    keys = rng.zipf(1.3, 200_000) % 1000
+    cs = CountSketch(width=4096, depth=5)
+    cs.update_batch(keys)
+    true = np.bincount(keys, minlength=1000)
+    est = cs.estimate(np.arange(1000))
+    f2 = float((true.astype(np.float64) ** 2).sum())
+    heavy = true > 1000
+    bound = 3.0 * np.sqrt((f2 - true[heavy] ** 2) / cs.width)
+    assert (np.abs(est[heavy] - true[heavy]) <= bound + 1e-9).all()
+
+
+def test_countsketch_merge_equals_whole_and_roundtrips(rng):
+    keys = rng.integers(0, 5000, 50_000)
+    whole = CountSketch(2048, 5)
+    whole.update_batch(keys)
+    parts = [CountSketch(2048, 5) for _ in range(4)]
+    for i, p in enumerate(parts):
+        p.update_batch(keys[i::4])
+    merged = parts[0].merge(*parts[1:])
+    assert (merged.table == whole.table).all()
+    assert merged.n == whole.n == len(keys)
+    rt = CountSketch.from_bytes(whole.to_bytes())
+    assert (rt.table == whole.table).all() and rt.n == whole.n
+
+
+def test_countsketch_weighted_and_string_keys():
+    cs = CountSketch(1024, 5)
+    cs.update_batch(np.array(["a", "b", "a"], dtype=object),
+                    weights=np.array([10, 3, 5]))
+    est = cs.estimate(np.array(["a", "b"], dtype=object))
+    # tiny domain in a wide table: no collisions, estimates exact
+    assert est.tolist() == [15, 3]
+    assert cs.n == 18
+
+
+def test_countsketch_inner_product_unbiased_on_disjoint():
+    a, b = CountSketch(4096, 5), CountSketch(4096, 5)
+    a.update_batch(np.arange(100))          # each key once
+    b.update_batch(np.arange(50, 150))      # overlap = 50 keys
+    est = a.inner_product(b)
+    assert abs(est - 50) <= 3 * np.sqrt(100 * 100 / 4096) + 1
+
+
+def test_countsketch_shape_validation():
+    with pytest.raises(ValueError):
+        CountSketch(4, 5)
+    with pytest.raises(ValueError):
+        CountSketch(1024, 5).merge(CountSketch(2048, 5))
+
+
+# ----------------------------------------------------------------- DDSketch
+
+
+def test_ddsketch_relative_error_guarantee(rng):
+    vals = rng.lognormal(0.0, 2.0, 100_000)
+    dd = DDSketch(alpha=0.01)
+    dd.update_batch(vals)
+    v = np.sort(vals)
+    for q in (0.01, 0.25, 0.5, 0.9, 0.99):
+        exact = v[max(int(np.ceil(q * len(v))) - 1, 0)]
+        assert abs(dd.quantile(q) - exact) <= 0.01 * exact + 1e-12
+
+
+def test_ddsketch_merge_identical_to_whole(rng):
+    vals = rng.exponential(5.0, 40_000)
+    whole = DDSketch(0.02)
+    whole.update_batch(vals)
+    parts = [DDSketch(0.02) for _ in range(3)]
+    for i, p in enumerate(parts):
+        p.update_batch(vals[i::3])
+    merged = parts[0].merge(*parts[1:])
+    # fully mergeable: bucket-wise addition is exact (paper §2.4)
+    assert merged.pos == whole.pos
+    assert merged.n == whole.n
+
+
+def test_ddsketch_negative_zero_and_roundtrip(rng):
+    vals = np.concatenate([rng.normal(-100, 10, 5000),
+                           np.zeros(100),
+                           rng.normal(100, 10, 5000)])
+    dd = DDSketch(alpha=0.01)
+    dd.update_batch(vals)
+    v = np.sort(vals)
+    for q in (0.1, 0.5, 0.9):
+        exact = v[max(int(np.ceil(q * len(v))) - 1, 0)]
+        est = dd.quantile(q)
+        assert abs(est - exact) <= 0.01 * abs(exact) + 1e-9
+    rt = DDSketch.from_bytes(dd.to_bytes())
+    assert rt.pos == dd.pos and rt.neg == dd.neg
+    assert rt.zero_count == dd.zero_count
+    assert rt.quantile(0.5) == dd.quantile(0.5)
+
+
+def test_ddsketch_collapse_keeps_upper_quantiles(rng):
+    vals = rng.lognormal(0.0, 2.0, 50_000)
+    dd = DDSketch(alpha=0.01, max_bins=512)  # forces collapse (~4% folds)
+    dd.update_batch(vals)
+    assert len(dd.pos) <= 512
+    v = np.sort(vals)
+    # collapse folds LOW buckets only — quantiles above the fold
+    # boundary keep the alpha guarantee (paper Thm 3)
+    for q in (0.5, 0.9, 0.99):
+        exact = v[max(int(np.ceil(q * len(v))) - 1, 0)]
+        assert abs(dd.quantile(q) - exact) <= 0.01 * exact
+
+
+def test_ddsketch_weighted_updates():
+    dd = DDSketch(alpha=0.01)
+    dd.update_batch(np.array([10.0, 20.0]), weights=np.array([9.0, 1.0]))
+    assert abs(dd.n - 10.0) < 1e-9
+    assert abs(dd.quantile(0.5) - 10.0) <= 0.1 + 1e-9
+
+
+# ------------------------------------------------------ FrequentDirections
+
+
+def _spectral_err(A: np.ndarray, fd: FreqDir) -> float:
+    return float(np.linalg.norm(A.T @ A - fd.cov_estimate(), 2))
+
+
+def test_freqdir_deterministic_bound(rng):
+    A = rng.normal(0, 1, (4000, 32)) @ np.diag(np.linspace(5, 0.1, 32))
+    fd = FreqDir(l=16)
+    for i in range(0, len(A), 333):
+        fd.update_batch(A[i:i + 333])
+    assert fd.n_rows == len(A)
+    assert abs(fd.energy - float((A * A).sum())) < 1e-6 * fd.energy
+    assert _spectral_err(A, fd) <= fd.error_bound() + 1e-6
+    # PSD: B^T B never overestimates (Liberty 2013 Thm 1.1 lower side)
+    eig = np.linalg.eigvalsh(A.T @ A - fd.cov_estimate())
+    assert eig[0] >= -1e-6 * fd.energy
+
+
+def test_freqdir_merge_keeps_bound(rng):
+    A = rng.normal(0, 1, (3000, 24))
+    parts = [FreqDir(l=12) for _ in range(3)]
+    for i, p in enumerate(parts):
+        p.update_batch(A[i::3])
+    merged = parts[0].merge(*parts[1:])
+    assert merged.n_rows == len(A)
+    assert _spectral_err(A, merged) <= merged.error_bound() + 1e-6
+
+
+def test_freqdir_roundtrip_and_object_rows(rng):
+    A = rng.normal(0, 1, (500, 16)).astype(np.float32)
+    fd = FreqDir(l=8)
+    # Arrow list<float> columns arrive as object ndarrays of arrays
+    obj = np.empty(len(A), dtype=object)
+    for i in range(len(A)):
+        obj[i] = A[i]
+    fd.update_batch(obj)
+    assert fd.d == 16 and fd.n_rows == 500
+    rt = FreqDir.from_bytes(fd.to_bytes())
+    assert rt.n_rows == fd.n_rows and rt.energy == fd.energy
+    assert np.allclose(rt.cov_estimate(), fd.cov_estimate())
+
+
+def test_freqdir_dim_mismatch_raises(rng):
+    fd = FreqDir(l=8)
+    fd.update_batch(rng.normal(0, 1, (10, 4)))
+    with pytest.raises(ValueError):
+        fd.update_batch(rng.normal(0, 1, (10, 5)))
+    with pytest.raises(ValueError):
+        fd.merge(FreqDir(l=16))
+
+
+# ------------------------------------------------- distributed gate queries
+
+
+def test_gate_queries_flip_on_corruption(ray_session, sf_smoke,
+                                         monkeypatch):
+    """The three new VALUE-CHECKED gates are live: they pass on healthy
+    sketches and flip within_bound when the sketch is poisoned."""
+    import ray.data as rd
+
+    from t_digest_ray.pipelines.clustering import gram_sketch_check
+    from t_digest_ray.pipelines.heavy import heavy_hitters_unbiased
+    from t_digest_ray.pipelines.validation import \
+        relative_quantile_bound_check
+
+    docs = rd.read_parquet(f"{sf_smoke}/documents.parquet",
+                           columns=["lang", "n_chars"])
+    out = relative_quantile_bound_check(docs, "n_chars", "lang",
+                                        alpha=0.01).to_pandas()
+    assert len(out) and out["within_bound"].all()
+
+    ev = rd.read_parquet(f"{sf_smoke}/events.parquet",
+                         columns=["event_type"])
+    hh = heavy_hitters_unbiased(ev, "event_type", k=3).to_pandas()
+    assert len(hh) == 3 and hh["within_bound"].all()
+    assert hh["exact_count"].is_monotonic_decreasing
+
+    emb = rd.read_parquet(f"{sf_smoke}/embeddings.parquet",
+                          columns=["embedding"])
+    g = gram_sketch_check(emb, "embedding", l=16).to_pandas()
+    assert len(g) == 1 and bool(g["within_bound"].iloc[0])
+    assert int(g["n_rows"].iloc[0]) == emb.count()
+
+    # poison: swap every merged sketch for one full of absurd values
+    # (same weight, so only the relative-error clause can catch it)
+    import t_digest_ray.pipelines.validation as V
+    real = V.sketch_by_key
+
+    def poisoned(*a, **kw):
+        rows = real(*a, **kw).to_pandas()
+
+        def lie(n):
+            bad_sk = DDSketch(0.01)
+            bad_sk.update_batch(np.full(int(n), 1e12))
+            return bad_sk.to_bytes()
+
+        rows["sketch"] = rows["n"].map(lie)
+        return rd.from_pandas(rows)
+
+    monkeypatch.setattr(V, "sketch_by_key", poisoned)
+    bad = relative_quantile_bound_check(docs, "n_chars", "lang",
+                                        alpha=0.01).to_pandas()
+    assert not bad["within_bound"].any()
+
+
+def test_config_routes_new_sketches(ray_session):
+    from t_digest_ray.config import JobConfig, run_job
+
+    dd = run_job(JobConfig(pipeline="ddsketch",
+                           input="/root/testdata/sf0.001/documents.parquet",
+                           columns=["lang", "n_chars"],
+                           key="lang", value_col="n_chars",
+                           params={"alpha": 0.02, "num_salts": 2})) \
+        .to_pandas()
+    assert len(dd) and {"q25", "q50", "q75"} <= set(dd.columns)
+    assert (dd["q25"] <= dd["q50"]).all() and (dd["q50"] <= dd["q75"]).all()
+
+    cs = run_job(JobConfig(pipeline="countsketch_topk",
+                           input="/root/testdata/sf0.001/events.parquet",
+                           columns=["event_type"], key="event_type",
+                           params={"k": 3})).to_pandas()
+    assert len(cs) == 3 and cs["within_bound"].all()
+
+    fd = run_job(JobConfig(pipeline="freqdir_gram",
+                           input="/root/testdata/sf0.001/embeddings.parquet",
+                           columns=["embedding"], value_col="embedding",
+                           params={"l": 8})).to_pandas()
+    assert bool(fd["within_bound"].iloc[0])
