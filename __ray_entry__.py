@@ -1986,6 +1986,28 @@ def cm_join_size_events(sf_dir: str):
         "user_id")
 
 
+def cs_join_size_events(sf_dir: str):
+    """Join-size estimation via the UNBIASED Count-Sketch inner product
+    (E[est] = exact, unlike count-min's one-sided overestimate). Exact
+    size hash-checked; within_bound asserts the 3-sigma AMS variance
+    bound |est - exact| <= 3*sqrt(2*F2(a)*F2(b)/width)."""
+    import pyarrow.compute as pc
+    from t_digest_ray.pipelines.heavy import join_size_unbiased
+
+    ev = _read(sf_dir, "events", ["event_type", "user_id"])
+
+    def side(t: str):
+        def fn(b: pa.Table) -> pa.Table:
+            return (b.filter(pc.equal(b["event_type"], t))
+                    .select(["user_id"]))
+        return fn
+
+    return join_size_unbiased(
+        ev.map_batches(side("click"), batch_format="pyarrow"),
+        ev.map_batches(side("purchase"), batch_format="pyarrow"),
+        "user_id")
+
+
 _KMEANS_K, _KMEANS_DIM, _KMEANS_ITERS = 8, 64, 4
 
 
@@ -4504,6 +4526,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curation_pipeline_v2_docs": curation_pipeline_v2_docs,
         "line_dedup_doc_stats": line_dedup_doc_stats,
         "kmv_distinct_users_by_type": kmv_distinct_users_by_type,
+        "cs_join_size_events": cs_join_size_events,
         "cube_doc_stats": cube_doc_stats,
         "pivot_lang_by_source": pivot_lang_by_source,
         "mad_event_values": mad_event_values,
@@ -5442,6 +5465,15 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY event_type
         """,
         "cm_join_size_events": """
+            SELECT CAST(SUM(a.c * b.c) AS BIGINT) AS exact_pairs,
+                   TRUE AS within_bound
+            FROM (SELECT user_id, COUNT(*) AS c FROM events
+                  WHERE event_type = 'click' GROUP BY user_id) a
+            JOIN (SELECT user_id, COUNT(*) AS c FROM events
+                  WHERE event_type = 'purchase' GROUP BY user_id) b
+                 USING (user_id)
+        """,
+        "cs_join_size_events": """
             SELECT CAST(SUM(a.c * b.c) AS BIGINT) AS exact_pairs,
                    TRUE AS within_bound
             FROM (SELECT user_id, COUNT(*) AS c FROM events

@@ -308,3 +308,88 @@ def heavy_hitters_unbiased(ds, key_col: str, k: int = 5,
     return (counts.sort(["exact_count", key_col],
                         descending=[True, False]).limit(k)
             .map_batches(Gate, batch_format="pyarrow", concurrency=(1, 2)))
+
+
+def join_size_unbiased(ds_a, ds_b, value_col: str, width: int = 8192,
+                       depth: int = 5, batch_size: int | None = None):
+    """Equi-join size estimation via the Count-Sketch inner product —
+    the UNBIASED complement of ``join_size_estimate`` (count-min always
+    over-estimates; the signed AMS-style product has E[est] = exact).
+
+    Same one-pass topology as the CM variant: one keyed sketch pass
+    builds both sketches, per-batch unique-count combiners + one
+    co-partitioning groupby compute the exact ``sum_k f_a(k) f_b(k)``
+    AND both second moments F2(a), F2(b) in the same fold. Returns a
+    ONE-ROW table ``(exact_pairs, within_bound)`` where within_bound
+    asserts ``|est - exact| <= 3 * sqrt(2 * F2(a) * F2(b) / width)``
+    (3-sigma Chebyshev on the per-row AMS variance bound, made
+    near-certain by the median over ``depth`` rows)."""
+    import math
+
+    from ray.data.aggregate import Sum
+
+    from ..state.countsketch import CountSketch
+
+    spec = countsketch_spec(width, depth)
+
+    def tag(side: str):
+        def fn(b: pa.Table) -> pa.Table:
+            return pa.table({
+                value_col: b[value_col],
+                "side": pa.array(np.repeat(side, len(b)))})
+        return fn
+
+    tagged_union = (ds_a.map_batches(tag("a"), batch_format="pyarrow")
+                    .union(ds_b.map_batches(tag("b"),
+                                            batch_format="pyarrow")))
+    sketches = {r["key"]: r["sketch"]
+                for r in sketch_by_key(tagged_union, spec, value_col,
+                                       "side",
+                                       batch_size=batch_size).take_all()}
+
+    def count_fn(a_side: bool):
+        def fn(batch: pa.Table) -> pa.Table:
+            vals = batch[value_col].to_numpy(zero_copy_only=False)
+            keys, cnt = np.unique(vals, return_counts=True)
+            cnt = cnt.astype(np.int64)
+            z = np.zeros(len(keys), dtype=np.int64)
+            return pa.table({"k": pa.array(keys),
+                             "ca": pa.array(cnt if a_side else z),
+                             "cb": pa.array(z if a_side else cnt)})
+        return fn
+
+    per_key = (ds_a.map_batches(count_fn(True), batch_format="pyarrow")
+               .union(ds_b.map_batches(count_fn(False),
+                                       batch_format="pyarrow"))
+               .groupby("k")
+               .aggregate(Sum("ca", alias_name="ca"),
+                          Sum("cb", alias_name="cb")))
+
+    # exact product + both second moments folded in one partial pass
+    def moments_partial(batch: pa.Table) -> pa.Table:
+        ca = batch["ca"].to_numpy(zero_copy_only=False).astype(object)
+        cb = batch["cb"].to_numpy(zero_copy_only=False).astype(object)
+        return pa.table({"p": pa.array([int((ca * cb).sum())],
+                                       type=pa.int64()),
+                         "f2a": pa.array([int((ca * ca).sum())],
+                                         type=pa.int64()),
+                         "f2b": pa.array([int((cb * cb).sum())],
+                                         type=pa.int64())})
+
+    parts = per_key.map_batches(moments_partial,
+                                batch_format="pyarrow").materialize()
+    exact = int(parts.sum("p") or 0)
+    f2a = int(parts.sum("f2a") or 0)
+    f2b = int(parts.sum("f2b") or 0)
+
+    cs_a = CountSketch.from_bytes(sketches["a"]) if "a" in sketches \
+        else spec.factory()
+    cs_b = CountSketch.from_bytes(sketches["b"]) if "b" in sketches \
+        else spec.factory()
+    est = cs_a.inner_product(cs_b)
+    slack = 3.0 * math.sqrt(2.0 * float(f2a) * float(f2b) / width)
+    within = bool(abs(est - exact) <= slack + 1e-9)
+    return pa.table({
+        "exact_pairs": pa.array([exact], type=pa.int64()),
+        "within_bound": pa.array([within], type=pa.bool_()),
+    })

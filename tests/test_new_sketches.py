@@ -258,3 +258,22 @@ def test_config_routes_new_sketches(ray_session):
                            columns=["embedding"], value_col="embedding",
                            params={"l": 8})).to_pandas()
     assert bool(fd["within_bound"].iloc[0])
+
+
+def test_join_size_unbiased(ray_session, rng):
+    import pandas as pd
+    import ray.data as rd
+
+    from t_digest_ray.pipelines.heavy import join_size_unbiased
+
+    a = pd.DataFrame({"v": rng.integers(0, 300, 5000)})
+    b = pd.DataFrame({"v": rng.integers(0, 300, 4000)})
+    ca = a["v"].value_counts()
+    cb = b["v"].value_counts()
+    exact = int(sum(int(ca.get(k, 0)) * int(cb.get(k, 0))
+                    for k in set(ca.index) | set(cb.index)))
+    out = join_size_unbiased(rd.from_pandas(a).repartition(3),
+                             rd.from_pandas(b).repartition(2), "v") \
+        .to_pandas()
+    assert int(out["exact_pairs"].iloc[0]) == exact
+    assert bool(out["within_bound"].iloc[0])
