@@ -1986,6 +1986,20 @@ def cm_join_size_events(sf_dir: str):
         "user_id")
 
 
+def priority_sample_user_events(sf_dir: str):
+    """Priority-sampling weighted sample of users (weight = event count),
+    VALUE-CHECKED: exact distinct-user / subset / total counts hash-match
+    SQL; within_bound asserts the sample's unbiased subset-sum estimates
+    (Duffield-Lund-Thorup JACM 2007) sit inside the 5-sigma Chebyshev
+    envelope. Priorities are splitmix64-derived from keys, so the merged
+    sample is layout-invariant by construction."""
+    from t_digest_ray.pipelines.curation import priority_sample_subset_check
+
+    ds = _read(sf_dir, "events", ["user_id"])
+    return priority_sample_subset_check(ds, "user_id", k=512,
+                                        mod=3, residue=0)
+
+
 def cs_join_size_events(sf_dir: str):
     """Join-size estimation via the UNBIASED Count-Sketch inner product
     (E[est] = exact, unlike count-min's one-sided overestimate). Exact
@@ -4526,6 +4540,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curation_pipeline_v2_docs": curation_pipeline_v2_docs,
         "line_dedup_doc_stats": line_dedup_doc_stats,
         "kmv_distinct_users_by_type": kmv_distinct_users_by_type,
+        "priority_sample_user_events": priority_sample_user_events,
         "cs_join_size_events": cs_join_size_events,
         "cube_doc_stats": cube_doc_stats,
         "pivot_lang_by_source": pivot_lang_by_source,
@@ -5472,6 +5487,14 @@ def oracle_sql() -> dict[str, str]:
             JOIN (SELECT user_id, COUNT(*) AS c FROM events
                   WHERE event_type = 'purchase' GROUP BY user_id) b
                  USING (user_id)
+        """,
+        "priority_sample_user_events": """
+            SELECT COUNT(DISTINCT user_id) AS n_keys,
+                   CAST(SUM(CASE WHEN user_id % 3 = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS subset_exact,
+                   COUNT(*) AS total_exact,
+                   TRUE AS within_bound
+            FROM events
         """,
         "cs_join_size_events": """
             SELECT CAST(SUM(a.c * b.c) AS BIGINT) AS exact_pairs,

@@ -41,7 +41,7 @@ PIPELINES = ("quantiles", "kll", "req", "distinct", "heavy", "heavy_mg",
              "threshold_exceed", "zscore_outliers", "quantile_buckets",
              "key_skew", "turnstile", "line_dedup_stats", "line_dedup",
              "kmv_distinct", "ddsketch", "countsketch_topk",
-             "freqdir_gram")
+             "freqdir_gram", "priority_sample")
 
 
 @dataclass
@@ -431,6 +431,12 @@ def run_job(cfg: JobConfig):
         from .pipelines.clustering import gram_sketch_check
         out = rd.from_arrow(gram_sketch_check(
             ds, cfg.value_col or "embedding", **p))
+    elif cfg.pipeline == "priority_sample":
+        import ray.data as rd
+
+        from .pipelines.curation import priority_sample_subset_check
+        out = rd.from_arrow(priority_sample_subset_check(
+            ds, cfg.key or cfg.value_col, **p))
     elif cfg.pipeline == "export_text":
         import glob
         import os

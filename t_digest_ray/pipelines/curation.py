@@ -803,3 +803,100 @@ def drop_duplicate_lines(ds, text_col: str, id_col: str,
     return (ds.map_batches(explode, batch_format="pyarrow")
             .groupby("_b").map_groups(mark, batch_format="pandas")
             .groupby(id_col).map_groups(rebuild, batch_format="pandas"))
+
+
+def priority_sample_subset_check(ds, key_col: str, k: int = 512,
+                                 mod: int = 3, residue: int = 0,
+                                 batch_size: int | None = None,
+                                 n_rows: int | None = None):
+    """Priority-sampling weighted sample (state/priority.py, Duffield-
+    Lund-Thorup JACM 2007) gated against exact subset sums, VALUE-CHECKED.
+
+    Weight of a key = its exact row count (an integer, so the exact side
+    hash-matches SQL COUNT filters bit-for-bit). Topology:
+
+    1. exact per-key counts via the hash-bucketed vectorized combine —
+       the ONE shuffle; each key lands in exactly one output block, the
+       disjointness the priority-sample merge contract requires;
+    2. one PrioritySample partial per counts block (KB rows), folded
+       through the standard two-level merge — the merged sample is
+       IDENTICAL to a single-machine sample because priorities are
+       splitmix64-derived from keys (layout-invariant by construction);
+    3. gate: the sample's subset-sum estimate for the predicate
+       ``key % mod == residue`` and its total estimate must both sit
+       within ``5 * W_total / sqrt(k - 1)`` of the exact answers
+       (Chebyshev on the near-optimal priority-sampling variance
+       bound, Szegedy 2006).
+
+    Output: one row ``(n_keys, subset_exact, total_exact,
+    within_bound)`` — the three exact columns hash-match
+    ``COUNT(DISTINCT ..)`` / filtered-COUNT SQL.
+    """
+    from ..stages.aggregate import (COUNT_COL, KEY_COL, SALT_COL,
+                                    SKETCH_COL, merge_partials)
+    from ..state.priority import PrioritySample
+    from ..state.protocol import SketchSpec
+
+    from ..stages.aggregate import hash_bucketed_group_agg
+
+    def batch_counts(b: pa.Table) -> pa.Table:
+        uniq, cnt = np.unique(b[key_col].to_numpy(zero_copy_only=False),
+                              return_counts=True)
+        return pa.table({key_col: pa.array(uniq),
+                         "cnt": pa.array(cnt.astype(np.int64))})
+
+    counts = hash_bucketed_group_agg(
+        ds.map_batches(batch_counts, batch_format="pyarrow",
+                       batch_size=batch_size),
+        [key_col], {"cnt": ("cnt", "sum")}, n_rows=n_rows).materialize()
+
+    spec = SketchSpec(name="priority",
+                      factory=lambda: PrioritySample(k),
+                      from_bytes=PrioritySample.from_bytes)
+
+    def partial(b: pa.Table) -> pa.Table:
+        keys = b[key_col].to_numpy(zero_copy_only=False)
+        w = b["cnt"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sk = spec.factory()
+        sk.update_batch(keys, w)
+        blob = sk.to_bytes()
+        salt = int(hash64(np.asarray([blob], dtype=object))[0]
+                   % np.uint64(4))
+        return pa.table({KEY_COL: pa.array([""]),
+                         SALT_COL: pa.array([salt], type=pa.int32()),
+                         SKETCH_COL: pa.array([blob], type=pa.binary()),
+                         COUNT_COL: pa.array([float(len(keys))])})
+
+    merged_row = merge_partials(
+        counts.map_batches(partial, batch_format="pyarrow"),
+        spec, num_salts=4).take(1)[0]
+    sample = PrioritySample.from_bytes(merged_row[SKETCH_COL])
+
+    # exact side, distributed over the counts table
+    def exact_partial(b: pa.Table) -> pa.Table:
+        keys = b[key_col].to_numpy(zero_copy_only=False)
+        cnt = b["cnt"].to_numpy(zero_copy_only=False)
+        in_sub = (keys.astype(np.int64) % mod) == residue
+        return pa.table({
+            "n_keys": pa.array([len(keys)], type=pa.int64()),
+            "sub": pa.array([int(cnt[in_sub].sum())], type=pa.int64()),
+            "tot": pa.array([int(cnt.sum())], type=pa.int64())})
+
+    ex = counts.map_batches(exact_partial,
+                            batch_format="pyarrow").materialize()
+    n_keys = int(ex.sum("n_keys") or 0)
+    subset_exact = int(ex.sum("sub") or 0)
+    total_exact = int(ex.sum("tot") or 0)
+
+    bound = 5.0 * float(total_exact) / np.sqrt(max(k - 1, 1))
+    est_sub = sample.subset_sum(
+        lambda ks: np.array([int(x) % mod == residue for x in ks]))
+    est_tot = sample.total_estimate()
+    ok = (abs(est_sub - subset_exact) <= bound
+          and abs(est_tot - total_exact) <= bound)
+    return pa.table({
+        "n_keys": pa.array([n_keys], type=pa.int64()),
+        "subset_exact": pa.array([subset_exact], type=pa.int64()),
+        "total_exact": pa.array([total_exact], type=pa.int64()),
+        "within_bound": pa.array([bool(ok)], type=pa.bool_()),
+    })

@@ -277,3 +277,91 @@ def test_join_size_unbiased(ray_session, rng):
         .to_pandas()
     assert int(out["exact_pairs"].iloc[0]) == exact
     assert bool(out["within_bound"].iloc[0])
+
+
+# -------------------------------------------------------- PrioritySample
+
+
+def test_priority_sample_merge_equals_whole_on_disjoint(rng):
+    from t_digest_ray.state.priority import PrioritySample
+
+    n = 20_000
+    keys = np.arange(n)
+    w = rng.pareto(1.5, n) + 0.1
+    whole = PrioritySample(k=512)
+    whole.update_batch(keys, w)
+    parts = [PrioritySample(k=512) for _ in range(4)]
+    for i, p in enumerate(parts):
+        p.update_batch(keys[i::4], w[i::4])
+    merged = parts[0].merge(*parts[1:])
+    ka, aa = whole.sample()
+    kb, ab = merged.sample()
+    # disjoint key sets + hash-derived priorities ⇒ merge IS the
+    # single-machine sample, item for item
+    assert sorted(ka.tolist()) == sorted(kb.tolist())
+    assert np.allclose(sorted(aa), sorted(ab))
+
+
+def test_priority_sample_subset_estimates_and_serde(rng):
+    from t_digest_ray.state.priority import PrioritySample
+
+    n = 20_000
+    keys = np.arange(n)
+    w = rng.pareto(1.5, n) + 0.1
+    ps = PrioritySample(k=512)
+    ps.update_batch(keys, w)
+    total = float(w.sum())
+    assert abs(ps.total_estimate() - total) <= 5 * total / np.sqrt(511)
+    sub_exact = float(w[keys % 3 == 0].sum())
+    est = ps.subset_sum(lambda ks: np.array([int(x) % 3 == 0
+                                             for x in ks]))
+    assert abs(est - sub_exact) <= 5 * total / np.sqrt(511)
+    rt = PrioritySample.from_bytes(ps.to_bytes())
+    ka, aa = ps.sample()
+    kb, ab = rt.sample()
+    assert (ka == kb).all() and np.allclose(aa, ab)
+
+
+def test_priority_sample_duplicates_and_validation():
+    from t_digest_ray.state.priority import PrioritySample
+
+    p = PrioritySample(k=8)
+    p.update_batch(np.array(["a", "a", "b"], dtype=object),
+                   np.array([1.0, 2.0, 5.0]))
+    d = dict(zip(*map(np.ndarray.tolist, p.sample())))
+    assert d == {"a": 3.0, "b": 5.0}
+    with pytest.raises(ValueError):
+        PrioritySample(1)
+    with pytest.raises(ValueError):
+        PrioritySample(8).merge(PrioritySample(16))
+
+
+def test_priority_sample_pipeline_gate(ray_session, sf_smoke,
+                                       monkeypatch):
+    import ray.data as rd
+
+    from t_digest_ray.pipelines.curation import \
+        priority_sample_subset_check
+    from t_digest_ray.state.priority import PrioritySample
+
+    ev = rd.read_parquet(f"{sf_smoke}/events.parquet",
+                         columns=["user_id"])
+    out = priority_sample_subset_check(ev, "user_id", k=128).to_pandas()
+    assert bool(out["within_bound"].iloc[0])
+    assert int(out["total_exact"].iloc[0]) == ev.count()
+
+    # poison driver-side estimator: the gate must flip
+    monkeypatch.setattr(PrioritySample, "total_estimate",
+                        lambda self: 1e18, raising=True)
+    bad = priority_sample_subset_check(ev, "user_id", k=128).to_pandas()
+    assert not bool(bad["within_bound"].iloc[0])
+
+
+def test_config_route_priority_sample(ray_session):
+    from t_digest_ray.config import JobConfig, run_job
+
+    out = run_job(JobConfig(pipeline="priority_sample",
+                            input="/root/testdata/sf0.001/events.parquet",
+                            columns=["user_id"], key="user_id",
+                            params={"k": 64})).to_pandas()
+    assert bool(out["within_bound"].iloc[0])
