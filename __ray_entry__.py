@@ -2000,6 +2000,18 @@ def priority_sample_user_events(sf_dir: str):
                                         mod=3, residue=0)
 
 
+def f2_moment_user_events(sf_dir: str):
+    """Second frequency moment (self-join size) of the event stream's
+    user_id column — the AMS 1996 streaming primitive, estimated by the
+    Count-Sketch squared-counter median and gated against the exact
+    bignum F2 (hash-matched vs SQL SUM(c*c)) at the 3-sigma AMS
+    variance bound."""
+    from t_digest_ray.pipelines.heavy import second_moment_check
+
+    ev = _read(sf_dir, "events", ["user_id"])
+    return second_moment_check(ev, "user_id", width=8192, depth=5)
+
+
 def cs_join_size_events(sf_dir: str):
     """Join-size estimation via the UNBIASED Count-Sketch inner product
     (E[est] = exact, unlike count-min's one-sided overestimate). Exact
@@ -4533,7 +4545,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tdigest_rollup_by_lang": tdigest_rollup_by_lang,
         "q4_order_priority": q4_order_priority,
         "q14_promo_revenue": q14_promo_revenue,
-        "q19_bracket_revenue": q19_bracket_revenue,
         "corpus_top_tokens": corpus_top_tokens,
         "regex_scrub_stats": regex_scrub_stats,
         "turnstile_quantiles_events": turnstile_quantiles_events,
@@ -4542,6 +4553,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmv_distinct_users_by_type": kmv_distinct_users_by_type,
         "priority_sample_user_events": priority_sample_user_events,
         "cs_join_size_events": cs_join_size_events,
+        "f2_moment_user_events": f2_moment_user_events,
+        "q19_bracket_revenue": q19_bracket_revenue,
         "cube_doc_stats": cube_doc_stats,
         "pivot_lang_by_source": pivot_lang_by_source,
         "mad_event_values": mad_event_values,
@@ -5495,6 +5508,11 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS total_exact,
                    TRUE AS within_bound
             FROM events
+        """,
+        "f2_moment_user_events": """
+            SELECT CAST(SUM(c * c) AS BIGINT) AS f2_exact,
+                   TRUE AS within_bound
+            FROM (SELECT COUNT(*) AS c FROM events GROUP BY user_id)
         """,
         "cs_join_size_events": """
             SELECT CAST(SUM(a.c * b.c) AS BIGINT) AS exact_pairs,

@@ -393,3 +393,52 @@ def join_size_unbiased(ds_a, ds_b, value_col: str, width: int = 8192,
         "exact_pairs": pa.array([exact], type=pa.int64()),
         "within_bound": pa.array([within], type=pa.bool_()),
     })
+
+
+def second_moment_check(ds, key_col: str, width: int = 8192,
+                        depth: int = 5, batch_size: int | None = None):
+    """Second frequency moment F2 (self-join size) of ``key_col``, the
+    AMS streaming primitive: one global Count-Sketch pass estimates F2
+    as the median over rows of the squared-counter sums; the exact F2
+    (sum over distinct keys of count^2, bignum fold) is computed by the
+    same per-batch-unique + hash-bucketed topology and hash-matches SQL.
+    within_bound asserts the 3-sigma AMS variance bound
+    ``|est - F2| <= 3 * F2 * sqrt(2 / width)``. One-row output
+    ``(f2_exact, within_bound)``."""
+    import math
+
+    from ..state.countsketch import CountSketch
+    from ..stages.aggregate import hash_bucketed_group_agg
+    from ..stages.partitioning import cheap_row_count
+
+    spec = countsketch_spec(width, depth)
+    cs_row = sketch_by_key(ds, spec, key_col, None, num_salts=8,
+                           batch_size=batch_size).take(1)[0]
+    est = CountSketch.from_bytes(cs_row["sketch"]).self_moment()
+
+    def batch_counts(batch: pa.Table) -> pa.Table:
+        uniq, counts = np.unique(
+            batch[key_col].to_numpy(zero_copy_only=False),
+            return_counts=True)
+        return pa.table({key_col: pa.array(uniq),
+                         "batch_count": pa.array(counts.astype(np.int64))})
+
+    counts = hash_bucketed_group_agg(
+        ds.map_batches(batch_counts, batch_format="pyarrow",
+                       batch_size=batch_size),
+        [key_col], {"exact_count": ("batch_count", "sum")},
+        n_rows=cheap_row_count(ds))
+
+    def f2_partial(batch: pa.Table) -> pa.Table:
+        c = batch["exact_count"].to_numpy(zero_copy_only=False)
+        return pa.table({"f2": pa.array(
+            [int((c.astype(object) ** 2).sum())], type=pa.int64())})
+
+    f2 = int(counts.map_batches(f2_partial, batch_format="pyarrow")
+             .sum("f2") or 0)
+    within = bool(abs(est - f2) <= 3.0 * f2 * math.sqrt(2.0 / width)
+                  + 1e-9)
+    return pa.table({
+        "f2_exact": pa.array([f2], type=pa.int64()),
+        "within_bound": pa.array([within], type=pa.bool_()),
+    })

@@ -104,6 +104,17 @@ class CountSketch:
             return dots[mid]
         return (dots[mid - 1] + dots[mid]) // 2
 
+    def self_moment(self) -> int:
+        """Unbiased second-moment (F2 / self-join size) estimate: median
+        over rows of ``sum_j C[i,j]^2`` (the AMS estimator; Alon, Matias
+        & Szegedy 1996, realized on the Count-Sketch table)."""
+        sums = sorted(int((self.table[i].astype(object) ** 2).sum())
+                      for i in range(self.depth))
+        mid = len(sums) // 2
+        if len(sums) % 2:
+            return sums[mid]
+        return (sums[mid - 1] + sums[mid]) // 2
+
     def merge(self, *others: "CountSketch") -> "CountSketch":
         for o in others:
             if o.width != self.width or o.depth != self.depth:

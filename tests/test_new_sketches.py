@@ -365,3 +365,35 @@ def test_config_route_priority_sample(ray_session):
                             columns=["user_id"], key="user_id",
                             params={"k": 64})).to_pandas()
     assert bool(out["within_bound"].iloc[0])
+
+
+def test_countsketch_self_moment(rng):
+    keys = rng.zipf(1.5, 100_000) % 2000
+    cs = CountSketch(width=8192, depth=5)
+    cs.update_batch(keys)
+    true = np.bincount(keys, minlength=2000).astype(object)
+    f2 = int((true ** 2).sum())
+    est = cs.self_moment()
+    assert abs(est - f2) <= 3.0 * f2 * np.sqrt(2.0 / 8192) + 1e-9
+    # merge preserves the estimator (elementwise table add)
+    a, b = CountSketch(8192, 5), CountSketch(8192, 5)
+    a.update_batch(keys[:50_000]); b.update_batch(keys[50_000:])
+    assert a.merge(b).self_moment() == est
+
+
+def test_second_moment_pipeline(ray_session, sf_smoke):
+    import duckdb
+    import ray.data as rd
+
+    from t_digest_ray.pipelines.heavy import second_moment_check
+
+    ev = rd.read_parquet(f"{sf_smoke}/events.parquet",
+                         columns=["user_id"])
+    out = second_moment_check(ev, "user_id", width=4096).to_pandas()
+    exact = duckdb.sql(
+        f"""SELECT CAST(SUM(c*c) AS BIGINT) FROM (
+            SELECT COUNT(*) AS c
+            FROM '{sf_smoke}/events.parquet' GROUP BY user_id)"""
+    ).fetchone()[0]
+    assert int(out["f2_exact"].iloc[0]) == int(exact)
+    assert bool(out["within_bound"].iloc[0])
