@@ -69,7 +69,8 @@ def _trial_errors(dist: str, n: int, trial: int, n_ranks: int,
                   compression: float, kll_k: int, req_k: int,
                   chunks: int, base_seed: int,
                   max_exp: float = 6.0,
-                  turnstile_frac: float = 0.0) -> pd.DataFrame:
+                  turnstile_frac: float = 0.0,
+                  ddsketch_alpha: float = 0.0) -> pd.DataFrame:
     data = generate(dist, n, base_seed + trial, max_exp)
     sketches = _make_sketches(compression, kll_k, req_k)
     for chunk in np.array_split(data, chunks):
@@ -116,6 +117,26 @@ def _trial_errors(dist: str, n: int, trial: int, n_ranks: int,
             "rank": np.round(qs, 6),
             "err": err,
         }))
+    if ddsketch_alpha > 0.0:
+        # DDSketch leg: its published contract is VALUE-relative (not
+        # rank) error, so this leg's ``err`` column is the signed
+        # relative value error vs the true order statistic at the
+        # sketch's own disc rank convention — the envelope to assert is
+        # |err| <= alpha for every probe (Masson et al. 2019, Thm 1)
+        from ..state.ddsketch import DDSketch
+
+        dd = DDSketch(ddsketch_alpha)
+        for chunk in np.array_split(data, chunks):
+            dd.update_batch(chunk)
+        idx_d = np.maximum(np.ceil(qs * n).astype(np.int64) - 1, 0)
+        true_v = s[np.minimum(idx_d, n - 1)]
+        est_v = np.array([dd.quantile(q) for q in qs])
+        denom = np.maximum(np.abs(true_v), 1e-300)
+        rows.append(pd.DataFrame({
+            "sketch": "ddsketch",
+            "rank": np.round(qs, 6),
+            "err": (est_v - true_v) / denom,
+        }))
     if pm is not None:
         s_net = np.sort(data[~del_mask])
         n_net = len(s_net)
@@ -140,9 +161,13 @@ def accuracy_experiment(dist: str = "uniform", n: int = 1 << 16,
                         req_k: int = 12, chunks: int = 16,
                         base_seed: int = 20_240_101, err_kll_k: int = 200,
                         max_exp: float = 6.0,
-                        turnstile_frac: float = 0.0):
+                        turnstile_frac: float = 0.0,
+                        ddsketch_alpha: float = 0.0):
     """Run the experiment; returns a Ray Dataset with one row per
-    (sketch, rank): err_median / err_lo / err_hi / err_max columns."""
+    (sketch, rank): err_median / err_lo / err_hi / err_max columns.
+    The ``ddsketch`` rows (when ddsketch_alpha > 0) carry VALUE-relative
+    errors, the others rank errors — compare each against its own
+    published bound."""
     import ray.data as rd
 
     from .quantiles import kll_quantiles_by_key
@@ -153,7 +178,7 @@ def accuracy_experiment(dist: str = "uniform", n: int = 1 << 16,
         frames = [
             _trial_errors(dist, n, int(t), n_ranks, compression, kll_k,
                           req_k, chunks, base_seed, max_exp,
-                          turnstile_frac)
+                          turnstile_frac, ddsketch_alpha)
             for t in batch["id"].to_pylist()]
         out = pd.concat(frames, ignore_index=True)
         out["probe"] = out["sketch"] + "@" + out["rank"].map("{:.6f}".format)

@@ -110,3 +110,15 @@ def test_kllpm_turnstile_envelope(ray_session):
     assert pm["err_max"].abs().max() <= 2.0 * bound
     assert pm["err_hi"].abs().max() <= bound
     assert pm["err_lo"].abs().max() <= bound
+
+
+def test_ddsketch_relative_error_envelope(ray_session):
+    """DDSketch leg: every probe's VALUE-relative error stays within
+    alpha — the paper's deterministic guarantee, so err_max (not just
+    the 95% band) must respect it across all trials."""
+    out = accuracy_experiment(
+        dist="loguniform", n=1 << 14, trials=4, n_ranks=21,
+        compression=100, ddsketch_alpha=0.01).to_pandas()
+    dd = out[out["sketch"] == "ddsketch"]
+    assert len(dd) == 21
+    assert dd["err_max"].abs().max() <= 0.01 + 1e-9
