@@ -230,6 +230,42 @@ def countsketch_spec(width: int = 8192, depth: int = 5) -> SketchSpec:
     )
 
 
+def exact_counts_table(ds, key_col: str, batch_size: int | None = None,
+                       n_rows: int | None = None):
+    """Exact per-key counts as a Dataset ``(key_col, exact_count)``:
+    per-batch ``np.unique`` combiners -> hash-bucketed vectorized fold
+    (cost ∝ rows, not groups). Shared by the Count-Sketch gate
+    pipelines; materialized by callers that scan it twice."""
+    from ..stages.aggregate import hash_bucketed_group_agg
+    from ..stages.partitioning import cheap_row_count
+
+    def batch_counts(batch: pa.Table) -> pa.Table:
+        uniq, counts = np.unique(
+            batch[key_col].to_numpy(zero_copy_only=False),
+            return_counts=True)
+        return pa.table({key_col: pa.array(uniq),
+                         "batch_count": pa.array(counts.astype(np.int64))})
+
+    return hash_bucketed_group_agg(
+        ds.map_batches(batch_counts, batch_format="pyarrow",
+                       batch_size=batch_size),
+        [key_col], {"exact_count": ("batch_count", "sum")},
+        n_rows=n_rows if n_rows is not None else cheap_row_count(ds))
+
+
+def fold_f2(counts) -> int:
+    """Exact second moment ``sum count^2`` (bignum per-block partials,
+    one int64 per block on the final fold) from an exact-counts table."""
+
+    def f2_partial(batch: pa.Table) -> pa.Table:
+        c = batch["exact_count"].to_numpy(zero_copy_only=False)
+        return pa.table({"f2": pa.array(
+            [int((c.astype(object) ** 2).sum())], type=pa.int64())})
+
+    return int(counts.map_batches(f2_partial, batch_format="pyarrow")
+               .sum("f2") or 0)
+
+
 def heavy_hitters_unbiased(ds, key_col: str, k: int = 5,
                            width: int = 8192, depth: int = 5,
                            batch_size: int | None = None):
@@ -257,35 +293,13 @@ def heavy_hitters_unbiased(ds, key_col: str, k: int = 5,
     import ray
 
     from ..state.countsketch import CountSketch
-    from ..stages.aggregate import hash_bucketed_group_agg
-    from ..stages.partitioning import cheap_row_count
 
     spec = countsketch_spec(width, depth)
-    n_rows = cheap_row_count(ds)
-
     cs_ds = sketch_by_key(ds, spec, key_col, None,
                           num_salts=8, batch_size=batch_size)
-
-    def batch_counts(batch: pa.Table) -> pa.Table:
-        arr = batch[key_col].to_numpy(zero_copy_only=False)
-        uniq, counts = np.unique(arr, return_counts=True)
-        return pa.table({key_col: pa.array(uniq),
-                         "batch_count": pa.array(counts.astype(np.int64))})
-
-    counts = hash_bucketed_group_agg(
-        ds.map_batches(batch_counts, batch_format="pyarrow",
-                       batch_size=batch_size),
-        [key_col], {"exact_count": ("batch_count", "sum")},
-        n_rows=n_rows).materialize()
-
-    def f2_partial(batch: pa.Table) -> pa.Table:
-        c = batch["exact_count"].to_numpy(zero_copy_only=False)
-        return pa.table({"f2": pa.array([int((c.astype(object) ** 2).sum())],
-                                        type=pa.int64())})
-
-    f2 = int(counts.map_batches(f2_partial, batch_format="pyarrow")
-             .sum("f2") or 0)
-
+    counts = exact_counts_table(ds, key_col,
+                                batch_size=batch_size).materialize()
+    f2 = fold_f2(counts)
     cs_ref = ray.put(cs_ds.take(1)[0]["sketch"])
 
     class Gate:
@@ -408,34 +422,12 @@ def second_moment_check(ds, key_col: str, width: int = 8192,
     import math
 
     from ..state.countsketch import CountSketch
-    from ..stages.aggregate import hash_bucketed_group_agg
-    from ..stages.partitioning import cheap_row_count
 
     spec = countsketch_spec(width, depth)
     cs_row = sketch_by_key(ds, spec, key_col, None, num_salts=8,
                            batch_size=batch_size).take(1)[0]
     est = CountSketch.from_bytes(cs_row["sketch"]).self_moment()
-
-    def batch_counts(batch: pa.Table) -> pa.Table:
-        uniq, counts = np.unique(
-            batch[key_col].to_numpy(zero_copy_only=False),
-            return_counts=True)
-        return pa.table({key_col: pa.array(uniq),
-                         "batch_count": pa.array(counts.astype(np.int64))})
-
-    counts = hash_bucketed_group_agg(
-        ds.map_batches(batch_counts, batch_format="pyarrow",
-                       batch_size=batch_size),
-        [key_col], {"exact_count": ("batch_count", "sum")},
-        n_rows=cheap_row_count(ds))
-
-    def f2_partial(batch: pa.Table) -> pa.Table:
-        c = batch["exact_count"].to_numpy(zero_copy_only=False)
-        return pa.table({"f2": pa.array(
-            [int((c.astype(object) ** 2).sum())], type=pa.int64())})
-
-    f2 = int(counts.map_batches(f2_partial, batch_format="pyarrow")
-             .sum("f2") or 0)
+    f2 = fold_f2(exact_counts_table(ds, key_col, batch_size=batch_size))
     within = bool(abs(est - f2) <= 3.0 * f2 * math.sqrt(2.0 / width)
                   + 1e-9)
     return pa.table({
