@@ -4485,6 +4485,76 @@ def _langid_pick_sql(carry: str = "") -> str:
 """
 
 
+def pareto_frontier_events(sf_dir: str):
+    """Per-type 2-D Pareto frontier (skyline) over events, maximizing
+    (value, recency) (pipelines/stats.grouped_pareto_frontier): the
+    frontier is mergeable, so each batch reduces to its local frontier
+    and only O(frontier) rows ride the shuffle — the SQL twin's
+    NOT EXISTS anti-join is O(n²)."""
+    import pyarrow.compute as pc
+    from t_digest_ray.pipelines.stats import grouped_pareto_frontier
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value", "ts"])
+
+    def to_us(b: pa.Table) -> pa.Table:
+        ts_us = pc.cast(b["ts"].combine_chunks(), pa.int64())
+        return b.drop_columns(["ts"]).append_column("ts_us", ts_us)
+
+    ds = ds.map_batches(to_us, batch_format="pyarrow")
+    return grouped_pareto_frontier(ds, "event_type", "value", "ts_us",
+                                   "event_id")
+
+
+def percent_rank_event_values(sf_dir: str):
+    """Exact empirical PERCENT_RANK per distinct (event_type, value)
+    (pipelines/stats.grouped_percent_rank): per-batch value-counts
+    combine, then a per-key prefix-sum finalize over the aggregated
+    table — only value-DOMAIN-sized rows ride the shuffle, and the
+    ratio doubles are bit-identical to the SQL window oracle."""
+    from t_digest_ray.pipelines.stats import grouped_percent_rank
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    return grouped_percent_rank(ds, "event_type", "value")
+
+
+def fuzzy_headword_pairs(sf_dir: str):
+    """Typo-level fuzzy vocabulary join: all pairs of distinct document
+    headwords at Levenshtein distance exactly 1, with corpus counts
+    (stages/fuzzy.fuzzy_vocab_pairs). Deletion-neighborhood
+    (SymSpell-style) blocking over the DISTINCT vocabulary — complete
+    for distance 1, every candidate re-verified exactly — so cost
+    follows vocabulary size, never corpus rows. A deterministic
+    mid-character deletion typo is planted on doc_id % 7 == 3 headwords
+    (len >= 4) so the gate always has planted-positive pairs; the
+    DuckDB oracle replays the plant and brute-forces levenshtein()=1."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+    from t_digest_ray.stages.fuzzy import fuzzy_vocab_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def heads_partial(b: pa.Table) -> pa.Table:
+        first = pc.list_element(
+            pc.split_pattern(b["text"].combine_chunks(), " "), 0)
+        h = pc.utf8_lower(first).to_pandas()
+        did = b["doc_id"].to_numpy(zero_copy_only=False)
+        plant = (did % 7 == 3) & (h.str.len() >= 4).to_numpy()
+        if plant.any():
+            typod = [w[:len(w) // 2] + w[len(w) // 2 + 1:]
+                     for w in h[plant]]
+            h = h.copy()
+            h[plant] = typod
+        vc = h[h != ""].value_counts()
+        return pa.table({"head": pa.array(vc.index.astype(str)),
+                         "partial": pa.array(
+                             vc.to_numpy().astype(np.int64))})
+
+    vocab = (ds.map_batches(heads_partial, batch_format="pyarrow")
+             .groupby("head")
+             .aggregate(Sum("partial", alias_name="cnt")))
+    return fuzzy_vocab_pairs(vocab, "head", "cnt")
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
     return pages_flagship("/root/testdata/sf0.001")
@@ -4643,6 +4713,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q5_local_supplier_revenue": q5_local_supplier_revenue,
         "q10_returned_item_revenue": q10_returned_item_revenue,
         "q7_nation_volume": q7_nation_volume,
+        "pareto_frontier_events": pareto_frontier_events,
+        "percent_rank_event_values": percent_rank_event_values,
+        "fuzzy_headword_pairs": fuzzy_headword_pairs,
     }
 
 
@@ -6374,5 +6447,50 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS ivf_recall_ok
             FROM embeddings
             ORDER BY rank LIMIT 10
+        """,
+        "pareto_frontier_events": """
+            WITH e AS (SELECT event_id, event_type, value,
+                              epoch_us(ts) AS ts_us FROM events)
+            SELECT e1.event_type, e1.event_id, e1.value, e1.ts_us
+            FROM e e1
+            WHERE NOT EXISTS (
+                SELECT 1 FROM e e2
+                WHERE e2.event_type = e1.event_type
+                  AND e2.value >= e1.value AND e2.ts_us >= e1.ts_us
+                  AND (e2.value > e1.value OR e2.ts_us > e1.ts_us))
+        """,
+        "percent_rank_event_values": """
+            WITH agg AS (SELECT event_type, value, COUNT(*) AS cnt
+                         FROM events GROUP BY 1, 2),
+                 tot AS (SELECT event_type, SUM(cnt) AS n
+                         FROM agg GROUP BY 1)
+            SELECT a.event_type, a.value, CAST(a.cnt AS BIGINT) AS cnt,
+                   CASE WHEN t.n > 1 THEN
+                       CAST(COALESCE(SUM(a.cnt) OVER (
+                           PARTITION BY a.event_type ORDER BY a.value
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0) AS DOUBLE)
+                       / CAST(t.n - 1 AS DOUBLE)
+                   ELSE 0.0 END AS pct_rank
+            FROM agg a JOIN tot t USING (event_type)
+        """,
+        "fuzzy_headword_pairs": """
+            WITH heads0 AS (SELECT doc_id,
+                                   lower(split_part(text, ' ', 1)) AS h
+                            FROM documents),
+                 heads1 AS (SELECT CASE
+                       WHEN doc_id % 7 = 3 AND length(h) >= 4 THEN
+                           substr(h, 1, CAST(length(h) // 2 AS INT))
+                           || substr(h, CAST(length(h) // 2 AS INT) + 2)
+                       ELSE h END AS h
+                            FROM heads0),
+                 hw AS (SELECT h, CAST(COUNT(*) AS BIGINT) AS cnt
+                        FROM heads1 WHERE h <> '' GROUP BY 1)
+            SELECT a.h AS head_a, b.h AS head_b,
+                   a.cnt AS cnt_a, b.cnt AS cnt_b
+            FROM hw a JOIN hw b
+              ON a.h < b.h
+             AND abs(length(a.h) - length(b.h)) <= 1
+             AND levenshtein(a.h, b.h) = 1
         """,
     }

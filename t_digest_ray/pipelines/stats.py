@@ -251,3 +251,107 @@ def quantile_bucket_counts(ds, key: str, x_col: str,
         return df
 
     return out.map_batches(fin, batch_format="pandas")
+
+
+def _frontier_mask(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """Boolean mask of the 2-D Pareto frontier, maximizing both arrays.
+
+    A point survives iff no other point is >= in both coordinates and
+    strictly greater in at least one; duplicate (x, y) points all
+    survive together (neither dominates the other). Vectorized: sort by
+    (x desc, y desc), a row survives iff its y equals the max y of its
+    distinct-x group AND that max strictly exceeds the running max y of
+    every strictly-larger x.
+    """
+    n = len(x)
+    if n == 0:
+        return np.zeros(0, dtype=bool)
+    order = np.lexsort((-y, -x))
+    xs, ys = x[order], y[order]
+    new_x = np.empty(n, dtype=bool)
+    new_x[0] = True
+    new_x[1:] = xs[1:] != xs[:-1]
+    grp = np.cumsum(new_x) - 1
+    grp_max_y = ys[np.flatnonzero(new_x)]          # ys sorted desc in-group
+    prev_max = np.concatenate(
+        ([-np.inf], np.maximum.accumulate(grp_max_y)[:-1]))
+    keep_sorted = (ys == grp_max_y[grp]) & (grp_max_y[grp] > prev_max[grp])
+    mask = np.zeros(n, dtype=bool)
+    mask[order] = keep_sorted
+    return mask
+
+
+def grouped_pareto_frontier(ds, key: str, x_col: str, y_col: str,
+                            id_col: str):
+    """Per-key 2-D Pareto frontier (skyline), maximizing both columns.
+
+    Scale shape: the frontier is MERGEABLE — frontier(A ∪ B) ==
+    frontier(frontier(A) ∪ frontier(B)) — so every Arrow batch is first
+    reduced to its local per-key frontier (O(frontier) rows out, usually
+    a handful) and only those survivors ride the shuffle into the exact
+    per-key finalize. No all-pairs comparison exists anywhere; the SQL
+    equivalent's NOT EXISTS anti-join is O(n²).
+    """
+    def partial(b: pa.Table) -> pa.Table:
+        kv = b[key].to_numpy(zero_copy_only=False)
+        x = b[x_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        y = b[y_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        keep = np.zeros(len(kv), dtype=bool)
+        for k in pd.unique(kv):
+            idx = np.flatnonzero(kv == k)
+            keep[idx] = _frontier_mask(x[idx], y[idx])
+        return b.select([key, id_col, x_col, y_col]).filter(
+            pa.array(keep))
+
+    def finalize(g: pd.DataFrame) -> pd.DataFrame:
+        m = _frontier_mask(g[x_col].to_numpy(dtype=np.float64),
+                           g[y_col].to_numpy(dtype=np.float64))
+        out = g.loc[m, [key, id_col, x_col, y_col]]
+        return out.sort_values(id_col).reset_index(drop=True)
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(key)
+            .map_groups(finalize, batch_format="pandas"))
+
+
+def grouped_percent_rank(ds, key: str, value: str,
+                         cnt_name: str = "cnt",
+                         pr_name: str = "pct_rank"):
+    """Exact empirical PERCENT_RANK per distinct (key, value):
+    (#rows with a strictly smaller value in the key) / (n_key - 1) —
+    the SQL window PERCENT_RANK() carried by every row of that value
+    (0.0 when the key has a single row, matching the standard).
+
+    Scale shape: per-batch (key, value) value-counts combine before the
+    exchange, so only distinct-value rows ride the shuffle — bounded by
+    the value DOMAIN (e.g. price cents in a fixed range), not the row
+    count — and the prefix-sum finalize runs per key on that aggregated
+    table. Both divisions are int-exact doubles (counts < 2^53), so the
+    floats are bit-identical to the SQL window oracle.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({key: b[key].to_numpy(zero_copy_only=False),
+                           value: b[value].to_numpy(zero_copy_only=False)})
+        g = df.groupby([key, value], as_index=False, sort=False).size()
+        g = g.rename(columns={"size": "partial"})
+        g["partial"] = g["partial"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    counts = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby([key, value])
+              .aggregate(Sum("partial", alias_name=cnt_name)))
+
+    def finalize(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(value).reset_index(drop=True)
+        cnt = g[cnt_name].to_numpy(dtype=np.int64)
+        below = np.concatenate(([0], np.cumsum(cnt)[:-1]))
+        n = int(cnt.sum())
+        pr = (below.astype(np.float64) / float(n - 1)
+              if n > 1 else np.zeros(len(g), dtype=np.float64))
+        g[cnt_name] = cnt
+        g[pr_name] = pr
+        return g[[key, value, cnt_name, pr_name]]
+
+    return counts.groupby(key).map_groups(finalize, batch_format="pandas")

@@ -1,0 +1,172 @@
+"""Pareto frontier, percent_rank, and fuzzy vocabulary-pair operators,
+each checked against a brute-force reference on randomized inputs."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from t_digest_ray.pipelines.stats import (_frontier_mask,
+                                          grouped_pareto_frontier,
+                                          grouped_percent_rank)
+from t_digest_ray.stages.fuzzy import (_deletion_variants, fuzzy_vocab_pairs,
+                                       within_one_edit)
+
+
+def brute_frontier(x, y):
+    n = len(x)
+    keep = np.ones(n, dtype=bool)
+    for i in range(n):
+        for j in range(n):
+            if (x[j] >= x[i] and y[j] >= y[i]
+                    and (x[j] > x[i] or y[j] > y[i])):
+                keep[i] = False
+                break
+    return keep
+
+
+def brute_levenshtein(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_frontier_mask_matches_bruteforce(rng):
+    for trial in range(30):
+        n = int(rng.integers(1, 60))
+        # small int domain => plenty of duplicate coordinates and ties
+        x = rng.integers(0, 8, n).astype(np.float64)
+        y = rng.integers(0, 8, n).astype(np.float64)
+        got = _frontier_mask(x, y)
+        want = brute_frontier(x, y)
+        assert np.array_equal(got, want), (trial, x, y)
+
+
+def test_frontier_mask_duplicates_survive_together():
+    x = np.array([5.0, 5.0, 1.0])
+    y = np.array([3.0, 3.0, 9.0])
+    m = _frontier_mask(x, y)
+    assert m.tolist() == [True, True, True]
+
+
+def test_frontier_mergeable(rng):
+    x = rng.integers(0, 20, 200).astype(np.float64)
+    y = rng.integers(0, 20, 200).astype(np.float64)
+    whole = set(zip(x[_frontier_mask(x, y)], y[_frontier_mask(x, y)]))
+    ka, kb = _frontier_mask(x[:90], y[:90]), _frontier_mask(x[90:], y[90:])
+    ux = np.concatenate([x[:90][ka], x[90:][kb]])
+    uy = np.concatenate([y[:90][ka], y[90:][kb]])
+    merged = set(zip(ux[_frontier_mask(ux, uy)], uy[_frontier_mask(ux, uy)]))
+    assert whole == merged
+
+
+def test_grouped_pareto_frontier_dataset(ray_session, rng):
+    import ray
+
+    n = 500
+    df = pd.DataFrame({
+        "k": rng.choice(["a", "b", "c"], n),
+        "x": rng.integers(0, 30, n).astype(np.float64),
+        "y": rng.integers(0, 30, n).astype(np.float64),
+        "rid": np.arange(n, dtype=np.int64),
+    })
+    out = (grouped_pareto_frontier(
+        ray.data.from_pandas(df).repartition(7), "k", "x", "y", "rid")
+        .to_pandas().sort_values("rid").reset_index(drop=True))
+    want_ids = []
+    for k, g in df.groupby("k"):
+        m = brute_frontier(g["x"].to_numpy(), g["y"].to_numpy())
+        want_ids.extend(g["rid"].to_numpy()[m].tolist())
+    assert sorted(out["rid"].tolist()) == sorted(want_ids)
+
+
+def test_grouped_percent_rank_matches_pandas(ray_session, rng):
+    import ray
+
+    n = 400
+    df = pd.DataFrame({
+        "k": rng.choice(["a", "b"], n),
+        "v": (rng.integers(0, 50, n) / 4.0),
+    })
+    out = (grouped_percent_rank(
+        ray.data.from_pandas(df).repartition(5), "k", "v")
+        .to_pandas().sort_values(["k", "v"]).reset_index(drop=True))
+    # pandas reference: percent_rank of each row, min per distinct value
+    ref_rows = []
+    for k, g in df.groupby("k"):
+        pr = g["v"].rank(method="min").sub(1).div(len(g) - 1)
+        r = pd.DataFrame({"v": g["v"], "pr": pr}).groupby("v", as_index=False)
+        ref_rows.append(r.agg(cnt=("pr", "size"), pct_rank=("pr", "min"))
+                        .assign(k=k))
+    ref = (pd.concat(ref_rows).sort_values(["k", "v"])
+           .reset_index(drop=True))
+    assert len(out) == len(ref)
+    assert np.array_equal(out["cnt"].to_numpy(),
+                          ref["cnt"].to_numpy(dtype=np.int64))
+    assert np.array_equal(out["pct_rank"].to_numpy(),
+                          ref["pct_rank"].to_numpy())  # bit-exact
+
+
+def test_percent_rank_single_row_key(ray_session):
+    import ray
+
+    df = pd.DataFrame({"k": ["solo"], "v": [3.5]})
+    out = grouped_percent_rank(ray.data.from_pandas(df), "k", "v").to_pandas()
+    assert out["pct_rank"].tolist() == [0.0]
+    assert out["cnt"].tolist() == [1]
+
+
+def test_within_one_edit_matches_dp(rng):
+    alpha = list("abc")
+    words = ["".join(rng.choice(alpha, int(rng.integers(1, 6))))
+             for _ in range(80)]
+    for a in words[:40]:
+        for b in words[40:]:
+            assert within_one_edit(a, b) == (brute_levenshtein(a, b) == 1), \
+                (a, b)
+
+
+def test_deletion_variant_blocking_complete(rng):
+    # distance-1 pairs ALWAYS share a deletion variant (SymSpell property)
+    alpha = list("ab")
+    words = {"".join(rng.choice(alpha, int(rng.integers(1, 7))))
+             for _ in range(120)}
+    words = sorted(words)
+    for i, a in enumerate(words):
+        for b in words[i + 1:]:
+            if brute_levenshtein(a, b) == 1:
+                assert set(_deletion_variants(a)) & set(_deletion_variants(b))
+
+
+def test_fuzzy_vocab_pairs_dataset(ray_session, rng):
+    import ray
+
+    alpha = list("abcd")
+    vocab = sorted({"".join(rng.choice(alpha, int(rng.integers(2, 6))))
+                    for _ in range(150)})
+    cnt = rng.integers(1, 100, len(vocab)).astype(np.int64)
+    df = pd.DataFrame({"head": vocab, "cnt": cnt})
+    out = (fuzzy_vocab_pairs(
+        ray.data.from_pandas(df).repartition(4), "head", "cnt")
+        .to_pandas().sort_values(["head_a", "head_b"])
+        .reset_index(drop=True))
+    want = []
+    cmap = dict(zip(vocab, cnt))
+    for i, a in enumerate(vocab):
+        for b in vocab[i + 1:]:
+            if brute_levenshtein(a, b) == 1:
+                want.append((a, b, cmap[a], cmap[b]))
+    want_df = (pd.DataFrame(want,
+                            columns=["head_a", "head_b", "cnt_a", "cnt_b"])
+               .sort_values(["head_a", "head_b"]).reset_index(drop=True))
+    assert len(out) == len(want_df) and len(want_df) > 0
+    pd.testing.assert_frame_equal(
+        out[["head_a", "head_b", "cnt_a", "cnt_b"]].astype(
+            {"cnt_a": np.int64, "cnt_b": np.int64}),
+        want_df)
