@@ -4555,6 +4555,29 @@ def fuzzy_headword_pairs(sf_dir: str):
     return fuzzy_vocab_pairs(vocab, "head", "cnt")
 
 
+def quantile_cont_events_value(sf_dir: str):
+    """Exact interpolated (quantile_cont-convention) quantiles of event
+    value per type (pipelines/stats.grouped_quantile_cont): cumulative
+    counts + searchsorted over the domain-sized aggregated table —
+    bit-identical to SQL quantile_cont without materializing the sorted
+    multiset."""
+    from t_digest_ray.pipelines.stats import grouped_quantile_cont
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    return grouped_quantile_cont(ds, "event_type", "value")
+
+
+def gini_event_values(sf_dir: str):
+    """Exact per-type Gini coefficient of event value
+    (pipelines/stats.grouped_gini): integer-cents arithmetic throughout
+    (bignum fold in the finalize), domain-sized value-count rows on the
+    shuffle, final doubles bit-identical to the HUGEINT SQL oracle."""
+    from t_digest_ray.pipelines.stats import grouped_gini
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    return grouped_gini(ds, "event_type", "value")
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
     return pages_flagship("/root/testdata/sf0.001")
@@ -4716,6 +4739,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pareto_frontier_events": pareto_frontier_events,
         "percent_rank_event_values": percent_rank_event_values,
         "fuzzy_headword_pairs": fuzzy_headword_pairs,
+        "gini_event_values": gini_event_values,
+        "quantile_cont_events_value": quantile_cont_events_value,
     }
 
 
@@ -6492,5 +6517,38 @@ def oracle_sql() -> dict[str, str]:
               ON a.h < b.h
              AND abs(length(a.h) - length(b.h)) <= 1
              AND levenshtein(a.h, b.h) = 1
+        """,
+        "gini_event_values": """
+            WITH c AS (SELECT event_type,
+                              CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v,
+                              COUNT(*) AS cnt
+                       FROM events GROUP BY 1, 2),
+                 r AS (SELECT event_type, v, cnt,
+                              SUM(cnt) OVER (PARTITION BY event_type
+                                             ORDER BY v) AS cum
+                       FROM c),
+                 s AS (SELECT event_type,
+                              CAST(SUM(cnt) AS BIGINT) AS n,
+                              CAST(SUM(cnt * v) AS BIGINT) AS sum_cents,
+                              SUM(CAST(v AS HUGEINT) * cnt
+                                  * (2 * cum - cnt + 1)) AS two_ranksum
+                       FROM r GROUP BY 1)
+            SELECT event_type, n, sum_cents,
+                   CASE WHEN n > 0 AND sum_cents <> 0 THEN
+                       CAST(two_ranksum AS DOUBLE)
+                       / CAST(CAST(n AS HUGEINT) * sum_cents AS DOUBLE)
+                       - CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE)
+                   ELSE 0.0 END AS gini
+            FROM s
+        """,
+        "quantile_cont_events_value": """
+            SELECT event_type, COUNT(*) AS n,
+                   quantile_cont(value, 0.01) AS cq01,
+                   quantile_cont(value, 0.25) AS cq25,
+                   quantile_cont(value, 0.50) AS cq50,
+                   quantile_cont(value, 0.75) AS cq75,
+                   quantile_cont(value, 0.90) AS cq90,
+                   quantile_cont(value, 0.99) AS cq99
+            FROM events GROUP BY event_type
         """,
     }

@@ -355,3 +355,109 @@ def grouped_percent_rank(ds, key: str, value: str,
         return g[[key, value, cnt_name, pr_name]]
 
     return counts.groupby(key).map_groups(finalize, batch_format="pandas")
+
+
+def grouped_gini(ds, key: str, value: str,
+                 out_name: str = "gini"):
+    """Exact per-key Gini coefficient of a money column, computed on
+    integer cents so every accumulation is exact.
+
+    Formula (population Gini over sorted x_1..x_n):
+        G = 2*Σ(i*x_i) / (n*Σx) - (n+1)/n
+    evaluated blockwise over the aggregated (key, cents, count) table:
+    a run of c equal values v ending at cumulative rank R contributes
+    v*c*(2R - c + 1) to 2*Σ(i*x_i).
+
+    Scale shape: per-batch cents value-counts combine first, so only
+    value-DOMAIN-sized rows ride the shuffle; the finalize folds Python
+    bignums (no int64 overflow at any scale) and emits one row per key.
+    The two final divisions convert the same exact integers to double
+    on both engines, so the float is bit-identical to the HUGEINT SQL
+    oracle.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        x = b[value].to_numpy(zero_copy_only=False).astype(np.float64)
+        cents = np.floor(x * 100.0 + 0.5).astype(np.int64)
+        df = pd.DataFrame({key: b[key].to_numpy(zero_copy_only=False),
+                           "cents": cents})
+        g = df.groupby([key, "cents"], as_index=False, sort=False).size()
+        g = g.rename(columns={"size": "partial"})
+        g["partial"] = g["partial"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    counts = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby([key, "cents"])
+              .aggregate(Sum("partial", alias_name="cnt")))
+
+    def finalize(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("cents")
+        v = [int(x) for x in g["cents"]]
+        c = [int(x) for x in g["cnt"]]
+        n = sum(c)
+        s = sum(ci * vi for ci, vi in zip(c, v))
+        two_ranksum = 0
+        r = 0
+        for ci, vi in zip(c, v):
+            r += ci
+            two_ranksum += vi * ci * (2 * r - ci + 1)
+        gini = (float(two_ranksum) / float(n * s)
+                - float(n + 1) / float(n)) if n > 0 and s != 0 else 0.0
+        return pd.DataFrame({key: [g[key].iloc[0]],
+                             "n": np.array([n], dtype=np.int64),
+                             "sum_cents": np.array([s], dtype=np.int64),
+                             out_name: np.array([gini], dtype=np.float64)})
+
+    return counts.groupby(key).map_groups(finalize, batch_format="pandas")
+
+
+def grouped_quantile_cont(ds, key: str, value: str,
+                          qs=(0.01, 0.25, 0.5, 0.75, 0.9, 0.99)):
+    """Exact linearly-interpolated quantiles per key — the SQL
+    ``quantile_cont`` convention: position h = (n-1)*q,
+    result = x[floor(h)]*(1-frac) + x[floor(h)+1]*frac, evaluated
+    against the aggregated (key, value, count) table via cumulative
+    counts + searchsorted, never materializing the sorted multiset.
+    Matches DuckDB's quantile_cont bit-for-bit (the complement of the
+    repo's quantile_disc convention — this is the interpolation the
+    reference's Dist.java/t-digest quantile() path uses between
+    centroids).
+
+    Scale shape: identical to grouped_percent_rank — per-batch
+    value-counts combine, only value-DOMAIN-sized rows on the shuffle,
+    per-key O(distinct) finalize.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({key: b[key].to_numpy(zero_copy_only=False),
+                           value: b[value].to_numpy(zero_copy_only=False)})
+        g = df.groupby([key, value], as_index=False, sort=False).size()
+        g = g.rename(columns={"size": "partial"})
+        g["partial"] = g["partial"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    counts = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby([key, value])
+              .aggregate(Sum("partial", alias_name="cnt")))
+
+    def finalize(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(value)
+        v = g[value].to_numpy(dtype=np.float64)
+        cum = np.cumsum(g["cnt"].to_numpy(dtype=np.int64))
+        n = int(cum[-1])
+        row = {key: [g[key].iloc[0]], "n": np.array([n], dtype=np.int64)}
+        for q in qs:
+            h = (n - 1) * float(q)
+            lo = int(np.floor(h))
+            frac = h - lo
+            j_lo = int(np.searchsorted(cum, lo + 1, side="left"))
+            j_hi = int(np.searchsorted(cum, min(lo + 1, n - 1) + 1,
+                                       side="left"))
+            val = v[j_lo] * (1.0 - frac) + v[j_hi] * frac
+            row[f"cq{int(round(q * 100)):02d}"] = np.array(
+                [val], dtype=np.float64)
+        return pd.DataFrame(row)
+
+    return counts.groupby(key).map_groups(finalize, batch_format="pandas")

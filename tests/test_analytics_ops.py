@@ -170,3 +170,71 @@ def test_fuzzy_vocab_pairs_dataset(ray_session, rng):
         out[["head_a", "head_b", "cnt_a", "cnt_b"]].astype(
             {"cnt_a": np.int64, "cnt_b": np.int64}),
         want_df)
+
+
+def brute_gini(vals):
+    x = np.sort(np.asarray(vals, dtype=np.float64))
+    n = len(x)
+    s = x.sum()
+    if n == 0 or s == 0:
+        return 0.0
+    i = np.arange(1, n + 1)
+    return float(2.0 * (i * x).sum() / (n * s) - (n + 1) / n)
+
+
+def test_grouped_gini_matches_bruteforce(ray_session, rng):
+    import ray
+    from t_digest_ray.pipelines.stats import grouped_gini
+
+    n = 600
+    df = pd.DataFrame({
+        "k": rng.choice(["a", "b", "c"], n),
+        "v": (rng.integers(0, 5000, n) / 100.0),
+    })
+    out = (grouped_gini(ray.data.from_pandas(df).repartition(6), "k", "v")
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    for _, row in out.iterrows():
+        vals = df.loc[df["k"] == row["k"], "v"].to_numpy()
+        cents = np.floor(vals * 100.0 + 0.5)
+        assert row["n"] == len(vals)
+        assert row["sum_cents"] == int(cents.sum())
+        assert abs(row["gini"] - brute_gini(cents)) < 1e-12
+        assert 0.0 <= row["gini"] < 1.0
+
+
+def test_gini_extremes(ray_session):
+    import ray
+    from t_digest_ray.pipelines.stats import grouped_gini
+
+    # perfectly equal values => gini 0; one holder of all mass => ~1-1/n
+    df = pd.DataFrame({"k": ["eq"] * 50 + ["uneq"] * 50,
+                       "v": [2.0] * 50 + [0.0] * 49 + [100.0]})
+    out = grouped_gini(ray.data.from_pandas(df), "k", "v").to_pandas()
+    out = out.set_index("k")
+    assert out.loc["eq", "gini"] == 0.0
+    assert abs(out.loc["uneq", "gini"] - (1.0 - 1.0 / 50)) < 1e-12
+
+
+def test_grouped_quantile_cont_bit_matches_numpy(ray_session, rng):
+    import ray
+    from t_digest_ray.pipelines.stats import grouped_quantile_cont
+
+    n = 700
+    df = pd.DataFrame({
+        "k": rng.choice(["a", "b"], n),
+        "v": (rng.integers(0, 800, n) / 4.0),
+    })
+    qs = (0.01, 0.25, 0.5, 0.75, 0.9, 0.99)
+    out = (grouped_quantile_cont(
+        ray.data.from_pandas(df).repartition(5), "k", "v", qs)
+        .to_pandas().set_index("k"))
+    for k, g in df.groupby("k"):
+        x = np.sort(g["v"].to_numpy())
+        m = len(x)
+        for q in qs:
+            h = (m - 1) * q
+            lo = int(np.floor(h))
+            frac = h - lo
+            want = x[lo] * (1.0 - frac) + x[min(lo + 1, m - 1)] * frac
+            got = out.loc[k, f"cq{int(round(q * 100)):02d}"]
+            assert got == want  # bit-exact
