@@ -4567,6 +4567,29 @@ def quantile_cont_events_value(sf_dir: str):
     return grouped_quantile_cont(ds, "event_type", "value")
 
 
+def props_field_stats(sf_dir: str):
+    """Per-type stats of the integer 'k' field extracted from the
+    events.props JSON column (pipelines/textstats.json_int_field_stats):
+    one compiled RE2 extract_regex pass, value-domain-sized rows on the
+    shuffle, exact int64 finalize; SQL twin is json_extract."""
+    from t_digest_ray.pipelines.textstats import json_int_field_stats
+
+    ds = _read(sf_dir, "events", ["event_type", "props"])
+    return json_int_field_stats(ds, "props", "k", "event_type")
+
+
+def quality_rule_funnel_docs(sf_dir: str):
+    """Gopher-style hard quality-rule funnel per lang
+    (pipelines/textstats.quality_rule_funnel): four integer-arithmetic
+    rules (token-count band, mean-word-length band, alpha ratio, digit
+    ratio — all cross-multiplied, no floats), per-rule fail counts and
+    the pass-all count; O(langs) rows on the shuffle."""
+    from t_digest_ray.pipelines.textstats import quality_rule_funnel
+
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+    return quality_rule_funnel(ds, "text", "lang")
+
+
 def gini_event_values(sf_dir: str):
     """Exact per-type Gini coefficient of event value
     (pipelines/stats.grouped_gini): integer-cents arithmetic throughout
@@ -4741,6 +4764,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_headword_pairs": fuzzy_headword_pairs,
         "gini_event_values": gini_event_values,
         "quantile_cont_events_value": quantile_cont_events_value,
+        "props_field_stats": props_field_stats,
+        "quality_rule_funnel_docs": quality_rule_funnel_docs,
     }
 
 
@@ -6550,5 +6575,56 @@ def oracle_sql() -> dict[str, str]:
                    quantile_cont(value, 0.90) AS cq90,
                    quantile_cont(value, 0.99) AS cq99
             FROM events GROUP BY event_type
+        """,
+        "props_field_stats": """
+            WITH x AS (SELECT event_type,
+                              CAST(json_extract(props, '$.k') AS BIGINT)
+                                  AS v
+                       FROM events)
+            SELECT event_type,
+                   COUNT(*) AS n_rows,
+                   COUNT(v) AS n_with_field,
+                   CAST(COUNT(DISTINCT v) AS BIGINT) AS n_distinct,
+                   COALESCE(CAST(SUM(v) AS BIGINT), 0) AS sum_v,
+                   COALESCE(MIN(v), 0) AS min_v,
+                   COALESCE(MAX(v), 0) AS max_v
+            FROM x GROUP BY event_type
+        """,
+        "quality_rule_funnel_docs": r"""
+            WITH f AS (
+              SELECT lang,
+                     LENGTH(COALESCE(text,'')) AS n_chars,
+                     LEN(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(
+                         COALESCE(text,''), '\s+'), x -> x <> ''))
+                         AS n_tok,
+                     LENGTH(COALESCE(text,''))
+                         - LENGTH(REGEXP_REPLACE(COALESCE(text,''),
+                                  '[A-Za-z]', '', 'g')) AS n_alpha,
+                     LENGTH(COALESCE(text,''))
+                         - LENGTH(REGEXP_REPLACE(COALESCE(text,''),
+                                  '[0-9]', '', 'g')) AS n_digit
+              FROM documents
+            ), r AS (
+              SELECT lang,
+                     (n_tok BETWEEN 5 AND 1000) AS ok_len,
+                     (3 * n_tok <= n_chars AND n_chars <= 10 * n_tok)
+                         AS ok_mwl,
+                     (5 * n_alpha >= 3 * n_chars) AS ok_alpha,
+                     (5 * n_digit <= n_chars) AS ok_digit
+              FROM f
+            )
+            SELECT lang, COUNT(*) AS n_docs,
+                   CAST(SUM(CASE WHEN ok_len THEN 0 ELSE 1 END)
+                        AS BIGINT) AS fail_len,
+                   CAST(SUM(CASE WHEN ok_mwl THEN 0 ELSE 1 END)
+                        AS BIGINT) AS fail_mwl,
+                   CAST(SUM(CASE WHEN ok_alpha THEN 0 ELSE 1 END)
+                        AS BIGINT) AS fail_alpha,
+                   CAST(SUM(CASE WHEN ok_digit THEN 0 ELSE 1 END)
+                        AS BIGINT) AS fail_digit,
+                   CAST(SUM(CASE WHEN ok_len AND ok_mwl AND ok_alpha
+                                      AND ok_digit THEN 1 ELSE 0 END)
+                        AS BIGINT) AS pass_all
+            FROM r GROUP BY lang
         """,
     }

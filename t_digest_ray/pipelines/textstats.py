@@ -404,3 +404,121 @@ def ngram_decontaminate_filter(ds, bench_hashes_ref, n: int,
         return b.filter(pa.array(~contaminated))
 
     return ds.map_batches(keep_clean, batch_format="pyarrow")
+
+
+def json_int_field_stats(ds, json_col: str, field: str, key: str):
+    """Per-key stats of an integer field extracted from a JSON string
+    column — the semi-structured-props shape of an event pipeline.
+
+    Extraction is a single compiled RE2 named-group regex
+    (``"<field>":\\s*(?P<v>-?\\d+)``) via ``pyarrow.compute
+    .extract_regex`` — zero per-row Python; rows whose JSON lacks the
+    field are counted but excluded from the value stats, matching SQL
+    ``json_extract``'s NULL semantics. Per-batch (key, v) value-counts
+    combine first, so only value-DOMAIN-sized integer rows ride the
+    shuffle; the finalize folds exact int64 sums per key.
+
+    Output: key, n_rows, n_with_field, n_distinct, sum_v, min_v, max_v.
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    pattern = '"' + field + '":\\s*(?P<v>-?\\d+)'
+
+    def partial(b: pa.Table) -> pa.Table:
+        kv = b[key].to_numpy(zero_copy_only=False)
+        ex = pc.extract_regex(b[json_col].combine_chunks(), pattern)
+        vals = pc.struct_field(ex, "v")
+        have = pc.is_valid(vals).to_numpy(zero_copy_only=False)
+        v = np.where(have,
+                     pd.to_numeric(vals.to_pandas(), errors="coerce")
+                     .fillna(0).to_numpy(),
+                     0).astype(np.int64)
+        df = pd.DataFrame({key: kv, "v": v, "have": have})
+        g = (df.groupby([key, "v", "have"], as_index=False, sort=False)
+             .size().rename(columns={"size": "partial"}))
+        g["partial"] = g["partial"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    counts = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby([key, "v", "have"])
+              .aggregate(Sum("partial", alias_name="cnt")))
+
+    def finalize(g: pd.DataFrame) -> pd.DataFrame:
+        cnt = g["cnt"].to_numpy(dtype=np.int64)
+        have = g["have"].to_numpy(dtype=bool)
+        v = g["v"].to_numpy(dtype=np.int64)
+        n_rows = int(cnt.sum())
+        hv, hc = v[have], cnt[have]
+        n_with = int(hc.sum())
+        return pd.DataFrame({
+            key: [g[key].iloc[0]],
+            "n_rows": np.array([n_rows], dtype=np.int64),
+            "n_with_field": np.array([n_with], dtype=np.int64),
+            "n_distinct": np.array([len(hv)], dtype=np.int64),
+            "sum_v": np.array([int((hv * hc).sum()) if n_with else 0],
+                              dtype=np.int64),
+            "min_v": np.array([int(hv.min()) if n_with else 0],
+                              dtype=np.int64),
+            "max_v": np.array([int(hv.max()) if n_with else 0],
+                              dtype=np.int64),
+        })
+
+    return counts.groupby(key).map_groups(finalize, batch_format="pandas")
+
+
+def quality_rule_funnel(ds, text_col: str, key: str,
+                        min_tok: int = 5, max_tok: int = 1000):
+    """Gopher-style hard quality-rule funnel per key: for each of four
+    integer-arithmetic document rules, how many docs FAIL it, plus how
+    many pass all four. Rules (cross-multiplied so no floats exist
+    anywhere — the SQL twin is exact):
+
+      len    min_tok <= n_tok <= max_tok
+      mwl    3 <= n_chars/n_tok <= 10    (3*n_tok <= n_chars <= 10*n_tok)
+      alpha  alpha_ratio >= 0.6           (5*n_alpha >= 3*n_chars)
+      digit  digit_ratio <= 0.2           (5*n_digit <= n_chars)
+
+    Scale shape: one vectorized pandas-regex pass per batch, per-key
+    int64 partial sums combine before the exchange — O(keys) rows on
+    the shuffle, never documents.
+    """
+    from ray.data.aggregate import Sum
+
+    from t_digest_ray.functions.text import token_count
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pd.Series(b[text_col].to_pylist()).fillna("")
+        n_chars = t.str.len().to_numpy(dtype=np.int64)
+        n_tok = token_count(t)
+        n_alpha = t.str.count(r"[A-Za-z]").to_numpy(dtype=np.int64)
+        n_digit = t.str.count(r"[0-9]").to_numpy(dtype=np.int64)
+        ok_len = (n_tok >= min_tok) & (n_tok <= max_tok)
+        ok_mwl = (3 * n_tok <= n_chars) & (n_chars <= 10 * n_tok)
+        ok_alpha = 5 * n_alpha >= 3 * n_chars
+        ok_digit = 5 * n_digit <= n_chars
+        df = pd.DataFrame({
+            key: b[key].to_numpy(zero_copy_only=False),
+            "n_docs": np.int64(1),
+            "fail_len": (~ok_len).astype(np.int64),
+            "fail_mwl": (~ok_mwl).astype(np.int64),
+            "fail_alpha": (~ok_alpha).astype(np.int64),
+            "fail_digit": (~ok_digit).astype(np.int64),
+            "pass_all": (ok_len & ok_mwl & ok_alpha
+                         & ok_digit).astype(np.int64),
+        })
+        g = df.groupby(key, as_index=False, sort=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    cols = ["n_docs", "fail_len", "fail_mwl", "fail_alpha",
+            "fail_digit", "pass_all"]
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby(key)
+           .aggregate(*[Sum(c, alias_name=c) for c in cols]))
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        for c in cols:
+            df[c] = df[c].astype(np.int64)
+        return df
+
+    return out.map_batches(fin, batch_format="pandas")

@@ -238,3 +238,67 @@ def test_grouped_quantile_cont_bit_matches_numpy(ray_session, rng):
             want = x[lo] * (1.0 - frac) + x[min(lo + 1, m - 1)] * frac
             got = out.loc[k, f"cq{int(round(q * 100)):02d}"]
             assert got == want  # bit-exact
+
+
+def test_json_int_field_stats(ray_session, rng):
+    import ray
+    from t_digest_ray.pipelines.textstats import json_int_field_stats
+
+    n = 300
+    ks = rng.integers(0, 40, n)
+    types = rng.choice(["x", "y"], n)
+    # every third row lacks the field
+    props = [('{"k": %d}' % k) if i % 3 else '{"other": 1}'
+             for i, k in enumerate(ks)]
+    df = pd.DataFrame({"t": types, "props": props})
+    out = (json_int_field_stats(
+        ray.data.from_pandas(df).repartition(4), "props", "k", "t")
+        .to_pandas().set_index("t"))
+    for t, g in df.groupby("t"):
+        sub_ks = [int(p.split(": ")[1][:-1]) for p in g["props"]
+                  if '"k"' in p]
+        assert out.loc[t, "n_rows"] == len(g)
+        assert out.loc[t, "n_with_field"] == len(sub_ks)
+        assert out.loc[t, "n_distinct"] == len(set(sub_ks))
+        assert out.loc[t, "sum_v"] == sum(sub_ks)
+        assert out.loc[t, "min_v"] == min(sub_ks)
+        assert out.loc[t, "max_v"] == max(sub_ks)
+
+
+def test_quality_rule_funnel(ray_session):
+    import ray
+    from t_digest_ray.pipelines.textstats import quality_rule_funnel
+
+    docs = pd.DataFrame({
+        "lang": ["en"] * 4,
+        "text": [
+            "good solid words here ok fine yes",   # passes all
+            "a b",                                  # fails len (2 toks)
+            "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaa x y z q",  # fails mwl band? (long word)
+            "1234 5678 9012 3456 7890 1111 2222",   # fails alpha+digit
+        ],
+    })
+    out = (quality_rule_funnel(ray.data.from_pandas(docs), "text", "lang",
+                               min_tok=3, max_tok=100)
+           .to_pandas().iloc[0])
+    # brute check
+    import re
+    fails = {"len": 0, "mwl": 0, "alpha": 0, "digit": 0}
+    npass = 0
+    for t in docs["text"]:
+        nc = len(t)
+        nt = len(re.findall(r"\S+", t))
+        na = len(re.findall(r"[A-Za-z]", t))
+        nd = len(re.findall(r"[0-9]", t))
+        ok = {"len": 3 <= nt <= 100,
+              "mwl": 3 * nt <= nc <= 10 * nt,
+              "alpha": 5 * na >= 3 * nc,
+              "digit": 5 * nd <= nc}
+        for r, v in ok.items():
+            fails[r] += (not v)
+        npass += all(ok.values())
+    assert out["n_docs"] == 4
+    for r in fails:
+        assert out[f"fail_{r}"] == fails[r], r
+    assert out["pass_all"] == npass
+    assert npass >= 1 and fails["len"] >= 1
