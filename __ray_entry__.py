@@ -4590,6 +4590,38 @@ def quality_rule_funnel_docs(sf_dir: str):
     return quality_rule_funnel(ds, "text", "lang")
 
 
+def token_cooccurrence_docs(sf_dir: str):
+    """Top-15 token document co-occurrence counts (PMI basis)
+    (pipelines/textstats.token_cooccurrence): top-k vocabulary broadcast
+    (count desc, token asc tie-break), per-batch distinct (doc, token)
+    self-merge, k²-sized integer partials on the exchange."""
+    from t_digest_ray.pipelines.textstats import token_cooccurrence
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return token_cooccurrence(ds, "text", "doc_id", k=15)
+
+
+def benford_event_values(sf_dir: str):
+    """Benford first-digit audit of event value cents per type
+    (pipelines/stats.benford_first_digit_counts): pure-integer leading
+    digit, at most 9×types rows on the exchange."""
+    from t_digest_ray.pipelines.stats import benford_first_digit_counts
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    return benford_first_digit_counts(ds, "event_type", "value")
+
+
+def mode_event_values(sf_dir: str):
+    """Deterministic per-type MODE of event value (count desc, value
+    asc tie-break) + distinct-value count
+    (pipelines/stats.grouped_mode): domain-sized aggregated table, one
+    row per key."""
+    from t_digest_ray.pipelines.stats import grouped_mode
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    return grouped_mode(ds, "event_type", "value")
+
+
 def gini_event_values(sf_dir: str):
     """Exact per-type Gini coefficient of event value
     (pipelines/stats.grouped_gini): integer-cents arithmetic throughout
@@ -4766,6 +4798,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantile_cont_events_value": quantile_cont_events_value,
         "props_field_stats": props_field_stats,
         "quality_rule_funnel_docs": quality_rule_funnel_docs,
+        "token_cooccurrence_docs": token_cooccurrence_docs,
+        "benford_event_values": benford_event_values,
+        "mode_event_values": mode_event_values,
     }
 
 
@@ -6626,5 +6661,47 @@ def oracle_sql() -> dict[str, str]:
                                       AND ok_digit THEN 1 ELSE 0 END)
                         AS BIGINT) AS pass_all
             FROM r GROUP BY lang
+        """,
+        "token_cooccurrence_docs": """
+            WITH ex AS (SELECT doc_id,
+                               unnest(string_split(text, ' ')) AS tok
+                        FROM documents),
+                 p AS (SELECT DISTINCT doc_id, tok FROM ex
+                       WHERE tok <> ''),
+                 cnts AS (SELECT tok, COUNT(*) AS cnt FROM ex
+                          WHERE tok <> '' GROUP BY tok),
+                 top AS (SELECT tok FROM cnts
+                         ORDER BY cnt DESC, tok ASC LIMIT 15)
+            SELECT a.tok AS token_a, b.tok AS token_b,
+                   COUNT(*) AS n_docs_both
+            FROM p a JOIN p b ON a.doc_id = b.doc_id AND a.tok < b.tok
+            WHERE a.tok IN (SELECT tok FROM top)
+              AND b.tok IN (SELECT tok FROM top)
+            GROUP BY 1, 2
+        """,
+        "benford_event_values": """
+            WITH c AS (SELECT event_type,
+                              CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+                                  AS v
+                       FROM events)
+            SELECT event_type,
+                   CAST(substr(CAST(v AS VARCHAR), 1, 1) AS BIGINT)
+                       AS digit,
+                   COUNT(*) AS n_rows
+            FROM c WHERE v > 0 GROUP BY 1, 2
+        """,
+        "mode_event_values": """
+            WITH agg AS (SELECT event_type, value, COUNT(*) AS cnt
+                         FROM events GROUP BY 1, 2),
+                 r AS (SELECT event_type, value, cnt,
+                              ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY cnt DESC, value ASC) AS rn,
+                              COUNT(*) OVER (PARTITION BY event_type)
+                                  AS nd
+                       FROM agg)
+            SELECT event_type, value AS mode_value,
+                   CAST(cnt AS BIGINT) AS mode_count,
+                   CAST(nd AS BIGINT) AS n_distinct
+            FROM r WHERE rn = 1
         """,
     }

@@ -461,3 +461,69 @@ def grouped_quantile_cont(ds, key: str, value: str,
         return pd.DataFrame(row)
 
     return counts.groupby(key).map_groups(finalize, batch_format="pandas")
+
+
+def benford_first_digit_counts(ds, key: str, value: str):
+    """Benford's-law audit: count of rows per (key, leading digit of
+    the integer-cents value), digits 1-9 (zero-cent rows excluded) —
+    the classic data-quality / anomaly screen. Pure integer: the
+    leading digit comes from the decimal string of the cents, so the
+    SQL twin (substr of CAST AS VARCHAR) is exact. Per-batch combine;
+    at most 9×keys rows ride the exchange.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        x = b[value].to_numpy(zero_copy_only=False).astype(np.float64)
+        cents = np.floor(x * 100.0 + 0.5).astype(np.int64)
+        kv = b[key].to_numpy(zero_copy_only=False)
+        keep = cents > 0
+        first = (pd.Series(cents[keep]).astype(str).str[0]
+                 .astype(np.int64).to_numpy())
+        df = pd.DataFrame({key: kv[keep], "digit": first})
+        df["partial"] = np.int64(1)
+        g = df.groupby([key, "digit"], as_index=False, sort=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby([key, "digit"])
+           .aggregate(Sum("partial", alias_name="n_rows")))
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        df["digit"] = df["digit"].astype(np.int64)
+        df["n_rows"] = df["n_rows"].astype(np.int64)
+        return df
+
+    return out.map_batches(fin, batch_format="pandas")
+
+
+def grouped_mode(ds, key: str, value: str):
+    """Deterministic per-key MODE: the most frequent value, ties broken
+    by smallest value — plus its count and the key's distinct-value
+    count. Runs on the domain-sized aggregated (key, value, count)
+    table; one row per key comes out of the finalize.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({key: b[key].to_numpy(zero_copy_only=False),
+                           value: b[value].to_numpy(zero_copy_only=False)})
+        g = df.groupby([key, value], as_index=False, sort=False).size()
+        g = g.rename(columns={"size": "partial"})
+        g["partial"] = g["partial"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    counts = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby([key, value])
+              .aggregate(Sum("partial", alias_name="cnt")))
+
+    def finalize(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cnt", value], ascending=[False, True])
+        return pd.DataFrame({
+            key: [g[key].iloc[0]],
+            "mode_value": [g[value].iloc[0]],
+            "mode_count": np.array([g["cnt"].iloc[0]], dtype=np.int64),
+            "n_distinct": np.array([len(g)], dtype=np.int64),
+        })
+
+    return counts.groupby(key).map_groups(finalize, batch_format="pandas")

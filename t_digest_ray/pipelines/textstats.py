@@ -522,3 +522,45 @@ def quality_rule_funnel(ds, text_col: str, key: str,
         return df
 
     return out.map_batches(fin, batch_format="pandas")
+
+
+def token_cooccurrence(ds, text_col: str, id_col: str, k: int = 20):
+    """Document co-occurrence counts between the corpus's top-k tokens
+    (the PMI / association-mining basis): for every unordered pair of
+    top tokens, in how many documents do both appear.
+
+    Two-phase broadcast pattern: phase 1 computes the top-k vocabulary
+    (count desc, token asc tie-break — deterministic and tiny) and
+    broadcasts it; phase 2 re-scans, reduces each batch to distinct
+    (doc, top-token) pairs, self-merges per doc (<= k tokens per doc,
+    so <= k*(k-1)/2 pairs) and combines counts per batch — only
+    k²-sized integer partials ride the exchange. A document lives in
+    exactly one batch, so per-batch distinct is globally exact.
+    """
+    from ray.data.aggregate import Sum
+
+    top = [r["token"]
+           for r in token_topk(ds, text_col, k).take(k)]
+    top_set = set(top)
+
+    def partial(b: pa.Table) -> pa.Table:
+        pairs = _token_doc_pairs(b, text_col, id_col)
+        pairs = pairs[pairs["token"].isin(top_set)].drop_duplicates()
+        m = pairs.merge(pairs, on="doc")
+        m = m[m["token_x"] < m["token_y"]]
+        g = (m.groupby(["token_x", "token_y"], as_index=False, sort=False)
+             .size().rename(columns={"size": "partial",
+                                     "token_x": "token_a",
+                                     "token_y": "token_b"}))
+        g["partial"] = g["partial"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby(["token_a", "token_b"])
+           .aggregate(Sum("partial", alias_name="n_docs_both")))
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        df["n_docs_both"] = df["n_docs_both"].astype(np.int64)
+        return df
+
+    return out.map_batches(fin, batch_format="pandas")

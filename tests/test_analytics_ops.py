@@ -302,3 +302,60 @@ def test_quality_rule_funnel(ray_session):
         assert out[f"fail_{r}"] == fails[r], r
     assert out["pass_all"] == npass
     assert npass >= 1 and fails["len"] >= 1
+
+
+def test_token_cooccurrence(ray_session):
+    import ray
+    from t_digest_ray.pipelines.textstats import token_cooccurrence
+
+    docs = pd.DataFrame({
+        "doc_id": np.arange(6, dtype=np.int64),
+        "text": ["a b c", "a b", "a c", "b c d", "a a b", "d e"],
+    })
+    out = (token_cooccurrence(
+        ray.data.from_pandas(docs).repartition(3), "text", "doc_id", k=4)
+        .to_pandas().sort_values(["token_a", "token_b"])
+        .reset_index(drop=True))
+    # top-4 tokens by (count desc, token asc): a(5),b(4),c(3),d(2) -> a,b,c,d
+    want = {("a", "b"): 3, ("a", "c"): 2, ("b", "c"): 2,
+            ("b", "d"): 1, ("c", "d"): 1}
+    got = {(r.token_a, r.token_b): r.n_docs_both
+           for r in out.itertuples()}
+    assert got == want
+
+
+def test_benford_first_digit_counts(ray_session, rng):
+    import ray
+    from t_digest_ray.pipelines.stats import benford_first_digit_counts
+
+    n = 500
+    df = pd.DataFrame({"k": rng.choice(["p", "q"], n),
+                       "v": rng.integers(0, 90000, n) / 100.0})
+    out = (benford_first_digit_counts(
+        ray.data.from_pandas(df).repartition(4), "k", "v")
+        .to_pandas())
+    got = {(r.k, r.digit): r.n_rows for r in out.itertuples()}
+    cents = np.floor(df["v"].to_numpy() * 100 + 0.5).astype(np.int64)
+    want = {}
+    for k, c in zip(df["k"], cents):
+        if c > 0:
+            d = int(str(c)[0])
+            want[(k, d)] = want.get((k, d), 0) + 1
+    assert got == want
+    assert all(1 <= d <= 9 for (_, d) in got)
+
+
+def test_grouped_mode(ray_session):
+    import ray
+    from t_digest_ray.pipelines.stats import grouped_mode
+
+    df = pd.DataFrame({
+        "k": ["a"] * 7 + ["b"] * 4,
+        "v": [3.0, 3.0, 1.0, 1.0, 2.0, 5.0, 9.0,   # tie 3 vs 1 -> pick 1.0
+              7.0, 7.0, 7.0, 2.0],
+    })
+    out = (grouped_mode(ray.data.from_pandas(df).repartition(3), "k", "v")
+           .to_pandas().set_index("k"))
+    assert out.loc["a", "mode_value"] == 1.0 and out.loc["a", "mode_count"] == 2
+    assert out.loc["a", "n_distinct"] == 5
+    assert out.loc["b", "mode_value"] == 7.0 and out.loc["b", "mode_count"] == 3
