@@ -4622,6 +4622,66 @@ def mode_event_values(sf_dir: str):
     return grouped_mode(ds, "event_type", "value")
 
 
+def pearson_chars_tokens_by_lang(sf_dir: str):
+    """Per-lang Pearson correlation of n_chars vs whitespace-token
+    count from exact integer moments (pipelines/stats.grouped_pearson):
+    same KB-sized combiner as the OLS fit, bignum driver fold, fixed
+    IEEE expression order bit-identical to the HUGEINT SQL oracle."""
+    import pyarrow.compute as pc
+    from t_digest_ray.pipelines.stats import grouped_pearson
+
+    ds = _read(sf_dir, "documents", ["lang", "text", "n_chars"])
+
+    def derive(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(b["text"].combine_chunks(), " ")
+        flat = pc.list_flatten(toks)
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        emp = pc.equal(flat, "").to_numpy(zero_copy_only=False)
+        doc_idx = np.repeat(np.arange(len(lens)), lens)
+        n_empty = np.bincount(doc_idx[emp], minlength=len(lens))
+        return pa.table({
+            "lang": b["lang"], "n_chars": b["n_chars"],
+            "n_tokens": pa.array((lens - n_empty).astype(np.int64))})
+
+    return grouped_pearson(ds.map_batches(derive, batch_format="pyarrow"),
+                           "lang", "n_chars", "n_tokens")
+
+
+def winsorized_mean_event_values(sf_dir: str):
+    """Per-type winsorized (p05/p95-clamped) sum of event value cents
+    (pipelines/stats.winsorized_mean_stats): exact disc-quantile
+    cutpoints broadcast, per-item integer-cents clamp, all-integer
+    output row."""
+    from t_digest_ray.pipelines.stats import winsorized_mean_stats
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    return winsorized_mean_stats(ds, "event_type", "value")
+
+
+def locf_imputed_value_stats(sf_dir: str):
+    """LOCF imputation audit over events with values planted NULL on
+    event_id % 11 == 5 (pipelines/windows.locf_fill_stats): per-user
+    hash-bucket co-partition, vectorized maximum.accumulate fill,
+    exact filled-cents sums per type; SQL twin is
+    LAST_VALUE(v IGNORE NULLS)."""
+    import pyarrow.compute as pc
+    from t_digest_ray.pipelines.windows import locf_fill_stats
+
+    ds = _read(sf_dir, "events",
+               ["event_id", "user_id", "ts", "event_type", "value"])
+
+    def plant(b: pa.Table) -> pa.Table:
+        eid = b["event_id"].to_numpy(zero_copy_only=False)
+        mask = pa.array(eid % 11 == 5)
+        v = pc.if_else(mask, pa.scalar(None, type=pa.float64()),
+                       b["value"].combine_chunks())
+        return b.set_column(b.schema.get_field_index("value"), "value", v)
+
+    ds = ds.map_batches(plant, batch_format="pyarrow")
+    return locf_fill_stats(ds, "user_id", "ts", "event_id",
+                           "value", "event_type")
+
+
 def gini_event_values(sf_dir: str):
     """Exact per-type Gini coefficient of event value
     (pipelines/stats.grouped_gini): integer-cents arithmetic throughout
@@ -4801,6 +4861,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_cooccurrence_docs": token_cooccurrence_docs,
         "benford_event_values": benford_event_values,
         "mode_event_values": mode_event_values,
+        "pearson_chars_tokens_by_lang": pearson_chars_tokens_by_lang,
+        "winsorized_mean_event_values": winsorized_mean_event_values,
+        "locf_imputed_value_stats": locf_imputed_value_stats,
     }
 
 
@@ -6703,5 +6766,70 @@ def oracle_sql() -> dict[str, str]:
                    CAST(cnt AS BIGINT) AS mode_count,
                    CAST(nd AS BIGINT) AS n_distinct
             FROM r WHERE rn = 1
+        """,
+        "pearson_chars_tokens_by_lang": r"""
+            WITH t AS (SELECT lang, n_chars,
+                              len(list_filter(string_split(text, ' '),
+                                              t -> t <> '')) AS n_tokens
+                       FROM documents),
+            s AS (SELECT lang, COUNT(*) AS n, SUM(n_chars) AS sx,
+                         SUM(n_tokens) AS sy,
+                         SUM(n_chars * n_tokens) AS sxy,
+                         SUM(n_chars * n_chars) AS sxx,
+                         SUM(n_tokens * n_tokens) AS syy
+                  FROM t GROUP BY lang)
+            SELECT lang, CAST(n AS BIGINT) AS n_rows,
+                   CASE WHEN n * sxx - sx * sx > 0
+                         AND n * syy - sy * sy > 0 THEN
+                       CAST(n * sxy - sx * sy AS DOUBLE)
+                       / SQRT(CAST(n * sxx - sx * sx AS DOUBLE)
+                              * CAST(n * syy - sy * sy AS DOUBLE))
+                   ELSE 0.0 END AS pearson_r
+            FROM s
+        """,
+        "winsorized_mean_event_values": """
+            WITH cuts AS (SELECT event_type,
+                                 quantile_disc(value, 0.05) AS lo,
+                                 quantile_disc(value, 0.95) AS hi
+                          FROM events GROUP BY 1)
+            SELECT e.event_type, COUNT(*) AS n,
+                   CAST(SUM(CASE WHEN e.value < c.lo OR e.value > c.hi
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_clamped,
+                   CAST(SUM(LEAST(GREATEST(
+                            CAST(FLOOR(e.value * 100 + 0.5) AS BIGINT),
+                            CAST(FLOOR(c.lo * 100 + 0.5) AS BIGINT)),
+                            CAST(FLOOR(c.hi * 100 + 0.5) AS BIGINT)))
+                        AS BIGINT) AS winsorized_sum_cents
+            FROM events e JOIN cuts c USING (event_type)
+            GROUP BY e.event_type
+        """,
+        "locf_imputed_value_stats": """
+            WITH e AS (SELECT event_type, user_id, ts, event_id,
+                              CASE WHEN event_id % 11 = 5 THEN NULL
+                                   ELSE value END AS v
+                       FROM events),
+                 f AS (SELECT event_type, v,
+                              LAST_VALUE(v IGNORE NULLS) OVER (
+                                  PARTITION BY user_id
+                                  ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND CURRENT ROW) AS fv
+                       FROM e)
+            SELECT event_type, COUNT(*) AS n_rows,
+                   CAST(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_missing,
+                   CAST(SUM(CASE WHEN v IS NULL AND fv IS NOT NULL
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_filled,
+                   CAST(SUM(CASE WHEN v IS NULL AND fv IS NULL
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_unfilled,
+                   CAST(COALESCE(SUM(CASE WHEN v IS NULL
+                                          AND fv IS NOT NULL THEN
+                            CAST(FLOOR(fv * 100 + 0.5) AS BIGINT)
+                            ELSE 0 END), 0) AS BIGINT)
+                       AS sum_filled_cents
+            FROM f GROUP BY 1
         """,
     }

@@ -527,3 +527,99 @@ def grouped_mode(ds, key: str, value: str):
         })
 
     return counts.groupby(key).map_groups(finalize, batch_format="pandas")
+
+
+def grouped_pearson(ds, key: str, x_col: str, y_col: str):
+    """Per-key Pearson correlation over two INTEGER columns from exact
+    integer moment sums (n, Σx, Σy, Σxy, Σx², Σy²) — the correlation
+    twin of grouped_linear_fit, same topology: one vectorized per-batch
+    partial, KB-sized combiner table, driver-side bignum fold.
+
+        r = (nΣxy − ΣxΣy) / sqrt((nΣx² − (Σx)²) · (nΣy² − (Σy)²))
+
+    Fixed IEEE order — round each exact int to double, multiply the two
+    denominator doubles, one sqrt, one divide — so r is bit-identical
+    to the HUGEINT SQL oracle computing the same expression.
+    """
+    import math
+
+    def partial(b: pa.Table) -> pa.Table:
+        x = b[x_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = b[y_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        df = pd.DataFrame({key: b[key].to_numpy(zero_copy_only=False)})
+        df["n"] = np.int64(1)
+        df["sx"] = x
+        df["sy"] = y
+        df["sxy"] = x * y
+        df["sxx"] = x * x
+        df["syy"] = y * y
+        g = df.groupby(key, as_index=False, sort=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+
+    rows = []
+    for k, g in parts.groupby(key, sort=True):
+        n = int(g["n"].sum())
+        sx = sum(int(v) for v in g["sx"])
+        sy = sum(int(v) for v in g["sy"])
+        sxy = sum(int(v) for v in g["sxy"])
+        sxx = sum(int(v) for v in g["sxx"])
+        syy = sum(int(v) for v in g["syy"])
+        num = n * sxy - sx * sy
+        dx = n * sxx - sx * sx
+        dy = n * syy - sy * sy
+        r = (float(num) / math.sqrt(float(dx) * float(dy))
+             if dx > 0 and dy > 0 else 0.0)
+        rows.append({key: k, "n_rows": np.int64(n), "pearson_r": r})
+    return pd.DataFrame(rows)
+
+
+def winsorized_mean_stats(ds, key: str, value: str,
+                          q_lo: float = 0.05, q_hi: float = 0.95):
+    """Per-key winsorized sum/count of a money column: exact
+    disc-quantile cutpoints (pass 1, broadcast — same contract as
+    threshold_exceed_counts), then every value clamped to
+    [cut_lo, cut_hi] in integer-cents space and summed exactly
+    (pass 2). Output: n, n_clamped, winsorized_sum_cents — the robust
+    mean is the exact ratio, left to the consumer so the row stays
+    all-integer.
+    """
+    from ray.data.aggregate import Sum
+
+    from .relational import exact_quantiles_by_key
+
+    cuts = exact_quantiles_by_key(ds, key, value,
+                                  qs=(q_lo, q_hi)).to_pandas()
+    lo_name = f"p{int(q_lo * 100)}"
+    hi_name = f"p{int(q_hi * 100)}"
+    keys = cuts[key].to_numpy()
+    lo = cuts[lo_name].to_numpy(dtype=np.float64)
+    hi = cuts[hi_name].to_numpy(dtype=np.float64)
+    lo_c = np.floor(lo * 100.0 + 0.5).astype(np.int64)
+    hi_c = np.floor(hi * 100.0 + 0.5).astype(np.int64)
+
+    def clamp_sum(b: pa.Table) -> pa.Table:
+        kv = b[key].to_numpy(zero_copy_only=False)
+        v = b[value].to_numpy(zero_copy_only=False).astype(np.float64)
+        cents = np.floor(v * 100.0 + 0.5).astype(np.int64)
+        codes = pd.Categorical(kv, categories=keys).codes
+        clamped = np.minimum(np.maximum(cents, lo_c[codes]), hi_c[codes])
+        was = ((v < lo[codes]) | (v > hi[codes])).astype(np.int64)
+        df = pd.DataFrame({key: kv, "n": np.int64(1),
+                           "n_clamped": was,
+                           "winsorized_sum_cents": clamped})
+        g = df.groupby(key, as_index=False, sort=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    cols = ["n", "n_clamped", "winsorized_sum_cents"]
+    out = (ds.map_batches(clamp_sum, batch_format="pyarrow")
+           .groupby(key)
+           .aggregate(*[Sum(c, alias_name=c) for c in cols]))
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        for c in cols:
+            df[c] = df[c].astype(np.int64)
+        return df
+
+    return out.map_batches(fin, batch_format="pandas")

@@ -359,3 +359,93 @@ def test_grouped_mode(ray_session):
     assert out.loc["a", "mode_value"] == 1.0 and out.loc["a", "mode_count"] == 2
     assert out.loc["a", "n_distinct"] == 5
     assert out.loc["b", "mode_value"] == 7.0 and out.loc["b", "mode_count"] == 3
+
+
+def test_grouped_pearson_matches_numpy(ray_session, rng):
+    import ray
+    from t_digest_ray.pipelines.stats import grouped_pearson
+
+    n = 400
+    df = pd.DataFrame({
+        "k": rng.choice(["a", "b"], n),
+        "x": rng.integers(0, 100, n),
+        "y": rng.integers(0, 100, n),
+    })
+    df["y"] = df["y"] + 2 * df["x"]  # induce correlation
+    out = (grouped_pearson(ray.data.from_pandas(df).repartition(5),
+                           "k", "x", "y").set_index("k"))
+    for k, g in df.groupby("k"):
+        want = np.corrcoef(g["x"], g["y"])[0, 1]
+        assert abs(out.loc[k, "pearson_r"] - want) < 1e-12
+
+
+def test_winsorized_mean_stats(ray_session, rng):
+    import ray
+    from t_digest_ray.pipelines.stats import winsorized_mean_stats
+
+    n = 500
+    df = pd.DataFrame({"k": rng.choice(["a", "b"], n),
+                       "v": rng.integers(0, 10000, n) / 100.0})
+    out = (winsorized_mean_stats(
+        ray.data.from_pandas(df).repartition(4), "k", "v")
+        .to_pandas().set_index("k"))
+    for k, g in df.groupby("k"):
+        v = np.sort(g["v"].to_numpy())
+        m = len(v)
+        # disc quantile convention: element at ceil(q*n)-1 (validated by
+        # the repo's exact_quantiles_by_key against DuckDB quantile_disc)
+        lo = v[max(int(np.ceil(0.05 * m)) - 1, 0)]
+        hi = v[max(int(np.ceil(0.95 * m)) - 1, 0)]
+        cents = np.floor(g["v"].to_numpy() * 100 + 0.5).astype(np.int64)
+        loc = int(np.floor(lo * 100 + 0.5))
+        hic = int(np.floor(hi * 100 + 0.5))
+        clamped = np.minimum(np.maximum(cents, loc), hic)
+        assert out.loc[k, "n"] == m
+        assert out.loc[k, "winsorized_sum_cents"] == clamped.sum()
+        want_clamped = int(((g["v"] < lo) | (g["v"] > hi)).sum())
+        assert out.loc[k, "n_clamped"] == want_clamped
+
+
+def test_locf_fill_stats(ray_session, rng):
+    import ray
+    from t_digest_ray.pipelines.windows import locf_fill_stats
+
+    n = 400
+    ts = pd.to_datetime(
+        np.sort(rng.integers(0, 10**9, n)), unit="s")
+    df = pd.DataFrame({
+        "user": rng.integers(0, 25, n),
+        "ts": ts,
+        "eid": np.arange(n, dtype=np.int64),
+        "k": rng.choice(["x", "y"], n),
+        "v": rng.integers(0, 1000, n) / 100.0,
+    })
+    df.loc[df["eid"] % 3 == 1, "v"] = np.nan
+    out = (locf_fill_stats(
+        ray.data.from_pandas(df).repartition(5),
+        "user", "ts", "eid", "v", "k")
+        .to_pandas().set_index("k"))
+    # brute force
+    want = {k: dict(n_rows=0, n_missing=0, n_filled=0, n_unfilled=0,
+                    s=0) for k in ["x", "y"]}
+    for _, g in df.sort_values(["user", "ts", "eid"]).groupby("user"):
+        lastv = None
+        for _, r in g.iterrows():
+            w = want[r["k"]]
+            w["n_rows"] += 1
+            if np.isnan(r["v"]):
+                w["n_missing"] += 1
+                if lastv is None:
+                    w["n_unfilled"] += 1
+                else:
+                    w["n_filled"] += 1
+                    w["s"] += int(np.floor(lastv * 100 + 0.5))
+            else:
+                lastv = r["v"]
+    for k, w in want.items():
+        assert out.loc[k, "n_rows"] == w["n_rows"]
+        assert out.loc[k, "n_missing"] == w["n_missing"]
+        assert out.loc[k, "n_filled"] == w["n_filled"]
+        assert out.loc[k, "n_unfilled"] == w["n_unfilled"]
+        assert out.loc[k, "sum_filled_cents"] == w["s"]
+    assert (out["n_missing"] > 0).all() and (out["n_filled"] > 0).all()
