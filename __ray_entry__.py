@@ -4682,6 +4682,31 @@ def locf_imputed_value_stats(sf_dir: str):
                            "value", "event_type")
 
 
+def bm25_topk_docs(sf_dir: str):
+    """Okapi BM25 top-10 documents for the fixed query terms
+    (value, table, row) (pipelines/textstats.bm25_topk): corpus stats
+    folded from one-row-per-batch partials, scores vectorized with a
+    fixed-parenthesization expression, per-batch local top-k so only
+    topk×batches rows reach the final sort — ln and every double
+    bit-identical to the SQL twin."""
+    from t_digest_ray.pipelines.textstats import bm25_topk
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return bm25_topk(ds, "text", "doc_id", ["value", "table", "row"],
+                     topk=10)
+
+
+def welch_t_click_vs_view(sf_dir: str):
+    """Welch two-sample t statistic comparing click vs view event value
+    (pipelines/stats.welch_t_report): exact integer-cents moments, two
+    int64 partial rows per batch, bignum fold, fixed IEEE order —
+    doubles bit-identical to the HUGEINT SQL oracle."""
+    from t_digest_ray.pipelines.stats import welch_t_report
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    return welch_t_report(ds, "event_type", "value", "click", "view")
+
+
 def gini_event_values(sf_dir: str):
     """Exact per-type Gini coefficient of event value
     (pipelines/stats.grouped_gini): integer-cents arithmetic throughout
@@ -4864,6 +4889,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pearson_chars_tokens_by_lang": pearson_chars_tokens_by_lang,
         "winsorized_mean_event_values": winsorized_mean_event_values,
         "locf_imputed_value_stats": locf_imputed_value_stats,
+        "bm25_topk_docs": bm25_topk_docs,
+        "welch_t_click_vs_view": welch_t_click_vs_view,
     }
 
 
@@ -6831,5 +6858,96 @@ def oracle_sql() -> dict[str, str]:
                             ELSE 0 END), 0) AS BIGINT)
                        AS sum_filled_cents
             FROM f GROUP BY 1
+        """,
+        "bm25_topk_docs": """
+            WITH toks AS (SELECT doc_id,
+                                 list_filter(string_split(text, ' '),
+                                             t -> t <> '') AS ts
+                          FROM documents),
+                 d AS (SELECT doc_id, len(ts) AS dl,
+                              len(list_filter(ts, t -> t = 'value'))
+                                  AS tf1,
+                              len(list_filter(ts, t -> t = 'table'))
+                                  AS tf2,
+                              len(list_filter(ts, t -> t = 'row'))
+                                  AS tf3
+                       FROM toks),
+                 g AS (SELECT COUNT(*) AS n, SUM(dl) AS sumdl,
+                              SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END)
+                                  AS df1,
+                              SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END)
+                                  AS df2,
+                              SUM(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END)
+                                  AS df3
+                       FROM d),
+                 sc AS (SELECT doc_id, dl,
+                   ln((CAST(n AS DOUBLE) - CAST(df1 AS DOUBLE) + 0.5)
+                      / (CAST(df1 AS DOUBLE) + 0.5) + 1.0)
+                   * ((CAST(tf1 AS DOUBLE) * (1.2 + 1.0))
+                      / (CAST(tf1 AS DOUBLE)
+                         + 1.2 * ((1.0 - 0.75)
+                                  + 0.75 * (CAST(dl AS DOUBLE)
+                                            / (CAST(sumdl AS DOUBLE)
+                                               / CAST(n AS DOUBLE))))))
+                   AS s1,
+                   ln((CAST(n AS DOUBLE) - CAST(df2 AS DOUBLE) + 0.5)
+                      / (CAST(df2 AS DOUBLE) + 0.5) + 1.0)
+                   * ((CAST(tf2 AS DOUBLE) * (1.2 + 1.0))
+                      / (CAST(tf2 AS DOUBLE)
+                         + 1.2 * ((1.0 - 0.75)
+                                  + 0.75 * (CAST(dl AS DOUBLE)
+                                            / (CAST(sumdl AS DOUBLE)
+                                               / CAST(n AS DOUBLE))))))
+                   AS s2,
+                   ln((CAST(n AS DOUBLE) - CAST(df3 AS DOUBLE) + 0.5)
+                      / (CAST(df3 AS DOUBLE) + 0.5) + 1.0)
+                   * ((CAST(tf3 AS DOUBLE) * (1.2 + 1.0))
+                      / (CAST(tf3 AS DOUBLE)
+                         + 1.2 * ((1.0 - 0.75)
+                                  + 0.75 * (CAST(dl AS DOUBLE)
+                                            / (CAST(sumdl AS DOUBLE)
+                                               / CAST(n AS DOUBLE))))))
+                   AS s3
+                   FROM d, g)
+            SELECT doc_id, dl, ((s1 + s2) + s3) AS bm25
+            FROM sc ORDER BY bm25 DESC, doc_id ASC LIMIT 10
+        """,
+        "welch_t_click_vs_view": """
+            WITH c AS (SELECT event_type,
+                              CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+                                  AS cts
+                       FROM events
+                       WHERE event_type IN ('click', 'view')),
+                 m AS (SELECT event_type,
+                              CAST(COUNT(*) AS BIGINT) AS n,
+                              CAST(SUM(cts) AS BIGINT) AS s,
+                              SUM(CAST(cts AS HUGEINT) * cts) AS ss
+                       FROM c GROUP BY 1),
+                 f AS (SELECT
+                    (SELECT n FROM m WHERE event_type = 'click') AS na,
+                    (SELECT s FROM m WHERE event_type = 'click') AS sa,
+                    (SELECT ss FROM m WHERE event_type = 'click') AS ssa,
+                    (SELECT n FROM m WHERE event_type = 'view') AS nb,
+                    (SELECT s FROM m WHERE event_type = 'view') AS sb,
+                    (SELECT ss FROM m WHERE event_type = 'view') AS ssb),
+                 d AS (SELECT na, nb,
+                              CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)
+                                  AS ma,
+                              CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE)
+                                  AS mb,
+                              CAST(na * ssa - CAST(sa AS HUGEINT) * sa
+                                   AS DOUBLE)
+                              / CAST(CAST(na AS HUGEINT) * (na - 1)
+                                     AS DOUBLE) AS va,
+                              CAST(nb * ssb - CAST(sb AS HUGEINT) * sb
+                                   AS DOUBLE)
+                              / CAST(CAST(nb AS HUGEINT) * (nb - 1)
+                                     AS DOUBLE) AS vb
+                       FROM f)
+            SELECT na AS n_a, nb AS n_b,
+                   ma AS mean_a_cents, mb AS mean_b_cents,
+                   (ma - mb) / SQRT(va / CAST(na AS DOUBLE)
+                                    + vb / CAST(nb AS DOUBLE)) AS t_stat
+            FROM d
         """,
     }

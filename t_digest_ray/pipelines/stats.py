@@ -623,3 +623,54 @@ def winsorized_mean_stats(ds, key: str, value: str,
         return df
 
     return out.map_batches(fin, batch_format="pandas")
+
+
+def welch_t_report(ds, key: str, value: str, group_a, group_b):
+    """Welch's two-sample t statistic comparing a money column between
+    two key groups, from exact integer-cents moments (n, Σc, Σc²):
+
+        t = (m_a − m_b) / sqrt(v_a/n_a + v_b/n_b),
+        m = Σc/n,  v = (nΣc² − (Σc)²) / (n(n−1))
+
+    One vectorized filtered partial per batch (two int64 rows ride the
+    exchange per batch), bignum driver fold, fixed IEEE expression
+    order — every output double is bit-identical to the HUGEINT SQL
+    oracle. Output: one row (n_a, n_b, mean_a, mean_b, t_stat).
+    """
+    import math
+
+    def partial(b: pa.Table) -> pa.Table:
+        kv = b[key].to_numpy(zero_copy_only=False)
+        x = b[value].to_numpy(zero_copy_only=False).astype(np.float64)
+        cents = np.floor(x * 100.0 + 0.5).astype(np.int64)
+        rows = {"grp": [], "n": [], "s": [], "ss": []}
+        for name, grp in (("a", group_a), ("b", group_b)):
+            m = kv == grp
+            c = cents[m]
+            rows["grp"].append(name)
+            rows["n"].append(np.int64(m.sum()))
+            rows["s"].append(np.int64(c.sum()))
+            rows["ss"].append(np.int64((c * c).sum()))
+        return pa.table({"grp": pa.array(rows["grp"]),
+                         "n": pa.array(rows["n"], type=pa.int64()),
+                         "s": pa.array(rows["s"], type=pa.int64()),
+                         "ss": pa.array(rows["ss"], type=pa.int64())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+
+    def fold(g):
+        sub = parts[parts["grp"] == g]
+        return (int(sub["n"].sum()), sum(int(v) for v in sub["s"]),
+                sum(int(v) for v in sub["ss"]))
+
+    na, sa, ssa = fold("a")
+    nb, sb, ssb = fold("b")
+    ma = float(sa) / float(na)
+    mb = float(sb) / float(nb)
+    va = float(na * ssa - sa * sa) / float(na * (na - 1))
+    vb = float(nb * ssb - sb * sb) / float(nb * (nb - 1))
+    t = (ma - mb) / math.sqrt(va / float(na) + vb / float(nb))
+    return pd.DataFrame({
+        "n_a": np.array([na], dtype=np.int64),
+        "n_b": np.array([nb], dtype=np.int64),
+        "mean_a_cents": [ma], "mean_b_cents": [mb], "t_stat": [t]})

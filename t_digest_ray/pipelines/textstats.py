@@ -564,3 +564,87 @@ def token_cooccurrence(ds, text_col: str, id_col: str, k: int = 20):
         return df
 
     return out.map_batches(fin, batch_format="pandas")
+
+
+def bm25_topk(ds, text_col: str, id_col: str, terms,
+              k1: float = 1.2, b: float = 0.75, topk: int = 10):
+    """Okapi BM25 top-k document ranking for a fixed term set — the IR
+    scoring shape of a web-text engine.
+
+    Two passes: pass 1 folds the corpus stats (N, Σdl, per-term df)
+    from one-row-per-batch integer partials on the driver; pass 2
+    broadcasts those few floats via closure, scores every document
+    vectorized, reduces each batch to its LOCAL top-k by
+    (score desc, id asc) — any global winner is a local winner under
+    the same total order, so only topk×batches candidate rows reach the
+    final exact sort+limit.
+
+    Determinism: idf = ln((N - df + 0.5)/(df + 0.5) + 1) and the score
+    expression are evaluated in a fixed parenthesization replicated by
+    the SQL twin; ln is bit-identical across both engines (shared
+    libm), and the per-term scores are added in fixed term order, so
+    the final doubles hash-match.
+    """
+    import math
+
+    import pyarrow.compute as pc
+
+    terms = list(terms)
+
+    def doc_feats(bt: pa.Table) -> pd.DataFrame:
+        toks = pc.split_pattern(bt[text_col].combine_chunks(), " ")
+        flat = pc.list_flatten(toks)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        n_docs = len(lens)
+        doc_idx = np.repeat(np.arange(n_docs), lens)
+        emp = pc.equal(flat, "").to_numpy(zero_copy_only=False)
+        dl = lens - np.bincount(doc_idx[emp], minlength=n_docs)
+        out = {"dl": dl.astype(np.int64)}
+        ft = flat.to_numpy(zero_copy_only=False)
+        for t in terms:
+            eq = ft == t
+            out["tf_" + t] = np.bincount(
+                doc_idx[eq], minlength=n_docs).astype(np.int64)
+        df = pd.DataFrame(out)
+        df[id_col] = bt[id_col].to_numpy(zero_copy_only=False)
+        return df
+
+    def stats_partial(bt: pa.Table) -> pa.Table:
+        f = doc_feats(bt)
+        row = {"n": np.array([len(f)], dtype=np.int64),
+               "sumdl": np.array([f["dl"].sum()], dtype=np.int64)}
+        for t in terms:
+            row["df_" + t] = np.array([(f["tf_" + t] > 0).sum()],
+                                      dtype=np.int64)
+        return pa.table(row)
+
+    parts = (ds.map_batches(stats_partial, batch_format="pyarrow")
+             .to_pandas())
+    n = int(parts["n"].sum())
+    sumdl = int(parts["sumdl"].sum())
+    avgdl = float(sumdl) / float(n)
+    idf = {t: math.log((float(n) - float(int(parts["df_" + t].sum()))
+                        + 0.5)
+                       / (float(int(parts["df_" + t].sum())) + 0.5)
+                       + 1.0)
+           for t in terms}
+
+    def score_local_topk(bt: pa.Table) -> pa.Table:
+        f = doc_feats(bt)
+        dl = f["dl"].to_numpy(dtype=np.float64)
+        score = np.zeros(len(f), dtype=np.float64)
+        for t in terms:  # fixed term order => fixed addition order
+            tf = f["tf_" + t].to_numpy(dtype=np.float64)
+            s = idf[t] * ((tf * (k1 + 1.0))
+                          / (tf + k1 * ((1.0 - b) + b * (dl / avgdl))))
+            score = score + s
+        f = f.assign(bm25=score)[[id_col, "dl", "bm25"]]
+        f = f.sort_values(["bm25", id_col],
+                          ascending=[False, True]).head(topk)
+        return pa.Table.from_pandas(f, preserve_index=False)
+
+    return (ds.map_batches(score_local_topk, batch_format="pyarrow")
+            .sort(["bm25", id_col], descending=[True, False])
+            .limit(topk))

@@ -449,3 +449,65 @@ def test_locf_fill_stats(ray_session, rng):
         assert out.loc[k, "n_unfilled"] == w["n_unfilled"]
         assert out.loc[k, "sum_filled_cents"] == w["s"]
     assert (out["n_missing"] > 0).all() and (out["n_filled"] > 0).all()
+
+
+def test_bm25_topk_matches_bruteforce(ray_session):
+    import math
+
+    import ray
+    from t_digest_ray.pipelines.textstats import bm25_topk
+
+    docs = pd.DataFrame({
+        "doc_id": np.arange(8, dtype=np.int64),
+        "text": ["cat dog cat", "dog dog dog bird", "cat", "bird bird",
+                 "cat dog bird fish", "fish fish", "dog cat", "x y z"],
+    })
+    terms = ["cat", "dog"]
+    out = (bm25_topk(ray.data.from_pandas(docs).repartition(3),
+                     "text", "doc_id", terms, topk=5)
+           .to_pandas().reset_index(drop=True))
+    # brute force
+    toks = [t.split(" ") for t in docs["text"]]
+    n = len(toks)
+    dls = [len([w for w in ts if w]) for ts in toks]
+    avgdl = float(sum(dls)) / float(n)
+    k1, b = 1.2, 0.75
+    rows = []
+    for did, ts, dl in zip(docs["doc_id"], toks, dls):
+        sc = 0.0
+        for t in terms:
+            df_t = sum(1 for u in toks if t in u)
+            idf = math.log((float(n) - float(df_t) + 0.5)
+                           / (float(df_t) + 0.5) + 1.0)
+            tf = float(ts.count(t))
+            sc = sc + idf * ((tf * (k1 + 1.0))
+                             / (tf + k1 * ((1.0 - b)
+                                           + b * (float(dl) / avgdl))))
+        rows.append((did, dl, sc))
+    want = sorted(rows, key=lambda r: (-r[2], r[0]))[:5]
+    assert out["doc_id"].tolist() == [r[0] for r in want]
+    assert out["bm25"].tolist() == [r[2] for r in want]  # bit-exact
+    assert out["dl"].tolist() == [r[1] for r in want]
+
+
+def test_welch_t_report(ray_session, rng):
+    import ray
+    from t_digest_ray.pipelines.stats import welch_t_report
+
+    n = 600
+    df = pd.DataFrame({
+        "k": rng.choice(["x", "y", "z"], n),
+        "v": rng.integers(0, 2000, n) / 100.0,
+    })
+    df.loc[df["k"] == "y", "v"] += 3.0  # shift group b
+    out = welch_t_report(ray.data.from_pandas(df).repartition(4),
+                         "k", "v", "x", "y").iloc[0]
+    a = np.floor(df.loc[df["k"] == "x", "v"].to_numpy() * 100 + 0.5)
+    b = np.floor(df.loc[df["k"] == "y", "v"].to_numpy() * 100 + 0.5)
+    ma, mb = a.mean(), b.mean()
+    va, vb = a.var(ddof=1), b.var(ddof=1)
+    want_t = (ma - mb) / np.sqrt(va / len(a) + vb / len(b))
+    assert out["n_a"] == len(a) and out["n_b"] == len(b)
+    assert abs(out["mean_a_cents"] - ma) < 1e-9
+    assert abs(out["t_stat"] - want_t) < 1e-9
+    assert out["t_stat"] < -5  # planted shift is detected
