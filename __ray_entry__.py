@@ -4707,6 +4707,28 @@ def welch_t_click_vs_view(sf_dir: str):
     return welch_t_report(ds, "event_type", "value", "click", "view")
 
 
+def lang_token_cosine_docs(sf_dir: str):
+    """Pairwise cosine similarity between per-lang token histograms
+    over the top-20 vocabulary (pipelines/textstats.lang_token_cosine):
+    broadcast vocabulary, keys×k integer partials on the exchange,
+    exact integer dot products, fixed-order final doubles."""
+    from t_digest_ray.pipelines.textstats import lang_token_cosine
+
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+    return lang_token_cosine(ds, "text", "lang", k=20)
+
+
+def rfm_segment_counts_events(sf_dir: str):
+    """RFM user segmentation over events
+    (pipelines/stats.rfm_segment_counts): per-user recency/frequency/
+    monetary rollup (one hash aggregate), exact quartile cutpoints per
+    metric, strict-< bucketing, ≤64 bucket-triple count rows out."""
+    from t_digest_ray.pipelines.stats import rfm_segment_counts
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
+    return rfm_segment_counts(ds, "user_id", "ts", "value")
+
+
 def gini_event_values(sf_dir: str):
     """Exact per-type Gini coefficient of event value
     (pipelines/stats.grouped_gini): integer-cents arithmetic throughout
@@ -4891,6 +4913,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "locf_imputed_value_stats": locf_imputed_value_stats,
         "bm25_topk_docs": bm25_topk_docs,
         "welch_t_click_vs_view": welch_t_click_vs_view,
+        "lang_token_cosine_docs": lang_token_cosine_docs,
+        "rfm_segment_counts_events": rfm_segment_counts_events,
     }
 
 
@@ -6949,5 +6973,71 @@ def oracle_sql() -> dict[str, str]:
                    (ma - mb) / SQRT(va / CAST(na AS DOUBLE)
                                     + vb / CAST(nb AS DOUBLE)) AS t_stat
             FROM d
+        """,
+        "lang_token_cosine_docs": """
+            WITH ex AS (SELECT lang,
+                               unnest(string_split(text, ' ')) AS tok
+                        FROM documents),
+                 cnts AS (SELECT tok, COUNT(*) AS cnt FROM ex
+                          WHERE tok <> '' GROUP BY tok),
+                 top AS (SELECT tok FROM cnts
+                         ORDER BY cnt DESC, tok ASC LIMIT 20),
+                 v AS (SELECT lang, tok, COUNT(*) AS c FROM ex
+                       WHERE tok IN (SELECT tok FROM top)
+                       GROUP BY 1, 2),
+                 n AS (SELECT lang,
+                              SUM(CAST(c AS HUGEINT) * c) AS nrm
+                       FROM v GROUP BY 1),
+                 langs AS (SELECT DISTINCT lang FROM v),
+                 pairs AS (SELECT a.lang AS la, b.lang AS lb
+                           FROM langs a JOIN langs b
+                             ON a.lang < b.lang),
+                 d AS (SELECT a.lang AS la, b.lang AS lb,
+                              SUM(CAST(a.c AS HUGEINT) * b.c) AS dot
+                       FROM v a JOIN v b ON a.tok = b.tok
+                                        AND a.lang < b.lang
+                       GROUP BY 1, 2)
+            SELECT p.la AS key_a, p.lb AS key_b,
+                   CASE WHEN d.dot IS NULL THEN 0.0 ELSE
+                       CAST(d.dot AS DOUBLE)
+                       / (SQRT(CAST(na.nrm AS DOUBLE))
+                          * SQRT(CAST(nb.nrm AS DOUBLE))) END AS cosine
+            FROM pairs p
+            LEFT JOIN d ON d.la = p.la AND d.lb = p.lb
+            JOIN n na ON na.lang = p.la
+            JOIN n nb ON nb.lang = p.lb
+        """,
+        "rfm_segment_counts_events": """
+            WITH u AS (SELECT user_id,
+                              MAX(epoch_us(ts)) AS rec,
+                              COUNT(*) AS freq,
+                              CAST(SUM(CAST(FLOOR(value * 100 + 0.5)
+                                            AS BIGINT)) AS BIGINT)
+                                  AS mon
+                       FROM events GROUP BY 1),
+                 c AS (SELECT quantile_disc(rec, 0.25) AS r1,
+                              quantile_disc(rec, 0.50) AS r2,
+                              quantile_disc(rec, 0.75) AS r3,
+                              quantile_disc(freq, 0.25) AS f1,
+                              quantile_disc(freq, 0.50) AS f2,
+                              quantile_disc(freq, 0.75) AS f3,
+                              quantile_disc(mon, 0.25) AS m1,
+                              quantile_disc(mon, 0.50) AS m2,
+                              quantile_disc(mon, 0.75) AS m3
+                       FROM u)
+            SELECT CAST(CASE WHEN rec > r1 THEN 1 ELSE 0 END
+                    + CASE WHEN rec > r2 THEN 1 ELSE 0 END
+                    + CASE WHEN rec > r3 THEN 1 ELSE 0 END
+                    AS BIGINT) AS r_bucket,
+                   CAST(CASE WHEN freq > f1 THEN 1 ELSE 0 END
+                    + CASE WHEN freq > f2 THEN 1 ELSE 0 END
+                    + CASE WHEN freq > f3 THEN 1 ELSE 0 END
+                    AS BIGINT) AS f_bucket,
+                   CAST(CASE WHEN mon > m1 THEN 1 ELSE 0 END
+                    + CASE WHEN mon > m2 THEN 1 ELSE 0 END
+                    + CASE WHEN mon > m3 THEN 1 ELSE 0 END
+                    AS BIGINT) AS m_bucket,
+                   COUNT(*) AS n_users
+            FROM u, c GROUP BY 1, 2, 3
         """,
     }

@@ -674,3 +674,75 @@ def welch_t_report(ds, key: str, value: str, group_a, group_b):
         "n_a": np.array([na], dtype=np.int64),
         "n_b": np.array([nb], dtype=np.int64),
         "mean_a_cents": [ma], "mean_b_cents": [mb], "t_stat": [t]})
+
+
+def rfm_segment_counts(ds, user_col: str, ts_col: str, value: str):
+    """RFM segmentation: per-user Recency (max event time), Frequency
+    (event count) and Monetary (exact cents sum) are each bucketed by
+    their own exact quartile cutpoints (strict-< rule: bucket =
+    #{cutpoint < x}, the convention of quantile_bucket_counts), and the
+    op reports user counts per (r, f, m) bucket triple — at most 64
+    rows out.
+
+    Scale shape: the per-user rollup is one vectorized hash aggregate
+    (O(users) rows, the unavoidable width of any per-user feature);
+    quartiles run distributed over that table via the exact disc
+    quantile path; the 9 cutpoints broadcast by closure into a combine
+    pass that ships only bucket-triple counts.
+    """
+    from ray.data.aggregate import Count, Max, Sum
+
+    def project(b: pa.Table) -> pa.Table:
+        ts = b[ts_col].combine_chunks()
+        import pyarrow.compute as pc
+        ts_us = pc.cast(ts, pa.int64())
+        x = b[value].to_numpy(zero_copy_only=False).astype(np.float64)
+        cents = np.floor(x * 100.0 + 0.5).astype(np.int64)
+        return pa.table({user_col: b[user_col],
+                         "ts_us": ts_us,
+                         "cents": pa.array(cents)})
+
+    users = (ds.map_batches(project, batch_format="pyarrow")
+             .groupby(user_col)
+             .aggregate(Max("ts_us", alias_name="rec"),
+                        Count(alias_name="freq"),
+                        Sum("cents", alias_name="mon")))
+
+    def add_g(b: pa.Table) -> pa.Table:
+        return b.append_column("g", pa.array(["g"] * len(b)))
+
+    ug = users.map_batches(add_g, batch_format="pyarrow")
+
+    from .relational import exact_quantiles_by_key
+
+    cuts = {}
+    for metric in ("rec", "freq", "mon"):
+        c = exact_quantiles_by_key(ug, "g", metric).to_pandas()
+        cuts[metric] = np.array([c["p25"][0], c["p50"][0], c["p75"][0]],
+                                dtype=np.float64)
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        out = {}
+        for metric, name in (("rec", "r_bucket"), ("freq", "f_bucket"),
+                             ("mon", "m_bucket")):
+            x = b[metric].to_numpy(zero_copy_only=False).astype(
+                np.float64)
+            out[name] = (x[:, None] > cuts[metric][None, :]).sum(
+                axis=1).astype(np.int64)
+        df = pd.DataFrame(out)
+        df["partial"] = np.int64(1)
+        g = df.groupby(["r_bucket", "f_bucket", "m_bucket"],
+                       as_index=False, sort=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum as _Sum
+    out = (users.map_batches(bucketize, batch_format="pyarrow")
+           .groupby(["r_bucket", "f_bucket", "m_bucket"])
+           .aggregate(_Sum("partial", alias_name="n_users")))
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        for c in ("r_bucket", "f_bucket", "m_bucket", "n_users"):
+            df[c] = df[c].astype(np.int64)
+        return df
+
+    return out.map_batches(fin, batch_format="pandas")

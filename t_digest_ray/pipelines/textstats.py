@@ -648,3 +648,61 @@ def bm25_topk(ds, text_col: str, id_col: str, terms,
     return (ds.map_batches(score_local_topk, batch_format="pyarrow")
             .sort(["bm25", id_col], descending=[True, False])
             .limit(topk))
+
+
+def lang_token_cosine(ds, text_col: str, key: str, k: int = 20):
+    """Pairwise cosine similarity between per-key token-frequency
+    vectors restricted to the corpus top-k vocabulary — "how similar do
+    two languages / sources look through their word histograms".
+
+    The vocabulary is broadcast (count desc, token asc tie-break);
+    per-batch (key, token) integer counts combine before the exchange,
+    so only keys×k rows ever shuffle, and the pair fold runs on that
+    KB-sized table with exact integer dot products — the only doubles
+    are the final dot/(sqrt*sqrt), fixed order, bit-identical to the
+    HUGEINT SQL twin. Pairs with no shared vocabulary get cosine 0.
+    """
+    import math
+
+    from ray.data.aggregate import Sum
+
+    top_set = {r["token"]
+               for r in token_topk(ds, text_col, k).take(k)}
+
+    def partial(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        lists = pc.split_pattern(b[text_col].combine_chunks(), " ")
+        toks = pc.list_flatten(lists)
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        lens = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
+        keys = np.repeat(b[key].to_numpy(zero_copy_only=False), lens)
+        tarr = toks.to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({key: keys, "token": tarr})
+        df = df[df["token"].isin(top_set)]
+        g = (df.groupby([key, "token"], as_index=False, sort=False)
+             .size().rename(columns={"size": "partial"}))
+        g["partial"] = g["partial"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    vecs = (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby([key, "token"])
+            .aggregate(Sum("partial", alias_name="cnt"))
+            .to_pandas())  # keys×k rows — KB-sized by construction
+
+    piv = vecs.pivot_table(index=key, columns="token", values="cnt",
+                           aggfunc="sum", fill_value=0).astype(np.int64)
+    keys_sorted = sorted(piv.index)
+    rows = []
+    for i, a in enumerate(keys_sorted):
+        va = [int(x) for x in piv.loc[a]]
+        na = sum(x * x for x in va)
+        for b_ in keys_sorted[i + 1:]:
+            vb = [int(x) for x in piv.loc[b_]]
+            nb = sum(x * x for x in vb)
+            dot = sum(x * y for x, y in zip(va, vb))
+            cos = (float(dot) / (math.sqrt(float(na))
+                                 * math.sqrt(float(nb)))
+                   if na > 0 and nb > 0 else 0.0)
+            rows.append({"key_a": a, "key_b": b_, "cosine": cos})
+    return pd.DataFrame(rows)

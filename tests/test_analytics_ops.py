@@ -511,3 +511,69 @@ def test_welch_t_report(ray_session, rng):
     assert abs(out["mean_a_cents"] - ma) < 1e-9
     assert abs(out["t_stat"] - want_t) < 1e-9
     assert out["t_stat"] < -5  # planted shift is detected
+
+
+def test_lang_token_cosine(ray_session):
+    import math
+
+    import ray
+    from t_digest_ray.pipelines.textstats import lang_token_cosine
+
+    docs = pd.DataFrame({
+        "lang": ["en", "en", "fr", "fr", "de"],
+        "text": ["a b c a", "a b", "a c c", "c c b", "b b b"],
+    })
+    out = (lang_token_cosine(ray.data.from_pandas(docs).repartition(2),
+                             "text", "lang", k=3)
+           .sort_values(["key_a", "key_b"]).reset_index(drop=True))
+    # vocab = a(4), b(5)... counts: a:4? a appears 4x(en)+1(fr)=5, b: 2+1+3=6, c: 1+4... c=5
+    # top-3 by (cnt desc, tok asc): b(6), a(5), c(5)
+    vec = {}
+    for lang, g in docs.groupby("lang"):
+        toks = " ".join(g["text"]).split(" ")
+        vec[lang] = np.array([toks.count(t) for t in ["a", "b", "c"]],
+                             dtype=float)
+    for r in out.itertuples():
+        va, vb = vec[r.key_a], vec[r.key_b]
+        want = float(va @ vb) / (math.sqrt(float(va @ va))
+                                 * math.sqrt(float(vb @ vb)))
+        assert abs(r.cosine - want) < 1e-12, (r.key_a, r.key_b)
+    assert len(out) == 3
+
+
+def test_rfm_segment_counts(ray_session, rng):
+    import ray
+    from t_digest_ray.pipelines.stats import rfm_segment_counts
+
+    n = 500
+    df = pd.DataFrame({
+        "user": rng.integers(0, 60, n),
+        "ts": pd.to_datetime(rng.integers(0, 10**9, n), unit="s"),
+        "v": rng.integers(0, 2000, n) / 100.0,
+    })
+    out = (rfm_segment_counts(
+        ray.data.from_pandas(df).repartition(4), "user", "ts", "v")
+        .to_pandas())
+    # brute force
+    u = df.assign(
+        cents=np.floor(df["v"] * 100 + 0.5).astype(np.int64),
+        ts_us=df["ts"].astype("datetime64[us]").astype(np.int64),
+    ).groupby("user").agg(rec=("ts_us", "max"), freq=("ts_us", "size"),
+                          mon=("cents", "sum"))
+
+    def cuts(x):
+        v = np.sort(x.to_numpy())
+        return [v[max(int(np.ceil(q * len(v))) - 1, 0)]
+                for q in (0.25, 0.5, 0.75)]
+
+    want = {}
+    cr, cf, cm = cuts(u["rec"]), cuts(u["freq"]), cuts(u["mon"])
+    for _, r in u.iterrows():
+        key = (sum(r["rec"] > c for c in cr),
+               sum(r["freq"] > c for c in cf),
+               sum(r["mon"] > c for c in cm))
+        want[key] = want.get(key, 0) + 1
+    got = {(r.r_bucket, r.f_bucket, r.m_bucket): r.n_users
+           for r in out.itertuples()}
+    assert got == want
+    assert sum(got.values()) == len(u)
