@@ -4729,6 +4729,57 @@ def rfm_segment_counts_events(sf_dir: str):
     return rfm_segment_counts(ds, "user_id", "ts", "value")
 
 
+def spearman_chars_tokens_by_lang(sf_dir: str):
+    """Per-lang Spearman rank correlation of n_chars vs token count,
+    exact under ties (pipelines/stats.grouped_spearman): doubled
+    average ranks (2R−c+1) from broadcast domain rank maps, then the
+    bignum Pearson moment fold over integer rank pairs."""
+    import pyarrow.compute as pc
+    from t_digest_ray.pipelines.stats import grouped_spearman
+
+    ds = _read(sf_dir, "documents", ["lang", "text", "n_chars"])
+
+    def derive(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(b["text"].combine_chunks(), " ")
+        flat = pc.list_flatten(toks)
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        emp = pc.equal(flat, "").to_numpy(zero_copy_only=False)
+        doc_idx = np.repeat(np.arange(len(lens)), lens)
+        n_empty = np.bincount(doc_idx[emp], minlength=len(lens))
+        return pa.table({
+            "lang": b["lang"], "n_chars": b["n_chars"],
+            "n_tokens": pa.array((lens - n_empty).astype(np.int64))})
+
+    return grouped_spearman(ds.map_batches(derive,
+                                           batch_format="pyarrow"),
+                            "lang", "n_chars", "n_tokens")
+
+
+def cusum_alarm_counts_events(sf_dir: str):
+    """One-sided integer CUSUM change-point scan per event type
+    (pipelines/stats.cusum_alarm_counts, drift $50.00, h $200.00):
+    exact prefix-sum/prefix-min in cents, replayed by a SUM/MIN
+    window-function SQL twin."""
+    from t_digest_ray.pipelines.stats import cusum_alarm_counts
+
+    ds = _read(sf_dir, "events",
+               ["event_type", "ts", "event_id", "value"])
+    return cusum_alarm_counts(ds, "event_type", "ts", "event_id",
+                              "value", drift_cents=5000,
+                              h_cents=20000)
+
+
+def exact_jaccard_event_users(sf_dir: str):
+    """Exact pairwise Jaccard between event types' user sets
+    (pipelines/distinct.exact_jaccard_matrix) — the exact twin of the
+    KMV overlap estimator: member-hash co-partition, distinct presence
+    combine, |sets|²-sized integer partials."""
+    from t_digest_ray.pipelines.distinct import exact_jaccard_matrix
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+    return exact_jaccard_matrix(ds, "event_type", "user_id")
+
+
 def gini_event_values(sf_dir: str):
     """Exact per-type Gini coefficient of event value
     (pipelines/stats.grouped_gini): integer-cents arithmetic throughout
@@ -4915,6 +4966,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "welch_t_click_vs_view": welch_t_click_vs_view,
         "lang_token_cosine_docs": lang_token_cosine_docs,
         "rfm_segment_counts_events": rfm_segment_counts_events,
+        "spearman_chars_tokens_by_lang": spearman_chars_tokens_by_lang,
+        "cusum_alarm_counts_events": cusum_alarm_counts_events,
+        "exact_jaccard_event_users": exact_jaccard_event_users,
     }
 
 
@@ -7039,5 +7093,85 @@ def oracle_sql() -> dict[str, str]:
                     AS BIGINT) AS m_bucket,
                    COUNT(*) AS n_users
             FROM u, c GROUP BY 1, 2, 3
+        """,
+        "spearman_chars_tokens_by_lang": r"""
+            WITH t AS (SELECT lang, n_chars AS x,
+                              len(list_filter(string_split(text, ' '),
+                                              t -> t <> '')) AS y
+                       FROM documents),
+                 xr AS (SELECT lang, x, COUNT(*) AS c FROM t
+                        GROUP BY 1, 2),
+                 xr2 AS (SELECT lang, x,
+                                2 * SUM(c) OVER (PARTITION BY lang
+                                                 ORDER BY x) - c + 1
+                                    AS drx
+                         FROM xr),
+                 yr AS (SELECT lang, y, COUNT(*) AS c FROM t
+                        GROUP BY 1, 2),
+                 yr2 AS (SELECT lang, y,
+                                2 * SUM(c) OVER (PARTITION BY lang
+                                                 ORDER BY y) - c + 1
+                                    AS dry
+                         FROM yr),
+                 j AS (SELECT t.lang, drx, dry FROM t
+                       JOIN xr2 ON t.lang = xr2.lang AND t.x = xr2.x
+                       JOIN yr2 ON t.lang = yr2.lang AND t.y = yr2.y),
+                 s AS (SELECT lang, COUNT(*) AS n,
+                              SUM(drx) AS sx, SUM(dry) AS sy,
+                              SUM(CAST(drx AS HUGEINT) * dry) AS sxy,
+                              SUM(CAST(drx AS HUGEINT) * drx) AS sxx,
+                              SUM(CAST(dry AS HUGEINT) * dry) AS syy
+                       FROM j GROUP BY 1)
+            SELECT lang, CAST(n AS BIGINT) AS n_rows,
+                   CASE WHEN n * sxx - sx * sx > 0
+                         AND n * syy - sy * sy > 0 THEN
+                       CAST(n * sxy - sx * sy AS DOUBLE)
+                       / SQRT(CAST(n * sxx - sx * sx AS DOUBLE)
+                              * CAST(n * syy - sy * sy AS DOUBLE))
+                   ELSE 0.0 END AS spearman_rho
+            FROM s
+        """,
+        "cusum_alarm_counts_events": """
+            WITH c AS (SELECT event_type, ts, event_id,
+                              CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+                                  - 5000 AS d
+                       FROM events),
+                 s AS (SELECT event_type, ts, event_id,
+                              SUM(d) OVER (PARTITION BY event_type
+                                  ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND CURRENT ROW) AS ps
+                       FROM c),
+                 m AS (SELECT event_type,
+                              ps - LEAST(MIN(ps) OVER (
+                                  PARTITION BY event_type
+                                  ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND CURRENT ROW), 0) AS cus
+                       FROM s)
+            SELECT event_type, COUNT(*) AS n_rows,
+                   CAST(SUM(CASE WHEN cus > 20000 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_alarms,
+                   CAST(MAX(cus) AS BIGINT) AS max_cusum
+            FROM m GROUP BY 1
+        """,
+        "exact_jaccard_event_users": """
+            WITH p AS (SELECT DISTINCT event_type, user_id FROM events),
+                 sz AS (SELECT event_type, COUNT(*) AS n FROM p
+                        GROUP BY 1),
+                 i AS (SELECT a.event_type AS ta, b.event_type AS tb,
+                              COUNT(*) AS nb
+                       FROM p a JOIN p b
+                         ON a.user_id = b.user_id
+                        AND a.event_type < b.event_type
+                       GROUP BY 1, 2)
+            SELECT ta AS set_a, tb AS set_b,
+                   CAST(sa.n AS BIGINT) AS n_a,
+                   CAST(sb.n AS BIGINT) AS n_b,
+                   CAST(i.nb AS BIGINT) AS n_both,
+                   CAST(i.nb AS DOUBLE)
+                       / CAST(sa.n + sb.n - i.nb AS DOUBLE) AS jaccard
+            FROM i JOIN sz sa ON sa.event_type = i.ta
+                   JOIN sz sb ON sb.event_type = i.tb
         """,
     }

@@ -271,3 +271,72 @@ def incremental_dedup_counts(new_ds, bloom: BloomFilter,
         })
 
     return out.map_batches(fin, batch_format="pandas")
+
+
+def exact_jaccard_matrix(ds, set_col: str, member_col: str):
+    """Exact pairwise Jaccard similarity between the member sets of
+    every pair of set keys (e.g. which users each event type touched) —
+    the exact twin of the KMV overlap estimator.
+
+    Scale shape: per-batch distinct (set, member) pairs combine first,
+    then one hash-bucket co-partition of MEMBERS; inside a bucket each
+    member contributes its |sets|²/2 co-presence pairs (|sets| is tiny —
+    the number of distinct set keys), so only pair-count integer
+    partials ride the second exchange. Set sizes fold from the same
+    distinct pass. jaccard = |A∩B| / (|A|+|B|−|A∩B|), an int-exact
+    double.
+    """
+    from ray.data.aggregate import Sum
+
+    from ..functions.hashing import hash64
+
+    def distinct_pairs(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            set_col: b[set_col].to_numpy(zero_copy_only=False),
+            member_col: b[member_col].to_numpy(zero_copy_only=False),
+        }).drop_duplicates()
+        df["bucket"] = (hash64(df[member_col].to_numpy())
+                        % np.uint64(256)).astype(np.int32)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def bucket_fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates([set_col, member_col])
+        sizes = (g.groupby(set_col, as_index=False, sort=False).size()
+                 .rename(columns={"size": "sz", set_col: "s"}))
+        m = g.merge(g, on=member_col)
+        m = m[m[set_col + "_x"] < m[set_col + "_y"]]
+        inter = (m.groupby([set_col + "_x", set_col + "_y"],
+                           as_index=False, sort=False).size()
+                 .rename(columns={"size": "n_both",
+                                  set_col + "_x": "set_a",
+                                  set_col + "_y": "set_b"}))
+        # one frame, tagged rows: set sizes ride as (s, s) self-pairs
+        szrow = pd.DataFrame({"set_a": sizes["s"], "set_b": sizes["s"],
+                              "n_both": sizes["sz"]})
+        out = pd.concat([inter, szrow], ignore_index=True)
+        out["n_both"] = out["n_both"].astype(np.int64)
+        return out
+
+    folded = (ds.map_batches(distinct_pairs, batch_format="pyarrow")
+              .groupby("bucket")
+              .map_groups(bucket_fold, batch_format="pandas")
+              .groupby(["set_a", "set_b"])
+              .aggregate(Sum("n_both", alias_name="n_both"))
+              .to_pandas())  # |sets|² rows — tiny by construction
+
+    sizes = {r["set_a"]: int(r["n_both"])
+             for _, r in folded.iterrows() if r["set_a"] == r["set_b"]}
+    rows = []
+    for _, r in folded.iterrows():
+        a, b_ = r["set_a"], r["set_b"]
+        if a == b_:
+            continue
+        nb = int(r["n_both"])
+        na, nbb = sizes[a], sizes[b_]
+        union = na + nbb - nb
+        rows.append({"set_a": a, "set_b": b_,
+                     "n_a": np.int64(na), "n_b": np.int64(nbb),
+                     "n_both": np.int64(nb),
+                     "jaccard": float(nb) / float(union)})
+    out = pd.DataFrame(rows).sort_values(["set_a", "set_b"])
+    return out.reset_index(drop=True)

@@ -746,3 +746,111 @@ def rfm_segment_counts(ds, user_col: str, ts_col: str, value: str):
         return df
 
     return out.map_batches(fin, batch_format="pandas")
+
+
+def grouped_spearman(ds, key: str, x_col: str, y_col: str):
+    """Per-key Spearman rank correlation of two INTEGER columns, exact
+    under ties: each value is replaced by its DOUBLED average rank
+    (2R − c + 1, an integer — the same blockwise identity the Gini fold
+    uses), and Pearson is computed over the integer rank pairs (rank
+    scaling cancels), reusing grouped_pearson's bignum moment fold.
+
+    Scale shape: pass 1 aggregates the per-key value DOMAIN for x and y
+    (value-counts combine, domain-sized tables to the driver), builds
+    the rank maps, and broadcasts them by closure; pass 2 attaches the
+    doubled ranks vectorized (searchsorted) and folds six integer
+    moments. Doubles are bit-identical to the HUGEINT window-function
+    SQL oracle.
+    """
+    from ray.data.aggregate import Sum
+
+    def rank_map(col):
+        def partial(b: pa.Table) -> pa.Table:
+            df = pd.DataFrame({
+                key: b[key].to_numpy(zero_copy_only=False),
+                col: b[col].to_numpy(zero_copy_only=False)
+                .astype(np.int64)})
+            g = df.groupby([key, col], as_index=False, sort=False).size()
+            g = g.rename(columns={"size": "partial"})
+            g["partial"] = g["partial"].astype(np.int64)
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        dom = (ds.map_batches(partial, batch_format="pyarrow")
+               .groupby([key, col])
+               .aggregate(Sum("partial", alias_name="cnt"))
+               .to_pandas())
+        maps = {}
+        for k, g in dom.groupby(key):
+            g = g.sort_values(col)
+            c = g["cnt"].to_numpy(dtype=np.int64)
+            cum = np.cumsum(c)
+            dr = 2 * cum - c + 1   # doubled average rank per value
+            maps[k] = (g[col].to_numpy(dtype=np.int64), dr)
+        return maps
+
+    mx = rank_map(x_col)
+    my = rank_map(y_col)
+
+    def attach(b: pa.Table) -> pa.Table:
+        kv = b[key].to_numpy(zero_copy_only=False)
+        x = b[x_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = b[y_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        drx = np.empty(len(kv), dtype=np.int64)
+        dry = np.empty(len(kv), dtype=np.int64)
+        for k in pd.unique(kv):
+            m = kv == k
+            vx, rx = mx[k]
+            vy, ry = my[k]
+            drx[m] = rx[np.searchsorted(vx, x[m])]
+            dry[m] = ry[np.searchsorted(vy, y[m])]
+        return pa.table({key: pa.array(kv),
+                         "drx": pa.array(drx), "dry": pa.array(dry)})
+
+    out = grouped_pearson(ds.map_batches(attach, batch_format="pyarrow"),
+                          key, "drx", "dry")
+    return out.rename(columns={"pearson_r": "spearman_rho"})
+
+
+def cusum_alarm_counts(ds, key: str, ts_col: str, tie_col: str,
+                       value: str, drift_cents: int, h_cents: int):
+    """One-sided CUSUM change-point scan per key over the time-ordered
+    value stream, in exact integer cents:
+
+        S_i = Σ_{j<=i} (c_j − drift);  CUSUM_i = S_i − min_{j<=i} S_j
+        alarm at i when CUSUM_i > h
+
+    Output per key: n_rows, n_alarms, max_cusum — all int64, replayed
+    exactly by a SUM/MIN window-function SQL twin. Scale shape: per-key
+    co-location via the sort-based map_groups (the sequential scan is
+    inherent to CUSUM; the per-key vectorized cumsum/accumulate does no
+    per-row Python), one 3-int row per key out.
+    """
+    import pyarrow.compute as pc
+
+    def project(b: pa.Table) -> pa.Table:
+        x = b[value].to_numpy(zero_copy_only=False).astype(np.float64)
+        cents = np.floor(x * 100.0 + 0.5).astype(np.int64)
+        return pa.table({key: b[key],
+                         "ts_us": pc.cast(b[ts_col].combine_chunks(),
+                                          pa.int64()),
+                         tie_col: b[tie_col],
+                         "cents": pa.array(cents)})
+
+    def scan(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts_us", tie_col], kind="stable")
+        c = g["cents"].to_numpy(dtype=np.int64)
+        s = np.cumsum(c - np.int64(drift_cents))
+        run_min = np.minimum.accumulate(np.minimum(s, 0))
+        cusum = s - run_min
+        return pd.DataFrame({
+            key: [g[key].iloc[0]],
+            "n_rows": np.array([len(c)], dtype=np.int64),
+            "n_alarms": np.array([(cusum > h_cents).sum()],
+                                 dtype=np.int64),
+            "max_cusum": np.array([cusum.max() if len(c) else 0],
+                                  dtype=np.int64),
+        })
+
+    return (ds.map_batches(project, batch_format="pyarrow")
+            .groupby(key)
+            .map_groups(scan, batch_format="pandas"))

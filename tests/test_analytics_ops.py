@@ -577,3 +577,67 @@ def test_rfm_segment_counts(ray_session, rng):
            for r in out.itertuples()}
     assert got == want
     assert sum(got.values()) == len(u)
+
+
+def test_grouped_spearman_matches_pandas(ray_session, rng):
+    import ray
+    from t_digest_ray.pipelines.stats import grouped_spearman
+
+    n = 400
+    df = pd.DataFrame({
+        "k": rng.choice(["a", "b"], n),
+        "x": rng.integers(0, 30, n),   # small domain => heavy ties
+        "y": rng.integers(0, 30, n),
+    })
+    df["y"] = df["y"] + df["x"] // 2
+    out = grouped_spearman(ray.data.from_pandas(df).repartition(4),
+                           "k", "x", "y").set_index("k")
+    for k, g in df.groupby("k"):
+        want = g["x"].rank().corr(g["y"].rank())  # pandas spearman w/ ties
+        assert abs(out.loc[k, "spearman_rho"] - want) < 1e-12
+
+
+def test_cusum_alarm_counts(ray_session, rng):
+    import ray
+    from t_digest_ray.pipelines.stats import cusum_alarm_counts
+
+    n = 300
+    df = pd.DataFrame({
+        "k": ["s"] * n,
+        "ts": pd.to_datetime(np.arange(n), unit="s"),
+        "eid": np.arange(n, dtype=np.int64),
+        "v": np.full(n, 10.0),
+    })
+    df.loc[150:, "v"] = 20.0  # level shift at i=150
+    out = cusum_alarm_counts(
+        ray.data.from_pandas(df).repartition(3),
+        "k", "ts", "eid", "v", drift_cents=1200, h_cents=2000,
+    ).to_pandas().iloc[0]
+    # brute: c-drift = -200 before, +800 after
+    c = np.floor(df["v"].to_numpy() * 100 + 0.5).astype(np.int64) - 1200
+    s = np.cumsum(c)
+    cus = s - np.minimum.accumulate(np.minimum(s, 0))
+    assert out["n_rows"] == n
+    assert out["n_alarms"] == int((cus > 2000).sum())
+    assert out["max_cusum"] == int(cus.max())
+    assert out["n_alarms"] > 0
+
+
+def test_exact_jaccard_matrix(ray_session, rng):
+    import ray
+    from t_digest_ray.pipelines.distinct import exact_jaccard_matrix
+
+    n = 600
+    df = pd.DataFrame({
+        "t": rng.choice(["a", "b", "c"], n),
+        "u": rng.integers(0, 80, n),
+    })
+    out = exact_jaccard_matrix(
+        ray.data.from_pandas(df).repartition(4), "t", "u")
+    sets = {t: set(g["u"]) for t, g in df.groupby("t")}
+    assert len(out) == 3
+    for r in out.itertuples():
+        A, B = sets[r.set_a], sets[r.set_b]
+        assert r.n_a == len(A) and r.n_b == len(B)
+        assert r.n_both == len(A & B)
+        assert r.jaccard == len(A & B) / len(A | B)
