@@ -4780,6 +4780,41 @@ def exact_jaccard_event_users(sf_dir: str):
     return exact_jaccard_matrix(ds, "event_type", "user_id")
 
 
+def fuzzy_headword_clusters(sf_dir: str):
+    """Typo-cluster connected components over the Levenshtein-1
+    headword graph (stages/fuzzy.fuzzy_cluster_stats): distributed
+    min-label propagation labelled by the lexicographically smallest
+    member; the DuckDB twin replays the plant and computes components
+    with a recursive transitive-closure CTE — the first CC query with a
+    full value-hash oracle."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+    from t_digest_ray.stages.fuzzy import fuzzy_cluster_stats
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def heads_partial(b: pa.Table) -> pa.Table:
+        first = pc.list_element(
+            pc.split_pattern(b["text"].combine_chunks(), " "), 0)
+        h = pc.utf8_lower(first).to_pandas()
+        did = b["doc_id"].to_numpy(zero_copy_only=False)
+        plant = (did % 7 == 3) & (h.str.len() >= 4).to_numpy()
+        if plant.any():
+            typod = [w[:len(w) // 2] + w[len(w) // 2 + 1:]
+                     for w in h[plant]]
+            h = h.copy()
+            h[plant] = typod
+        vc = h[h != ""].value_counts()
+        return pa.table({"head": pa.array(vc.index.astype(str)),
+                         "partial": pa.array(
+                             vc.to_numpy().astype(np.int64))})
+
+    vocab = (ds.map_batches(heads_partial, batch_format="pyarrow")
+             .groupby("head")
+             .aggregate(Sum("partial", alias_name="cnt")))
+    return fuzzy_cluster_stats(vocab, "head", "cnt")
+
+
 def gini_event_values(sf_dir: str):
     """Exact per-type Gini coefficient of event value
     (pipelines/stats.grouped_gini): integer-cents arithmetic throughout
@@ -4969,6 +5004,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spearman_chars_tokens_by_lang": spearman_chars_tokens_by_lang,
         "cusum_alarm_counts_events": cusum_alarm_counts_events,
         "exact_jaccard_event_users": exact_jaccard_event_users,
+        "fuzzy_headword_clusters": fuzzy_headword_clusters,
     }
 
 
@@ -7173,5 +7209,37 @@ def oracle_sql() -> dict[str, str]:
                        / CAST(sa.n + sb.n - i.nb AS DOUBLE) AS jaccard
             FROM i JOIN sz sa ON sa.event_type = i.ta
                    JOIN sz sb ON sb.event_type = i.tb
+        """,
+        "fuzzy_headword_clusters": """
+            WITH RECURSIVE
+                 heads0 AS (SELECT doc_id,
+                                   lower(split_part(text, ' ', 1)) AS h
+                            FROM documents),
+                 heads1 AS (SELECT CASE
+                       WHEN doc_id % 7 = 3 AND length(h) >= 4 THEN
+                           substr(h, 1, CAST(length(h) // 2 AS INT))
+                           || substr(h, CAST(length(h) // 2 AS INT) + 2)
+                       ELSE h END AS h
+                            FROM heads0),
+                 hw AS (SELECT h, CAST(COUNT(*) AS BIGINT) AS cnt
+                        FROM heads1 WHERE h <> '' GROUP BY 1),
+                 pr AS (SELECT a.h AS x, b.h AS y
+                        FROM hw a JOIN hw b
+                          ON a.h < b.h
+                         AND abs(length(a.h) - length(b.h)) <= 1
+                         AND levenshtein(a.h, b.h) = 1),
+                 edges AS (SELECT x, y FROM pr
+                           UNION ALL SELECT y, x FROM pr),
+                 reach(src, dst) AS (
+                     SELECT DISTINCT x, x FROM edges
+                     UNION
+                     SELECT r.src, e.y FROM reach r
+                     JOIN edges e ON r.dst = e.x),
+                 comp AS (SELECT src, MIN(dst) AS label FROM reach
+                          GROUP BY src)
+            SELECT comp.label, COUNT(*) AS n_heads,
+                   CAST(SUM(hw.cnt) AS BIGINT) AS sum_docs
+            FROM comp JOIN hw ON hw.h = comp.src
+            GROUP BY comp.label
         """,
     }

@@ -102,3 +102,50 @@ def fuzzy_vocab_pairs(vocab_ds, key_col: str, cnt_col: str):
             .map_groups(bucket_pairs, batch_format="pandas")
             .groupby(["head_a", "head_b"])
             .map_groups(dedup_pair, batch_format="pandas"))
+
+
+def fuzzy_cluster_stats(vocab_ds, key_col: str, cnt_col: str):
+    """Typo-cluster report: connected components of the Levenshtein-1
+    vocabulary graph (edges = fuzzy_vocab_pairs), labelled by each
+    component's lexicographically smallest member. Output per cluster:
+    (label, n_heads, sum_docs) for every cluster with >= 2 members.
+
+    Composition: pairs -> dense string-rank ids over the PAIRED heads
+    (O(duplicate pairs) driver gather, the same contract as
+    distinct_pair_ids in stages/dedup.py) -> distributed min-label
+    propagation (pair_graph_min_labels) -> label fold. Rank ids are
+    assigned in sorted head order, so the component's min id IS its
+    lexicographically smallest head and the SQL recursive-CTE twin
+    reproduces the labels exactly.
+    """
+    from .dedup import pair_graph_min_labels
+
+    pairs = fuzzy_vocab_pairs(vocab_ds, key_col, cnt_col)
+    pdf = pairs.to_pandas()          # O(duplicate pairs), small
+    if len(pdf) == 0:
+        return pd.DataFrame({"label": pd.Series([], dtype=str),
+                             "n_heads": pd.Series([], dtype=np.int64),
+                             "sum_docs": pd.Series([], dtype=np.int64)})
+    heads = sorted(set(pdf["head_a"]) | set(pdf["head_b"]))
+    idx = {h: i for i, h in enumerate(heads)}
+    cnt = {}
+    for _, r in pdf.iterrows():
+        cnt[r["head_a"]] = int(r["cnt_a"])
+        cnt[r["head_b"]] = int(r["cnt_b"])
+
+    import ray.data as rd
+    int_pairs = rd.from_arrow(pa.table({
+        "id_a": pa.array([idx[h] for h in pdf["head_a"]],
+                         type=pa.int64()),
+        "id_b": pa.array([idx[h] for h in pdf["head_b"]],
+                         type=pa.int64()),
+    }))
+    labels = pair_graph_min_labels(int_pairs).to_pandas()
+    labels["head"] = [heads[i] for i in labels["node"]]
+    labels["label"] = [heads[i] for i in labels["label"]]
+    labels["docs"] = [cnt[h] for h in labels["head"]]
+    out = (labels.groupby("label", as_index=False)
+           .agg(n_heads=("head", "size"), sum_docs=("docs", "sum")))
+    out["n_heads"] = out["n_heads"].astype(np.int64)
+    out["sum_docs"] = out["sum_docs"].astype(np.int64)
+    return out.sort_values("label").reset_index(drop=True)

@@ -641,3 +641,17 @@ def test_exact_jaccard_matrix(ray_session, rng):
         assert r.n_a == len(A) and r.n_b == len(B)
         assert r.n_both == len(A & B)
         assert r.jaccard == len(A & B) / len(A | B)
+
+
+def test_fuzzy_cluster_stats(ray_session):
+    import ray
+    from t_digest_ray.stages.fuzzy import fuzzy_cluster_stats
+
+    # chain: aa - ab - bb  (aa~ab, ab~bb, aa!~bb)  plus isolated: xyz
+    vocab = pd.DataFrame({
+        "head": ["aa", "ab", "bb", "xyz", "qq", "qr"],
+        "cnt": np.array([5, 3, 2, 7, 1, 1], dtype=np.int64),
+    })
+    out = fuzzy_cluster_stats(ray.data.from_pandas(vocab), "head", "cnt")
+    got = {r.label: (r.n_heads, r.sum_docs) for r in out.itertuples()}
+    assert got == {"aa": (3, 10), "qq": (2, 2)}  # xyz isolated -> absent
