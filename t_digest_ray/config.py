@@ -41,7 +41,12 @@ PIPELINES = ("quantiles", "kll", "req", "distinct", "heavy", "heavy_mg",
              "threshold_exceed", "zscore_outliers", "quantile_buckets",
              "key_skew", "turnstile", "line_dedup_stats", "line_dedup",
              "kmv_distinct", "ddsketch", "countsketch_topk",
-             "freqdir_gram", "priority_sample")
+             "freqdir_gram", "priority_sample", "pareto", "percent_rank",
+             "gini", "quantile_cont", "mode", "benford", "winsorized",
+             "cusum", "rfm", "bm25", "jaccard_matrix", "locf", "welch",
+             "pearson", "spearman", "quality_funnel", "json_field",
+             "cooccurrence", "token_cosine", "fuzzy_pairs",
+             "fuzzy_clusters")
 
 
 @dataclass
@@ -437,6 +442,106 @@ def run_job(cfg: JobConfig):
         from .pipelines.curation import priority_sample_subset_check
         out = rd.from_arrow(priority_sample_subset_check(
             ds, cfg.key or cfg.value_col, **p))
+    elif cfg.pipeline == "pareto":
+        from .pipelines.stats import grouped_pareto_frontier
+        out = grouped_pareto_frontier(ds, cfg.key, **p)
+    elif cfg.pipeline == "percent_rank":
+        from .pipelines.stats import grouped_percent_rank
+        out = grouped_percent_rank(ds, cfg.key, cfg.value_col, **p)
+    elif cfg.pipeline == "gini":
+        from .pipelines.stats import grouped_gini
+        out = grouped_gini(ds, cfg.key, cfg.value_col, **p)
+    elif cfg.pipeline == "quantile_cont":
+        from .pipelines.stats import grouped_quantile_cont
+        out = grouped_quantile_cont(ds, cfg.key, cfg.value_col, **p)
+    elif cfg.pipeline == "mode":
+        from .pipelines.stats import grouped_mode
+        out = grouped_mode(ds, cfg.key, cfg.value_col, **p)
+    elif cfg.pipeline == "benford":
+        from .pipelines.stats import benford_first_digit_counts
+        out = benford_first_digit_counts(ds, cfg.key, cfg.value_col, **p)
+    elif cfg.pipeline == "winsorized":
+        from .pipelines.stats import winsorized_mean_stats
+        out = winsorized_mean_stats(ds, cfg.key, cfg.value_col, **p)
+    elif cfg.pipeline == "cusum":
+        from .pipelines.stats import cusum_alarm_counts
+        out = cusum_alarm_counts(ds, cfg.key, value=cfg.value_col, **p)
+    elif cfg.pipeline == "rfm":
+        from .pipelines.stats import rfm_segment_counts
+        out = rfm_segment_counts(ds, cfg.key, value=cfg.value_col, **p)
+    elif cfg.pipeline == "bm25":
+        from .pipelines.textstats import bm25_topk
+        out = bm25_topk(ds, cfg.value_col, **p)
+    elif cfg.pipeline == "jaccard_matrix":
+        import ray.data as rd
+
+        from .pipelines.distinct import exact_jaccard_matrix
+        out = rd.from_pandas(exact_jaccard_matrix(
+            ds, cfg.key, cfg.value_col, **p))
+    elif cfg.pipeline == "locf":
+        from .pipelines.windows import locf_fill_stats
+        out = locf_fill_stats(ds, value_col=cfg.value_col,
+                              key_col=cfg.key, **p)
+    elif cfg.pipeline == "welch":
+        import ray.data as rd
+
+        from .pipelines.stats import welch_t_report
+        out = rd.from_pandas(welch_t_report(
+            ds, cfg.key, cfg.value_col, **p))
+    elif cfg.pipeline == "pearson":
+        import ray.data as rd
+
+        from .pipelines.stats import grouped_pearson
+        out = rd.from_pandas(grouped_pearson(ds, cfg.key, **p))
+    elif cfg.pipeline == "spearman":
+        import ray.data as rd
+
+        from .pipelines.stats import grouped_spearman
+        out = rd.from_pandas(grouped_spearman(ds, cfg.key, **p))
+    elif cfg.pipeline == "quality_funnel":
+        from .pipelines.textstats import quality_rule_funnel
+        out = quality_rule_funnel(ds, cfg.value_col, cfg.key, **p)
+    elif cfg.pipeline == "json_field":
+        from .pipelines.textstats import json_int_field_stats
+        out = json_int_field_stats(ds, cfg.value_col, p.pop("field"),
+                                   cfg.key, **p)
+    elif cfg.pipeline == "cooccurrence":
+        from .pipelines.textstats import token_cooccurrence
+        out = token_cooccurrence(ds, cfg.value_col, **p)
+    elif cfg.pipeline == "token_cosine":
+        import ray.data as rd
+
+        from .pipelines.textstats import lang_token_cosine
+        out = rd.from_pandas(lang_token_cosine(
+            ds, cfg.value_col, cfg.key, **p))
+    elif cfg.pipeline == "fuzzy_pairs":
+        from ray.data.aggregate import Sum
+
+        from .stages.fuzzy import fuzzy_vocab_pairs
+
+        def _one(b):
+            import pyarrow as _pa
+            return b.append_column("one", _pa.array([1] * len(b),
+                                                    type=_pa.int64()))
+        vocab = (ds.map_batches(_one, batch_format="pyarrow")
+                 .groupby(cfg.value_col)
+                 .aggregate(Sum("one", alias_name="cnt")))
+        out = fuzzy_vocab_pairs(vocab, cfg.value_col, "cnt", **p)
+    elif cfg.pipeline == "fuzzy_clusters":
+        import ray.data as rd
+        from ray.data.aggregate import Sum
+
+        from .stages.fuzzy import fuzzy_cluster_stats
+
+        def _one2(b):
+            import pyarrow as _pa
+            return b.append_column("one", _pa.array([1] * len(b),
+                                                    type=_pa.int64()))
+        vocab = (ds.map_batches(_one2, batch_format="pyarrow")
+                 .groupby(cfg.value_col)
+                 .aggregate(Sum("one", alias_name="cnt")))
+        out = rd.from_pandas(fuzzy_cluster_stats(
+            vocab, cfg.value_col, "cnt", **p))
     elif cfg.pipeline == "export_text":
         import glob
         import os

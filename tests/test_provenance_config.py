@@ -353,3 +353,108 @@ def test_job_config_r4_ops(ray_session):
         value_col="user_id", params={"input_b": ev})).to_pandas()
     assert out["exact_pairs"].iloc[0] > 0
     assert bool(out["within_bound"].iloc[0])
+
+
+def test_config_analytics_routes(ray_session):
+    """The config runner covers the exact-analytics wave end-to-end."""
+    sf = "/root/testdata/sf0.001"
+    ev = f"{sf}/events.parquet"
+    docs = f"{sf}/documents.parquet"
+
+    out = run_job(JobConfig(pipeline="percent_rank", input=ev,
+                            columns=["event_type", "value"],
+                            value_col="value",
+                            key="event_type")).to_pandas()
+    assert {"cnt", "pct_rank"} <= set(out.columns) and len(out) > 0
+
+    out = run_job(JobConfig(pipeline="gini", input=ev,
+                            columns=["event_type", "value"],
+                            value_col="value",
+                            key="event_type")).to_pandas()
+    assert (out["gini"] > 0).all() and (out["gini"] < 1).all()
+
+    out = run_job(JobConfig(pipeline="pareto", input=ev,
+                            columns=["event_type", "event_id",
+                                     "user_id", "value"],
+                            key="event_type",
+                            params={"x_col": "value", "y_col": "user_id",
+                                    "id_col": "event_id"})).to_pandas()
+    assert len(out) > 0
+
+    out = run_job(JobConfig(pipeline="mode", input=ev,
+                            columns=["event_type", "value"],
+                            value_col="value",
+                            key="event_type")).to_pandas()
+    assert (out["mode_count"] >= 1).all()
+
+    out = run_job(JobConfig(pipeline="benford", input=ev,
+                            columns=["event_type", "value"],
+                            value_col="value",
+                            key="event_type")).to_pandas()
+    assert set(out["digit"]) <= set(range(1, 10))
+
+    out = run_job(JobConfig(pipeline="winsorized", input=ev,
+                            columns=["event_type", "value"],
+                            value_col="value",
+                            key="event_type")).to_pandas()
+    assert (out["n_clamped"] >= 0).all()
+
+    out = run_job(JobConfig(pipeline="cusum", input=ev,
+                            columns=["event_type", "ts", "event_id",
+                                     "value"],
+                            value_col="value", key="event_type",
+                            params={"ts_col": "ts",
+                                    "tie_col": "event_id",
+                                    "drift_cents": 5000,
+                                    "h_cents": 20000})).to_pandas()
+    assert (out["max_cusum"] >= 0).all()
+
+    out = run_job(JobConfig(pipeline="rfm", input=ev,
+                            columns=["user_id", "ts", "value"],
+                            value_col="value", key="user_id",
+                            params={"ts_col": "ts"})).to_pandas()
+    assert out["n_users"].sum() > 0
+
+    out = run_job(JobConfig(pipeline="welch", input=ev,
+                            columns=["event_type", "value"],
+                            value_col="value", key="event_type",
+                            params={"group_a": "click",
+                                    "group_b": "view"})).to_pandas()
+    assert len(out) == 1
+
+    out = run_job(JobConfig(pipeline="bm25", input=docs,
+                            columns=["doc_id", "text"],
+                            value_col="text",
+                            params={"id_col": "doc_id",
+                                    "terms": ["value", "table"],
+                                    "topk": 5})).to_pandas()
+    assert len(out) == 5
+
+    out = run_job(JobConfig(pipeline="jaccard_matrix", input=ev,
+                            columns=["event_type", "user_id"],
+                            value_col="user_id",
+                            key="event_type")).to_pandas()
+    assert (out["jaccard"] > 0).all()
+
+    out = run_job(JobConfig(pipeline="quality_funnel", input=docs,
+                            columns=["lang", "text"],
+                            value_col="text", key="lang")).to_pandas()
+    assert (out["n_docs"] > 0).all()
+
+    out = run_job(JobConfig(pipeline="json_field", input=ev,
+                            columns=["event_type", "props"],
+                            value_col="props", key="event_type",
+                            params={"field": "k"})).to_pandas()
+    assert (out["n_with_field"] > 0).all()
+
+    out = run_job(JobConfig(pipeline="token_cosine", input=docs,
+                            columns=["lang", "text"],
+                            value_col="text", key="lang",
+                            params={"k": 10})).to_pandas()
+    assert (out["cosine"] > 0).all()
+
+    out = run_job(JobConfig(pipeline="fuzzy_clusters", input=docs,
+                            columns=["lang", "text"],
+                            value_col="lang")).to_pandas()
+    # "en"/"es" (and kin) are one substitution apart -> >=1 cluster
+    assert len(out) >= 1 and (out["n_heads"] >= 2).all()
