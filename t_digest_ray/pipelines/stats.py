@@ -713,13 +713,28 @@ def rfm_segment_counts(ds, user_col: str, ts_col: str, value: str):
 
     ug = users.map_batches(add_g, batch_format="pyarrow")
 
-    from .relational import exact_quantiles_by_key
+    # ONE global-gather pass computes all nine cutpoints (disc
+    # convention, same as exact_quantiles_by_key — which documents the
+    # exact-path contract: the gathered group must fit a worker heap;
+    # the 100-TB swap-in is a sketch cutpoint with identical pass 2).
+    import math as _math
 
-    cuts = {}
-    for metric in ("rec", "freq", "mon"):
-        c = exact_quantiles_by_key(ug, "g", metric).to_pandas()
-        cuts[metric] = np.array([c["p25"][0], c["p50"][0], c["p75"][0]],
-                                dtype=np.float64)
+    def all_cuts(g: pd.DataFrame) -> pd.DataFrame:
+        row = {}
+        n = len(g)
+        for metric in ("rec", "freq", "mon"):
+            v = np.sort(g[metric].to_numpy())
+            for q in (0.25, 0.5, 0.75):
+                idx = max(int(_math.ceil(q * n)) - 1, 0)
+                row[f"{metric}_p{int(q * 100)}"] = [float(v[idx])]
+        return pd.DataFrame(row)
+
+    c = (ug.groupby("g").map_groups(all_cuts, batch_format="pandas")
+         .to_pandas())
+    cuts = {metric: np.array([c[f"{metric}_p25"][0],
+                              c[f"{metric}_p50"][0],
+                              c[f"{metric}_p75"][0]], dtype=np.float64)
+            for metric in ("rec", "freq", "mon")}
 
     def bucketize(b: pa.Table) -> pa.Table:
         out = {}
