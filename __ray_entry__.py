@@ -4815,6 +4815,43 @@ def fuzzy_headword_clusters(sf_dir: str):
     return fuzzy_cluster_stats(vocab, "head", "cnt")
 
 
+_TEST_THRESHOLD = int(0.2 * 2.0 ** 64)  # same float op both sides
+
+
+def train_test_split_stats(sf_dir: str):
+    """Deterministic leak-free 80/20 train/test split audit over
+    documents (pipelines/curation.hash_split_counts): splitmix64(doc_id)
+    thresholding, disjoint by construction, per (lang, split) counts and
+    exact char sums; SQL twin replays the mixer in UHUGEINT CTEs."""
+    from t_digest_ray.pipelines.curation import hash_split_counts
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    return hash_split_counts(ds, "doc_id", "lang", "n_chars",
+                             test_rate=0.2)
+
+
+def top_nchars_ties_by_lang(sf_dir: str):
+    """DENSE_RANK top-3 distinct n_chars per lang, ties all included
+    (pipelines/stats.top_distinct_value_rows): per-key top value sets
+    from the domain aggregate broadcast into a pure per-batch membership
+    filter — no row-level shuffle."""
+    from t_digest_ray.pipelines.stats import top_distinct_value_rows
+
+    ds = _read(sf_dir, "documents", ["lang", "doc_id", "n_chars"])
+    return top_distinct_value_rows(ds, "lang", "n_chars", "doc_id", k=3)
+
+
+def psi_click_vs_view(sf_dir: str):
+    """Population-stability-index drift report click vs view
+    (pipelines/stats.psi_bin_report): reference-decile bins (strict-<),
+    per-bin exact counts + PSI term in a fixed expression order; the
+    total is the consumer's sum so no cross-engine float-order exists."""
+    from t_digest_ray.pipelines.stats import psi_bin_report
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    return psi_bin_report(ds, "event_type", "value", "click", "view")
+
+
 def gini_event_values(sf_dir: str):
     """Exact per-type Gini coefficient of event value
     (pipelines/stats.grouped_gini): integer-cents arithmetic throughout
@@ -5005,6 +5042,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cusum_alarm_counts_events": cusum_alarm_counts_events,
         "exact_jaccard_event_users": exact_jaccard_event_users,
         "fuzzy_headword_clusters": fuzzy_headword_clusters,
+        "train_test_split_stats": train_test_split_stats,
+        "top_nchars_ties_by_lang": top_nchars_ties_by_lang,
+        "psi_click_vs_view": psi_click_vs_view,
     }
 
 
@@ -7241,5 +7281,72 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(hw.cnt) AS BIGINT) AS sum_docs
             FROM comp JOIN hw ON hw.h = comp.src
             GROUP BY comp.label
+        """,
+        "train_test_split_stats": f"""
+            WITH {_splitmix_ctes("lang, n_chars")}
+            SELECT lang,
+                   CASE WHEN h < CAST({_TEST_THRESHOLD} AS UHUGEINT)
+                        THEN 'test' ELSE 'train' END AS split,
+                   COUNT(*) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_stat
+            FROM mh GROUP BY 1, 2
+        """,
+        "top_nchars_ties_by_lang": """
+            SELECT lang, doc_id, n_chars FROM (
+                SELECT lang, doc_id, n_chars,
+                       DENSE_RANK() OVER (PARTITION BY lang
+                                          ORDER BY n_chars DESC) AS dr
+                FROM documents) WHERE dr <= 3
+        """,
+        "psi_click_vs_view": """
+            WITH r AS (SELECT value FROM events
+                       WHERE event_type = 'click'),
+                 cuts AS (SELECT quantile_disc(value, 0.1) AS c0,
+                                 quantile_disc(value, 0.2) AS c1,
+                                 quantile_disc(value, 0.3) AS c2,
+                                 quantile_disc(value, 0.4) AS c3,
+                                 quantile_disc(value, 0.5) AS c4,
+                                 quantile_disc(value, 0.6) AS c5,
+                                 quantile_disc(value, 0.7) AS c6,
+                                 quantile_disc(value, 0.8) AS c7,
+                                 quantile_disc(value, 0.9) AS c8
+                          FROM r),
+                 x AS (SELECT e.event_type,
+                              (CASE WHEN e.value > c.c0 THEN 1 ELSE 0 END
+                             + CASE WHEN e.value > c.c1 THEN 1 ELSE 0 END
+                             + CASE WHEN e.value > c.c2 THEN 1 ELSE 0 END
+                             + CASE WHEN e.value > c.c3 THEN 1 ELSE 0 END
+                             + CASE WHEN e.value > c.c4 THEN 1 ELSE 0 END
+                             + CASE WHEN e.value > c.c5 THEN 1 ELSE 0 END
+                             + CASE WHEN e.value > c.c6 THEN 1 ELSE 0 END
+                             + CASE WHEN e.value > c.c7 THEN 1 ELSE 0 END
+                             + CASE WHEN e.value > c.c8 THEN 1 ELSE 0 END)
+                                  AS bin
+                       FROM events e, cuts c
+                       WHERE e.event_type IN ('click', 'view')),
+                 agg AS (SELECT bin,
+                                SUM(CASE WHEN event_type = 'click'
+                                         THEN 1 ELSE 0 END) AS ref_cnt,
+                                SUM(CASE WHEN event_type = 'view'
+                                         THEN 1 ELSE 0 END) AS cmp_cnt
+                         FROM x GROUP BY 1),
+                 tot AS (SELECT SUM(ref_cnt) AS nr, SUM(cmp_cnt) AS nc
+                         FROM agg),
+                 bins AS (SELECT unnest(generate_series(0, 9)) AS bin)
+            SELECT CAST(b.bin AS BIGINT) AS bin,
+                   CAST(COALESCE(a.ref_cnt, 0) AS BIGINT) AS ref_cnt,
+                   CAST(COALESCE(a.cmp_cnt, 0) AS BIGINT) AS cmp_cnt,
+                   CASE WHEN COALESCE(a.ref_cnt, 0) > 0
+                         AND COALESCE(a.cmp_cnt, 0) > 0 THEN
+                       (CAST(a.ref_cnt AS DOUBLE)
+                        / CAST(t.nr AS DOUBLE)
+                        - CAST(a.cmp_cnt AS DOUBLE)
+                          / CAST(t.nc AS DOUBLE))
+                       * ln((CAST(a.ref_cnt AS DOUBLE)
+                             / CAST(t.nr AS DOUBLE))
+                            / (CAST(a.cmp_cnt AS DOUBLE)
+                               / CAST(t.nc AS DOUBLE)))
+                   ELSE 0.0 END AS psi_term
+            FROM bins b LEFT JOIN agg a ON a.bin = b.bin, tot t
         """,
     }

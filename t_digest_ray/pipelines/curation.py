@@ -900,3 +900,42 @@ def priority_sample_subset_check(ds, key_col: str, k: int = 512,
         "total_exact": pa.array([total_exact], type=pa.int64()),
         "within_bound": pa.array([bool(ok)], type=pa.bool_()),
     })
+
+
+def hash_split_counts(ds, id_col: str, key: str, stat_col: str,
+                      test_rate: float = 0.2, seed: int = 0):
+    """Deterministic leak-free train/test split audit: every row lands
+    in 'test' iff ``splitmix64(id) < test_rate * 2^64`` else 'train'
+    (disjoint by construction — the complement of bernoulli_sample's
+    keep-set), and the op reports per (key, split) row counts and an
+    exact int64 sum of ``stat_col``. Pure per-batch labelling + combine;
+    only (keys × 2) integer rows ride the exchange.
+    """
+    from ray.data.aggregate import Sum
+
+    threshold = np.uint64(min(int(test_rate * 2.0 ** 64), 2 ** 64 - 1))
+
+    def label(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        h = _mix(ids.astype(np.uint64), seed)
+        split = np.where(h < threshold, "test", "train")
+        df = pd.DataFrame({
+            key: batch[key].to_numpy(zero_copy_only=False),
+            "split": split,
+            "n_docs": np.int64(1),
+            "sum_stat": batch[stat_col].to_numpy(zero_copy_only=False)
+            .astype(np.int64)})
+        g = df.groupby([key, "split"], as_index=False, sort=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (ds.map_batches(label, batch_format="pyarrow")
+           .groupby([key, "split"])
+           .aggregate(Sum("n_docs", alias_name="n_docs"),
+                      Sum("sum_stat", alias_name="sum_stat")))
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        df["n_docs"] = df["n_docs"].astype(np.int64)
+        df["sum_stat"] = df["sum_stat"].astype(np.int64)
+        return df
+
+    return out.map_batches(fin, batch_format="pandas")

@@ -869,3 +869,123 @@ def cusum_alarm_counts(ds, key: str, ts_col: str, tie_col: str,
     return (ds.map_batches(project, batch_format="pyarrow")
             .groupby(key)
             .map_groups(scan, batch_format="pandas"))
+
+
+def top_distinct_value_rows(ds, key: str, value: str, id_col: str,
+                            k: int = 3):
+    """DENSE_RANK semantics: every row whose value is among the top-k
+    DISTINCT values of its key (ties all included — the complement of
+    the ROW_NUMBER top-n operator). The per-key top-k value sets come
+    from the domain-sized value-counts aggregate and broadcast by
+    closure into a pure per-batch membership filter — no row-level
+    shuffle at all.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({key: b[key].to_numpy(zero_copy_only=False),
+                           value: b[value].to_numpy(zero_copy_only=False)
+                           .astype(np.int64)})
+        g = df.groupby([key, value], as_index=False, sort=False).size()
+        g = g.rename(columns={"size": "partial"})
+        g["partial"] = g["partial"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    dom = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby([key, value])
+           .aggregate(Sum("partial", alias_name="cnt"))
+           .to_pandas())
+    tops = {kk: set(g[value].nlargest(k))
+            for kk, g in dom.groupby(key)}
+
+    def filt(b: pa.Table) -> pa.Table:
+        kv = b[key].to_numpy(zero_copy_only=False)
+        v = b[value].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = np.fromiter((vv in tops[kk]
+                            for kk, vv in zip(kv, v)),
+                           dtype=bool, count=len(kv))
+        return b.select([key, id_col, value]).filter(pa.array(keep))
+
+    return ds.map_batches(filt, batch_format="pyarrow")
+
+
+def psi_bin_report(ds, key: str, value: str, ref_group, cmp_group,
+                   n_bins: int = 10):
+    """Population-stability-index drift report between two key groups,
+    binned by the REFERENCE group's exact decile cutpoints (strict-<
+    rule, same as quantile_bucket_counts). Output one row per bin:
+    reference and comparison counts plus that bin's PSI term
+        (p − q) * ln(p / q),  p = ref share, q = cmp share
+    (0.0 when either count is zero — documented convention; the total
+    is the consumer's sum so no cross-engine float-order exists).
+    All shares/logs derive from exact int64 counts in a fixed
+    expression order — bit-identical to the SQL twin.
+    """
+    import math
+
+    from ray.data.aggregate import Sum
+
+    qs = tuple((i + 1) / n_bins for i in range(n_bins - 1))
+
+    def ref_vals(b: pa.Table) -> pa.Table:
+        m = pa.array(b[key].to_numpy(zero_copy_only=False) == ref_group)
+        return b.select([value]).filter(m)
+
+    def gather_cuts(g: pd.DataFrame) -> pd.DataFrame:
+        import math as _m
+        v = np.sort(g[value].to_numpy(dtype=np.float64))
+        n = len(v)
+        return pd.DataFrame({f"c{i}": [float(
+            v[max(int(_m.ceil(q * n)) - 1, 0)])]
+            for i, q in enumerate(qs)})
+
+    def add_g(b: pa.Table) -> pa.Table:
+        return b.append_column("g", pa.array(["g"] * len(b)))
+
+    cdf = (ds.map_batches(ref_vals, batch_format="pyarrow")
+           .map_batches(add_g, batch_format="pyarrow")
+           .groupby("g").map_groups(gather_cuts, batch_format="pandas")
+           .to_pandas())
+    cuts = np.array([cdf[f"c{i}"][0] for i in range(len(qs))],
+                    dtype=np.float64)
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        kv = b[key].to_numpy(zero_copy_only=False)
+        keep = (kv == ref_group) | (kv == cmp_group)
+        kv = kv[keep]
+        x = b[value].to_numpy(zero_copy_only=False).astype(
+            np.float64)[keep]
+        bins = (x[:, None] > cuts[None, :]).sum(axis=1).astype(np.int64)
+        df = pd.DataFrame({"bin": bins,
+                           "is_ref": (kv == ref_group)})
+        df["partial"] = np.int64(1)
+        g = df.groupby(["bin", "is_ref"], as_index=False,
+                       sort=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    counts = (ds.map_batches(bucketize, batch_format="pyarrow")
+              .groupby(["bin", "is_ref"])
+              .aggregate(Sum("partial", alias_name="cnt"))
+              .to_pandas())  # <= 2*n_bins rows
+
+    ref = {int(r["bin"]): int(r["cnt"])
+           for _, r in counts[counts["is_ref"]].iterrows()}
+    cmp_ = {int(r["bin"]): int(r["cnt"])
+            for _, r in counts[~counts["is_ref"]].iterrows()}
+    n_ref = sum(ref.values())
+    n_cmp = sum(cmp_.values())
+    rows = []
+    for b_ in range(n_bins):
+        p_cnt = ref.get(b_, 0)
+        q_cnt = cmp_.get(b_, 0)
+        if p_cnt > 0 and q_cnt > 0:
+            p = float(p_cnt) / float(n_ref)
+            q = float(q_cnt) / float(n_cmp)
+            term = (p - q) * math.log(p / q)
+        else:
+            term = 0.0
+        rows.append({"bin": np.int64(b_),
+                     "ref_cnt": np.int64(p_cnt),
+                     "cmp_cnt": np.int64(q_cnt),
+                     "psi_term": term})
+    return pd.DataFrame(rows)

@@ -655,3 +655,77 @@ def test_fuzzy_cluster_stats(ray_session):
     out = fuzzy_cluster_stats(ray.data.from_pandas(vocab), "head", "cnt")
     got = {r.label: (r.n_heads, r.sum_docs) for r in out.itertuples()}
     assert got == {"aa": (3, 10), "qq": (2, 2)}  # xyz isolated -> absent
+
+
+def test_hash_split_counts(ray_session):
+    import ray
+    from t_digest_ray.functions.hashing import splitmix64
+    from t_digest_ray.pipelines.curation import hash_split_counts
+
+    n = 400
+    df = pd.DataFrame({
+        "doc_id": np.arange(n, dtype=np.int64),
+        "lang": np.where(np.arange(n) % 2 == 0, "en", "fr"),
+        "n_chars": np.arange(n, dtype=np.int64) * 3,
+    })
+    out = (hash_split_counts(
+        ray.data.from_pandas(df).repartition(4),
+        "doc_id", "lang", "n_chars", test_rate=0.2)
+        .to_pandas())
+    thr = np.uint64(int(0.2 * 2.0 ** 64))
+    h = splitmix64(df["doc_id"].to_numpy().astype(np.uint64))
+    df["split"] = np.where(h < thr, "test", "train")
+    want = (df.groupby(["lang", "split"])
+            .agg(n_docs=("doc_id", "size"), sum_stat=("n_chars", "sum")))
+    got = out.set_index(["lang", "split"])
+    assert len(got) == len(want)
+    for idx, w in want.iterrows():
+        assert got.loc[idx, "n_docs"] == w["n_docs"]
+        assert got.loc[idx, "sum_stat"] == w["sum_stat"]
+    # disjoint + complete by construction
+    assert out["n_docs"].sum() == n
+
+
+def test_top_distinct_value_rows(ray_session):
+    import ray
+    from t_digest_ray.pipelines.stats import top_distinct_value_rows
+
+    df = pd.DataFrame({
+        "k": ["a"] * 6 + ["b"] * 4,
+        "rid": np.arange(10, dtype=np.int64),
+        "v": np.array([9, 9, 7, 5, 3, 1, 4, 4, 4, 2], dtype=np.int64),
+    })
+    out = (top_distinct_value_rows(
+        ray.data.from_pandas(df).repartition(3), "k", "v", "rid", k=2)
+        .to_pandas())
+    # a: top-2 distinct {9,7} -> rids 0,1,2 ; b: {4,2} -> all rids
+    assert sorted(out["rid"]) == [0, 1, 2, 6, 7, 8, 9]
+
+
+def test_psi_bin_report(ray_session, rng):
+    import math
+
+    import ray
+    from t_digest_ray.pipelines.stats import psi_bin_report
+
+    n = 1000
+    df = pd.DataFrame({
+        "k": rng.choice(["ref", "cmp"], n),
+        "v": rng.integers(0, 1000, n) / 10.0,
+    })
+    df.loc[df["k"] == "cmp", "v"] *= 1.5  # drift
+    out = psi_bin_report(ray.data.from_pandas(df).repartition(4),
+                         "k", "v", "ref", "cmp")
+    assert len(out) == 10
+    assert out["ref_cnt"].sum() == (df["k"] == "ref").sum()
+    assert out["cmp_cnt"].sum() == (df["k"] == "cmp").sum()
+    # brute psi on one bin
+    rv = np.sort(df.loc[df["k"] == "ref", "v"].to_numpy())
+    cuts = [rv[max(int(np.ceil(q * len(rv))) - 1, 0)]
+            for q in [i / 10 for i in range(1, 10)]]
+    row = out.iloc[0]
+    p = row["ref_cnt"] / out["ref_cnt"].sum()
+    q_ = row["cmp_cnt"] / out["cmp_cnt"].sum()
+    want = (p - q_) * math.log(p / q_) if row["ref_cnt"] and row["cmp_cnt"] else 0.0
+    assert abs(row["psi_term"] - want) < 1e-12
+    assert out["psi_term"].sum() > 0.05  # drift detected
