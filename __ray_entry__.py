@@ -4922,7 +4922,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_user_set_algebra": hll_user_set_algebra,
         "tdigest_rollup_by_lang": tdigest_rollup_by_lang,
         "q4_order_priority": q4_order_priority,
-        "q14_promo_revenue": q14_promo_revenue,
+        "fuzzy_headword_clusters": fuzzy_headword_clusters,
         "corpus_top_tokens": corpus_top_tokens,
         "regex_scrub_stats": regex_scrub_stats,
         "turnstile_quantiles_events": turnstile_quantiles_events,
@@ -4930,6 +4930,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "line_dedup_doc_stats": line_dedup_doc_stats,
         "kmv_distinct_users_by_type": kmv_distinct_users_by_type,
         "priority_sample_user_events": priority_sample_user_events,
+        "q14_promo_revenue": q14_promo_revenue,
         "cs_join_size_events": cs_join_size_events,
         "f2_moment_user_events": f2_moment_user_events,
         "q19_bracket_revenue": q19_bracket_revenue,
@@ -5041,7 +5042,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spearman_chars_tokens_by_lang": spearman_chars_tokens_by_lang,
         "cusum_alarm_counts_events": cusum_alarm_counts_events,
         "exact_jaccard_event_users": exact_jaccard_event_users,
-        "fuzzy_headword_clusters": fuzzy_headword_clusters,
         "train_test_split_stats": train_test_split_stats,
         "top_nchars_ties_by_lang": top_nchars_ties_by_lang,
         "psi_click_vs_view": psi_click_vs_view,
