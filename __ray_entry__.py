@@ -4852,6 +4852,18 @@ def psi_click_vs_view(sf_dir: str):
     return psi_bin_report(ds, "event_type", "value", "click", "view")
 
 
+def neyman_allocation_events(sf_dir: str):
+    """Neyman optimal allocation of a 200-row sample budget across
+    event types (pipelines/stats.neyman_allocation): exact integer-cent
+    moments, fixed-order float chain, sorted-stratum ordered weight
+    total (SQL ORDER BY aggregate twin), largest-remainder rounding —
+    allocations sum exactly to the budget."""
+    from t_digest_ray.pipelines.stats import neyman_allocation
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    return neyman_allocation(ds, "event_type", "value", total_n=200)
+
+
 def gini_event_values(sf_dir: str):
     """Exact per-type Gini coefficient of event value
     (pipelines/stats.grouped_gini): integer-cents arithmetic throughout
@@ -5045,6 +5057,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "train_test_split_stats": train_test_split_stats,
         "top_nchars_ties_by_lang": top_nchars_ties_by_lang,
         "psi_click_vs_view": psi_click_vs_view,
+        "neyman_allocation_events": neyman_allocation_events,
     }
 
 
@@ -7348,5 +7361,42 @@ def oracle_sql() -> dict[str, str]:
                                / CAST(t.nc AS DOUBLE)))
                    ELSE 0.0 END AS psi_term
             FROM bins b LEFT JOIN agg a ON a.bin = b.bin, tot t
+        """,
+        "neyman_allocation_events": """
+            WITH c AS (SELECT event_type AS s,
+                              CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+                                  AS cts
+                       FROM events),
+                 m AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS n,
+                              CAST(SUM(cts) AS BIGINT) AS sm,
+                              SUM(CAST(cts AS HUGEINT) * cts) AS ss
+                       FROM c GROUP BY 1),
+                 w AS (SELECT s, n,
+                              CASE WHEN n > 1 THEN
+                                  CAST(n AS DOUBLE)
+                                  * SQRT(CAST(n * ss
+                                              - CAST(sm AS HUGEINT) * sm
+                                              AS DOUBLE)
+                                         / CAST(CAST(n AS HUGEINT)
+                                                * (n - 1) AS DOUBLE))
+                              ELSE 0.0 END AS wt
+                       FROM m),
+                 t AS (SELECT SUM(wt ORDER BY s) AS tot FROM w),
+                 r AS (SELECT s, n,
+                              (CAST(200 AS DOUBLE) * wt) / t.tot AS raw
+                       FROM w, t),
+                 b AS (SELECT s, n, raw,
+                              CAST(FLOOR(raw) AS BIGINT) AS base,
+                              raw - FLOOR(raw) AS frac
+                       FROM r),
+                 lr AS (SELECT *,
+                               ROW_NUMBER() OVER (ORDER BY frac DESC,
+                                                  s ASC) AS rk,
+                               (SELECT 200 - SUM(base) FROM b) AS rem
+                        FROM b)
+            SELECT s AS event_type, n AS n_rows, raw AS raw_alloc,
+                   CAST(base + CASE WHEN rk <= rem THEN 1 ELSE 0 END
+                        AS BIGINT) AS alloc
+            FROM lr
         """,
     }

@@ -989,3 +989,65 @@ def psi_bin_report(ds, key: str, value: str, ref_group, cmp_group,
                      "cmp_cnt": np.int64(q_cnt),
                      "psi_term": term})
     return pd.DataFrame(rows)
+
+
+def neyman_allocation(ds, stratum: str, value: str, total_n: int):
+    """Neyman optimal sample-size allocation across strata:
+    ``alloc_h ∝ N_h · S_h`` (stratum size × sample std of the cents),
+    integerized by largest-remainder rounding (floor everything, then
+    +1 by largest fractional part, ties to the smaller stratum name) so
+    the allocations sum exactly to ``total_n`` — the survey-sampling
+    design step of a stratified corpus sample.
+
+    Determinism: moments are exact integer cents (bignum fold); the
+    float chain (std → weight → share) uses a fixed expression order,
+    and the cross-stratum weight total is folded in sorted-stratum
+    order — replayed in SQL by an ORDER BY ordered aggregate, so every
+    double and therefore every integer allocation is bit-identical.
+    """
+    import math
+
+    def partial(b: pa.Table) -> pa.Table:
+        x = b[value].to_numpy(zero_copy_only=False).astype(np.float64)
+        cents = np.floor(x * 100.0 + 0.5).astype(np.int64)
+        df = pd.DataFrame({stratum: b[stratum]
+                           .to_numpy(zero_copy_only=False)})
+        df["n"] = np.int64(1)
+        df["s"] = cents
+        df["ss"] = cents * cents
+        g = df.groupby(stratum, as_index=False, sort=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+
+    strata = []
+    for k, g in parts.groupby(stratum, sort=True):
+        n = int(g["n"].sum())
+        sm = sum(int(v) for v in g["s"])
+        ss = sum(int(v) for v in g["ss"])
+        if n > 1:
+            sd = math.sqrt(float(n * ss - sm * sm)
+                           / float(n * (n - 1)))
+            wt = float(n) * sd
+        else:
+            wt = 0.0
+        strata.append((k, n, wt))
+
+    tot = 0.0
+    for _, _, wt in strata:      # sorted-stratum order — SQL ORDER BY
+        tot = tot + wt
+    rows = []
+    for k, n, wt in strata:
+        raw = (float(total_n) * wt) / tot
+        rows.append({stratum: k, "n_rows": np.int64(n),
+                     "raw_alloc": raw,
+                     "base": int(math.floor(raw)),
+                     "frac": raw - math.floor(raw)})
+    rem = total_n - sum(r["base"] for r in rows)
+    order = sorted(range(len(rows)),
+                   key=lambda i: (-rows[i]["frac"], rows[i][stratum]))
+    for pos, i in enumerate(order):
+        rows[i]["alloc"] = np.int64(rows[i]["base"]
+                                    + (1 if pos < rem else 0))
+    out = pd.DataFrame(rows)[[stratum, "n_rows", "raw_alloc", "alloc"]]
+    return out.reset_index(drop=True)

@@ -729,3 +729,30 @@ def test_psi_bin_report(ray_session, rng):
     want = (p - q_) * math.log(p / q_) if row["ref_cnt"] and row["cmp_cnt"] else 0.0
     assert abs(row["psi_term"] - want) < 1e-12
     assert out["psi_term"].sum() > 0.05  # drift detected
+
+
+def test_neyman_allocation(ray_session, rng):
+    import ray
+    from t_digest_ray.pipelines.stats import neyman_allocation
+
+    n = 900
+    df = pd.DataFrame({
+        "k": rng.choice(["lo", "mid", "hi"], n),
+        "v": rng.integers(0, 100, n) / 1.0,
+    })
+    # make "hi" much more variable -> it should get a larger share
+    df.loc[df["k"] == "hi", "v"] *= 50
+    out = neyman_allocation(ray.data.from_pandas(df).repartition(4),
+                            "k", "v", total_n=200).set_index("k")
+    assert out["alloc"].sum() == 200
+    assert (out["alloc"] >= 0).all()
+    assert out.loc["hi", "alloc"] > out.loc["lo", "alloc"]
+    # allocation tracks N_h * S_h
+    for k, g in df.groupby("k"):
+        cents = np.floor(g["v"].to_numpy() * 100 + 0.5)
+        w = len(cents) * cents.std(ddof=1)
+        assert abs(out.loc[k, "raw_alloc"]
+                   - 200 * w / sum(
+                       len(gg) * np.floor(gg["v"].to_numpy() * 100
+                                          + 0.5).std(ddof=1)
+                       for _, gg in df.groupby("k"))) < 1e-6

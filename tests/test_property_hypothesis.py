@@ -254,3 +254,89 @@ def test_kllpm_pure_inserts_equals_plain_kll(v, q):
     pm.update_batch(v)
     assert pm.size == base.n
     assert pm.quantile(q) == base.quantile(q)
+
+
+@settings(max_examples=60, deadline=None)
+@given(arrays(np.int64, st.integers(1, 120),
+              elements=st.integers(0, 12)),
+       arrays(np.int64, st.integers(1, 120),
+              elements=st.integers(0, 12)))
+def test_frontier_mask_properties(x, y):
+    """Frontier invariants for ANY point set: non-empty, contains the
+    max-x and max-y points, survivors mutually non-dominating, and
+    merge-equivalence (frontier of frontiers == frontier of union)."""
+    from t_digest_ray.pipelines.stats import _frontier_mask
+
+    n = min(len(x), len(y))
+    x, y = x[:n].astype(float), y[:n].astype(float)
+    m = _frontier_mask(x, y)
+    assert m.any()
+    # the lexicographic (x, y) max point always survives
+    best = np.lexsort((y, x))[-1]
+    assert m[best]
+    fx, fy = x[m], y[m]
+    for i in range(len(fx)):
+        dom = ((fx >= fx[i]) & (fy >= fy[i])
+               & ((fx > fx[i]) | (fy > fy[i])))
+        assert not dom.any()
+    # mergeability
+    h = n // 2
+    ka, kb = _frontier_mask(x[:h], y[:h]), _frontier_mask(x[h:], y[h:])
+    ux = np.concatenate([x[:h][ka], x[h:][kb]])
+    uy = np.concatenate([y[:h][ka], y[h:][kb]])
+    whole = sorted(zip(x[m], y[m]))
+    merged = sorted(zip(ux[_frontier_mask(ux, uy)],
+                        uy[_frontier_mask(ux, uy)]))
+    assert whole == merged
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.text(alphabet="abc", max_size=7),
+       st.text(alphabet="abc", max_size=7))
+def test_within_one_edit_matches_dp_any_strings(a, b):
+    from t_digest_ray.stages.fuzzy import within_one_edit
+
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    assert within_one_edit(a, b) == (prev[-1] == 1)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.text(alphabet="abcd", min_size=0, max_size=8),
+       st.text(alphabet="abcd", min_size=0, max_size=8))
+def test_deletion_blocking_complete_any_pair(a, b):
+    """Any distance-1 pair shares a deletion variant (SymSpell
+    completeness) — for arbitrary strings, not just fixtures."""
+    from t_digest_ray.stages.fuzzy import _deletion_variants
+
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    if prev[-1] == 1:
+        assert set(_deletion_variants(a)) & set(_deletion_variants(b))
+
+
+@settings(max_examples=40, deadline=None)
+@given(arrays(np.int64, st.integers(2, 200),
+              elements=st.integers(0, 50)))
+def test_gini_range_and_translation(cents):
+    """Gini of any non-negative sample lies in [0, 1); equal values give
+    exactly 0; scaling by a positive constant leaves it unchanged."""
+    from tests.test_analytics_ops import brute_gini
+
+    if cents.sum() == 0:
+        return
+    g = brute_gini(cents)
+    assert 0.0 <= g < 1.0
+    assert abs(brute_gini(cents * 3) - g) < 1e-12
+    eq = np.full(len(cents), 7)
+    assert brute_gini(eq) == 0.0
