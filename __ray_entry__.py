@@ -4864,6 +4864,29 @@ def neyman_allocation_events(sf_dir: str):
     return neyman_allocation(ds, "event_type", "value", total_n=200)
 
 
+def moving_sum_event_values(sf_dir: str):
+    """Per-type 5-row rolling sum of event value cents
+    (pipelines/windows.moving_frame_sums): the SQL ROWS BETWEEN
+    4 PRECEDING AND CURRENT ROW analytic frame, exact int64 via a
+    vectorized cumsum difference after per-key co-location."""
+    from t_digest_ray.pipelines.windows import moving_frame_sums
+
+    ds = _read(sf_dir, "events",
+               ["event_type", "ts", "event_id", "value"])
+    return moving_frame_sums(ds, "event_type", "ts", "event_id",
+                             "value", frame=5)
+
+
+def daily_revenue_growth(sf_dir: str):
+    """Day-over-day event revenue growth
+    (pipelines/windows.period_growth): exact cents sums per calendar
+    day, aggregated-LAG pairing, int-exact growth ratios."""
+    from t_digest_ray.pipelines.windows import period_growth
+
+    ds = _read(sf_dir, "events", ["ts", "value"])
+    return period_growth(ds, "ts", "value", fmt="%Y-%m-%d")
+
+
 def gini_event_values(sf_dir: str):
     """Exact per-type Gini coefficient of event value
     (pipelines/stats.grouped_gini): integer-cents arithmetic throughout
@@ -5058,6 +5081,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_nchars_ties_by_lang": top_nchars_ties_by_lang,
         "psi_click_vs_view": psi_click_vs_view,
         "neyman_allocation_events": neyman_allocation_events,
+        "moving_sum_event_values": moving_sum_event_values,
+        "daily_revenue_growth": daily_revenue_growth,
     }
 
 
@@ -7398,5 +7423,32 @@ def oracle_sql() -> dict[str, str]:
                    CAST(base + CASE WHEN rk <= rem THEN 1 ELSE 0 END
                         AS BIGINT) AS alloc
             FROM lr
+        """,
+        "moving_sum_event_values": """
+            WITH c AS (SELECT event_type, ts, event_id,
+                              CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+                                  AS cents
+                       FROM events)
+            SELECT event_type, event_id,
+                   CAST(SUM(cents) OVER (PARTITION BY event_type
+                       ORDER BY ts, event_id
+                       ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS frame_sum_cents
+            FROM c
+        """,
+        "daily_revenue_growth": """
+            WITH m AS (SELECT strftime(ts, '%Y-%m-%d') AS period,
+                              CAST(SUM(CAST(FLOOR(value * 100 + 0.5)
+                                            AS BIGINT)) AS BIGINT)
+                                  AS cur_cents
+                       FROM events GROUP BY 1),
+                 l AS (SELECT period, cur_cents,
+                              LAG(cur_cents) OVER (ORDER BY period)
+                                  AS prev_cents
+                       FROM m)
+            SELECT period, cur_cents, prev_cents,
+                   CAST(cur_cents AS DOUBLE)
+                       / CAST(prev_cents AS DOUBLE) AS growth
+            FROM l WHERE prev_cents IS NOT NULL
         """,
     }

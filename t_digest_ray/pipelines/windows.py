@@ -657,3 +657,80 @@ def locf_fill_stats(ds, user_col: str, ts_col: str, tie_col: str,
         return df
 
     return out.map_batches(fin, batch_format="pandas")
+
+
+def moving_frame_sums(ds, key: str, ts_col: str, tie_col: str,
+                      value: str, frame: int = 5):
+    """Per-key rolling ROWS-frame sum: for every event, the exact
+    integer-cents sum of the current row and the previous ``frame-1``
+    rows of the same key in (ts, tie) order — the SQL
+    ``ROWS BETWEEN n PRECEDING AND CURRENT ROW`` analytic frame (the
+    row-count complement of the time-window family above).
+
+    Scale shape: per-key co-location (one sort per group), then a
+    vectorized cumulative-sum difference — no per-row Python; output is
+    one row per event, exact int64.
+    """
+    import pyarrow.compute as pc
+
+    def project(b: pa.Table) -> pa.Table:
+        x = b[value].to_numpy(zero_copy_only=False).astype(np.float64)
+        cents = np.floor(x * 100.0 + 0.5).astype(np.int64)
+        return pa.table({key: b[key],
+                         "ts_us": pc.cast(b[ts_col].combine_chunks(),
+                                          pa.int64()),
+                         tie_col: b[tie_col],
+                         "cents": pa.array(cents)})
+
+    def scan(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts_us", tie_col], kind="stable")
+        c = g[tie_col].to_numpy()
+        cs = np.concatenate(([0], np.cumsum(
+            g["cents"].to_numpy(dtype=np.int64))))
+        lo = np.maximum(np.arange(len(g)) - (frame - 1), 0)
+        fs = cs[np.arange(1, len(g) + 1)] - cs[lo]
+        return pd.DataFrame({key: g[key].to_numpy(),
+                             tie_col: c,
+                             "frame_sum_cents": fs.astype(np.int64)})
+
+    return (ds.map_batches(project, batch_format="pyarrow")
+            .groupby(key)
+            .map_groups(scan, batch_format="pandas"))
+
+
+def period_growth(ds, ts_col: str, value: str, fmt: str = "%Y-%m"):
+    """Period-over-period revenue growth: exact integer-cents sums per
+    calendar period (strftime bucket), then each period paired with its
+    predecessor and the growth ratio cur/prev (an int-exact double) —
+    the aggregated-LAG reporting shape. Periods with no predecessor are
+    omitted, matching SQL LAG's NULL row filter.
+
+    Scale shape: per-batch period partials combine (O(periods) rows on
+    the exchange); the LAG pairing runs on the aggregated calendar-
+    sized table.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        ts = pd.Series(b[ts_col].to_pandas())
+        per = ts.dt.strftime(fmt)
+        x = b[value].to_numpy(zero_copy_only=False).astype(np.float64)
+        cents = np.floor(x * 100.0 + 0.5).astype(np.int64)
+        df = pd.DataFrame({"period": per, "partial": cents})
+        g = df.groupby("period", as_index=False, sort=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("period")
+           .aggregate(Sum("partial", alias_name="cur_cents"))
+           .to_pandas())  # calendar-sized
+    agg = agg.sort_values("period").reset_index(drop=True)
+    cur = agg["cur_cents"].to_numpy(dtype=np.int64)
+    out = pd.DataFrame({
+        "period": agg["period"].to_numpy()[1:],
+        "cur_cents": cur[1:],
+        "prev_cents": cur[:-1],
+        "growth": cur[1:].astype(np.float64)
+        / cur[:-1].astype(np.float64),
+    })
+    return out.reset_index(drop=True)

@@ -756,3 +756,42 @@ def test_neyman_allocation(ray_session, rng):
                        len(gg) * np.floor(gg["v"].to_numpy() * 100
                                           + 0.5).std(ddof=1)
                        for _, gg in df.groupby("k"))) < 1e-6
+
+
+def test_moving_frame_sums(ray_session, rng):
+    import ray
+    from t_digest_ray.pipelines.windows import moving_frame_sums
+
+    n = 300
+    df = pd.DataFrame({
+        "k": rng.choice(["a", "b"], n),
+        "ts": pd.to_datetime(rng.integers(0, 10**7, n), unit="s"),
+        "eid": np.arange(n, dtype=np.int64),
+        "v": rng.integers(0, 500, n) / 100.0,
+    })
+    out = (moving_frame_sums(
+        ray.data.from_pandas(df).repartition(4),
+        "k", "ts", "eid", "v", frame=5)
+        .to_pandas().set_index("eid"))
+    for k, g in df.groupby("k"):
+        g = g.sort_values(["ts", "eid"])
+        cents = np.floor(g["v"].to_numpy() * 100 + 0.5).astype(np.int64)
+        roll = pd.Series(cents).rolling(5, min_periods=1).sum()
+        for eid, want in zip(g["eid"], roll):
+            assert out.loc[eid, "frame_sum_cents"] == int(want)
+
+
+def test_period_growth(ray_session):
+    import ray
+    from t_digest_ray.pipelines.windows import period_growth
+
+    df = pd.DataFrame({
+        "ts": pd.to_datetime(["2024-01-05", "2024-01-20", "2024-02-10",
+                              "2024-03-01", "2024-03-30"]),
+        "v": [10.0, 20.0, 15.0, 30.0, 30.0],
+    })
+    out = period_growth(ray.data.from_pandas(df), "ts", "v")
+    got = {r.period: (r.cur_cents, r.prev_cents, r.growth)
+           for r in out.itertuples()}
+    assert got == {"2024-02": (1500, 3000, 0.5),
+                   "2024-03": (6000, 1500, 4.0)}
