@@ -4887,6 +4887,17 @@ def daily_revenue_growth(sf_dir: str):
     return period_growth(ds, "ts", "value", fmt="%Y-%m-%d")
 
 
+def chi2_lang_source_cells(sf_dir: str):
+    """Chi-square independence cells for documents lang × source
+    (pipelines/stats.chi2_independence_cells): contingency-table-sized
+    exchange, per-cell observed/expected/term in a fixed expression
+    order (total = consumer's sum)."""
+    from t_digest_ray.pipelines.stats import chi2_independence_cells
+
+    ds = _read(sf_dir, "documents", ["lang", "source"])
+    return chi2_independence_cells(ds, "lang", "source")
+
+
 def gini_event_values(sf_dir: str):
     """Exact per-type Gini coefficient of event value
     (pipelines/stats.grouped_gini): integer-cents arithmetic throughout
@@ -5083,6 +5094,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "neyman_allocation_events": neyman_allocation_events,
         "moving_sum_event_values": moving_sum_event_values,
         "daily_revenue_growth": daily_revenue_growth,
+        "chi2_lang_source_cells": chi2_lang_source_cells,
     }
 
 
@@ -7450,5 +7462,27 @@ def oracle_sql() -> dict[str, str]:
                    CAST(cur_cents AS DOUBLE)
                        / CAST(prev_cents AS DOUBLE) AS growth
             FROM l WHERE prev_cents IS NOT NULL
+        """,
+        "chi2_lang_source_cells": """
+            WITH cells AS (SELECT lang, source,
+                                  CAST(COUNT(*) AS BIGINT) AS observed
+                           FROM documents GROUP BY 1, 2),
+                 rt AS (SELECT lang, SUM(observed) AS r_tot FROM cells
+                        GROUP BY 1),
+                 ct AS (SELECT source, SUM(observed) AS c_tot FROM cells
+                        GROUP BY 1),
+                 t AS (SELECT SUM(observed) AS n FROM cells),
+                 x AS (SELECT c.lang, c.source, c.observed,
+                              (CAST(r.r_tot AS DOUBLE)
+                               * CAST(ctt.c_tot AS DOUBLE))
+                              / CAST(t.n AS DOUBLE) AS expected
+                       FROM cells c
+                       JOIN rt r ON r.lang = c.lang
+                       JOIN ct ctt ON ctt.source = c.source, t)
+            SELECT lang, source, observed, expected,
+                   ((CAST(observed AS DOUBLE) - expected)
+                    * (CAST(observed AS DOUBLE) - expected)) / expected
+                       AS chi2_term
+            FROM x
         """,
     }

@@ -1051,3 +1051,48 @@ def neyman_allocation(ds, stratum: str, value: str, total_n: int):
                                     + (1 if pos < rem else 0))
     out = pd.DataFrame(rows)[[stratum, "n_rows", "raw_alloc", "alloc"]]
     return out.reset_index(drop=True)
+
+
+def chi2_independence_cells(ds, row_key: str, col_key: str):
+    """Chi-square independence test between two categorical columns,
+    reported per contingency cell: observed count, expected count under
+    independence (row_total * col_total / n, an int-exact double) and
+    the cell's chi² term (O − E)²/E in a fixed expression order — the
+    total statistic is the consumer's sum, so no cross-engine
+    float-order exists (same convention as psi_bin_report).
+
+    Scale shape: per-batch (row, col) counts combine; only
+    contingency-table-sized integer rows ride the exchange, and the
+    margin fold runs on that table.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            row_key: b[row_key].to_numpy(zero_copy_only=False),
+            col_key: b[col_key].to_numpy(zero_copy_only=False)})
+        g = df.groupby([row_key, col_key], as_index=False,
+                       sort=False).size()
+        g = g.rename(columns={"size": "partial"})
+        g["partial"] = g["partial"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    cells = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby([row_key, col_key])
+             .aggregate(Sum("partial", alias_name="observed"))
+             .to_pandas())  # contingency-table-sized
+    cells["observed"] = cells["observed"].astype(np.int64)
+    row_tot = cells.groupby(row_key)["observed"].sum()
+    col_tot = cells.groupby(col_key)["observed"].sum()
+    n = int(cells["observed"].sum())
+    rows = []
+    for _, r in cells.iterrows():
+        o = int(r["observed"])
+        e = (float(int(row_tot[r[row_key]]))
+             * float(int(col_tot[r[col_key]]))) / float(n)
+        term = ((float(o) - e) * (float(o) - e)) / e
+        rows.append({row_key: r[row_key], col_key: r[col_key],
+                     "observed": np.int64(o), "expected": e,
+                     "chi2_term": term})
+    out = pd.DataFrame(rows).sort_values([row_key, col_key])
+    return out.reset_index(drop=True)

@@ -795,3 +795,24 @@ def test_period_growth(ray_session):
            for r in out.itertuples()}
     assert got == {"2024-02": (1500, 3000, 0.5),
                    "2024-03": (6000, 1500, 4.0)}
+
+
+def test_chi2_independence_cells(ray_session, rng):
+    import ray
+    from t_digest_ray.pipelines.stats import chi2_independence_cells
+
+    n = 800
+    df = pd.DataFrame({
+        "r": rng.choice(["a", "b", "c"], n),
+        "c": rng.choice(["x", "y"], n),
+    })
+    out = chi2_independence_cells(
+        ray.data.from_pandas(df).repartition(4), "r", "c")
+    ct = pd.crosstab(df["r"], df["c"])
+    for row in out.itertuples():
+        o = ct.loc[row.r, row.c]
+        e = ct.loc[row.r].sum() * ct[row.c].sum() / n
+        assert row.observed == o
+        assert abs(row.expected - e) < 1e-9
+        assert abs(row.chi2_term - (o - e) ** 2 / e) < 1e-9
+    assert out["observed"].sum() == n
