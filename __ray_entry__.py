@@ -4898,6 +4898,145 @@ def chi2_lang_source_cells(sf_dir: str):
     return chi2_independence_cells(ds, "lang", "source")
 
 
+def q11_important_part_values(sf_dir: str):
+    """TPC-H Q11-shaped important-stock report: per-part value (exact
+    integer cents × quantity) over lineitems from nation-1 suppliers,
+    keeping parts whose value exceeds 0.01% of the nation total — the
+    scalar-subquery HAVING shape. Supplier keys broadcast via ray.put
+    (sorted membership array, searchsorted per batch); per-part int64
+    partials combine before the exchange; the threshold comparison is
+    one IEEE expression over exact sums, bit-identical to the oracle."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray
+    from ray.data.aggregate import Sum
+
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    sk = np.sort(sup.loc[sup["s_nationkey"] == 1, "s_suppkey"]
+                 .to_numpy().astype(np.int64))
+    sk_ref = ray.put(sk)
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_suppkey", "l_extendedprice",
+                "l_quantity"])
+
+    class PartValue:
+        def __init__(self):
+            self.sk = ray.get(sk_ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            lsk = b["l_suppkey"].to_numpy(zero_copy_only=False)
+            if len(self.sk):
+                idx = np.minimum(np.searchsorted(self.sk, lsk),
+                                 len(self.sk) - 1)
+                keep = self.sk[idx] == lsk
+            else:
+                keep = np.zeros(len(lsk), dtype=bool)
+            price = b["l_extendedprice"].to_numpy(
+                zero_copy_only=False)[keep]
+            qty = b["l_quantity"].to_numpy(
+                zero_copy_only=False)[keep].astype(np.int64)
+            cents = np.floor(price * 100.0 + 0.5).astype(np.int64)
+            df = pd.DataFrame({
+                "l_partkey": b["l_partkey"].to_numpy(
+                    zero_copy_only=False)[keep],
+                "partial": cents * qty})
+            g = df.groupby("l_partkey", as_index=False,
+                           sort=False).sum()
+            g["partial"] = g["partial"].astype(np.int64)
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = (li.map_batches(PartValue, batch_format="pyarrow",
+                            concurrency=_pool())
+             .groupby("l_partkey")
+             .aggregate(Sum("partial", alias_name="value_cents"))
+             .to_pandas())  # O(distinct parts)
+    parts["value_cents"] = parts["value_cents"].astype(np.int64)
+    total = sum(int(v) for v in parts["value_cents"])
+    keep = parts["value_cents"].astype(np.float64)         > float(total) * 0.0001
+    out = parts.loc[keep].sort_values("l_partkey")
+    return out.reset_index(drop=True)
+
+
+def q16_supplier_part_counts(sf_dir: str):
+    """TPC-H Q16-shaped supplier diversity: distinct supplier count per
+    (p_brand, p_size) over lineitem⋈part, excluding an anti-set of
+    suppliers (negative account balance — the NOT IN shape). Part
+    attributes and the anti-set broadcast via ray.put; globally-distinct
+    (brand, size, supp) triples via the per-batch combine + one
+    groupby; output one count row per (brand, size)."""
+    import pyarrow.parquet as pq
+    import ray
+    from ray.data.aggregate import Sum
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_brand",
+                                  "p_size"]).to_pandas()
+    pk = np.sort(part["p_partkey"].to_numpy().astype(np.int64))
+    brands = part.sort_values("p_partkey")["p_brand"].to_numpy()
+    sizes = part.sort_values("p_partkey")["p_size"].to_numpy()         .astype(np.int64)
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_acctbal"]).to_pandas()
+    bad = np.sort(sup.loc[sup["s_acctbal"] < 0, "s_suppkey"]
+                  .to_numpy().astype(np.int64))
+    refs = ray.put((pk, brands, sizes, bad))
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+
+    class Triples:
+        def __init__(self):
+            self.pk, self.brands, self.sizes, self.bad = ray.get(refs)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            lpk = b["l_partkey"].to_numpy(zero_copy_only=False)
+            lsk = b["l_suppkey"].to_numpy(zero_copy_only=False)
+            if len(self.bad):
+                j = np.minimum(np.searchsorted(self.bad, lsk),
+                               len(self.bad) - 1)
+                ok = self.bad[j] != lsk
+            else:
+                ok = np.ones(len(lsk), dtype=bool)
+            i = np.searchsorted(self.pk, lpk[ok])
+            df = pd.DataFrame({"p_brand": self.brands[i],
+                               "p_size": self.sizes[i],
+                               "l_suppkey": lsk[ok]}).drop_duplicates()
+            return pa.Table.from_pandas(df, preserve_index=False)
+
+    # globally-distinct triples via the hash-bucket co-partition (a
+    # per-TRIPLE groupby would pay ~1 ms of sort-based Python per group;
+    # 256 bucket groups keep the distinct fully vectorized)
+    from t_digest_ray.functions.hashing import hash64 as _h64
+
+    def bucketed(b: pa.Table) -> pa.Table:
+        h = (_h64(b["l_suppkey"].to_numpy(zero_copy_only=False))
+             ^ _h64(b["p_brand"].to_numpy(zero_copy_only=False))
+             ^ _h64(b["p_size"].to_numpy(zero_copy_only=False)))
+        return b.append_column("bucket", pa.array(
+            (h % np.uint64(256)).astype(np.int32)))
+
+    def bucket_count(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["p_brand", "p_size", "l_suppkey"])
+        out = (g.groupby(["p_brand", "p_size"], as_index=False,
+                         sort=False).size()
+               .rename(columns={"size": "partial"}))
+        out["partial"] = out["partial"].astype(np.int64)
+        return out
+
+    out = (li.map_batches(Triples, batch_format="pyarrow",
+                          concurrency=_pool())
+           .map_batches(bucketed, batch_format="pyarrow")
+           .groupby("bucket")
+           .map_groups(bucket_count, batch_format="pandas")
+           .groupby(["p_brand", "p_size"])
+           .aggregate(Sum("partial", alias_name="supplier_cnt")))
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        df["p_size"] = df["p_size"].astype(np.int64)
+        df["supplier_cnt"] = df["supplier_cnt"].astype(np.int64)
+        return df
+
+    return out.map_batches(fin, batch_format="pandas")
+
+
 def gini_event_values(sf_dir: str):
     """Exact per-type Gini coefficient of event value
     (pipelines/stats.grouped_gini): integer-cents arithmetic throughout
@@ -5095,6 +5234,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "moving_sum_event_values": moving_sum_event_values,
         "daily_revenue_growth": daily_revenue_growth,
         "chi2_lang_source_cells": chi2_lang_source_cells,
+        "q11_important_part_values": q11_important_part_values,
+        "q16_supplier_part_counts": q16_supplier_part_counts,
     }
 
 
@@ -7484,5 +7625,32 @@ def oracle_sql() -> dict[str, str]:
                     * (CAST(observed AS DOUBLE) - expected)) / expected
                        AS chi2_term
             FROM x
+        """,
+        "q11_important_part_values": """
+            WITH v AS (SELECT l.l_partkey,
+                              CAST(SUM(CAST(FLOOR(l.l_extendedprice
+                                                  * 100 + 0.5)
+                                            AS BIGINT)
+                                       * CAST(l.l_quantity AS BIGINT))
+                                   AS BIGINT) AS value_cents
+                       FROM lineitem l
+                       JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                       WHERE s.s_nationkey = 1
+                       GROUP BY 1),
+                 t AS (SELECT SUM(value_cents) AS tot FROM v)
+            SELECT l_partkey, value_cents
+            FROM v, t
+            WHERE CAST(value_cents AS DOUBLE)
+                  > CAST(t.tot AS DOUBLE) * 0.0001
+        """,
+        "q16_supplier_part_counts": """
+            SELECT p.p_brand, CAST(p.p_size AS BIGINT) AS p_size,
+                   CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT)
+                       AS supplier_cnt
+            FROM lineitem l
+            JOIN part p ON p.p_partkey = l.l_partkey
+            WHERE l.l_suppkey NOT IN (
+                SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+            GROUP BY 1, 2
         """,
     }
