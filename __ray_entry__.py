@@ -5037,6 +5037,30 @@ def q16_supplier_part_counts(sf_dir: str):
     return out.map_batches(fin, batch_format="pandas")
 
 
+def embedding_norm_quantiles(sf_dir: str):
+    """Exact L2-norm distribution of the embeddings table
+    (pipelines/clustering.embedding_norm_stats): float32 squares folded
+    sequentially into float64 exactly as SQL list_sum does, so norms
+    and disc quantiles hash-match the DuckDB twin bit-for-bit."""
+    from t_digest_ray.pipelines.clustering import embedding_norm_stats
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return embedding_norm_stats(ds, "embedding")
+
+
+def entry_exit_type_counts_events(sf_dir: str):
+    """First/last event type per user ((ts, event_id) arg-min/arg-max),
+    counted per pair (pipelines/windows.entry_exit_type_counts): the
+    landing/exit-page report — associative per-batch candidates, user
+    hash-bucket resolve, |types|²-sized final exchange."""
+    from t_digest_ray.pipelines.windows import entry_exit_type_counts
+
+    ds = _read(sf_dir, "events",
+               ["user_id", "ts", "event_id", "event_type"])
+    return entry_exit_type_counts(ds, "user_id", "ts", "event_id",
+                                  "event_type")
+
+
 def gini_event_values(sf_dir: str):
     """Exact per-type Gini coefficient of event value
     (pipelines/stats.grouped_gini): integer-cents arithmetic throughout
@@ -5236,6 +5260,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chi2_lang_source_cells": chi2_lang_source_cells,
         "q11_important_part_values": q11_important_part_values,
         "q16_supplier_part_counts": q16_supplier_part_counts,
+        "embedding_norm_quantiles": embedding_norm_quantiles,
+        "entry_exit_type_counts_events": entry_exit_type_counts_events,
     }
 
 
@@ -7652,5 +7678,34 @@ def oracle_sql() -> dict[str, str]:
             WHERE l.l_suppkey NOT IN (
                 SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
             GROUP BY 1, 2
+        """,
+        "embedding_norm_quantiles": """
+            WITH n AS (SELECT SQRT(CAST(list_sum(list_transform(
+                                  embedding, x -> x * x)) AS DOUBLE))
+                              AS nrm
+                       FROM embeddings)
+            SELECT COUNT(*) AS n,
+                   MIN(nrm) AS min_norm, MAX(nrm) AS max_norm,
+                   quantile_disc(nrm, 0.25) AS p25,
+                   quantile_disc(nrm, 0.50) AS p50,
+                   quantile_disc(nrm, 0.75) AS p75
+            FROM n
+        """,
+        "entry_exit_type_counts_events": """
+            WITH o AS (SELECT user_id, event_type,
+                              ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn_a,
+                              ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC)
+                                  AS rn_d
+                       FROM events),
+                 f AS (SELECT user_id,
+                              MAX(CASE WHEN rn_a = 1 THEN event_type
+                                       END) AS first_type,
+                              MAX(CASE WHEN rn_d = 1 THEN event_type
+                                       END) AS last_type
+                       FROM o GROUP BY 1)
+            SELECT first_type, last_type, COUNT(*) AS n_users
+            FROM f GROUP BY 1, 2
         """,
     }

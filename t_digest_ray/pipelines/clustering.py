@@ -328,3 +328,47 @@ def gram_sketch_check(ds, embedding_col: str = "embedding", l: int = 16,
         "d": pa.array([d], type=pa.int64()),
         "within_bound": pa.array([bool(ok)], type=pa.bool_()),
     })
+
+
+def embedding_norm_stats(ds, vec_col: str,
+                         qs=(0.25, 0.5, 0.75)):
+    """Exact L2-norm distribution of an embedding column: count,
+    min/max and disc-quantile norms. The squared-norm accumulation
+    replicates SQL ``list_sum`` bit-for-bit — float32 element squares
+    folded sequentially into float64 (``np.cumsum`` over the upcast
+    array), then one sqrt — so the norms and therefore the quantiles
+    hash-match the DuckDB twin.
+
+    Scale shape: per-batch vectorized norm computation; the quantile
+    gather follows the exact-path contract of exact_quantiles_by_key
+    (sketch swap-in at 100 TB).
+    """
+    import math
+
+    def norms(b: pa.Table) -> pa.Table:
+        col = b[vec_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = np.asarray(col.flatten(), dtype=np.float32)
+        dim = len(flat) // len(b)
+        emb = flat.reshape(len(b), dim)
+        sq = emb * emb                               # float32 squares
+        cs = np.cumsum(sq.astype(np.float64), axis=1)[:, -1]
+        return pa.table({"nrm": pa.array(np.sqrt(cs))})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(g["nrm"].to_numpy(dtype=np.float64))
+        n = len(v)
+        row = {"n": np.array([n], dtype=np.int64),
+               "min_norm": [float(v[0])], "max_norm": [float(v[-1])]}
+        for q in qs:
+            idx = max(int(math.ceil(q * n)) - 1, 0)
+            row[f"p{int(q * 100)}"] = [float(v[idx])]
+        return pd.DataFrame(row)
+
+    def add_g(b: pa.Table) -> pa.Table:
+        return b.append_column("g", pa.array(["g"] * len(b)))
+
+    return (ds.map_batches(norms, batch_format="pyarrow")
+            .map_batches(add_g, batch_format="pyarrow")
+            .groupby("g").map_groups(fold, batch_format="pandas"))

@@ -734,3 +734,76 @@ def period_growth(ds, ts_col: str, value: str, fmt: str = "%Y-%m"):
         / cur[:-1].astype(np.float64),
     })
     return out.reset_index(drop=True)
+
+
+def entry_exit_type_counts(ds, user_col: str, ts_col: str, tie_col: str,
+                           type_col: str, coarse: int | None = None,
+                           n_rows: int | None = None):
+    """Entry/exit analysis: for every user, the type of their FIRST and
+    LAST event ((ts, tie) lexicographic arg-min/arg-max), counted per
+    (first_type, last_type) pair — the landing/exit-page report shape.
+
+    Scale shape: per-batch reduce to one (user, min-cand, max-cand) row
+    per user per batch (arg-min/max is associative), hash-bucket
+    co-partition of users resolves the global winners vectorized, and
+    only |types|²-sized pair counts ride the final exchange.
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from ..stages.partitioning import coarse_bucket_count
+
+    if coarse is None:
+        coarse = coarse_bucket_count(ds, n_rows=n_rows,
+                                     rows_per_bucket=262144,
+                                     what="entry_exit")
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            user_col: b[user_col].to_numpy(zero_copy_only=False),
+            "ts_us": pc.cast(b[ts_col].combine_chunks(),
+                             pa.int64()).to_numpy(),
+            tie_col: b[tie_col].to_numpy(zero_copy_only=False),
+            type_col: b[type_col].to_numpy(zero_copy_only=False),
+        }).sort_values([user_col, "ts_us", tie_col], kind="stable")
+        first = df.drop_duplicates(user_col, keep="first")
+        last = df.drop_duplicates(user_col, keep="last")
+        out = pd.DataFrame({
+            user_col: first[user_col].to_numpy(),
+            "f_ts": first["ts_us"].to_numpy(),
+            "f_tie": first[tie_col].to_numpy(),
+            "first_type": first[type_col].to_numpy(),
+            "l_ts": last["ts_us"].to_numpy(),
+            "l_tie": last[tie_col].to_numpy(),
+            "last_type": last[type_col].to_numpy(),
+        })
+        out["bucket"] = (hash64(out[user_col].to_numpy())
+                         % np.uint64(coarse)).astype(np.int32)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def bucket_resolve(g: pd.DataFrame) -> pd.DataFrame:
+        gf = (g.sort_values([user_col, "f_ts", "f_tie"], kind="stable")
+              .drop_duplicates(user_col, keep="first"))
+        gl = (g.sort_values([user_col, "l_ts", "l_tie"], kind="stable")
+              .drop_duplicates(user_col, keep="last"))
+        pair = pd.DataFrame({
+            "first_type": gf["first_type"].to_numpy(),
+            "last_type": gl.set_index(user_col)
+            .loc[gf[user_col], "last_type"].to_numpy()})
+        out = (pair.groupby(["first_type", "last_type"],
+                            as_index=False, sort=False).size()
+               .rename(columns={"size": "partial"}))
+        out["partial"] = out["partial"].astype(np.int64)
+        return out
+
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("bucket")
+           .map_groups(bucket_resolve, batch_format="pandas")
+           .groupby(["first_type", "last_type"])
+           .aggregate(Sum("partial", alias_name="n_users")))
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        df["n_users"] = df["n_users"].astype(np.int64)
+        return df
+
+    return out.map_batches(fin, batch_format="pandas")

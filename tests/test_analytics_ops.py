@@ -816,3 +816,46 @@ def test_chi2_independence_cells(ray_session, rng):
         assert abs(row.expected - e) < 1e-9
         assert abs(row.chi2_term - (o - e) ** 2 / e) < 1e-9
     assert out["observed"].sum() == n
+
+
+def test_embedding_norm_stats(ray_session, rng):
+    import ray
+    from t_digest_ray.pipelines.clustering import embedding_norm_stats
+
+    n, d = 120, 16
+    emb = rng.normal(size=(n, d)).astype(np.float32)
+    df = pd.DataFrame({"vec_id": np.arange(n),
+                       "embedding": [list(map(float, r)) for r in emb]})
+    out = (embedding_norm_stats(
+        ray.data.from_pandas(df).repartition(3), "embedding")
+        .to_pandas().iloc[0])
+    sq = emb * emb
+    norms = np.sqrt(np.cumsum(sq.astype(np.float64), axis=1)[:, -1])
+    v = np.sort(norms)
+    assert out["n"] == n
+    assert out["min_norm"] == v[0] and out["max_norm"] == v[-1]
+    assert out["p50"] == v[int(np.ceil(0.5 * n)) - 1]
+
+
+def test_entry_exit_type_counts(ray_session, rng):
+    import ray
+    from t_digest_ray.pipelines.windows import entry_exit_type_counts
+
+    n = 500
+    df = pd.DataFrame({
+        "user": rng.integers(0, 40, n),
+        "ts": pd.to_datetime(rng.integers(0, 10**7, n), unit="s"),
+        "eid": np.arange(n, dtype=np.int64),
+        "t": rng.choice(["a", "b", "c"], n),
+    })
+    out = (entry_exit_type_counts(
+        ray.data.from_pandas(df).repartition(5),
+        "user", "ts", "eid", "t")
+        .to_pandas())
+    got = {(r.first_type, r.last_type): r.n_users
+           for r in out.itertuples()}
+    want = {}
+    for _, g in df.sort_values(["ts", "eid"]).groupby("user"):
+        k = (g["t"].iloc[0], g["t"].iloc[-1])
+        want[k] = want.get(k, 0) + 1
+    assert got == want
