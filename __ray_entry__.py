@@ -5061,6 +5061,39 @@ def entry_exit_type_counts_events(sf_dir: str):
                                   "event_type")
 
 
+def source_topk_other_by_lang(sf_dir: str):
+    """Per-lang top-2 sources + OTHER rollup
+    (pipelines/relational.topk_other_rollup): the reporting shape with
+    a deterministic (count desc, name asc) tie-break and a single
+    aggregated remainder row."""
+    from t_digest_ray.pipelines.relational import topk_other_rollup
+
+    ds = _read(sf_dir, "documents", ["lang", "source"])
+    return topk_other_rollup(ds, "lang", "source", k=2)
+
+
+def users_by_type_breadth(sf_dir: str):
+    """Histogram of users by how many distinct event types they used
+    (pipelines/distinct.distinct_breadth_histogram): member-hash
+    co-partition distinct, |types|+1 integer rows out."""
+    from t_digest_ray.pipelines.distinct import distinct_breadth_histogram
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+    return distinct_breadth_histogram(ds, "user_id", "event_type")
+
+
+def mannwhitney_click_vs_view(sf_dir: str):
+    """Mann-Whitney U rank-sum test click vs view
+    (pipelines/stats.mann_whitney_u): doubled average ranks over the
+    combined value domain, exact bignum rank sums, tie-corrected z in a
+    fixed expression order — bit-identical to the HUGEINT window SQL
+    twin."""
+    from t_digest_ray.pipelines.stats import mann_whitney_u
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    return mann_whitney_u(ds, "event_type", "value", "click", "view")
+
+
 def gini_event_values(sf_dir: str):
     """Exact per-type Gini coefficient of event value
     (pipelines/stats.grouped_gini): integer-cents arithmetic throughout
@@ -5262,6 +5295,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q16_supplier_part_counts": q16_supplier_part_counts,
         "embedding_norm_quantiles": embedding_norm_quantiles,
         "entry_exit_type_counts_events": entry_exit_type_counts_events,
+        "source_topk_other_by_lang": source_topk_other_by_lang,
+        "users_by_type_breadth": users_by_type_breadth,
+        "mannwhitney_click_vs_view": mannwhitney_click_vs_view,
     }
 
 
@@ -7707,5 +7743,60 @@ def oracle_sql() -> dict[str, str]:
                        FROM o GROUP BY 1)
             SELECT first_type, last_type, COUNT(*) AS n_users
             FROM f GROUP BY 1, 2
+        """,
+        "source_topk_other_by_lang": """
+            WITH c AS (SELECT lang, source, COUNT(*) AS cnt
+                       FROM documents GROUP BY 1, 2),
+                 r AS (SELECT lang, source, cnt,
+                              ROW_NUMBER() OVER (PARTITION BY lang
+                                  ORDER BY cnt DESC, source ASC) AS rn
+                       FROM c)
+            SELECT lang, source AS category,
+                   CAST(cnt AS BIGINT) AS cnt,
+                   CAST(rn AS BIGINT) AS rank
+            FROM r WHERE rn <= 2
+            UNION ALL
+            SELECT lang, 'OTHER', CAST(SUM(cnt) AS BIGINT),
+                   CAST(0 AS BIGINT)
+            FROM r WHERE rn > 2 GROUP BY lang
+        """,
+        "users_by_type_breadth": """
+            WITH p AS (SELECT DISTINCT user_id, event_type FROM events),
+                 per AS (SELECT user_id, COUNT(*) AS n_types FROM p
+                         GROUP BY 1)
+            SELECT n_types, COUNT(*) AS n_members
+            FROM per GROUP BY 1
+        """,
+        "mannwhitney_click_vs_view": """
+            WITH c AS (SELECT value, event_type = 'click' AS is_a
+                       FROM events
+                       WHERE event_type IN ('click', 'view')),
+                 d AS (SELECT value,
+                              SUM(CASE WHEN is_a THEN 1 ELSE 0 END)
+                                  AS ca,
+                              SUM(CASE WHEN NOT is_a THEN 1 ELSE 0 END)
+                                  AS cb
+                       FROM c GROUP BY 1),
+                 w AS (SELECT value, ca, cb, ca + cb AS t,
+                              SUM(ca + cb) OVER (ORDER BY value) AS cum
+                       FROM d),
+                 s AS (SELECT CAST(SUM(ca) AS BIGINT) AS na,
+                              CAST(SUM(cb) AS BIGINT) AS nb,
+                              SUM(CAST(2 * cum - t + 1 AS HUGEINT) * ca)
+                                  AS r2a,
+                              SUM(CAST(t AS HUGEINT) * t * t - t)
+                                  AS tie
+                       FROM w)
+            SELECT na AS n_a, nb AS n_b,
+                   CAST(r2a - na * (na + 1) AS BIGINT) AS u2_a,
+                   ((CAST(r2a - na * (na + 1) AS DOUBLE)
+                     - CAST(na * nb AS DOUBLE)) / 2.0)
+                   / SQRT(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)
+                          / 12.0
+                          * (CAST(na + nb + 1 AS DOUBLE)
+                             - CAST(tie AS DOUBLE)
+                               / CAST((na + nb) * (na + nb - 1)
+                                      AS DOUBLE))) AS z
+            FROM s
         """,
     }

@@ -340,3 +340,48 @@ def exact_jaccard_matrix(ds, set_col: str, member_col: str):
                      "jaccard": float(nb) / float(union)})
     out = pd.DataFrame(rows).sort_values(["set_a", "set_b"])
     return out.reset_index(drop=True)
+
+
+def distinct_breadth_histogram(ds, member_col: str, item_col: str):
+    """Breadth histogram: how many members touch exactly k distinct
+    items (e.g. users by number of distinct event types used). One
+    member-hash co-partition makes per-batch-distinct (member, item)
+    pairs globally distinct inside the bucket; per-member counts reduce
+    there too, so only (breadth, count) integer rows — at most
+    |items| + 1 of them — ride the final exchange.
+    """
+    from ray.data.aggregate import Sum
+
+    from ..functions.hashing import hash64
+
+    def distinct_pairs(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            member_col: b[member_col].to_numpy(zero_copy_only=False),
+            item_col: b[item_col].to_numpy(zero_copy_only=False),
+        }).drop_duplicates()
+        df["bucket"] = (hash64(df[member_col].to_numpy())
+                        % np.uint64(256)).astype(np.int32)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def bucket_fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates([member_col, item_col])
+        per = (g.groupby(member_col, as_index=False, sort=False).size()
+               .rename(columns={"size": "n_types"}))
+        out = (per.groupby("n_types", as_index=False, sort=False).size()
+               .rename(columns={"size": "partial"}))
+        out["n_types"] = out["n_types"].astype(np.int64)
+        out["partial"] = out["partial"].astype(np.int64)
+        return out
+
+    out = (ds.map_batches(distinct_pairs, batch_format="pyarrow")
+           .groupby("bucket")
+           .map_groups(bucket_fold, batch_format="pandas")
+           .groupby("n_types")
+           .aggregate(Sum("partial", alias_name="n_members")))
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        df["n_types"] = df["n_types"].astype(np.int64)
+        df["n_members"] = df["n_members"].astype(np.int64)
+        return df
+
+    return out.map_batches(fin, batch_format="pandas")

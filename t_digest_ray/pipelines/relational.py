@@ -725,3 +725,49 @@ def range_join_count(left, right, left_val: str, right_val: str,
         return df
 
     return out.map_batches(fin, batch_format="pandas")
+
+
+def topk_other_rollup(ds, key: str, sub: str, k: int = 2):
+    """Reporting rollup: per key the top-k sub-categories by count
+    (count desc, sub asc tie-break) each with their rank, plus ONE
+    'OTHER' row aggregating every remaining sub-category (emitted only
+    when something remains). Counts combine per batch; the finalize
+    runs per key on the category-sized aggregated table.
+    """
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({key: b[key].to_numpy(zero_copy_only=False),
+                           sub: b[sub].to_numpy(zero_copy_only=False)})
+        g = df.groupby([key, sub], as_index=False, sort=False).size()
+        g = g.rename(columns={"size": "partial"})
+        g["partial"] = g["partial"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    counts = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby([key, sub])
+              .aggregate(Sum("partial", alias_name="cnt")))
+
+    def finalize(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cnt", sub],
+                          ascending=[False, True]).reset_index(drop=True)
+        top = g.iloc[:k]
+        rows = pd.DataFrame({
+            key: top[key].to_numpy(),
+            "category": top[sub].to_numpy(),
+            "cnt": top["cnt"].to_numpy(dtype=np.int64),
+            "rank": np.arange(1, len(top) + 1, dtype=np.int64)})
+        rest = g.iloc[k:]
+        if len(rest):
+            rows = pd.concat([rows, pd.DataFrame({
+                key: [g[key].iloc[0]], "category": ["OTHER"],
+                "cnt": np.array([rest["cnt"].sum()], dtype=np.int64),
+                "rank": np.array([0], dtype=np.int64)})],
+                ignore_index=True)
+        return rows
+
+    return counts.groupby(key).map_groups(finalize,
+                                          batch_format="pandas")

@@ -1096,3 +1096,63 @@ def chi2_independence_cells(ds, row_key: str, col_key: str):
                      "chi2_term": term})
     out = pd.DataFrame(rows).sort_values([row_key, col_key])
     return out.reset_index(drop=True)
+
+
+def mann_whitney_u(ds, key: str, value: str, group_a, group_b):
+    """Mann-Whitney U rank-sum test comparing a value column between
+    two key groups, exact under ties: doubled average ranks
+    (2R − c + 1) over the COMBINED value domain, per-group rank sums as
+    exact integers, and the tie-corrected normal approximation
+
+        z = (U − n_a·n_b/2) / sqrt(n_a·n_b/12 ·
+              ((n+1) − Σ(t³−t)/(n(n−1))))
+
+    with every float derived from exact bignum integers in a fixed
+    expression order. Only value-DOMAIN-sized (value, group, count)
+    rows ride the exchange. Output one row:
+    (n_a, n_b, u2_a — DOUBLED U, int-exact — and z).
+    """
+    import math
+
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        kv = b[key].to_numpy(zero_copy_only=False)
+        keep = (kv == group_a) | (kv == group_b)
+        df = pd.DataFrame({
+            value: b[value].to_numpy(zero_copy_only=False)[keep],
+            "is_a": (kv[keep] == group_a)})
+        g = df.groupby([value, "is_a"], as_index=False, sort=False).size()
+        g = g.rename(columns={"size": "partial"})
+        g["partial"] = g["partial"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    dom = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby([value, "is_a"])
+           .aggregate(Sum("partial", alias_name="cnt"))
+           .to_pandas())  # combined value domain
+    piv = (dom.pivot_table(index=value, columns="is_a", values="cnt",
+                           aggfunc="sum", fill_value=0)
+           .sort_index())
+    ca = piv[True].to_numpy(dtype=np.int64) if True in piv else \
+        np.zeros(len(piv), dtype=np.int64)
+    cb = piv[False].to_numpy(dtype=np.int64) if False in piv else \
+        np.zeros(len(piv), dtype=np.int64)
+    t = ca + cb
+    n_a, n_b = int(ca.sum()), int(cb.sum())
+    n = n_a + n_b
+    cum = np.cumsum(t)
+    dr = 2 * cum - t + 1                     # doubled average ranks
+    r2_a = sum(int(d) * int(c) for d, c in zip(dr, ca))  # bignum
+    u2_a = r2_a - n_a * (n_a + 1)            # doubled U for group a
+    tie = sum(int(x) ** 3 - int(x) for x in t)
+    mean2 = n_a * n_b                        # doubled mean = n_a n_b
+    var = (float(n_a) * float(n_b) / 12.0
+           * (float(n + 1) - float(tie) / float(n * (n - 1))))
+    z = ((float(u2_a) - float(mean2)) / 2.0) / math.sqrt(var) \
+        if var > 0 else 0.0
+    return pd.DataFrame({
+        "n_a": np.array([n_a], dtype=np.int64),
+        "n_b": np.array([n_b], dtype=np.int64),
+        "u2_a": np.array([u2_a], dtype=np.int64),
+        "z": [z]})

@@ -859,3 +859,64 @@ def test_entry_exit_type_counts(ray_session, rng):
         k = (g["t"].iloc[0], g["t"].iloc[-1])
         want[k] = want.get(k, 0) + 1
     assert got == want
+
+
+def test_topk_other_rollup(ray_session):
+    import ray
+    from t_digest_ray.pipelines.relational import topk_other_rollup
+
+    df = pd.DataFrame({
+        "k": ["a"] * 10 + ["b"] * 3,
+        "s": ["x", "x", "x", "y", "y", "z", "z", "w", "w", "w",
+              "p", "q", "q"],
+    })
+    out = (topk_other_rollup(ray.data.from_pandas(df).repartition(3),
+                             "k", "s", k=2)
+           .to_pandas())
+    a = out[out["k"] == "a"].set_index("category")
+    # a: w:3,x:3,y:2,z:2 -> top2 = w,x (tie count desc, name asc); OTHER=4
+    assert a.loc["w", "rank"] == 1 and a.loc["x", "rank"] == 2
+    assert a.loc["OTHER", "cnt"] == 4 and a.loc["OTHER", "rank"] == 0
+    b = out[out["k"] == "b"].set_index("category")
+    assert b.loc["q", "rank"] == 1 and b.loc["p", "rank"] == 2
+    assert "OTHER" not in b.index
+
+
+def test_distinct_breadth_histogram(ray_session, rng):
+    import ray
+    from t_digest_ray.pipelines.distinct import distinct_breadth_histogram
+
+    n = 600
+    df = pd.DataFrame({"u": rng.integers(0, 70, n),
+                       "t": rng.choice(list("abcd"), n)})
+    out = (distinct_breadth_histogram(
+        ray.data.from_pandas(df).repartition(4), "u", "t")
+        .to_pandas())
+    want = (df.drop_duplicates().groupby("u").size()
+            .value_counts().to_dict())
+    got = {r.n_types: r.n_members for r in out.itertuples()}
+    assert got == want
+
+
+def test_mann_whitney_u(ray_session, rng):
+    import ray
+    from t_digest_ray.pipelines.stats import mann_whitney_u
+
+    n = 500
+    df = pd.DataFrame({
+        "k": rng.choice(["x", "y", "z"], n),
+        "v": (rng.integers(0, 40, n) / 4.0),  # heavy ties
+    })
+    df.loc[df["k"] == "y", "v"] += 1.0
+    out = mann_whitney_u(ray.data.from_pandas(df).repartition(4),
+                         "k", "v", "x", "y").iloc[0]
+    a = df.loc[df["k"] == "x", "v"].to_numpy()
+    b = df.loc[df["k"] == "y", "v"].to_numpy()
+    comb = np.concatenate([a, b])
+    ranks = pd.Series(comb).rank().to_numpy()  # average ranks
+    r_a = ranks[:len(a)].sum()
+    u_a = r_a - len(a) * (len(a) + 1) / 2
+    assert out["n_a"] == len(a) and out["n_b"] == len(b)
+    assert out["u2_a"] == int(round(2 * u_a))
+    # y is shifted up -> a's ranks low -> strongly negative z
+    assert out["z"] < -3
