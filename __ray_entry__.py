@@ -5094,6 +5094,32 @@ def mannwhitney_click_vs_view(sf_dir: str):
     return mann_whitney_u(ds, "event_type", "value", "click", "view")
 
 
+def kendall_chars_tokens_docs(sf_dir: str):
+    """Kendall tau-b of n_chars vs token count over documents
+    (pipelines/stats.kendall_tau_b): concordant/discordant counts via a
+    strict 2-D suffix sum over the joint value domain — never row pairs
+    — vs the oracle's O(n²) SIGN-product check."""
+    import pyarrow.compute as pc
+    from t_digest_ray.pipelines.stats import kendall_tau_b
+
+    ds = _read(sf_dir, "documents", ["lang", "text", "n_chars"])
+
+    def derive(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(b["text"].combine_chunks(), " ")
+        flat = pc.list_flatten(toks)
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        emp = pc.equal(flat, "").to_numpy(zero_copy_only=False)
+        doc_idx = np.repeat(np.arange(len(lens)), lens)
+        n_empty = np.bincount(doc_idx[emp], minlength=len(lens))
+        return pa.table({
+            "n_chars": b["n_chars"],
+            "n_tokens": pa.array((lens - n_empty).astype(np.int64))})
+
+    return kendall_tau_b(ds.map_batches(derive,
+                                        batch_format="pyarrow"),
+                         "n_chars", "n_tokens")
+
+
 def gini_event_values(sf_dir: str):
     """Exact per-type Gini coefficient of event value
     (pipelines/stats.grouped_gini): integer-cents arithmetic throughout
@@ -5298,6 +5324,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_topk_other_by_lang": source_topk_other_by_lang,
         "users_by_type_breadth": users_by_type_breadth,
         "mannwhitney_click_vs_view": mannwhitney_click_vs_view,
+        "kendall_chars_tokens_docs": kendall_chars_tokens_docs,
     }
 
 
@@ -7798,5 +7825,29 @@ def oracle_sql() -> dict[str, str]:
                                / CAST((na + nb) * (na + nb - 1)
                                       AS DOUBLE))) AS z
             FROM s
+        """,
+        "kendall_chars_tokens_docs": r"""
+            WITH t AS (SELECT doc_id, n_chars AS x,
+                              len(list_filter(string_split(text, ' '),
+                                              t -> t <> '')) AS y
+                       FROM documents),
+                 p AS (SELECT SUM(CASE WHEN (a.x - b.x) * (a.y - b.y)
+                                            > 0 THEN 1 ELSE 0 END) AS c,
+                              SUM(CASE WHEN (a.x - b.x) * (a.y - b.y)
+                                            < 0 THEN 1 ELSE 0 END) AS d
+                       FROM t a JOIN t b ON a.doc_id < b.doc_id),
+                 m AS (SELECT COUNT(*) AS n FROM t),
+                 tx AS (SELECT SUM(c * (c - 1) // 2) AS n1 FROM
+                        (SELECT COUNT(*) AS c FROM t GROUP BY x)),
+                 ty AS (SELECT SUM(c * (c - 1) // 2) AS n2 FROM
+                        (SELECT COUNT(*) AS c FROM t GROUP BY y))
+            SELECT CAST(m.n AS BIGINT) AS n_rows,
+                   CAST(p.c AS BIGINT) AS concordant,
+                   CAST(p.d AS BIGINT) AS discordant,
+                   CAST(p.c - p.d AS DOUBLE)
+                   / SQRT(CAST(m.n * (m.n - 1) // 2 - tx.n1 AS DOUBLE)
+                          * CAST(m.n * (m.n - 1) // 2 - ty.n2
+                                 AS DOUBLE)) AS tau_b
+            FROM p, m, tx, ty
         """,
     }

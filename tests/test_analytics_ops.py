@@ -920,3 +920,32 @@ def test_mann_whitney_u(ray_session, rng):
     assert out["u2_a"] == int(round(2 * u_a))
     # y is shifted up -> a's ranks low -> strongly negative z
     assert out["z"] < -3
+
+
+def test_kendall_tau_b(ray_session, rng):
+    import ray
+    from t_digest_ray.pipelines.stats import kendall_tau_b
+
+    n = 250
+    df = pd.DataFrame({
+        "x": rng.integers(0, 15, n),   # heavy ties
+        "y": rng.integers(0, 12, n),
+    })
+    df["y"] = df["y"] + df["x"] // 3
+    out = kendall_tau_b(ray.data.from_pandas(df).repartition(4),
+                        "x", "y").iloc[0]
+    # brute force pairwise
+    x, y = df["x"].to_numpy(), df["y"].to_numpy()
+    C = D = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            s = np.sign(x[i] - x[j]) * np.sign(y[i] - y[j])
+            C += s > 0
+            D += s < 0
+    assert out["concordant"] == C and out["discordant"] == D
+    n0 = n * (n - 1) // 2
+    n1 = sum(c * (c - 1) // 2 for c in pd.Series(x).value_counts())
+    n2 = sum(c * (c - 1) // 2 for c in pd.Series(y).value_counts())
+    want = (C - D) / np.sqrt(float(n0 - n1) * float(n0 - n2))
+    assert abs(out["tau_b"] - want) < 1e-12
+    assert out["tau_b"] > 0.2  # induced positive association
