@@ -46,7 +46,10 @@ PIPELINES = ("quantiles", "kll", "req", "distinct", "heavy", "heavy_mg",
              "cusum", "rfm", "bm25", "jaccard_matrix", "locf", "welch",
              "pearson", "spearman", "quality_funnel", "json_field",
              "cooccurrence", "token_cosine", "fuzzy_pairs",
-             "fuzzy_clusters")
+             "fuzzy_clusters", "psi", "chi2_cells", "hash_split",
+             "top_ties", "neyman", "moving_sum", "period_growth",
+             "entry_exit", "breadth_hist", "topk_other",
+             "mannwhitney", "kendall", "embedding_norms")
 
 
 @dataclass
@@ -542,6 +545,64 @@ def run_job(cfg: JobConfig):
                  .aggregate(Sum("one", alias_name="cnt")))
         out = rd.from_pandas(fuzzy_cluster_stats(
             vocab, cfg.value_col, "cnt", **p))
+    elif cfg.pipeline == "psi":
+        import ray.data as rd
+
+        from .pipelines.stats import psi_bin_report
+        out = rd.from_pandas(psi_bin_report(
+            ds, cfg.key, cfg.value_col, **p))
+    elif cfg.pipeline == "chi2_cells":
+        import ray.data as rd
+
+        from .pipelines.stats import chi2_independence_cells
+        out = rd.from_pandas(chi2_independence_cells(
+            ds, cfg.key, cfg.value_col, **p))
+    elif cfg.pipeline == "hash_split":
+        from .pipelines.curation import hash_split_counts
+        out = hash_split_counts(ds, key=cfg.key, **p)
+    elif cfg.pipeline == "top_ties":
+        from .pipelines.stats import top_distinct_value_rows
+        out = top_distinct_value_rows(ds, cfg.key, cfg.value_col, **p)
+    elif cfg.pipeline == "neyman":
+        import ray.data as rd
+
+        from .pipelines.stats import neyman_allocation
+        out = rd.from_pandas(neyman_allocation(
+            ds, cfg.key, cfg.value_col, **p))
+    elif cfg.pipeline == "moving_sum":
+        from .pipelines.windows import moving_frame_sums
+        out = moving_frame_sums(ds, cfg.key, value=cfg.value_col, **p)
+    elif cfg.pipeline == "period_growth":
+        import ray.data as rd
+
+        from .pipelines.windows import period_growth
+        out = rd.from_pandas(period_growth(ds, cfg.key,
+                                           cfg.value_col, **p))
+    elif cfg.pipeline == "entry_exit":
+        from .pipelines.windows import entry_exit_type_counts
+        out = entry_exit_type_counts(ds, cfg.key,
+                                     type_col=cfg.value_col, **p)
+    elif cfg.pipeline == "breadth_hist":
+        from .pipelines.distinct import distinct_breadth_histogram
+        out = distinct_breadth_histogram(ds, cfg.key, cfg.value_col,
+                                         **p)
+    elif cfg.pipeline == "topk_other":
+        from .pipelines.relational import topk_other_rollup
+        out = topk_other_rollup(ds, cfg.key, cfg.value_col, **p)
+    elif cfg.pipeline == "mannwhitney":
+        import ray.data as rd
+
+        from .pipelines.stats import mann_whitney_u
+        out = rd.from_pandas(mann_whitney_u(
+            ds, cfg.key, cfg.value_col, **p))
+    elif cfg.pipeline == "kendall":
+        import ray.data as rd
+
+        from .pipelines.stats import kendall_tau_b
+        out = rd.from_pandas(kendall_tau_b(ds, **p))
+    elif cfg.pipeline == "embedding_norms":
+        from .pipelines.clustering import embedding_norm_stats
+        out = embedding_norm_stats(ds, cfg.value_col, **p)
     elif cfg.pipeline == "export_text":
         import glob
         import os

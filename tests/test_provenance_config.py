@@ -458,3 +458,96 @@ def test_config_analytics_routes(ray_session):
                             value_col="lang")).to_pandas()
     # "en"/"es" (and kin) are one substitution apart -> >=1 cluster
     assert len(out) >= 1 and (out["n_heads"] >= 2).all()
+
+
+def test_config_analytics_routes_wave2(ray_session):
+    """Config coverage for the late-round analytics operators."""
+    sf = "/root/testdata/sf0.001"
+    ev = f"{sf}/events.parquet"
+    docs = f"{sf}/documents.parquet"
+    emb = f"{sf}/embeddings.parquet"
+
+    out = run_job(JobConfig(pipeline="psi", input=ev,
+                            columns=["event_type", "value"],
+                            value_col="value", key="event_type",
+                            params={"ref_group": "click",
+                                    "cmp_group": "view"})).to_pandas()
+    assert len(out) == 10
+
+    out = run_job(JobConfig(pipeline="chi2_cells", input=docs,
+                            columns=["lang", "source"],
+                            value_col="source", key="lang")).to_pandas()
+    assert (out["observed"] > 0).all()
+
+    out = run_job(JobConfig(pipeline="hash_split", input=docs,
+                            columns=["doc_id", "lang", "n_chars"],
+                            key="lang",
+                            params={"id_col": "doc_id",
+                                    "stat_col": "n_chars"})).to_pandas()
+    assert set(out["split"]) <= {"train", "test"}
+
+    out = run_job(JobConfig(pipeline="top_ties", input=docs,
+                            columns=["lang", "doc_id", "n_chars"],
+                            value_col="n_chars", key="lang",
+                            params={"id_col": "doc_id",
+                                    "k": 2})).to_pandas()
+    assert len(out) > 0
+
+    out = run_job(JobConfig(pipeline="neyman", input=ev,
+                            columns=["event_type", "value"],
+                            value_col="value", key="event_type",
+                            params={"total_n": 100})).to_pandas()
+    assert out["alloc"].sum() == 100
+
+    out = run_job(JobConfig(pipeline="moving_sum", input=ev,
+                            columns=["event_type", "ts", "event_id",
+                                     "value"],
+                            value_col="value", key="event_type",
+                            params={"ts_col": "ts",
+                                    "tie_col": "event_id",
+                                    "frame": 3})).to_pandas()
+    assert (out["frame_sum_cents"] >= 0).all()
+
+    out = run_job(JobConfig(pipeline="period_growth", input=ev,
+                            columns=["ts", "value"],
+                            value_col="value", key="ts",
+                            params={"fmt": "%Y-%m-%d"})).to_pandas()
+    assert (out["growth"] > 0).all()
+
+    out = run_job(JobConfig(pipeline="entry_exit", input=ev,
+                            columns=["user_id", "ts", "event_id",
+                                     "event_type"],
+                            value_col="event_type", key="user_id",
+                            params={"ts_col": "ts",
+                                    "tie_col": "event_id"})).to_pandas()
+    assert out["n_users"].sum() > 0
+
+    out = run_job(JobConfig(pipeline="breadth_hist", input=ev,
+                            columns=["user_id", "event_type"],
+                            value_col="event_type",
+                            key="user_id")).to_pandas()
+    assert out["n_members"].sum() > 0
+
+    out = run_job(JobConfig(pipeline="topk_other", input=docs,
+                            columns=["lang", "source"],
+                            value_col="source", key="lang",
+                            params={"k": 1})).to_pandas()
+    assert (out["rank"] <= 1).all()
+
+    out = run_job(JobConfig(pipeline="mannwhitney", input=ev,
+                            columns=["event_type", "value"],
+                            value_col="value", key="event_type",
+                            params={"group_a": "click",
+                                    "group_b": "view"})).to_pandas()
+    assert len(out) == 1
+
+    out = run_job(JobConfig(pipeline="kendall", input=ev,
+                            columns=["event_id", "user_id"],
+                            params={"x_col": "event_id",
+                                    "y_col": "user_id"})).to_pandas()
+    assert -1.0 <= out["tau_b"].iloc[0] <= 1.0
+
+    out = run_job(JobConfig(pipeline="embedding_norms", input=emb,
+                            columns=["vec_id", "embedding"],
+                            value_col="embedding")).to_pandas()
+    assert out["n"].iloc[0] > 0
