@@ -5120,6 +5120,28 @@ def kendall_chars_tokens_docs(sf_dir: str):
                          "n_chars", "n_tokens")
 
 
+def vocab_richness_by_lang(sf_dir: str):
+    """Per-lang vocabulary richness: N, V, hapax count and Yule's K
+    (pipelines/textstats.vocab_richness) — the lexical-diversity audit
+    over the vocabulary-sized (lang, token) exchange; K is one
+    fixed-order expression over exact integers."""
+    from t_digest_ray.pipelines.textstats import vocab_richness
+
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+    return vocab_richness(ds, "text", "lang")
+
+
+def fano_burstiness_by_type(sf_dir: str):
+    """Per-type Fano factor of hourly event counts
+    (pipelines/windows.fano_burstiness): burstiness vs Poisson over
+    nonempty tumbling windows, exact integer moments on the
+    time-span-sized exchange."""
+    from t_digest_ray.pipelines.windows import fano_burstiness
+
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+    return fano_burstiness(ds, "event_type", "ts", window_s=3600)
+
+
 def gini_event_values(sf_dir: str):
     """Exact per-type Gini coefficient of event value
     (pipelines/stats.grouped_gini): integer-cents arithmetic throughout
@@ -5325,6 +5347,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "users_by_type_breadth": users_by_type_breadth,
         "mannwhitney_click_vs_view": mannwhitney_click_vs_view,
         "kendall_chars_tokens_docs": kendall_chars_tokens_docs,
+        "vocab_richness_by_lang": vocab_richness_by_lang,
+        "fano_burstiness_by_type": fano_burstiness_by_type,
     }
 
 
@@ -7849,5 +7873,46 @@ def oracle_sql() -> dict[str, str]:
                           * CAST(m.n * (m.n - 1) // 2 - ty.n2
                                  AS DOUBLE)) AS tau_b
             FROM p, m, tx, ty
+        """,
+        "vocab_richness_by_lang": """
+            WITH tok AS (SELECT lang,
+                                unnest(string_split(text, ' ')) AS t
+                         FROM documents),
+                 v AS (SELECT lang, t, COUNT(*) AS cnt FROM tok
+                       WHERE t <> '' GROUP BY 1, 2),
+                 s AS (SELECT lang,
+                              CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+                              CAST(COUNT(*) AS BIGINT) AS n_vocab,
+                              CAST(SUM(CASE WHEN cnt = 1 THEN 1
+                                            ELSE 0 END) AS BIGINT)
+                                  AS n_hapax,
+                              SUM(CAST(cnt AS HUGEINT) * cnt) AS m2
+                       FROM v GROUP BY 1)
+            SELECT lang, n_tokens, n_vocab, n_hapax,
+                   10000.0 * CAST(m2 - n_tokens AS DOUBLE)
+                   / (CAST(n_tokens AS DOUBLE)
+                      * CAST(n_tokens AS DOUBLE)) AS yule_k
+            FROM s
+        """,
+        "fano_burstiness_by_type": """
+            WITH w AS (SELECT event_type,
+                              CAST(epoch_us(ts) // 3600000000
+                                   AS BIGINT) AS h,
+                              COUNT(*) AS c
+                       FROM events GROUP BY 1, 2),
+                 s AS (SELECT event_type,
+                              CAST(COUNT(*) AS BIGINT) AS nw,
+                              CAST(SUM(c) AS BIGINT) AS sc,
+                              SUM(CAST(c AS HUGEINT) * c) AS ss
+                       FROM w GROUP BY 1)
+            SELECT event_type, nw AS n_windows, sc AS n_events,
+                   CASE WHEN nw > 1 AND sc > 0 THEN
+                       (CAST(nw * ss - CAST(sc AS HUGEINT) * sc
+                             AS DOUBLE)
+                        / CAST(CAST(nw AS HUGEINT) * (nw - 1)
+                               AS DOUBLE))
+                       / (CAST(sc AS DOUBLE) / CAST(nw AS DOUBLE))
+                   ELSE 0.0 END AS fano
+            FROM s
         """,
     }

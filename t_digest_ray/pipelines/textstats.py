@@ -706,3 +706,57 @@ def lang_token_cosine(ds, text_col: str, key: str, k: int = 20):
                    if na > 0 and nb > 0 else 0.0)
             rows.append({"key_a": a, "key_b": b_, "cosine": cos})
     return pd.DataFrame(rows)
+
+
+def vocab_richness(ds, text_col: str, key: str):
+    """Vocabulary-richness report per key: corpus token count N,
+    vocabulary size V, hapax count V1 (tokens seen exactly once) and
+    Yule's K = 10^4 · (Σ_m m²·V_m − N) / N² over the frequency
+    spectrum — the classic lexical-diversity audit of a text corpus.
+
+    Scale shape: per-batch (key, token) count partials combine
+    (vocabulary-sized exchange, same contract as token_df_stats —
+    a doc lives in one batch so partials are exact), then the spectrum
+    fold (cnt → #tokens) reduces to at most |distinct counts| rows per
+    key before the bignum driver fold. K is one fixed-order expression
+    over exact integers — bit-identical to the SQL twin.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        lists = pc.split_pattern(b[text_col].combine_chunks(), " ")
+        toks = pc.list_flatten(lists)
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        lens = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
+        keys = np.repeat(b[key].to_numpy(zero_copy_only=False), lens)
+        df = pd.DataFrame({key: keys,
+                           "token": toks.to_numpy(zero_copy_only=False)})
+        df = df[df["token"] != ""]
+        g = df.groupby([key, "token"], as_index=False, sort=False).size()
+        g = g.rename(columns={"size": "partial"})
+        g["partial"] = g["partial"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    vocab = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby([key, "token"])
+             .aggregate(Sum("partial", alias_name="cnt")))
+
+    def spectrum(g: pd.DataFrame) -> pd.DataFrame:
+        cnt = g["cnt"].to_numpy(dtype=np.int64)
+        n = int(cnt.sum())
+        v = len(cnt)
+        v1 = int((cnt == 1).sum())
+        m2 = sum(int(c) * int(c) for c in cnt)     # Σ m²·V_m = Σ cnt²
+        k = (10000.0 * float(m2 - n) / (float(n) * float(n))
+             if n > 0 else 0.0)
+        return pd.DataFrame({
+            key: [g[key].iloc[0]],
+            "n_tokens": np.array([n], dtype=np.int64),
+            "n_vocab": np.array([v], dtype=np.int64),
+            "n_hapax": np.array([v1], dtype=np.int64),
+            "yule_k": [k]})
+
+    return vocab.groupby(key).map_groups(spectrum,
+                                         batch_format="pandas")

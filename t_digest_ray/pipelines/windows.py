@@ -807,3 +807,51 @@ def entry_exit_type_counts(ds, user_col: str, ts_col: str, tie_col: str,
         return df
 
     return out.map_batches(fin, batch_format="pandas")
+
+
+def fano_burstiness(ds, key: str, ts_col: str, window_s: int = 3600):
+    """Burstiness report per key: the Fano factor (sample variance /
+    mean) of per-window event counts over NONEMPTY tumbling windows —
+    ~1 for a Poisson arrival process, >1 for bursty traffic. Counts
+    per (key, window) combine per batch (time-span-sized exchange);
+    the moment fold runs on that aggregated table with exact integers
+    and one fixed-order float expression, bit-identical to the HUGEINT
+    SQL twin.
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    us = np.int64(window_s) * np.int64(1_000_000)
+
+    def partial(b: pa.Table) -> pa.Table:
+        ts = pc.cast(pc.cast(b[ts_col].combine_chunks(),
+                             pa.timestamp("us")),
+                     pa.int64()).to_numpy()
+        df = pd.DataFrame({key: b[key].to_numpy(zero_copy_only=False),
+                           "w": ts // us})
+        g = df.groupby([key, "w"], as_index=False, sort=False).size()
+        g = g.rename(columns={"size": "partial"})
+        g["partial"] = g["partial"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    wc = (ds.map_batches(partial, batch_format="pyarrow")
+          .groupby([key, "w"])
+          .aggregate(Sum("partial", alias_name="c")))
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        c = g["c"].to_numpy(dtype=np.int64)
+        nw = len(c)
+        sc = sum(int(x) for x in c)
+        ss = sum(int(x) * int(x) for x in c)
+        if nw > 1 and sc > 0:
+            var = float(nw * ss - sc * sc) / float(nw * (nw - 1))
+            fano = var / (float(sc) / float(nw))
+        else:
+            fano = 0.0
+        return pd.DataFrame({
+            key: [g[key].iloc[0]],
+            "n_windows": np.array([nw], dtype=np.int64),
+            "n_events": np.array([sc], dtype=np.int64),
+            "fano": [fano]})
+
+    return wc.groupby(key).map_groups(fold, batch_format="pandas")

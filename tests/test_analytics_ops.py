@@ -949,3 +949,44 @@ def test_kendall_tau_b(ray_session, rng):
     want = (C - D) / np.sqrt(float(n0 - n1) * float(n0 - n2))
     assert abs(out["tau_b"] - want) < 1e-12
     assert out["tau_b"] > 0.2  # induced positive association
+
+
+def test_vocab_richness(ray_session):
+    import ray
+    from t_digest_ray.pipelines.textstats import vocab_richness
+
+    docs = pd.DataFrame({
+        "lang": ["en", "en", "fr"],
+        "text": ["a b a c", "b a d", "x y x"],
+    })
+    out = (vocab_richness(ray.data.from_pandas(docs).repartition(2),
+                          "text", "lang").to_pandas().set_index("lang"))
+    # en: tokens a:3 b:2 c:1 d:1 -> N=7 V=4 V1=2, sum cnt^2=9+4+1+1=15
+    assert out.loc["en", "n_tokens"] == 7
+    assert out.loc["en", "n_vocab"] == 4
+    assert out.loc["en", "n_hapax"] == 2
+    assert abs(out.loc["en", "yule_k"] - 1e4 * (15 - 7) / 49) < 1e-9
+    # fr: x:2 y:1 -> N=3 V=2 V1=1
+    assert out.loc["fr", "n_vocab"] == 2 and out.loc["fr", "n_hapax"] == 1
+
+
+def test_fano_burstiness(ray_session, rng):
+    import ray
+    from t_digest_ray.pipelines.windows import fano_burstiness
+
+    n = 600
+    df = pd.DataFrame({
+        "k": rng.choice(["p", "q"], n),
+        "ts": pd.to_datetime(rng.integers(0, 3600 * 50, n), unit="s"),
+    })
+    out = (fano_burstiness(ray.data.from_pandas(df).repartition(4),
+                           "k", "ts", window_s=3600)
+           .to_pandas().set_index("k"))
+    for k, g in df.groupby("k"):
+        hours = (g["ts"].astype("datetime64[us]").astype(np.int64)
+                 // (3600 * 10**6))
+        c = hours.value_counts().to_numpy()
+        fano = c.var(ddof=1) / c.mean()
+        assert out.loc[k, "n_windows"] == len(c)
+        assert out.loc[k, "n_events"] == len(g)
+        assert abs(out.loc[k, "fano"] - fano) < 1e-12
