@@ -990,3 +990,99 @@ def test_fano_burstiness(ray_session, rng):
         assert out.loc[k, "n_windows"] == len(c)
         assert out.loc[k, "n_events"] == len(g)
         assert abs(out.loc[k, "fano"] - fano) < 1e-12
+
+
+def test_mann_whitney_identities(ray_session, rng):
+    """U_a + U_b == n_a·n_b (doubled: u2_a + u2_b == 2·n_a·n_b) and the
+    z statistic flips sign when the groups swap."""
+    import ray
+    from t_digest_ray.pipelines.stats import mann_whitney_u
+
+    df = pd.DataFrame({
+        "k": rng.choice(["x", "y"], 300),
+        "v": rng.integers(0, 20, 300) / 2.0,
+    })
+    d = ray.data.from_pandas(df).repartition(3)
+    ab = mann_whitney_u(d, "k", "v", "x", "y").iloc[0]
+    ba = mann_whitney_u(d, "k", "v", "y", "x").iloc[0]
+    n_a, n_b = int(ab["n_a"]), int(ab["n_b"])
+    assert int(ab["u2_a"]) + int(ba["u2_a"]) == 2 * n_a * n_b
+    assert abs(ab["z"] + ba["z"]) < 1e-12
+
+
+def test_kendall_identities(ray_session, rng):
+    """tau in [-1, 1]; negating y negates tau exactly; a strictly
+    monotone distinct mapping gives tau == 1."""
+    import ray
+    from t_digest_ray.pipelines.stats import kendall_tau_b
+
+    df = pd.DataFrame({"x": rng.permutation(80).astype(np.int64)})
+    df["y"] = 3 * df["x"] + 1
+    d = ray.data.from_pandas(df).repartition(3)
+    perfect = kendall_tau_b(d, "x", "y").iloc[0]
+    assert perfect["tau_b"] == 1.0 and perfect["discordant"] == 0
+
+    df2 = pd.DataFrame({"x": rng.integers(0, 10, 200),
+                        "y": rng.integers(0, 10, 200)})
+    df2["yneg"] = -df2["y"]
+    d2 = ray.data.from_pandas(df2).repartition(3)
+    t1 = kendall_tau_b(d2, "x", "y").iloc[0]
+    t2 = kendall_tau_b(d2, "x", "yneg").iloc[0]
+    assert -1.0 <= t1["tau_b"] <= 1.0
+    assert t1["concordant"] == t2["discordant"]
+    assert t1["discordant"] == t2["concordant"]
+    assert abs(t1["tau_b"] + t2["tau_b"]) < 1e-12
+
+
+def test_percent_rank_bounds_and_monotone(ray_session, rng):
+    import ray
+    from t_digest_ray.pipelines.stats import grouped_percent_rank
+
+    df = pd.DataFrame({"k": ["g"] * 300,
+                       "v": rng.integers(0, 40, 300) / 4.0})
+    out = (grouped_percent_rank(
+        ray.data.from_pandas(df).repartition(3), "k", "v")
+        .to_pandas().sort_values("v"))
+    pr = out["pct_rank"].to_numpy()
+    assert pr[0] == 0.0
+    assert np.all(np.diff(pr) > 0)           # strictly monotone
+    assert pr[-1] <= 1.0
+    # counts re-sum to n
+    assert out["cnt"].sum() == 300
+
+
+def test_quantile_cont_monotone(ray_session, rng):
+    import ray
+    from t_digest_ray.pipelines.stats import grouped_quantile_cont
+
+    df = pd.DataFrame({"k": ["g"] * 250,
+                       "v": rng.normal(50, 10, 250).round(2)})
+    qs = (0.05, 0.25, 0.5, 0.75, 0.95)
+    out = (grouped_quantile_cont(
+        ray.data.from_pandas(df).repartition(3), "k", "v", qs)
+        .to_pandas().iloc[0])
+    vals = [out[f"cq{int(round(q * 100)):02d}"] for q in qs]
+    assert all(a <= b for a, b in zip(vals, vals[1:]))
+    assert df["v"].min() <= vals[0] and vals[-1] <= df["v"].max()
+
+
+def test_locf_counts_conserve(ray_session, rng):
+    import ray
+    from t_digest_ray.pipelines.windows import locf_fill_stats
+
+    n = 300
+    df = pd.DataFrame({
+        "u": rng.integers(0, 30, n),
+        "ts": pd.to_datetime(rng.integers(0, 10**6, n), unit="s"),
+        "eid": np.arange(n, dtype=np.int64),
+        "k": rng.choice(["a", "b"], n),
+        "v": rng.integers(0, 100, n).astype(float),
+    })
+    df.loc[df["eid"] % 2 == 0, "v"] = np.nan
+    out = (locf_fill_stats(
+        ray.data.from_pandas(df).repartition(4),
+        "u", "ts", "eid", "v", "k").to_pandas())
+    assert (out["n_missing"]
+            == out["n_filled"] + out["n_unfilled"]).all()
+    assert out["n_rows"].sum() == n
+    assert out["n_missing"].sum() == (df["eid"] % 2 == 0).sum()
