@@ -5142,6 +5142,27 @@ def fano_burstiness_by_type(sf_dir: str):
     return fano_burstiness(ds, "event_type", "ts", window_s=3600)
 
 
+def weekday_hour_heatmap_events(sf_dir: str):
+    """Calendar heatmap of event counts per (type, weekday, hour)
+    (pipelines/windows.weekday_hour_heatmap): pure integer µs
+    arithmetic, 0=Sunday dayofweek convention, ≤ types×168 rows."""
+    from t_digest_ray.pipelines.windows import weekday_hour_heatmap
+
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+    return weekday_hour_heatmap(ds, "event_type", "ts")
+
+
+def event_streaks_by_type(sf_dir: str):
+    """Gaps-and-islands same-type run report per event type
+    (pipelines/windows.event_streaks): per-user co-located vectorized
+    run detection; SQL twin is the ROW_NUMBER-difference pattern."""
+    from t_digest_ray.pipelines.windows import event_streaks
+
+    ds = _read(sf_dir, "events",
+               ["user_id", "ts", "event_id", "event_type"])
+    return event_streaks(ds, "user_id", "ts", "event_id", "event_type")
+
+
 def gini_event_values(sf_dir: str):
     """Exact per-type Gini coefficient of event value
     (pipelines/stats.grouped_gini): integer-cents arithmetic throughout
@@ -5349,6 +5370,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kendall_chars_tokens_docs": kendall_chars_tokens_docs,
         "vocab_richness_by_lang": vocab_richness_by_lang,
         "fano_burstiness_by_type": fano_burstiness_by_type,
+        "weekday_hour_heatmap_events": weekday_hour_heatmap_events,
+        "event_streaks_by_type": event_streaks_by_type,
     }
 
 
@@ -7914,5 +7937,29 @@ def oracle_sql() -> dict[str, str]:
                        / (CAST(sc AS DOUBLE) / CAST(nw AS DOUBLE))
                    ELSE 0.0 END AS fano
             FROM s
+        """,
+        "weekday_hour_heatmap_events": """
+            SELECT event_type,
+                   CAST(dayofweek(ts) AS BIGINT) AS weekday,
+                   CAST(hour(ts) AS BIGINT) AS hour,
+                   COUNT(*) AS n_events
+            FROM events GROUP BY 1, 2, 3
+        """,
+        "event_streaks_by_type": """
+            WITH o AS (SELECT user_id, event_type,
+                              ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn,
+                              ROW_NUMBER() OVER (
+                                  PARTITION BY user_id, event_type
+                                  ORDER BY ts, event_id) AS rt
+                       FROM events),
+                 r AS (SELECT user_id, event_type, rn - rt AS grp,
+                              COUNT(*) AS len
+                       FROM o GROUP BY 1, 2, 3)
+            SELECT event_type, COUNT(*) AS n_runs,
+                   CAST(MAX(len) AS BIGINT) AS max_run,
+                   CAST(SUM(CASE WHEN len >= 3 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_streaks
+            FROM r GROUP BY 1
         """,
     }

@@ -855,3 +855,112 @@ def fano_burstiness(ds, key: str, ts_col: str, window_s: int = 3600):
             "fano": [fano]})
 
     return wc.groupby(key).map_groups(fold, batch_format="pandas")
+
+
+def weekday_hour_heatmap(ds, key: str, ts_col: str):
+    """Calendar heatmap: event counts per (key, weekday, hour-of-day),
+    weekday 0=Sunday..6=Saturday (the SQL dayofweek convention; derived
+    as (epoch_days + 4) % 7 since 1970-01-01 was a Thursday). Pure
+    integer arithmetic on the µs timestamps; at most keys×7×24 count
+    rows ride the exchange.
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    DAY_US = np.int64(86_400_000_000)
+    HOUR_US = np.int64(3_600_000_000)
+
+    def partial(b: pa.Table) -> pa.Table:
+        ts = pc.cast(pc.cast(b[ts_col].combine_chunks(),
+                             pa.timestamp("us")),
+                     pa.int64()).to_numpy()
+        days = ts // DAY_US
+        df = pd.DataFrame({
+            key: b[key].to_numpy(zero_copy_only=False),
+            "weekday": (days + 4) % 7,
+            "hour": (ts % DAY_US) // HOUR_US})
+        g = df.groupby([key, "weekday", "hour"], as_index=False,
+                       sort=False).size()
+        g = g.rename(columns={"size": "partial"})
+        g["partial"] = g["partial"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby([key, "weekday", "hour"])
+           .aggregate(Sum("partial", alias_name="n_events")))
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        for c in ("weekday", "hour", "n_events"):
+            df[c] = df[c].astype(np.int64)
+        return df
+
+    return out.map_batches(fin, batch_format="pandas")
+
+
+def event_streaks(ds, user_col: str, ts_col: str, tie_col: str,
+                  type_col: str, coarse: int | None = None,
+                  n_rows: int | None = None):
+    """Gaps-and-islands: maximal runs of the SAME event type within
+    each user's (ts, tie)-ordered stream, reported per type as the
+    number of runs, the longest run, and the count of runs of length
+    >= 3 (a "streak"). Per-user hash-bucket co-location, vectorized
+    run-boundary detection, only |types|-sized integer rows on the
+    final exchange — the distributed form of the SQL gaps-and-islands
+    ROW_NUMBER-difference pattern.
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Max, Sum
+
+    from ..stages.partitioning import coarse_bucket_count
+
+    if coarse is None:
+        coarse = coarse_bucket_count(ds, n_rows=n_rows,
+                                     rows_per_bucket=262144,
+                                     what="event_streaks")
+
+    def project(b: pa.Table) -> pa.Table:
+        users = b[user_col].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "bucket": pa.array((hash64(users)
+                                % np.uint64(coarse)).astype(np.int32)),
+            user_col: b[user_col],
+            "ts_us": pa.array(_epoch_us(b[ts_col])),
+            tie_col: b[tie_col],
+            type_col: b[type_col],
+        })
+
+    def bucket_runs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([user_col, "ts_us", tie_col], kind="stable")
+        users = g[user_col].to_numpy()
+        types = g[type_col].to_numpy()
+        n = len(g)
+        new_run = np.ones(n, dtype=bool)
+        new_run[1:] = (users[1:] != users[:-1]) | (types[1:] != types[:-1])
+        run_id = np.cumsum(new_run) - 1
+        lens = np.bincount(run_id)
+        run_types = types[np.flatnonzero(new_run)]
+        df = pd.DataFrame({type_col: run_types,
+                           "n_runs": np.int64(1),
+                           "max_run": lens.astype(np.int64),
+                           "n_streaks": (lens >= 3).astype(np.int64)})
+        out = df.groupby(type_col, as_index=False, sort=False).agg(
+            n_runs=("n_runs", "sum"), max_run=("max_run", "max"),
+            n_streaks=("n_streaks", "sum"))
+        for c in ("n_runs", "max_run", "n_streaks"):
+            out[c] = out[c].astype(np.int64)
+        return out
+
+    out = (ds.map_batches(project, batch_format="pyarrow")
+           .groupby("bucket")
+           .map_groups(bucket_runs, batch_format="pandas")
+           .groupby(type_col)
+           .aggregate(Sum("n_runs", alias_name="n_runs"),
+                      Max("max_run", alias_name="max_run"),
+                      Sum("n_streaks", alias_name="n_streaks")))
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        for c in ("n_runs", "max_run", "n_streaks"):
+            df[c] = df[c].astype(np.int64)
+        return df
+
+    return out.map_batches(fin, batch_format="pandas")

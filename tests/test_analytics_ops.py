@@ -1086,3 +1086,44 @@ def test_locf_counts_conserve(ray_session, rng):
             == out["n_filled"] + out["n_unfilled"]).all()
     assert out["n_rows"].sum() == n
     assert out["n_missing"].sum() == (df["eid"] % 2 == 0).sum()
+
+
+def test_weekday_hour_heatmap(ray_session):
+    import ray
+    from t_digest_ray.pipelines.windows import weekday_hour_heatmap
+
+    # 1970-01-01 was a Thursday (dow=4 in the 0=Sunday convention)
+    df = pd.DataFrame({
+        "k": ["a", "a", "a", "b"],
+        "ts": pd.to_datetime(["1970-01-01 00:30:00",   # Thu h0
+                              "1970-01-01 23:10:00",   # Thu h23
+                              "1970-01-04 05:00:00",   # Sun h5
+                              "2024-01-01 12:00:00"]),  # Mon h12
+    })
+    out = (weekday_hour_heatmap(ray.data.from_pandas(df), "k", "ts")
+           .to_pandas())
+    got = {(r.k, r.weekday, r.hour): r.n_events
+           for r in out.itertuples()}
+    assert got == {("a", 4, 0): 1, ("a", 4, 23): 1,
+                   ("a", 0, 5): 1, ("b", 1, 12): 1}
+
+
+def test_event_streaks(ray_session):
+    import ray
+    from t_digest_ray.pipelines.windows import event_streaks
+
+    # user 1: a a a b a  -> runs a(3), b(1), a(1)
+    # user 2: b b        -> runs b(2)
+    df = pd.DataFrame({
+        "u": [1, 1, 1, 1, 1, 2, 2],
+        "ts": pd.to_datetime(np.arange(7), unit="s"),
+        "eid": np.arange(7, dtype=np.int64),
+        "t": ["a", "a", "a", "b", "a", "b", "b"],
+    })
+    out = (event_streaks(ray.data.from_pandas(df).repartition(3),
+                         "u", "ts", "eid", "t")
+           .to_pandas().set_index("t"))
+    assert out.loc["a", "n_runs"] == 2 and out.loc["a", "max_run"] == 3
+    assert out.loc["a", "n_streaks"] == 1
+    assert out.loc["b", "n_runs"] == 2 and out.loc["b", "max_run"] == 2
+    assert out.loc["b", "n_streaks"] == 0
