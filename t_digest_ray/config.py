@@ -49,7 +49,8 @@ PIPELINES = ("quantiles", "kll", "req", "distinct", "heavy", "heavy_mg",
              "fuzzy_clusters", "psi", "chi2_cells", "hash_split",
              "top_ties", "neyman", "moving_sum", "period_growth",
              "entry_exit", "breadth_hist", "topk_other",
-             "mannwhitney", "kendall", "embedding_norms")
+             "mannwhitney", "kendall", "embedding_norms",
+             "vocab_richness", "fano", "heatmap", "streaks")
 
 
 @dataclass
@@ -603,6 +604,18 @@ def run_job(cfg: JobConfig):
     elif cfg.pipeline == "embedding_norms":
         from .pipelines.clustering import embedding_norm_stats
         out = embedding_norm_stats(ds, cfg.value_col, **p)
+    elif cfg.pipeline == "vocab_richness":
+        from .pipelines.textstats import vocab_richness
+        out = vocab_richness(ds, cfg.value_col, cfg.key, **p)
+    elif cfg.pipeline == "fano":
+        from .pipelines.windows import fano_burstiness
+        out = fano_burstiness(ds, cfg.key, cfg.value_col, **p)
+    elif cfg.pipeline == "heatmap":
+        from .pipelines.windows import weekday_hour_heatmap
+        out = weekday_hour_heatmap(ds, cfg.key, cfg.value_col, **p)
+    elif cfg.pipeline == "streaks":
+        from .pipelines.windows import event_streaks
+        out = event_streaks(ds, cfg.key, type_col=cfg.value_col, **p)
     elif cfg.pipeline == "export_text":
         import glob
         import os

@@ -551,3 +551,34 @@ def test_config_analytics_routes_wave2(ray_session):
                             columns=["vec_id", "embedding"],
                             value_col="embedding")).to_pandas()
     assert out["n"].iloc[0] > 0
+
+
+def test_config_analytics_routes_wave3(ray_session):
+    sf = "/root/testdata/sf0.001"
+    ev = f"{sf}/events.parquet"
+    docs = f"{sf}/documents.parquet"
+
+    out = run_job(JobConfig(pipeline="vocab_richness", input=docs,
+                            columns=["lang", "text"],
+                            value_col="text", key="lang")).to_pandas()
+    assert (out["n_vocab"] > 0).all() and (out["yule_k"] > 0).all()
+
+    out = run_job(JobConfig(pipeline="fano", input=ev,
+                            columns=["event_type", "ts"],
+                            value_col="ts", key="event_type")).to_pandas()
+    assert (out["n_windows"] > 1).all()
+
+    out = run_job(JobConfig(pipeline="heatmap", input=ev,
+                            columns=["event_type", "ts"],
+                            value_col="ts", key="event_type")).to_pandas()
+    assert out["n_events"].sum() > 0
+    assert out["weekday"].between(0, 6).all()
+    assert out["hour"].between(0, 23).all()
+
+    out = run_job(JobConfig(pipeline="streaks", input=ev,
+                            columns=["user_id", "ts", "event_id",
+                                     "event_type"],
+                            value_col="event_type", key="user_id",
+                            params={"ts_col": "ts",
+                                    "tie_col": "event_id"})).to_pandas()
+    assert (out["n_runs"] >= 1).all() and (out["max_run"] >= 1).all()
