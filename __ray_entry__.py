@@ -5163,6 +5163,42 @@ def event_streaks_by_type(sf_dir: str):
     return event_streaks(ds, "user_id", "ts", "event_id", "event_type")
 
 
+def compression_ratio_by_lang(sf_dir: str):
+    """Per-lang zlib compression quality signal
+    (functions/text.compression_stats): exact raw/compressed byte sums
+    — the C4/Gopher-family "too repetitive / too random" filter.
+    Rows-only by nature (SQL has no DEFLATE); determinism and the
+    boilerplate < prose < noise ordering are pinned in unit tests, and
+    the raw-bytes column is redundantly covered by the doc_stats
+    oracles."""
+    from ray.data.aggregate import Sum
+    from t_digest_ray.functions.text import compression_stats
+
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        st = compression_stats(pd.Series(b["text"].to_pylist()))
+        df = pd.DataFrame({
+            "lang": b["lang"].to_numpy(zero_copy_only=False),
+            "n_docs": np.int64(1),
+            "sum_raw_bytes": st["raw_bytes"].to_numpy(),
+            "sum_comp_bytes": st["comp_bytes"].to_numpy()})
+        g = df.groupby("lang", as_index=False, sort=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    cols = ["n_docs", "sum_raw_bytes", "sum_comp_bytes"]
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("lang")
+           .aggregate(*[Sum(c, alias_name=c) for c in cols]))
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        for c in cols:
+            df[c] = df[c].astype(np.int64)
+        return df
+
+    return out.map_batches(fin, batch_format="pandas")
+
+
 def gini_event_values(sf_dir: str):
     """Exact per-type Gini coefficient of event value
     (pipelines/stats.grouped_gini): integer-cents arithmetic throughout
@@ -5372,6 +5408,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fano_burstiness_by_type": fano_burstiness_by_type,
         "weekday_hour_heatmap_events": weekday_hour_heatmap_events,
         "event_streaks_by_type": event_streaks_by_type,
+        "compression_ratio_by_lang": compression_ratio_by_lang,
     }
 
 

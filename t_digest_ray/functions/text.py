@@ -203,3 +203,25 @@ def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """Vectorized Hamming distance between uint64 arrays."""
     x = np.bitwise_xor(np.asarray(a, np.uint64), np.asarray(b, np.uint64))
     return np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1).sum(axis=1)
+
+
+def compression_stats(texts: pd.Series, level: int = 6) -> pd.DataFrame:
+    """Per-row zlib compression signal: raw UTF-8 bytes, compressed
+    bytes, and the ratio — the classic "too repetitive / too random"
+    web-text quality filter (natural prose compresses to a mid-band;
+    boilerplate compresses far harder, random noise barely at all).
+    zlib at a fixed level is deterministic, so the byte counts are
+    exact integers; the per-row loop is inherent to DEFLATE and linear
+    in corpus bytes.
+    """
+    import zlib
+
+    raw = [t.encode("utf-8") for t in texts.fillna("")]
+    comp = [len(zlib.compress(b, level)) for b in raw]
+    nraw = np.array([len(b) for b in raw], dtype=np.int64)
+    ncomp = np.array(comp, dtype=np.int64)
+    return pd.DataFrame({
+        "raw_bytes": nraw,
+        "comp_bytes": ncomp,
+        "comp_ratio": ncomp.astype(np.float64)
+        / np.maximum(nraw, 1).astype(np.float64)})

@@ -1127,3 +1127,21 @@ def test_event_streaks(ray_session):
     assert out.loc["a", "n_streaks"] == 1
     assert out.loc["b", "n_runs"] == 2 and out.loc["b", "max_run"] == 2
     assert out.loc["b", "n_streaks"] == 0
+
+
+def test_compression_stats_signal():
+    from t_digest_ray.functions.text import compression_stats
+
+    texts = pd.Series([
+        "the quick brown fox jumps over the lazy dog " * 20,  # prose-ish
+        "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa" * 20,       # boilerplate
+        "kq9x!zp2@vj8#wm4$ru7%tn3^yl6&bh1*gf5(dc0" * 20,       # noise
+    ])
+    out = compression_stats(texts)
+    # deterministic across calls
+    out2 = compression_stats(texts)
+    assert (out["comp_bytes"] == out2["comp_bytes"]).all()
+    # boilerplate < prose < noise in compression ratio
+    assert out.loc[1, "comp_ratio"] < out.loc[0, "comp_ratio"] \
+        < out.loc[2, "comp_ratio"]
+    assert (out["raw_bytes"] == texts.str.len() ).all()  # ascii inputs
