@@ -10,6 +10,7 @@ from ..state.bloom import BloomFilter
 from ..state.hll import HyperLogLog
 from ..state.protocol import SketchSpec
 from ..stages.aggregate import sketch_by_key, summarize
+from ..stages.partitioning import actor_pool_bounds
 
 
 def hll_spec(p: int = 14) -> SketchSpec:
@@ -86,7 +87,7 @@ def bloom_semi_join(probe_ds, bloom: BloomFilter, probe_col: str,
             return batch.filter(pa.array(mask))
 
     return probe_ds.map_batches(Probe, batch_format="pyarrow",
-                                concurrency=(1, 8))
+                                concurrency=actor_pool_bounds())
 
 
 def hll_set_algebra_gate(ds_a, ds_b, value_col: str, p: int = 14,
@@ -245,7 +246,7 @@ def incremental_dedup_counts(new_ds, bloom: BloomFilter,
             })
 
     out = (new_ds.map_batches(Audit, batch_format="pyarrow",
-                              concurrency=(1, 8))
+                              concurrency=actor_pool_bounds())
            .groupby(key)
            .aggregate(Count(alias_name="n_docs"),
                       Sum("member", alias_name="n_members"),

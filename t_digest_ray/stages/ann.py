@@ -20,6 +20,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from .partitioning import actor_pool_bounds
+
 
 def _embeddings_matrix(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
     """Zero-copy-ish (values buffer) list<float> -> (n, d) float32 matrix."""
@@ -83,7 +85,7 @@ def brute_force_topk(ds, queries: np.ndarray, k: int = 10,
             })
 
     candidates = ds.map_batches(Score, batch_format="pyarrow",
-                                batch_size=batch_size, concurrency=(1, 8))
+                                batch_size=batch_size, concurrency=actor_pool_bounds())
 
     def final_topk(g: pd.DataFrame) -> pd.DataFrame:
         g = g.copy()
@@ -414,7 +416,7 @@ def lsh_topk(ds, queries: np.ndarray, k: int = 10, n_planes: int = 8,
             })
 
     candidates = ds.map_batches(Score, batch_format="pyarrow",
-                                batch_size=batch_size, concurrency=(1, 8))
+                                batch_size=batch_size, concurrency=actor_pool_bounds())
 
     def final_topk(g: pd.DataFrame) -> pd.DataFrame:
         g = g.copy()

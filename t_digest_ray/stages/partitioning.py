@@ -72,3 +72,14 @@ def coarse_bucket_count(ds=None, *, n_rows: int | None = None,
     grouped_rows = max(int(n_rows), 0) * max(int(fanout), 1)
     n = -(-grouped_rows // max(int(rows_per_bucket), 1))  # ceil
     return int(min(max(n, min_buckets), max_buckets))
+
+
+def actor_pool_bounds(lo: int = 1) -> tuple[int, int]:
+    """Autoscaling actor-pool bounds for fact-scale stateful stages:
+    start small, grow to the cluster's CPU count on demand. A fixed cap
+    (the round-3 verdict's concurrency=2, or a literal (1, 8)) starves
+    the stage at 32 CPUs and on any real cluster; deriving the upper
+    bound from the cluster lets the same code run anywhere."""
+    import ray
+
+    return (lo, max(lo, int(ray.cluster_resources().get("CPU", 8))))
