@@ -5199,6 +5199,17 @@ def compression_ratio_by_lang(sf_dir: str):
     return out.map_batches(fin, batch_format="pandas")
 
 
+def hourly_autocorr_by_type(sf_dir: str):
+    """Lag-1 autocorrelation of hourly event volumes per type
+    (pipelines/windows.hourly_autocorrelation): Pearson over integer
+    (count_h, count_{h+1}) pairs of consecutive present hours, bignum
+    moments, fixed-order r — the busy-hour persistence signal."""
+    from t_digest_ray.pipelines.windows import hourly_autocorrelation
+
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+    return hourly_autocorrelation(ds, "event_type", "ts")
+
+
 def gini_event_values(sf_dir: str):
     """Exact per-type Gini coefficient of event value
     (pipelines/stats.grouped_gini): integer-cents arithmetic throughout
@@ -5409,6 +5420,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weekday_hour_heatmap_events": weekday_hour_heatmap_events,
         "event_streaks_by_type": event_streaks_by_type,
         "compression_ratio_by_lang": compression_ratio_by_lang,
+        "hourly_autocorr_by_type": hourly_autocorr_by_type,
     }
 
 
@@ -7998,5 +8010,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CASE WHEN len >= 3 THEN 1 ELSE 0 END)
                         AS BIGINT) AS n_streaks
             FROM r GROUP BY 1
+        """,
+        "hourly_autocorr_by_type": """
+            WITH w AS (SELECT event_type,
+                              CAST(epoch_us(ts) // 3600000000
+                                   AS BIGINT) AS h,
+                              COUNT(*) AS c
+                       FROM events GROUP BY 1, 2),
+                 p AS (SELECT a.event_type, a.c AS x, b.c AS y
+                       FROM w a JOIN w b
+                         ON a.event_type = b.event_type
+                        AND b.h = a.h + 1),
+                 s AS (SELECT event_type, COUNT(*) AS n,
+                              SUM(x) AS sx, SUM(y) AS sy,
+                              SUM(CAST(x AS HUGEINT) * y) AS sxy,
+                              SUM(CAST(x AS HUGEINT) * x) AS sxx,
+                              SUM(CAST(y AS HUGEINT) * y) AS syy
+                       FROM p GROUP BY 1)
+            SELECT event_type, CAST(n AS BIGINT) AS n_pairs,
+                   CASE WHEN n > 1 AND n * sxx - sx * sx > 0
+                         AND n * syy - sy * sy > 0 THEN
+                       CAST(n * sxy - sx * sy AS DOUBLE)
+                       / SQRT(CAST(n * sxx - sx * sx AS DOUBLE)
+                              * CAST(n * syy - sy * sy AS DOUBLE))
+                   ELSE 0.0 END AS lag1_r
+            FROM s
         """,
     }

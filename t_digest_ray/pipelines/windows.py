@@ -964,3 +964,64 @@ def event_streaks(ds, user_col: str, ts_col: str, tie_col: str,
         return df
 
     return out.map_batches(fin, batch_format="pandas")
+
+
+def hourly_autocorrelation(ds, key: str, ts_col: str,
+                           window_s: int = 3600):
+    """Lag-1 autocorrelation of per-window event volumes per key —
+    "does a busy hour predict the next hour" — Pearson over the integer
+    (count_h, count_{h+1}) pairs of consecutive PRESENT windows.
+    Window counts combine per batch (time-span-sized exchange); the
+    pairing + bignum moment fold runs per key on that aggregated table
+    with a fixed-order float expression, bit-identical to the HUGEINT
+    self-join SQL twin. Output: key, n_pairs, lag1_r.
+    """
+    import math
+
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    us = np.int64(window_s) * np.int64(1_000_000)
+
+    def partial(b: pa.Table) -> pa.Table:
+        ts = pc.cast(pc.cast(b[ts_col].combine_chunks(),
+                             pa.timestamp("us")),
+                     pa.int64()).to_numpy()
+        df = pd.DataFrame({key: b[key].to_numpy(zero_copy_only=False),
+                           "w": ts // us})
+        g = df.groupby([key, "w"], as_index=False, sort=False).size()
+        g = g.rename(columns={"size": "partial"})
+        g["partial"] = g["partial"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    wc = (ds.map_batches(partial, batch_format="pyarrow")
+          .groupby([key, "w"])
+          .aggregate(Sum("partial", alias_name="c")))
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("w")
+        w = g["w"].to_numpy(dtype=np.int64)
+        c = g["c"].to_numpy(dtype=np.int64)
+        consec = w[1:] == w[:-1] + 1
+        x = c[:-1][consec]
+        y = c[1:][consec]
+        n = len(x)
+        if n > 1:
+            sx = sum(int(v) for v in x)
+            sy = sum(int(v) for v in y)
+            sxy = sum(int(a) * int(b) for a, b in zip(x, y))
+            sxx = sum(int(v) * int(v) for v in x)
+            syy = sum(int(v) * int(v) for v in y)
+            dx = n * sxx - sx * sx
+            dy = n * syy - sy * sy
+            r = (float(n * sxy - sx * sy)
+                 / math.sqrt(float(dx) * float(dy))
+                 if dx > 0 and dy > 0 else 0.0)
+        else:
+            r = 0.0
+        return pd.DataFrame({
+            key: [g[key].iloc[0]],
+            "n_pairs": np.array([n], dtype=np.int64),
+            "lag1_r": [r]})
+
+    return wc.groupby(key).map_groups(fold, batch_format="pandas")

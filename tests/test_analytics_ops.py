@@ -1145,3 +1145,24 @@ def test_compression_stats_signal():
     assert out.loc[1, "comp_ratio"] < out.loc[0, "comp_ratio"] \
         < out.loc[2, "comp_ratio"]
     assert (out["raw_bytes"] == texts.str.len() ).all()  # ascii inputs
+
+
+def test_hourly_autocorrelation(ray_session, rng):
+    import ray
+    from t_digest_ray.pipelines.windows import hourly_autocorrelation
+
+    # strongly alternating volumes -> negative lag-1 autocorrelation
+    rows = []
+    for h in range(48):
+        for _ in range(20 if h % 2 == 0 else 3):
+            rows.append(("a", h * 3600 + int(rng.integers(0, 3600))))
+    df = pd.DataFrame(rows, columns=["k", "s"])
+    df["ts"] = pd.to_datetime(df["s"], unit="s")
+    out = (hourly_autocorrelation(
+        ray.data.from_pandas(df[["k", "ts"]]).repartition(4), "k", "ts")
+        .to_pandas().iloc[0])
+    counts = df.groupby(df["s"] // 3600).size().to_numpy()
+    want = np.corrcoef(counts[:-1], counts[1:])[0, 1]
+    assert out["n_pairs"] == 47
+    assert abs(out["lag1_r"] - want) < 1e-12
+    assert out["lag1_r"] < -0.5
