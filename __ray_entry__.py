@@ -5210,6 +5210,61 @@ def hourly_autocorr_by_type(sf_dir: str):
     return hourly_autocorrelation(ds, "event_type", "ts")
 
 
+def referential_integrity_report(sf_dir: str):
+    """Warehouse-hygiene FK audit: per (child, parent) pair the child
+    row count and the orphan count (children whose key has no parent),
+    via the one-shuffle co-partitioned anti join
+    (relational.hash_semi_anti_join — decontamination machinery reused
+    as an integrity check). Orphans are PLANTED by deterministically
+    removing a parent slice (o_orderkey % 13 == 3 / c_custkey % 11 ==
+    5) so the gate has guaranteed positives; the third check runs
+    against the full nation parent and must report zero."""
+    import pyarrow.compute as pc
+    from t_digest_ray.pipelines.relational import hash_semi_anti_join
+
+    def orphan_count(child, parent, child_key):
+        return hash_semi_anti_join(child, parent, child_key, [],
+                                   anti=True).count()
+
+    rows = []
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey"])
+    orders = _read(sf_dir, "orders", ["o_orderkey"])
+
+    def keep_orders(b: pa.Table) -> pa.Table:
+        k = b["o_orderkey"].to_numpy(zero_copy_only=False)
+        t = b.filter(pa.array(k % 13 != 3))
+        return t.rename_columns(["l_orderkey"])
+
+    rows.append(("lineitem", "orders~planted", li.count(),
+                 orphan_count(li, orders.map_batches(
+                     keep_orders, batch_format="pyarrow"),
+                     "l_orderkey")))
+
+    od = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])         .map_batches(lambda b: b.select(["o_custkey"]),
+                     batch_format="pyarrow")
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+
+    def keep_cust(b: pa.Table) -> pa.Table:
+        k = b["c_custkey"].to_numpy(zero_copy_only=False)
+        t = b.filter(pa.array(k % 11 != 5))
+        return t.rename_columns(["o_custkey"])
+
+    rows.append(("orders", "customer~planted", od.count(),
+                 orphan_count(od, cust.map_batches(
+                     keep_cust, batch_format="pyarrow"), "o_custkey")))
+
+    sup = _read(sf_dir, "supplier", ["s_nationkey"])
+    nat = (_read(sf_dir, "nation", ["n_nationkey"])
+           .map_batches(lambda b: b.rename_columns(["s_nationkey"]),
+                        batch_format="pyarrow"))
+    rows.append(("supplier", "nation", sup.count(),
+                 orphan_count(sup, nat, "s_nationkey")))
+
+    return pd.DataFrame(rows, columns=["child_table", "parent_table",
+                                       "n_child_rows", "n_orphans"])         .astype({"n_child_rows": np.int64, "n_orphans": np.int64})
+
+
 def gini_event_values(sf_dir: str):
     """Exact per-type Gini coefficient of event value
     (pipelines/stats.grouped_gini): integer-cents arithmetic throughout
@@ -5421,6 +5476,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_streaks_by_type": event_streaks_by_type,
         "compression_ratio_by_lang": compression_ratio_by_lang,
         "hourly_autocorr_by_type": hourly_autocorr_by_type,
+        "referential_integrity_report": referential_integrity_report,
     }
 
 
@@ -8035,5 +8091,31 @@ def oracle_sql() -> dict[str, str]:
                               * CAST(n * syy - sy * sy AS DOUBLE))
                    ELSE 0.0 END AS lag1_r
             FROM s
+        """,
+        "referential_integrity_report": """
+            SELECT 'lineitem' AS child_table,
+                   'orders~planted' AS parent_table,
+                   (SELECT COUNT(*) FROM lineitem) AS n_child_rows,
+                   (SELECT COUNT(*) FROM lineitem l
+                    WHERE NOT EXISTS (
+                        SELECT 1 FROM orders o
+                        WHERE o.o_orderkey % 13 != 3
+                          AND o.o_orderkey = l.l_orderkey))
+                       AS n_orphans
+            UNION ALL
+            SELECT 'orders', 'customer~planted',
+                   (SELECT COUNT(*) FROM orders),
+                   (SELECT COUNT(*) FROM orders o
+                    WHERE NOT EXISTS (
+                        SELECT 1 FROM customer c
+                        WHERE c.c_custkey % 11 != 5
+                          AND c.c_custkey = o.o_custkey))
+            UNION ALL
+            SELECT 'supplier', 'nation',
+                   (SELECT COUNT(*) FROM supplier),
+                   (SELECT COUNT(*) FROM supplier s
+                    WHERE NOT EXISTS (
+                        SELECT 1 FROM nation n
+                        WHERE n.n_nationkey = s.s_nationkey))
         """,
     }
