@@ -5265,6 +5265,18 @@ def referential_integrity_report(sf_dir: str):
                                        "n_child_rows", "n_orphans"])         .astype({"n_child_rows": np.int64, "n_orphans": np.int64})
 
 
+def session_duration_quantiles_events(sf_dir: str):
+    """Global session-duration distribution under the 30-min gap rule
+    (pipelines/windows.session_duration_quantiles): vectorized
+    per-session min/max in the user co-partition, one duration row per
+    session, exact disc quantiles in integer µs."""
+    from t_digest_ray.pipelines.windows import session_duration_quantiles
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
+    return session_duration_quantiles(ds, "user_id", "ts", "event_id",
+                                      gap_s=1800)
+
+
 def gini_event_values(sf_dir: str):
     """Exact per-type Gini coefficient of event value
     (pipelines/stats.grouped_gini): integer-cents arithmetic throughout
@@ -5477,6 +5489,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "compression_ratio_by_lang": compression_ratio_by_lang,
         "hourly_autocorr_by_type": hourly_autocorr_by_type,
         "referential_integrity_report": referential_integrity_report,
+        "session_duration_quantiles_events": session_duration_quantiles_events,
     }
 
 
@@ -8117,5 +8130,33 @@ def oracle_sql() -> dict[str, str]:
                     WHERE NOT EXISTS (
                         SELECT 1 FROM nation n
                         WHERE n.n_nationkey = s.s_nationkey))
+        """,
+        "session_duration_quantiles_events": """
+            WITH o AS (SELECT user_id, event_id, epoch_us(ts) AS t,
+                              LAG(epoch_us(ts)) OVER (
+                                  PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS pt
+                       FROM events),
+                 s AS (SELECT user_id, t, event_id,
+                              CASE WHEN pt IS NULL
+                                     OR t - pt > 1800000000
+                                   THEN 1 ELSE 0 END AS new_s
+                       FROM o),
+                 s2 AS (SELECT user_id, t,
+                               SUM(new_s) OVER (PARTITION BY user_id
+                                   ORDER BY t, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                            AND CURRENT ROW) AS sid
+                        FROM s),
+                 d AS (SELECT user_id, sid,
+                              CAST(MAX(t) - MIN(t) AS BIGINT) AS dur
+                       FROM s2 GROUP BY 1, 2)
+            SELECT COUNT(*) AS n_sessions,
+                   quantile_disc(dur, 0.25) AS p25,
+                   quantile_disc(dur, 0.50) AS p50,
+                   quantile_disc(dur, 0.75) AS p75,
+                   quantile_disc(dur, 0.95) AS p95,
+                   MAX(dur) AS max_dur
+            FROM d
         """,
     }

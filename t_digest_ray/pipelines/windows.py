@@ -1025,3 +1025,71 @@ def hourly_autocorrelation(ds, key: str, ts_col: str,
             "lag1_r": [r]})
 
     return wc.groupby(key).map_groups(fold, batch_format="pandas")
+
+
+def session_duration_quantiles(ds, user_col: str, ts_col: str,
+                               tie_col: str, gap_s: int = 1800,
+                               qs=(0.25, 0.5, 0.75, 0.95)):
+    """Session-duration distribution: sessions form per user under the
+    inactivity-gap rule (same convention as sessionize); each session's
+    duration is last−first event time in exact integer µs (0 for
+    singletons), and the op reports the global session count, disc
+    quantiles and max duration.
+
+    Scale shape: user hash-bucket co-location, vectorized
+    reduceat-based per-session min/max inside the bucket, one duration
+    row per session out; the final disc-quantile gather follows the
+    exact-path contract (sketch swap-in at 100 TB).
+    """
+    import math
+
+    import pyarrow.compute as pc
+
+    from ..stages.partitioning import coarse_bucket_count
+
+    coarse = coarse_bucket_count(ds, rows_per_bucket=262144,
+                                 what="session_durations")
+
+    def project(b: pa.Table) -> pa.Table:
+        users = b[user_col].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "bucket": pa.array((hash64(users)
+                                % np.uint64(coarse)).astype(np.int32)),
+            user_col: b[user_col],
+            "ts_us": pa.array(_epoch_us(b[ts_col])),
+            tie_col: b[tie_col],
+        })
+
+    gap_us = np.int64(gap_s) * np.int64(1_000_000)
+
+    def bucket_durations(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([user_col, "ts_us", tie_col], kind="stable")
+        users = g[user_col].to_numpy()
+        ts = g["ts_us"].to_numpy(dtype=np.int64)
+        new_user = np.r_[True, users[1:] != users[:-1]]
+        gap = np.r_[True, (ts[1:] - ts[:-1]) > gap_us]
+        starts = np.flatnonzero(new_user | gap)
+        ends = np.r_[starts[1:] - 1, len(ts) - 1]
+        dur = ts[ends] - ts[starts]
+        return pd.DataFrame({"dur_us": dur.astype(np.int64)})
+
+    durs = (ds.map_batches(project, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(bucket_durations, batch_format="pandas"))
+
+    def add_g(b: pa.Table) -> pa.Table:
+        return b.append_column("g", pa.array(["g"] * len(b)))
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(g["dur_us"].to_numpy(dtype=np.int64))
+        n = len(v)
+        row = {"n_sessions": np.array([n], dtype=np.int64)}
+        for q in qs:
+            idx = max(int(math.ceil(q * n)) - 1, 0)
+            row[f"p{int(q * 100)}"] = np.array([v[idx]],
+                                               dtype=np.int64)
+        row["max_dur"] = np.array([v[-1]], dtype=np.int64)
+        return pd.DataFrame(row)
+
+    return (durs.map_batches(add_g, batch_format="pyarrow")
+            .groupby("g").map_groups(fold, batch_format="pandas"))

@@ -1166,3 +1166,24 @@ def test_hourly_autocorrelation(ray_session, rng):
     assert out["n_pairs"] == 47
     assert abs(out["lag1_r"] - want) < 1e-12
     assert out["lag1_r"] < -0.5
+
+
+def test_session_duration_quantiles(ray_session):
+    import ray
+    from t_digest_ray.pipelines.windows import session_duration_quantiles
+
+    # user 1: events at 0s,10s,20s | gap | 4000s        -> durs 20s, 0
+    # user 2: 100s, 5000s                               -> durs 0, 0
+    df = pd.DataFrame({
+        "u": [1, 1, 1, 1, 2, 2],
+        "ts": pd.to_datetime([0, 10, 20, 4000, 100, 5000], unit="s"),
+        "eid": np.arange(6, dtype=np.int64),
+    })
+    out = (session_duration_quantiles(
+        ray.data.from_pandas(df).repartition(3),
+        "u", "ts", "eid", gap_s=1800)
+        .to_pandas().iloc[0])
+    assert out["n_sessions"] == 4
+    assert out["max_dur"] == 20 * 10**6
+    assert out["p50"] == 0
+    assert out["p95"] == 20 * 10**6
