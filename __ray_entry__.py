@@ -5277,6 +5277,29 @@ def session_duration_quantiles_events(sf_dir: str):
                                       gap_s=1800)
 
 
+def cms_change_users(sf_dir: str):
+    """Deltoid-style change detection between the first and second half
+    of the month (pipelines/heavy.change_detection): top-10 users by
+    |count delta|, exact counts hash-gated; within_bound asserts the
+    COUNT-MIN-linearity delta estimate sits inside eps·(N_a+N_b)."""
+    import datetime
+
+    import pyarrow.compute as pc
+    from t_digest_ray.pipelines.heavy import change_detection
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    split = datetime.datetime(2024, 1, 16)
+
+    def half(b: pa.Table) -> pa.Table:
+        m = pc.less(b["ts"].combine_chunks(), pa.scalar(split))
+        return pa.table({
+            "user_id": b["user_id"],
+            "half": pc.if_else(m, pa.scalar("a"), pa.scalar("b"))})
+
+    return change_detection(ds.map_batches(half, batch_format="pyarrow"),
+                            "user_id", "half", "a", "b", k=10)
+
+
 def gini_event_values(sf_dir: str):
     """Exact per-type Gini coefficient of event value
     (pipelines/stats.grouped_gini): integer-cents arithmetic throughout
@@ -5490,6 +5513,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hourly_autocorr_by_type": hourly_autocorr_by_type,
         "referential_integrity_report": referential_integrity_report,
         "session_duration_quantiles_events": session_duration_quantiles_events,
+        "cms_change_users": cms_change_users,
     }
 
 
@@ -8158,5 +8182,25 @@ def oracle_sql() -> dict[str, str]:
                    quantile_disc(dur, 0.95) AS p95,
                    MAX(dur) AS max_dur
             FROM d
+        """,
+        "cms_change_users": """
+            WITH h AS (SELECT user_id,
+                              CASE WHEN ts < TIMESTAMP '2024-01-16'
+                                   THEN 'a' ELSE 'b' END AS hf
+                       FROM events),
+                 c AS (SELECT user_id,
+                              CAST(SUM(CASE WHEN hf = 'a' THEN 1
+                                            ELSE 0 END) AS BIGINT)
+                                  AS cnt_a,
+                              CAST(SUM(CASE WHEN hf = 'b' THEN 1
+                                            ELSE 0 END) AS BIGINT)
+                                  AS cnt_b
+                       FROM h GROUP BY 1)
+            SELECT user_id, cnt_a, cnt_b,
+                   CAST(cnt_a - cnt_b AS BIGINT) AS delta,
+                   TRUE AS within_bound
+            FROM c
+            ORDER BY abs(cnt_a - cnt_b) DESC, user_id ASC
+            LIMIT 10
         """,
     }

@@ -19,6 +19,7 @@ underestimate, so reported counts are upper bounds within eps*N.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 
 from ..state.countmin import CountMin
@@ -434,3 +435,73 @@ def second_moment_check(ds, key_col: str, width: int = 8192,
         "f2_exact": pa.array([f2], type=pa.int64()),
         "within_bound": pa.array([within], type=pa.bool_()),
     })
+
+
+def change_detection(ds, key_col: str, half_col: str,
+                     half_a, half_b, k: int = 10,
+                     width: int = 2048, depth: int = 5,
+                     n_rows: int | None = None):
+    """Deltoid-style change detection (Cormode-Muthukrishnan): the keys
+    whose counts changed most between two stream halves, exploiting
+    COUNT-MIN LINEARITY — each half's CMS merges by pure counter
+    addition, so the difference of the two merged sketches estimates
+    every key's delta within eps·(N_a + N_b).
+
+    Exact per-(key, half) counts ride the hash-bucketed combine (one
+    two-column partial per key — cost ∝ distinct keys); the top-k by
+    (|delta| desc, key asc) reduces per batch before the final sort.
+    Output rows: key, cnt_a, cnt_b, delta (exact, value-hash-gateable)
+    + within_bound asserting the SKETCH delta estimate sits inside the
+    published bound (the oracle's constant-TRUE column).
+    """
+    from ..stages.aggregate import hash_bucketed_group_agg, sketch_by_key
+    from ..state.countmin import CountMin
+
+    spec = cms_spec(width, depth)
+
+    def halves(b: pa.Table) -> pa.Table:
+        hv = b[half_col].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({key_col: b[key_col]
+                           .to_numpy(zero_copy_only=False)})
+        df["cnt_a"] = (hv == half_a).astype(np.int64)
+        df["cnt_b"] = (hv == half_b).astype(np.int64)
+        g = df.groupby(key_col, as_index=False, sort=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    per_key = hash_bucketed_group_agg(
+        ds.map_batches(halves, batch_format="pyarrow"),
+        [key_col], {"cnt_a": ("cnt_a", "sum"),
+                    "cnt_b": ("cnt_b", "sum")},
+        n_rows=n_rows)
+
+    def local_topk(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        df["cnt_a"] = df["cnt_a"].astype(np.int64)
+        df["cnt_b"] = df["cnt_b"].astype(np.int64)
+        df["delta"] = df["cnt_a"] - df["cnt_b"]
+        df["absd"] = df["delta"].abs()
+        df = df.sort_values(["absd", key_col],
+                            ascending=[False, True]).head(k)
+        return pa.Table.from_pandas(
+            df[[key_col, "cnt_a", "cnt_b", "delta", "absd"]],
+            preserve_index=False)
+
+    top = (per_key.map_batches(local_topk, batch_format="pyarrow")
+           .sort(["absd", key_col], descending=[True, False])
+           .limit(k).to_pandas())
+
+    # two merged sketches via the standard sketch topology (half = key)
+    cms_rows = sketch_by_key(ds, spec, key_col, half_col,
+                             num_salts=4).to_pandas()
+    sk = {r["key"]: CountMin.from_bytes(r["sketch"])
+          for _, r in cms_rows.iterrows()}
+    cms_a, cms_b = sk[half_a], sk[half_b]
+    keys = top[key_col].to_numpy()   # NATIVE dtype: hash64 must see the
+    est_delta = (cms_a.estimate(keys).astype(np.int64)   # same type it
+                 - cms_b.estimate(keys).astype(np.int64))  # updated with
+    bound = int(np.ceil(cms_a.epsilon * (cms_a.n + cms_b.n)))
+    within = np.abs(est_delta - top["delta"].to_numpy(dtype=np.int64)) \
+        <= bound
+    out = top[[key_col, "cnt_a", "cnt_b", "delta"]].copy()
+    out["within_bound"] = within
+    return out.reset_index(drop=True)

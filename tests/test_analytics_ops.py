@@ -1187,3 +1187,30 @@ def test_session_duration_quantiles(ray_session):
     assert out["max_dur"] == 20 * 10**6
     assert out["p50"] == 0
     assert out["p95"] == 20 * 10**6
+
+
+def test_change_detection(ray_session, rng):
+    import ray
+    from t_digest_ray.pipelines.heavy import change_detection
+
+    # plant a huge change on key 7: many in half a, none in half b
+    n = 2000
+    keys = rng.integers(0, 50, n)
+    half = rng.choice(["a", "b"], n)
+    keys = np.concatenate([keys, np.full(300, 7)])
+    half = np.concatenate([half, np.full(300, "a")])
+    df = pd.DataFrame({"k": keys.astype(np.int64), "h": half})
+    out = change_detection(
+        ray.data.from_pandas(df).repartition(4), "k", "h", "a", "b",
+        k=5)
+    # exact deltas
+    ca = df[df["h"] == "a"]["k"].value_counts()
+    cb = df[df["h"] == "b"]["k"].value_counts()
+    deltas = {k: int(ca.get(k, 0)) - int(cb.get(k, 0))
+              for k in set(df["k"])}
+    want = sorted(deltas.items(),
+                  key=lambda kv: (-abs(kv[1]), kv[0]))[:5]
+    got = list(zip(out["k"], out["delta"]))
+    assert got == want
+    assert out["within_bound"].all()
+    assert out.iloc[0]["k"] == 7  # the planted change wins
