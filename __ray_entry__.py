@@ -5300,6 +5300,38 @@ def cms_change_users(sf_dir: str):
                             "user_id", "half", "a", "b", k=10)
 
 
+def k_anonymity_docs(sf_dir: str):
+    """k-anonymity privacy audit over the (lang, source, n_chars//100)
+    quasi-identifier (pipelines/curation.k_anonymity_audit, k=5):
+    equivalence-class counts, at-risk classes and rows — the governance
+    check a curated corpus release needs."""
+    from t_digest_ray.pipelines.curation import k_anonymity_audit
+
+    ds = _read(sf_dir, "documents", ["lang", "source", "n_chars"])
+
+    def bucket(b: pa.Table) -> pa.Table:
+        nb = (b["n_chars"].to_numpy(zero_copy_only=False) // 100)             .astype(np.int64)
+        return pa.table({"lang": b["lang"], "source": b["source"],
+                         "len_bucket": pa.array(nb)})
+
+    return k_anonymity_audit(ds.map_batches(bucket,
+                                            batch_format="pyarrow"),
+                             ["lang", "source", "len_bucket"], k=5)
+
+
+def top_session_paths_events(sf_dir: str):
+    """Top-10 session-opening paths (first 3 event types per gap-rule
+    session, '>'-joined) (pipelines/windows.top_session_paths):
+    clickstream path mining with vectorized positional assembly in the
+    user co-partition."""
+    from t_digest_ray.pipelines.windows import top_session_paths
+
+    ds = _read(sf_dir, "events",
+               ["user_id", "ts", "event_id", "event_type"])
+    return top_session_paths(ds, "user_id", "ts", "event_id",
+                             "event_type", gap_s=1800, depth=3, k=10)
+
+
 def gini_event_values(sf_dir: str):
     """Exact per-type Gini coefficient of event value
     (pipelines/stats.grouped_gini): integer-cents arithmetic throughout
@@ -5514,6 +5546,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "referential_integrity_report": referential_integrity_report,
         "session_duration_quantiles_events": session_duration_quantiles_events,
         "cms_change_users": cms_change_users,
+        "k_anonymity_docs": k_anonymity_docs,
+        "top_session_paths_events": top_session_paths_events,
     }
 
 
@@ -8201,6 +8235,50 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS within_bound
             FROM c
             ORDER BY abs(cnt_a - cnt_b) DESC, user_id ASC
+            LIMIT 10
+        """,
+        "k_anonymity_docs": """
+            WITH q AS (SELECT lang, source, n_chars // 100 AS lb,
+                              COUNT(*) AS cnt
+                       FROM documents GROUP BY 1, 2, 3)
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+                   CAST(SUM(CASE WHEN cnt < 5 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_small_groups,
+                   CAST(SUM(CASE WHEN cnt < 5 THEN cnt ELSE 0 END)
+                        AS BIGINT) AS n_rows_at_risk,
+                   CAST(SUM(cnt) AS BIGINT) AS n_rows
+            FROM q
+        """,
+        "top_session_paths_events": """
+            WITH o AS (SELECT user_id, event_type, event_id,
+                              epoch_us(ts) AS t,
+                              LAG(epoch_us(ts)) OVER (
+                                  PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS pt
+                       FROM events),
+                 s AS (SELECT user_id, event_type, event_id, t,
+                              CASE WHEN pt IS NULL
+                                     OR t - pt > 1800000000
+                                   THEN 1 ELSE 0 END AS new_s
+                       FROM o),
+                 s2 AS (SELECT user_id, event_type, event_id, t,
+                               SUM(new_s) OVER (PARTITION BY user_id
+                                   ORDER BY t, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                            AND CURRENT ROW) AS sid
+                        FROM s),
+                 s3 AS (SELECT user_id, sid, event_type, t, event_id,
+                               ROW_NUMBER() OVER (
+                                   PARTITION BY user_id, sid
+                                   ORDER BY t, event_id) AS rn
+                        FROM s2),
+                 p AS (SELECT user_id, sid,
+                              string_agg(event_type, '>'
+                                         ORDER BY rn) AS path
+                       FROM s3 WHERE rn <= 3 GROUP BY 1, 2)
+            SELECT path, COUNT(*) AS n_sessions
+            FROM p GROUP BY 1
+            ORDER BY n_sessions DESC, path ASC
             LIMIT 10
         """,
     }

@@ -939,3 +939,47 @@ def hash_split_counts(ds, id_col: str, key: str, stat_col: str,
         return df
 
     return out.map_batches(fin, batch_format="pandas")
+
+
+def k_anonymity_audit(ds, qi_cols, k: int = 5):
+    """Privacy-hygiene audit: treating ``qi_cols`` as a quasi-identifier
+    tuple, how many equivalence classes exist, how many are smaller
+    than ``k`` (re-identifiable under k-anonymity), and how many rows
+    sit in those at-risk classes. Per-batch QI counts combine first, so
+    only equivalence-class-sized integer rows ride the exchange; the
+    fold emits one row.
+    """
+    from ray.data.aggregate import Sum
+
+    qi_cols = list(qi_cols)
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({c: b[c].to_numpy(zero_copy_only=False)
+                           for c in qi_cols})
+        g = df.groupby(qi_cols, as_index=False, sort=False).size()
+        g = g.rename(columns={"size": "partial"})
+        g["partial"] = g["partial"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    classes = (ds.map_batches(partial, batch_format="pyarrow")
+               .groupby(qi_cols)
+               .aggregate(Sum("partial", alias_name="cnt")))
+
+    def summarize_batch(b: pa.Table) -> pa.Table:
+        cnt = b["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+        small = cnt < k
+        return pa.table({
+            "n_groups": pa.array([len(cnt)], type=pa.int64()),
+            "n_small_groups": pa.array([int(small.sum())],
+                                       type=pa.int64()),
+            "n_rows_at_risk": pa.array([int(cnt[small].sum())],
+                                       type=pa.int64()),
+            "n_rows": pa.array([int(cnt.sum())], type=pa.int64()),
+        })
+
+    folded = (classes.map_batches(summarize_batch,
+                                  batch_format="pyarrow").to_pandas())
+    out = folded.sum()
+    return pd.DataFrame({c: np.array([int(out[c])], dtype=np.int64)
+                         for c in ("n_groups", "n_small_groups",
+                                   "n_rows_at_risk", "n_rows")})

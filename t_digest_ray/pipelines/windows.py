@@ -1093,3 +1093,67 @@ def session_duration_quantiles(ds, user_col: str, ts_col: str,
 
     return (durs.map_batches(add_g, batch_format="pyarrow")
             .groupby("g").map_groups(fold, batch_format="pandas"))
+
+
+def top_session_paths(ds, user_col: str, ts_col: str, tie_col: str,
+                      type_col: str, gap_s: int = 1800,
+                      depth: int = 3, k: int = 10):
+    """Clickstream path mining: the top-k session-opening paths — the
+    first ``depth`` event types of each gap-rule session joined with
+    '>' — by session count (count desc, path asc tie-break).
+
+    Scale shape: user hash-bucket co-location, vectorized session-start
+    detection and positional path assembly (no per-event Python), path
+    counts combine per bucket, then a tiny global top-k.
+    """
+    from ray.data.aggregate import Sum
+
+    from ..stages.partitioning import coarse_bucket_count
+
+    coarse = coarse_bucket_count(ds, rows_per_bucket=262144,
+                                 what="session_paths")
+    gap_us = np.int64(gap_s) * np.int64(1_000_000)
+
+    def project(b: pa.Table) -> pa.Table:
+        users = b[user_col].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "bucket": pa.array((hash64(users)
+                                % np.uint64(coarse)).astype(np.int32)),
+            user_col: b[user_col],
+            "ts_us": pa.array(_epoch_us(b[ts_col])),
+            tie_col: b[tie_col],
+            type_col: b[type_col],
+        })
+
+    def bucket_paths(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([user_col, "ts_us", tie_col], kind="stable")
+        users = g[user_col].to_numpy()
+        ts = g["ts_us"].to_numpy(dtype=np.int64)
+        types = g[type_col].to_numpy()
+        n = len(g)
+        new_user = np.r_[True, users[1:] != users[:-1]]
+        gap = np.r_[True, (ts[1:] - ts[:-1]) > gap_us]
+        starts = np.flatnonzero(new_user | gap)
+        lens = np.diff(np.r_[starts, n])
+        paths = types[starts].astype(object)
+        for d in range(1, depth):
+            has = lens > d
+            paths[has] = paths[has] + ">" + types[starts[has] + d]
+        df = pd.DataFrame({"path": paths})
+        df["partial"] = np.int64(1)
+        out = df.groupby("path", as_index=False, sort=False).sum()
+        return out
+
+    counts = (ds.map_batches(project, batch_format="pyarrow")
+              .groupby("bucket")
+              .map_groups(bucket_paths, batch_format="pandas")
+              .groupby("path")
+              .aggregate(Sum("partial", alias_name="n_sessions")))
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        df["n_sessions"] = df["n_sessions"].astype(np.int64)
+        return df
+
+    return (counts.map_batches(fin, batch_format="pandas")
+            .sort(["n_sessions", "path"], descending=[True, False])
+            .limit(k))

@@ -1214,3 +1214,39 @@ def test_change_detection(ray_session, rng):
     assert got == want
     assert out["within_bound"].all()
     assert out.iloc[0]["k"] == 7  # the planted change wins
+
+
+def test_k_anonymity_audit(ray_session):
+    import ray
+    from t_digest_ray.pipelines.curation import k_anonymity_audit
+
+    df = pd.DataFrame({
+        "a": ["x"] * 7 + ["y"] * 2 + ["z"],
+        "b": [1] * 7 + [2] * 2 + [3],
+    })
+    out = k_anonymity_audit(
+        ray.data.from_pandas(df).repartition(3), ["a", "b"], k=5).iloc[0]
+    assert out["n_groups"] == 3
+    assert out["n_small_groups"] == 2       # y(2) and z(1) < 5
+    assert out["n_rows_at_risk"] == 3
+    assert out["n_rows"] == 10
+
+
+def test_top_session_paths(ray_session):
+    import ray
+    from t_digest_ray.pipelines.windows import top_session_paths
+
+    # user 1: a,b,c,d (one session) | gap | e  -> paths "a>b>c", "e"
+    # user 2: a,b (one session)              -> "a>b"
+    df = pd.DataFrame({
+        "u": [1, 1, 1, 1, 1, 2, 2],
+        "ts": pd.to_datetime([0, 10, 20, 30, 9000, 5, 15], unit="s"),
+        "eid": np.arange(7, dtype=np.int64),
+        "t": ["a", "b", "c", "d", "e", "a", "b"],
+    })
+    out = (top_session_paths(
+        ray.data.from_pandas(df).repartition(3),
+        "u", "ts", "eid", "t", gap_s=1800, depth=3, k=10)
+        .to_pandas())
+    got = dict(zip(out["path"], out["n_sessions"]))
+    assert got == {"a>b>c": 1, "e": 1, "a>b": 1}
