@@ -50,7 +50,9 @@ PIPELINES = ("quantiles", "kll", "req", "distinct", "heavy", "heavy_mg",
              "top_ties", "neyman", "moving_sum", "period_growth",
              "entry_exit", "breadth_hist", "topk_other",
              "mannwhitney", "kendall", "embedding_norms",
-             "vocab_richness", "fano", "heatmap", "streaks")
+             "vocab_richness", "fano", "heatmap", "streaks",
+             "session_durations", "session_paths", "k_anonymity",
+             "autocorr", "change_detect")
 
 
 @dataclass
@@ -616,6 +618,26 @@ def run_job(cfg: JobConfig):
     elif cfg.pipeline == "streaks":
         from .pipelines.windows import event_streaks
         out = event_streaks(ds, cfg.key, type_col=cfg.value_col, **p)
+    elif cfg.pipeline == "session_durations":
+        from .pipelines.windows import session_duration_quantiles
+        out = session_duration_quantiles(ds, cfg.key, **p)
+    elif cfg.pipeline == "session_paths":
+        from .pipelines.windows import top_session_paths
+        out = top_session_paths(ds, cfg.key, type_col=cfg.value_col, **p)
+    elif cfg.pipeline == "k_anonymity":
+        import ray.data as rd
+
+        from .pipelines.curation import k_anonymity_audit
+        out = rd.from_pandas(k_anonymity_audit(ds, **p))
+    elif cfg.pipeline == "autocorr":
+        from .pipelines.windows import hourly_autocorrelation
+        out = hourly_autocorrelation(ds, cfg.key, cfg.value_col, **p)
+    elif cfg.pipeline == "change_detect":
+        import ray.data as rd
+
+        from .pipelines.heavy import change_detection
+        out = rd.from_pandas(change_detection(
+            ds, cfg.key, cfg.value_col, **p))
     elif cfg.pipeline == "export_text":
         import glob
         import os

@@ -582,3 +582,44 @@ def test_config_analytics_routes_wave3(ray_session):
                             params={"ts_col": "ts",
                                     "tie_col": "event_id"})).to_pandas()
     assert (out["n_runs"] >= 1).all() and (out["max_run"] >= 1).all()
+
+
+def test_config_analytics_routes_wave4(ray_session):
+    sf = "/root/testdata/sf0.001"
+    ev = f"{sf}/events.parquet"
+    docs = f"{sf}/documents.parquet"
+
+    out = run_job(JobConfig(pipeline="session_durations", input=ev,
+                            columns=["user_id", "ts", "event_id"],
+                            key="user_id",
+                            params={"ts_col": "ts",
+                                    "tie_col": "event_id"})).to_pandas()
+    assert out["n_sessions"].iloc[0] > 0
+
+    out = run_job(JobConfig(pipeline="session_paths", input=ev,
+                            columns=["user_id", "ts", "event_id",
+                                     "event_type"],
+                            value_col="event_type", key="user_id",
+                            params={"ts_col": "ts",
+                                    "tie_col": "event_id",
+                                    "k": 5})).to_pandas()
+    assert len(out) == 5 and (out["n_sessions"] >= 1).all()
+
+    out = run_job(JobConfig(pipeline="k_anonymity", input=docs,
+                            columns=["lang", "source"],
+                            params={"qi_cols": ["lang", "source"],
+                                    "k": 3})).to_pandas()
+    assert out["n_rows"].iloc[0] > 0
+
+    out = run_job(JobConfig(pipeline="autocorr", input=ev,
+                            columns=["event_type", "ts"],
+                            value_col="ts", key="event_type")).to_pandas()
+    assert (out["n_pairs"] > 0).all()
+
+    out = run_job(JobConfig(pipeline="change_detect", input=ev,
+                            columns=["user_id", "event_type"],
+                            value_col="event_type", key="user_id",
+                            params={"half_a": "click",
+                                    "half_b": "view",
+                                    "k": 5})).to_pandas()
+    assert len(out) == 5 and out["within_bound"].all()
