@@ -5332,6 +5332,24 @@ def top_session_paths_events(sf_dir: str):
                              "event_type", gap_s=1800, depth=3, k=10)
 
 
+def ipc_doc_stats_by_lang(sf_dir: str):
+    """doc_stats_by_lang, but ingested from Arrow IPC stream shards
+    (fifth source format, sources/arrow_ipc.py): the parquet table is
+    deterministically exported once into .arrows stream shards, then
+    streamed back batch-at-a-time through a FileBasedDatasource with
+    per-batch projection. Same oracle as the parquet path — format must
+    not change the answer."""
+    from ray.data.aggregate import Count, Max, Min, Sum
+    from t_digest_ray.sources.arrow_ipc import documents_ipc
+
+    ds = documents_ipc(sf_dir, ["lang", "n_chars"])
+    return ds.groupby("lang").aggregate(
+        Count(alias_name="n_docs"),
+        Sum("n_chars", alias_name="sum_chars"),
+        Min("n_chars", alias_name="min_chars"),
+        Max("n_chars", alias_name="max_chars"))
+
+
 def gini_event_values(sf_dir: str):
     """Exact per-type Gini coefficient of event value
     (pipelines/stats.grouped_gini): integer-cents arithmetic throughout
@@ -5548,6 +5566,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cms_change_users": cms_change_users,
         "k_anonymity_docs": k_anonymity_docs,
         "top_session_paths_events": top_session_paths_events,
+        "ipc_doc_stats_by_lang": ipc_doc_stats_by_lang,
     }
 
 
@@ -8280,5 +8299,11 @@ def oracle_sql() -> dict[str, str]:
             FROM p GROUP BY 1
             ORDER BY n_sessions DESC, path ASC
             LIMIT 10
+        """,
+        "ipc_doc_stats_by_lang": """
+            SELECT lang, COUNT(*) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+                   MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+            FROM documents GROUP BY lang
         """,
     }

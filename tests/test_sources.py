@@ -6,6 +6,7 @@ from __future__ import annotations
 import glob
 import os
 
+import pandas as pd
 import pyarrow as pa
 import pytest
 
@@ -128,3 +129,17 @@ def test_warc_multi_chunk_stream(ray_session, tmp_path):
         .sort_values("doc_id").reset_index(drop=True)
     assert len(got) == 200
     assert got["text"].tolist() == [p.decode() for p in payloads]
+
+
+def test_ipc_source_roundtrip(ray_session, sf_smoke):
+    """IPC stream shards reproduce the parquet table exactly."""
+    import pyarrow.parquet as pq
+
+    from t_digest_ray.sources.arrow_ipc import documents_ipc
+
+    ds = documents_ipc(sf_smoke, ["doc_id", "lang", "n_chars"])
+    got = (ds.to_pandas().sort_values("doc_id").reset_index(drop=True))
+    want = (pq.read_table(f"{sf_smoke}/documents.parquet",
+                          columns=["doc_id", "lang", "n_chars"])
+            .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want)
