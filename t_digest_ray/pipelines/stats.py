@@ -540,21 +540,59 @@ def grouped_pearson(ds, key: str, x_col: str, y_col: str):
     Fixed IEEE order — round each exact int to double, multiply the two
     denominator doubles, one sqrt, one divide — so r is bit-identical
     to the HUGEINT SQL oracle computing the same expression.
+
+    Overflow safety (ADVICE r4): the second-order moments (Σxy, Σx²,
+    Σy²) ride the exchange as TWO int64 limb columns (value = hi·2⁶² +
+    lo, floor-div split, exact for |v| < 2¹²⁵). Each batch checks
+    max|x|·max|y|·len ≤ 2⁶² and uses vectorized int64 products when
+    provably safe (the common case: chars/tokens), else falls back to
+    Python-int products — so Spearman's doubled ranks (≈2n per key)
+    never silently wrap no matter the per-key row count.
     """
     import math
+
+    _LIMB = 1 << 62
+    _MOMS = ("sxy", "sxx", "syy")
+
+    def _split(col):
+        """Exact (hi, lo) limb split of a Python-int/array column."""
+        hi = [int(v) // _LIMB for v in col]
+        lo = [int(v) % _LIMB for v in col]
+        return (np.array(hi, dtype=np.int64),
+                np.array(lo, dtype=np.int64))
 
     def partial(b: pa.Table) -> pa.Table:
         x = b[x_col].to_numpy(zero_copy_only=False).astype(np.int64)
         y = b[y_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        ax = int(np.abs(x).max()) if len(x) else 0
+        ay = int(np.abs(y).max()) if len(y) else 0
+        n_b = max(len(x), 1)
+        safe = (ax * ay * n_b < _LIMB and ax * ax * n_b < _LIMB
+                and ay * ay * n_b < _LIMB)
         df = pd.DataFrame({key: b[key].to_numpy(zero_copy_only=False)})
         df["n"] = np.int64(1)
         df["sx"] = x
         df["sy"] = y
-        df["sxy"] = x * y
-        df["sxx"] = x * x
-        df["syy"] = y * y
+        if safe:
+            df["sxy"] = x * y
+            df["sxx"] = x * x
+            df["syy"] = y * y
+        else:
+            xo = x.astype(object)
+            yo = y.astype(object)
+            df["sxy"] = xo * yo
+            df["sxx"] = xo * xo
+            df["syy"] = yo * yo
         g = df.groupby(key, as_index=False, sort=False).sum()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        out = {key: g[key].to_numpy(),
+               "n": g["n"].to_numpy(dtype=np.int64),
+               "sx": g["sx"].to_numpy(dtype=np.int64),
+               "sy": g["sy"].to_numpy(dtype=np.int64)}
+        for m in _MOMS:
+            hi, lo = _split(g[m])
+            out[f"{m}_hi"] = hi
+            out[f"{m}_lo"] = lo
+        return pa.table(out)
 
     parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
 
@@ -563,9 +601,14 @@ def grouped_pearson(ds, key: str, x_col: str, y_col: str):
         n = int(g["n"].sum())
         sx = sum(int(v) for v in g["sx"])
         sy = sum(int(v) for v in g["sy"])
-        sxy = sum(int(v) for v in g["sxy"])
-        sxx = sum(int(v) for v in g["sxx"])
-        syy = sum(int(v) for v in g["syy"])
+
+        def bigsum(m, g=g):
+            return (sum(int(v) for v in g[f"{m}_hi"]) * _LIMB
+                    + sum(int(v) for v in g[f"{m}_lo"]))
+
+        sxy = bigsum("sxy")
+        sxx = bigsum("sxx")
+        syy = bigsum("syy")
         num = n * sxy - sx * sy
         dx = n * sxx - sx * sx
         dy = n * syy - sy * sy
@@ -604,6 +647,14 @@ def winsorized_mean_stats(ds, key: str, value: str,
         v = b[value].to_numpy(zero_copy_only=False).astype(np.float64)
         cents = np.floor(v * 100.0 + 0.5).astype(np.int64)
         codes = pd.Categorical(kv, categories=keys).codes
+        if (codes < 0).any():
+            # Fail loudly (ADVICE r4): a key absent from the pass-1
+            # cutpoint table would otherwise index lo_c[-1]/hi_c[-1]
+            # and silently clamp with the wrong key's bounds.
+            missing = sorted(set(kv[codes < 0]))[:5]
+            raise ValueError(
+                f"winsorized_mean_stats: keys {missing} seen in pass 2 "
+                "but absent from the pass-1 cutpoint table")
         clamped = np.minimum(np.maximum(cents, lo_c[codes]), hi_c[codes])
         was = ((v < lo[codes]) | (v > hi[codes])).astype(np.int64)
         df = pd.DataFrame({key: kv, "n": np.int64(1),
@@ -665,11 +716,18 @@ def welch_t_report(ds, key: str, value: str, group_a, group_b):
 
     na, sa, ssa = fold("a")
     nb, sb, ssb = fold("b")
-    ma = float(sa) / float(na)
-    mb = float(sb) / float(nb)
-    va = float(na * ssa - sa * sa) / float(na * (na - 1))
-    vb = float(nb * ssb - sb * sb) / float(nb * (nb - 1))
-    t = (ma - mb) / math.sqrt(va / float(na) + vb / float(nb))
+    # Degenerate-group guard (ADVICE r4): with n<=1 the sample variance
+    # is undefined — emit the deliberate 0.0 convention used by the
+    # other folds (grouped_pearson, fano) instead of raising.
+    ma = float(sa) / float(na) if na > 0 else 0.0
+    mb = float(sb) / float(nb) if nb > 0 else 0.0
+    if na > 1 and nb > 1:
+        va = float(na * ssa - sa * sa) / float(na * (na - 1))
+        vb = float(nb * ssb - sb * sb) / float(nb * (nb - 1))
+        se = math.sqrt(va / float(na) + vb / float(nb))
+        t = (ma - mb) / se if se > 0.0 else 0.0
+    else:
+        t = 0.0
     return pd.DataFrame({
         "n_a": np.array([na], dtype=np.int64),
         "n_b": np.array([nb], dtype=np.int64),
@@ -1038,7 +1096,10 @@ def neyman_allocation(ds, stratum: str, value: str, total_n: int):
         tot = tot + wt
     rows = []
     for k, n, wt in strata:
-        raw = (float(total_n) * wt) / tot
+        # tot==0 guard (ADVICE r4): every stratum degenerate (n<=1 or
+        # zero variance) — allocate 0 deliberately instead of dividing
+        # by zero; largest-remainder then spreads total_n by name order.
+        raw = (float(total_n) * wt) / tot if tot > 0.0 else 0.0
         rows.append({stratum: k, "n_rows": np.int64(n),
                      "raw_alloc": raw,
                      "base": int(math.floor(raw)),
@@ -1169,7 +1230,10 @@ def kendall_tau_b(ds, x_col: str, y_col: str):
     with bignum integer counts and one fixed-order float expression —
     bit-identical to an O(n²) SIGN-product SQL oracle. Scale shape:
     per-batch joint value counts combine (domain²-bounded, never rows);
-    the dense suffix-sum fold runs on that table.
+    the driver fold is a SPARSE x-ordered Fenwick sweep touching only
+    the nonzero (x, y, cnt) cells — O(nnz·log|Y|) time, O(|Y|) memory
+    (ADVICE r4: no dense |X|×|Y| matrix, no object suffix-sum array),
+    with Python-int C/D accumulators so pair counts never wrap.
     """
     import math
 
@@ -1190,35 +1254,55 @@ def kendall_tau_b(ds, x_col: str, y_col: str):
            .groupby(["x", "y"])
            .aggregate(Sum("partial", alias_name="cnt"))
            .to_pandas())
-    xs = np.sort(dom["x"].unique())
-    ys = np.sort(dom["y"].unique())
-    M = np.zeros((len(xs), len(ys)), dtype=np.int64)
-    xi = np.searchsorted(xs, dom["x"].to_numpy(dtype=np.int64))
-    yi = np.searchsorted(ys, dom["y"].to_numpy(dtype=np.int64))
-    M[xi, yi] = dom["cnt"].to_numpy(dtype=np.int64)
+    dom = dom.sort_values(["x", "y"], kind="stable")
+    xv = dom["x"].to_numpy(dtype=np.int64)
+    yv = dom["y"].to_numpy(dtype=np.int64)
+    cv = dom["cnt"].to_numpy(dtype=np.int64)
+    ys = np.sort(np.unique(yv))
+    yi = np.searchsorted(ys, yv)          # 0-based y code per cell
 
-    # strict 2-D suffix sums: S_gt_gt[i,j] = Σ M[i'>i, j'>j], etc.
-    suf = np.zeros((len(xs) + 1, len(ys) + 1), dtype=object)
-    for i in range(len(xs) - 1, -1, -1):
-        for j in range(len(ys) - 1, -1, -1):
-            suf[i, j] = (int(M[i, j]) + suf[i + 1, j] + suf[i, j + 1]
-                         - suf[i + 1, j + 1])
+    # Fenwick over y codes holding Python-int counts of all cells in
+    # STRICTLY smaller x groups; sweep x groups in increasing order.
+    tree = [0] * (len(ys) + 1)
+
+    def bit_add(i: int, v: int) -> None:
+        i += 1
+        while i <= len(ys):
+            tree[i] += v
+            i += i & (-i)
+
+    def bit_prefix(i: int) -> int:        # Σ codes <= i (i may be -1)
+        s = 0
+        i += 1
+        while i > 0:
+            s += tree[i]
+            i -= i & (-i)
+        return s
+
     C = 0
     D = 0
-    for i in range(len(xs)):
-        for j in range(len(ys)):
-            c = int(M[i, j])
-            if not c:
-                continue
-            C += c * suf[i + 1, j + 1]
-            # strictly greater x, strictly smaller y:
-            gt_x = suf[i + 1, 0]                 # all x' > i
-            gt_x_ge_y = suf[i + 1, j]            # x' > i, y' >= j
-            # rows with x'>i and y'<j:
-            D += c * (gt_x - gt_x_ge_y)
-    n = int(M.sum())
-    row_tot = M.sum(axis=1)
-    col_tot = M.sum(axis=0)
+    seen = 0                              # rows in smaller x groups
+    i0 = 0
+    nnz = len(xv)
+    while i0 < nnz:
+        i1 = i0
+        while i1 < nnz and xv[i1] == xv[i0]:
+            i1 += 1
+        for j in range(i0, i1):           # query before inserting group
+            c = int(cv[j])
+            less_less = bit_prefix(int(yi[j]) - 1)   # x'<x, y'<y
+            less_le = bit_prefix(int(yi[j]))         # x'<x, y'<=y
+            C += c * less_less
+            D += c * (seen - less_le)                # x'<x, y'>y
+        for j in range(i0, i1):
+            c = int(cv[j])
+            bit_add(int(yi[j]), c)
+            seen += c
+        i0 = i1
+
+    n = int(cv.sum())
+    row_tot = dom.groupby("x", sort=False)["cnt"].sum()
+    col_tot = dom.groupby("y", sort=False)["cnt"].sum()
     n0 = n * (n - 1) // 2
     n1 = sum(int(t) * (int(t) - 1) // 2 for t in row_tot)
     n2 = sum(int(t) * (int(t) - 1) // 2 for t in col_tot)

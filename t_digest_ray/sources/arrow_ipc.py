@@ -11,6 +11,7 @@ streaming executor backpressures on the batch iterator.
 
 from __future__ import annotations
 
+import hashlib
 import os
 import uuid
 
@@ -20,9 +21,12 @@ _N_SHARDS = 8
 
 
 def _cache_dir(sf_dir: str, table: str, columns: list[str]) -> str:
-    key = "-".join(columns)
-    return os.path.join("/tmp", "tdr_srccache",
-                        f"{os.path.basename(sf_dir)}-{table}-{key}-ipc")
+    # Key on the sha1 of the NORMALIZED FULL path + columns (same
+    # discipline as warc.py/text_files.py) so two datasets whose
+    # directories share a basename never reuse each other's shards.
+    key = f"{os.path.normpath(sf_dir)}|{','.join(columns)}|ipc"
+    tag = hashlib.sha1(key.encode()).hexdigest()[:10]
+    return os.path.join("/tmp", "tdr_srccache", f"{table}-ipc-{tag}")
 
 
 def export_ipc(sf_dir: str, table: str, columns: list[str]) -> str:

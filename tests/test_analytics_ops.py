@@ -1250,3 +1250,71 @@ def test_top_session_paths(ray_session):
         .to_pandas())
     got = dict(zip(out["path"], out["n_sessions"]))
     assert got == {"a>b>c": 1, "e": 1, "a>b": 1}
+
+
+def test_pearson_bignum_overflow_path(ray_session, rng):
+    """Values near 2^31 make per-batch x*y sums overflow int64; the
+    limb-split exchange (ADVICE r4 fix) must still fold exactly."""
+    import ray
+    from t_digest_ray.pipelines.stats import grouped_pearson
+
+    n = 2000
+    base = rng.integers(1, 2**31, n, dtype=np.int64)
+    df = pd.DataFrame({
+        "k": ["g"] * n,
+        "x": base,
+        "y": base + rng.integers(0, 2**20, n, dtype=np.int64),
+    })
+    out = grouped_pearson(ray.data.from_pandas(df).repartition(4),
+                          "k", "x", "y").iloc[0]
+    # exact bignum reference fold
+    import math
+    xs = [int(v) for v in df["x"]]
+    ys = [int(v) for v in df["y"]]
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(a * b for a, b in zip(xs, ys))
+    sxx = sum(a * a for a in xs)
+    syy = sum(b * b for b in ys)
+    num = n * sxy - sx * sy
+    dx = n * sxx - sx * sx
+    dy = n * syy - sy * sy
+    want = float(num) / math.sqrt(float(dx) * float(dy))
+    assert out["n_rows"] == n
+    assert out["pearson_r"] == want          # bit-identical fold
+    assert out["pearson_r"] > 0.99           # near-linear relation
+
+
+def test_spearman_matches_scipyless_reference(ray_session, rng):
+    """Spearman over wide-magnitude ints still exact after the limb fix
+    (doubled ranks route through the same grouped_pearson fold)."""
+    import ray
+    from t_digest_ray.pipelines.stats import grouped_spearman
+
+    n = 500
+    df = pd.DataFrame({
+        "k": ["g"] * n,
+        "x": rng.integers(0, 50, n).astype(np.int64),
+        "y": rng.integers(0, 40, n).astype(np.int64),
+    })
+    df["y"] = df["y"] + df["x"]
+    out = grouped_spearman(ray.data.from_pandas(df).repartition(4),
+                           "k", "x", "y").iloc[0]
+    rx = pd.Series(df["x"]).rank(method="average").to_numpy()
+    ry = pd.Series(df["y"]).rank(method="average").to_numpy()
+    want = np.corrcoef(rx, ry)[0, 1]
+    assert abs(out["spearman_rho"] - want) < 1e-12
+
+
+def test_welch_degenerate_groups(ray_session):
+    """n<=1 in either group emits the deliberate t=0.0 convention
+    instead of raising (ADVICE r4)."""
+    import ray
+    from t_digest_ray.pipelines.stats import welch_t_report
+
+    df = pd.DataFrame({"k": ["a", "b", "b", "b"],
+                       "v": [1.25, 2.5, 3.75, 5.0]})
+    out = welch_t_report(ray.data.from_pandas(df).repartition(2),
+                         "k", "v", "a", "b").iloc[0]
+    assert out["n_a"] == 1 and out["n_b"] == 3
+    assert out["t_stat"] == 0.0
+    assert out["mean_a_cents"] == 125.0
