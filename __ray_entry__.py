@@ -1306,6 +1306,49 @@ def linear_histogram_events(sf_dir: str):
             .groupby("bin").aggregate(Sum("partial", alias_name="cnt")))
 
 
+def float_histogram_events(sf_dir: str):
+    """FloatHistogram (bit-truncation log bins, FloatHistogram.java:69-77)
+    of event value per event_type, FULLY value-checked: the merged
+    histogram's nonzero (bin, cnt, bin_lb) rows hash-match a DuckDB
+    oracle that replays the float64 bit truncation exactly (the bin index
+    e*2^b + floor((m-1)*2^b) and the inverse 2^e*(1+r/2^b) are pure IEEE
+    expressions). min=0.001, max=1000, 50 bins/decade -> 4 mantissa bits,
+    319 bins."""
+    from t_digest_ray.pipelines.quantiles import histogram_bins_by_key
+    from t_digest_ray.state.histogram import FloatHistogram
+    from t_digest_ray.state.protocol import SketchSpec
+
+    spec = SketchSpec(
+        name="float_histogram",
+        factory=lambda: FloatHistogram(0.001, 1000.0, 50.0),
+        from_bytes=FloatHistogram.from_bytes,
+    )
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    return histogram_bins_by_key(ds, spec, "value", "event_type",
+                                 num_salts=2)
+
+
+def log_histogram_events(sf_dir: str):
+    """LogHistogram ((1+eps)-relative bins via approxLog2,
+    LogHistogram.java:39-57,70-95) of event value per event_type, FULLY
+    value-checked: bin index trunc(approxLog2(x)*factor - offset) and the
+    pow2 inverse replayed bit-exactly by the SQL oracle (quadratic
+    mantissa correction in fixed IEEE order). min=0.001, max=1000,
+    eps=0.1 -> 145 bins."""
+    from t_digest_ray.pipelines.quantiles import histogram_bins_by_key
+    from t_digest_ray.state.histogram import LogHistogram
+    from t_digest_ray.state.protocol import SketchSpec
+
+    spec = SketchSpec(
+        name="log_histogram",
+        factory=lambda: LogHistogram(0.001, 1000.0, 0.1),
+        from_bytes=LogHistogram.from_bytes,
+    )
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    return histogram_bins_by_key(ds, spec, "value", "event_type",
+                                 num_salts=2)
+
+
 def cms_heavy_event_types(sf_dir: str):
     """Heavy hitters via count-min + candidate top-k. With distinct keys ≪
     sketch width there are no collisions, so estimates equal exact counts
@@ -5385,6 +5428,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ddsketch_quantiles_by_lang": ddsketch_quantiles_by_lang,
         "countsketch_heavy_event_types": countsketch_heavy_event_types,
         "freqdir_gram_embeddings": freqdir_gram_embeddings,
+        "float_histogram_events": float_histogram_events,
+        "log_histogram_events": log_histogram_events,
         "greedy_packed_docs": greedy_packed_docs,
         "lang_packed_docs": lang_packed_docs,
         "req_quantiles_by_lang": req_quantiles_by_lang,
@@ -7233,6 +7278,92 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(FLOOR(value / 10.0) AS BIGINT) AS bin,
                    COUNT(*) AS cnt
             FROM events GROUP BY 1
+        """,
+        # FloatHistogram(0.001, 1000, 50 bins/decade): 4 mantissa bits
+        # kept (B2 = 16), 319 bins. The bit truncation
+        # (bits(x/min) >> 48) - (0x3ff << 4) equals
+        # e*16 + floor((m-1)*16) for x/min = m*2^e, m in [1,2) — every
+        # step below (power-of-two scaling, m-1, *16, floor) is exact in
+        # IEEE doubles, so the replay is bit-identical. LOG2's float
+        # error is corrected by the POWER comparisons.
+        "float_histogram_events": """
+            WITH s AS (
+              SELECT event_type, value/0.001 AS y FROM events
+              WHERE value > 0.001 AND value < 1000.0
+            ), e0 AS (
+              SELECT event_type, y,
+                     CAST(FLOOR(LOG2(y)) AS BIGINT) AS g FROM s
+            ), e AS (
+              SELECT event_type, y,
+                     CASE WHEN POWER(2.0, g) > y THEN g-1
+                          WHEN POWER(2.0, g+1) <= y THEN g+1
+                          ELSE g END AS ex FROM e0
+            ), i AS (
+              SELECT event_type,
+                     GREATEST(0, LEAST(318, ex*16 +
+                       CAST(FLOOR((y/POWER(2.0,ex) - 1.0)*16.0)
+                            AS BIGINT))) AS bin
+              FROM e
+            ), edge AS (
+              SELECT event_type,
+                     CASE WHEN value <= 0.001 THEN 0 ELSE 318 END AS bin
+              FROM events WHERE value <= 0.001 OR value >= 1000.0
+            ), allb AS (
+              SELECT * FROM i UNION ALL SELECT * FROM edge
+            )
+            SELECT event_type, bin, COUNT(*) AS cnt,
+                   0.001 * (POWER(2.0, CAST(bin // 16 AS DOUBLE))
+                            * (1.0 + CAST(bin % 16 AS DOUBLE)/16.0))
+                       AS bin_lb
+            FROM allb GROUP BY event_type, bin
+        """,
+        # LogHistogram(0.001, 1000, eps=0.1): 145 bins; approxLog2 =
+        # m*(2 - m/3) + (e-1) - 2/3 with m = x/2^e exact, replayed in the
+        # same IEEE order as the numpy kernel; bin = trunc(alog*factor -
+        # offset) (numpy .astype truncates, not floors — negatives clip
+        # to 0 either way); inverse = 2^floor(v) * (3 - sqrt(7-3*frac)).
+        "log_histogram_events": """
+            WITH s AS (
+              SELECT event_type, value AS x FROM events
+              WHERE value > 0.001 AND value < 1000.0
+            ), e0 AS (
+              SELECT event_type, x,
+                     CAST(FLOOR(LOG2(x)) AS BIGINT) AS g FROM s
+            ), e AS (
+              SELECT event_type, x,
+                     CASE WHEN POWER(2.0, g) > x THEN g-1
+                          WHEN POWER(2.0, g+1) <= x THEN g+1
+                          ELSE g END AS ex FROM e0
+            ), al AS (
+              SELECT event_type,
+                     (x/POWER(2.0,ex)) * (2.0 - (1.0/3.0)*(x/POWER(2.0,ex)))
+                     + CAST(ex - 1 AS DOUBLE) - (2.0/3.0) AS alog FROM e
+            ), i AS (
+              SELECT event_type,
+                     GREATEST(0, LEAST(144,
+                       CAST(TRUNC(alog*7.2725408973417185
+                                  - (-72.49408399255454)) AS BIGINT)))
+                         AS bin
+              FROM al
+            ), edge AS (
+              SELECT event_type,
+                     CASE WHEN value <= 0.001 THEN 0 ELSE 144 END AS bin
+              FROM events WHERE value <= 0.001 OR value >= 1000.0
+            ), allb AS (
+              SELECT * FROM i UNION ALL SELECT * FROM edge
+            ), g AS (
+              SELECT event_type, bin, COUNT(*) AS cnt
+              FROM allb GROUP BY event_type, bin
+            ), lbx AS (
+              SELECT event_type, bin, cnt,
+                     (CAST(bin AS DOUBLE) + (-72.49408399255454))
+                        / 7.2725408973417185 AS v2 FROM g
+            )
+            SELECT event_type, bin, cnt,
+                   POWER(2.0, FLOOR(v2)-1.0+1.0)
+                     * (3.0 - SQRT(7.0 - 3.0*(v2 - (FLOOR(v2)-1.0))))
+                       AS bin_lb
+            FROM lbx
         """,
         "cms_heavy_event_types": """
             SELECT event_type, COUNT(*) AS est_count

@@ -502,3 +502,40 @@ class TestMisraGries:
         assert list(out["k"]) == list(uniq[order[:5]])
         assert list(out["est_count"]) == [int(cnt[i]) for i in order[:5]]
         assert (out["max_undercount"] == 0).all()  # 40 keys < capacity
+
+
+class TestHistogramPipeline:
+    def test_histogram_bins_by_key_matches_local(self, ray_session, rng):
+        """Distributed partial->merge->explode equals one local
+        histogram per key, for both Float and Log binning."""
+        import pandas as pd
+        import ray
+
+        from t_digest_ray.pipelines.quantiles import histogram_bins_by_key
+        from t_digest_ray.state.histogram import (FloatHistogram,
+                                                  LogHistogram)
+        from t_digest_ray.state.protocol import SketchSpec
+
+        n = 4000
+        df = pd.DataFrame({
+            "k": rng.choice(["a", "b", "c"], n),
+            "v": np.exp(rng.normal(2.0, 1.5, n)),
+        })
+        d = ray.data.from_pandas(df).repartition(6)
+        for cls, param in ((FloatHistogram, 50.0), (LogHistogram, 0.1)):
+            spec = SketchSpec(name="h",
+                              factory=lambda: cls(0.001, 1000.0, param),
+                              from_bytes=cls.from_bytes)
+            out = (histogram_bins_by_key(d, spec, "v", "k", num_salts=2)
+                   .to_pandas().sort_values(["k", "bin"])
+                   .reset_index(drop=True))
+            for k, g in df.groupby("k"):
+                h = cls(0.001, 1000.0, param)
+                h.update_batch(g["v"].to_numpy())
+                nz = np.nonzero(h.counts)[0]
+                sub = out[out["k"] == k]
+                assert list(sub["bin"]) == list(nz)
+                assert list(sub["cnt"]) == list(h.counts[nz])
+                assert np.array_equal(sub["bin_lb"].to_numpy(),
+                                      h._lower_bound(nz))
+            assert int(out["cnt"].sum()) == n
