@@ -1306,6 +1306,21 @@ def linear_histogram_events(sf_dir: str):
             .groupby("bin").aggregate(Sum("partial", alias_name="cnt")))
 
 
+def kll_pmf_events(sf_dir: str):
+    """KLL getPMF per event_type, VALUE-CHECKED: exact per-bucket counts
+    (bucket = #{split points <= value}, the getPmfOrCdf convention)
+    hash-match SQL; within_bound asserts the merged sketch's PMF mass
+    per bucket sits inside the published double-sided bound
+    2.446/k^0.9433 (KllDoublesSketch.java:109-117, 528-538)."""
+    from t_digest_ray.pipelines.validation import pmf_bound_check
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    return pmf_bound_check(ds, "value", "event_type",
+                           split_points=(5.0, 10.0, 25.0, 50.0, 100.0,
+                                         250.0),
+                           k=200, num_salts=2)
+
+
 def float_histogram_events(sf_dir: str):
     """FloatHistogram (bit-truncation log bins, FloatHistogram.java:69-77)
     of event value per event_type, FULLY value-checked: the merged
@@ -5428,6 +5443,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ddsketch_quantiles_by_lang": ddsketch_quantiles_by_lang,
         "countsketch_heavy_event_types": countsketch_heavy_event_types,
         "freqdir_gram_embeddings": freqdir_gram_embeddings,
+        "kll_pmf_events": kll_pmf_events,
         "float_histogram_events": float_histogram_events,
         "log_histogram_events": log_histogram_events,
         "greedy_packed_docs": greedy_packed_docs,
@@ -7278,6 +7294,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(FLOOR(value / 10.0) AS BIGINT) AS bin,
                    COUNT(*) AS cnt
             FROM events GROUP BY 1
+        """,
+        "kll_pmf_events": """
+            SELECT event_type,
+                   CAST((CASE WHEN value >= 5.0 THEN 1 ELSE 0 END)
+                      + (CASE WHEN value >= 10.0 THEN 1 ELSE 0 END)
+                      + (CASE WHEN value >= 25.0 THEN 1 ELSE 0 END)
+                      + (CASE WHEN value >= 50.0 THEN 1 ELSE 0 END)
+                      + (CASE WHEN value >= 100.0 THEN 1 ELSE 0 END)
+                      + (CASE WHEN value >= 250.0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS bucket,
+                   COUNT(*) AS exact_cnt,
+                   TRUE AS within_bound
+            FROM events GROUP BY event_type, bucket
         """,
         # FloatHistogram(0.001, 1000, 50 bins/decade): 4 mantissa bits
         # kept (B2 = 16), 319 bins. The bit truncation

@@ -591,3 +591,79 @@ def kmv_overlap_bound_check(ds, value_col: str, key: str,
     return pd.DataFrame({
         "n_a": [np.int64(n_a)], "n_b": [np.int64(n_b)],
         "n_intersect": [np.int64(n_i)], "within_bound": [bool(ok)]})
+
+
+def pmf_bound_check(ds, value_col: str, key: str, split_points,
+                    k: int = 200, num_salts: int = 2,
+                    batch_size: int | None = None):
+    """Exact per-(key, bucket) PMF + a KLL getPMF bound flag.
+
+    The exact side buckets every row by
+    ``j = #{split points <= value}`` (the getPmfOrCdf:973-984 convention:
+    bucket j holds sp[j-1] <= v < sp[j]) with a vectorized per-batch
+    count partial — hash-checkable vs a SQL CASE/searchsorted twin. The
+    merged per-key KLL sketch's :meth:`KllSketch.pmf` estimate for the
+    same bucket must sit within the published DOUBLE-sided bound
+    ``2.446/k^0.9433`` (KllDoublesSketch.java:109-117 PMF guarantee,
+    :528-538 constants) of the exact mass, and the sketch's total weight
+    must equal the exact count — else ``within_bound`` flips and the
+    driver's hash check fails.
+
+    Output: one row per (key, bucket) —
+    ``(key, bucket: int64, exact_cnt: int64, within_bound: bool)``.
+    Scale shape: rows never shuffle (count partials combine per batch;
+    sketches merge via the salted two-level tree); the final comparison
+    joins two key-count-sized tables on the driver.
+    """
+    from ray.data.aggregate import Sum
+
+    from ..state.kll import KllSketch
+
+    sp = np.ascontiguousarray(split_points, dtype=np.float64)
+    n_buckets = sp.size + 1
+    eps = KllSketch.normalized_rank_error(k, pmf=True)
+
+    def bucket_partial(b: pa.Table) -> pa.Table:
+        v = b[value_col].to_numpy(zero_copy_only=False)
+        j = np.searchsorted(sp, v.astype(np.float64), side="right")
+        df = pd.DataFrame({key: b[key].to_numpy(zero_copy_only=False),
+                           "bucket": j.astype(np.int64)})
+        g = df.groupby([key, "bucket"], as_index=False, sort=False).size()
+        g = g.rename(columns={"size": "partial"})
+        g["partial"] = g["partial"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    exact = (ds.map_batches(bucket_partial, batch_format="pyarrow")
+             .groupby([key, "bucket"])
+             .aggregate(Sum("partial", alias_name="exact_cnt"))
+             .to_pandas())
+
+    spec = SketchSpec(name="kll",
+                      factory=lambda: KllSketch(k),
+                      from_bytes=KllSketch.from_bytes)
+    merged = sketch_by_key(ds, spec, value_col, key,
+                           num_salts=num_salts,
+                           batch_size=batch_size).to_pandas()
+    est = {}
+    for _, r in merged.iterrows():
+        sk = KllSketch.from_bytes(r["sketch"])
+        est[r["key"]] = (sk.pmf(sp), sk.n, float(r["n"]))
+
+    n_by_key = exact.groupby(key)["exact_cnt"].sum()
+    rows = []
+    for _, r in exact.iterrows():
+        kv = r[key]
+        bkt = int(r["bucket"])
+        cnt = int(r["exact_cnt"])
+        n_key = int(n_by_key[kv])
+        ok = kv in est
+        if ok:
+            pmf_vec, sk_n, part_n = est[kv]
+            ok = (sk_n == n_key and part_n == float(n_key)
+                  and 0 <= bkt < n_buckets
+                  and abs(float(pmf_vec[bkt]) - cnt / float(n_key))
+                  <= eps)
+        rows.append({key: kv, "bucket": np.int64(bkt),
+                     "exact_cnt": np.int64(cnt),
+                     "within_bound": bool(ok)})
+    return pd.DataFrame(rows)

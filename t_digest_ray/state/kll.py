@@ -176,14 +176,68 @@ class KllSketch:
     def cdf_batch(self, xs) -> np.ndarray:
         return np.asarray([self.rank(float(x)) for x in np.atleast_1d(xs)])
 
+    def pmf(self, split_points) -> np.ndarray:
+        """Probability mass function over the given ascending split points
+        (KllDoublesSketch.java:626-659 getPMF via getPmfOrCdf:941-971):
+        returns ``len(split_points) + 1`` masses where bucket ``j`` holds
+        the normalized weight of items with ``sp[j-1] <= item < sp[j]``
+        (bucket 0 = below sp[0], last = at/above sp[-1]). The published
+        guarantee uses the DOUBLE-sided error
+        ``normalized_rank_error(k, pmf=True)`` per bucket."""
+        sp = np.ascontiguousarray(split_points, dtype=np.float64)
+        if sp.size == 0 or np.isnan(sp).any():
+            raise ValueError("split points must be non-empty and NaN-free")
+        if sp.size > 1 and not (np.diff(sp) > 0).all():
+            raise ValueError("split points must be strictly ascending")
+        if self.n == 0:
+            return np.full(sp.size + 1, np.nan)
+        it, w = self._weighted_sorted()
+        j = np.searchsorted(sp, it, side="right")
+        return np.bincount(j, weights=w,
+                           minlength=sp.size + 1) / float(self.n)
+
+    def cdf_points(self, split_points) -> np.ndarray:
+        """Cumulative form of :meth:`pmf` (getCDF,
+        KllDoublesSketch.java:420-422): entry ``j`` is the normalized
+        weight of items ``< sp[j]``, final entry 1.0."""
+        return np.cumsum(self.pmf(split_points))
+
+    def quantile_lower_bound(self, fraction: float) -> float:
+        """Lower bound of the value interval containing the true quantile
+        at >=99% confidence (KllDoublesSketch.java:637-639):
+        quantile(max(0, fraction - eps_single))."""
+        return self.quantile(max(
+            0.0, fraction - self.normalized_rank_error(self.k)))
+
+    def quantile_upper_bound(self, fraction: float) -> float:
+        """Upper bound twin (KllDoublesSketch.java:626-628):
+        quantile(min(1, fraction + eps_single))."""
+        return self.quantile(min(
+            1.0, fraction + self.normalized_rank_error(self.k)))
+
     @property
     def size(self) -> int:
         return self.n
 
     @staticmethod
-    def normalized_rank_error(k: int) -> float:
-        """Published single-sided cdf error (KllDoublesSketch.java:534-538)."""
-        return 2.296 / k ** 0.9723
+    def normalized_rank_error(k: int, pmf: bool = False) -> float:
+        """Published rank error (KllDoublesSketch.java:528-538): the
+        single-sided constant for rank/quantile/cdf queries, or the
+        double-sided ``2.446/k^0.9433`` for getPMF when ``pmf=True``."""
+        return 2.446 / k ** 0.9433 if pmf else 2.296 / k ** 0.9723
+
+    @staticmethod
+    def k_from_epsilon(epsilon: float, pmf: bool = False) -> int:
+        """Inverse of normalized_rank_error
+        (KllDoublesSketch.java:444-454 getKFromEpsilon): smallest k whose
+        published error is <= epsilon, clamped to [8, 65535]."""
+        import math
+        eps = max(epsilon, 4.7634e-5)
+        kdbl = (math.exp(math.log(2.446 / eps) / 0.9433) if pmf
+                else math.exp(math.log(2.296 / eps) / 0.9723))
+        krnd = round(kdbl)
+        k = int(krnd if abs(krnd - kdbl) < 1e-6 else math.ceil(kdbl))
+        return max(8, min(65535, k))
 
     # ----------------------------------------------------------------- serde
 

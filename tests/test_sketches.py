@@ -78,6 +78,75 @@ class TestKll:
         b.update_batch(x)
         assert a.to_bytes() == b.to_bytes()
 
+    def test_pmf_cdf_within_published_bound(self, rng):
+        """getPMF semantics (KllDoublesSketch.java:941-984): bucket j =
+        mass of sp[j-1] <= v < sp[j]; each bucket within the published
+        double-sided 2.446/k^0.9433 (2x slack, 99th-pctile fit); CDF is
+        its cumulative with final entry exactly 1."""
+        x = rng.exponential(10.0, 150_000)
+        sk = KllSketch(200)
+        sk.update_batch(x)
+        sp = np.array([1.0, 5.0, 10.0, 20.0, 50.0])
+        est = sk.pmf(sp)
+        assert est.shape == (6,)
+        assert abs(est.sum() - 1.0) < 1e-12
+        j = np.searchsorted(sp, x, side="right")
+        exact = np.bincount(j, minlength=6) / len(x)
+        bound = KllSketch.normalized_rank_error(200, pmf=True)
+        assert np.abs(est - exact).max() <= 2 * bound
+        cdf = sk.cdf_points(sp)
+        assert np.all(np.diff(cdf) >= 0)
+        assert abs(cdf[-1] - 1.0) < 1e-12
+        # cdf[j] estimates P(v < sp[j])
+        exact_cdf = np.cumsum(exact)
+        assert np.abs(cdf - exact_cdf).max() <= 2 * bound
+
+    def test_pmf_small_exact_and_validation(self, rng):
+        sk = KllSketch(200)
+        sk.update_batch(np.array([1.0, 2.0, 2.0, 3.0]))
+        # below capacity: exact masses; split point hits ties (<: 2.0
+        # goes to the upper bucket per the < convention)
+        assert np.allclose(sk.pmf([2.0]), [0.25, 0.75])
+        assert np.allclose(sk.pmf([2.5]), [0.75, 0.25])
+        import pytest
+        with pytest.raises(ValueError):
+            sk.pmf([])
+        with pytest.raises(ValueError):
+            sk.pmf([3.0, 1.0])
+
+    def test_quantile_confidence_bounds(self, rng):
+        """LB/UB follow the reference definition
+        (quantile(q -/+ eps_single), KllDoublesSketch.java:626-639);
+        LB <= estimate <= UB always, and the TRUE quantile sits inside
+        the 2x-widened interval (the contract is a 99% probabilistic
+        one — the 2x slack is the same convention the rank-error tests
+        above use for the 99th-pctile-fit constants)."""
+        x = rng.normal(0, 1, 100_000)
+        sk = KllSketch(200)
+        sk.update_batch(x)
+        xs = np.sort(x)
+        eps = KllSketch.normalized_rank_error(200)
+        for q in (0.1, 0.25, 0.5, 0.75, 0.9):
+            lb = sk.quantile_lower_bound(q)
+            ub = sk.quantile_upper_bound(q)
+            assert lb == sk.quantile(max(0.0, q - eps))
+            assert ub == sk.quantile(min(1.0, q + eps))
+            assert lb <= sk.quantile(q) <= ub
+            true_q = xs[int(q * len(xs))]
+            lb2 = sk.quantile(max(0.0, q - 2 * eps))
+            ub2 = sk.quantile(min(1.0, q + 2 * eps))
+            assert lb2 <= true_q <= ub2
+
+    def test_k_from_epsilon_roundtrip(self):
+        """getKFromEpsilon inverts getNormalizedRankError
+        (KllDoublesSketch.java:444-454) for both variants."""
+        for pmf in (False, True):
+            for k in (8, 100, 200, 1000, 65535):
+                eps = KllSketch.normalized_rank_error(k, pmf=pmf)
+                assert KllSketch.k_from_epsilon(eps, pmf=pmf) == k
+        assert KllSketch.k_from_epsilon(1e-9) == 65535
+        assert KllSketch.k_from_epsilon(0.9) == 8
+
     def test_nan_rejected(self):
         with pytest.raises(ValueError):
             KllSketch().update_batch(np.array([1.0, np.nan]))
