@@ -108,20 +108,48 @@ def centroid_update(sums: np.ndarray, counts: np.ndarray,
 
 def kmeans_fit_predict(ds, embedding_col: str, id_col: str, *,
                        k: int = 8, dim: int, iters: int = 4,
-                       batch_size: int | None = None):
+                       batch_size: int | None = None,
+                       materialize_budget_rows: int = 50_000_000,
+                       spill_dir: str | None = None):
     """Run ``iters`` exact Lloyd iterations; returns (assignments
     Dataset with columns (id_col, cluster), final centroid matrix).
 
-    Scale notes: the quantized corpus is materialized once (int64
-    columns, same volume as the input floats) and each iteration
-    streams it once; all shuffle traffic is the k x (d+1) partial rows
-    per batch. ``k * dim`` driver state is a few KB."""
+    Scale notes: the quantized corpus (id + 8*dim bytes/row) is reused
+    by every Lloyd pass, so it must not be re-quantized per iteration —
+    but holding it in the object store is only right while it FITS.
+    Budget switch (the dedup.py verify_pairs broadcast/sharded
+    pattern, VERDICT r4 item 3):
+
+    * ``<= materialize_budget_rows``: ``.materialize()`` — iterations
+      read object-store blocks, zero re-compute (the sf0.1 path).
+    * above budget: the quantized table is written ONCE to partitioned
+      parquet under ``spill_dir`` and every iteration streams it back
+      from disk — object-store residency is one pass's working set
+      instead of the whole corpus, which is what survives at 100 TB.
+
+    All shuffle traffic either way is the k x (d+1) int64 partial rows
+    per batch; ``k * dim`` driver state is a few KB."""
     import ray
+    import ray.data as rd
     from ray.data.aggregate import Sum
 
+    # quantization is row-preserving, so budget on the INPUT count
+    # (metadata-only for parquet reads) instead of executing the
+    # quantize pass just to measure it
+    n_rows = ds.count()
     qds = ds.map_batches(
         lambda b: quantize_batch(b, embedding_col, id_col, dim),
-        batch_format="pyarrow", batch_size=batch_size).materialize()
+        batch_format="pyarrow", batch_size=batch_size)
+    if n_rows <= materialize_budget_rows:
+        qds = qds.materialize()
+    else:
+        import os
+        import uuid
+        spill_dir = spill_dir or os.path.join(
+            "/tmp", "tdr_kmeans_spill", uuid.uuid4().hex[:12])
+        os.makedirs(spill_dir, exist_ok=True)
+        qds.write_parquet(spill_dir)
+        qds = rd.read_parquet(spill_dir)
 
     # deterministic init: the k smallest ids. Per-batch k-min prefilter
     # first so the sort+limit runs over k rows per BLOCK, never the

@@ -117,3 +117,31 @@ def test_kmeans_stats_parallelism_invariant(ray_session):
     pd.testing.assert_frame_equal(a, b)
     assert a["n_vecs"].sum() == 500
     assert a["sum_id"].dtype == np.int64
+
+
+def test_kmeans_spill_path_identical(ray_session, tmp_path):
+    """Forcing materialize_budget_rows below the corpus size routes the
+    quantized table through the parquet spill path; assignments and
+    centroids must be bit-identical to the materialize path (VERDICT r4
+    item 3 budget switch)."""
+    rng = np.random.default_rng(11)
+    n = 180
+    ds_rows = {
+        "vec_id": pa.array(list(range(n)), type=pa.int64()),
+        "embedding": pa.array(
+            [list(map(float, rng.normal(0, 0.3, 6))) for _ in range(n)],
+            type=pa.list_(pa.float32()))}
+    ds1 = _emb_ds(ray_session, ds_rows)
+    ds2 = _emb_ds(ray_session, ds_rows)
+    a_mat, c_mat = kmeans_fit_predict(ds1, "embedding", "vec_id",
+                                      k=4, dim=6, iters=3)
+    a_sp, c_sp = kmeans_fit_predict(
+        ds2, "embedding", "vec_id", k=4, dim=6, iters=3,
+        materialize_budget_rows=10,
+        spill_dir=str(tmp_path / "kmeans_spill"))
+    assert np.array_equal(c_mat, c_sp)
+    d1 = a_mat.to_pandas().sort_values("vec_id").reset_index(drop=True)
+    d2 = a_sp.to_pandas().sort_values("vec_id").reset_index(drop=True)
+    assert d1.equals(d2)
+    import os
+    assert os.listdir(tmp_path / "kmeans_spill")  # spill actually used
