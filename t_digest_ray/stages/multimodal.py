@@ -63,6 +63,53 @@ class FakeCodec:
                             dtype=np.uint8)
 
 
+class BmpCodec:
+    """A REAL zero-dependency codec through the pluggable seam: parses
+    actual BMP headers (BITMAPFILEHEADER + BITMAPINFOHEADER) with
+    struct, and decodes 24-bit pixel rows (4-byte row padding, bottom-up
+    or top-down order). This is the seam's reference implementation —
+    proof the ``decode_meta``/``decode_pixels`` contract carries a real
+    format, not only FakeCodec; PIL/ffmpeg codecs plug in the same way.
+    """
+
+    name = "bmp"
+
+    def decode_meta(self, payloads: list[bytes | None]):
+        import struct
+        n = len(payloads)
+        width = np.zeros(n, dtype=np.int64)
+        height = np.zeros(n, dtype=np.int64)
+        channels = np.zeros(n, dtype=np.int64)
+        ok = np.zeros(n, dtype=bool)
+        for i, p in enumerate(payloads):
+            if not p or len(p) < 30 or p[:2] != b"BM":
+                continue
+            w, h = struct.unpack_from("<ii", p, 18)
+            bpp = struct.unpack_from("<H", p, 28)[0]
+            if w <= 0 or bpp % 8:
+                continue
+            width[i] = w
+            height[i] = abs(h)       # negative height = top-down rows
+            channels[i] = bpp // 8
+            ok[i] = True
+        return width, height, channels, ok
+
+    def decode_pixels(self, payload: bytes) -> np.ndarray:
+        import struct
+        off = struct.unpack_from("<I", payload, 10)[0]
+        w, h = struct.unpack_from("<ii", payload, 18)
+        bpp = struct.unpack_from("<H", payload, 28)[0]
+        bytes_pp = bpp // 8
+        row_bytes = (w * bytes_pp + 3) & ~3   # rows pad to 4 bytes
+        rows = []
+        for r in range(abs(h)):
+            start = off + r * row_bytes
+            rows.append(np.frombuffer(
+                payload, np.uint8, count=w * bytes_pp, offset=start))
+        px = np.stack(rows[::-1] if h > 0 else rows)  # bottom-up default
+        return px.reshape(abs(h), w, bytes_pp)
+
+
 class ImageDecode:
     """Actor-pool stage: media binary -> image metadata columns.
 
