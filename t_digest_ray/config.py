@@ -52,7 +52,8 @@ PIPELINES = ("quantiles", "kll", "req", "distinct", "heavy", "heavy_mg",
              "mannwhitney", "kendall", "embedding_norms",
              "vocab_richness", "fano", "heatmap", "streaks",
              "session_durations", "session_paths", "k_anonymity",
-             "autocorr", "change_detect")
+             "autocorr", "change_detect", "kll_pmf", "float_histogram",
+             "log_histogram")
 
 
 @dataclass
@@ -638,6 +639,25 @@ def run_job(cfg: JobConfig):
         from .pipelines.heavy import change_detection
         out = rd.from_pandas(change_detection(
             ds, cfg.key, cfg.value_col, **p))
+    elif cfg.pipeline == "kll_pmf":
+        import ray.data as rd
+
+        from .pipelines.validation import pmf_bound_check
+        out = rd.from_pandas(pmf_bound_check(
+            ds, cfg.value_col, cfg.key, **p))
+    elif cfg.pipeline in ("float_histogram", "log_histogram"):
+        from .pipelines.quantiles import histogram_bins_by_key
+        from .state.histogram import FloatHistogram, LogHistogram
+        from .state.protocol import SketchSpec
+        cls = (FloatHistogram if cfg.pipeline == "float_histogram"
+               else LogHistogram)
+        mn = float(p.pop("min_value"))
+        mx = float(p.pop("max_value"))
+        param = float(p.pop("param"))
+        spec = SketchSpec(name=cfg.pipeline,
+                          factory=lambda: cls(mn, mx, param),
+                          from_bytes=cls.from_bytes)
+        out = histogram_bins_by_key(ds, spec, cfg.value_col, cfg.key, **p)
     elif cfg.pipeline == "export_text":
         import glob
         import os

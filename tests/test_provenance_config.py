@@ -623,3 +623,33 @@ def test_config_analytics_routes_wave4(ray_session):
                                     "half_b": "view",
                                     "k": 5})).to_pandas()
     assert len(out) == 5 and out["within_bound"].all()
+
+
+def test_config_analytics_routes_wave5(ray_session):
+    sf = "/root/testdata/sf0.001"
+    ev = f"{sf}/events.parquet"
+
+    out = run_job(JobConfig(pipeline="kll_pmf", input=ev,
+                            columns=["event_type", "value"],
+                            value_col="value", key="event_type",
+                            params={"split_points": [10.0, 50.0],
+                                    "k": 200})).to_pandas()
+    assert out["within_bound"].all()
+    assert set(out["bucket"]) <= {0, 1, 2}
+
+    out = run_job(JobConfig(pipeline="float_histogram", input=ev,
+                            columns=["event_type", "value"],
+                            value_col="value", key="event_type",
+                            params={"min_value": 0.001,
+                                    "max_value": 1000.0,
+                                    "param": 50.0})).to_pandas()
+    assert out["cnt"].sum() > 0 and (out["bin"] >= 0).all()
+    assert (out["bin_lb"] > 0).all()
+
+    out = run_job(JobConfig(pipeline="log_histogram", input=ev,
+                            columns=["event_type", "value"],
+                            value_col="value", key="event_type",
+                            params={"min_value": 0.001,
+                                    "max_value": 1000.0,
+                                    "param": 0.1})).to_pandas()
+    assert out["cnt"].sum() > 0 and (out["bin"] <= 144).all()
