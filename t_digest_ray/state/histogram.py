@@ -272,3 +272,46 @@ class LogHistogram(_BaseHistogram):
 
     def _lower_bound(self, k: np.ndarray) -> np.ndarray:
         return pow2_approx((k + self._log_offset) / self._log_factor)
+
+
+# --------------------------------------------------- Java-layout interop
+
+def float_histogram_to_java_bytes(h: FloatHistogram) -> bytes:
+    """Serialize in the reference FloatHistogram.writeObject field layout
+    (FloatHistogram.java:94-110): BIG-endian min/max doubles,
+    bitsOfPrecision byte, shift byte, a short byte-length, then the
+    counts as Simple64-compressed big-endian words (the
+    Simple64.java:948-958 packing, reproduced bit-exactly in
+    functions/simple64.py). LogHistogram has no Java layout to match —
+    its writeObject is empty in the reference (LogHistogram.java:108)."""
+    from ..functions.simple64 import compress
+
+    words = compress(h.counts)
+    body = words.byteswap().tobytes()  # big-endian words
+    if len(body) > 0x7FFF:
+        raise ValueError("compressed counts exceed Java short length")
+    return (struct.pack(">ddbbh", h.min, h.max, h._bits, h._shift,
+                        len(body)) + body)
+
+
+def float_histogram_from_java_bytes(buf: bytes) -> FloatHistogram:
+    """Decode the FloatHistogram.readObject field layout
+    (FloatHistogram.java:113-133): bin count is re-derived from
+    (min, max, bits) exactly as the Java side does. bins_per_decade is
+    not stored by Java — it is reconstructed as the canonical
+    2^bits / log10(2) (any value with the same ceil(log2(...)) produces
+    an identical histogram)."""
+    from ..functions.simple64 import decompress
+
+    mn, mx, bits, shift, nbytes = struct.unpack_from(">ddbbh", buf, 0)
+    if shift != 52 - bits:
+        raise ValueError(f"inconsistent shift {shift} for {bits} bits")
+    bpd = float(2 ** bits) / float(np.log10(2.0))
+    h = FloatHistogram(mn, mx, bpd)
+    if h._bits != bits:
+        raise ValueError(f"failed to reconstruct {bits}-bit histogram")
+    off = struct.calcsize(">ddbbh")
+    words = np.frombuffer(buf, dtype=">u8", count=nbytes // 8,
+                          offset=off).astype(np.uint64)
+    h.counts = decompress(words, len(h.counts)).astype(np.int64)
+    return h
