@@ -1306,6 +1306,26 @@ def linear_histogram_events(sf_dir: str):
             .groupby("bin").aggregate(Sum("partial", alias_name="cnt")))
 
 
+def avl_quantiles_by_lang(sf_dir: str):
+    """Per-lang AVLTreeDigest quantiles (the reference's second digest
+    implementation: tree-based clustering insert + compress,
+    AVLTreeDigest.java), VALUE-CHECKED: exact quantile_disc values
+    hash-match SQL; within_bound asserts the merged AVL digest's
+    estimates sit inside the 0.015 merge rank-error bound — converts
+    SURVEY section-2 #13/#14 from pytest-only to a driver-graded op."""
+    from t_digest_ray.pipelines.validation import quantile_bound_check
+    from t_digest_ray.state.avl import AVLTreeDigest
+    from t_digest_ray.state.protocol import SketchSpec
+
+    spec = SketchSpec(name="avl_digest",
+                      factory=lambda: AVLTreeDigest(100.0),
+                      from_bytes=AVLTreeDigest.from_bytes)
+    ds = _read(sf_dir, "documents", ["lang", "n_chars"])
+    return quantile_bound_check(ds, "n_chars", "lang", spec,
+                                qs=(0.25, 0.5, 0.75), rank_bound=0.015,
+                                num_salts=2, batch_size=8192)
+
+
 def kll_pmf_events(sf_dir: str):
     """KLL getPMF per event_type, VALUE-CHECKED: exact per-bucket counts
     (bucket = #{split points <= value}, the getPmfOrCdf convention)
@@ -5441,6 +5461,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kll_pmf_events": kll_pmf_events,
         "float_histogram_events": float_histogram_events,
         "log_histogram_events": log_histogram_events,
+        "avl_quantiles_by_lang": avl_quantiles_by_lang,
         "pareto_frontier_events": pareto_frontier_events,
         "percent_rank_event_values": percent_rank_event_values,
         "gini_event_values": gini_event_values,
@@ -5487,8 +5508,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ipc_doc_stats_by_lang": ipc_doc_stats_by_lang,
         "q6_forecast_revenue": q6_forecast_revenue,
         "q9_nation_profit": q9_nation_profit,
-        "q16_supplier_part_counts": q16_supplier_part_counts,
         # --- (b) remaining never-graded (51+) ---
+        "q16_supplier_part_counts": q16_supplier_part_counts,
         "q14_promo_revenue": q14_promo_revenue,
         "q19_bracket_revenue": q19_bracket_revenue,
         "q12_late_shipment_priority": q12_late_shipment_priority,
@@ -7296,6 +7317,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(FLOOR(value / 10.0) AS BIGINT) AS bin,
                    COUNT(*) AS cnt
             FROM events GROUP BY 1
+        """,
+        "avl_quantiles_by_lang": """
+            SELECT lang, COUNT(*) AS n,
+                   CAST(quantile_disc(n_chars, 0.25) AS DOUBLE) AS p25,
+                   CAST(quantile_disc(n_chars, 0.50) AS DOUBLE) AS p50,
+                   CAST(quantile_disc(n_chars, 0.75) AS DOUBLE) AS p75,
+                   TRUE AS within_bound
+            FROM documents GROUP BY lang
         """,
         "kll_pmf_events": """
             SELECT event_type,
