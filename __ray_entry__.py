@@ -1326,6 +1326,34 @@ def avl_quantiles_by_lang(sf_dir: str):
                                 num_salts=2, batch_size=8192)
 
 
+def scale_function_quantile_gates(sf_dir: str):
+    """All 11 scale functions (ScaleFunction.java, SURVEY §2.1 #8) graded
+    in one query: one map_batches pass builds a t-digest per variant over
+    events.value, a groupby(scale_fn) canonical merge unifies each, and
+    every variant's estimates must sit inside the empirical rank interval
+    q±0.02 of the EXACT quantiles (hash-matched vs DuckDB; identical
+    p-rows × 11 scale_fn labels)."""
+    from t_digest_ray.pipelines.validation import scale_function_gate
+
+    ds = _read(sf_dir, "events", ["value"])
+    return scale_function_gate(ds, "value", qs=(0.25, 0.5, 0.75),
+                               rank_bound=0.02, compression=200.0)
+
+
+def recording_digest_provenance(sf_dir: str):
+    """Record-all-data mode (TDigest.java:206 / Centroid.java:121-151,
+    SURVEY §2.1 #17) graded through the REAL distributed topology: a
+    RecordingDigest per lang crosses both merge shuffles via the
+    recording-aware encoding; per lang the recorded multiset must equal
+    the group's values exactly, and the hashed p-columns are computed
+    FROM the recorded payload."""
+    from t_digest_ray.pipelines.validation import recording_provenance_check
+
+    ds = _read(sf_dir, "documents", ["lang", "n_chars"])
+    return recording_provenance_check(ds, "n_chars", "lang",
+                                      compression=100.0, num_salts=2)
+
+
 def kll_pmf_events(sf_dir: str):
     """KLL getPMF per event_type, VALUE-CHECKED: exact per-bucket counts
     (bucket = #{split points <= value}, the getPmfOrCdf convention)
@@ -5458,6 +5486,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # chains, planted-fixture dedup oracles).
     return {
         # --- (a) round-5 grading window: never driver-graded ---
+        "scale_function_quantile_gates": scale_function_quantile_gates,
+        "recording_digest_provenance": recording_digest_provenance,
         "kll_pmf_events": kll_pmf_events,
         "float_histogram_events": float_histogram_events,
         "log_histogram_events": log_histogram_events,
@@ -7324,6 +7354,32 @@ def oracle_sql() -> dict[str, str]:
                    CAST(quantile_disc(n_chars, 0.50) AS DOUBLE) AS p50,
                    CAST(quantile_disc(n_chars, 0.75) AS DOUBLE) AS p75,
                    TRUE AS within_bound
+            FROM documents GROUP BY lang
+        """,
+        # The 11 p-rows are identical across scale_fn labels (same data);
+        # a broken scale function flips its own within_bound row.
+        "scale_function_quantile_gates": """
+            WITH ex AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(quantile_disc(value, 0.25) AS DOUBLE) AS p25,
+                     CAST(quantile_disc(value, 0.50) AS DOUBLE) AS p50,
+                     CAST(quantile_disc(value, 0.75) AS DOUBLE) AS p75
+              FROM events)
+            SELECT s.scale_fn, ex.n, ex.p25, ex.p50, ex.p75,
+                   TRUE AS within_bound
+            FROM (VALUES ('K_0'),('K_1'),('K_1_FAST'),('K_1_GLUED'),
+                         ('K_2'),('K_2_GLUED'),('K_2_NO_NORM'),('K_3'),
+                         ('K_3_GLUED'),('K_3_NO_NORM'),('K_QUADRATIC'))
+                 AS s(scale_fn)
+            CROSS JOIN ex
+        """,
+        "recording_digest_provenance": """
+            SELECT lang,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(quantile_disc(n_chars, 0.25) AS DOUBLE) AS p25,
+                   CAST(quantile_disc(n_chars, 0.50) AS DOUBLE) AS p50,
+                   CAST(quantile_disc(n_chars, 0.75) AS DOUBLE) AS p75,
+                   TRUE AS provenance_intact
             FROM documents GROUP BY lang
         """,
         "kll_pmf_events": """

@@ -667,3 +667,139 @@ def pmf_bound_check(ds, value_col: str, key: str, split_points,
                      "exact_cnt": np.int64(cnt),
                      "within_bound": bool(ok)})
     return pd.DataFrame(rows)
+
+
+def scale_function_gate(ds, value_col: str = "value",
+                        qs=(0.25, 0.5, 0.75), rank_bound: float = 0.02,
+                        compression: float = 200.0):
+    """Every scale function (SURVEY §2.1 #8), graded end-to-end.
+
+    One ``map_batches`` pass builds ELEVEN t-digests per batch — one per
+    registered scale function (ScaleFunction.java's K_0..K_3 family plus
+    the GLUED / FAST / QUADRATIC / NO_NORM variants) — then a
+    ``groupby(scale_fn)`` canonical merge produces one distributed digest
+    per variant over the SAME column. Output rows
+    ``(scale_fn, n, p25, p50, p75, within_bound)``: the p-columns are the
+    exact quantile_disc values (identical across rows — the data is the
+    same; they hash-match a DuckDB oracle), and ``within_bound`` asserts
+    the variant's merged digest puts each estimate inside the empirical
+    rank interval ``q ± max(rank_bound, 2.5/n)`` AND preserved total
+    weight — so a regression in any one scale function's k/q/normalizer
+    math flips its own row.
+
+    Validation-scale: the exact twin sorts the full column in one task.
+    """
+    from ..state.scale_functions import SCALE_FUNCTIONS
+    from ..state.tdigest import TDigest
+
+    names = sorted(SCALE_FUNCTIONS)
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        x = batch[value_col].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        out: dict = {"scale_fn": [], "sketch": [], "n": []}
+        for nm in names:
+            d = TDigest(compression, scale=nm)
+            d.update_batch(x)
+            out["scale_fn"].append(nm)
+            out["sketch"].append(d.to_bytes())
+            out["n"].append(float(x.size))
+        return pd.DataFrame(out)
+
+    def merge_group(g: pd.DataFrame) -> pd.DataFrame:
+        nm = g["scale_fn"].iloc[0]
+        base = TDigest(compression, scale=nm)
+        base.merge(*[TDigest.from_bytes(b, scale=nm) for b in g["sketch"]])
+        return pd.DataFrame({"scale_fn": [nm], "sketch": [base.to_bytes()],
+                             "n": [float(g["n"].sum())]})
+
+    merged = (ds.map_batches(partial, batch_format="pyarrow")
+                .groupby("scale_fn")
+                .map_groups(merge_group, batch_format="pandas")).to_pandas()
+    sk_by_name = {r["scale_fn"]: (r["sketch"], float(r["n"]))
+                  for _, r in merged.iterrows()}
+    from ..state.tdigest import TDigest as _TD
+
+    def gate(g: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(g[value_col].to_numpy())
+        n = len(v)
+        rows: dict = {"scale_fn": [], "n": [],
+                      **{f"p{int(q * 100)}": [] for q in qs},
+                      "within_bound": []}
+        for nm in names:
+            ok = nm in sk_by_name
+            sk = _TD.from_bytes(sk_by_name[nm][0], scale=nm) if ok else None
+            if ok:
+                ok = sk_by_name[nm][1] == float(n)
+            rows["scale_fn"].append(nm)
+            rows["n"].append(np.int64(n))
+            for q in qs:
+                rows[f"p{int(q * 100)}"].append(float(v[_disc_index(q, n)]))
+                if ok:
+                    b = max(rank_bound, 2.5 / n)
+                    est = float(sk.quantile(q))
+                    r_lo = np.searchsorted(v, est, side="left") / n
+                    r_hi = np.searchsorted(v, est, side="right") / n
+                    ok = (r_lo <= q + b) and (r_hi >= q - b)
+            rows["within_bound"].append(bool(ok))
+        return pd.DataFrame(rows)
+
+    def tag(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["_g"] = np.int64(0)
+        return batch
+
+    return (ds.select_columns([value_col])
+              .map_batches(tag, batch_format="pandas")
+              .groupby("_g").map_groups(gate, batch_format="pandas"))
+
+
+def recording_provenance_check(ds, value_col: str, key: str,
+                               compression: float = 100.0,
+                               qs=(0.25, 0.5, 0.75),
+                               num_salts: int = 2):
+    """Record-all-data mode (SURVEY §2.1 #17), graded end-to-end.
+
+    Runs ``RecordingDigest`` per key through the REAL distributed
+    partial → two-level-merge topology (the recorded multiset rides the
+    recording-aware byte encoding across both shuffles), then per key
+    verifies the recorded multiset is EXACTLY the group's values
+    (reference record-all-data semantics: TDigest.java:206 /
+    Centroid.java:121-151 keep every sample beside the centroids).
+    Output ``(key, n, p25, p50, p75, provenance_intact)`` where the
+    p-columns are quantile_disc values computed FROM THE RECORDED
+    PAYLOAD — a serde/merge regression shifts the hashed values, and
+    ``provenance_intact`` additionally asserts multiset equality and
+    digest-weight agreement in-row.
+    """
+    from ..state.tdigest import RecordingDigest
+
+    spec = SketchSpec(
+        name="recording",
+        factory=lambda: RecordingDigest(compression),
+        from_bytes=RecordingDigest.from_bytes,
+    )
+    merged_rows = sketch_by_key(ds, spec, value_col, key,
+                                num_salts=num_salts).to_pandas()
+    sk_bytes = {r["key"]: (r["sketch"], float(r["n"]))
+                for _, r in merged_rows.iterrows()}
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(g[value_col].to_numpy().astype(np.float64))
+        n = len(v)
+        kval = g[key].iloc[0]
+        ok = kval in sk_bytes
+        rec = np.empty(0, dtype=np.float64)
+        if ok:
+            sk = spec.from_bytes(sk_bytes[kval][0])
+            rec = sk.recorded()
+            ok = (sk_bytes[kval][1] == float(n)
+                  and float(sk.size) == float(n)
+                  and np.array_equal(rec, v))
+        src = rec if rec.size == n and n > 0 else v
+        row: dict = {key: [kval], "n": [np.int64(n)]}
+        for q in qs:
+            row[f"p{int(q * 100)}"] = [float(src[_disc_index(q, n)])]
+        row["provenance_intact"] = [bool(ok)]
+        return pd.DataFrame(row)
+
+    return ds.groupby(key).map_groups(per_group, batch_format="pandas")

@@ -43,6 +43,7 @@ from .scale_functions import K_2, ScaleFunction, get_scale
 
 VERBOSE_ENCODING = 1
 SMALL_ENCODING = 2
+RECORDING_ENCODING = 3  # RecordingDigest: recorded multiset + verbose digest
 
 
 def _sizes(compression: float, buffer_factor: int) -> tuple[float, int, int]:
@@ -523,6 +524,35 @@ class RecordingDigest(TDigest):
         if not self._recorded:
             return np.empty(0, dtype=np.float64)
         return np.sort(np.concatenate(self._recorded))
+
+    # Recording-aware serialization: the reference keeps the per-centroid
+    # ``data`` lists only in memory; to let record-all-data mode cross a
+    # Ray shuffle (so the provenance check runs on the REAL distributed
+    # topology, not a single process) the recorded multiset rides behind
+    # the verbose digest encoding under its own format code.
+    def to_bytes(self) -> bytes:
+        base = super().to_bytes()
+        rec = self.recorded()
+        return (struct.pack(">iq", RECORDING_ENCODING, rec.size)
+                + rec.astype(">f8").tobytes() + base)
+
+    @classmethod
+    def from_bytes(cls, buf: bytes,
+                   scale: ScaleFunction | str = K_2) -> "RecordingDigest":
+        code, n_rec = struct.unpack_from(">iq", buf, 0)
+        if code != RECORDING_ENCODING:
+            raise ValueError(f"Invalid recording encoding {code}")
+        off = 12 + 8 * n_rec
+        rec = np.frombuffer(buf, dtype=">f8", count=n_rec, offset=12) \
+            .astype(np.float64)
+        base = TDigest.from_bytes(buf[off:], scale)
+        d = cls(base.public_compression, scale)
+        d._mean, d._weight = base._mean, base._weight
+        d._n, d._total = base._n, base._total
+        d.min, d.max = base.min, base.max
+        if n_rec:
+            d._recorded.append(rec)
+        return d
 
 
 def _cluster(means: np.ndarray, weights: np.ndarray, scale: ScaleFunction,

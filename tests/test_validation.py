@@ -244,3 +244,63 @@ def test_weighted_quantile_gate_trips_on_unweighted_sketch(
     out = V.weighted_quantile_bound_check(
         ds, "x", "w", "k", tdigest_spec(100)).to_pandas()
     assert not out["within_bound"].any()
+
+
+def test_scale_function_gate_all_eleven(keyed_values):
+    from t_digest_ray.pipelines.validation import scale_function_gate
+    from t_digest_ray.state.scale_functions import SCALE_FUNCTIONS
+
+    ds, df = keyed_values
+    out = scale_function_gate(ds, "x", rank_bound=0.02,
+                              compression=200.0).to_pandas()
+    assert sorted(out["scale_fn"]) == sorted(SCALE_FUNCTIONS)
+    assert out["within_bound"].all()
+    assert (out["n"] == len(df)).all()
+    v = np.sort(df["x"].to_numpy())
+    exact_p50 = v[max(int(np.ceil(0.5 * len(v))) - 1, 0)]
+    assert (out["p50"] == exact_p50).all()
+
+
+def test_recording_provenance_distributed_roundtrip(keyed_values):
+    from t_digest_ray.pipelines.validation import recording_provenance_check
+
+    ds, df = keyed_values
+    out = recording_provenance_check(ds, "x", "k",
+                                     num_salts=2).to_pandas()
+    assert len(out) == 2
+    assert out["provenance_intact"].all()
+    for _, r in out.iterrows():
+        v = np.sort(df[df.k == r["k"]]["x"].to_numpy())
+        assert r["n"] == len(v)
+        assert r["p25"] == v[max(int(np.ceil(0.25 * len(v))) - 1, 0)]
+
+
+def test_recording_digest_serde_preserves_multiset():
+    from t_digest_ray.state.tdigest import RecordingDigest
+
+    rng = np.random.default_rng(5)
+    xa, xb = rng.normal(size=4000), rng.exponential(size=2500)
+    a, b = RecordingDigest(100.0), RecordingDigest(100.0)
+    a.update_batch(xa)
+    b.update_batch(xb)
+    # serde round-trip then merge (the distributed topology's byte path)
+    m = RecordingDigest(100.0)
+    m.merge(RecordingDigest.from_bytes(a.to_bytes()),
+            RecordingDigest.from_bytes(b.to_bytes()))
+    again = RecordingDigest.from_bytes(m.to_bytes())
+    exact = np.sort(np.concatenate([xa, xb]))
+    assert np.array_equal(again.recorded(), exact)
+    assert float(again.size) == float(exact.size)
+    # a dropped sample is detected: multisets no longer match
+    lossy = RecordingDigest(100.0)
+    lossy.update_batch(xa[:-1])
+    assert not np.array_equal(lossy.recorded(), np.sort(xa))
+
+
+def test_recording_from_bytes_rejects_plain_digest():
+    from t_digest_ray.state.tdigest import RecordingDigest, TDigest
+
+    d = TDigest(100.0)
+    d.update_batch(np.arange(100.0))
+    with pytest.raises(ValueError):
+        RecordingDigest.from_bytes(d.to_bytes())
