@@ -1354,6 +1354,19 @@ def recording_digest_provenance(sf_dir: str):
                                       compression=100.0, num_salts=2)
 
 
+def dup_span_report_by_lang(sf_dir: str):
+    """Exact repeated-span (substring-level) dedup signal per lang — the
+    ExactSubstr criterion of Lee et al. (ACL 2022) at 10-token window
+    granularity (pipelines/textstats.duplicate_span_report): a window is
+    duplicated iff its literal gram occurs in >= 2 distinct documents.
+    Hash-bucketed per-gram fold + per-doc combine + equi-join to lang;
+    only fixed-width (hash, doc, cnt) rows ride the wide exchange."""
+    from t_digest_ray.pipelines.textstats import duplicate_span_report
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    return duplicate_span_report(ds, "text", "doc_id", "lang", n=10)
+
+
 def kll_pmf_events(sf_dir: str):
     """KLL getPMF per event_type, VALUE-CHECKED: exact per-bucket counts
     (bucket = #{split points <= value}, the getPmfOrCdf convention)
@@ -5488,6 +5501,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- (a) round-5 grading window: never driver-graded ---
         "scale_function_quantile_gates": scale_function_quantile_gates,
         "recording_digest_provenance": recording_digest_provenance,
+        "dup_span_report_by_lang": dup_span_report_by_lang,
         "kll_pmf_events": kll_pmf_events,
         "float_histogram_events": float_histogram_events,
         "log_histogram_events": log_histogram_events,
@@ -7381,6 +7395,42 @@ def oracle_sql() -> dict[str, str]:
                    CAST(quantile_disc(n_chars, 0.75) AS DOUBLE) AS p75,
                    TRUE AS provenance_intact
             FROM documents GROUP BY lang
+        """,
+        # Gram identity: literal space-joined token windows (the Ray side
+        # keys on their 64-bit hashes; collision odds documented at
+        # dedup_exact). Tokens: single-space split, empties dropped — the
+        # library-wide string_split parity convention.
+        "dup_span_report_by_lang": """
+            WITH toks AS (
+              SELECT doc_id, lang,
+                     list_filter(string_split(text, ' '),
+                                 t -> t <> '') AS t
+              FROM documents),
+            g0 AS (
+              SELECT doc_id, lang,
+                     unnest(generate_series(1, len(t) - 9)) AS i, t
+              FROM toks WHERE len(t) >= 10),
+            grams AS (
+              SELECT doc_id, lang,
+                     array_to_string(t[i:i+9], ' ') AS gram FROM g0),
+            gd AS (
+              SELECT gram, doc_id, lang, COUNT(*) AS cnt
+              FROM grams GROUP BY ALL),
+            dup AS (
+              SELECT gram FROM gd GROUP BY gram
+              HAVING COUNT(DISTINCT doc_id) >= 2),
+            per_doc AS (
+              SELECT d.doc_id, d.lang, SUM(d.cnt) AS total_w,
+                     SUM(CASE WHEN dup.gram IS NOT NULL
+                              THEN d.cnt ELSE 0 END) AS dup_w
+              FROM gd d LEFT JOIN dup ON d.gram = dup.gram
+              GROUP BY d.doc_id, d.lang)
+            SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(total_w) AS BIGINT) AS total_windows,
+                   CAST(SUM(dup_w) AS BIGINT) AS dup_windows,
+                   CAST(SUM(CASE WHEN dup_w > 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS docs_with_dup
+            FROM per_doc GROUP BY lang
         """,
         "kll_pmf_events": """
             SELECT event_type,

@@ -53,7 +53,7 @@ PIPELINES = ("quantiles", "kll", "req", "distinct", "heavy", "heavy_mg",
              "vocab_richness", "fano", "heatmap", "streaks",
              "session_durations", "session_paths", "k_anonymity",
              "autocorr", "change_detect", "kll_pmf", "float_histogram",
-             "log_histogram")
+             "log_histogram", "dup_spans")
 
 
 @dataclass
@@ -479,6 +479,10 @@ def run_job(cfg: JobConfig):
     elif cfg.pipeline == "bm25":
         from .pipelines.textstats import bm25_topk
         out = bm25_topk(ds, cfg.value_col, **p)
+    elif cfg.pipeline == "dup_spans":
+        from .pipelines.textstats import duplicate_span_report
+        out = duplicate_span_report(ds, cfg.value_col or "text",
+                                    key=cfg.key, **p)
     elif cfg.pipeline == "jaccard_matrix":
         import ray.data as rd
 

@@ -760,3 +760,120 @@ def vocab_richness(ds, text_col: str, key: str):
 
     return vocab.groupby(key).map_groups(spectrum,
                                          batch_format="pandas")
+
+
+def duplicate_span_report(ds, text_col: str = "text",
+                          doc_id_col: str = "doc_id", key: str = "lang",
+                          n: int = 10, n_rows: int | None = None):
+    """Exact repeated-span (substring-level) dedup signal, the
+    suffix-array dedup of Lee et al., "Deduplicating Training Data Makes
+    Language Models Better" (ACL 2022), re-expressed as a hash-partitioned
+    n-token-window job: every n-token window is keyed by its literal
+    space-joined gram; a window is DUPLICATED iff its gram occurs in >= 2
+    distinct documents (the cross-document repeated-substring criterion —
+    the removable span set of the paper's ExactSubstr dedup at window
+    granularity n).
+
+    Per lang: documents with >= 1 window, total windows, duplicated
+    windows, and documents containing any duplicated span.
+
+    Topology (100-TB path): one map pass emits per-batch pre-combined
+    (gram_hash u64, doc_id, cnt) rows — O(total tokens) fixed-width rows,
+    the same asymptotic cost a distributed suffix array pays, no text on
+    the wide exchange; grams are hash-BUCKETED (not one Ray group per
+    gram — one group per distinct gram is pathological, see
+    hash_bucketed_group_agg) and each bucket folds vectorized pandas
+    groupbys: per-gram distinct-doc counts pick the duplicated grams, and
+    the SAME fold re-aggregates per-doc total/dup window partials, so no
+    second pass over the corpus. Per-doc partials combine through
+    hash_bucketed_group_agg, re-join lang via the distributed equi-join,
+    and the final per-lang rollup is KB-sized.
+
+    Gram identity is the 64-bit hash of the literal gram string (same
+    convention and collision analysis as dedup_exact); a SQL oracle
+    reproduces the gram set via string_split + list slicing.
+    """
+    import pandas as pd
+    from ray.data.aggregate import Count, Sum
+
+    from ..functions.hashing import splitmix64
+    from ..stages.aggregate import hash_bucketed_group_agg
+    from ..stages.partitioning import cheap_row_count, coarse_bucket_count
+    from .relational import hash_join
+
+    if n_rows is None:
+        n_rows = cheap_row_count(ds)
+    # gram rows multiply docs by ~tokens/doc; size buckets for that
+    buckets = coarse_bucket_count(n_rows=n_rows, fanout=64,
+                                  rows_per_bucket=262144,
+                                  what="duplicate_span_report")
+
+    def gram_pairs(b: pa.Table) -> pd.DataFrame:
+        h, doc_of = _word_gram_hashes(b[text_col], n)
+        ids = b[doc_id_col].to_numpy(zero_copy_only=False)
+        gid = ids[doc_of]
+        gh = h.view(np.int64)
+        if gh.size == 0:
+            return pd.DataFrame({
+                "gram": pd.Series([], dtype=np.int64),
+                "doc": pd.Series([], dtype=np.int64),
+                "cnt": pd.Series([], dtype=np.int64),
+                "bucket": pd.Series([], dtype=np.int64)})
+        order = np.lexsort((gid, gh))
+        gh, gid = gh[order], gid[order]
+        first = np.empty(gh.size, dtype=bool)
+        first[0] = True
+        first[1:] = (gh[1:] != gh[:-1]) | (gid[1:] != gid[:-1])
+        starts = np.flatnonzero(first)
+        cnt = np.diff(np.append(starts, gh.size)).astype(np.int64)
+        gh, gid = gh[starts], gid[starts]
+        bkt = (splitmix64(gh.view(np.uint64)) % np.uint64(buckets)) \
+            .astype(np.int64)
+        return pd.DataFrame({"gram": gh, "doc": gid, "cnt": cnt,
+                             "bucket": bkt})
+
+    def fold_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # combine per (gram, doc) across batches, then per-gram
+        # distinct-doc counts pick the duplicated grams
+        gd = (g.groupby(["gram", "doc"], sort=False)["cnt"].sum()
+              .reset_index())
+        ndocs = gd.groupby("gram", sort=False)["doc"].transform("nunique")
+        dup = gd[ndocs.to_numpy() >= 2]
+        total = gd.groupby("doc", sort=False)["cnt"].sum()
+        dupw = dup.groupby("doc", sort=False)["cnt"].sum()
+        out = total.to_frame("total_w")
+        out["dup_w"] = dupw.reindex(out.index, fill_value=0)
+        out = out.reset_index()
+        out["dup_w"] = out["dup_w"].astype(np.int64)
+        return out
+
+    per_doc = hash_bucketed_group_agg(
+        ds.map_batches(gram_pairs, batch_format="pyarrow")
+          .groupby("bucket").map_groups(fold_bucket,
+                                        batch_format="pandas"),
+        ["doc"],
+        {"total_windows": ("total_w", "sum"),
+         "dup_windows": ("dup_w", "sum")},
+        n_rows=n_rows)
+
+    langs = ds.select_columns([doc_id_col, key]).map_batches(
+        lambda b: pa.table({"doc": b[doc_id_col], key: b[key]}),
+        batch_format="pyarrow")
+    joined = hash_join(per_doc, langs, "doc",
+                       ["total_windows", "dup_windows"], [key],
+                       n_rows=n_rows)
+
+    def flag(b: pa.Table) -> pa.Table:
+        dup = b["dup_windows"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            key: b[key],
+            "total_windows": b["total_windows"],
+            "dup_windows": b["dup_windows"],
+            "has_dup": pa.array((dup > 0).astype(np.int64))})
+
+    return (joined.map_batches(flag, batch_format="pyarrow")
+            .groupby(key)
+            .aggregate(Count(alias_name="n_docs"),
+                       Sum("total_windows", alias_name="total_windows"),
+                       Sum("dup_windows", alias_name="dup_windows"),
+                       Sum("has_dup", alias_name="docs_with_dup")))

@@ -244,3 +244,83 @@ def test_config_textstats_routes(ray_session):
         columns=["lang", "n_chars"], value_col="n_chars",
         key="lang")).to_pandas()
     assert (out["n_outliers"] <= out["n_total"]).all()
+
+
+def test_duplicate_span_report_matches_bruteforce(ray_session):
+    from collections import defaultdict
+
+    import ray.data as rd
+
+    from t_digest_ray.pipelines.textstats import duplicate_span_report
+
+    n = 5
+    df = pq.read_table(DOCS, columns=["doc_id", "text", "lang"]).to_pandas()
+    ds = rd.read_parquet(DOCS, columns=["doc_id", "text", "lang"]) \
+        .repartition(4)
+    out = duplicate_span_report(ds, n=n).to_pandas() \
+        .sort_values("lang").reset_index(drop=True)
+
+    gram_docs: dict = defaultdict(lambda: defaultdict(int))
+    for _, r in df.iterrows():
+        toks = [t for t in r["text"].split(" ") if t]
+        for i in range(len(toks) - n + 1):
+            gram_docs[" ".join(toks[i:i + n])][r["doc_id"]] += 1
+    per_doc: dict = defaultdict(lambda: [0, 0])
+    for docs in gram_docs.values():
+        dup = len(docs) >= 2
+        for d, c in docs.items():
+            per_doc[d][0] += c
+            if dup:
+                per_doc[d][1] += c
+    lang_of = dict(zip(df.doc_id, df.lang))
+    agg: dict = defaultdict(lambda: [0, 0, 0, 0])
+    for d, (tot, dup) in per_doc.items():
+        a = agg[lang_of[d]]
+        a[0] += 1
+        a[1] += tot
+        a[2] += dup
+        a[3] += 1 if dup > 0 else 0
+    ref = pd.DataFrame(
+        [(k, *v) for k, v in sorted(agg.items())],
+        columns=["lang", "n_docs", "total_windows", "dup_windows",
+                 "docs_with_dup"])
+    assert ref["dup_windows"].sum() > 0  # the fixture really has dups
+    pd.testing.assert_frame_equal(
+        out[ref.columns].astype({c: np.int64 for c in ref.columns[1:]}),
+        ref.astype({c: np.int64 for c in ref.columns[1:]}))
+
+
+def test_duplicate_span_report_planted_span(ray_session):
+    import ray.data as rd
+
+    from t_digest_ray.pipelines.textstats import duplicate_span_report
+
+    span = "alpha beta gamma delta epsilon zeta"
+    df = pd.DataFrame({
+        "doc_id": np.arange(6, dtype=np.int64),
+        "lang": ["en"] * 3 + ["de"] * 3,
+        "text": [f"one two {span} three four",      # planted
+                 f"five six seven {span} eight",    # planted
+                 "nine ten eleven twelve thirteen fourteen fifteen",
+                 f"sechzehn {span} siebzehn achtzehn",  # planted, de
+                 "neunzehn zwanzig einundzwanzig zweiundzwanzig "
+                 "dreiundzwanzig vierundzwanzig",
+                 "a b c d e f g h"]})
+    ds = rd.from_pandas(df).repartition(3)
+    out = duplicate_span_report(ds, n=6).to_pandas() \
+        .set_index("lang").sort_index()
+    # the 6-token planted span is duplicated across 3 docs (2 en, 1 de)
+    assert out.loc["en", "docs_with_dup"] == 2
+    assert out.loc["de", "docs_with_dup"] == 1
+    assert out.loc["en", "dup_windows"] == 2
+    assert out.loc["de", "dup_windows"] == 1
+
+
+def test_dup_spans_config_route(ray_session):
+    out = run_job(JobConfig(
+        pipeline="dup_spans", input=DOCS, key="lang", value_col="text",
+        columns=["doc_id", "text", "lang"],
+        params={"n": 5})).to_pandas()
+    assert len(out) > 0
+    assert set(out.columns) == {"lang", "n_docs", "total_windows",
+                                "dup_windows", "docs_with_dup"}
