@@ -1367,6 +1367,18 @@ def dup_span_report_by_lang(sf_dir: str):
     return duplicate_span_report(ds, "text", "doc_id", "lang", n=10)
 
 
+def dup_span_drop_stats_by_lang(sf_dir: str):
+    """The REMOVAL step of ExactSubstr dedup (Lee et al., ACL 2022):
+    per-lang count of tokens covered by the union of duplicated 10-token
+    windows (pipelines/textstats.drop_duplicate_span_stats) — gram-bucket
+    dup detection, doc-bucket interval-union coverage, LEFT equi-join for
+    untouched docs. Overlapping windows counted once on both sides."""
+    from t_digest_ray.pipelines.textstats import drop_duplicate_span_stats
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    return drop_duplicate_span_stats(ds, "text", "doc_id", "lang", n=10)
+
+
 def kll_pmf_events(sf_dir: str):
     """KLL getPMF per event_type, VALUE-CHECKED: exact per-bucket counts
     (bucket = #{split points <= value}, the getPmfOrCdf convention)
@@ -5502,6 +5514,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scale_function_quantile_gates": scale_function_quantile_gates,
         "recording_digest_provenance": recording_digest_provenance,
         "dup_span_report_by_lang": dup_span_report_by_lang,
+        "dup_span_drop_stats_by_lang": dup_span_drop_stats_by_lang,
         "kll_pmf_events": kll_pmf_events,
         "float_histogram_events": float_histogram_events,
         "log_histogram_events": log_histogram_events,
@@ -7431,6 +7444,42 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CASE WHEN dup_w > 0 THEN 1 ELSE 0 END)
                         AS BIGINT) AS docs_with_dup
             FROM per_doc GROUP BY lang
+        """,
+        "dup_span_drop_stats_by_lang": """
+            WITH toks AS (
+              SELECT doc_id, lang,
+                     list_filter(string_split(text, ' '),
+                                 t -> t <> '') AS t
+              FROM documents),
+            g0 AS (
+              SELECT doc_id,
+                     unnest(generate_series(1, len(t) - 9)) AS i, t
+              FROM toks WHERE len(t) >= 10),
+            grams AS (
+              SELECT doc_id, i,
+                     array_to_string(t[i:i+9], ' ') AS gram FROM g0),
+            dup AS (
+              SELECT gram FROM grams GROUP BY gram
+              HAVING COUNT(DISTINCT doc_id) >= 2),
+            cov AS (
+              SELECT DISTINCT doc_id, pos FROM
+                (SELECT doc_id,
+                        unnest(generate_series(i, i+9)) AS pos
+                 FROM grams JOIN dup USING (gram))),
+            dropped AS (
+              SELECT doc_id, COUNT(*) AS dropped FROM cov
+              GROUP BY doc_id),
+            totals AS (
+              SELECT doc_id, lang, len(t) AS n_tokens FROM toks)
+            SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_tokens) AS BIGINT) AS tokens_total,
+                   CAST(SUM(COALESCE(dropped, 0)) AS BIGINT)
+                        AS tokens_dropped,
+                   CAST(SUM(CASE WHEN COALESCE(dropped, 0) > 0
+                            THEN 1 ELSE 0 END) AS BIGINT)
+                        AS docs_touched
+            FROM totals LEFT JOIN dropped USING (doc_id)
+            GROUP BY lang
         """,
         "kll_pmf_events": """
             SELECT event_type,

@@ -53,7 +53,7 @@ PIPELINES = ("quantiles", "kll", "req", "distinct", "heavy", "heavy_mg",
              "vocab_richness", "fano", "heatmap", "streaks",
              "session_durations", "session_paths", "k_anonymity",
              "autocorr", "change_detect", "kll_pmf", "float_histogram",
-             "log_histogram", "dup_spans")
+             "log_histogram", "dup_spans", "dup_span_drop")
 
 
 @dataclass
@@ -483,6 +483,10 @@ def run_job(cfg: JobConfig):
         from .pipelines.textstats import duplicate_span_report
         out = duplicate_span_report(ds, cfg.value_col or "text",
                                     key=cfg.key, **p)
+    elif cfg.pipeline == "dup_span_drop":
+        from .pipelines.textstats import drop_duplicate_span_stats
+        out = drop_duplicate_span_stats(ds, cfg.value_col or "text",
+                                        key=cfg.key, **p)
     elif cfg.pipeline == "jaccard_matrix":
         import ray.data as rd
 

@@ -299,11 +299,15 @@ def scrub_text(ds, text_col: str, id_col: str, pattern: str,
     return ds.map_batches(scrub, batch_format="pyarrow")
 
 
-def _word_gram_hashes(texts: pa.ChunkedArray | pa.Array, n: int):
+def _word_gram_hashes(texts: pa.ChunkedArray | pa.Array, n: int,
+                      with_positions: bool = False):
     """uint64 hashes of word n-grams for an Arrow string column, fully
     vectorized: split → drop empty tokens → n shifted slices joined with
     one binary_join_element_wise → hash64. Returns ``(hashes, doc_of)``
-    where ``doc_of[i]`` is the row index the i-th gram came from.
+    where ``doc_of[i]`` is the row index the i-th gram came from; with
+    ``with_positions`` also the 0-based token offset of each gram within
+    its document and the per-document non-empty token counts
+    (``hashes, doc_of, pos, flens``).
 
     Gram identity is the literal space-joined token string, so a SQL
     oracle can reproduce the exact same gram set with
@@ -325,8 +329,11 @@ def _word_gram_hashes(texts: pa.ChunkedArray | pa.Array, n: int):
     ftoks = toks.filter(pa.array(mask))
     m = len(ftoks)
     if m < n:
-        return (np.empty(0, dtype=np.uint64),
-                np.empty(0, dtype=np.int64))
+        empty = (np.empty(0, dtype=np.uint64),
+                 np.empty(0, dtype=np.int64))
+        if with_positions:
+            return (*empty, np.empty(0, dtype=np.int64), flens)
+        return empty
     import pyarrow.compute as pc2
     shifted = [ftoks.slice(j, m - n + 1) for j in range(n)]
     grams = pc2.binary_join_element_wise(*shifted, " ")
@@ -336,7 +343,12 @@ def _word_gram_hashes(texts: pa.ChunkedArray | pa.Array, n: int):
                        flens)[:m - n + 1]
     valid = (np.arange(m - n + 1) + n) <= (starts + flens)[doc_of]
     grams = grams.filter(pa.array(valid))
-    return hash64(grams.to_numpy(zero_copy_only=False)), doc_of[valid]
+    hashes = hash64(grams.to_numpy(zero_copy_only=False))
+    if with_positions:
+        pos = np.arange(m - n + 1, dtype=np.int64)[valid] \
+            - starts[doc_of[valid]]
+        return hashes, doc_of[valid], pos, flens
+    return hashes, doc_of[valid]
 
 
 def benchmark_gram_set(texts, n: int) -> np.ndarray:
@@ -877,3 +889,111 @@ def duplicate_span_report(ds, text_col: str = "text",
                        Sum("total_windows", alias_name="total_windows"),
                        Sum("dup_windows", alias_name="dup_windows"),
                        Sum("has_dup", alias_name="docs_with_dup")))
+
+
+def drop_duplicate_span_stats(ds, text_col: str = "text",
+                              doc_id_col: str = "doc_id",
+                              key: str = "lang", n: int = 10,
+                              n_rows: int | None = None):
+    """The REMOVAL step of ExactSubstr dedup (Lee et al., ACL 2022): drop
+    every token covered by at least one duplicated n-token window (a
+    window is duplicated iff its literal gram occurs in >= 2 distinct
+    documents). Per lang: document count, total non-empty tokens, tokens
+    that removal drops (the union of covering windows — overlapping
+    windows are not double-counted), and documents touched.
+
+    Topology: pass 1 emits per-window fixed-width rows
+    (gram_hash, doc, pos) bucketed BY GRAM; each gram bucket finds its
+    duplicated grams (distinct-doc >= 2) and forwards only the dup
+    windows' (doc, pos) rows re-bucketed BY DOC, so the second fold sees
+    every dup window of a doc together and computes the interval-union
+    coverage vectorized (sorted positions, per-gap min(n, delta) sweep).
+    A second cheap map pass provides per-doc token totals + the lang
+    label (one row per doc); the distributed LEFT equi-join fills
+    docs with no duplicated span. Nothing wider than 8-byte-column rows
+    ever shuffles, and no stage holds more than one bucket.
+    """
+    import pandas as pd
+
+    from ray.data.aggregate import Count, Sum
+
+    from ..functions.hashing import splitmix64
+    from ..stages.partitioning import cheap_row_count, coarse_bucket_count
+    from .relational import hash_join
+
+    if n_rows is None:
+        n_rows = cheap_row_count(ds)
+    buckets = coarse_bucket_count(n_rows=n_rows, fanout=64,
+                                  rows_per_bucket=262144,
+                                  what="drop_duplicate_span_stats")
+
+    def windows(b: pa.Table) -> pd.DataFrame:
+        h, doc_of, pos, _ = _word_gram_hashes(b[text_col], n,
+                                              with_positions=True)
+        ids = b[doc_id_col].to_numpy(zero_copy_only=False)
+        gh = h.view(np.int64)
+        gid = ids[doc_of] if gh.size else np.empty(0, dtype=np.int64)
+        bkt = (splitmix64(gh.view(np.uint64)) % np.uint64(buckets)) \
+            .astype(np.int64) if gh.size else np.empty(0, dtype=np.int64)
+        return pd.DataFrame({"gram": gh, "doc": gid, "pos": pos,
+                             "bucket": bkt})
+
+    def dup_windows(g: pd.DataFrame) -> pd.DataFrame:
+        nd = g.groupby("gram", sort=False)["doc"].transform("nunique")
+        out = g.loc[nd.to_numpy() >= 2, ["doc", "pos"]]
+        if len(out) == 0:
+            return pd.DataFrame({"doc": pd.Series([], dtype=np.int64),
+                                 "pos": pd.Series([], dtype=np.int64),
+                                 "dbucket": pd.Series([], dtype=np.int64)})
+        out = out.copy()
+        out["dbucket"] = (splitmix64(out["doc"].to_numpy()
+                                     .astype(np.uint64))
+                          % np.uint64(buckets)).astype(np.int64)
+        return out
+
+    def coverage(g: pd.DataFrame) -> pd.DataFrame:
+        d = g["doc"].to_numpy(dtype=np.int64)
+        p = g["pos"].to_numpy(dtype=np.int64)
+        order = np.lexsort((p, d))
+        d, p = d[order], p[order]
+        new = np.empty(d.size, dtype=bool)
+        new[0] = True
+        new[1:] = d[1:] != d[:-1]
+        prev = np.concatenate(([np.int64(0)], p[:-1]))
+        contrib = np.where(new, np.int64(n),
+                           np.minimum(p - prev, np.int64(n)))
+        run = np.cumsum(new) - 1
+        dropped = np.bincount(run, weights=contrib).astype(np.int64)
+        return pd.DataFrame({"doc": d[new], "dropped": dropped})
+
+    dropped = (ds.map_batches(windows, batch_format="pyarrow")
+               .groupby("bucket").map_groups(dup_windows,
+                                             batch_format="pandas")
+               .groupby("dbucket").map_groups(coverage,
+                                              batch_format="pandas"))
+
+    def totals(b: pa.Table) -> pd.DataFrame:
+        _, _, _, flens = _word_gram_hashes(b[text_col], n,
+                                           with_positions=True)
+        return pd.DataFrame({
+            "doc": b[doc_id_col].to_numpy(zero_copy_only=False),
+            key: b[key].to_pandas(),
+            "n_tokens": flens.astype(np.int64)})
+
+    per_doc = hash_join(ds.map_batches(totals, batch_format="pyarrow"),
+                        dropped, "doc", [key, "n_tokens"], ["dropped"],
+                        n_rows=n_rows, how="left")
+
+    def flag(df: pd.DataFrame) -> pd.DataFrame:
+        dr = df["dropped"].fillna(0).astype(np.int64)
+        return pd.DataFrame({
+            key: df[key], "n_tokens": df["n_tokens"].astype(np.int64),
+            "dropped": dr,
+            "touched": (dr > 0).astype(np.int64)})
+
+    return (per_doc.map_batches(flag, batch_format="pandas")
+            .groupby(key)
+            .aggregate(Count(alias_name="n_docs"),
+                       Sum("n_tokens", alias_name="tokens_total"),
+                       Sum("dropped", alias_name="tokens_dropped"),
+                       Sum("touched", alias_name="docs_touched")))

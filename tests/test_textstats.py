@@ -324,3 +324,66 @@ def test_dup_spans_config_route(ray_session):
     assert len(out) > 0
     assert set(out.columns) == {"lang", "n_docs", "total_windows",
                                 "dup_windows", "docs_with_dup"}
+
+
+def test_drop_duplicate_span_stats_matches_bruteforce(ray_session):
+    from collections import defaultdict
+
+    import ray.data as rd
+
+    from t_digest_ray.pipelines.textstats import drop_duplicate_span_stats
+
+    n = 5
+    df = pq.read_table(DOCS, columns=["doc_id", "text", "lang"]).to_pandas()
+    ds = rd.read_parquet(DOCS, columns=["doc_id", "text", "lang"]) \
+        .repartition(4)
+    out = drop_duplicate_span_stats(ds, n=n).to_pandas() \
+        .sort_values("lang").reset_index(drop=True)
+
+    gram_docs: dict = defaultdict(set)
+    toks_of: dict = {}
+    for _, r in df.iterrows():
+        toks = [t for t in r["text"].split(" ") if t]
+        toks_of[r["doc_id"]] = toks
+        for i in range(len(toks) - n + 1):
+            gram_docs[" ".join(toks[i:i + n])].add(r["doc_id"])
+    dup_grams = {g for g, docs in gram_docs.items() if len(docs) >= 2}
+    lang_of = dict(zip(df.doc_id, df.lang))
+    agg: dict = defaultdict(lambda: [0, 0, 0, 0])
+    for d, toks in toks_of.items():
+        covered = set()
+        for i in range(len(toks) - n + 1):
+            if " ".join(toks[i:i + n]) in dup_grams:
+                covered.update(range(i, i + n))
+        a = agg[lang_of[d]]
+        a[0] += 1
+        a[1] += len(toks)
+        a[2] += len(covered)
+        a[3] += 1 if covered else 0
+    ref = pd.DataFrame(
+        [(k, *v) for k, v in sorted(agg.items())],
+        columns=["lang", "n_docs", "tokens_total", "tokens_dropped",
+                 "docs_touched"])
+    assert ref["tokens_dropped"].sum() > 0
+    pd.testing.assert_frame_equal(
+        out[ref.columns].astype({c: np.int64 for c in ref.columns[1:]}),
+        ref.astype({c: np.int64 for c in ref.columns[1:]}))
+
+
+def test_drop_duplicate_span_overlap_counted_once(ray_session):
+    import ray.data as rd
+
+    from t_digest_ray.pipelines.textstats import drop_duplicate_span_stats
+
+    # two docs share an 8-token run: with n=6 each doc has three
+    # overlapping dup windows (positions 0,1,2 of the run) whose union
+    # covers exactly the 8 shared tokens, not 18
+    run = "a b c d e f g h"
+    df = pd.DataFrame({
+        "doc_id": np.array([1, 2], dtype=np.int64),
+        "lang": ["en", "en"],
+        "text": [f"{run} tail1 tail2", f"pre1 {run} tail3"]})
+    out = drop_duplicate_span_stats(
+        rd.from_pandas(df).repartition(2), n=6).to_pandas()
+    assert int(out["tokens_dropped"].iloc[0]) == 16  # 8 per doc
+    assert int(out["docs_touched"].iloc[0]) == 2
