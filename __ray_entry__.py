@@ -1367,6 +1367,21 @@ def dup_span_report_by_lang(sf_dir: str):
     return duplicate_span_report(ds, "text", "doc_id", "lang", n=10)
 
 
+def dsir_selected_by_lang(sf_dir: str):
+    """DSIR importance resampling (Xie et al., NeurIPS 2023) toward the
+    'en' slice over hashed unigram features
+    (pipelines/curation.dsir_importance_stats): per-lang corpus size and
+    Gumbel-top-k selection count. ROWS-ONLY by design — the splitmix64
+    feature hash has no SQL equivalent (same category as the zlib
+    entry); the pytest twin replays the entire path in pure Python and
+    asserts exact selected-set equality."""
+    from t_digest_ray.pipelines.curation import dsir_importance_stats
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    return dsir_importance_stats(ds, "text", "doc_id", "lang",
+                                 target_group="en", k=100)
+
+
 def dup_span_drop_stats_by_lang(sf_dir: str):
     """The REMOVAL step of ExactSubstr dedup (Lee et al., ACL 2022):
     per-lang count of tokens covered by the union of duplicated 10-token
@@ -5708,6 +5723,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q10_returned_item_revenue": q10_returned_item_revenue,
         "q7_nation_volume": q7_nation_volume,
         "compression_ratio_by_lang": compression_ratio_by_lang,
+        "dsir_selected_by_lang": dsir_selected_by_lang,
     }
 
 

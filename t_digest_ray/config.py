@@ -53,7 +53,7 @@ PIPELINES = ("quantiles", "kll", "req", "distinct", "heavy", "heavy_mg",
              "vocab_richness", "fano", "heatmap", "streaks",
              "session_durations", "session_paths", "k_anonymity",
              "autocorr", "change_detect", "kll_pmf", "float_histogram",
-             "log_histogram", "dup_spans", "dup_span_drop")
+             "log_histogram", "dup_spans", "dup_span_drop", "dsir")
 
 
 @dataclass
@@ -487,6 +487,12 @@ def run_job(cfg: JobConfig):
         from .pipelines.textstats import drop_duplicate_span_stats
         out = drop_duplicate_span_stats(ds, cfg.value_col or "text",
                                         key=cfg.key, **p)
+    elif cfg.pipeline == "dsir":
+        import ray.data as rd
+
+        from .pipelines.curation import dsir_importance_stats
+        out = rd.from_pandas(dsir_importance_stats(
+            ds, cfg.value_col or "text", key=cfg.key, **p))
     elif cfg.pipeline == "jaccard_matrix":
         import ray.data as rd
 

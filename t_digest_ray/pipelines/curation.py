@@ -983,3 +983,119 @@ def k_anonymity_audit(ds, qi_cols, k: int = 5):
     return pd.DataFrame({c: np.array([int(out[c])], dtype=np.int64)
                          for c in ("n_groups", "n_small_groups",
                                    "n_rows_at_risk", "n_rows")})
+
+
+def dsir_importance_stats(ds, text_col: str = "text",
+                          doc_id_col: str = "doc_id", key: str = "lang",
+                          target_group: str = "en",
+                          n_buckets: int = 4096, k: int = 100,
+                          alpha: float = 1.0, seed: int = 7):
+    """DSIR — Data Selection with Importance Resampling (Xie et al.,
+    NeurIPS 2023) — over hashed unigram features, selecting the k raw
+    documents whose token distribution best matches a target slice
+    (here: the ``key == target_group`` documents, so the op is
+    self-contained).
+
+    Pass 1 (two KB-sized aggregates in one map): per-batch partial
+    counts of token-hash buckets for the TARGET slice and for ALL docs
+    -> ``groupby(bucket)`` sum -> the driver pulls the
+    ``n_buckets``-row table and broadcasts the per-bucket log-ratio
+        lam[b] = ln((T[b]+a) / (T_tot+a*B)) - ln((R[b]+a) / (R_tot+a*B)).
+    Pass 2: per-doc importance log-weight = sum over its tokens of
+    lam[bucket(token)] (deterministic: a doc's tokens are contiguous in
+    one batch and the bincount fold runs in index order), then
+    Gumbel-top-k sampling — selection key = logw + Gumbel(u(doc_id))
+    with u a splitmix64 uniform of the doc id, so the draw is
+    reproducible and layout-invariant. The top-k runs with the same
+    per-batch-combiner topology as ``topk_per_key`` (at most k rows per
+    batch survive to the final fold).
+
+    Returns a pandas DataFrame, one row per ``key`` group:
+    ``(key, n_docs, n_selected)``. The feature hash (splitmix64 family)
+    has no SQL equivalent, so the graded entry is rows-only; the pytest
+    twin replays the whole path in pure Python.
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Sum
+
+    from ..functions.hashing import hash64, splitmix64
+
+    B = int(n_buckets)
+
+    def bucket_partials(b: pa.Table) -> pd.DataFrame:
+        lists = pc.split_pattern(b[text_col].combine_chunks(), " ")
+        toks = pc.list_flatten(lists)
+        mask = pc.not_equal(toks, "").to_numpy(zero_copy_only=False)
+        lens = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
+        doc_of = np.repeat(np.arange(len(lens), dtype=np.int64), lens)[mask]
+        bkt = (hash64(toks.filter(pa.array(mask))
+                      .to_numpy(zero_copy_only=False))
+               % np.uint64(B)).astype(np.int64)
+        is_tgt = (b[key].to_numpy(zero_copy_only=False)
+                  == target_group)[doc_of]
+        r_cnt = np.bincount(bkt, minlength=B)
+        t_cnt = np.bincount(bkt[is_tgt], minlength=B)
+        nz = (r_cnt > 0) | (t_cnt > 0)
+        return pd.DataFrame({
+            "bucket": np.flatnonzero(nz).astype(np.int64),
+            "t_part": t_cnt[nz].astype(np.int64),
+            "r_part": r_cnt[nz].astype(np.int64)})
+
+    counts = (ds.map_batches(bucket_partials, batch_format="pyarrow")
+              .groupby("bucket")
+              .aggregate(Sum("t_part", alias_name="t_cnt"),
+                         Sum("r_part", alias_name="r_cnt"))
+              .to_pandas())  # <= n_buckets rows — KB-sized by design
+    t = np.zeros(B, dtype=np.int64)
+    r = np.zeros(B, dtype=np.int64)
+    t[counts["bucket"].to_numpy()] = counts["t_cnt"].to_numpy()
+    r[counts["bucket"].to_numpy()] = counts["r_cnt"].to_numpy()
+    t_tot, r_tot = int(t.sum()), int(r.sum())
+    lam = (np.log((t + alpha) / (t_tot + alpha * B))
+           - np.log((r + alpha) / (r_tot + alpha * B)))
+
+    def score_and_keep(b: pa.Table) -> pd.DataFrame:
+        lists = pc.split_pattern(b[text_col].combine_chunks(), " ")
+        toks = pc.list_flatten(lists)
+        mask = pc.not_equal(toks, "").to_numpy(zero_copy_only=False)
+        lens = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
+        nd = len(lens)
+        doc_of = np.repeat(np.arange(nd, dtype=np.int64), lens)[mask]
+        bkt = (hash64(toks.filter(pa.array(mask))
+                      .to_numpy(zero_copy_only=False))
+               % np.uint64(B)).astype(np.int64)
+        logw = np.bincount(doc_of, weights=lam[bkt], minlength=nd)
+        ids = b[doc_id_col].to_numpy(zero_copy_only=False)
+        u = (splitmix64(ids.astype(np.uint64)
+                        ^ np.uint64(seed)).astype(np.float64)
+             + 1.0) / 18446744073709551618.0
+        skey = logw - np.log(-np.log(u))
+        kv = b[key].to_pandas()
+        # local combiner: only this batch's k best survive the fold
+        order = np.lexsort((ids, -skey))[:k]
+        return pd.DataFrame({"doc": ids[order],
+                             "skey": skey[order],
+                             key: kv.iloc[order].to_numpy()})
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        df["_g"] = np.int64(0)
+        return df
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        order = np.lexsort((g["doc"].to_numpy(),
+                            -g["skey"].to_numpy()))[:k]
+        return g.iloc[order][["doc", "skey", key]]
+
+    selected = (ds.map_batches(score_and_keep, batch_format="pyarrow")
+                .map_batches(tag, batch_format="pandas")
+                .groupby("_g").map_groups(final_topk,
+                                          batch_format="pandas")
+                .to_pandas())  # k rows
+    n_docs = (ds.groupby(key).aggregate(Count(alias_name="n_docs"))
+              .to_pandas())
+    sel = (selected.groupby(key).size().rename("n_selected")
+           .reset_index())
+    out = n_docs.merge(sel, on=key, how="left")
+    out["n_selected"] = out["n_selected"].fillna(0).astype(np.int64)
+    out["n_docs"] = out["n_docs"].astype(np.int64)
+    return out.sort_values(key).reset_index(drop=True)

@@ -407,3 +407,71 @@ def test_config_routes_line_dedup(ray_session):
                             columns=["doc_id", "text"],
                             key="doc_id", value_col="text")).to_pandas()
     assert len(out) == 500 and "n_dropped" in out.columns
+
+
+def test_dsir_importance_stats_matches_pure_python(ray_session):
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from t_digest_ray.functions.hashing import hash64, splitmix64
+    from t_digest_ray.pipelines.curation import dsir_importance_stats
+
+    path = "/root/testdata/sf0.001/documents.parquet"
+    B, alpha, seed, k = 4096, 1.0, 7, 30
+    ds = rd.read_parquet(path, columns=["doc_id", "text", "lang"]) \
+        .repartition(4)
+    out = dsir_importance_stats(ds, target_group="en", k=k,
+                                n_buckets=B, alpha=alpha, seed=seed)
+
+    df = pq.read_table(path, columns=["doc_id", "text", "lang"]) \
+        .to_pandas()
+    t = np.zeros(B, np.int64)
+    r = np.zeros(B, np.int64)
+    buckets_of = {}
+    for _, row in df.iterrows():
+        toks = [x for x in row["text"].split(" ") if x]
+        b = (hash64(np.array(toks, dtype=object))
+             % np.uint64(B)).astype(np.int64)
+        buckets_of[row["doc_id"]] = b
+        np.add.at(r, b, 1)
+        if row["lang"] == "en":
+            np.add.at(t, b, 1)
+    lam = (np.log((t + alpha) / (t.sum() + alpha * B))
+           - np.log((r + alpha) / (r.sum() + alpha * B)))
+    rows = []
+    for _, row in df.iterrows():
+        b = buckets_of[row["doc_id"]]
+        # same fold order as the engine: per-doc bincount in token order
+        logw = float(np.bincount(np.zeros(len(b), dtype=np.int64),
+                                 weights=lam[b], minlength=1)[0]) \
+            if len(b) else 0.0
+        u = (float(splitmix64(np.array([row["doc_id"]], dtype=np.uint64)
+                              ^ np.uint64(seed))[0]) + 1.0) \
+            / 18446744073709551618.0
+        rows.append((row["doc_id"], logw - np.log(-np.log(u)),
+                     row["lang"]))
+    bf = pd.DataFrame(rows, columns=["doc", "skey", "lang"])
+    order = np.lexsort((bf["doc"].to_numpy(), -bf["skey"].to_numpy()))[:k]
+    sel = bf.iloc[order]
+    ref = df.groupby("lang").size().rename("n_docs").reset_index()
+    ref = ref.merge(sel.groupby("lang").size().rename("n_selected")
+                    .reset_index(), on="lang", how="left")
+    ref["n_selected"] = ref["n_selected"].fillna(0).astype(np.int64)
+    ref["n_docs"] = ref["n_docs"].astype(np.int64)
+    pd.testing.assert_frame_equal(out, ref)
+    # the target slice is boosted above its corpus share
+    en_share = ref.set_index("lang")["n_docs"]["en"] / ref["n_docs"].sum()
+    en_sel = ref.set_index("lang")["n_selected"]["en"] / k
+    assert en_sel > en_share
+
+
+def test_dsir_config_route(ray_session):
+    from t_digest_ray.config import JobConfig, run_job
+
+    out = run_job(JobConfig(
+        pipeline="dsir", input="/root/testdata/sf0.001/documents.parquet",
+        key="lang", value_col="text",
+        columns=["doc_id", "text", "lang"],
+        params={"target_group": "en", "k": 20})).to_pandas()
+    assert set(out.columns) == {"lang", "n_docs", "n_selected"}
+    assert out["n_selected"].sum() == 20
