@@ -53,7 +53,7 @@ PIPELINES = ("quantiles", "kll", "req", "distinct", "heavy", "heavy_mg",
              "vocab_richness", "fano", "heatmap", "streaks",
              "session_durations", "session_paths", "k_anonymity",
              "autocorr", "change_detect", "kll_pmf", "float_histogram",
-             "log_histogram", "dup_spans", "dup_span_drop", "dsir")
+             "log_histogram", "dup_spans", "dup_span_drop", "dup_span_rewrite", "dsir")
 
 
 @dataclass
@@ -487,6 +487,9 @@ def run_job(cfg: JobConfig):
         from .pipelines.textstats import drop_duplicate_span_stats
         out = drop_duplicate_span_stats(ds, cfg.value_col or "text",
                                         key=cfg.key, **p)
+    elif cfg.pipeline == "dup_span_rewrite":
+        from .pipelines.textstats import drop_duplicate_spans_text
+        out = drop_duplicate_spans_text(ds, cfg.value_col or "text", **p)
     elif cfg.pipeline == "dsir":
         import ray.data as rd
 

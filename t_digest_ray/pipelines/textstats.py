@@ -997,3 +997,105 @@ def drop_duplicate_span_stats(ds, text_col: str = "text",
                        Sum("n_tokens", alias_name="tokens_total"),
                        Sum("dropped", alias_name="tokens_dropped"),
                        Sum("touched", alias_name="docs_touched")))
+
+
+def drop_duplicate_spans_text(ds, text_col: str = "text",
+                              doc_id_col: str = "doc_id", n: int = 10,
+                              n_rows: int | None = None):
+    """The rewrite form of ExactSubstr removal (Lee et al., ACL 2022):
+    returns ``(doc_id, text, n_dropped)`` with every token covered by a
+    duplicated n-token window removed (single-space rejoin of the
+    surviving tokens — the same tokenization convention as the stats
+    twin, so ``drop_duplicate_span_stats``'s ``tokens_dropped`` equals
+    the sum of ``n_dropped`` here).
+
+    Topology: identical gram-bucket dup detection as the stats twin;
+    each doc's dup-window positions are packed into ONE compact
+    comma-separated string in the doc-bucket fold (a join-safe scalar), LEFT-joined back to
+    the corpus by doc id, and the rewrite touches only the joined rows
+    (untouched docs pass through without re-tokenizing).
+    """
+    import pandas as pd
+
+    from ..functions.hashing import splitmix64
+    from ..stages.partitioning import cheap_row_count, coarse_bucket_count
+    from .relational import hash_join
+
+    if n_rows is None:
+        n_rows = cheap_row_count(ds)
+    buckets = coarse_bucket_count(n_rows=n_rows, fanout=64,
+                                  rows_per_bucket=262144,
+                                  what="drop_duplicate_spans_text")
+
+    def windows(b: pa.Table) -> pd.DataFrame:
+        h, doc_of, pos, _ = _word_gram_hashes(b[text_col], n,
+                                              with_positions=True)
+        ids = b[doc_id_col].to_numpy(zero_copy_only=False)
+        gh = h.view(np.int64)
+        gid = ids[doc_of] if gh.size else np.empty(0, dtype=np.int64)
+        bkt = (splitmix64(gh.view(np.uint64)) % np.uint64(buckets)) \
+            .astype(np.int64) if gh.size else np.empty(0, dtype=np.int64)
+        return pd.DataFrame({"gram": gh, "doc": gid, "pos": pos,
+                             "bucket": bkt})
+
+    def dup_windows(g: pd.DataFrame) -> pd.DataFrame:
+        nd = g.groupby("gram", sort=False)["doc"].transform("nunique")
+        out = g.loc[nd.to_numpy() >= 2, ["doc", "pos"]]
+        if len(out) == 0:
+            return pd.DataFrame({"doc": pd.Series([], dtype=np.int64),
+                                 "pos": pd.Series([], dtype=np.int64),
+                                 "dbucket": pd.Series([], dtype=np.int64)})
+        out = out.copy()
+        out["dbucket"] = (splitmix64(out["doc"].to_numpy()
+                                     .astype(np.uint64))
+                          % np.uint64(buckets)).astype(np.int64)
+        return out
+
+    def pack_positions(g: pd.DataFrame) -> pd.DataFrame:
+        d = g["doc"].to_numpy(dtype=np.int64)
+        p = g["pos"].to_numpy(dtype=np.int64)
+        order = np.lexsort((p, d))
+        d, p = d[order], p[order]
+        new = np.empty(d.size, dtype=bool)
+        new[0] = True
+        new[1:] = d[1:] != d[:-1]
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], d.size)
+        return pd.DataFrame({
+            "doc": d[starts],
+            "dup_pos": [",".join(map(str, p[s:e]))
+                        for s, e in zip(starts, ends)]})
+
+    dup_pos = (ds.map_batches(windows, batch_format="pyarrow")
+               .groupby("bucket").map_groups(dup_windows,
+                                             batch_format="pandas")
+               .groupby("dbucket").map_groups(pack_positions,
+                                              batch_format="pandas"))
+
+    def rename_id(b: pa.Table) -> pa.Table:
+        cols = {"doc": b[doc_id_col], text_col: b[text_col]}
+        return pa.table(cols)
+
+    joined = hash_join(ds.map_batches(rename_id, batch_format="pyarrow"),
+                       dup_pos, "doc", [text_col], ["dup_pos"],
+                       n_rows=n_rows, how="left")
+
+    def rewrite(df: pd.DataFrame) -> pd.DataFrame:
+        texts = df[text_col].to_numpy()
+        blobs = df["dup_pos"].to_numpy()
+        out_t = texts.copy()
+        dropped = np.zeros(len(df), dtype=np.int64)
+        for i, blob in enumerate(blobs):
+            if not isinstance(blob, str) or not blob:
+                continue
+            starts = np.array(blob.split(","), dtype=np.int64)
+            toks = [t for t in texts[i].split(" ") if t]
+            covered = np.zeros(len(toks), dtype=bool)
+            for s in starts:
+                covered[s:s + n] = True
+            out_t[i] = " ".join(t for t, c in zip(toks, covered) if not c)
+            dropped[i] = int(covered.sum())
+        return pd.DataFrame({doc_id_col: df["doc"].astype(np.int64),
+                             text_col: out_t, "n_dropped": dropped})
+
+    return joined.map_batches(rewrite, batch_format="pandas")

@@ -387,3 +387,45 @@ def test_drop_duplicate_span_overlap_counted_once(ray_session):
         rd.from_pandas(df).repartition(2), n=6).to_pandas()
     assert int(out["tokens_dropped"].iloc[0]) == 16  # 8 per doc
     assert int(out["docs_touched"].iloc[0]) == 2
+
+
+def test_drop_duplicate_spans_text_matches_stats_twin(ray_session):
+    import ray.data as rd
+
+    from t_digest_ray.pipelines.textstats import (
+        drop_duplicate_span_stats, drop_duplicate_spans_text)
+
+    n = 5
+    ds = rd.read_parquet(DOCS, columns=["doc_id", "text", "lang"]) \
+        .repartition(4)
+    rewritten = drop_duplicate_spans_text(
+        ds.select_columns(["doc_id", "text"]), n=n).to_pandas()
+    stats = drop_duplicate_span_stats(ds, n=n).to_pandas()
+    # token-conservation: dropped-token totals agree between the twins
+    assert rewritten["n_dropped"].sum() == stats["tokens_dropped"].sum()
+    assert (rewritten["n_dropped"] > 0).sum() == stats["docs_touched"].sum()
+    # a rewritten doc has exactly n_tokens - n_dropped surviving tokens
+    base = pq.read_table(DOCS, columns=["doc_id", "text"]).to_pandas() \
+        .set_index("doc_id")
+    merged = rewritten.set_index("doc_id")
+    for d in merged.index[:50]:
+        before = len([t for t in base.loc[d, "text"].split(" ") if t])
+        after = len([t for t in merged.loc[d, "text"].split(" ") if t])
+        assert after == before - int(merged.loc[d, "n_dropped"])
+
+
+def test_drop_duplicate_spans_text_removes_planted(ray_session):
+    import ray.data as rd
+
+    from t_digest_ray.pipelines.textstats import drop_duplicate_spans_text
+
+    span = "alpha beta gamma delta epsilon zeta"
+    df = pd.DataFrame({
+        "doc_id": np.array([1, 2], dtype=np.int64),
+        "text": [f"one two {span} three", f"four {span} five six"]})
+    out = drop_duplicate_spans_text(
+        rd.from_pandas(df).repartition(2), n=6).to_pandas() \
+        .set_index("doc_id").sort_index()
+    assert out.loc[1, "text"] == "one two three"
+    assert out.loc[2, "text"] == "four five six"
+    assert (out["n_dropped"] == 6).all()
