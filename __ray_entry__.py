@@ -1367,6 +1367,37 @@ def dup_span_report_by_lang(sf_dir: str):
     return duplicate_span_report(ds, "text", "doc_id", "lang", n=10)
 
 
+def nb_planted_confusion(sf_dir: str):
+    """Trained multinomial Naive-Bayes text classifier
+    (pipelines/textstats.nb_classifier_confusion) over a DETERMINISTIC
+    planted two-class corpus (distinct vocabularies + shared noise,
+    splitmix64 counter draws — the planted-oracle pattern of the minhash
+    entries; the synthetic documents table's languages share one token
+    pool by construction, so the planted fixture is what demonstrates
+    classification). Output: exact-int confusion matrix — perfect
+    diagonal while the classifier is healthy; any train/predict
+    regression puts mass off-diagonal. ROWS-ONLY: the 64-bit feature
+    hash has no SQL twin; the pytest twin replays train+predict in pure
+    Python."""
+    import ray.data as rd
+
+    from t_digest_ray.functions.hashing import splitmix64
+    from t_digest_ray.pipelines.textstats import nb_classifier_confusion
+
+    rows = []
+    for i in range(400):
+        cls = "alpha" if i % 2 == 0 else "beta"
+        idx = splitmix64(np.arange(i * 1000, i * 1000 + 30,
+                                   dtype=np.uint64))
+        toks = [f"{cls}{int(v) % 40}" for v in idx[:25]]
+        toks += [f"noise{int(v) % 10}" for v in idx[25:]]
+        rows.append((np.int64(i), cls, " ".join(toks)))
+    import pandas as pd
+    df = pd.DataFrame(rows, columns=["doc_id", "cls", "text"])
+    ds = rd.from_pandas(df).repartition(8)
+    return nb_classifier_confusion(ds, "text", "cls")
+
+
 def dsir_selected_by_lang(sf_dir: str):
     """DSIR importance resampling (Xie et al., NeurIPS 2023) toward the
     'en' slice over hashed unigram features
@@ -5724,6 +5755,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q7_nation_volume": q7_nation_volume,
         "compression_ratio_by_lang": compression_ratio_by_lang,
         "dsir_selected_by_lang": dsir_selected_by_lang,
+        "nb_planted_confusion": nb_planted_confusion,
     }
 
 

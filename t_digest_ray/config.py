@@ -53,7 +53,7 @@ PIPELINES = ("quantiles", "kll", "req", "distinct", "heavy", "heavy_mg",
              "vocab_richness", "fano", "heatmap", "streaks",
              "session_durations", "session_paths", "k_anonymity",
              "autocorr", "change_detect", "kll_pmf", "float_histogram",
-             "log_histogram", "dup_spans", "dup_span_drop", "dup_span_rewrite", "dsir")
+             "log_histogram", "dup_spans", "dup_span_drop", "dup_span_rewrite", "dsir", "nb_confusion")
 
 
 @dataclass
@@ -490,6 +490,10 @@ def run_job(cfg: JobConfig):
     elif cfg.pipeline == "dup_span_rewrite":
         from .pipelines.textstats import drop_duplicate_spans_text
         out = drop_duplicate_spans_text(ds, cfg.value_col or "text", **p)
+    elif cfg.pipeline == "nb_confusion":
+        from .pipelines.textstats import nb_classifier_confusion
+        out = nb_classifier_confusion(ds, cfg.value_col or "text",
+                                      key=cfg.key or "lang", **p)
     elif cfg.pipeline == "dsir":
         import ray.data as rd
 

@@ -1099,3 +1099,97 @@ def drop_duplicate_spans_text(ds, text_col: str = "text",
                              text_col: out_t, "n_dropped": dropped})
 
     return joined.map_batches(rewrite, batch_format="pandas")
+
+
+def nb_classifier_confusion(ds, text_col: str = "text", key: str = "lang",
+                            n_buckets: int = 4096, alpha: float = 1.0):
+    """Multinomial Naive Bayes over hashed unigram features, trained and
+    evaluated distributed with EXACT-INTEGER sufficient statistics — the
+    trained upgrade of the heuristic lang-ID in functions/text.py (and
+    the fastText-style linear text classifier of corpus curation, e.g.
+    quality/language routing).
+
+    Train: one map pass emits per-batch (bucket, class) count partials;
+    a ``groupby(bucket, class)`` sum produces the complete sufficient
+    statistics (≤ n_buckets × classes rows — KB), which the driver
+    pulls once and turns into a broadcast log-likelihood matrix
+    ``logp[b, c] = ln((cnt[b,c]+a) / (tot[c]+a*B))`` plus log-priors.
+    Predict (self-evaluation over the same corpus): per doc and class,
+    score = log-prior + sum over tokens of logp[bucket(token), c] — an
+    order-deterministic per-class bincount fold — and argmax with a
+    deterministic smallest-class-name tie-break. Output: the confusion
+    matrix ``(true class, predicted class, n_docs)`` in exact int64.
+
+    Rows-only for the driver (the 64-bit feature hash has no SQL twin);
+    the pytest twin replays training + prediction in pure Python.
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from ..functions.hashing import hash64
+
+    B = int(n_buckets)
+
+    def _buckets(b: pa.Table):
+        lists = pc.split_pattern(b[text_col].combine_chunks(), " ")
+        toks = pc.list_flatten(lists)
+        mask = pc.not_equal(toks, "").to_numpy(zero_copy_only=False)
+        lens = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
+        doc_of = np.repeat(np.arange(len(lens), dtype=np.int64),
+                           lens)[mask]
+        bkt = (hash64(toks.filter(pa.array(mask))
+                      .to_numpy(zero_copy_only=False))
+               % np.uint64(B)).astype(np.int64)
+        return bkt, doc_of, len(lens)
+
+    def train_partials(b: pa.Table) -> pd.DataFrame:
+        bkt, doc_of, _ = _buckets(b)
+        cls = b[key].to_pandas().to_numpy()[doc_of]
+        df = pd.DataFrame({"bucket": bkt, "cls": cls})
+        g = df.groupby(["bucket", "cls"], sort=False).size() \
+            .reset_index(name="part")
+        g["part"] = g["part"].astype(np.int64)
+        # per-batch class doc counts ride along for the priors
+        ids = pd.DataFrame({
+            "bucket": np.full(b.num_rows, -1, dtype=np.int64),
+            "cls": b[key].to_pandas(),
+            "part": np.ones(b.num_rows, dtype=np.int64)})
+        return pd.concat([g, ids], ignore_index=True)
+
+    stats = (ds.map_batches(train_partials, batch_format="pyarrow")
+             .groupby(["bucket", "cls"])
+             .aggregate(Sum("part", alias_name="cnt"))
+             .to_pandas())  # <= (B+1) * classes rows — KB by design
+    classes = sorted(stats["cls"].unique())
+    cidx = {c: i for i, c in enumerate(classes)}
+    L = len(classes)
+    cnt = np.zeros((B, L), dtype=np.int64)
+    docs_per_cls = np.zeros(L, dtype=np.int64)
+    for _, row in stats.iterrows():
+        if row["bucket"] < 0:
+            docs_per_cls[cidx[row["cls"]]] = row["cnt"]
+        else:
+            cnt[int(row["bucket"]), cidx[row["cls"]]] = row["cnt"]
+    tot = cnt.sum(axis=0)
+    logp = np.log((cnt + alpha) / (tot + alpha * B))
+    logprior = np.log(docs_per_cls / docs_per_cls.sum())
+
+    def predict(b: pa.Table) -> pd.DataFrame:
+        bkt, doc_of, nd = _buckets(b)
+        scores = np.tile(logprior, (nd, 1))
+        for c in range(L):
+            scores[:, c] += np.bincount(doc_of, weights=logp[bkt, c],
+                                        minlength=nd)
+        pred = np.argmax(scores, axis=1)  # first max = smallest class
+        true = b[key].to_pandas().to_numpy()
+        g = pd.DataFrame({
+            "true_cls": true,
+            "pred_cls": np.array(classes, dtype=object)[pred]})
+        out = g.groupby(["true_cls", "pred_cls"], sort=False).size() \
+            .reset_index(name="part")
+        out["part"] = out["part"].astype(np.int64)
+        return out
+
+    return (ds.map_batches(predict, batch_format="pyarrow")
+            .groupby(["true_cls", "pred_cls"])
+            .aggregate(Sum("part", alias_name="n_docs")))

@@ -429,3 +429,80 @@ def test_drop_duplicate_spans_text_removes_planted(ray_session):
     assert out.loc[1, "text"] == "one two three"
     assert out.loc[2, "text"] == "four five six"
     assert (out["n_dropped"] == 6).all()
+
+
+def _nb_fixture(n_docs: int = 200, toks_per_doc: int = 30):
+    """Deterministic two-class corpus: distinct vocabularies + shared
+    noise, token choice via splitmix64 of a counter (no RNG state)."""
+    from t_digest_ray.functions.hashing import splitmix64
+
+    rows = []
+    for i in range(n_docs):
+        cls = "alpha" if i % 2 == 0 else "beta"
+        base = cls
+        idx = splitmix64(np.arange(i * 1000, i * 1000 + toks_per_doc,
+                                   dtype=np.uint64))
+        toks = [f"{base}{int(v) % 40}" for v in idx[:toks_per_doc - 5]]
+        toks += [f"noise{int(v) % 10}" for v in idx[toks_per_doc - 5:]]
+        rows.append((np.int64(i), cls, " ".join(toks)))
+    return pd.DataFrame(rows, columns=["doc_id", "cls", "text"])
+
+
+def test_nb_classifier_separates_planted_classes(ray_session):
+    import ray.data as rd
+
+    from t_digest_ray.pipelines.textstats import nb_classifier_confusion
+
+    df = _nb_fixture()
+    out = nb_classifier_confusion(
+        rd.from_pandas(df).repartition(4), "text", "cls") \
+        .to_pandas().sort_values(["true_cls", "pred_cls"]) \
+        .reset_index(drop=True)
+    # distinct vocabularies -> perfect diagonal confusion
+    assert len(out) == 2
+    assert (out["true_cls"] == out["pred_cls"]).all()
+    assert out["n_docs"].sum() == len(df)
+
+
+def test_nb_classifier_matches_pure_python(ray_session):
+    import ray.data as rd
+
+    from t_digest_ray.functions.hashing import hash64
+    from t_digest_ray.pipelines.textstats import nb_classifier_confusion
+
+    df = _nb_fixture(n_docs=120)
+    B, alpha = 512, 1.0
+    out = nb_classifier_confusion(
+        rd.from_pandas(df).repartition(3), "text", "cls",
+        n_buckets=B, alpha=alpha).to_pandas() \
+        .sort_values(["true_cls", "pred_cls"]).reset_index(drop=True)
+
+    classes = sorted(df["cls"].unique())
+    cnt = np.zeros((B, len(classes)), dtype=np.int64)
+    docs_per = np.zeros(len(classes), dtype=np.int64)
+    bk_of = []
+    for _, r in df.iterrows():
+        toks = [x for x in r["text"].split(" ") if x]
+        b = (hash64(np.array(toks, dtype=object))
+             % np.uint64(B)).astype(np.int64)
+        bk_of.append(b)
+        ci = classes.index(r["cls"])
+        np.add.at(cnt[:, ci], b, 1)
+        docs_per[ci] += 1
+    logp = np.log((cnt + alpha) / (cnt.sum(0) + alpha * B))
+    logprior = np.log(docs_per / docs_per.sum())
+    pairs = []
+    for i, (_, r) in enumerate(df.iterrows()):
+        # same fold order: bincount of this doc's tokens per class
+        s = logprior + np.array(
+            [float(np.bincount(np.zeros(len(bk_of[i]), dtype=np.int64),
+                               weights=logp[bk_of[i], c],
+                               minlength=1)[0]) for c in
+             range(len(classes))])
+        pairs.append((r["cls"], classes[int(np.argmax(s))]))
+    ref = (pd.DataFrame(pairs, columns=["true_cls", "pred_cls"])
+           .groupby(["true_cls", "pred_cls"]).size()
+           .reset_index(name="n_docs")
+           .sort_values(["true_cls", "pred_cls"]).reset_index(drop=True))
+    ref["n_docs"] = ref["n_docs"].astype(np.int64)
+    pd.testing.assert_frame_equal(out, ref)
