@@ -506,3 +506,18 @@ def test_nb_classifier_matches_pure_python(ray_session):
            .sort_values(["true_cls", "pred_cls"]).reset_index(drop=True))
     ref["n_docs"] = ref["n_docs"].astype(np.int64)
     pd.testing.assert_frame_equal(out, ref)
+
+
+def test_dup_span_rewrite_and_nb_confusion_config_routes(ray_session):
+    out = run_job(JobConfig(
+        pipeline="dup_span_rewrite", input=DOCS, value_col="text",
+        columns=["doc_id", "text"], params={"n": 5})).to_pandas()
+    assert set(out.columns) == {"doc_id", "text", "n_dropped"}
+    assert out["n_dropped"].sum() > 0
+
+    out = run_job(JobConfig(
+        pipeline="nb_confusion", input=DOCS, key="lang",
+        value_col="text", columns=["text", "lang"],
+        params={"n_buckets": 512})).to_pandas()
+    assert set(out.columns) == {"true_cls", "pred_cls", "n_docs"}
+    assert out["n_docs"].sum() == 500
