@@ -482,11 +482,11 @@ def run_job(cfg: JobConfig):
     elif cfg.pipeline == "dup_spans":
         from .pipelines.textstats import duplicate_span_report
         out = duplicate_span_report(ds, cfg.value_col or "text",
-                                    key=cfg.key, **p)
+                                    key=cfg.key or "lang", **p)
     elif cfg.pipeline == "dup_span_drop":
         from .pipelines.textstats import drop_duplicate_span_stats
         out = drop_duplicate_span_stats(ds, cfg.value_col or "text",
-                                        key=cfg.key, **p)
+                                        key=cfg.key or "lang", **p)
     elif cfg.pipeline == "dup_span_rewrite":
         from .pipelines.textstats import drop_duplicate_spans_text
         out = drop_duplicate_spans_text(ds, cfg.value_col or "text", **p)
@@ -499,7 +499,7 @@ def run_job(cfg: JobConfig):
 
         from .pipelines.curation import dsir_importance_stats
         out = rd.from_pandas(dsir_importance_stats(
-            ds, cfg.value_col or "text", key=cfg.key, **p))
+            ds, cfg.value_col or "text", key=cfg.key or "lang", **p))
     elif cfg.pipeline == "jaccard_matrix":
         import ray.data as rd
 

@@ -774,6 +774,60 @@ def vocab_richness(ds, text_col: str, key: str):
                                          batch_format="pandas")
 
 
+def _span_window_fn(text_col: str, doc_id_col: str, n: int, buckets: int):
+    """Per-batch (gram_hash, doc, pos, bucket) window rows — the shared
+    emission stage of the ExactSubstr pipelines (stats + rewrite twins
+    must stay in lockstep; see the token-conservation test)."""
+    from ..functions.hashing import splitmix64
+
+    def windows(b: pa.Table) -> pd.DataFrame:
+        h, doc_of, pos, _ = _word_gram_hashes(b[text_col], n,
+                                              with_positions=True)
+        ids = b[doc_id_col].to_numpy(zero_copy_only=False)
+        gh = h.view(np.int64)
+        gid = ids[doc_of] if gh.size else np.empty(0, dtype=np.int64)
+        bkt = (splitmix64(gh.view(np.uint64)) % np.uint64(buckets)) \
+            .astype(np.int64) if gh.size else np.empty(0, dtype=np.int64)
+        return pd.DataFrame({"gram": gh, "doc": gid, "pos": pos,
+                             "bucket": bkt})
+
+    return windows
+
+
+def _dup_window_fn(buckets: int):
+    """Per-gram-bucket fold: keep only windows whose gram occurs in
+    >= 2 distinct docs, re-bucketed by doc (shared by stats + rewrite)."""
+    from ..functions.hashing import splitmix64
+
+    def dup_windows(g: pd.DataFrame) -> pd.DataFrame:
+        nd = g.groupby("gram", sort=False)["doc"].transform("nunique")
+        out = g.loc[nd.to_numpy() >= 2, ["doc", "pos"]]
+        if len(out) == 0:
+            return pd.DataFrame({"doc": pd.Series([], dtype=np.int64),
+                                 "pos": pd.Series([], dtype=np.int64),
+                                 "dbucket": pd.Series([], dtype=np.int64)})
+        out = out.copy()
+        out["dbucket"] = (splitmix64(out["doc"].to_numpy()
+                                     .astype(np.uint64))
+                          % np.uint64(buckets)).astype(np.int64)
+        return out
+
+    return dup_windows
+
+
+def _nonempty_token_counts(b: pa.Table, text_col: str) -> np.ndarray:
+    """Per-row non-empty token counts — split/mask/bincount only, no
+    gram construction (cheap second corpus pass)."""
+    import pyarrow.compute as pc
+
+    lists = pc.split_pattern(b[text_col].combine_chunks(), " ")
+    toks = pc.list_flatten(lists)
+    mask = pc.not_equal(toks, "").to_numpy(zero_copy_only=False)
+    lens = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
+    doc_of = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+    return np.bincount(doc_of[mask], minlength=len(lens))
+
+
 def duplicate_span_report(ds, text_col: str = "text",
                           doc_id_col: str = "doc_id", key: str = "lang",
                           n: int = 10, n_rows: int | None = None):
@@ -866,14 +920,20 @@ def duplicate_span_report(ds, text_col: str = "text",
         ["doc"],
         {"total_windows": ("total_w", "sum"),
          "dup_windows": ("dup_w", "sum")},
-        n_rows=n_rows)
+        # the stream holds one row per (doc, gram-bucket touched), up to
+        # ~64x the doc count — size the combine buckets for that fanout
+        coarse=buckets)
 
     langs = ds.select_columns([doc_id_col, key]).map_batches(
         lambda b: pa.table({"doc": b[doc_id_col], key: b[key]}),
         batch_format="pyarrow")
     joined = hash_join(per_doc, langs, "doc",
                        ["total_windows", "dup_windows"], [key],
-                       n_rows=n_rows)
+                       n_rows=n_rows,
+                       types={"doc": pa.int64(),
+                              "total_windows": pa.int64(),
+                              "dup_windows": pa.int64(),
+                              key: pa.string()})
 
     def flag(b: pa.Table) -> pa.Table:
         dup = b["dup_windows"].to_numpy(zero_copy_only=False)
@@ -917,7 +977,6 @@ def drop_duplicate_span_stats(ds, text_col: str = "text",
 
     from ray.data.aggregate import Count, Sum
 
-    from ..functions.hashing import splitmix64
     from ..stages.partitioning import cheap_row_count, coarse_bucket_count
     from .relational import hash_join
 
@@ -926,30 +985,8 @@ def drop_duplicate_span_stats(ds, text_col: str = "text",
     buckets = coarse_bucket_count(n_rows=n_rows, fanout=64,
                                   rows_per_bucket=262144,
                                   what="drop_duplicate_span_stats")
-
-    def windows(b: pa.Table) -> pd.DataFrame:
-        h, doc_of, pos, _ = _word_gram_hashes(b[text_col], n,
-                                              with_positions=True)
-        ids = b[doc_id_col].to_numpy(zero_copy_only=False)
-        gh = h.view(np.int64)
-        gid = ids[doc_of] if gh.size else np.empty(0, dtype=np.int64)
-        bkt = (splitmix64(gh.view(np.uint64)) % np.uint64(buckets)) \
-            .astype(np.int64) if gh.size else np.empty(0, dtype=np.int64)
-        return pd.DataFrame({"gram": gh, "doc": gid, "pos": pos,
-                             "bucket": bkt})
-
-    def dup_windows(g: pd.DataFrame) -> pd.DataFrame:
-        nd = g.groupby("gram", sort=False)["doc"].transform("nunique")
-        out = g.loc[nd.to_numpy() >= 2, ["doc", "pos"]]
-        if len(out) == 0:
-            return pd.DataFrame({"doc": pd.Series([], dtype=np.int64),
-                                 "pos": pd.Series([], dtype=np.int64),
-                                 "dbucket": pd.Series([], dtype=np.int64)})
-        out = out.copy()
-        out["dbucket"] = (splitmix64(out["doc"].to_numpy()
-                                     .astype(np.uint64))
-                          % np.uint64(buckets)).astype(np.int64)
-        return out
+    windows = _span_window_fn(text_col, doc_id_col, n, buckets)
+    dup_windows = _dup_window_fn(buckets)
 
     def coverage(g: pd.DataFrame) -> pd.DataFrame:
         d = g["doc"].to_numpy(dtype=np.int64)
@@ -973,16 +1010,18 @@ def drop_duplicate_span_stats(ds, text_col: str = "text",
                                               batch_format="pandas"))
 
     def totals(b: pa.Table) -> pd.DataFrame:
-        _, _, _, flens = _word_gram_hashes(b[text_col], n,
-                                           with_positions=True)
         return pd.DataFrame({
             "doc": b[doc_id_col].to_numpy(zero_copy_only=False),
             key: b[key].to_pandas(),
-            "n_tokens": flens.astype(np.int64)})
+            "n_tokens": _nonempty_token_counts(b, text_col)
+            .astype(np.int64)})
 
     per_doc = hash_join(ds.map_batches(totals, batch_format="pyarrow"),
                         dropped, "doc", [key, "n_tokens"], ["dropped"],
-                        n_rows=n_rows, how="left")
+                        n_rows=n_rows, how="left",
+                        types={"doc": pa.int64(), key: pa.string(),
+                               "n_tokens": pa.int64(),
+                               "dropped": pa.int64()})
 
     def flag(df: pd.DataFrame) -> pd.DataFrame:
         dr = df["dropped"].fillna(0).astype(np.int64)
@@ -1017,7 +1056,6 @@ def drop_duplicate_spans_text(ds, text_col: str = "text",
     """
     import pandas as pd
 
-    from ..functions.hashing import splitmix64
     from ..stages.partitioning import cheap_row_count, coarse_bucket_count
     from .relational import hash_join
 
@@ -1026,30 +1064,8 @@ def drop_duplicate_spans_text(ds, text_col: str = "text",
     buckets = coarse_bucket_count(n_rows=n_rows, fanout=64,
                                   rows_per_bucket=262144,
                                   what="drop_duplicate_spans_text")
-
-    def windows(b: pa.Table) -> pd.DataFrame:
-        h, doc_of, pos, _ = _word_gram_hashes(b[text_col], n,
-                                              with_positions=True)
-        ids = b[doc_id_col].to_numpy(zero_copy_only=False)
-        gh = h.view(np.int64)
-        gid = ids[doc_of] if gh.size else np.empty(0, dtype=np.int64)
-        bkt = (splitmix64(gh.view(np.uint64)) % np.uint64(buckets)) \
-            .astype(np.int64) if gh.size else np.empty(0, dtype=np.int64)
-        return pd.DataFrame({"gram": gh, "doc": gid, "pos": pos,
-                             "bucket": bkt})
-
-    def dup_windows(g: pd.DataFrame) -> pd.DataFrame:
-        nd = g.groupby("gram", sort=False)["doc"].transform("nunique")
-        out = g.loc[nd.to_numpy() >= 2, ["doc", "pos"]]
-        if len(out) == 0:
-            return pd.DataFrame({"doc": pd.Series([], dtype=np.int64),
-                                 "pos": pd.Series([], dtype=np.int64),
-                                 "dbucket": pd.Series([], dtype=np.int64)})
-        out = out.copy()
-        out["dbucket"] = (splitmix64(out["doc"].to_numpy()
-                                     .astype(np.uint64))
-                          % np.uint64(buckets)).astype(np.int64)
-        return out
+    windows = _span_window_fn(text_col, doc_id_col, n, buckets)
+    dup_windows = _dup_window_fn(buckets)
 
     def pack_positions(g: pd.DataFrame) -> pd.DataFrame:
         d = g["doc"].to_numpy(dtype=np.int64)
@@ -1078,7 +1094,9 @@ def drop_duplicate_spans_text(ds, text_col: str = "text",
 
     joined = hash_join(ds.map_batches(rename_id, batch_format="pyarrow"),
                        dup_pos, "doc", [text_col], ["dup_pos"],
-                       n_rows=n_rows, how="left")
+                       n_rows=n_rows, how="left",
+                       types={"doc": pa.int64(), text_col: pa.string(),
+                              "dup_pos": pa.string()})
 
     def rewrite(df: pd.DataFrame) -> pd.DataFrame:
         texts = df[text_col].to_numpy()

@@ -521,3 +521,31 @@ def test_dup_span_rewrite_and_nb_confusion_config_routes(ray_session):
         params={"n_buckets": 512})).to_pandas()
     assert set(out.columns) == {"true_cls", "pred_cls", "n_docs"}
     assert out["n_docs"].sum() == 500
+
+
+def test_duplicate_span_ops_on_dup_free_corpus(ray_session):
+    """A clean (already-deduped) corpus is a normal input: every span op
+    must return zeros / pass-through, not crash on the empty dup set."""
+    import ray.data as rd
+
+    from t_digest_ray.pipelines.textstats import (
+        drop_duplicate_span_stats, drop_duplicate_spans_text,
+        duplicate_span_report)
+
+    df = pd.DataFrame({
+        "doc_id": np.arange(4, dtype=np.int64),
+        "lang": ["en", "en", "de", "de"],
+        "text": ["a b c d e f", "g h i j k l",
+                 "m n o p q r", "s t u v w x"]})
+    ds = rd.from_pandas(df).repartition(2)
+    rep = duplicate_span_report(ds, n=5).to_pandas()
+    assert rep["dup_windows"].sum() == 0
+    assert rep["n_docs"].sum() == 4
+    stats = drop_duplicate_span_stats(ds, n=5).to_pandas()
+    assert stats["tokens_dropped"].sum() == 0
+    assert stats["docs_touched"].sum() == 0
+    text = drop_duplicate_spans_text(
+        ds.select_columns(["doc_id", "text"]), n=5).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert (text["n_dropped"] == 0).all()
+    assert list(text["text"]) == list(df["text"])
