@@ -4581,6 +4581,37 @@ def event_transition_matrix(sf_dir: str):
 
 
 
+def pagerank_event_types(sf_dir: str):
+    """Integer PageRank of event types on the observed per-user
+    transition graph (pipelines/graph.integer_pagerank): distributed
+    exact edge aggregation (same LAG shape as event_transition_matrix,
+    |types|²-bounded exchange), then a 3-round power iteration in pure
+    integer arithmetic (SCALE=10¹², damping 85/100, floor divisions) on
+    the tiny aggregate — bit-identical at any parallelism and replayed
+    verbatim by an unrolled-CTE HUGEINT oracle. The web-scale shape:
+    PageRank over a host link graph with the identical update rule."""
+    from t_digest_ray.pipelines.graph import pagerank_from_events
+
+    ds = _read(sf_dir, "events",
+               ["user_id", "ts", "event_id", "event_type"])
+    return pagerank_from_events(ds, "user_id", "ts", "event_id",
+                                "event_type", iters=3)
+
+
+def hits_event_types(sf_dir: str):
+    """Integer HITS hubs/authorities on the same transition graph
+    (pipelines/graph.integer_hits): 3 rounds of exact-integer weighted
+    sums with max-normalization ``(x*SCALE)//max`` per half-step — the
+    top authority/hub scores exactly SCALE; every value replayed by the
+    unrolled SQL twin."""
+    from t_digest_ray.pipelines.graph import hits_from_events
+
+    ds = _read(sf_dir, "events",
+               ["user_id", "ts", "event_id", "event_type"])
+    return hits_from_events(ds, "user_id", "ts", "event_id",
+                            "event_type", iters=3)
+
+
 def langid_confusion_matrix(sf_dir: str):
     """Language-ID confusion matrix: predicted vs ACTUAL lang counts —
     the classifier-audit shape. Same vectorized stopword-argmax as
@@ -5565,6 +5596,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "float_histogram_events": float_histogram_events,
         "log_histogram_events": log_histogram_events,
         "avl_quantiles_by_lang": avl_quantiles_by_lang,
+        "pagerank_event_types": pagerank_event_types,
+        "hits_event_types": hits_event_types,
         "pareto_frontier_events": pareto_frontier_events,
         "percent_rank_event_values": percent_rank_event_values,
         "gini_event_values": gini_event_values,
@@ -5759,8 +5792,117 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
+_GRAPH_EDGE_SQL = """
+            seq AS (
+              SELECT user_id, event_type,
+                     LAG(event_type) OVER (
+                         PARTITION BY user_id
+                         ORDER BY ts, event_id) AS prev
+              FROM events),
+            e AS (
+              SELECT prev AS src, event_type AS dst,
+                     CAST(COUNT(*) AS HUGEINT) AS n
+              FROM seq WHERE prev IS NOT NULL
+              GROUP BY prev, event_type),
+            nodes AS (SELECT DISTINCT event_type FROM events)"""
+
+
+def _pagerank_sql(iters: int = 3) -> str:
+    """Unrolled-CTE twin of pipelines/graph.integer_pagerank: pure
+    HUGEINT floor-div arithmetic — DuckDB ``//`` == Python ``//`` on
+    non-negative integers, so every rank value hashes bit-identically."""
+    rounds = []
+    prev = "r0"
+    for t in range(1, iters + 1):
+        rounds.append(f"""
+            r{t} AS (
+              SELECT nd.event_type,
+                     CAST(15000000000000 AS HUGEINT)
+                       // (CAST(100 AS HUGEINT) * (SELECT c FROM nn))
+                     + (CAST(85 AS HUGEINT) * COALESCE(
+                           SUM((p.r * e.n) // o.out_n),
+                           CAST(0 AS HUGEINT))) // 100 AS r
+              FROM nodes nd
+              LEFT JOIN e ON e.dst = nd.event_type
+              LEFT JOIN {prev} p ON p.event_type = e.src
+              LEFT JOIN ow o ON o.src = e.src
+              GROUP BY nd.event_type)""")
+        prev = f"r{t}"
+    return f"""
+            WITH {_GRAPH_EDGE_SQL},
+            nn AS (SELECT CAST(COUNT(*) AS HUGEINT) AS c FROM nodes),
+            ow AS (SELECT src, SUM(n) AS out_n FROM e GROUP BY src),
+            iw AS (SELECT dst, SUM(n) AS in_n FROM e GROUP BY dst),
+            r0 AS (SELECT event_type,
+                          CAST(1000000000000 AS HUGEINT)
+                            // (SELECT c FROM nn) AS r
+                   FROM nodes),{','.join(rounds)}
+            SELECT nd.event_type,
+                   CAST({prev}.r AS BIGINT) AS pagerank,
+                   CAST(COALESCE(ow.out_n, 0) AS BIGINT) AS out_n,
+                   CAST(COALESCE(iw.in_n, 0) AS BIGINT) AS in_n
+            FROM nodes nd
+            JOIN {prev} ON {prev}.event_type = nd.event_type
+            LEFT JOIN ow ON ow.src = nd.event_type
+            LEFT JOIN iw ON iw.dst = nd.event_type
+        """
+
+
+def _hits_sql(iters: int = 3) -> str:
+    """Unrolled-CTE twin of pipelines/graph.integer_hits: per half-step
+    an exact HUGEINT weighted sum followed by ``(raw*SCALE)//MAX(raw)``
+    max-normalization — bit-identical to the Python-int iteration."""
+    parts = []
+    hub_prev = "h0"
+    for t in range(1, iters + 1):
+        parts.append(f"""
+            a{t}raw AS (
+              SELECT nd.event_type,
+                     COALESCE(SUM(p.s * e.n), CAST(0 AS HUGEINT)) AS raw
+              FROM nodes nd
+              LEFT JOIN e ON e.dst = nd.event_type
+              LEFT JOIN {hub_prev} p ON p.event_type = e.src
+              GROUP BY nd.event_type),
+            a{t} AS (
+              SELECT event_type,
+                     CASE WHEN (SELECT MAX(raw) FROM a{t}raw) > 0
+                          THEN (raw * CAST(1000000000000 AS HUGEINT))
+                               // (SELECT MAX(raw) FROM a{t}raw)
+                          ELSE CAST(0 AS HUGEINT) END AS s
+              FROM a{t}raw),
+            h{t}raw AS (
+              SELECT nd.event_type,
+                     COALESCE(SUM(p.s * e.n), CAST(0 AS HUGEINT)) AS raw
+              FROM nodes nd
+              LEFT JOIN e ON e.src = nd.event_type
+              LEFT JOIN a{t} p ON p.event_type = e.dst
+              GROUP BY nd.event_type),
+            h{t} AS (
+              SELECT event_type,
+                     CASE WHEN (SELECT MAX(raw) FROM h{t}raw) > 0
+                          THEN (raw * CAST(1000000000000 AS HUGEINT))
+                               // (SELECT MAX(raw) FROM h{t}raw)
+                          ELSE CAST(0 AS HUGEINT) END AS s
+              FROM h{t}raw)""")
+        hub_prev = f"h{t}"
+    return f"""
+            WITH {_GRAPH_EDGE_SQL},
+            h0 AS (SELECT event_type,
+                          CAST(1000000000000 AS HUGEINT) AS s
+                   FROM nodes),{','.join(parts)}
+            SELECT nd.event_type,
+                   CAST(a{iters}.s AS BIGINT) AS authority,
+                   CAST(h{iters}.s AS BIGINT) AS hub
+            FROM nodes nd
+            JOIN a{iters} ON a{iters}.event_type = nd.event_type
+            JOIN h{iters} ON h{iters}.event_type = nd.event_type
+        """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "pagerank_event_types": _pagerank_sql(iters=3),
+        "hits_event_types": _hits_sql(iters=3),
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    CAST(ROUND(SUM(l_quantity)) AS BIGINT) AS sum_qty,

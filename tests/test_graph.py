@@ -1,0 +1,132 @@
+"""Integer PageRank / HITS (pipelines/graph.py): hand-computed fixtures,
+conservation/normalization invariants, and the events-table composition.
+Value-hash oracle parity against the unrolled-CTE HUGEINT SQL twin runs
+in scripts/check_correctness."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from t_digest_ray.pipelines.graph import (PR_SCALE, integer_hits,
+                                          integer_pagerank)
+
+
+def _edges(rows):
+    """rows: (src, dst, n)."""
+    return pd.DataFrame({
+        "prev_type": [r[0] for r in rows],
+        "next_type": [r[1] for r in rows],
+        "n": [r[2] for r in rows]})
+
+
+def test_pagerank_two_node_cycle_hand_computed():
+    # a<->b with equal weights: perfectly symmetric, ranks stay equal.
+    out = integer_pagerank(_edges([("a", "b", 1), ("b", "a", 1)]),
+                           ["a", "b"], iters=3)
+    assert list(out["node"]) == ["a", "b"]
+    ra, rb = int(out["pagerank"][0]), int(out["pagerank"][1])
+    assert ra == rb
+    # Symmetric 2-cycle is a fixed point: r = teleport + 85% of r0.
+    r0 = PR_SCALE // 2
+    expected = (15 * PR_SCALE) // 200 + (85 * r0) // 100
+    assert ra == expected
+
+
+def test_pagerank_sink_gets_more_than_source():
+    # a -> b only: b accumulates a's mass, a keeps teleport only.
+    out = integer_pagerank(_edges([("a", "b", 5)]), ["a", "b"], iters=3) \
+        .set_index("node")
+    assert int(out.loc["b", "pagerank"]) > int(out.loc["a", "pagerank"])
+    # a has no inflow: rank(a) == teleport exactly after every round.
+    assert int(out.loc["a", "pagerank"]) == (15 * PR_SCALE) // 200
+    assert int(out.loc["a", "out_n"]) == 5
+    assert int(out.loc["b", "in_n"]) == 5
+
+
+def test_pagerank_isolated_node_keeps_teleport():
+    out = integer_pagerank(_edges([("a", "b", 1)]), ["a", "b", "z"],
+                           iters=2).set_index("node")
+    assert int(out.loc["z", "pagerank"]) == (15 * PR_SCALE) // 300
+    assert int(out.loc["z", "in_n"]) == 0
+    assert int(out.loc["z", "out_n"]) == 0
+
+
+def test_pagerank_matches_explicit_iteration():
+    # Independent replay of the documented recurrence on a 3-node graph.
+    edges = [("a", "b", 2), ("b", "c", 1), ("c", "a", 3), ("a", "c", 1)]
+    nodes = ["a", "b", "c"]
+    out_n = {"a": 3, "b": 1, "c": 3}
+    rank = {v: PR_SCALE // 3 for v in nodes}
+    teleport = (15 * PR_SCALE) // 300
+    for _ in range(3):
+        inflow = {v: 0 for v in nodes}
+        for u, v, w in edges:
+            inflow[v] += (rank[u] * w) // out_n[u]
+        rank = {v: teleport + (85 * inflow[v]) // 100 for v in nodes}
+    got = integer_pagerank(_edges(edges), nodes, iters=3).set_index("node")
+    for v in nodes:
+        assert int(got.loc[v, "pagerank"]) == rank[v]
+
+
+def test_pagerank_empty():
+    out = integer_pagerank(_edges([]), [], iters=3)
+    assert len(out) == 0
+    assert list(out.columns) == ["node", "pagerank", "out_n", "in_n"]
+
+
+def test_hits_top_scores_exactly_scale():
+    out = integer_hits(_edges([("a", "b", 3), ("a", "c", 1), ("b", "c", 2)]),
+                       ["a", "b", "c"], iters=3)
+    assert int(out["authority"].max()) == PR_SCALE
+    assert int(out["hub"].max()) == PR_SCALE
+
+
+def test_hits_star_graph():
+    # Hub h points at 3 leaves: h is the unique hub, leaves are
+    # authorities proportional to edge weight (max-normalized).
+    out = integer_hits(_edges([("h", "x", 1), ("h", "y", 2), ("h", "z", 4)]),
+                       ["h", "x", "y", "z"], iters=3).set_index("node")
+    assert int(out.loc["h", "hub"]) == PR_SCALE
+    assert int(out.loc["h", "authority"]) == 0
+    assert int(out.loc["z", "authority"]) == PR_SCALE
+    assert int(out.loc["y", "authority"]) == PR_SCALE // 2
+    assert int(out.loc["x", "authority"]) == PR_SCALE // 4
+    for leaf in "xyz":
+        assert int(out.loc[leaf, "hub"]) == 0
+
+
+def test_hits_no_edges_all_zero():
+    out = integer_hits(_edges([]), ["a", "b"], iters=2)
+    assert (out["authority"] == 0).all()
+    assert (out["hub"] == 0).all()
+
+
+def test_pagerank_from_events_composition(ray_session):
+    import pyarrow as pa
+    import ray
+
+    from t_digest_ray.pipelines.graph import (hits_from_events,
+                                              pagerank_from_events)
+
+    # user 1: a -> b -> a; user 2: a -> b. Edges: a->b ×2, b->a ×1.
+    t = pa.table({
+        "user_id": pa.array([1, 1, 1, 2, 2], type=pa.int64()),
+        "ts": pa.array([1, 2, 3, 1, 2], type=pa.int64()),
+        "event_id": pa.array([10, 11, 12, 20, 21], type=pa.int64()),
+        "event_type": pa.array(["a", "b", "a", "a", "b"]),
+    })
+    ds = ray.data.from_arrow(t)
+    pr = pagerank_from_events(ds, "user_id", "ts", "event_id",
+                              "event_type", iters=3)
+    expected = integer_pagerank(
+        _edges([("a", "b", 2), ("b", "a", 1)]), ["a", "b"], iters=3)
+    assert list(pr["event_type"]) == list(expected["node"])
+    assert list(pr["pagerank"]) == list(expected["pagerank"])
+
+    ht = hits_from_events(ds, "user_id", "ts", "event_id",
+                          "event_type", iters=3)
+    exp_h = integer_hits(_edges([("a", "b", 2), ("b", "a", 1)]),
+                         ["a", "b"], iters=3)
+    assert list(ht["authority"]) == list(exp_h["authority"])
+    assert list(ht["hub"]) == list(exp_h["hub"])
