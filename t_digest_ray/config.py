@@ -53,7 +53,9 @@ PIPELINES = ("quantiles", "kll", "req", "distinct", "heavy", "heavy_mg",
              "vocab_richness", "fano", "heatmap", "streaks",
              "session_durations", "session_paths", "k_anonymity",
              "autocorr", "change_detect", "kll_pmf", "float_histogram",
-             "log_histogram", "dup_spans", "dup_span_drop", "dup_span_rewrite", "dsir", "nb_confusion")
+             "log_histogram", "dup_spans", "dup_span_drop",
+             "dup_span_rewrite", "dsir", "nb_confusion", "pagerank",
+             "hits")
 
 
 @dataclass
@@ -494,6 +496,22 @@ def run_job(cfg: JobConfig):
         from .pipelines.textstats import nb_classifier_confusion
         out = nb_classifier_confusion(ds, cfg.value_col or "text",
                                       key=cfg.key or "lang", **p)
+    elif cfg.pipeline == "pagerank":
+        import ray.data as rd
+
+        from .pipelines.graph import pagerank_from_events
+        out = rd.from_pandas(pagerank_from_events(
+            ds, cfg.key or "user_id", p.pop("ts_col", "ts"),
+            p.pop("tie_col", "event_id"),
+            cfg.value_col or "event_type", **p))
+    elif cfg.pipeline == "hits":
+        import ray.data as rd
+
+        from .pipelines.graph import hits_from_events
+        out = rd.from_pandas(hits_from_events(
+            ds, cfg.key or "user_id", p.pop("ts_col", "ts"),
+            p.pop("tie_col", "event_id"),
+            cfg.value_col or "event_type", **p))
     elif cfg.pipeline == "dsir":
         import ray.data as rd
 

@@ -130,3 +130,35 @@ def test_pagerank_from_events_composition(ray_session):
                          ["a", "b"], iters=3)
     assert list(ht["authority"]) == list(exp_h["authority"])
     assert list(ht["hub"]) == list(exp_h["hub"])
+
+
+def test_pagerank_hits_config_routes(ray_session):
+    from t_digest_ray.config import JobConfig, run_job
+    from t_digest_ray.pipelines.graph import (hits_from_events,
+                                              pagerank_from_events)
+
+    EVENTS = "/root/testdata/sf0.001/events.parquet"
+    cols = ["user_id", "ts", "event_id", "event_type"]
+    out = run_job(JobConfig(
+        pipeline="pagerank", input=EVENTS, key="user_id",
+        value_col="event_type", columns=cols,
+        params={"iters": 2})).to_pandas()
+    assert set(out.columns) == {"event_type", "pagerank", "out_n", "in_n"}
+    import ray.data as rd
+    direct = pagerank_from_events(
+        rd.read_parquet(EVENTS, columns=cols),
+        "user_id", "ts", "event_id", "event_type", iters=2)
+    pd.testing.assert_frame_equal(
+        out.sort_values("event_type").reset_index(drop=True),
+        direct.sort_values("event_type").reset_index(drop=True))
+
+    out = run_job(JobConfig(
+        pipeline="hits", input=EVENTS, key="user_id",
+        value_col="event_type", columns=cols,
+        params={"iters": 2})).to_pandas()
+    direct = hits_from_events(
+        rd.read_parquet(EVENTS, columns=cols),
+        "user_id", "ts", "event_id", "event_type", iters=2)
+    pd.testing.assert_frame_equal(
+        out.sort_values("event_type").reset_index(drop=True),
+        direct.sort_values("event_type").reset_index(drop=True))
