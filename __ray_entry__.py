@@ -4612,6 +4612,44 @@ def hits_event_types(sf_dir: str):
                             "event_type", iters=3)
 
 
+def markov_prediction_accuracy(sf_dir: str):
+    """First-order Markov next-event predictor evaluated exactly
+    (pipelines/graph.markov_argmax_report): distributed edge
+    aggregation, then per source type the argmax next type (count desc,
+    type asc tie-break) with its exact hit/total counts — all-integer,
+    full value-hash oracle via ROW_NUMBER + window SUM."""
+    from t_digest_ray.pipelines.graph import markov_accuracy_from_events
+
+    ds = _read(sf_dir, "events",
+               ["user_id", "ts", "event_id", "event_type"])
+    return markov_accuracy_from_events(ds, "user_id", "ts", "event_id",
+                                       "event_type")
+
+
+def token_entropy_by_lang(sf_dir: str):
+    """Shannon token entropy per lang (textstats.token_entropy_stats):
+    exact per-(lang, token) counts, Σ c·ln c folded sequentially in
+    token-ascending order so the IEEE sum is pinned — the oracle
+    replays it with DuckDB's ordered aggregate SUM(... ORDER BY token)
+    and every double hashes identically."""
+    from t_digest_ray.pipelines.textstats import token_entropy_stats
+
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+    return token_entropy_stats(ds, "text", "lang")
+
+
+def zipf_slope_by_lang(sf_dir: str):
+    """Zipf rank-frequency OLS slope per lang over the top-50 tokens
+    (textstats.zipf_slope_stats): deterministic (count desc, token asc)
+    ranking, four moment sums folded in rank order, one fixed
+    parenthesization for slope/intercept — replayed by the SQL twin's
+    ROW_NUMBER ranking + SUM(... ORDER BY rk)."""
+    from t_digest_ray.pipelines.textstats import zipf_slope_stats
+
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+    return zipf_slope_stats(ds, "text", "lang", k=50)
+
+
 def langid_confusion_matrix(sf_dir: str):
     """Language-ID confusion matrix: predicted vs ACTUAL lang counts —
     the classifier-audit shape. Same vectorized stopword-argmax as
@@ -5598,6 +5636,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "avl_quantiles_by_lang": avl_quantiles_by_lang,
         "pagerank_event_types": pagerank_event_types,
         "hits_event_types": hits_event_types,
+        "markov_prediction_accuracy": markov_prediction_accuracy,
+        "token_entropy_by_lang": token_entropy_by_lang,
+        "zipf_slope_by_lang": zipf_slope_by_lang,
         "pareto_frontier_events": pareto_frontier_events,
         "percent_rank_event_values": percent_rank_event_values,
         "gini_event_values": gini_event_values,
@@ -5903,6 +5944,91 @@ def oracle_sql() -> dict[str, str]:
     return {
         "pagerank_event_types": _pagerank_sql(iters=3),
         "hits_event_types": _hits_sql(iters=3),
+        "markov_prediction_accuracy": """
+            WITH seq AS (
+              SELECT user_id, event_type,
+                     LAG(event_type) OVER (
+                         PARTITION BY user_id
+                         ORDER BY ts, event_id) AS prev
+              FROM events),
+            e AS (
+              SELECT prev AS src, event_type AS dst,
+                     CAST(COUNT(*) AS BIGINT) AS n
+              FROM seq WHERE prev IS NOT NULL
+              GROUP BY prev, event_type),
+            p AS (
+              SELECT src, dst, n,
+                     ROW_NUMBER() OVER (PARTITION BY src
+                                        ORDER BY n DESC, dst ASC) AS rk,
+                     SUM(n) OVER (PARTITION BY src) AS tot
+              FROM e)
+            SELECT src AS prev_type, dst AS pred_type,
+                   CAST(n AS BIGINT) AS n_correct,
+                   CAST(tot AS BIGINT) AS n_total
+            FROM p WHERE rk = 1
+        """,
+        "token_entropy_by_lang": """
+            WITH tok AS (SELECT lang,
+                                unnest(string_split(text, ' ')) AS token
+                         FROM documents),
+                 c AS (SELECT lang, token,
+                              CAST(COUNT(*) AS BIGINT) AS cnt
+                       FROM tok WHERE token <> '' GROUP BY 1, 2),
+                 a AS (SELECT lang,
+                              CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+                              CAST(COUNT(*) AS BIGINT) AS n_vocab,
+                              SUM(CAST(cnt AS DOUBLE)
+                                  * LN(CAST(cnt AS DOUBLE))
+                                  ORDER BY token) AS sum_clnc
+                       FROM c GROUP BY lang)
+            SELECT lang, n_tokens, n_vocab, sum_clnc,
+                   CASE WHEN n_tokens > 0
+                        THEN LN(CAST(n_tokens AS DOUBLE))
+                             - sum_clnc / CAST(n_tokens AS DOUBLE)
+                        ELSE 0.0 END AS entropy
+            FROM a
+        """,
+        "zipf_slope_by_lang": """
+            WITH tok AS (SELECT lang,
+                                unnest(string_split(text, ' ')) AS token
+                         FROM documents),
+                 c AS (SELECT lang, token,
+                              CAST(COUNT(*) AS BIGINT) AS cnt
+                       FROM tok WHERE token <> '' GROUP BY 1, 2),
+                 r AS (SELECT lang, cnt,
+                              ROW_NUMBER() OVER (
+                                  PARTITION BY lang
+                                  ORDER BY cnt DESC, token ASC) AS rk
+                       FROM c),
+                 t AS (SELECT lang, rk,
+                              LN(CAST(rk AS DOUBLE)) AS x,
+                              LN(CAST(cnt AS DOUBLE)) AS y
+                       FROM r WHERE rk <= 50),
+                 s AS (SELECT lang,
+                              CAST(COUNT(*) AS BIGINT) AS n_top,
+                              SUM(x ORDER BY rk) AS sx,
+                              SUM(y ORDER BY rk) AS sy,
+                              SUM(x * y ORDER BY rk) AS sxy,
+                              SUM(x * x ORDER BY rk) AS sxx
+                       FROM t GROUP BY lang)
+            SELECT lang, n_top,
+                   CASE WHEN n_top >= 2 AND
+                             (CAST(n_top AS DOUBLE) * sxx - sx * sx)
+                             <> 0.0
+                        THEN (CAST(n_top AS DOUBLE) * sxy - sx * sy)
+                             / (CAST(n_top AS DOUBLE) * sxx - sx * sx)
+                        ELSE 0.0 END AS zipf_slope,
+                   CASE WHEN n_top >= 2 AND
+                             (CAST(n_top AS DOUBLE) * sxx - sx * sx)
+                             <> 0.0
+                        THEN (sy - ((CAST(n_top AS DOUBLE) * sxy
+                                     - sx * sy)
+                                    / (CAST(n_top AS DOUBLE) * sxx
+                                       - sx * sx)) * sx)
+                             / CAST(n_top AS DOUBLE)
+                        ELSE 0.0 END AS zipf_intercept
+            FROM s
+        """,
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    CAST(ROUND(SUM(l_quantity)) AS BIGINT) AS sum_qty,

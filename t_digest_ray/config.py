@@ -55,7 +55,7 @@ PIPELINES = ("quantiles", "kll", "req", "distinct", "heavy", "heavy_mg",
              "autocorr", "change_detect", "kll_pmf", "float_histogram",
              "log_histogram", "dup_spans", "dup_span_drop",
              "dup_span_rewrite", "dsir", "nb_confusion", "pagerank",
-             "hits")
+             "hits", "markov_accuracy", "token_entropy", "zipf_slope")
 
 
 @dataclass
@@ -512,6 +512,22 @@ def run_job(cfg: JobConfig):
             ds, cfg.key or "user_id", p.pop("ts_col", "ts"),
             p.pop("tie_col", "event_id"),
             cfg.value_col or "event_type", **p))
+    elif cfg.pipeline == "markov_accuracy":
+        import ray.data as rd
+
+        from .pipelines.graph import markov_accuracy_from_events
+        out = rd.from_pandas(markov_accuracy_from_events(
+            ds, cfg.key or "user_id", p.pop("ts_col", "ts"),
+            p.pop("tie_col", "event_id"),
+            cfg.value_col or "event_type", **p))
+    elif cfg.pipeline == "token_entropy":
+        from .pipelines.textstats import token_entropy_stats
+        out = token_entropy_stats(ds, cfg.value_col or "text",
+                                  cfg.key or "lang", **p)
+    elif cfg.pipeline == "zipf_slope":
+        from .pipelines.textstats import zipf_slope_stats
+        out = zipf_slope_stats(ds, cfg.value_col or "text",
+                               cfg.key or "lang", **p)
     elif cfg.pipeline == "dsir":
         import ray.data as rd
 

@@ -137,6 +137,41 @@ def integer_hits(edges: pd.DataFrame, nodes: list[str],
         "hub": pd.Series([hub[v] for v in order], dtype=np.int64)})
 
 
+def markov_argmax_report(edges: pd.DataFrame,
+                         src_col: str = "prev_type",
+                         dst_col: str = "next_type",
+                         n_col: str = "n") -> pd.DataFrame:
+    """First-order Markov next-state predictor evaluated exactly in
+    one pass over the aggregated edge list: for each source state the
+    prediction is the argmax next state (count desc, state asc
+    deterministic tie-break) and, because the edge counts ARE the
+    empirical next-state distribution, the predictor's exact hit count
+    is the predicted edge's own count — no second data pass needed.
+    All-integer output, bit-identical at any parallelism."""
+    rows = []
+    for src, g in edges.groupby(src_col, sort=True):
+        g = g.sort_values([n_col, dst_col], ascending=[False, True])
+        rows.append((str(src), str(g[dst_col].iloc[0]),
+                     int(g[n_col].iloc[0]), int(g[n_col].sum())))
+    return pd.DataFrame({
+        "prev_type": pd.Series([r[0] for r in rows], dtype=object),
+        "pred_type": pd.Series([r[1] for r in rows], dtype=object),
+        "n_correct": pd.Series([r[2] for r in rows], dtype=np.int64),
+        "n_total": pd.Series([r[3] for r in rows], dtype=np.int64)})
+
+
+def markov_accuracy_from_events(ds, user_col: str, ts_col: str,
+                                tie_col: str, type_col: str) -> pd.DataFrame:
+    """Markov next-event-type prediction report over the events table:
+    distributed exact edge aggregation (windows.transition_counts),
+    then the argmax evaluation on the |types|²-bounded aggregate."""
+    from .windows import transition_counts
+
+    edges = transition_counts(ds, user_col, ts_col, tie_col,
+                              type_col).to_pandas()
+    return markov_argmax_report(edges)
+
+
 def pagerank_from_events(ds, user_col: str, ts_col: str, tie_col: str,
                          type_col: str, iters: int = 3) -> pd.DataFrame:
     """PageRank of event types under the observed per-user transition

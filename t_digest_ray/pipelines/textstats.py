@@ -720,19 +720,12 @@ def lang_token_cosine(ds, text_col: str, key: str, k: int = 20):
     return pd.DataFrame(rows)
 
 
-def vocab_richness(ds, text_col: str, key: str):
-    """Vocabulary-richness report per key: corpus token count N,
-    vocabulary size V, hapax count V1 (tokens seen exactly once) and
-    Yule's K = 10^4 · (Σ_m m²·V_m − N) / N² over the frequency
-    spectrum — the classic lexical-diversity audit of a text corpus.
-
-    Scale shape: per-batch (key, token) count partials combine
-    (vocabulary-sized exchange, same contract as token_df_stats —
-    a doc lives in one batch so partials are exact), then the spectrum
-    fold (cnt → #tokens) reduces to at most |distinct counts| rows per
-    key before the bignum driver fold. K is one fixed-order expression
-    over exact integers — bit-identical to the SQL twin.
-    """
+def _key_token_counts(ds, text_col: str, key: str):
+    """Exact per-(key, token) corpus counts: per-batch split+count
+    partials (vocabulary-sized exchange, same one-doc-one-batch contract
+    as token_df_stats) combined by a single groupby-sum. The shared
+    front end of vocab_richness / token_entropy_stats /
+    zipf_slope_stats."""
     from ray.data.aggregate import Sum
 
     def partial(b: pa.Table) -> pa.Table:
@@ -751,9 +744,25 @@ def vocab_richness(ds, text_col: str, key: str):
         g["partial"] = g["partial"].astype(np.int64)
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    vocab = (ds.map_batches(partial, batch_format="pyarrow")
-             .groupby([key, "token"])
-             .aggregate(Sum("partial", alias_name="cnt")))
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby([key, "token"])
+            .aggregate(Sum("partial", alias_name="cnt")))
+
+
+def vocab_richness(ds, text_col: str, key: str):
+    """Vocabulary-richness report per key: corpus token count N,
+    vocabulary size V, hapax count V1 (tokens seen exactly once) and
+    Yule's K = 10^4 · (Σ_m m²·V_m − N) / N² over the frequency
+    spectrum — the classic lexical-diversity audit of a text corpus.
+
+    Scale shape: per-batch (key, token) count partials combine
+    (vocabulary-sized exchange, same contract as token_df_stats —
+    a doc lives in one batch so partials are exact), then the spectrum
+    fold (cnt → #tokens) reduces to at most |distinct counts| rows per
+    key before the bignum driver fold. K is one fixed-order expression
+    over exact integers — bit-identical to the SQL twin.
+    """
+    vocab = _key_token_counts(ds, text_col, key)
 
     def spectrum(g: pd.DataFrame) -> pd.DataFrame:
         cnt = g["cnt"].to_numpy(dtype=np.int64)
@@ -772,6 +781,87 @@ def vocab_richness(ds, text_col: str, key: str):
 
     return vocab.groupby(key).map_groups(spectrum,
                                          batch_format="pandas")
+
+
+def token_entropy_stats(ds, text_col: str, key: str):
+    """Shannon token entropy per key — the corpus-diversity audit used
+    to compare web-text sources (a low-entropy source is boilerplate-
+    or template-heavy): H = ln(N) − (Σ c·ln c)/N over the exact
+    per-(key, token) counts.
+
+    Exactness contract: counts are exact integers; the only float fold
+    is Σ c·ln(c), accumulated SEQUENTIALLY IN TOKEN-ASCENDING ORDER so
+    the IEEE addition sequence is pinned — the DuckDB twin replays it
+    with ``SUM(... ORDER BY token)`` (same ordered-aggregate device as
+    the neyman_allocation oracle) and every double hashes identically.
+    Scale shape: vocabulary-sized exchange, then a per-key fold over
+    the domain-sized count table (same as vocab_richness)."""
+    import math
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("token")
+        cnt = g["cnt"].to_numpy(dtype=np.int64)
+        n = int(cnt.sum())
+        s = 0.0
+        for c in cnt:
+            c = float(c)
+            s += c * math.log(c)
+        ent = math.log(float(n)) - s / float(n) if n > 0 else 0.0
+        return pd.DataFrame({
+            key: [g[key].iloc[0]],
+            "n_tokens": np.array([n], dtype=np.int64),
+            "n_vocab": np.array([len(cnt)], dtype=np.int64),
+            "sum_clnc": [s],
+            "entropy": [ent]})
+
+    return (_key_token_counts(ds, text_col, key)
+            .groupby(key).map_groups(fold, batch_format="pandas"))
+
+
+def zipf_slope_stats(ds, text_col: str, key: str, k: int = 50):
+    """Zipf rank-frequency slope per key: OLS fit of y = ln(count) on
+    x = ln(rank) over the top-``k`` tokens (rank by count desc, token
+    asc — deterministic tie-break). Natural web text runs near −1
+    (Zipf 1949); a flat slope flags machine-generated or templated
+    sources, so this is a standard corpus-quality screen.
+
+    Exactness contract: ranks and counts are exact; the four OLS moment
+    sums (Σx, Σy, Σxy, Σx²) are folded SEQUENTIALLY IN RANK ORDER
+    1..k and the slope/intercept use one fixed parenthesization —
+    the SQL twin replays them with ``SUM(... ORDER BY rk)`` over the
+    identical ROW_NUMBER ranking, so the doubles hash bit-identically.
+    Scale shape: vocabulary-sized exchange, k rows per key thereafter."""
+    import math
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cnt", "token"],
+                          ascending=[False, True]).head(k)
+        cnt = g["cnt"].to_numpy(dtype=np.int64)
+        m = len(cnt)
+        sx = sy = sxy = sxx = 0.0
+        for i, c in enumerate(cnt):
+            x = math.log(float(i + 1))
+            y = math.log(float(c))
+            sx += x
+            sy += y
+            sxy += x * y
+            sxx += x * x
+        km = float(m)
+        den = km * sxx - sx * sx
+        if m >= 2 and den != 0.0:
+            slope = (km * sxy - sx * sy) / den
+            intercept = (sy - slope * sx) / km
+        else:
+            slope = 0.0
+            intercept = 0.0
+        return pd.DataFrame({
+            key: [g[key].iloc[0]],
+            "n_top": np.array([m], dtype=np.int64),
+            "zipf_slope": [slope],
+            "zipf_intercept": [intercept]})
+
+    return (_key_token_counts(ds, text_col, key)
+            .groupby(key).map_groups(fold, batch_format="pandas"))
 
 
 def _span_window_fn(text_col: str, doc_id_col: str, n: int, buckets: int):

@@ -162,3 +162,71 @@ def test_pagerank_hits_config_routes(ray_session):
     pd.testing.assert_frame_equal(
         out.sort_values("event_type").reset_index(drop=True),
         direct.sort_values("event_type").reset_index(drop=True))
+
+
+def test_markov_argmax_report_hand_computed():
+    from t_digest_ray.pipelines.graph import markov_argmax_report
+
+    # a -> {b:3, c:1}; b -> {a:2, c:2} (tie -> 'a' wins alphabetically).
+    rep = markov_argmax_report(_edges(
+        [("a", "b", 3), ("a", "c", 1), ("b", "a", 2), ("b", "c", 2)]))
+    rep = rep.set_index("prev_type")
+    assert rep.loc["a", "pred_type"] == "b"
+    assert int(rep.loc["a", "n_correct"]) == 3
+    assert int(rep.loc["a", "n_total"]) == 4
+    assert rep.loc["b", "pred_type"] == "a"
+    assert int(rep.loc["b", "n_correct"]) == 2
+    assert int(rep.loc["b", "n_total"]) == 4
+
+
+def test_markov_accuracy_from_events(ray_session):
+    import pyarrow as pa
+    import ray
+
+    from t_digest_ray.pipelines.graph import markov_accuracy_from_events
+
+    # user 1: a b a b  -> edges a->b x2, b->a x1
+    t = pa.table({
+        "user_id": pa.array([1, 1, 1, 1], type=pa.int64()),
+        "ts": pa.array([1, 2, 3, 4], type=pa.int64()),
+        "event_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+        "event_type": pa.array(["a", "b", "a", "b"]),
+    })
+    rep = markov_accuracy_from_events(
+        ray.data.from_arrow(t), "user_id", "ts", "event_id",
+        "event_type").set_index("prev_type")
+    assert rep.loc["a", "pred_type"] == "b"
+    assert int(rep.loc["a", "n_correct"]) == 2
+    assert int(rep.loc["a", "n_total"]) == 2
+    assert int(rep.loc["b", "n_total"]) == 1
+
+
+def test_markov_entropy_zipf_config_routes(ray_session):
+    from t_digest_ray.config import JobConfig, run_job
+
+    out = run_job(JobConfig(
+        pipeline="markov_accuracy",
+        input="/root/testdata/sf0.001/events.parquet", key="user_id",
+        value_col="event_type",
+        columns=["user_id", "ts", "event_id", "event_type"])).to_pandas()
+    assert set(out.columns) == {"prev_type", "pred_type", "n_correct",
+                                "n_total"}
+    assert (out["n_correct"] <= out["n_total"]).all()
+
+    out = run_job(JobConfig(
+        pipeline="token_entropy",
+        input="/root/testdata/sf0.001/documents.parquet", key="lang",
+        value_col="text", columns=["lang", "text"])).to_pandas()
+    assert set(out.columns) == {"lang", "n_tokens", "n_vocab",
+                                "sum_clnc", "entropy"}
+    assert (out["entropy"] > 0).all()
+
+    out = run_job(JobConfig(
+        pipeline="zipf_slope",
+        input="/root/testdata/sf0.001/documents.parquet", key="lang",
+        value_col="text", columns=["lang", "text"],
+        params={"k": 30})).to_pandas()
+    assert set(out.columns) == {"lang", "n_top", "zipf_slope",
+                                "zipf_intercept"}
+    assert (out["n_top"] == 30).all()
+    assert (out["zipf_slope"] < 0).all()

@@ -549,3 +549,56 @@ def test_duplicate_span_ops_on_dup_free_corpus(ray_session):
         .sort_values("doc_id").reset_index(drop=True)
     assert (text["n_dropped"] == 0).all()
     assert list(text["text"]) == list(df["text"])
+
+
+def test_token_entropy_stats_hand_computed(ray_session):
+    import math
+
+    import ray.data as rd
+
+    from t_digest_ray.pipelines.textstats import token_entropy_stats
+
+    df = pd.DataFrame({"lang": ["en", "en", "fr"],
+                       "text": ["a a b", "b c", "x x x x"]})
+    out = token_entropy_stats(rd.from_pandas(df), "text", "lang") \
+        .to_pandas().set_index("lang")
+    # en: counts a=2, b=2, c=1; N=5.
+    s = 2 * math.log(2.0) + 2 * math.log(2.0) + 1 * math.log(1.0)
+    assert int(out.loc["en", "n_tokens"]) == 5
+    assert int(out.loc["en", "n_vocab"]) == 3
+    assert out.loc["en", "entropy"] == math.log(5.0) - s / 5.0
+    # fr: a single token -> zero entropy exactly.
+    assert out.loc["fr", "entropy"] == math.log(4.0) - math.log(4.0)
+
+
+def test_zipf_slope_stats_hand_computed(ray_session):
+    import math
+
+    import ray.data as rd
+
+    from t_digest_ray.pipelines.textstats import zipf_slope_stats
+
+    # Exact power law cnt = 8 / rank over ranks 1, 2, 4 won't be exact;
+    # use two ranks so the OLS line passes through both points:
+    # counts a=4 (rank 1), b=2 (rank 2) -> slope = ln(2/4)/ln(2) = -1.
+    df = pd.DataFrame({"lang": ["en"],
+                       "text": ["a a a a b b"]})
+    out = zipf_slope_stats(rd.from_pandas(df), "text", "lang", k=50) \
+        .to_pandas()
+    assert int(out["n_top"][0]) == 2
+    slope = float(out["zipf_slope"][0])
+    assert abs(slope - (math.log(2.0) - math.log(4.0))
+               / math.log(2.0)) < 1e-12
+    # Intercept: line hits y=ln(4) at x=ln(1)=0.
+    assert abs(float(out["zipf_intercept"][0]) - math.log(4.0)) < 1e-12
+
+
+def test_zipf_slope_single_token_guard(ray_session):
+    import ray.data as rd
+
+    from t_digest_ray.pipelines.textstats import zipf_slope_stats
+
+    out = zipf_slope_stats(
+        rd.from_pandas(pd.DataFrame({"lang": ["en"], "text": ["only"]})),
+        "text", "lang").to_pandas()
+    assert float(out["zipf_slope"][0]) == 0.0
