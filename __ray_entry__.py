@@ -4650,6 +4650,21 @@ def zipf_slope_by_lang(sf_dir: str):
     return zipf_slope_stats(ds, "text", "lang", k=50)
 
 
+def heaps_law_by_lang(sf_dir: str):
+    """Heaps'-law vocabulary-growth fit per lang
+    (textstats.heaps_law_stats): V(N) ≈ K·N^β with the doc order
+    pinned to doc_id ascending. The sequential definition is
+    re-expressed as two exact parallel aggregations (per-token min
+    doc_id = vocabulary entry point; per-doc token totals), cumulative
+    curves at 8 deterministic checkpoints, and a fixed-order OLS fold
+    of ln V on ln N — replayed by the SQL twin's window sums +
+    ordered-SUM moments."""
+    from t_digest_ray.pipelines.textstats import heaps_law_stats
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
+    return heaps_law_stats(ds, "text", "doc_id", "lang", checkpoints=8)
+
+
 def langid_confusion_matrix(sf_dir: str):
     """Language-ID confusion matrix: predicted vs ACTUAL lang counts —
     the classifier-audit shape. Same vectorized stopword-argmax as
@@ -5639,6 +5654,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "markov_prediction_accuracy": markov_prediction_accuracy,
         "token_entropy_by_lang": token_entropy_by_lang,
         "zipf_slope_by_lang": zipf_slope_by_lang,
+        "heaps_law_by_lang": heaps_law_by_lang,
         "pareto_frontier_events": pareto_frontier_events,
         "percent_rank_event_values": percent_rank_event_values,
         "gini_event_values": gini_event_values,
@@ -5966,6 +5982,78 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n AS BIGINT) AS n_correct,
                    CAST(tot AS BIGINT) AS n_total
             FROM p WHERE rk = 1
+        """,
+        "heaps_law_by_lang": """
+            WITH tok AS (SELECT lang, doc_id,
+                                unnest(string_split(text, ' ')) AS token
+                         FROM documents),
+                 t2 AS (SELECT lang, doc_id, token FROM tok
+                        WHERE token <> ''),
+                 ft AS (SELECT lang, token, MIN(doc_id) AS fd
+                        FROM t2 GROUP BY 1, 2),
+                 vn AS (SELECT lang, fd AS doc_id,
+                               CAST(COUNT(*) AS BIGINT) AS v_new
+                        FROM ft GROUP BY 1, 2),
+                 dt AS (SELECT lang, doc_id,
+                               CAST(COUNT(*) AS BIGINT) AS nt
+                        FROM t2 GROUP BY 1, 2),
+                 o AS (SELECT d.lang, d.doc_id,
+                              ROW_NUMBER() OVER (
+                                  PARTITION BY d.lang
+                                  ORDER BY d.doc_id) AS pos,
+                              COUNT(*) OVER (PARTITION BY d.lang) AS nd,
+                              SUM(d.nt) OVER (
+                                  PARTITION BY d.lang
+                                  ORDER BY d.doc_id) AS cum_n,
+                              SUM(COALESCE(v.v_new, 0)) OVER (
+                                  PARTITION BY d.lang
+                                  ORDER BY d.doc_id) AS cum_v
+                       FROM dt d LEFT JOIN vn v
+                         ON v.lang = d.lang AND v.doc_id = d.doc_id),
+                 cp AS (SELECT DISTINCT o2.lang,
+                               GREATEST(1, (i.i * o2.nd) // 8) AS pos
+                        FROM (SELECT lang, MAX(nd) AS nd
+                              FROM o GROUP BY lang) o2,
+                             (SELECT unnest(range(1, 9)) AS i) i),
+                 pts AS (SELECT o.lang, o.pos,
+                                LN(CAST(o.cum_n AS DOUBLE)) AS x,
+                                LN(CAST(o.cum_v AS DOUBLE)) AS y
+                         FROM o JOIN cp
+                           ON cp.lang = o.lang AND cp.pos = o.pos),
+                 s AS (SELECT lang,
+                              CAST(COUNT(*) AS BIGINT) AS n_points,
+                              SUM(x ORDER BY pos) AS sx,
+                              SUM(y ORDER BY pos) AS sy,
+                              SUM(x * y ORDER BY pos) AS sxy,
+                              SUM(x * x ORDER BY pos) AS sxx
+                       FROM pts GROUP BY lang),
+                 tots AS (SELECT lang, MAX(nd) AS n_docs,
+                                 MAX(cum_n) AS n_tokens,
+                                 MAX(cum_v) AS n_vocab
+                          FROM o GROUP BY lang)
+            SELECT t.lang,
+                   CAST(t.n_docs AS BIGINT) AS n_docs,
+                   CAST(t.n_tokens AS BIGINT) AS n_tokens,
+                   CAST(t.n_vocab AS BIGINT) AS n_vocab,
+                   s.n_points,
+                   CASE WHEN s.n_points >= 2 AND
+                             (CAST(s.n_points AS DOUBLE) * s.sxx
+                              - s.sx * s.sx) <> 0.0
+                        THEN (CAST(s.n_points AS DOUBLE) * s.sxy
+                              - s.sx * s.sy)
+                             / (CAST(s.n_points AS DOUBLE) * s.sxx
+                                - s.sx * s.sx)
+                        ELSE 0.0 END AS heaps_beta,
+                   CASE WHEN s.n_points >= 2 AND
+                             (CAST(s.n_points AS DOUBLE) * s.sxx
+                              - s.sx * s.sx) <> 0.0
+                        THEN (s.sy - ((CAST(s.n_points AS DOUBLE) * s.sxy
+                                       - s.sx * s.sy)
+                                      / (CAST(s.n_points AS DOUBLE)
+                                         * s.sxx - s.sx * s.sx)) * s.sx)
+                             / CAST(s.n_points AS DOUBLE)
+                        ELSE 0.0 END AS heaps_log_k
+            FROM tots t JOIN s ON s.lang = t.lang
         """,
         "token_entropy_by_lang": """
             WITH tok AS (SELECT lang,

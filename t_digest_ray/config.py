@@ -55,7 +55,8 @@ PIPELINES = ("quantiles", "kll", "req", "distinct", "heavy", "heavy_mg",
              "autocorr", "change_detect", "kll_pmf", "float_histogram",
              "log_histogram", "dup_spans", "dup_span_drop",
              "dup_span_rewrite", "dsir", "nb_confusion", "pagerank",
-             "hits", "markov_accuracy", "token_entropy", "zipf_slope")
+             "hits", "markov_accuracy", "token_entropy", "zipf_slope",
+             "heaps_law")
 
 
 @dataclass
@@ -528,6 +529,11 @@ def run_job(cfg: JobConfig):
         from .pipelines.textstats import zipf_slope_stats
         out = zipf_slope_stats(ds, cfg.value_col or "text",
                                cfg.key or "lang", **p)
+    elif cfg.pipeline == "heaps_law":
+        from .pipelines.textstats import heaps_law_stats
+        out = heaps_law_stats(ds, cfg.value_col or "text",
+                              p.pop("id_col", "doc_id"),
+                              cfg.key or "lang", **p)
     elif cfg.pipeline == "dsir":
         import ray.data as rd
 

@@ -864,6 +864,123 @@ def zipf_slope_stats(ds, text_col: str, key: str, k: int = 50):
             .groupby(key).map_groups(fold, batch_format="pandas"))
 
 
+def heaps_law_stats(ds, text_col: str, id_col: str, key: str,
+                    checkpoints: int = 8):
+    """Heaps'-law vocabulary-growth fit per key: V(N) ≈ K·N^β, the
+    classic sublinear vocabulary-vs-corpus-size law (β ≈ 0.4–0.6 for
+    natural text; β near 1 flags random/spam content, β near 0 flags
+    templates). The document order is pinned to ``id_col`` ascending so
+    the growth curve is a pure function of the data, not of execution.
+
+    Distribution shape — the sequential "scan docs, count new words"
+    definition is re-expressed as two embarrassingly-parallel exact
+    aggregations: (a) per (key, token) the FIRST document id (a
+    groupby-min — a token enters the vocabulary exactly at its min doc),
+    folded to per-(key, doc) new-token counts; (b) per (key, doc) total
+    token counts. Both are vocabulary-/doc-bounded on the exchange; the
+    cumulative curve, checkpoint selection (positions (i·n_docs)//C,
+    i = 1..C, deduped) and the OLS fold of ln V on ln N then run inside
+    a per-key ``map_groups`` over the doc-sized aggregate (per-key
+    worker-side, not driver-side; at extreme per-key doc counts the
+    same curve can be taken from a distributed window sum instead).
+    Docs whose text has no non-empty token carry no rows on either side.
+
+    Exactness contract: all counts exact int64; ln inputs are identical
+    integers on both sides; the four OLS moment sums fold SEQUENTIALLY
+    IN CHECKPOINT ORDER and the slope/intercept use the same fixed
+    parenthesization as zipf_slope_stats, replayed by the SQL twin's
+    ordered SUMs."""
+    import math
+
+    from ray.data.aggregate import Min, Sum
+
+    def tok_pairs(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        lists = pc.split_pattern(b[text_col].combine_chunks(), " ")
+        toks = pc.list_flatten(lists)
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        lens = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
+        keys = np.repeat(b[key].to_numpy(zero_copy_only=False), lens)
+        docs = np.repeat(b[id_col].to_numpy(zero_copy_only=False), lens)
+        df = pd.DataFrame({key: keys, "doc": docs,
+                           "token": toks.to_numpy(zero_copy_only=False)})
+        return pa.Table.from_pandas(df[df["token"] != ""],
+                                    preserve_index=False)
+
+    pairs = ds.map_batches(tok_pairs, batch_format="pyarrow")
+
+    # (a) vocabulary entry points: min doc per token, then new-token
+    # counts per doc. Two narrow shuffles, nothing wider than the vocab.
+    first = (pairs.groupby([key, "token"])
+             .aggregate(Min("doc", alias_name="fd")))
+
+    def vnew_partial(b: pa.Table) -> pa.Table:
+        df = b.select([key, "fd"]).to_pandas()
+        g = df.groupby([key, "fd"], as_index=False, sort=False).size()
+        return pa.table({key: pa.array(g[key]),
+                         "doc": pa.array(g["fd"].to_numpy(np.int64)),
+                         "v_new": pa.array(g["size"].to_numpy(np.int64)),
+                         "nt": pa.array(np.zeros(len(g), np.int64))})
+
+    vnew = (first.map_batches(vnew_partial, batch_format="pyarrow")
+            .groupby([key, "doc"])
+            .aggregate(Sum("v_new", alias_name="v_new"),
+                       Sum("nt", alias_name="nt")))
+
+    # (b) per-doc token totals (a doc lives in one batch -> exact).
+    def nt_partial(b: pa.Table) -> pa.Table:
+        df = b.select([key, "doc"]).to_pandas()
+        g = df.groupby([key, "doc"], as_index=False, sort=False).size()
+        return pa.table({key: pa.array(g[key]),
+                         "doc": pa.array(g["doc"].to_numpy(np.int64)),
+                         "v_new": pa.array(np.zeros(len(g), np.int64)),
+                         "nt": pa.array(g["size"].to_numpy(np.int64))})
+
+    ntot = (pairs.map_batches(nt_partial, batch_format="pyarrow")
+            .groupby([key, "doc"])
+            .aggregate(Sum("v_new", alias_name="v_new"),
+                       Sum("nt", alias_name="nt")))
+
+    merged = (vnew.union(ntot).groupby([key, "doc"])
+              .aggregate(Sum("v_new", alias_name="v_new"),
+                         Sum("nt", alias_name="nt")))
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc")
+        cum_n = g["nt"].to_numpy(np.int64).cumsum()
+        cum_v = g["v_new"].to_numpy(np.int64).cumsum()
+        nd = len(g)
+        pos = sorted({max(1, (i * nd) // checkpoints)
+                      for i in range(1, checkpoints + 1)})
+        sx = sy = sxy = sxx = 0.0
+        for p in pos:
+            x = math.log(float(cum_n[p - 1]))
+            y = math.log(float(cum_v[p - 1]))
+            sx += x
+            sy += y
+            sxy += x * y
+            sxx += x * x
+        m = float(len(pos))
+        den = m * sxx - sx * sx
+        if len(pos) >= 2 and den != 0.0:
+            beta = (m * sxy - sx * sy) / den
+            log_k = (sy - beta * sx) / m
+        else:
+            beta = 0.0
+            log_k = 0.0
+        return pd.DataFrame({
+            key: [g[key].iloc[0]],
+            "n_docs": np.array([nd], dtype=np.int64),
+            "n_tokens": np.array([int(cum_n[-1])], dtype=np.int64),
+            "n_vocab": np.array([int(cum_v[-1])], dtype=np.int64),
+            "n_points": np.array([len(pos)], dtype=np.int64),
+            "heaps_beta": [beta],
+            "heaps_log_k": [log_k]})
+
+    return merged.groupby(key).map_groups(fold, batch_format="pandas")
+
+
 def _span_window_fn(text_col: str, doc_id_col: str, n: int, buckets: int):
     """Per-batch (gram_hash, doc, pos, bucket) window rows — the shared
     emission stage of the ExactSubstr pipelines (stats + rewrite twins

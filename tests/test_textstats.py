@@ -602,3 +602,72 @@ def test_zipf_slope_single_token_guard(ray_session):
         rd.from_pandas(pd.DataFrame({"lang": ["en"], "text": ["only"]})),
         "text", "lang").to_pandas()
     assert float(out["zipf_slope"][0]) == 0.0
+
+
+def test_heaps_law_stats_hand_computed(ray_session):
+    import math
+
+    import ray.data as rd
+
+    from t_digest_ray.pipelines.textstats import heaps_law_stats
+
+    # Doc order by doc_id: d1 "a b", d2 "a c", d3 "a b c d".
+    # cum_n = [2, 4, 8]; new tokens per doc = [2, 1, 1] -> cum_v = [2, 3, 4].
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "lang": ["en", "en", "en"],
+        "text": ["a b", "a c", "a b c d"]})
+    out = heaps_law_stats(rd.from_pandas(df), "text", "doc_id", "lang",
+                          checkpoints=3).to_pandas()
+    assert int(out["n_docs"][0]) == 3
+    assert int(out["n_tokens"][0]) == 8
+    assert int(out["n_vocab"][0]) == 4
+    assert int(out["n_points"][0]) == 3
+    # Independent OLS replay over the three checkpoint points.
+    pts = [(math.log(2.0), math.log(2.0)),
+           (math.log(4.0), math.log(3.0)),
+           (math.log(8.0), math.log(4.0))]
+    sx = sy = sxy = sxx = 0.0
+    for x, y in pts:
+        sx += x; sy += y; sxy += x * y; sxx += x * x
+    beta = (3.0 * sxy - sx * sy) / (3.0 * sxx - sx * sx)
+    assert float(out["heaps_beta"][0]) == beta
+    # 2/4/8 tokens with 2/3/4 vocab is exactly beta = 0.5.
+    assert abs(beta - 0.5) < 1e-12
+
+
+def test_heaps_law_layout_invariance(ray_session):
+    import ray.data as rd
+
+    from t_digest_ray.pipelines.textstats import heaps_law_stats
+
+    rng = np.random.default_rng(7)
+    words = [f"w{i}" for i in range(40)]
+    df = pd.DataFrame({
+        "doc_id": np.arange(60),
+        "lang": ["en" if i % 2 else "fr" for i in range(60)],
+        "text": [" ".join(rng.choice(words, size=12)) for _ in range(60)]})
+    a = heaps_law_stats(rd.from_pandas(df).repartition(1),
+                        "text", "doc_id", "lang").to_pandas() \
+        .sort_values("lang").reset_index(drop=True)
+    b = heaps_law_stats(rd.from_pandas(df).repartition(13),
+                        "text", "doc_id", "lang").to_pandas() \
+        .sort_values("lang").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_heaps_law_config_route(ray_session):
+    from t_digest_ray.config import JobConfig, run_job
+
+    out = run_job(JobConfig(
+        pipeline="heaps_law",
+        input="/root/testdata/sf0.001/documents.parquet", key="lang",
+        value_col="text", columns=["doc_id", "lang", "text"],
+        params={"checkpoints": 4})).to_pandas()
+    assert set(out.columns) == {"lang", "n_docs", "n_tokens", "n_vocab",
+                                "n_points", "heaps_beta", "heaps_log_k"}
+    assert (out["n_points"] == 4).all()
+    # The synthetic corpus has a ~31-token vocabulary that saturates at
+    # the first checkpoint, so the growth exponent is (numerically) 0.
+    assert (out["heaps_beta"].abs() < 1e-9).all()
+    assert (out["n_vocab"] <= 31).all()
