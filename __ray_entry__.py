@@ -4650,6 +4650,44 @@ def zipf_slope_by_lang(sf_dir: str):
     return zipf_slope_stats(ds, "text", "lang", k=50)
 
 
+def markov_entropy_by_type(sf_dir: str):
+    """Per-source conditional entropy of the event-type transition
+    model (pipelines/graph.markov_conditional_entropy): H(next|prev) =
+    ln(out_n) − (Σ n·ln n)/out_n over exact edge counts, the Σ n·ln n
+    fold pinned to dst-ascending order — replayed by the oracle's
+    SUM(... ORDER BY dst)."""
+    from t_digest_ray.pipelines.graph import markov_entropy_from_events
+
+    ds = _read(sf_dir, "events",
+               ["user_id", "ts", "event_id", "event_type"])
+    return markov_entropy_from_events(ds, "user_id", "ts", "event_id",
+                                      "event_type")
+
+
+def lang_source_mutual_info(sf_dir: str):
+    """Mutual information between lang and source on the documents
+    table (pipelines/stats.mutual_information_report): exact
+    contingency counts, every entropy term a fixed-parenthesization
+    expression over ln(exact integer), folds pinned to (lang, source)
+    ascending order — the information-theoretic twin of
+    chi2_lang_source_cells."""
+    from t_digest_ray.pipelines.stats import mutual_information_report
+
+    ds = _read(sf_dir, "documents", ["lang", "source"])
+    return mutual_information_report(ds, "lang", "source")
+
+
+def hill_tail_index_events(sf_dir: str):
+    """Hill heavy-tail index of event values per type
+    (pipelines/stats.hill_tail_index, k=100): top-k order statistics
+    of the integer-cents value, ln folds in rank order — the SQL twin
+    ranks with ROW_NUMBER and replays the fold with an ordered SUM."""
+    from t_digest_ray.pipelines.stats import hill_tail_index
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    return hill_tail_index(ds, "event_type", "value", k=100)
+
+
 def heaps_law_by_lang(sf_dir: str):
     """Heaps'-law vocabulary-growth fit per lang
     (textstats.heaps_law_stats): V(N) ≈ K·N^β with the doc order
@@ -5655,6 +5693,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_entropy_by_lang": token_entropy_by_lang,
         "zipf_slope_by_lang": zipf_slope_by_lang,
         "heaps_law_by_lang": heaps_law_by_lang,
+        "markov_entropy_by_type": markov_entropy_by_type,
+        "lang_source_mutual_info": lang_source_mutual_info,
+        "hill_tail_index_events": hill_tail_index_events,
         "pareto_frontier_events": pareto_frontier_events,
         "percent_rank_event_values": percent_rank_event_values,
         "gini_event_values": gini_event_values,
@@ -5982,6 +6023,110 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n AS BIGINT) AS n_correct,
                    CAST(tot AS BIGINT) AS n_total
             FROM p WHERE rk = 1
+        """,
+        "markov_entropy_by_type": """
+            WITH seq AS (
+              SELECT user_id, event_type,
+                     LAG(event_type) OVER (
+                         PARTITION BY user_id
+                         ORDER BY ts, event_id) AS prev
+              FROM events),
+            e AS (
+              SELECT prev AS src, event_type AS dst,
+                     CAST(COUNT(*) AS BIGINT) AS n
+              FROM seq WHERE prev IS NOT NULL
+              GROUP BY prev, event_type),
+            s AS (
+              SELECT src, CAST(SUM(n) AS BIGINT) AS out_n,
+                     CAST(COUNT(*) AS BIGINT) AS n_successors,
+                     SUM(CAST(n AS DOUBLE) * LN(CAST(n AS DOUBLE))
+                         ORDER BY dst) AS snln
+              FROM e GROUP BY src)
+            SELECT src AS prev_type, out_n, n_successors,
+                   LN(CAST(out_n AS DOUBLE))
+                     - snln / CAST(out_n AS DOUBLE) AS cond_entropy
+            FROM s
+        """,
+        "lang_source_mutual_info": """
+            WITH c AS (SELECT lang AS a, source AS b,
+                              CAST(COUNT(*) AS BIGINT) AS n
+                       FROM documents GROUP BY 1, 2),
+                 tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nt FROM c),
+                 ra AS (SELECT a, CAST(SUM(n) AS BIGINT) AS rn
+                        FROM c GROUP BY a),
+                 cb AS (SELECT b, CAST(SUM(n) AS BIGINT) AS cn
+                        FROM c GROUP BY b),
+                 mi AS (SELECT
+                          CAST(COUNT(*) AS BIGINT) AS n_cells,
+                          SUM((CAST(c.n AS DOUBLE)
+                               / CAST(t.nt AS DOUBLE))
+                              * (LN(CAST(c.n AS DOUBLE))
+                                 - LN(CAST(ra.rn AS DOUBLE))
+                                 - LN(CAST(cb.cn AS DOUBLE))
+                                 + LN(CAST(t.nt AS DOUBLE)))
+                              ORDER BY c.a, c.b) AS mi_v,
+                          SUM((CAST(c.n AS DOUBLE)
+                               / CAST(t.nt AS DOUBLE))
+                              * (LN(CAST(t.nt AS DOUBLE))
+                                 - LN(CAST(c.n AS DOUBLE)))
+                              ORDER BY c.a, c.b) AS hj
+                        FROM c
+                        JOIN ra ON ra.a = c.a
+                        JOIN cb ON cb.b = c.b
+                        CROSS JOIN tot t),
+                 ha AS (SELECT
+                          SUM((CAST(rn AS DOUBLE)
+                               / CAST(t.nt AS DOUBLE))
+                              * (LN(CAST(t.nt AS DOUBLE))
+                                 - LN(CAST(rn AS DOUBLE)))
+                              ORDER BY a) AS v
+                        FROM ra CROSS JOIN tot t),
+                 hb AS (SELECT
+                          SUM((CAST(cn AS DOUBLE)
+                               / CAST(t.nt AS DOUBLE))
+                              * (LN(CAST(t.nt AS DOUBLE))
+                                 - LN(CAST(cn AS DOUBLE)))
+                              ORDER BY b) AS v
+                        FROM cb CROSS JOIN tot t)
+            SELECT t.nt AS n_rows, mi.n_cells,
+                   ha.v AS h_a, hb.v AS h_b,
+                   mi.hj AS h_joint, mi.mi_v AS mutual_info
+            FROM tot t, mi, ha, hb
+        """,
+        "hill_tail_index_events": """
+            WITH c AS (SELECT event_type AS k,
+                              CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+                                  AS cts
+                       FROM events),
+                 p AS (SELECT k, cts,
+                              ROW_NUMBER() OVER (
+                                  PARTITION BY k
+                                  ORDER BY cts DESC) AS rk,
+                              COUNT(*) OVER (PARTITION BY k) AS npos
+                       FROM c WHERE cts > 0),
+                 ke AS (SELECT k, MAX(npos) AS n_pos,
+                               LEAST(100, MAX(npos) - 1) AS k_eff
+                        FROM p GROUP BY k),
+                 su AS (SELECT p.k,
+                               SUM(LN(CAST(p.cts AS DOUBLE))
+                                   ORDER BY p.rk) AS slog
+                        FROM p JOIN ke ON ke.k = p.k
+                        WHERE p.rk <= ke.k_eff GROUP BY p.k),
+                 xb AS (SELECT p.k, p.cts AS bx
+                        FROM p JOIN ke ON ke.k = p.k
+                        WHERE p.rk = ke.k_eff + 1)
+            SELECT ke.k AS event_type,
+                   CAST(ke.n_pos AS BIGINT) AS n_pos,
+                   CAST(ke.k_eff AS BIGINT) AS k_eff,
+                   CAST(COALESCE(xb.bx, 0) AS BIGINT)
+                       AS x_boundary_cents,
+                   CASE WHEN ke.k_eff >= 1
+                        THEN su.slog / CAST(ke.k_eff AS DOUBLE)
+                             - LN(CAST(xb.bx AS DOUBLE))
+                        ELSE 0.0 END AS hill_inv_alpha
+            FROM ke
+            LEFT JOIN su ON su.k = ke.k
+            LEFT JOIN xb ON xb.k = ke.k
         """,
         "heaps_law_by_lang": """
             WITH tok AS (SELECT lang, doc_id,

@@ -56,7 +56,7 @@ PIPELINES = ("quantiles", "kll", "req", "distinct", "heavy", "heavy_mg",
              "log_histogram", "dup_spans", "dup_span_drop",
              "dup_span_rewrite", "dsir", "nb_confusion", "pagerank",
              "hits", "markov_accuracy", "token_entropy", "zipf_slope",
-             "heaps_law")
+             "heaps_law", "markov_entropy", "mutual_info", "hill_tail")
 
 
 @dataclass
@@ -529,6 +529,23 @@ def run_job(cfg: JobConfig):
         from .pipelines.textstats import zipf_slope_stats
         out = zipf_slope_stats(ds, cfg.value_col or "text",
                                cfg.key or "lang", **p)
+    elif cfg.pipeline == "markov_entropy":
+        import ray.data as rd
+
+        from .pipelines.graph import markov_entropy_from_events
+        out = rd.from_pandas(markov_entropy_from_events(
+            ds, cfg.key or "user_id", p.pop("ts_col", "ts"),
+            p.pop("tie_col", "event_id"),
+            cfg.value_col or "event_type", **p))
+    elif cfg.pipeline == "mutual_info":
+        import ray.data as rd
+
+        from .pipelines.stats import mutual_information_report
+        out = rd.from_pandas(mutual_information_report(
+            ds, cfg.key, cfg.value_col, **p))
+    elif cfg.pipeline == "hill_tail":
+        from .pipelines.stats import hill_tail_index
+        out = hill_tail_index(ds, cfg.key, cfg.value_col, **p)
     elif cfg.pipeline == "heaps_law":
         from .pipelines.textstats import heaps_law_stats
         out = heaps_law_stats(ds, cfg.value_col or "text",

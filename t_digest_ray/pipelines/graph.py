@@ -160,6 +160,51 @@ def markov_argmax_report(edges: pd.DataFrame,
         "n_total": pd.Series([r[3] for r in rows], dtype=np.int64)})
 
 
+def markov_conditional_entropy(edges: pd.DataFrame,
+                               src_col: str = "prev_type",
+                               dst_col: str = "next_type",
+                               n_col: str = "n") -> pd.DataFrame:
+    """Per-source conditional entropy of the empirical transition model,
+    H(next | prev=u) = ln(out_u) − (Σ_v n_uv·ln n_uv)/out_u — how
+    predictable each state's successor is (0 = deterministic chain,
+    ln|types| = uniform). The weighted mean over sources is the Markov
+    chain's entropy rate.
+
+    Exactness: counts exact; the only float fold Σ n·ln n accumulates
+    in dst-ascending order per source, replayed by the SQL twin's
+    SUM(... ORDER BY dst); the closing expression uses one fixed
+    parenthesization."""
+    import math
+
+    rows = []
+    for src, g in edges.groupby(src_col, sort=True):
+        g = g.sort_values(dst_col)
+        cnt = [int(c) for c in g[n_col]]
+        out_n = sum(cnt)
+        s = 0.0
+        for c in cnt:
+            c = float(c)
+            s += c * math.log(c)
+        h = math.log(float(out_n)) - s / float(out_n)
+        rows.append((str(src), out_n, len(cnt), h))
+    return pd.DataFrame({
+        "prev_type": pd.Series([r[0] for r in rows], dtype=object),
+        "out_n": pd.Series([r[1] for r in rows], dtype=np.int64),
+        "n_successors": pd.Series([r[2] for r in rows], dtype=np.int64),
+        "cond_entropy": pd.Series([r[3] for r in rows])})
+
+
+def markov_entropy_from_events(ds, user_col: str, ts_col: str,
+                               tie_col: str, type_col: str) -> pd.DataFrame:
+    """Conditional-entropy report over the events transition graph
+    (see markov_accuracy_from_events for the aggregation shape)."""
+    from .windows import transition_counts
+
+    edges = transition_counts(ds, user_col, ts_col, tie_col,
+                              type_col).to_pandas()
+    return markov_conditional_entropy(edges)
+
+
 def markov_accuracy_from_events(ds, user_col: str, ts_col: str,
                                 tie_col: str, type_col: str) -> pd.DataFrame:
     """Markov next-event-type prediction report over the events table:

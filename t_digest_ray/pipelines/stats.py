@@ -1313,3 +1313,124 @@ def kendall_tau_b(ds, x_col: str, y_col: str):
         "concordant": np.array([C], dtype=np.int64),
         "discordant": np.array([D], dtype=np.int64),
         "tau_b": [tau]})
+
+
+def mutual_information_report(ds, key_a: str, key_b: str):
+    """Mutual information (and the three Shannon entropies) between two
+    categorical columns from their EXACT contingency table — the
+    information-theoretic sibling of the chi-square independence cells:
+    how many nats knowing one column tells you about the other (0 =
+    independent). The classic corpus audit for lang-vs-source skew.
+
+    Scale shape: one groupby-count over (a, b) — the contingency table
+    is |A|×|B|-bounded, tiny next to the data — then a driver fold.
+    Exactness contract: all counts exact int64; each term uses only
+    ln(exact integer) combined in ONE fixed parenthesization,
+    n/N · (ln n − ln ra − ln cb + ln N), and the folds accumulate
+    SEQUENTIALLY in (a asc, b asc) order — replayed by the SQL twin's
+    SUM(... ORDER BY a, b), so the doubles hash identically."""
+    import math
+
+    from ray.data.aggregate import Count
+
+    cells = (ds.select_columns([key_a, key_b]).groupby([key_a, key_b])
+             .aggregate(Count(alias_name="n")).to_pandas())
+    cells = cells.sort_values([key_a, key_b]).reset_index(drop=True)
+    n_tot = int(cells["n"].sum())
+    row_t = cells.groupby(key_a)["n"].sum().to_dict()
+    col_t = cells.groupby(key_b)["n"].sum().to_dict()
+
+    ln_n = math.log(float(n_tot)) if n_tot > 0 else 0.0
+    mi = 0.0
+    h_joint = 0.0
+    for _, r in cells.iterrows():
+        n = float(int(r["n"]))
+        p = n / float(n_tot)
+        mi += p * (math.log(n) - math.log(float(row_t[r[key_a]]))
+                   - math.log(float(col_t[r[key_b]])) + ln_n)
+        h_joint += p * (ln_n - math.log(n))
+    h_a = 0.0
+    for a in sorted(row_t):
+        p = float(row_t[a]) / float(n_tot)
+        h_a += p * (ln_n - math.log(float(row_t[a])))
+    h_b = 0.0
+    for b in sorted(col_t):
+        p = float(col_t[b]) / float(n_tot)
+        h_b += p * (ln_n - math.log(float(col_t[b])))
+    return pd.DataFrame({
+        "n_rows": np.array([n_tot], dtype=np.int64),
+        "n_cells": np.array([len(cells)], dtype=np.int64),
+        "h_a": [h_a], "h_b": [h_b], "h_joint": [h_joint],
+        "mutual_info": [mi]})
+
+
+def hill_tail_index(ds, key: str, value: str, k: int = 100):
+    """Hill estimator of the Pareto tail index per key over the top-k
+    order statistics of the integer-cents value (Hill 1975): with
+    x₍₁₎ ≥ … ≥ x₍ₖ₎ ≥ x₍ₖ₊₁₎ the estimate of 1/α is
+    (Σᵢ ln x₍ᵢ₎)/k − ln x₍ₖ₊₁₎ — the standard heavy-tail screen for
+    value / length distributions. Zero- and negative-cent rows are
+    excluded (ln requires positive support).
+
+    Scale shape: per-batch per-key local top-(k+1) prune (vectorized
+    partition), so at most (k+1)·batches rows per key ride the
+    exchange; the per-key fold takes the global top-(k+1). Boundary
+    ties are harmless — the top-k MULTISET is unique even when the
+    rank order is not. The ln sum folds in rank order (value desc);
+    the SQL twin replays it with ROW_NUMBER + SUM(... ORDER BY rk)."""
+    import math
+
+    def partial(b: pa.Table) -> pa.Table:
+        x = b[value].to_numpy(zero_copy_only=False).astype(np.float64)
+        cents = np.floor(x * 100.0 + 0.5).astype(np.int64)
+        kv = b[key].to_numpy(zero_copy_only=False)
+        keep = cents > 0
+        df = pd.DataFrame({key: kv[keep], "cts": cents[keep]})
+        # local top-(k+1) per key: sort once, take group heads
+        df = df.sort_values([key, "cts"], ascending=[True, False])
+        df = df.groupby(key, sort=False).head(k + 1)
+        df["n_pos"] = np.int64(1)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    # exact positive-row count per key must NOT be pruned: aggregate it
+    # separately from the pruned top rows (the prune drops counts).
+    from ray.data.aggregate import Sum
+
+    def count_partial(b: pa.Table) -> pa.Table:
+        x = b[value].to_numpy(zero_copy_only=False).astype(np.float64)
+        cents = np.floor(x * 100.0 + 0.5).astype(np.int64)
+        kv = b[key].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({key: kv[cents > 0]})
+        g = df.groupby(key, as_index=False, sort=False).size()
+        return pa.table({key: pa.array(g[key]),
+                         "n_pos": pa.array(g["size"].to_numpy(np.int64))})
+
+    counts = (ds.map_batches(count_partial, batch_format="pyarrow")
+              .groupby(key).aggregate(Sum("n_pos", alias_name="n_pos"))
+              .to_pandas())
+    n_pos = {r[key]: int(r["n_pos"]) for _, r in counts.iterrows()}
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        kv = g[key].iloc[0]
+        top = np.sort(g["cts"].to_numpy(np.int64))[::-1][:k + 1]
+        npos = n_pos.get(kv, len(top))
+        k_eff = min(k, npos - 1)
+        if k_eff < 1:
+            return pd.DataFrame({
+                key: [kv], "n_pos": np.array([npos], dtype=np.int64),
+                "k_eff": np.array([0], dtype=np.int64),
+                "x_boundary_cents": np.array([0], dtype=np.int64),
+                "hill_inv_alpha": [0.0]})
+        s = 0.0
+        for i in range(k_eff):
+            s += math.log(float(top[i]))
+        xb = int(top[k_eff])
+        inv = s / float(k_eff) - math.log(float(xb))
+        return pd.DataFrame({
+            key: [kv], "n_pos": np.array([npos], dtype=np.int64),
+            "k_eff": np.array([k_eff], dtype=np.int64),
+            "x_boundary_cents": np.array([xb], dtype=np.int64),
+            "hill_inv_alpha": [inv]})
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(key).map_groups(fold, batch_format="pandas"))

@@ -230,3 +230,50 @@ def test_markov_entropy_zipf_config_routes(ray_session):
                                 "zipf_intercept"}
     assert (out["n_top"] == 30).all()
     assert (out["zipf_slope"] < 0).all()
+
+
+def test_markov_conditional_entropy_hand_computed():
+    import math
+
+    from t_digest_ray.pipelines.graph import markov_conditional_entropy
+
+    # a: two equally likely successors -> ln 2; b: deterministic -> 0.
+    rep = markov_conditional_entropy(_edges(
+        [("a", "b", 3), ("a", "c", 3), ("b", "a", 7)])) \
+        .set_index("prev_type")
+    assert abs(float(rep.loc["a", "cond_entropy"]) - math.log(2.0)) < 1e-12
+    assert float(rep.loc["b", "cond_entropy"]) == 0.0
+    assert int(rep.loc["a", "out_n"]) == 6
+    assert int(rep.loc["a", "n_successors"]) == 2
+
+
+def test_markov_entropy_mi_hill_config_routes(ray_session):
+    from t_digest_ray.config import JobConfig, run_job
+
+    out = run_job(JobConfig(
+        pipeline="markov_entropy",
+        input="/root/testdata/sf0.001/events.parquet", key="user_id",
+        value_col="event_type",
+        columns=["user_id", "ts", "event_id", "event_type"])).to_pandas()
+    assert set(out.columns) == {"prev_type", "out_n", "n_successors",
+                                "cond_entropy"}
+    assert (out["cond_entropy"] >= 0).all()
+
+    out = run_job(JobConfig(
+        pipeline="mutual_info",
+        input="/root/testdata/sf0.001/documents.parquet", key="lang",
+        value_col="source", columns=["lang", "source"])).to_pandas()
+    assert set(out.columns) == {"n_rows", "n_cells", "h_a", "h_b",
+                                "h_joint", "mutual_info"}
+    assert float(out["h_joint"][0]) <= \
+        float(out["h_a"][0]) + float(out["h_b"][0]) + 1e-12
+
+    out = run_job(JobConfig(
+        pipeline="hill_tail",
+        input="/root/testdata/sf0.001/events.parquet", key="event_type",
+        value_col="value", columns=["event_type", "value"],
+        params={"k": 50})).to_pandas()
+    assert set(out.columns) == {"event_type", "n_pos", "k_eff",
+                                "x_boundary_cents", "hill_inv_alpha"}
+    assert (out["k_eff"] == 50).all()
+    assert (out["hill_inv_alpha"] > 0).all()

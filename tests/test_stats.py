@@ -300,3 +300,63 @@ def test_ngram_decontaminate_filter_drops_rows(ray_session):
         rd.from_pandas(docs).repartition(2), ref, 5).to_pandas()
     assert out["doc_id"].tolist() == [2]
     assert set(out.columns) == {"doc_id", "text"}
+
+
+def test_mutual_information_independent_and_dependent(ray_session):
+    import math
+
+    import ray.data as rd
+
+    from t_digest_ray.pipelines.stats import mutual_information_report
+
+    # Perfectly independent 2x2 (all cells 25): MI = 0.
+    df = pd.DataFrame({"a": ["x"] * 50 + ["y"] * 50,
+                       "b": (["p"] * 25 + ["q"] * 25) * 2})
+    out = mutual_information_report(rd.from_pandas(df), "a", "b")
+    assert int(out["n_rows"][0]) == 100
+    assert int(out["n_cells"][0]) == 4
+    assert abs(float(out["mutual_info"][0])) < 1e-12
+    assert abs(float(out["h_a"][0]) - math.log(2.0)) < 1e-12
+
+    # Perfect dependence (b == a): MI = H(a) = H(b) = H(joint).
+    df2 = pd.DataFrame({"a": ["x"] * 30 + ["y"] * 70,
+                        "b": ["x"] * 30 + ["y"] * 70})
+    out2 = mutual_information_report(rd.from_pandas(df2), "a", "b")
+    assert abs(float(out2["mutual_info"][0])
+               - float(out2["h_a"][0])) < 1e-12
+    assert abs(float(out2["h_joint"][0]) - float(out2["h_a"][0])) < 1e-12
+
+
+def test_hill_tail_index_hand_computed(ray_session):
+    import math
+
+    import ray.data as rd
+
+    from t_digest_ray.pipelines.stats import hill_tail_index
+
+    # cents 1600, 800, 400, 200, 100 with k=3:
+    # inv = (ln1600 + ln800 + ln400)/3 - ln200 = ln 2 exactly
+    # (geometric mean of top-3 is 800 = 4x the boundary... compute it).
+    df = pd.DataFrame({"k": ["t"] * 5,
+                       "value": [16.0, 8.0, 4.0, 2.0, 1.0]})
+    out = hill_tail_index(rd.from_pandas(df), "k", "value", k=3) \
+        .to_pandas()
+    assert int(out["n_pos"][0]) == 5
+    assert int(out["k_eff"][0]) == 3
+    assert int(out["x_boundary_cents"][0]) == 200
+    s = math.log(1600.0) + math.log(800.0) + math.log(400.0)
+    assert float(out["hill_inv_alpha"][0]) == s / 3.0 - math.log(200.0)
+
+
+def test_hill_tail_index_small_group_guard(ray_session):
+    import ray.data as rd
+
+    from t_digest_ray.pipelines.stats import hill_tail_index
+
+    # A single positive value: k_eff = 0, estimator defined as 0.
+    df = pd.DataFrame({"k": ["t", "t"], "value": [5.0, -1.0]})
+    out = hill_tail_index(rd.from_pandas(df), "k", "value", k=3) \
+        .to_pandas()
+    assert int(out["n_pos"][0]) == 1
+    assert int(out["k_eff"][0]) == 0
+    assert float(out["hill_inv_alpha"][0]) == 0.0
