@@ -1326,6 +1326,46 @@ def avl_quantiles_by_lang(sf_dir: str):
                                 num_salts=2, batch_size=8192)
 
 
+def gk_quantiles_by_lang(sf_dir: str):
+    """Per-lang Greenwald-Khanna summary quantiles (state/gk.py —
+    the deterministic comparison-based quantile sketch, GK SIGMOD'01),
+    VALUE-CHECKED: exact quantile_disc values hash-match SQL;
+    within_bound asserts the merged summary's estimates sit inside an
+    empirical rank interval of 1.5x the configured eps=0.01 (construction
+    stride <= eps, merge is rank-bracket-preserving, compress keeps
+    g+delta <= 2*eps*n; the 1.5x covers compress interactions across the
+    salted two-level merge tree — measured two-level worst case is
+    ~0.006, tests/test_gk.py)."""
+    from t_digest_ray.pipelines.quantiles import gk_spec
+    from t_digest_ray.pipelines.validation import quantile_bound_check
+
+    ds = _read(sf_dir, "documents", ["lang", "n_chars"])
+    return quantile_bound_check(ds, "n_chars", "lang", gk_spec(eps=0.01),
+                                qs=(0.25, 0.5, 0.75), rank_bound=0.015,
+                                num_salts=2, batch_size=8192)
+
+
+def qdigest_quantiles_by_lang(sf_dir: str):
+    """Per-lang q-digest quantiles (state/qdigest.py — Shrivastava et
+    al. SenSys'04, the canonical FULLY-mergeable quantile summary over a
+    bounded integer universe; merge = count addition + deterministic
+    compress, so it is the one quantile sketch whose merged state is
+    bit-reproducible under ANY Ray fold order). VALUE-CHECKED: exact
+    quantile_disc values hash-match SQL; within_bound asserts the merged
+    digest's estimates sit inside the published rank bound
+    eps = log2(U)/k = 16/2048 ~ 0.0078 (Agarwal et al. TODS'13 prove the
+    bound survives arbitrary merge trees unchanged)."""
+    from t_digest_ray.pipelines.quantiles import qdigest_spec
+    from t_digest_ray.pipelines.validation import quantile_bound_check
+
+    ds = _read(sf_dir, "documents", ["lang", "n_chars"])
+    spec = qdigest_spec(k=2048, log_universe=16)
+    return quantile_bound_check(ds, "n_chars", "lang", spec,
+                                qs=(0.25, 0.5, 0.75),
+                                rank_bound=16.0 / 2048.0,
+                                num_salts=2, batch_size=8192)
+
+
 def scale_function_quantile_gates(sf_dir: str):
     """All 11 scale functions (ScaleFunction.java, SURVEY §2.1 #8) graded
     in one query: one map_batches pass builds a t-digest per variant over
@@ -5687,6 +5727,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "float_histogram_events": float_histogram_events,
         "log_histogram_events": log_histogram_events,
         "avl_quantiles_by_lang": avl_quantiles_by_lang,
+        "gk_quantiles_by_lang": gk_quantiles_by_lang,
+        "qdigest_quantiles_by_lang": qdigest_quantiles_by_lang,
         "pagerank_event_types": pagerank_event_types,
         "hits_event_types": hits_event_types,
         "markov_prediction_accuracy": markov_prediction_accuracy,
@@ -7925,6 +7967,22 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY 1
         """,
         "avl_quantiles_by_lang": """
+            SELECT lang, COUNT(*) AS n,
+                   CAST(quantile_disc(n_chars, 0.25) AS DOUBLE) AS p25,
+                   CAST(quantile_disc(n_chars, 0.50) AS DOUBLE) AS p50,
+                   CAST(quantile_disc(n_chars, 0.75) AS DOUBLE) AS p75,
+                   TRUE AS within_bound
+            FROM documents GROUP BY lang
+        """,
+        "gk_quantiles_by_lang": """
+            SELECT lang, COUNT(*) AS n,
+                   CAST(quantile_disc(n_chars, 0.25) AS DOUBLE) AS p25,
+                   CAST(quantile_disc(n_chars, 0.50) AS DOUBLE) AS p50,
+                   CAST(quantile_disc(n_chars, 0.75) AS DOUBLE) AS p75,
+                   TRUE AS within_bound
+            FROM documents GROUP BY lang
+        """,
+        "qdigest_quantiles_by_lang": """
             SELECT lang, COUNT(*) AS n,
                    CAST(quantile_disc(n_chars, 0.25) AS DOUBLE) AS p25,
                    CAST(quantile_disc(n_chars, 0.50) AS DOUBLE) AS p50,

@@ -56,7 +56,8 @@ PIPELINES = ("quantiles", "kll", "req", "distinct", "heavy", "heavy_mg",
              "log_histogram", "dup_spans", "dup_span_drop",
              "dup_span_rewrite", "dsir", "nb_confusion", "pagerank",
              "hits", "markov_accuracy", "token_entropy", "zipf_slope",
-             "heaps_law", "markov_entropy", "mutual_info", "hill_tail")
+             "heaps_law", "markov_entropy", "mutual_info", "hill_tail",
+            "gk", "qdigest")
 
 
 @dataclass
@@ -155,6 +156,19 @@ def run_job(cfg: JobConfig):
     elif cfg.pipeline == "req":
         from .pipelines.quantiles import req_quantiles_by_key
         out = req_quantiles_by_key(ds, cfg.value_col, cfg.key, **p)
+    elif cfg.pipeline == "gk":
+        from .pipelines.quantiles import gk_spec
+        from .stages.aggregate import sketch_by_key, summarize
+        spec = gk_spec(eps=p.pop("eps", 0.01))
+        out = summarize(sketch_by_key(ds, spec, cfg.value_col, cfg.key, **p),
+                        spec, key_name=cfg.key or "key")
+    elif cfg.pipeline == "qdigest":
+        from .pipelines.quantiles import qdigest_spec
+        from .stages.aggregate import sketch_by_key, summarize
+        spec = qdigest_spec(k=p.pop("k", 2048),
+                            log_universe=p.pop("log_universe", 16))
+        out = summarize(sketch_by_key(ds, spec, cfg.value_col, cfg.key, **p),
+                        spec, key_name=cfg.key or "key")
     elif cfg.pipeline == "distinct":
         from .pipelines.distinct import distinct_by_key
         out = distinct_by_key(ds, cfg.value_col, cfg.key, **p)

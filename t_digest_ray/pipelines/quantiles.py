@@ -89,6 +89,45 @@ def req_spec(k: int = 12, hra: bool = True, qs=DEFAULT_QS) -> SketchSpec:
     )
 
 
+def gk_spec(eps: float = 0.01, qs=DEFAULT_QS) -> SketchSpec:
+    """SketchSpec for the Greenwald-Khanna summary (state/gk.py) — the
+    deterministic comparison-based member of the quantile family."""
+    from ..state.gk import GKSummary
+
+    def summ(sk: GKSummary) -> dict:
+        out = {q_col(q): sk.quantile(q) for q in qs}
+        out["min"] = sk.quantile(0.0)
+        out["max"] = sk.quantile(1.0)
+        return out
+
+    return SketchSpec(
+        name="gk",
+        factory=lambda: GKSummary(eps),
+        from_bytes=GKSummary.from_bytes,
+        summarize=summ,
+    )
+
+
+def qdigest_spec(k: int = 2048, log_universe: int = 16,
+                 qs=DEFAULT_QS) -> SketchSpec:
+    """SketchSpec for the q-digest (state/qdigest.py) — the fully
+    mergeable bounded-integer-universe member of the quantile family."""
+    from ..state.qdigest import QDigest
+
+    def summ(sk: QDigest) -> dict:
+        out = {q_col(q): sk.quantile(q) for q in qs}
+        out["min"] = sk.min if sk.n else float("nan")
+        out["max"] = sk.max if sk.n else float("nan")
+        return out
+
+    return SketchSpec(
+        name="qdigest",
+        factory=lambda: QDigest(k, log_universe),
+        from_bytes=QDigest.from_bytes,
+        summarize=summ,
+    )
+
+
 def req_quantiles_by_key(ds, value_col: str, key: str | None = None,
                          k: int = 12, hra: bool = True, qs=DEFAULT_QS,
                          num_salts: int = 8, batch_size: int | None = None,

@@ -653,3 +653,16 @@ def test_config_analytics_routes_wave5(ray_session):
                                     "max_value": 1000.0,
                                     "param": 0.1})).to_pandas()
     assert out["cnt"].sum() > 0 and (out["bin"] <= 144).all()
+
+
+def test_config_gk_and_qdigest_routes(ray_session):
+    """Round-5 routes: the GK summary and q-digest sketches run through
+    the generic sketch_by_key topology via config."""
+    for pipeline, extra in (("gk", {"eps": 0.02}),
+                            ("qdigest", {"k": 1024, "log_universe": 16})):
+        cfg = JobConfig(pipeline=pipeline, input="synthetic:3000",
+                        value_col="text_length", key="lang",
+                        params={"num_salts": 2, **extra})
+        out = run_job(cfg).to_pandas()
+        assert len(out) >= 1 and "q50" in out.columns
+        assert (out["q50"] > 0).all()
