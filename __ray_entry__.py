@@ -4546,6 +4546,20 @@ def kmv_user_overlap(sf_dir: str):
                                    "click", "view", k=2048)
 
 
+def kmv_user_difference(sf_dir: str):
+    """Theta-style A-not-B (the DataSketches AnotB operation): distinct
+    users who CLICK but never VIEW, estimated from the KMV bottom-k union
+    threshold (state/kmv.difference_estimate) and gated against the exact
+    presence-fold count (pipelines/validation.kmv_difference_bound_check)
+    — completes the KMV set-algebra trio (Jaccard / intersect /
+    difference). Exact columns hash-match SQL."""
+    from t_digest_ray.pipelines.validation import kmv_difference_bound_check
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+    return kmv_difference_bound_check(ds, "user_id", "event_type",
+                                      "click", "view", k=2048)
+
+
 def cube_doc_stats(sf_dir: str):
     """GROUP BY CUBE over (lang, source) on documents
     (pipelines/relational.cube_stats): all four grouping sets derived
@@ -5729,6 +5743,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "avl_quantiles_by_lang": avl_quantiles_by_lang,
         "gk_quantiles_by_lang": gk_quantiles_by_lang,
         "qdigest_quantiles_by_lang": qdigest_quantiles_by_lang,
+        "kmv_user_difference": kmv_user_difference,
         "pagerank_event_types": pagerank_event_types,
         "hits_event_types": hits_event_types,
         "markov_prediction_accuracy": markov_prediction_accuracy,
@@ -6791,6 +6806,18 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT COUNT(*) FROM b) AS n_b,
                    (SELECT COUNT(*) FROM a JOIN b USING (user_id))
                        AS n_intersect,
+                   TRUE AS within_bound
+        """,
+        "kmv_user_difference": """
+            WITH a AS (SELECT DISTINCT user_id FROM events
+                       WHERE event_type = 'click'),
+            b AS (SELECT DISTINCT user_id FROM events
+                  WHERE event_type = 'view')
+            SELECT (SELECT COUNT(*) FROM a) AS n_a,
+                   (SELECT COUNT(*) FROM b) AS n_b,
+                   (SELECT COUNT(*) FROM a
+                    WHERE user_id NOT IN (SELECT user_id FROM b))
+                       AS n_a_not_b,
                    TRUE AS within_bound
         """,
         "line_dedup_doc_stats": """

@@ -593,6 +593,74 @@ def kmv_overlap_bound_check(ds, value_col: str, key: str,
         "n_intersect": [np.int64(n_i)], "within_bound": [bool(ok)]})
 
 
+def kmv_difference_bound_check(ds, value_col: str, key: str,
+                               key_a, key_b, k: int = 2048,
+                               sigma: float = 4.0, num_salts: int = 2):
+    """Theta-style A-not-B set difference between two key groups' value
+    sets (state/kmv.KmvSketch.difference_estimate), gated against the
+    EXACT counts: one row ``(n_a, n_b, n_a_not_b, within_bound)`` whose
+    exact columns hash-match SQL. Gate: each distinct item of A\\B below
+    the union threshold is a Bernoulli(theta~(k-1)/U) sample, so the
+    estimator's sd is <= sqrt(D * U / (k-1)); within_bound allows
+    sigma of that plus a small absolute floor. Reuses
+    kmv_overlap_bound_check's exact presence fold."""
+    import pyarrow.compute as pc
+
+    from ..state.kmv import KmvSketch
+    from ..state.protocol import SketchSpec
+
+    both = ds.map_batches(
+        lambda b: b.filter(pc.is_in(b[key],
+                                    pa.array([key_a, key_b]))),
+        batch_format="pyarrow")
+    spec = SketchSpec(name="kmv", factory=lambda: KmvSketch(k),
+                      from_bytes=KmvSketch.from_bytes)
+    merged = sketch_by_key(both, spec, value_col, key,
+                           num_salts=num_salts).to_pandas()
+    sks = {r["key"]: KmvSketch.from_bytes(r["sketch"])
+           for _, r in merged.iterrows()}
+
+    from ray.data.aggregate import Max
+
+    def presence(b: pa.Table) -> pa.Table:
+        import pandas as pd2
+        kv = b[key].to_numpy(zero_copy_only=False)
+        df = pd2.DataFrame({
+            "v": b[value_col].to_numpy(zero_copy_only=False),
+            "in_a": (kv == key_a).astype(np.int64),
+            "in_b": (kv == key_b).astype(np.int64)})
+        g = df.groupby("v", as_index=False, sort=False).max()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    pres = (both.map_batches(presence, batch_format="pyarrow")
+            .groupby("v").aggregate(Max("in_a", alias_name="a"),
+                                    Max("in_b", alias_name="b")))
+
+    def diff_partial(b: pa.Table) -> pa.Table:
+        a = b["a"].to_numpy(zero_copy_only=False)
+        bb = b["b"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "n_a": pa.array([int(a.sum())], type=pa.int64()),
+            "n_b": pa.array([int(bb.sum())], type=pa.int64()),
+            "n_d": pa.array([int((a & (1 - bb)).sum())],
+                            type=pa.int64())})
+
+    tot = pres.map_batches(diff_partial,
+                           batch_format="pyarrow").to_pandas().sum()
+    n_a, n_b, n_d = int(tot["n_a"]), int(tot["n_b"]), int(tot["n_d"])
+    n_u = n_a + n_b - (n_a - n_d)  # |A∪B| = |B| + |A\B|
+
+    ok = key_a in sks and key_b in sks
+    if ok:
+        est = sks[key_a].difference_estimate(sks[key_b])
+        bound = sigma * math.sqrt(max(n_d, 1.0) * max(n_u, 1.0)
+                                  / (k - 1)) + 3.0
+        ok = abs(est - n_d) <= bound
+    return pd.DataFrame({
+        "n_a": [np.int64(n_a)], "n_b": [np.int64(n_b)],
+        "n_a_not_b": [np.int64(n_d)], "within_bound": [bool(ok)]})
+
+
 def pmf_bound_check(ds, value_col: str, key: str, split_points,
                     k: int = 200, num_salts: int = 2,
                     batch_size: int | None = None):

@@ -83,6 +83,26 @@ class KmvSketch:
                                            other.mins]))[:u.k]
         return self.jaccard(other) * u.distinct_estimate()
 
+    def difference_estimate(self, other: "KmvSketch") -> float:
+        """Theta-style A-not-B: |A \\ B| (the DataSketches ``AnotB``
+        operation). The union's k-th smallest hash is the sampling
+        threshold theta; every distinct item of A∪B below theta is an
+        independent inclusion-prob-theta sample, so
+        ``#(in A, not in B, below theta) / theta`` is unbiased. Uses the
+        k-1 strictly-below-threshold elements with ``theta = v_k`` so the
+        three cells (A∩B, A\\B, B\\A) sum exactly to the union's
+        ``(k-1)/v_k`` estimate. Exact when neither sketch is saturated."""
+        k = min(self.k, other.k)
+        union = np.unique(np.concatenate([self.mins, other.mins]))
+        if len(union) < k:  # exhaustive sample -> exact
+            only = np.isin(self.mins, other.mins, invert=True)
+            return float(only.sum())
+        theta = (float(union[k - 1]) + 1.0) / _SCALE
+        head = union[:k - 1]
+        cnt = int((np.isin(head, self.mins)
+                   & np.isin(head, other.mins, invert=True)).sum())
+        return cnt / theta
+
     # ------------------------------------------------------------- serde
 
     def to_bytes(self) -> bytes:

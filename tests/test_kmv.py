@@ -94,3 +94,37 @@ def test_config_route_kmv_distinct(ray_session):
     # 200 users at sf0.001: below k, the sketch is exact
     assert out["is_exact"].all()
     assert (out["distinct_estimate"] <= 200).all()
+
+
+def test_difference_estimate_exact_below_saturation():
+    from t_digest_ray.state.kmv import KmvSketch
+    a = KmvSketch(k=1024)
+    b = KmvSketch(k=1024)
+    a.update_batch(np.arange(0, 500))
+    b.update_batch(np.arange(300, 700))
+    # both unsaturated -> theta A-not-B is exact
+    assert a.difference_estimate(b) == 300.0
+    assert b.difference_estimate(a) == 200.0
+
+
+def test_difference_estimate_within_rse_saturated():
+    from t_digest_ray.state.kmv import KmvSketch
+    k = 2048
+    a = KmvSketch(k=k)
+    b = KmvSketch(k=k)
+    a.update_batch(np.arange(0, 60_000))
+    b.update_batch(np.arange(40_000, 100_000))
+    true_d = 40_000
+    n_u = 100_000
+    est = a.difference_estimate(b)
+    bound = 5 * np.sqrt(true_d * n_u / (k - 1))
+    assert abs(est - true_d) <= bound
+    # the three theta cells sum to the union estimate
+    i_est = a.intersection_estimate(b)
+    d_ab = a.difference_estimate(b)
+    d_ba = b.difference_estimate(a)
+    u = KmvSketch(k=k)
+    u.update_batch(np.arange(0, 100_000))
+    # cells computed off the shared union threshold are mutually consistent
+    assert abs((d_ab + d_ba + i_est) - (a.merge(b).distinct_estimate())) \
+        <= 0.05 * n_u
