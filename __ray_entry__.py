@@ -4560,6 +4560,19 @@ def kmv_user_difference(sf_dir: str):
                                       "click", "view", k=2048)
 
 
+def embedding_diversity_by_label(sf_dir: str):
+    """Per-label mean pairwise cosine similarity of embeddings — the
+    SemDeDup-style slice-redundancy signal — via the sum-vector identity
+    (pipelines/clustering.embedding_diversity): no pair ever
+    materializes, O(rows*dim) work, KB exchange. VALUE-CHECKED
+    bit-exactly: GRID-quantized integer moments, Python-bignum fold, one
+    final double division — reproduced in a HUGEINT DuckDB oracle."""
+    from t_digest_ray.pipelines.clustering import embedding_diversity
+
+    ds = _read(sf_dir, "embeddings", ["label", "embedding"])
+    return embedding_diversity(ds, "embedding", "label", dim=64)
+
+
 def cube_doc_stats(sf_dir: str):
     """GROUP BY CUBE over (lang, source) on documents
     (pipelines/relational.cube_stats): all four grouping sets derived
@@ -5744,6 +5757,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gk_quantiles_by_lang": gk_quantiles_by_lang,
         "qdigest_quantiles_by_lang": qdigest_quantiles_by_lang,
         "kmv_user_difference": kmv_user_difference,
+        "embedding_diversity_by_label": embedding_diversity_by_label,
         "pagerank_event_types": pagerank_event_types,
         "hits_event_types": hits_event_types,
         "markov_prediction_accuracy": markov_prediction_accuracy,
@@ -6807,6 +6821,31 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT COUNT(*) FROM a JOIN b USING (user_id))
                        AS n_intersect,
                    TRUE AS within_bound
+        """,
+        "embedding_diversity_by_label": """
+            WITH pts AS (
+                SELECT label, vec_id, i - 1 AS dim,
+                       CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000
+                                  + 0.5) AS BIGINT) AS q
+                FROM embeddings, generate_series(1, 64) AS t(i)
+            ),
+            per_dim AS (
+                SELECT label, dim, SUM(q) AS s, SUM(q * q) AS t2,
+                       COUNT(DISTINCT vec_id) AS cnt
+                FROM pts GROUP BY label, dim
+            ),
+            agg AS (
+                SELECT label, CAST(MAX(cnt) AS BIGINT) AS n,
+                       SUM(s * s) AS ss, SUM(t2) AS tt
+                FROM per_dim GROUP BY label
+            )
+            SELECT CAST(label AS BIGINT) AS label, n AS n_vecs,
+                   CASE WHEN n < 2 THEN 0.0
+                        ELSE CAST(ss - tt AS DOUBLE)
+                             / CAST(CAST(n AS HUGEINT) * (n - 1)
+                                    * 1000000000000 AS DOUBLE)
+                   END AS avg_pairwise_cos
+            FROM agg
         """,
         "kmv_user_difference": """
             WITH a AS (SELECT DISTINCT user_id FROM events

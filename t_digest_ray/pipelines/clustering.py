@@ -400,3 +400,73 @@ def embedding_norm_stats(ds, vec_col: str,
     return (ds.map_batches(norms, batch_format="pyarrow")
             .map_batches(add_g, batch_format="pyarrow")
             .groupby("g").map_groups(fold, batch_format="pandas"))
+
+
+def embedding_diversity(ds, embedding_col: str, key: str, dim: int,
+                        batch_size: int = 1024):
+    """Per-key semantic diversity: the MEAN PAIRWISE COSINE similarity of
+    the key's embeddings, computed without materializing any pair via the
+    sum-vector identity  sum_{i!=j} <e_i, e_j> = ||S||^2 - sum_i ||e_i||^2
+    with S = sum_i e_i  — the SemDeDup-style "how redundant is this
+    slice" signal, O(rows * dim) total work and a KB-sized exchange.
+
+    Exactness contract (same discipline as kmeans_fit_predict above):
+    embeddings are quantized to the GRID integer lattice, every moment
+    (per-dim sum vector, sum of squared norms) is an exact integer —
+    per-batch partials in int64 (safe: |q| <= GRID, so a 1024-row batch's
+    q^2 sum is < 1024 * 64 * 1e12 << 2^63), driver fold in Python bignum
+    — and the final double is ONE division of two exactly-represented
+    integers (float(num) / float(den)), bit-identical to the
+    CAST(h AS DOUBLE) / CAST(h AS DOUBLE) HUGEINT oracle.
+
+    Output: one row per key ``(key, n_vecs, avg_pairwise_cos)``;
+    avg_pairwise_cos = 0.0 for singleton keys by convention.
+    """
+
+    def partial(b: pa.Table) -> pa.Table:
+        kv = b[key].to_numpy(zero_copy_only=False)
+        emb = b[embedding_col]
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        if hasattr(emb, "values"):           # plain list<float> (parquet)
+            flat = np.asarray(emb.values.to_numpy(zero_copy_only=False),
+                              dtype=np.float64)
+        else:                                # Ray tensor extension array
+            flat = np.asarray(emb.to_numpy(zero_copy_only=False),
+                              dtype=np.float64)
+        q = np.floor(flat * GRID + 0.5).astype(np.int64).reshape(-1, dim)
+        order = np.argsort(kv, kind="stable")
+        ks, starts = np.unique(kv[order], return_index=True)
+        bounds = np.append(starts, len(kv))
+        out_k, out_n, out_s, out_t = [], [], [], []
+        for i, kval in enumerate(ks):
+            idx = order[starts[i]:bounds[i + 1]]
+            qi = q[idx]
+            out_k.append(kval)
+            out_n.append(len(idx))
+            out_s.append(qi.sum(axis=0).tobytes())      # per-dim int64 sums
+            out_t.append(int(np.einsum("nd,nd->", qi, qi)))
+        return pa.table({
+            key: pa.array(out_k),
+            "n": pa.array(np.asarray(out_n, dtype=np.int64)),
+            "svec": pa.array(out_s, type=pa.binary()),
+            "t2": pa.array(np.asarray(out_t, dtype=np.int64)),
+        })
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=batch_size).to_pandas()
+    rows = []
+    for kval, g in parts.groupby(key, sort=True):
+        n = int(g["n"].sum())
+        svec = [0] * dim
+        for blob in g["svec"]:
+            sv = np.frombuffer(blob, dtype=np.int64)
+            for d in range(dim):
+                svec[d] += int(sv[d])          # Python bignum, exact
+        t2 = sum(int(v) for v in g["t2"])
+        pair_num = sum(s * s for s in svec) - t2
+        den = n * (n - 1) * GRID * GRID
+        avg = float(pair_num) / float(den) if n > 1 else 0.0
+        rows.append({key: kval, "n_vecs": np.int64(n),
+                     "avg_pairwise_cos": avg})
+    return pd.DataFrame(rows)

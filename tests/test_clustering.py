@@ -145,3 +145,51 @@ def test_kmeans_spill_path_identical(ray_session, tmp_path):
     assert d1.equals(d2)
     import os
     assert os.listdir(tmp_path / "kmeans_spill")  # spill actually used
+
+
+def test_embedding_diversity_exact_small_case(ray_session):
+    """Hand-checkable 3-vector case: identical vectors give avg cos 1.0
+    (up to grid quantization), orthogonal give 0; singleton key -> 0.0."""
+    import pandas as pd
+    import ray
+
+    from t_digest_ray.pipelines.clustering import embedding_diversity
+
+    dim = 4
+    e1 = [1.0, 0.0, 0.0, 0.0]
+    e2 = [0.0, 1.0, 0.0, 0.0]
+    df = pd.DataFrame({
+        "label": [0, 0, 1, 1, 2],
+        "embedding": [e1, e1, e1, e2, e1],
+    })
+    ds = ray.data.from_pandas(df)
+    out = embedding_diversity(ds, "embedding", "label", dim=dim)
+    out = out.set_index("label")
+    assert out.loc[0, "avg_pairwise_cos"] == 1.0   # identical pair
+    assert out.loc[1, "avg_pairwise_cos"] == 0.0   # orthogonal pair
+    assert out.loc[2, "avg_pairwise_cos"] == 0.0   # singleton convention
+    assert out.loc[0, "n_vecs"] == 2
+
+
+def test_embedding_diversity_batch_split_invariant(ray_session, rng):
+    """The exact-integer contract: any batch split yields the identical
+    doubles (partials are exact, fold is bignum)."""
+    import pandas as pd
+    import ray
+
+    from t_digest_ray.pipelines.clustering import embedding_diversity
+
+    n, dim = 300, 8
+    emb = rng.normal(size=(n, dim))
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    df = pd.DataFrame({"label": rng.integers(0, 5, n),
+                       "embedding": list(emb)})
+    ds = ray.data.from_pandas(df)
+    a = embedding_diversity(ds, "embedding", "label", dim=dim,
+                            batch_size=17).sort_values("label")
+    b = embedding_diversity(ds, "embedding", "label", dim=dim,
+                            batch_size=300).sort_values("label")
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))
+    # sanity: unit vectors -> avg pairwise cos in [-1, 1]
+    assert a["avg_pairwise_cos"].between(-1.0, 1.0).all()
