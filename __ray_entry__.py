@@ -4988,6 +4988,19 @@ def mode_event_values(sf_dir: str):
     return grouped_mode(ds, "event_type", "value")
 
 
+def shape_moments_by_lang(sf_dir: str):
+    """Per-lang skewness + excess kurtosis of document length from
+    exact integer power sums S1..S4 (pipelines/stats.
+    grouped_shape_moments): int64-limb partials on a KB exchange,
+    bignum driver fold, the n-powers cancel so g1 = M3/M2^1.5 and
+    g2 = M4/M2^2 - 3 are each ONE fixed-order IEEE expression —
+    bit-identical to the HUGEINT DuckDB oracle."""
+    from t_digest_ray.pipelines.stats import grouped_shape_moments
+
+    ds = _read(sf_dir, "documents", ["lang", "n_chars"])
+    return grouped_shape_moments(ds, "lang", "n_chars")
+
+
 def pearson_chars_tokens_by_lang(sf_dir: str):
     """Per-lang Pearson correlation of n_chars vs whitespace-token
     count from exact integer moments (pipelines/stats.grouped_pearson):
@@ -5775,6 +5788,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "benford_event_values": benford_event_values,
         "winsorized_mean_event_values": winsorized_mean_event_values,
         "pearson_chars_tokens_by_lang": pearson_chars_tokens_by_lang,
+        "shape_moments_by_lang": shape_moments_by_lang,
         "spearman_chars_tokens_by_lang": spearman_chars_tokens_by_lang,
         "kendall_chars_tokens_docs": kendall_chars_tokens_docs,
         "welch_t_click_vs_view": welch_t_click_vs_view,
@@ -8488,6 +8502,38 @@ def oracle_sql() -> dict[str, str]:
                    CAST(cnt AS BIGINT) AS mode_count,
                    CAST(nd AS BIGINT) AS n_distinct
             FROM r WHERE rn = 1
+        """,
+        "shape_moments_by_lang": """
+            WITH s AS (
+                SELECT lang, CAST(COUNT(*) AS HUGEINT) AS n,
+                       SUM(CAST(n_chars AS HUGEINT)) AS s1,
+                       SUM(CAST(n_chars AS HUGEINT) * n_chars) AS s2,
+                       SUM(CAST(n_chars AS HUGEINT) * n_chars
+                           * n_chars) AS s3,
+                       SUM(CAST(n_chars AS HUGEINT) * n_chars
+                           * n_chars * n_chars) AS s4
+                FROM documents GROUP BY lang
+            ),
+            c AS (
+                SELECT lang, n,
+                       n * s2 - s1 * s1 AS m2,
+                       n * n * s3 - 3 * n * s1 * s2
+                           + 2 * s1 * s1 * s1 AS m3,
+                       n * n * n * s4 - 4 * n * n * s1 * s3
+                           + 6 * n * s1 * s1 * s2
+                           - 3 * s1 * s1 * s1 * s1 AS m4
+                FROM s
+            )
+            SELECT lang, CAST(n AS BIGINT) AS n_rows,
+                   CASE WHEN m2 > 0 THEN
+                       CAST(m3 AS DOUBLE)
+                       / (SQRT(CAST(m2 AS DOUBLE)) * CAST(m2 AS DOUBLE))
+                   ELSE 0.0 END AS skewness,
+                   CASE WHEN m2 > 0 THEN
+                       CAST(m4 AS DOUBLE)
+                       / (CAST(m2 AS DOUBLE) * CAST(m2 AS DOUBLE)) - 3.0
+                   ELSE 0.0 END AS excess_kurtosis
+            FROM c
         """,
         "pearson_chars_tokens_by_lang": r"""
             WITH t AS (SELECT lang, n_chars,

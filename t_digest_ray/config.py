@@ -57,7 +57,7 @@ PIPELINES = ("quantiles", "kll", "req", "distinct", "heavy", "heavy_mg",
              "dup_span_rewrite", "dsir", "nb_confusion", "pagerank",
              "hits", "markov_accuracy", "token_entropy", "zipf_slope",
              "heaps_law", "markov_entropy", "mutual_info", "hill_tail",
-            "gk", "qdigest")
+            "gk", "qdigest", "shape_moments", "embedding_diversity")
 
 
 @dataclass
@@ -169,6 +169,13 @@ def run_job(cfg: JobConfig):
                             log_universe=p.pop("log_universe", 16))
         out = summarize(sketch_by_key(ds, spec, cfg.value_col, cfg.key, **p),
                         spec, key_name=cfg.key or "key")
+    elif cfg.pipeline == "shape_moments":
+        from .pipelines.stats import grouped_shape_moments
+        out = grouped_shape_moments(ds, cfg.key, cfg.value_col)
+    elif cfg.pipeline == "embedding_diversity":
+        from .pipelines.clustering import embedding_diversity
+        out = embedding_diversity(ds, cfg.value_col, cfg.key,
+                                  dim=p.pop("dim", 64), **p)
     elif cfg.pipeline == "distinct":
         from .pipelines.distinct import distinct_by_key
         out = distinct_by_key(ds, cfg.value_col, cfg.key, **p)

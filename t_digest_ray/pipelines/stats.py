@@ -1434,3 +1434,98 @@ def hill_tail_index(ds, key: str, value: str, k: int = 100):
 
     return (ds.map_batches(partial, batch_format="pyarrow")
             .groupby(key).map_groups(fold, batch_format="pandas"))
+
+
+def grouped_shape_moments(ds, key: str, value: str):
+    """Per-key skewness and excess kurtosis of an INTEGER column from
+    exact integer power sums (n, S1..S4) — the shape-statistics sibling
+    of grouped_pearson above, same topology: one vectorized per-batch
+    partial, KB-sized exchange, driver-side bignum fold.
+
+    With the exact integer central-moment combinations
+
+        M2 = n*S2 - S1^2                      (n^2 * m2)
+        M3 = n^2*S3 - 3n*S1*S2 + 2*S1^3       (n^3 * m3)
+        M4 = n^3*S4 - 4n^2*S1*S3
+             + 6n*S1^2*S2 - 3*S1^4            (n^4 * m4)
+
+    the n-powers cancel in the population shape ratios:
+
+        skewness        g1 = M3 / M2^(3/2)
+        excess kurtosis g2 = M4 / M2^2 - 3
+
+    Fixed IEEE order — round each exact int to double, M2^(3/2) as
+    sqrt(m2d)*m2d, one divide — bit-identical to the HUGEINT SQL oracle
+    computing the same expression (oracle HUGEINT headroom: requires
+    n^3*S4 < 2^127, true for |v| <= 10^5 up to ~10^8 rows/key; the Ray
+    side is bignum-exact at any scale). Keys with M2 = 0 (constant or
+    n < 2) report 0.0 by convention.
+
+    Output: one row per key ``(key, n_rows, skewness, excess_kurtosis)``.
+    """
+    import math
+
+    _LIMB = 1 << 62
+    _MOMS = ("s2", "s3", "s4")
+
+    def _split(col):
+        hi = [int(v) // _LIMB for v in col]
+        lo = [int(v) % _LIMB for v in col]
+        return (np.array(hi, dtype=np.int64),
+                np.array(lo, dtype=np.int64))
+
+    def partial(b: pa.Table) -> pa.Table:
+        v = b[value].to_numpy(zero_copy_only=False).astype(np.int64)
+        av = int(np.abs(v).max()) if len(v) else 0
+        n_b = max(len(v), 1)
+        safe = av ** 4 * n_b < _LIMB
+        df = pd.DataFrame({key: b[key].to_numpy(zero_copy_only=False)})
+        df["n"] = np.int64(1)
+        df["s1"] = v
+        if safe:
+            df["s2"] = v * v
+            df["s3"] = v * v * v
+            df["s4"] = (v * v) * (v * v)
+        else:
+            vo = v.astype(object)
+            df["s2"] = vo * vo
+            df["s3"] = vo * vo * vo
+            df["s4"] = (vo * vo) * (vo * vo)
+        g = df.groupby(key, as_index=False, sort=False).sum()
+        out = {key: g[key].to_numpy(),
+               "n": g["n"].to_numpy(dtype=np.int64),
+               "s1": g["s1"].to_numpy(dtype=np.int64)}
+        for m in _MOMS:
+            hi, lo = _split(g[m])
+            out[f"{m}_hi"] = hi
+            out[f"{m}_lo"] = lo
+        return pa.table(out)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+
+    rows = []
+    for k, g in parts.groupby(key, sort=True):
+        n = int(g["n"].sum())
+        s1 = sum(int(v) for v in g["s1"])
+
+        def bigsum(m, g=g):
+            return (sum(int(v) for v in g[f"{m}_hi"]) * _LIMB
+                    + sum(int(v) for v in g[f"{m}_lo"]))
+
+        s2 = bigsum("s2")
+        s3 = bigsum("s3")
+        s4 = bigsum("s4")
+        m2 = n * s2 - s1 * s1
+        m3 = n * n * s3 - 3 * n * s1 * s2 + 2 * s1 ** 3
+        m4 = (n ** 3 * s4 - 4 * n * n * s1 * s3
+              + 6 * n * s1 * s1 * s2 - 3 * s1 ** 4)
+        if m2 > 0:
+            m2d = float(m2)
+            skew = float(m3) / (math.sqrt(m2d) * m2d)
+            kurt = float(m4) / (m2d * m2d) - 3.0
+        else:
+            skew = 0.0
+            kurt = 0.0
+        rows.append({key: k, "n_rows": np.int64(n),
+                     "skewness": skew, "excess_kurtosis": kurt})
+    return pd.DataFrame(rows)

@@ -1318,3 +1318,47 @@ def test_welch_degenerate_groups(ray_session):
     assert out["n_a"] == 1 and out["n_b"] == 3
     assert out["t_stat"] == 0.0
     assert out["mean_a_cents"] == 125.0
+
+
+def test_grouped_shape_moments_matches_numpy(ray_session, rng):
+    import ray
+    from t_digest_ray.pipelines.stats import grouped_shape_moments
+
+    n = 500
+    df = pd.DataFrame({
+        "k": rng.choice(["a", "b"], n),
+        "v": rng.integers(0, 50_000, n),  # large enough to force limbs
+    })
+    out = (grouped_shape_moments(ray.data.from_pandas(df).repartition(5),
+                                 "k", "v").set_index("k"))
+    for k, g in df.groupby("k"):
+        x = g["v"].to_numpy(dtype=np.float64)
+        m = x.mean()
+        m2 = ((x - m) ** 2).mean()
+        want_skew = ((x - m) ** 3).mean() / m2 ** 1.5
+        want_kurt = ((x - m) ** 4).mean() / m2 ** 2 - 3.0
+        assert out.loc[k, "n_rows"] == len(g)
+        assert abs(out.loc[k, "skewness"] - want_skew) < 1e-9
+        assert abs(out.loc[k, "excess_kurtosis"] - want_kurt) < 1e-9
+
+
+def test_grouped_shape_moments_split_invariant_and_edge(ray_session, rng):
+    """Any repartition yields bit-identical doubles (exact integer
+    partials, bignum fold); constant and singleton keys report 0.0."""
+    import ray
+    from t_digest_ray.pipelines.stats import grouped_shape_moments
+
+    df = pd.DataFrame({
+        "k": ["c"] * 10 + ["s"] + list(rng.choice(["a", "b"], 300)),
+        "v": [7] * 10 + [3] + list(rng.integers(0, 60_000, 300)),
+    })
+    a = grouped_shape_moments(ray.data.from_pandas(df).repartition(1),
+                              "k", "v").sort_values("k")
+    b = grouped_shape_moments(ray.data.from_pandas(df).repartition(13),
+                              "k", "v").sort_values("k")
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))
+    a = a.set_index("k")
+    assert a.loc["c", "skewness"] == 0.0          # constant key
+    assert a.loc["c", "excess_kurtosis"] == 0.0
+    assert a.loc["s", "skewness"] == 0.0          # singleton key

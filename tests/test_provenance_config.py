@@ -666,3 +666,31 @@ def test_config_gk_and_qdigest_routes(ray_session):
         out = run_job(cfg).to_pandas()
         assert len(out) >= 1 and "q50" in out.columns
         assert (out["q50"] > 0).all()
+
+
+def test_config_shape_and_diversity_routes(ray_session, tmp_path):
+    """Round-5 routes: shape_moments over the synthetic generator and
+    embedding_diversity over a tiny parquet of labeled embeddings."""
+    cfg = JobConfig(pipeline="shape_moments", input="synthetic:2000",
+                    value_col="text_length", key="lang")
+    out = run_job(cfg)
+    out = out if hasattr(out, "columns") else out.to_pandas()
+    assert {"skewness", "excess_kurtosis", "n_rows"} <= set(out.columns)
+    assert len(out) >= 1
+
+    import pandas as pd
+    import numpy as np
+    emb = pd.DataFrame({
+        "label": [0, 0, 1],
+        "embedding": [[1.0, 0.0], [1.0, 0.0], [0.0, 1.0]],
+    })
+    p = tmp_path / "emb.parquet"
+    emb.to_parquet(p)
+    cfg = JobConfig(pipeline="embedding_diversity", input=str(p),
+                    value_col="embedding", key="label",
+                    params={"dim": 2})
+    out = run_job(cfg)
+    out = out if hasattr(out, "columns") else out.to_pandas()
+    out = out.set_index("label")
+    assert out.loc[0, "avg_pairwise_cos"] == 1.0
+    assert out.loc[1, "avg_pairwise_cos"] == 0.0
