@@ -4988,6 +4988,19 @@ def mode_event_values(sf_dir: str):
     return grouped_mode(ds, "event_type", "value")
 
 
+def mom_mean_event_values(sf_dir: str):
+    """Per-type MEDIAN-OF-MEANS robust mean of event value
+    (pipelines/stats.median_of_means): splitmix64(event_id) % 16
+    bucketing, exact integer cents sums per bucket, ONE double divide
+    per bucket, quantile_disc-convention median over bucket means.
+    VALUE-CHECKED bit-exactly against the UHUGEINT-mixer oracle."""
+    from t_digest_ray.pipelines.stats import median_of_means
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+    return median_of_means(ds, "event_id", "event_type", "value",
+                           n_buckets=16)
+
+
 def shape_moments_by_lang(sf_dir: str):
     """Per-lang skewness + excess kurtosis of document length from
     exact integer power sums S1..S4 (pipelines/stats.
@@ -5789,6 +5802,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winsorized_mean_event_values": winsorized_mean_event_values,
         "pearson_chars_tokens_by_lang": pearson_chars_tokens_by_lang,
         "shape_moments_by_lang": shape_moments_by_lang,
+        "mom_mean_event_values": mom_mean_event_values,
         "spearman_chars_tokens_by_lang": spearman_chars_tokens_by_lang,
         "kendall_chars_tokens_docs": kendall_chars_tokens_docs,
         "welch_t_click_vs_view": welch_t_click_vs_view,
@@ -8502,6 +8516,37 @@ def oracle_sql() -> dict[str, str]:
                    CAST(cnt AS BIGINT) AS mode_count,
                    CAST(nd AS BIGINT) AS n_distinct
             FROM r WHERE rn = 1
+        """,
+        "mom_mean_event_values": f"""
+            WITH m0 AS (SELECT event_type, value,
+                               (CAST(event_id AS UHUGEINT)
+                                + CAST(11400714819323198485 AS UHUGEINT))
+                               % {_M64} AS z
+                        FROM events),
+            m1 AS (SELECT *, (xor(z, z >> 30)
+                              * CAST(13787848793156543929 AS UHUGEINT))
+                              % {_M64} AS z1 FROM m0),
+            m2 AS (SELECT *, (xor(z1, z1 >> 27)
+                              * CAST(10723151780598845931 AS UHUGEINT))
+                              % {_M64} AS z2 FROM m1),
+            mh AS (SELECT event_type, value,
+                          xor(z2, z2 >> 31) AS h FROM m2),
+            b AS (SELECT event_type,
+                         CAST(h % 16 AS BIGINT) AS bucket,
+                         CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+                             AS cents
+                  FROM mh),
+            g AS (SELECT event_type, bucket, COUNT(*) AS n,
+                         SUM(cents) AS s
+                  FROM b GROUP BY 1, 2),
+            means AS (SELECT event_type, n,
+                             CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+                                 AS bmean
+                      FROM g)
+            SELECT event_type, CAST(SUM(n) AS BIGINT) AS n_rows,
+                   CAST(COUNT(*) AS BIGINT) AS n_buckets_used,
+                   quantile_disc(bmean, 0.5) AS mom_mean
+            FROM means GROUP BY 1
         """,
         "shape_moments_by_lang": """
             WITH s AS (

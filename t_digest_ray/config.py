@@ -57,7 +57,8 @@ PIPELINES = ("quantiles", "kll", "req", "distinct", "heavy", "heavy_mg",
              "dup_span_rewrite", "dsir", "nb_confusion", "pagerank",
              "hits", "markov_accuracy", "token_entropy", "zipf_slope",
              "heaps_law", "markov_entropy", "mutual_info", "hill_tail",
-            "gk", "qdigest", "shape_moments", "embedding_diversity")
+            "gk", "qdigest", "shape_moments", "embedding_diversity",
+            "median_of_means")
 
 
 @dataclass
@@ -169,6 +170,10 @@ def run_job(cfg: JobConfig):
                             log_universe=p.pop("log_universe", 16))
         out = summarize(sketch_by_key(ds, spec, cfg.value_col, cfg.key, **p),
                         spec, key_name=cfg.key or "key")
+    elif cfg.pipeline == "median_of_means":
+        from .pipelines.stats import median_of_means
+        out = median_of_means(ds, p.pop("id_col", "doc_id"), cfg.key,
+                              cfg.value_col, **p)
     elif cfg.pipeline == "shape_moments":
         from .pipelines.stats import grouped_shape_moments
         out = grouped_shape_moments(ds, cfg.key, cfg.value_col)

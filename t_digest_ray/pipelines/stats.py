@@ -1529,3 +1529,53 @@ def grouped_shape_moments(ds, key: str, value: str):
         rows.append({key: k, "n_rows": np.int64(n),
                      "skewness": skew, "excess_kurtosis": kurt})
     return pd.DataFrame(rows)
+
+
+def median_of_means(ds, id_col: str, key: str, value: str,
+                    n_buckets: int = 16):
+    """Per-key MEDIAN-OF-MEANS robust mean estimator of a money column:
+    every row lands in bucket ``splitmix64(id) % n_buckets``
+    (deterministic, layout-invariant — same mixer as the train/test
+    split), each bucket's mean is the exact-integer cents sum over its
+    exact count (ONE double divide), and the estimate is the
+    quantile_disc-convention median (index max(ceil(m/2)-1, 0)) of the
+    present buckets' means — the classic heavy-tail-robust estimator
+    (Nemirovsky-Yudin; Lerasle-Oliveira survey).
+
+    Exchange: keys x n_buckets integer rows. Driver fold: keys-sized.
+    Output: (key, n_rows, n_buckets_used, mom_mean) — bit-identical to
+    the UHUGEINT-mixer DuckDB oracle computing the same expression.
+    """
+    import math
+
+    from ray.data.aggregate import Sum
+
+    from ..functions.hashing import splitmix64
+
+    def partial(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        bucket = (splitmix64(ids) % np.uint64(n_buckets)).astype(np.int64)
+        v = b[value].to_numpy(zero_copy_only=False).astype(np.float64)
+        cents = np.floor(v * 100.0 + 0.5).astype(np.int64)
+        df = pd.DataFrame({key: b[key].to_numpy(zero_copy_only=False),
+                           "bucket": bucket, "n": np.int64(1),
+                           "s": cents})
+        g = df.groupby([key, "bucket"], as_index=False, sort=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    g = (ds.map_batches(partial, batch_format="pyarrow")
+         .groupby([key, "bucket"])
+         .aggregate(Sum("n", alias_name="n"), Sum("s", alias_name="s"))
+         .to_pandas())
+
+    rows = []
+    for k, grp in g.groupby(key, sort=True):
+        means = np.sort(grp["s"].to_numpy(np.float64)
+                        / grp["n"].to_numpy(np.float64))
+        m = len(means)
+        idx = max(math.ceil(0.5 * m) - 1, 0)
+        rows.append({key: k,
+                     "n_rows": np.int64(int(grp["n"].sum())),
+                     "n_buckets_used": np.int64(m),
+                     "mom_mean": float(means[idx])})
+    return pd.DataFrame(rows)

@@ -1362,3 +1362,29 @@ def test_grouped_shape_moments_split_invariant_and_edge(ray_session, rng):
     assert a.loc["c", "skewness"] == 0.0          # constant key
     assert a.loc["c", "excess_kurtosis"] == 0.0
     assert a.loc["s", "skewness"] == 0.0          # singleton key
+
+
+def test_median_of_means_robust_and_invariant(ray_session, rng):
+    """MoM shrugs off a gross outlier that wrecks the plain mean, and
+    any repartition yields bit-identical output."""
+    import ray
+    from t_digest_ray.pipelines.stats import median_of_means
+
+    n = 800
+    df = pd.DataFrame({
+        "id": np.arange(n, dtype=np.int64),
+        "k": ["a"] * n,
+        "v": rng.normal(100.0, 5.0, n).round(2),
+    })
+    df.loc[0, "v"] = 1e9  # one catastrophic outlier
+    a = median_of_means(ray.data.from_pandas(df).repartition(7),
+                        "id", "k", "v", n_buckets=16)
+    b = median_of_means(ray.data.from_pandas(df).repartition(1),
+                        "id", "k", "v", n_buckets=16)
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))
+    row = a.iloc[0]
+    assert row["n_rows"] == n and row["n_buckets_used"] == 16
+    plain_mean = df["v"].mean()
+    assert plain_mean > 1e6                       # wrecked by outlier
+    assert 9000 < row["mom_mean"] < 11000         # cents: ~100 dollars
