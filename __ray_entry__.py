@@ -4988,6 +4988,21 @@ def mode_event_values(sf_dir: str):
     return grouped_mode(ds, "event_type", "value")
 
 
+def dgim_window_counts_events(sf_dir: str):
+    """DGIM sliding-window counting sketch per event_type
+    (pipelines/windows.dgim_window_report): trailing-7-day count
+    estimated from O(log^2 W) exponential-histogram buckets. The
+    online automaton's end state is the bijective base-2 form of N, so
+    the layout is closed-form and the DETERMINISTIC estimate is
+    VALUE-CHECKED bit-for-bit by a recursive-CTE oracle replaying the
+    same decomposition; within_bound gates the published 50% bound."""
+    from t_digest_ray.pipelines.windows import dgim_window_report
+
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+    return dgim_window_report(ds, "event_type", "ts",
+                              window_s=7 * 86400)
+
+
 def mom_mean_event_values(sf_dir: str):
     """Per-type MEDIAN-OF-MEANS robust mean of event value
     (pipelines/stats.median_of_means): splitmix64(event_id) % 16
@@ -5803,6 +5818,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pearson_chars_tokens_by_lang": pearson_chars_tokens_by_lang,
         "shape_moments_by_lang": shape_moments_by_lang,
         "mom_mean_event_values": mom_mean_event_values,
+        "dgim_window_counts_events": dgim_window_counts_events,
         "spearman_chars_tokens_by_lang": spearman_chars_tokens_by_lang,
         "kendall_chars_tokens_docs": kendall_chars_tokens_docs,
         "welch_t_click_vs_view": welch_t_click_vs_view,
@@ -8516,6 +8532,83 @@ def oracle_sql() -> dict[str, str]:
                    CAST(cnt AS BIGINT) AS mode_count,
                    CAST(nd AS BIGINT) AS n_distinct
             FROM r WHERE rn = 1
+        """,
+        "dgim_window_counts_events": """
+            WITH RECURSIVE base AS (
+                SELECT event_type, epoch_us(ts) AS ts_us FROM events
+            ),
+            agg AS (
+                SELECT event_type, COUNT(*) AS n, MAX(ts_us) AS max_us
+                FROM base GROUP BY 1
+            ),
+            dig AS (
+                SELECT event_type, 0 AS j,
+                       ((n - 1) % 2) + 1 AS digit,
+                       (n - (((n - 1) % 2) + 1)) // 2 AS rem
+                FROM agg WHERE n > 0
+                UNION ALL
+                SELECT event_type, j + 1,
+                       ((rem - 1) % 2) + 1,
+                       (rem - (((rem - 1) % 2) + 1)) // 2
+                FROM dig WHERE rem > 0
+            ),
+            bux AS (
+                SELECT d.event_type, d.j, gs.i,
+                       (CAST(1 AS BIGINT) << d.j) AS size
+                FROM dig d
+                JOIN (SELECT 1 AS i UNION ALL SELECT 2) gs
+                  ON gs.i <= d.digit
+            ),
+            bo AS (
+                SELECT *, COALESCE(SUM(size) OVER (
+                           PARTITION BY event_type ORDER BY j, i
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0) AS off
+                FROM bux
+            ),
+            rk AS (
+                SELECT event_type, ts_us,
+                       ROW_NUMBER() OVER (PARTITION BY event_type
+                                          ORDER BY ts_us DESC) - 1 AS r
+                FROM base
+            ),
+            inw AS (
+                SELECT b.event_type, b.size, b.off
+                FROM bo b
+                JOIN rk ON rk.event_type = b.event_type
+                       AND rk.r = b.off
+                JOIN agg a ON a.event_type = b.event_type
+                WHERE rk.ts_us > a.max_us - 604800000000
+            ),
+            est AS (
+                SELECT event_type,
+                       CAST(SUM(size) AS DOUBLE)
+                       - CAST(arg_max(size, off) AS DOUBLE) / 2.0
+                           AS dgim_estimate
+                FROM inw GROUP BY 1
+            ),
+            ex AS (
+                SELECT b.event_type,
+                       COUNT(*) FILTER (
+                           WHERE b.ts_us > a.max_us - 604800000000)
+                           AS n_window_exact
+                FROM base b JOIN agg a USING (event_type) GROUP BY 1
+            ),
+            nb AS (
+                SELECT event_type, COUNT(*) AS n_buckets
+                FROM bux GROUP BY 1
+            )
+            SELECT a.event_type, CAST(a.n AS BIGINT) AS n_total,
+                   CAST(nb.n_buckets AS BIGINT) AS n_buckets,
+                   CAST(ex.n_window_exact AS BIGINT) AS n_window_exact,
+                   COALESCE(e.dgim_estimate, 0.0) AS dgim_estimate,
+                   ABS(COALESCE(e.dgim_estimate, 0.0)
+                       - CAST(ex.n_window_exact AS DOUBLE))
+                       <= 0.5 * ex.n_window_exact + 1e-9 AS within_bound
+            FROM agg a
+            JOIN nb USING (event_type)
+            JOIN ex USING (event_type)
+            LEFT JOIN est e USING (event_type)
         """,
         "mom_mean_event_values": f"""
             WITH m0 AS (SELECT event_type, value,

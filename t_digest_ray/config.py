@@ -58,7 +58,7 @@ PIPELINES = ("quantiles", "kll", "req", "distinct", "heavy", "heavy_mg",
              "hits", "markov_accuracy", "token_entropy", "zipf_slope",
              "heaps_law", "markov_entropy", "mutual_info", "hill_tail",
             "gk", "qdigest", "shape_moments", "embedding_diversity",
-            "median_of_means")
+            "median_of_means", "dgim")
 
 
 @dataclass
@@ -170,6 +170,9 @@ def run_job(cfg: JobConfig):
                             log_universe=p.pop("log_universe", 16))
         out = summarize(sketch_by_key(ds, spec, cfg.value_col, cfg.key, **p),
                         spec, key_name=cfg.key or "key")
+    elif cfg.pipeline == "dgim":
+        from .pipelines.windows import dgim_window_report
+        out = dgim_window_report(ds, cfg.key, p.pop("ts_col", "ts"), **p)
     elif cfg.pipeline == "median_of_means":
         from .pipelines.stats import median_of_means
         out = median_of_means(ds, p.pop("id_col", "doc_id"), cfg.key,

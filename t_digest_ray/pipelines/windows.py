@@ -1157,3 +1157,79 @@ def top_session_paths(ds, user_col: str, ts_col: str, tie_col: str,
     return (counts.map_batches(fin, batch_format="pandas")
             .sort(["n_sessions", "path"], descending=[True, False])
             .limit(k))
+
+
+def dgim_window_report(ds, key: str, ts_col: str,
+                       window_s: int = 7 * 86400):
+    """DGIM sliding-window counting sketch (Datar-Gionis-Indyk-Motwani,
+    SIAM J. Comput. 2002; the MMDS ch.4 formulation with at most TWO
+    buckets per size): estimate the number of events in the trailing
+    ``window_s`` seconds per key using O(log^2 W) state, guaranteed
+    relative error <= 50%.
+
+    The online maintenance (each arrival adds a size-1 bucket; three
+    buckets of a size merge the two oldest into the next power of two)
+    is a lazy binary counter with digits {1,2} — its end state after N
+    arrivals is exactly the BIJECTIVE BASE-2 representation of N. That
+    makes the final bucket layout a closed-form function of N, so the
+    whole sketch vectorizes: per key, sort ts descending, take digits
+    d_j of N (d_j buckets of size 2^j, newest first), bucket timestamps
+    are the stream values at the exclusive-cumsum offsets, and the
+    estimate counts every in-window bucket fully except HALF of the
+    oldest straddling one. Deterministic — no hashing, no seeds — so
+    the estimate itself is value-checked bit-for-bit by a recursive-CTE
+    SQL twin replaying the same decomposition.
+
+    Topology: per-key co-partition (groupby().map_groups) — the same
+    per-key-stream-fits-a-task assumption as sessions/streaks; only
+    (key, ts) pairs shuffle. Output one row per key:
+    (key, n_total, n_buckets, n_window_exact, dgim_estimate,
+    within_bound) with within_bound asserting the published 50% bound.
+    """
+    import pyarrow.compute as pc
+
+    w_us = np.int64(window_s) * np.int64(1_000_000)
+
+    def to_us(b: pa.Table) -> pa.Table:
+        ts = pc.cast(pc.cast(b[ts_col].combine_chunks(),
+                             pa.timestamp("us")), pa.int64())
+        return pa.table({key: b[key], "ts_us": ts})
+
+    def _bij2_digits(n: int) -> list[int]:
+        d = []
+        while n > 0:
+            dig = ((n - 1) % 2) + 1
+            d.append(dig)
+            n = (n - dig) // 2
+        return d
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        ts = np.sort(g["ts_us"].to_numpy(np.int64))[::-1]
+        n = len(ts)
+        digits = _bij2_digits(n)
+        sizes = np.concatenate([
+            np.full(dj, 1 << j, dtype=np.int64)
+            for j, dj in enumerate(digits)]) if digits else \
+            np.empty(0, dtype=np.int64)
+        offsets = np.concatenate(([0], np.cumsum(sizes)[:-1])) \
+            if len(sizes) else np.empty(0, dtype=np.int64)
+        bucket_ts = ts[offsets]
+        cutoff = ts[0] - w_us if n else np.int64(0)
+        k = int((bucket_ts > cutoff).sum())   # prefix: ts decreasing
+        if k > 0:
+            est = (float(int(sizes[:k].sum()))
+                   - float(int(sizes[k - 1])) / 2.0)
+        else:
+            est = 0.0
+        exact = int((ts > cutoff).sum())
+        within = bool(abs(est - float(exact)) <= 0.5 * exact + 1e-9)
+        return pd.DataFrame({
+            key: [g[key].iloc[0]],
+            "n_total": np.array([n], dtype=np.int64),
+            "n_buckets": np.array([len(sizes)], dtype=np.int64),
+            "n_window_exact": np.array([exact], dtype=np.int64),
+            "dgim_estimate": [est],
+            "within_bound": [within]})
+
+    return (ds.map_batches(to_us, batch_format="pyarrow")
+            .groupby(key).map_groups(fold, batch_format="pandas"))

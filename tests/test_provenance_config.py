@@ -694,3 +694,20 @@ def test_config_shape_and_diversity_routes(ray_session, tmp_path):
     out = out.set_index("label")
     assert out.loc[0, "avg_pairwise_cos"] == 1.0
     assert out.loc[1, "avg_pairwise_cos"] == 0.0
+
+
+def test_config_dgim_route(ray_session, tmp_path):
+    import numpy as np
+    import pandas as pd
+    df = pd.DataFrame({
+        "k": ["a"] * 200,
+        "ts": pd.to_datetime(
+            np.sort(np.random.default_rng(7).integers(
+                0, 30 * 86_400_000_000, 200)), unit="us"),
+    })
+    p = tmp_path / "ev.parquet"
+    df.to_parquet(p)
+    cfg = JobConfig(pipeline="dgim", input=str(p), key="k",
+                    params={"ts_col": "ts", "window_s": 7 * 86400})
+    out = run_job(cfg).to_pandas()
+    assert out.iloc[0]["within_bound"]

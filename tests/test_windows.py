@@ -378,3 +378,61 @@ def test_transition_counts_matches_pandas_lag(ray_session):
     assert len(got) == len(want)
     for k, v in want.items():
         assert got.loc[k, "n"] == v
+
+
+def test_dgim_layout_matches_online_simulation():
+    """The closed-form bijective-base-2 layout IS the end state of the
+    online DGIM maintenance (add size-1 bucket; three of a size merge
+    the two oldest into the next power), for every n up to 2000."""
+    def online(n):
+        d = []
+        for _ in range(n):
+            j, add = 0, 1
+            while True:
+                if j >= len(d):
+                    d.append(0)
+                d[j] += add
+                if d[j] <= 2:
+                    break
+                d[j] -= 2
+                add = 1
+                j += 1
+        return d
+
+    def closed(n):
+        d = []
+        while n > 0:
+            dig = ((n - 1) % 2) + 1
+            d.append(dig)
+            n = (n - dig) // 2
+        return d
+
+    for n in range(1, 2001):
+        assert online(n) == closed(n), n
+
+
+def test_dgim_window_report_bound_and_invariance(ray_session, rng):
+    import ray
+    from t_digest_ray.pipelines.windows import dgim_window_report
+
+    n = 5000
+    base = 1_700_000_000_000_000
+    df = pd.DataFrame({
+        "k": rng.choice(["a", "b", "c"], n),
+        "ts": pd.to_datetime(
+            base + np.sort(rng.integers(0, 30 * 86_400_000_000, n)),
+            unit="us"),
+    })
+    ds = ray.data.from_pandas(df)
+    out = dgim_window_report(ds.repartition(9), "k", "ts",
+                             window_s=7 * 86400).to_pandas()
+    out2 = dgim_window_report(ds.repartition(1), "k", "ts",
+                              window_s=7 * 86400).to_pandas()
+    a = out.sort_values("k").reset_index(drop=True)
+    b = out2.sort_values("k").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)  # layout-invariant
+    assert a["within_bound"].all()       # published 50% bound holds
+    for _, r in a.iterrows():
+        assert r["n_total"] >= r["n_window_exact"] > 0
+        err = abs(r["dgim_estimate"] - r["n_window_exact"])
+        assert err <= 0.5 * r["n_window_exact"] + 1e-9
