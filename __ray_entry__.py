@@ -4988,6 +4988,27 @@ def mode_event_values(sf_dir: str):
     return grouped_mode(ds, "event_type", "value")
 
 
+def canonical_url_dedup_stats(sf_dir: str):
+    """Crawl URL-canonicalization dedup (pipelines/curation.
+    canonical_url_report over functions/url.py): deterministic messy
+    'crawl spellings' built from doc_id (planted case/port/www/utm/
+    fragment/slash variants that collide after canonicalization), the
+    fixed RE2 rewrite sequence, then per-host page counts, exact
+    distinct canonical URLs and exposed duplicates. VALUE-CHECKED: the
+    oracle rebuilds the same strings and replays the same rewrites
+    with DuckDB's RE2."""
+    from t_digest_ray.functions.url import messy_urls_from_ids
+    from t_digest_ray.pipelines.curation import canonical_url_report
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def mk(b: pa.Table) -> pa.Table:
+        return pa.table({"url": messy_urls_from_ids(b["doc_id"])})
+
+    return canonical_url_report(
+        ds.map_batches(mk, batch_format="pyarrow"), "url")
+
+
 def dgim_window_counts_events(sf_dir: str):
     """DGIM sliding-window counting sketch per event_type
     (pipelines/windows.dgim_window_report): trailing-7-day count
@@ -5819,6 +5840,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shape_moments_by_lang": shape_moments_by_lang,
         "mom_mean_event_values": mom_mean_event_values,
         "dgim_window_counts_events": dgim_window_counts_events,
+        "canonical_url_dedup_stats": canonical_url_dedup_stats,
         "spearman_chars_tokens_by_lang": spearman_chars_tokens_by_lang,
         "kendall_chars_tokens_docs": kendall_chars_tokens_docs,
         "welch_t_click_vs_view": welch_t_click_vs_view,
@@ -8532,6 +8554,54 @@ def oracle_sql() -> dict[str, str]:
                    CAST(cnt AS BIGINT) AS mode_count,
                    CAST(nd AS BIGINT) AS n_distinct
             FROM r WHERE rn = 1
+        """,
+        "canonical_url_dedup_stats": r"""
+            WITH raw AS (
+                SELECT 'HTTPS://WWW.Site' || CAST(doc_id % 7 AS VARCHAR)
+                       || '.COM:80/a/' || CAST(doc_id % 5 AS VARCHAR)
+                       || CASE CAST(doc_id % 3 AS INTEGER)
+                          WHEN 0 THEN '/'
+                          WHEN 1 THEN '/?utm_source=feed&id='
+                                      || CAST(doc_id % 4 AS VARCHAR)
+                          ELSE '?id=' || CAST(doc_id % 4 AS VARCHAR)
+                               || '&utm_campaign=x#top'
+                          END AS url
+                FROM documents
+            ),
+            s1 AS (
+                SELECT regexp_replace(url, '#.*$', '', 'g') AS u
+                FROM raw
+            ),
+            split AS (
+                SELECT regexp_extract(u,
+                    '^([A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*)(.*)$', 1)
+                        AS head0,
+                       regexp_extract(u,
+                    '^([A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*)(.*)$', 2)
+                        AS rest0
+                FROM s1
+            ),
+            norm AS (
+                SELECT regexp_replace(regexp_replace(lower(head0),
+                           '://www\.', '://', 'g'),
+                           ':80$', '', 'g') AS head,
+                       regexp_replace(regexp_replace(regexp_replace(
+                           regexp_replace(rest0, '/\?', '?', 'g'),
+                           '[?&]utm_[^&]*', '', 'g'),
+                           '^([^?&]*)&', '\1?', 'g'),
+                           '/$', '', 'g') AS rest
+                FROM split
+            ),
+            canon AS (
+                SELECT head || rest AS c,
+                       regexp_extract(head || rest,
+                                      '^[a-z]+://([^/?#]*)', 1) AS host
+                FROM norm
+            )
+            SELECT host, COUNT(*) AS n_pages,
+                   COUNT(DISTINCT c) AS n_canonical,
+                   COUNT(*) - COUNT(DISTINCT c) AS n_dup
+            FROM canon GROUP BY host
         """,
         "dgim_window_counts_events": """
             WITH RECURSIVE base AS (

@@ -1099,3 +1099,48 @@ def dsir_importance_stats(ds, text_col: str = "text",
     out["n_selected"] = out["n_selected"].fillna(0).astype(np.int64)
     out["n_docs"] = out["n_docs"].astype(np.int64)
     return out.sort_values(key).reset_index(drop=True)
+
+
+def canonical_url_report(ds, url_col: str):
+    """Crawl URL-canonicalization dedup report: canonicalize every URL
+    (functions/url.canonicalize_urls — the fixed RE2 rewrite sequence:
+    fragment, case, www., :80, utm_* params, separator repair, trailing
+    slash), then per canonical HOST report page count, exact distinct
+    canonical URLs, and the duplicate count the canonicalization
+    exposed. Canonical/host derivation is one vectorized Arrow pass;
+    the exact distinct rides relational.distinct_count_by_key (pair
+    dedup inside each batch, hash-bucketed global dedup — only unique
+    (host, canon) pairs reach the exchange).
+
+    Output: (host, n_pages, n_canonical, n_dup) per host.
+    """
+    from ray.data.aggregate import Sum
+
+    from ..functions.url import canonicalize_urls, url_host
+    from .relational import distinct_count_by_key
+
+    def canon(b: pa.Table) -> pa.Table:
+        c = canonicalize_urls(b[url_col])
+        return pa.table({"host": url_host(c), "canon": c})
+
+    pairs = ds.map_batches(canon, batch_format="pyarrow")
+
+    def count_partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"host": b["host"].to_numpy(
+            zero_copy_only=False)})
+        g = df.groupby("host", as_index=False, sort=False).size()
+        return pa.table({"host": pa.array(g["host"]),
+                         "n_pages": pa.array(
+                             g["size"].to_numpy(np.int64))})
+
+    totals = (pairs.map_batches(count_partial, batch_format="pyarrow")
+              .groupby("host").aggregate(Sum("n_pages",
+                                             alias_name="n_pages"))
+              .to_pandas())
+    uniq = (distinct_count_by_key(pairs, "host", "canon", "n_canonical")
+            .to_pandas())
+    out = totals.merge(uniq, on="host", how="left")
+    out["n_pages"] = out["n_pages"].astype(np.int64)
+    out["n_canonical"] = out["n_canonical"].fillna(0).astype(np.int64)
+    out["n_dup"] = (out["n_pages"] - out["n_canonical"]).astype(np.int64)
+    return out.sort_values("host").reset_index(drop=True)

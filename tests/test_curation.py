@@ -475,3 +475,53 @@ def test_dsir_config_route(ray_session):
         params={"target_group": "en", "k": 20})).to_pandas()
     assert set(out.columns) == {"lang", "n_docs", "n_selected"}
     assert out["n_selected"].sum() == 20
+
+
+def test_canonicalize_urls_rules():
+    from t_digest_ray.functions.url import canonicalize_urls, url_host
+
+    raw = pa.array([
+        "HTTPS://WWW.Example.COM:80/a/1/",          # case+www+port+slash
+        "https://example.com/a/1",                   # already canonical
+        "http://site.org/p/?utm_source=x&id=3",      # leading tracker
+        "http://site.org/p?id=3&utm_campaign=y#top",  # trailing + frag
+        "http://site.org/p?id=3",                     # canonical twin
+        "not a url #frag",                            # no scheme://host
+    ])
+    got = canonicalize_urls(raw).to_pylist()
+    assert got[0] == "https://example.com/a/1"
+    assert got[0] == got[1]
+    assert got[2] == "http://site.org/p?id=3"
+    assert got[2] == got[3] == got[4]
+    assert got[5] == "not a url "  # fragment stripped, otherwise total
+    hosts = url_host(pa.array(got[:5])).to_pylist()
+    assert hosts == ["example.com", "example.com",
+                     "site.org", "site.org", "site.org"]
+
+
+def test_canonical_url_report_matches_pandas(ray_session):
+    from t_digest_ray.functions.url import (canonicalize_urls,
+                                            messy_urls_from_ids,
+                                            url_host)
+    from t_digest_ray.pipelines.curation import canonical_url_report
+
+    ids = pa.array(np.arange(300, dtype=np.int64))
+    urls = messy_urls_from_ids(ids)
+    tbl = pa.table({"url": urls})
+    for blocks in (1, 7):
+        out = canonical_url_report(_ds(tbl, blocks), "url")
+        canon = canonicalize_urls(urls)
+        ref = pd.DataFrame({
+            "host": url_host(canon).to_pylist(),
+            "canon": canon.to_pylist()})
+        exp = (ref.groupby("host")
+               .agg(n_pages=("canon", "size"),
+                    n_canonical=("canon", "nunique"))
+               .reset_index())
+        exp["n_dup"] = exp["n_pages"] - exp["n_canonical"]
+        for c in ("n_pages", "n_canonical", "n_dup"):
+            exp[c] = exp[c].astype(np.int64)
+        pd.testing.assert_frame_equal(
+            out.reset_index(drop=True), exp)
+        # the fixture actually plants collisions
+        assert (exp["n_dup"] > 0).any()
