@@ -5789,6 +5789,37 @@ def gini_event_values(sf_dir: str):
     return grouped_gini(ds, "event_type", "value")
 
 
+def interval_overlap_sessions(sf_dir: str):
+    """Distributed INTERVAL OVERLAP join (pipelines/windows.
+    interval_overlap_join): per user, count (click, view) pairs whose
+    derived activity intervals [ts, ts+dur) intersect — dur is a pure
+    integer function of the value (cents % 1800 + 60 seconds), so both
+    engines build identical extents. Both sides replicate to the
+    <=2 time buckets they span (bucket = 1900 s >= max dur), each pair
+    is owned by exactly one bucket (the one holding max(s_a, s_b)), and
+    per-bucket counting is searchsorted-only. Full value-hash oracle
+    via a DuckDB inequality join."""
+    import pyarrow.compute as pc
+    from t_digest_ray.pipelines.windows import interval_overlap_join
+
+    ev = _read(sf_dir, "events", ["event_type", "user_id", "ts", "value"])
+
+    def side(t: str):
+        def fn(b: pa.Table) -> pa.Table:
+            b = b.filter(pc.equal(b["event_type"], t))
+            v = b["value"].to_numpy(zero_copy_only=False)
+            cents = np.floor(v * 100.0 + 0.5).astype(np.int64)
+            dur_us = (cents % 1800 + 60) * 1_000_000
+            return pa.table({"user_id": b["user_id"], "ts": b["ts"],
+                             "dur_us": pa.array(dur_us)})
+        return fn
+
+    return interval_overlap_join(
+        ev.map_batches(side("click"), batch_format="pyarrow"),
+        ev.map_batches(side("view"), batch_format="pyarrow"),
+        "user_id", "ts", "dur_us", bucket_s=1900)
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
     return pages_flagship("/root/testdata/sf0.001")
@@ -5808,6 +5839,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # chains, planted-fixture dedup oracles).
     return {
         # --- (a) round-5 grading window: never driver-graded ---
+        "interval_overlap_sessions": interval_overlap_sessions,
         "scale_function_quantile_gates": scale_function_quantile_gates,
         "recording_digest_provenance": recording_digest_provenance,
         "dup_span_report_by_lang": dup_span_report_by_lang,
@@ -8124,6 +8156,20 @@ def oracle_sql() -> dict[str, str]:
         """,
         # The 11 p-rows are identical across scale_fn labels (same data);
         # a broken scale function flips its own within_bound row.
+        "interval_overlap_sessions": """
+            WITH iv AS (
+                SELECT event_type, user_id,
+                       epoch_us(ts) AS s,
+                       epoch_us(ts)
+                       + (CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)
+                          % 1800 + 60) * 1000000 AS e
+                FROM events WHERE event_type IN ('click', 'view'))
+            SELECT c.user_id, CAST(COUNT(*) AS BIGINT) AS n_pairs
+            FROM (SELECT * FROM iv WHERE event_type = 'click') c
+            JOIN (SELECT * FROM iv WHERE event_type = 'view') v
+              ON c.user_id = v.user_id AND c.s < v.e AND v.s < c.e
+            GROUP BY c.user_id
+        """,
         "scale_function_quantile_gates": """
             WITH ex AS (
               SELECT CAST(COUNT(*) AS BIGINT) AS n,

@@ -436,3 +436,50 @@ def test_dgim_window_report_bound_and_invariance(ray_session, rng):
         assert r["n_total"] >= r["n_window_exact"] > 0
         err = abs(r["dgim_estimate"] - r["n_window_exact"])
         assert err <= 0.5 * r["n_window_exact"] + 1e-9
+
+
+def test_interval_overlap_join_bruteforce(ray_session):
+    """Interval overlap join matches the all-pairs brute force, with
+    durations spanning multiple buckets, zero-length intervals, and
+    starts planted exactly on bucket edges."""
+    import ray.data as rd
+
+    from t_digest_ray.pipelines.windows import interval_overlap_join
+
+    rng = np.random.default_rng(29)
+    base = pd.Timestamp("2024-01-01").value // 1000  # us
+    bucket_s = 100
+    n_l, n_r = 300, 280
+    sl = base + rng.integers(0, 3600, n_l) * 1_000_000
+    sr = base + rng.integers(0, 3600, n_r) * 1_000_000
+    dl = rng.integers(0, 350, n_l) * 1_000_000         # 0..3.5 buckets
+    dr = rng.integers(0, 350, n_r) * 1_000_000
+    # plant starts exactly on bucket edges and equal-start ties
+    sl = np.concatenate([sl, [base, base + 200_000_000]])
+    sr = np.concatenate([sr, [base, base + 200_000_000]])
+    dl = np.concatenate([dl, [100_000_000, 50_000_000]])
+    dr = np.concatenate([dr, [100_000_000, 50_000_000]])
+    kl = rng.integers(0, 6, len(sl)).astype(np.int64)
+    kr = rng.integers(0, 6, len(sr)).astype(np.int64)
+    kl[-2:] = 5
+    kr[-2:] = 5
+
+    left = pd.DataFrame({"u": kl, "ts": pd.to_datetime(sl, unit="us"),
+                         "dur_us": dl})
+    right = pd.DataFrame({"u": kr, "ts": pd.to_datetime(sr, unit="us"),
+                          "dur_us": dr})
+
+    el, er = sl + dl, sr + dr
+    match = ((kl[:, None] == kr[None, :])
+             & (sl[:, None] < er[None, :])
+             & (sr[None, :] < el[:, None]))
+    want = (pd.DataFrame({"u": kl, "n": match.sum(axis=1)})
+            .groupby("u")["n"].sum())
+    want = want[want > 0].astype(np.int64)
+
+    out = interval_overlap_join(
+        rd.from_pandas(left).repartition(4),
+        rd.from_pandas(right).repartition(3),
+        "u", "ts", "dur_us", bucket_s=bucket_s).to_pandas()
+    got = out.set_index("u")["n_pairs"].sort_index()
+    pd.testing.assert_series_equal(got, want, check_names=False)
