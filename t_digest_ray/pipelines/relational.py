@@ -771,3 +771,61 @@ def topk_other_rollup(ds, key: str, sub: str, k: int = 2):
 
     return counts.groupby(key).map_groups(finalize,
                                           batch_format="pandas")
+
+
+def latest_snapshot_stats(ds, key_col: str, ts_col: str, seq_col: str,
+                          op_col: str, attr_col: str, cents_col: str,
+                          delete_op: str = "D"):
+    """CDC changelog compaction to the LATEST SNAPSHOT — the
+    merge-on-read operator of lakehouse table formats (upsert rows and
+    delete tombstones keyed by ``key_col``, ordered by
+    ``(ts, seq)``): the surviving state per key is its last change,
+    dropped entirely if that change is a tombstone. Reports per-attr
+    live-row counts and exact integer cents sums.
+
+    Topology: a per-batch COMPACTING partial first (lexsort by
+    (key, ts, seq), keep each key's last row — a batch of B changes
+    shrinks to <= distinct keys before anything shuffles; at 100 TB the
+    changelog is heavily key-repetitive so this is the dominant
+    reduction), then ONE hash shuffle on the key for the global argmax
+    via map_groups, then a tiny groupby on attr. Only (key, t, seq,
+    op, attr, cents) fixed-width cells ever ride the exchange —
+    payloads would join back by key afterwards in a real apply.
+    """
+    from ray.data.aggregate import Count, Sum
+
+    def compact(b: pa.Table) -> pa.Table:
+        k = b[key_col].to_numpy(zero_copy_only=False)
+        t = b[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        s = b[seq_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((s, t, k))            # key asc, ts, seq
+        ks = k[order]
+        last = np.flatnonzero(
+            np.concatenate([ks[1:] != ks[:-1], [True]]))
+        take = order[last]
+        return pa.table({
+            key_col: pa.array(k[take]),
+            "_t": pa.array(t[take]),
+            seq_col: pa.array(s[take]),
+            op_col: b[op_col].take(pa.array(take)),
+            attr_col: b[attr_col].take(pa.array(take)),
+            cents_col: b[cents_col].take(pa.array(take))})
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        i = np.lexsort((g[seq_col].to_numpy(), g["_t"].to_numpy()))[-1]
+        row = g.iloc[[i]]
+        row = row[row[op_col] != delete_op]
+        return row[[attr_col, cents_col]].reset_index(drop=True)
+
+    live = (ds.map_batches(compact, batch_format="pyarrow")
+            .groupby(key_col).map_groups(final, batch_format="pandas"))
+    out = live.groupby(attr_col).aggregate(
+        Count(alias_name="n_keys"),
+        Sum(cents_col, alias_name="sum_cents"))
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        df["n_keys"] = df["n_keys"].astype(np.int64)
+        df["sum_cents"] = df["sum_cents"].astype(np.int64)
+        return df
+
+    return out.map_batches(fin, batch_format="pandas")

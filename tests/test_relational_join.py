@@ -276,3 +276,38 @@ def test_mad_stats_matches_numpy(ray_session):
         mad = dev[max(int(math.ceil(0.5 * len(dev))) - 1, 0)]
         assert out.loc[k, "median_v"] == med
         assert out.loc[k, "mad"] == mad
+
+
+def test_latest_snapshot_stats_cdc(ray_session):
+    """Upsert/delete changelog compaction: delete-then-reinsert
+    survives, insert-then-delete disappears, (ts, seq) tie-break is by
+    seq, and the per-batch compacting partial cannot change the
+    answer across repartitionings."""
+    import ray.data as rd
+
+    from t_digest_ray.pipelines.relational import latest_snapshot_stats
+
+    base = pd.Timestamp("2025-06-01")
+    rows = [
+        # key 1: upsert then tombstone -> gone
+        (1, base, 1, "U", "a", 100),
+        (1, base + pd.Timedelta("1h"), 2, "D", "a", 0),
+        # key 2: tombstone then re-insert -> lives with latest attr
+        (2, base, 3, "D", "a", 0),
+        (2, base + pd.Timedelta("2h"), 4, "U", "b", 250),
+        # key 3: same ts, higher seq wins
+        (3, base, 5, "U", "a", 10),
+        (3, base, 6, "U", "b", 20),
+        # key 4: plain single upsert
+        (4, base + pd.Timedelta("3h"), 7, "U", "b", 40),
+    ]
+    df = pd.DataFrame(rows, columns=["k", "ts", "seq", "op", "attr",
+                                     "cents"])
+    for n_parts in (1, 4):
+        out = latest_snapshot_stats(
+            rd.from_pandas(df).repartition(n_parts),
+            "k", "ts", "seq", "op", "attr", "cents").to_pandas()
+        got = out.sort_values("attr").reset_index(drop=True)
+        assert got["attr"].tolist() == ["b"]
+        assert got["n_keys"].tolist() == [3]
+        assert got["sum_cents"].tolist() == [250 + 20 + 40]
