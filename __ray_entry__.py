@@ -5849,6 +5849,47 @@ def cdc_latest_snapshot_stats(sf_dir: str):
         "user_id", "ts", "event_id", "op", "event_type", "cents")
 
 
+def bucketed_join_priority_revenue(sf_dir: str):
+    """STORAGE-BUCKETED shuffle-free join (stages/bucketed.py): orders
+    and lineitem are each hash-bucketed by orderkey into partitioned
+    parquet ONCE (cached under /tmp with a _SUCCESS marker — the
+    resumable-output contract), then the join runs bucket-by-bucket
+    with zero runtime exchange: per bucket an actor pool loads the
+    orders bucket from storage in __init__ and streams the lineitem
+    bucket through searchsorted probes. The repeated-join-at-100TB
+    technique (Hive bucketed tables / Spark storage-partitioned join).
+    Revenue per order priority in exact integer cents; full value-hash
+    oracle via a plain SQL join."""
+    from ray.data.aggregate import Count, Sum
+    from t_digest_ray.stages.bucketed import bucketed_join
+
+    joined = bucketed_join(
+        sf_dir, "lineitem", sf_dir, "orders",
+        probe_key="l_orderkey", build_key="o_orderkey",
+        probe_cols=["l_extendedprice", "l_discount"],
+        build_cols=["o_orderpriority"], n_buckets=8)
+
+    def partial(b: pa.Table) -> pa.Table:
+        price = b["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = b["l_discount"].to_numpy(zero_copy_only=False)
+        cents = np.floor(price * (1.0 - disc) * 100.0 + 0.5) \
+            .astype(np.int64)
+        return pa.table({"o_orderpriority": b["o_orderpriority"],
+                         "rev": pa.array(cents)})
+
+    out = (joined.map_batches(partial, batch_format="pyarrow")
+           .groupby("o_orderpriority")
+           .aggregate(Count(alias_name="n_items"),
+                      Sum("rev", alias_name="revenue_cents")))
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        df["n_items"] = df["n_items"].astype(np.int64)
+        df["revenue_cents"] = df["revenue_cents"].astype(np.int64)
+        return df
+
+    return out.map_batches(fin, batch_format="pandas")
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
     return pages_flagship("/root/testdata/sf0.001")
@@ -5870,6 +5911,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- (a) round-5 grading window: never driver-graded ---
         "interval_overlap_sessions": interval_overlap_sessions,
         "cdc_latest_snapshot_stats": cdc_latest_snapshot_stats,
+        "bucketed_join_priority_revenue": bucketed_join_priority_revenue,
         "scale_function_quantile_gates": scale_function_quantile_gates,
         "recording_digest_provenance": recording_digest_provenance,
         "dup_span_report_by_lang": dup_span_report_by_lang,
@@ -8186,6 +8228,15 @@ def oracle_sql() -> dict[str, str]:
         """,
         # The 11 p-rows are identical across scale_fn labels (same data);
         # a broken scale function flips its own within_bound row.
+        "bucketed_join_priority_revenue": """
+            SELECT o_orderpriority,
+                   CAST(COUNT(*) AS BIGINT) AS n_items,
+                   CAST(SUM(CAST(FLOOR(l_extendedprice
+                        * (1.0 - l_discount) * 100.0 + 0.5)
+                        AS BIGINT)) AS BIGINT) AS revenue_cents
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderpriority
+        """,
         "cdc_latest_snapshot_stats": """
             WITH ranked AS (
                 SELECT user_id, event_type,

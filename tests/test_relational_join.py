@@ -311,3 +311,48 @@ def test_latest_snapshot_stats_cdc(ray_session):
         assert got["attr"].tolist() == ["b"]
         assert got["n_keys"].tolist() == [3]
         assert got["sum_cents"].tolist() == [250 + 20 + 40]
+
+
+def test_bucketed_join_storage_partitioned(ray_session, tmp_path):
+    """Storage-bucketed join equals the pandas merge, its bucketed
+    write is idempotent (re-run hits the _SUCCESS cache), and probe
+    keys with no build match drop out."""
+    import os
+
+    import ray.data as rd
+
+    from t_digest_ray.stages.bucketed import bucketed_join, write_bucketed
+
+    rng = np.random.default_rng(7)
+    build = pd.DataFrame({"bk": np.arange(40, dtype=np.int64),
+                          "attr": [f"a{i % 3}" for i in range(40)]})
+    probe = pd.DataFrame({
+        "pk": rng.integers(0, 60, 500).astype(np.int64),  # 1/3 miss
+        "v": rng.integers(0, 100, 500).astype(np.int64)})
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    import pyarrow.parquet as pq
+    pq.write_table(pa.Table.from_pandas(probe), sf / "probe.parquet")
+    pq.write_table(pa.Table.from_pandas(build), sf / "build.parquet")
+
+    out = bucketed_join(str(sf), "probe", str(sf), "build",
+                        probe_key="pk", build_key="bk",
+                        probe_cols=["v"], build_cols=["attr"],
+                        n_buckets=4, root=str(tmp_path / "bkts"))
+    got = (out.to_pandas().sort_values(["pk", "v"])
+           .reset_index(drop=True))
+    want = (probe.merge(build, left_on="pk", right_on="bk")
+            [["pk", "v", "attr"]].sort_values(["pk", "v"])
+            .reset_index(drop=True))
+    pd.testing.assert_frame_equal(got[["pk", "v", "attr"]], want)
+
+    # idempotent: the bucket dirs carry _SUCCESS and a second call skips
+    roots = os.listdir(tmp_path / "bkts")
+    assert len(roots) == 2
+    for r in roots:
+        assert os.path.exists(tmp_path / "bkts" / r / "_SUCCESS")
+    d = str(tmp_path / "bkts" / roots[0])
+    mtime = os.path.getmtime(d + "/_SUCCESS")
+    assert write_bucketed(None, d, "x", 4) == d   # ds unused on skip
+    assert os.path.getmtime(d + "/_SUCCESS") == mtime
