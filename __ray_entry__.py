@@ -5890,6 +5890,34 @@ def bucketed_join_priority_revenue(sf_dir: str):
     return out.map_batches(fin, batch_format="pandas")
 
 
+def cuckoo_membership_customers(sf_dir: str):
+    """Deletable membership via a CUCKOO filter (state/cuckoo.py, Fan
+    et al. CoNEXT 2014; pipelines/distinct.cuckoo_membership_report):
+    custkeys of open ('O') orders stream into the filter through the
+    partial/merge sketch topology; custkeys that also have finished
+    ('F') orders are RETRACTED — the delete operation Bloom filters
+    cannot do; customers are probed against a broadcast of the final
+    KB-sized filter. n_probed/n_members are exact (value-hash oracle);
+    no-false-negative and published-FP-bound ride as in-row gates."""
+    import pyarrow.compute as pc
+    from t_digest_ray.pipelines.distinct import cuckoo_membership_report
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderstatus"])
+
+    def status(s: str):
+        def fn(b: pa.Table) -> pa.Table:
+            return (b.filter(pc.equal(b["o_orderstatus"], s))
+                    .select(["o_custkey"]))
+        return fn
+
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    return cuckoo_membership_report(
+        orders.map_batches(status("O"), batch_format="pyarrow"),
+        orders.map_batches(status("F"), batch_format="pyarrow"),
+        cust, "o_custkey", "o_custkey", "c_custkey",
+        n_buckets=1 << 14)
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
     return pages_flagship("/root/testdata/sf0.001")
@@ -5912,6 +5940,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "interval_overlap_sessions": interval_overlap_sessions,
         "cdc_latest_snapshot_stats": cdc_latest_snapshot_stats,
         "bucketed_join_priority_revenue": bucketed_join_priority_revenue,
+        "cuckoo_membership_customers": cuckoo_membership_customers,
         "scale_function_quantile_gates": scale_function_quantile_gates,
         "recording_digest_provenance": recording_digest_provenance,
         "dup_span_report_by_lang": dup_span_report_by_lang,
@@ -8228,6 +8257,23 @@ def oracle_sql() -> dict[str, str]:
         """,
         # The 11 p-rows are identical across scale_fn labels (same data);
         # a broken scale function flips its own within_bound row.
+        "cuckoo_membership_customers": """
+            WITH s AS (SELECT DISTINCT o_custkey FROM orders
+                       WHERE o_orderstatus = 'O'),
+                 d AS (SELECT DISTINCT o_custkey FROM orders
+                       WHERE o_orderstatus = 'F'),
+                 live AS (SELECT o_custkey FROM s
+                          WHERE o_custkey NOT IN
+                                (SELECT o_custkey FROM d))
+            SELECT CAST((SELECT COUNT(*) FROM customer) AS BIGINT)
+                       AS n_probed,
+                   CAST((SELECT COUNT(*) FROM customer
+                         WHERE c_custkey IN
+                               (SELECT o_custkey FROM live)) AS BIGINT)
+                       AS n_members,
+                   TRUE AS no_false_negatives,
+                   TRUE AS fp_within_bound
+        """,
         "bucketed_join_priority_revenue": """
             SELECT o_orderpriority,
                    CAST(COUNT(*) AS BIGINT) AS n_items,

@@ -386,3 +386,86 @@ def distinct_breadth_histogram(ds, member_col: str, item_col: str):
         return df
 
     return out.map_batches(fin, batch_format="pandas")
+
+
+def cuckoo_spec(n_buckets: int = 1 << 14) -> SketchSpec:
+    from ..state.cuckoo import CuckooFilter
+    return SketchSpec(
+        name="cuckoo",
+        factory=lambda: CuckooFilter(n_buckets),
+        from_bytes=CuckooFilter.from_bytes,
+        summarize=lambda sk: {"n_items": sk.n_items,
+                              "load_factor": sk.load_factor()},
+    )
+
+
+def cuckoo_membership_report(build_ds, delete_ds, probe_ds,
+                             build_col: str, delete_col: str,
+                             probe_col: str, n_buckets: int = 1 << 14):
+    """Deletable membership via a CUCKOO filter (state/cuckoo.py) — the
+    retract path a Bloom filter cannot take: keys stream in through the
+    partial/merge sketch topology, the delete set retracts its keys
+    from the merged filter, and the probe side is filtered by a
+    broadcast of the (KB-sized) final filter.
+
+    The report row is VALUE-CHECKABLE: n_probed and n_members are exact
+    (the delete/live sets are key-DIMENSION-bounded, same broadcast
+    budget as the Bloom verify path), and the sketch behavior rides as
+    in-row gates — no_false_negatives (guaranteed by construction up to
+    16-bit entry collisions) and fp_within_bound (the published
+    2*SLOTS/2^16 per-probe bound with 10x slack + an absolute floor).
+    """
+    import ray
+
+    from ..state.cuckoo import CuckooFilter
+
+    spec = cuckoo_spec(n_buckets)
+    merged = sketch_by_key(build_ds, spec, build_col, None, num_salts=4)
+    ck = CuckooFilter.from_bytes(merged.take(1)[0]["sketch"])
+
+    build_keys = np.asarray(build_ds.unique(build_col))
+    del_keys = np.asarray(delete_ds.unique(delete_col))
+    d = np.intersect1d(build_keys, del_keys)   # only retract inserted
+    ck.delete_batch(d)
+    live = np.setdiff1d(build_keys, d)
+
+    ck_ref = ray.put(ck.to_bytes())
+    live_ref = ray.put(np.sort(live))
+
+    class Probe:
+        def __init__(self):
+            self.ck = CuckooFilter.from_bytes(ray.get(ck_ref))
+            self.live = ray.get(live_ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            vals = b[probe_col].to_numpy(zero_copy_only=False)
+            passed = self.ck.contains(vals)
+            idx = np.searchsorted(self.live, vals)
+            idx = np.clip(idx, 0, max(len(self.live) - 1, 0))
+            member = np.zeros(len(vals), dtype=bool) \
+                if not len(self.live) else self.live[idx] == vals
+            return pa.table({
+                "n_probed": pa.array([len(vals)], type=pa.int64()),
+                "n_members": pa.array([int(member.sum())],
+                                      type=pa.int64()),
+                "n_pass": pa.array([int(passed.sum())],
+                                   type=pa.int64()),
+                "n_fn": pa.array([int((member & ~passed).sum())],
+                                 type=pa.int64())})
+
+    parts = probe_ds.map_batches(Probe, batch_format="pyarrow",
+                                 concurrency=actor_pool_bounds())
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        n_probed = int(df["n_probed"].sum())
+        n_members = int(df["n_members"].sum())
+        n_pass = int(df["n_pass"].sum())
+        n_fn = int(df["n_fn"].sum())
+        bound = max(5.0, 10.0 * n_probed * ck.fp_rate_bound())
+        return pd.DataFrame({
+            "n_probed": np.array([n_probed], dtype=np.int64),
+            "n_members": np.array([n_members], dtype=np.int64),
+            "no_false_negatives": [n_fn == 0 and not ck.overflowed],
+            "fp_within_bound": [(n_pass - n_members) <= bound]})
+
+    return fin(parts.to_pandas())

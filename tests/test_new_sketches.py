@@ -397,3 +397,75 @@ def test_second_moment_pipeline(ray_session, sf_smoke):
     ).fetchone()[0]
     assert int(out["f2_exact"].iloc[0]) == int(exact)
     assert bool(out["within_bound"].iloc[0])
+
+
+class TestCuckooFilter:
+    def test_membership_and_fp_bound(self):
+        from t_digest_ray.state.cuckoo import CuckooFilter
+
+        rng = np.random.default_rng(11)
+        keys = rng.choice(1 << 40, 8000, replace=False)
+        ck = CuckooFilter.from_capacity(8000)
+        ck.update_batch(keys)
+        assert not ck.overflowed
+        assert ck.contains(keys).all()
+        novel = np.setdiff1d(rng.choice(1 << 40, 50000, replace=False),
+                             keys)
+        fp = int(ck.contains(novel).sum())
+        # 10x the published 2*SLOTS/2^16 bound, plus an absolute floor
+        assert fp <= max(5, 10 * len(novel) * ck.fp_rate_bound())
+
+    def test_delete_then_idempotent_reinsert(self):
+        from t_digest_ray.state.cuckoo import CuckooFilter
+
+        keys = np.arange(1000, dtype=np.int64) * 7919
+        ck = CuckooFilter.from_capacity(2000)
+        ck.update_batch(keys)
+        ck.update_batch(keys)                 # idempotent re-add
+        n0 = ck.n_items
+        assert n0 == len(keys)
+        removed = ck.delete_batch(keys[:500])
+        assert removed == 500
+        assert ck.contains(keys[500:]).all()
+        assert int(ck.contains(keys[:500]).sum()) <= 2  # residual fp only
+
+    def test_order_and_merge_invariance(self):
+        from t_digest_ray.state.cuckoo import CuckooFilter
+
+        rng = np.random.default_rng(5)
+        keys = rng.choice(1 << 40, 4000, replace=False)
+        probe = rng.choice(1 << 40, 10000)
+
+        one = CuckooFilter.from_capacity(4000)
+        one.update_batch(keys)
+
+        a = CuckooFilter.from_capacity(4000)
+        b = CuckooFilter.from_capacity(4000)
+        a.update_batch(keys[2000:])           # reversed halves
+        b.update_batch(keys[:2000])
+        a.merge(b)
+
+        assert not one.overflowed and not a.overflowed
+        np.testing.assert_array_equal(one.contains(probe),
+                                      a.contains(probe))
+
+    def test_serde_roundtrip(self):
+        from t_digest_ray.state.cuckoo import CuckooFilter
+
+        keys = np.arange(300, dtype=np.int64) * 31
+        ck = CuckooFilter.from_capacity(600)
+        ck.update_batch(keys)
+        ck2 = CuckooFilter.from_bytes(ck.to_bytes())
+        assert ck2.m == ck.m and ck2.n_items == ck.n_items
+        np.testing.assert_array_equal(ck2.table, ck.table)
+
+    def test_high_load_sets_overflow_not_wrong_answers(self):
+        from t_digest_ray.state.cuckoo import CuckooFilter
+
+        # force well past the 0.84 four-slot threshold
+        ck = CuckooFilter(64)  # 64 buckets x 4 = 256 slots
+        keys = np.arange(400, dtype=np.int64) * 104729
+        ck.update_batch(keys)
+        present = keys[ck.contains(keys)]
+        # everything that reports present really was inserted
+        assert len(present) >= ck.n_items
