@@ -5918,6 +5918,22 @@ def cuckoo_membership_customers(sf_dir: str):
         n_buckets=1 << 14)
 
 
+def embedding_int8_quantization(sf_dir: str):
+    """Int8 scalar quantization of the embedding column (pipelines/
+    clustering.scalar_quantization_stats): per-dim global min/max
+    calibration (one streaming pass, d-row broadcast), then uint8
+    affine codes and per-label integer stats (one more pass). The code
+    grid is IEEE-reproducible, so sum-of-codes / extreme-code counts
+    are VALUE-CHECKED bit-for-bit against the SQL replay of the same
+    affine map."""
+    from t_digest_ray.pipelines.clustering import (
+        scalar_quantization_stats,
+    )
+
+    ds = _read(sf_dir, "embeddings", ["embedding", "label"])
+    return scalar_quantization_stats(ds, "embedding", "label")
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
     return pages_flagship("/root/testdata/sf0.001")
@@ -5941,6 +5957,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_latest_snapshot_stats": cdc_latest_snapshot_stats,
         "bucketed_join_priority_revenue": bucketed_join_priority_revenue,
         "cuckoo_membership_customers": cuckoo_membership_customers,
+        "embedding_int8_quantization": embedding_int8_quantization,
         "scale_function_quantile_gates": scale_function_quantile_gates,
         "recording_digest_provenance": recording_digest_provenance,
         "dup_span_report_by_lang": dup_span_report_by_lang,
@@ -8257,6 +8274,27 @@ def oracle_sql() -> dict[str, str]:
         """,
         # The 11 p-rows are identical across scale_fn labels (same data);
         # a broken scale function flips its own within_bound row.
+        "embedding_int8_quantization": """
+            WITH dims AS (SELECT CAST(range AS INT) AS j
+                          FROM range(1, 65)),
+                 e AS (SELECT label, j,
+                              CAST(embedding[j] AS DOUBLE) AS x
+                       FROM embeddings CROSS JOIN dims),
+                 mm AS (SELECT j, MIN(x) AS mn, MAX(x) AS mx
+                        FROM e GROUP BY j),
+                 c AS (SELECT label,
+                              CAST(LEAST(GREATEST(
+                                  CASE WHEN mx = mn THEN 0
+                                  ELSE FLOOR((x - mn)
+                                       * (255.0 / (mx - mn)) + 0.5)
+                                  END, 0), 255) AS BIGINT) AS code
+                       FROM e JOIN mm USING (j))
+            SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vals,
+                   CAST(SUM(code) AS BIGINT) AS sum_codes,
+                   CAST(SUM(CASE WHEN code IN (0, 255) THEN 1
+                            ELSE 0 END) AS BIGINT) AS n_extreme
+            FROM c GROUP BY label
+        """,
         "cuckoo_membership_customers": """
             WITH s AS (SELECT DISTINCT o_custkey FROM orders
                        WHERE o_orderstatus = 'O'),

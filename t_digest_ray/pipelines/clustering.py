@@ -470,3 +470,88 @@ def embedding_diversity(ds, embedding_col: str, key: str, dim: int,
         rows.append({key: kval, "n_vecs": np.int64(n),
                      "avg_pairwise_cos": avg})
     return pd.DataFrame(rows)
+
+
+def scalar_quantization_stats(ds, embedding_col: str, label_col: str):
+    """INT8 SCALAR QUANTIZATION of an embedding column — the vector-DB
+    compression step (4x over float32) that precedes ANN index builds:
+    per-dimension global [min, max] affine mapping to uint8 codes
+    ``clip(floor((x - mn_j) * (255 / (mx_j - mn_j)) + 0.5), 0, 255)``.
+
+    Two streaming passes, neither materializing the corpus:
+      1. per-batch per-dim min/max partials (d rows per batch) ->
+         ``groupby(dim)`` -> a d-row calibration table broadcast via
+         ``ray.put`` (the model-broadcast pattern, never per-batch);
+      2. per-batch code computation + per-label integer partials
+         (sum of codes, extreme-code count) -> tiny label groupby.
+
+    All reported stats are integers on an exact IEEE-reproducible code
+    grid (float32 -> float64 widening is exact; one multiply, one add,
+    one floor in fixed order), so the result is value-hash checkable
+    bit-for-bit against a SQL oracle — the same exactness contract as
+    the k-means grid above. Constant dimensions (mx == mn) code to 0.
+    """
+    import ray
+    from ray.data.aggregate import Max, Min, Sum
+
+    # the hash aggregate widens integer keys; restore the input type
+    base = ds.schema().base_schema
+    if hasattr(base, "field"):                   # Arrow-backed blocks
+        lbl_type = base.field(label_col).type
+    else:                                        # pandas-backed blocks
+        i = list(base.names).index(label_col)
+        lbl_type = pa.from_numpy_dtype(base.types[i])
+
+    def mm_partial(b: pa.Table) -> pa.Table:
+        x = np.stack(b[embedding_col].to_numpy(zero_copy_only=False))
+        d = x.shape[1]
+        return pa.table({
+            "j": pa.array(np.arange(d, dtype=np.int64)),
+            "mn": pa.array(x.min(axis=0).astype(np.float64)),
+            "mx": pa.array(x.max(axis=0).astype(np.float64))})
+
+    mm = (ds.map_batches(mm_partial, batch_format="pyarrow")
+          .groupby("j").aggregate(Min("mn", alias_name="mn"),
+                                  Max("mx", alias_name="mx"))
+          .to_pandas().sort_values("j"))
+    mn = mm["mn"].to_numpy(np.float64)
+    mx = mm["mx"].to_numpy(np.float64)
+    span = mx - mn
+    scale = np.where(span > 0, 255.0 / np.where(span > 0, span, 1.0),
+                     0.0)
+    cal_ref = ray.put((mn, scale))
+
+    class Encode:
+        def __init__(self):
+            self.mn, self.scale = ray.get(cal_ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            x = np.stack(
+                b[embedding_col].to_numpy(zero_copy_only=False)) \
+                .astype(np.float64)
+            code = np.floor((x - self.mn) * self.scale + 0.5)
+            code = np.clip(code, 0, 255).astype(np.int64)
+            return pa.table({
+                label_col: b[label_col].combine_chunks(),
+                "n_vals": pa.array(
+                    np.full(len(b), x.shape[1], dtype=np.int64)),
+                "sum_codes": pa.array(code.sum(axis=1)),
+                "n_extreme": pa.array(
+                    ((code == 0) | (code == 255)).sum(axis=1)
+                    .astype(np.int64))})
+
+    from ..stages.partitioning import actor_pool_bounds
+    out = (ds.map_batches(Encode, batch_format="pyarrow",
+                          concurrency=actor_pool_bounds())
+           .groupby(label_col)
+           .aggregate(Sum("n_vals", alias_name="n_vals"),
+                      Sum("sum_codes", alias_name="sum_codes"),
+                      Sum("n_extreme", alias_name="n_extreme")))
+
+    def fin(b: pa.Table) -> pa.Table:
+        cols = {label_col: b[label_col].cast(lbl_type)}
+        for c in ("n_vals", "sum_codes", "n_extreme"):
+            cols[c] = b[c].cast(pa.int64())
+        return pa.table(cols)
+
+    return out.map_batches(fin, batch_format="pyarrow")

@@ -193,3 +193,41 @@ def test_embedding_diversity_batch_split_invariant(ray_session, rng):
                                   b.reset_index(drop=True))
     # sanity: unit vectors -> avg pairwise cos in [-1, 1]
     assert a["avg_pairwise_cos"].between(-1.0, 1.0).all()
+
+
+def test_scalar_quantization_stats_exact(ray_session):
+    """Int8 quantization stats match a local numpy replay, including a
+    planted constant dimension (codes to 0) and exact-extreme values,
+    at two parallelism levels."""
+    import ray.data as rd
+
+    from t_digest_ray.pipelines.clustering import scalar_quantization_stats
+
+    rng = np.random.default_rng(17)
+    n, d = 400, 8
+    x = rng.normal(size=(n, d)).astype(np.float32)
+    x[:, 3] = 1.25                       # constant dim -> code 0
+    lab = (np.arange(n) % 5).astype(np.int32)
+    df = pd.DataFrame({"embedding": list(x), "label": lab})
+
+    xd = x.astype(np.float64)
+    mn, mx = xd.min(0), xd.max(0)
+    span = mx - mn
+    scale = np.where(span > 0, 255.0 / np.where(span > 0, span, 1.0), 0.0)
+    code = np.clip(np.floor((xd - mn) * scale + 0.5), 0, 255) \
+        .astype(np.int64)
+    want = (pd.DataFrame({"label": lab,
+                          "sum_codes": code.sum(1),
+                          "n_extreme": ((code == 0) | (code == 255))
+                          .sum(1).astype(np.int64)})
+            .groupby("label").sum().reset_index())
+
+    for parts in (1, 5):
+        ds = rd.from_pandas(df).repartition(parts)
+        got = (scalar_quantization_stats(ds, "embedding", "label")
+               .to_pandas().sort_values("label").reset_index(drop=True))
+        assert (got["n_vals"] == d * n // 5).all()
+        pd.testing.assert_series_equal(
+            got["sum_codes"], want["sum_codes"], check_names=False)
+        pd.testing.assert_series_equal(
+            got["n_extreme"], want["n_extreme"], check_names=False)
