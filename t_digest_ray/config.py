@@ -58,7 +58,7 @@ PIPELINES = ("quantiles", "kll", "req", "distinct", "heavy", "heavy_mg",
              "hits", "markov_accuracy", "token_entropy", "zipf_slope",
              "heaps_law", "markov_entropy", "mutual_info", "hill_tail",
             "gk", "qdigest", "shape_moments", "embedding_diversity",
-            "median_of_means", "dgim")
+            "median_of_means", "dgim", "latest_snapshot", "int8_quant")
 
 
 @dataclass
@@ -177,6 +177,15 @@ def run_job(cfg: JobConfig):
         from .pipelines.stats import median_of_means
         out = median_of_means(ds, p.pop("id_col", "doc_id"), cfg.key,
                               cfg.value_col, **p)
+    elif cfg.pipeline == "latest_snapshot":
+        from .pipelines.relational import latest_snapshot_stats
+        out = latest_snapshot_stats(
+            ds, cfg.key, p.pop("ts_col", "ts"),
+            p.pop("seq_col", "event_id"), p.pop("op_col", "op"),
+            p.pop("attr_col", "event_type"), cfg.value_col, **p)
+    elif cfg.pipeline == "int8_quant":
+        from .pipelines.clustering import scalar_quantization_stats
+        out = scalar_quantization_stats(ds, cfg.value_col, cfg.key)
     elif cfg.pipeline == "shape_moments":
         from .pipelines.stats import grouped_shape_moments
         out = grouped_shape_moments(ds, cfg.key, cfg.value_col)

@@ -711,3 +711,40 @@ def test_config_dgim_route(ray_session, tmp_path):
                     params={"ts_col": "ts", "window_s": 7 * 86400})
     out = run_job(cfg).to_pandas()
     assert out.iloc[0]["within_bound"]
+
+
+def test_config_latest_snapshot_route(ray_session, tmp_path):
+    import numpy as np
+    import pandas as pd
+    base = pd.Timestamp("2025-01-01")
+    df = pd.DataFrame({
+        "user_id": [1, 1, 2],
+        "ts": [base, base + pd.Timedelta("1h"), base],
+        "event_id": [1, 2, 3],
+        "op": ["U", "D", "U"],
+        "event_type": ["a", "a", "b"],
+        "cents": np.array([5, 0, 9], dtype=np.int64),
+    })
+    p = tmp_path / "log.parquet"
+    df.to_parquet(p)
+    cfg = JobConfig(pipeline="latest_snapshot", input=str(p),
+                    key="user_id", value_col="cents")
+    out = run_job(cfg).to_pandas()
+    assert out["event_type"].tolist() == ["b"]
+    assert out["sum_cents"].tolist() == [9]
+
+
+def test_config_int8_quant_route(ray_session, tmp_path):
+    import numpy as np
+    import pandas as pd
+    x = np.array([[0.0, 1.0], [1.0, 1.0]], dtype=np.float32)
+    df = pd.DataFrame({"embedding": list(x),
+                       "label": np.array([0, 1], dtype=np.int32)})
+    p = tmp_path / "emb.parquet"
+    df.to_parquet(p)
+    cfg = JobConfig(pipeline="int8_quant", input=str(p),
+                    value_col="embedding", key="label")
+    out = run_job(cfg).to_pandas().set_index("label")
+    # dim0 spans [0,1]: codes 0 and 255; dim1 constant: code 0
+    assert out.loc[0, "sum_codes"] == 0
+    assert out.loc[1, "sum_codes"] == 255
