@@ -5934,6 +5934,25 @@ def embedding_int8_quantization(sf_dir: str):
     return scalar_quantization_stats(ds, "embedding", "label")
 
 
+def hll_sparse_distinct_users(sf_dir: str):
+    """SPARSE-representation HLL distinct users per event type
+    (state/hll.SparseHyperLogLog, the HLL++ §5.1 idea; pipelines/
+    validation.sparse_hll_equivalence_check): per-group sketches are
+    (index, rank) pair lists of min(5 x touched, 2^p) bytes — the
+    high-cardinality-groupby memory fix — auto-promoting to dense when
+    dense is smaller. VALUE-CHECKED: exact COUNT(DISTINCT) hash-match,
+    plus gates that the sparse estimate is BIT-EQUAL to the dense
+    sketch's and inside the 3-sigma envelope."""
+    from t_digest_ray.pipelines.validation import (
+        sparse_hll_equivalence_check,
+    )
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+    return sparse_hll_equivalence_check(ds, "user_id", "event_type",
+                                        p=14, sigma=3.0, num_salts=2,
+                                        count_name="n_users")
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
     return pages_flagship("/root/testdata/sf0.001")
@@ -5958,6 +5977,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bucketed_join_priority_revenue": bucketed_join_priority_revenue,
         "cuckoo_membership_customers": cuckoo_membership_customers,
         "embedding_int8_quantization": embedding_int8_quantization,
+        "hll_sparse_distinct_users": hll_sparse_distinct_users,
         "scale_function_quantile_gates": scale_function_quantile_gates,
         "recording_digest_provenance": recording_digest_provenance,
         "dup_span_report_by_lang": dup_span_report_by_lang,
@@ -8274,6 +8294,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         # The 11 p-rows are identical across scale_fn labels (same data);
         # a broken scale function flips its own within_bound row.
+        "hll_sparse_distinct_users": """
+            SELECT event_type,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+                   TRUE AS sparse_equals_dense,
+                   TRUE AS within_bound
+            FROM events GROUP BY event_type
+        """,
         "embedding_int8_quantization": """
             WITH dims AS (SELECT CAST(range AS INT) AS j
                           FROM range(1, 65)),

@@ -871,3 +871,55 @@ def recording_provenance_check(ds, value_col: str, key: str,
         return pd.DataFrame(row)
 
     return ds.groupby(key).map_groups(per_group, batch_format="pandas")
+
+
+def sparse_hll_equivalence_check(ds, value_col: str, key: str,
+                                 p: int = 14, sigma: float = 3.0,
+                                 num_salts: int = 2,
+                                 count_name: str = "n_distinct",
+                                 key_name: str | None = None
+                                 ) -> pd.DataFrame:
+    """Exact distinct count per key + TWO gates on the SPARSE HLL path
+    (state/hll.SparseHyperLogLog): ``sparse_equals_dense`` asserts the
+    sparse representation's estimate is BIT-EQUAL to the dense sketch
+    built over the same column (the sparse form is the same register
+    file in a cheaper container — any drift is a bug, not statistics),
+    and ``within_bound`` asserts the shared estimate sits inside the
+    ``sigma * 1.04/sqrt(2^p)`` envelope of the exact count. The sparse
+    rows on the shuffle are ``min(5 * touched_registers, 2**p)`` bytes —
+    the whole point for high-cardinality group keys."""
+    from ..state.protocol import SketchSpec
+    from ..stages.aggregate import sketch_by_key, summarize
+    from ..state.hll import SparseHyperLogLog
+    from .distinct import distinct_by_key
+    from .relational import distinct_count_by_key
+
+    key_name = key_name or key
+    sparse_spec = SketchSpec(
+        name="hll_sparse",
+        factory=lambda: SparseHyperLogLog(p),
+        from_bytes=SparseHyperLogLog.from_bytes,
+        summarize=lambda sk: {"distinct_estimate": float(sk.estimate())},
+    )
+    sp = summarize(sketch_by_key(ds, sparse_spec, value_col, key,
+                                 num_salts=num_salts),
+                   sparse_spec, key_name=key_name).to_pandas()
+    dn = distinct_by_key(ds, value_col, key, p=p, num_salts=num_salts,
+                         key_name=key_name).to_pandas()
+    exact = distinct_count_by_key(ds, key, value_col,
+                                  count_name).to_pandas()
+
+    sp_by_key = dict(zip(sp[key_name], sp["distinct_estimate"]))
+    dn_by_key = dict(zip(dn[key_name], dn["distinct_estimate"]))
+    rel_bound = sigma * 1.04 / math.sqrt(2 ** p)
+    out = exact.rename(columns={key: key_name}).copy()
+    exact_n = out[count_name].to_numpy(dtype=np.float64)
+    sp_n = np.array([sp_by_key.get(k, np.nan) for k in out[key_name]])
+    dn_n = np.array([dn_by_key.get(k, np.nan) for k in out[key_name]])
+    out["sparse_equals_dense"] = (sp_n == dn_n) & np.isfinite(sp_n)
+    out["within_bound"] = (np.abs(sp_n - exact_n)
+                           <= rel_bound * np.maximum(exact_n, 1.0)) \
+        & np.isfinite(sp_n)
+    out[count_name] = out[count_name].astype(np.int64)
+    return out[[key_name, count_name, "sparse_equals_dense",
+                "within_bound"]]

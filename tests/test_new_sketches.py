@@ -469,3 +469,56 @@ class TestCuckooFilter:
         present = keys[ck.contains(keys)]
         # everything that reports present really was inserted
         assert len(present) >= ck.n_items
+
+
+class TestSparseHLL:
+    def test_bit_equal_to_dense_and_promotion(self):
+        from t_digest_ray.state.hll import HyperLogLog, SparseHyperLogLog
+
+        rng = np.random.default_rng(23)
+        vals = rng.choice(1 << 50, 6000, replace=False)
+        dense = HyperLogLog(12)
+        dense.update_batch(vals)
+        s = SparseHyperLogLog(12)
+        s = s.update_batch(vals)              # promotes past m/5 touched
+        assert isinstance(s, HyperLogLog)
+        assert s.estimate() == dense.estimate()
+
+    def test_sparse_merge_paths(self):
+        from t_digest_ray.state.hll import HyperLogLog, SparseHyperLogLog
+
+        rng = np.random.default_rng(29)
+        a_vals = rng.choice(1 << 50, 300, replace=False)
+        b_vals = rng.choice(1 << 50, 300, replace=False)
+        dense = HyperLogLog(14)
+        dense.update_batch(np.concatenate([a_vals, b_vals]))
+
+        # sparse + sparse stays sparse and matches
+        a = SparseHyperLogLog(14).update_batch(a_vals)
+        b = SparseHyperLogLog(14).update_batch(b_vals)
+        m = a.merge(b)
+        assert isinstance(m, SparseHyperLogLog)
+        assert m.estimate() == dense.estimate()
+
+        # sparse + dense promotes and matches
+        d2 = HyperLogLog(14)
+        d2.update_batch(b_vals)
+        a2 = SparseHyperLogLog(14).update_batch(a_vals)
+        m2 = a2.merge(d2)
+        assert isinstance(m2, HyperLogLog)
+        assert m2.estimate() == dense.estimate()
+
+    def test_serde_dispatch_both_magics(self):
+        from t_digest_ray.state.hll import HyperLogLog, SparseHyperLogLog
+
+        s = SparseHyperLogLog(14).update_batch(np.arange(50))
+        rb = SparseHyperLogLog.from_bytes(s.to_bytes())
+        assert isinstance(rb, SparseHyperLogLog)
+        assert rb.estimate() == s.estimate()
+        assert len(s.to_bytes()) < 300        # vs 16 KiB dense
+
+        d = HyperLogLog(14)
+        d.update_batch(np.arange(50))
+        rb2 = SparseHyperLogLog.from_bytes(d.to_bytes())
+        assert isinstance(rb2, HyperLogLog)
+        assert rb2.estimate() == d.estimate()
