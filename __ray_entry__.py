@@ -5953,6 +5953,37 @@ def hll_sparse_distinct_users(sf_dir: str):
                                         count_name="n_users")
 
 
+def zorder_layout_audit(sf_dir: str):
+    """Z-ORDER clustering audit (stages/partitioning.
+    zorder_partition_report): events keyed by the Morton interleave of
+    (user_id % 256, event day % 256), split into 16 equal-width
+    z-ranges; per partition the row count and BOTH dimensions' min/max
+    spans — the 2-D data-skipping audit behind Delta/Iceberg ZORDER BY.
+    Fully deterministic; the oracle replays the interleave as a 16-term
+    shift expression."""
+    from t_digest_ray.stages.partitioning import zorder_partition_report
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def dims(b: pa.Table) -> pa.Table:
+        u = b["user_id"].to_numpy(zero_copy_only=False)
+        t = b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({"a": pa.array((u * 97) % 256),
+                         "b": pa.array(
+                             ((t // 86_400_000_000) * 53) % 256)})
+
+    return zorder_partition_report(
+        ds.map_batches(dims, batch_format="pyarrow"), "a", "b",
+        bits=8, n_partitions=16)
+
+
+# Morton interleave of two 8-bit dims as a SQL shift expression (bit k of
+# a at position 2k+1, of b at 2k) — mirrors stages/partitioning.py.
+_ZORDER_TERMS = " + ".join(
+    f"((a >> {k}) & 1) * {1 << (2 * k + 1)} + "
+    f"((b >> {k}) & 1) * {1 << (2 * k)}" for k in range(8))
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
     return pages_flagship("/root/testdata/sf0.001")
@@ -5978,6 +6009,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cuckoo_membership_customers": cuckoo_membership_customers,
         "embedding_int8_quantization": embedding_int8_quantization,
         "hll_sparse_distinct_users": hll_sparse_distinct_users,
+        "zorder_layout_audit": zorder_layout_audit,
         "scale_function_quantile_gates": scale_function_quantile_gates,
         "recording_digest_provenance": recording_digest_provenance,
         "dup_span_report_by_lang": dup_span_report_by_lang,
@@ -8294,6 +8326,20 @@ def oracle_sql() -> dict[str, str]:
         """,
         # The 11 p-rows are identical across scale_fn labels (same data);
         # a broken scale function flips its own within_bound row.
+        "zorder_layout_audit": f"""
+            WITH d AS (SELECT (user_id * 97) % 256 AS a,
+                              ((epoch_us(ts) // 86400000000) * 53) % 256
+                                  AS b
+                       FROM events),
+                 z AS (SELECT a, b, {_ZORDER_TERMS} AS z FROM d)
+            SELECT CAST(z >> 12 AS BIGINT) AS partition,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(MIN(a) AS BIGINT) AS a_min,
+                   CAST(MAX(a) AS BIGINT) AS a_max,
+                   CAST(MIN(b) AS BIGINT) AS b_min,
+                   CAST(MAX(b) AS BIGINT) AS b_max
+            FROM z GROUP BY 1
+        """,
         "hll_sparse_distinct_users": """
             SELECT event_type,
                    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,

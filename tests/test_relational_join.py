@@ -356,3 +356,39 @@ def test_bucketed_join_storage_partitioned(ray_session, tmp_path):
     mtime = os.path.getmtime(d + "/_SUCCESS")
     assert write_bucketed(None, d, "x", 4) == d   # ds unused on skip
     assert os.path.getmtime(d + "/_SUCCESS") == mtime
+
+
+def test_zorder_interleave_and_report(ray_session):
+    """Morton interleave matches the bit-by-bit definition, and the
+    partition report's spans prove 2-D locality: every equal-width
+    z-range at bits=4/n=4 confines BOTH dimensions to a half-range."""
+    import ray.data as rd
+
+    from t_digest_ray.stages.partitioning import (
+        zorder_interleave,
+        zorder_partition_report,
+    )
+
+    a = np.array([0b1010, 0b0001, 0b1111], dtype=np.int64)
+    b = np.array([0b0101, 0b0010, 0b1111], dtype=np.int64)
+    z = zorder_interleave(a, b, bits=4)
+    def ref(x, y):
+        out = 0
+        for k in range(4):
+            out |= ((x >> k) & 1) << (2 * k + 1)
+            out |= ((y >> k) & 1) << (2 * k)
+        return out
+    np.testing.assert_array_equal(z, [ref(x, y) for x, y in zip(a, b)])
+
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame({"a": rng.integers(0, 16, 2000),
+                       "b": rng.integers(0, 16, 2000)})
+    rep = zorder_partition_report(
+        rd.from_pandas(df).repartition(4), "a", "b",
+        bits=4, n_partitions=4).to_pandas()
+    assert rep["n_rows"].sum() == 2000
+    # top 2 z-bits = (a's top bit, b's top bit): each partition pins
+    # both dimensions to one half of their range
+    for _, r in rep.iterrows():
+        assert r["a_max"] - r["a_min"] <= 7
+        assert r["b_max"] - r["b_min"] <= 7
