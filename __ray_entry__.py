@@ -5984,6 +5984,31 @@ _ZORDER_TERMS = " + ".join(
     f"((b >> {k}) & 1) * {1 << (2 * k)}" for k in range(8))
 
 
+def events_table_fingerprint(sf_dir: str):
+    """Order-invariant per-type table FINGERPRINT (pipelines/validation.
+    table_fingerprint): each event mixes (user_id, value cents) into a
+    splitmix64 hash; the per-type checksum is the sum of hashes mod
+    2^64 — commutative, so two replicas agree iff their (count,
+    checksum) tables agree, with no sort and no row movement. The
+    anti-entropy primitive of replication/migration validation.
+    VALUE-CHECKED bit-exactly: the oracle replays the mix + splitmix64
+    finalizer in UHUGEINT arithmetic."""
+    from t_digest_ray.pipelines.validation import table_fingerprint
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        v = b["value"].to_numpy(zero_copy_only=False)
+        cents = np.floor(v * 100.0 + 0.5).astype(np.int64)
+        return pa.table({"event_type": b["event_type"],
+                         "user_id": b["user_id"],
+                         "cents": pa.array(cents)})
+
+    return table_fingerprint(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        "event_type", ["user_id", "cents"])
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
     return pages_flagship("/root/testdata/sf0.001")
@@ -6010,6 +6035,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_int8_quantization": embedding_int8_quantization,
         "hll_sparse_distinct_users": hll_sparse_distinct_users,
         "zorder_layout_audit": zorder_layout_audit,
+        "events_table_fingerprint": events_table_fingerprint,
         "scale_function_quantile_gates": scale_function_quantile_gates,
         "recording_digest_provenance": recording_digest_provenance,
         "dup_span_report_by_lang": dup_span_report_by_lang,
@@ -8326,6 +8352,38 @@ def oracle_sql() -> dict[str, str]:
         """,
         # The 11 p-rows are identical across scale_fn labels (same data);
         # a broken scale function flips its own within_bound row.
+        "events_table_fingerprint": f"""
+            WITH r AS (SELECT event_type,
+                              (CAST(user_id AS UHUGEINT) * 1000003
+                               + CAST(FLOOR(value * 100.0 + 0.5)
+                                      AS UHUGEINT) * 1000006000009)
+                              % {_M64} AS x
+                       FROM events),
+                 m0 AS (SELECT event_type,
+                               (x + CAST(11400714819323198485
+                                         AS UHUGEINT)) % {_M64} AS z
+                        FROM r),
+                 m1 AS (SELECT event_type,
+                               (xor(z, z >> 30)
+                                * CAST(13787848793156543929 AS UHUGEINT))
+                               % {_M64} AS z1 FROM m0),
+                 m2 AS (SELECT event_type,
+                               (xor(z1, z1 >> 27)
+                                * CAST(10723151780598845931 AS UHUGEINT))
+                               % {_M64} AS z2 FROM m1),
+                 mh AS (SELECT event_type, xor(z2, z2 >> 31) AS h
+                        FROM m2),
+                 agg AS (SELECT event_type,
+                                COUNT(*) AS n_rows,
+                                CAST(SUM(CAST(h AS HUGEINT))
+                                     % 18446744073709551616 AS UHUGEINT)
+                                    AS cs
+                         FROM mh GROUP BY event_type)
+            SELECT event_type, CAST(n_rows AS BIGINT) AS n_rows,
+                   CAST(cs >> 32 AS BIGINT) AS cs_hi,
+                   CAST(cs % 4294967296 AS BIGINT) AS cs_lo
+            FROM agg
+        """,
         "zorder_layout_audit": f"""
             WITH d AS (SELECT (user_id * 97) % 256 AS a,
                               ((epoch_us(ts) // 86400000000) * 53) % 256

@@ -923,3 +923,67 @@ def sparse_hll_equivalence_check(ds, value_col: str, key: str,
     out[count_name] = out[count_name].astype(np.int64)
     return out[[key_name, count_name, "sparse_equals_dense",
                 "within_bound"]]
+
+
+def table_fingerprint(ds, key: str, mix_cols: list[str],
+                      mults: list[int] | None = None):
+    """ORDER-INVARIANT content fingerprint per key — the anti-entropy /
+    replication-reconciliation primitive: two copies of a table (across
+    clusters, formats, or a migration) agree iff their per-key
+    (row count, checksum) tables agree, with no sort and no row
+    transfer. Each row mixes its integer columns into one 64-bit input
+    ``x = sum(col_i * mult_i) mod 2^64``, finalizes with splitmix64,
+    and the per-key CHECKSUM is the sum of finalized hashes mod 2^64 —
+    commutative/associative, so block layout, parallelism and merge
+    order cannot change it. Per-batch partials shuffle only
+    (key, n, checksum) cells.
+
+    Returns (key, n_rows, cs_hi, cs_lo): the uint64 checksum split into
+    two BIGINT-safe halves so a SQL oracle can hash-match it exactly.
+    """
+    from ray.data.aggregate import Sum
+
+    from ..functions.hashing import splitmix64
+
+    mults = mults or [1000003 ** i for i in range(1, len(mix_cols) + 1)]
+
+    def partial(b: pa.Table) -> pa.Table:
+        x = np.zeros(len(b), dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for c, m in zip(mix_cols, mults):
+                col = b[c].to_numpy(zero_copy_only=False) \
+                    .astype(np.int64).astype(np.uint64)
+                x += col * np.uint64(m & 0xFFFFFFFFFFFFFFFF)
+        h = splitmix64(x)
+        kv = b[key].to_numpy(zero_copy_only=False)
+        order = np.argsort(kv, kind="stable")
+        ks = kv[order]
+        starts = np.flatnonzero(
+            np.concatenate([[True], ks[1:] != ks[:-1]]))
+        ends = np.append(starts[1:], len(ks))
+        with np.errstate(over="ignore"):
+            sums = np.add.reduceat(h[order], starts)
+        return pa.table({
+            key: pa.array(ks[starts]),
+            "n_rows": pa.array((ends - starts).astype(np.int64)),
+            "cs_hi": pa.array(
+                (sums >> np.uint64(32)).astype(np.int64)),
+            "cs_lo": pa.array(
+                (sums & np.uint64(0xFFFFFFFF)).astype(np.int64))})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby(key)
+           .aggregate(Sum("n_rows", alias_name="n_rows"),
+                      Sum("cs_hi", alias_name="hi_sum"),
+                      Sum("cs_lo", alias_name="lo_sum")))
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        # re-fold the partial halves into the exact mod-2^64 checksum
+        total = (df["hi_sum"].astype(object) * (1 << 32)
+                 + df["lo_sum"].astype(object)) % (1 << 64)
+        df["cs_hi"] = (total // (1 << 32)).astype(np.int64)
+        df["cs_lo"] = (total % (1 << 32)).astype(np.int64)
+        df["n_rows"] = df["n_rows"].astype(np.int64)
+        return df[[key, "n_rows", "cs_hi", "cs_lo"]]
+
+    return agg.map_batches(fin, batch_format="pandas")

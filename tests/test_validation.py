@@ -304,3 +304,34 @@ def test_recording_from_bytes_rejects_plain_digest():
     d.update_batch(np.arange(100.0))
     with pytest.raises(ValueError):
         RecordingDigest.from_bytes(d.to_bytes())
+
+
+def test_table_fingerprint_order_invariant(ray_session):
+    """Fingerprints are layout/order-invariant, and detect a single
+    changed cell."""
+    import ray.data as rd
+
+    from t_digest_ray.pipelines.validation import table_fingerprint
+
+    rng = np.random.default_rng(41)
+    df = pd.DataFrame({
+        "k": rng.choice(["a", "b", "c"], 3000),
+        "u": rng.integers(0, 1 << 40, 3000).astype(np.int64),
+        "c": rng.integers(0, 10**6, 3000).astype(np.int64)})
+
+    outs = []
+    for parts, frame in ((2, df), (7, df.iloc[::-1])):
+        got = (table_fingerprint(
+            rd.from_pandas(frame.reset_index(drop=True))
+            .repartition(parts), "k", ["u", "c"])
+            .to_pandas().sort_values("k").reset_index(drop=True))
+        outs.append(got)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+
+    tweaked = df.copy()
+    tweaked.loc[5, "c"] += 1
+    other = (table_fingerprint(rd.from_pandas(tweaked), "k", ["u", "c"])
+             .to_pandas().sort_values("k").reset_index(drop=True))
+    same = (other[["cs_hi", "cs_lo"]].values
+            == outs[0][["cs_hi", "cs_lo"]].values).all(axis=1)
+    assert same.sum() == 2     # exactly the touched key differs
