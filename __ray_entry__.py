@@ -6009,6 +6009,76 @@ def events_table_fingerprint(sf_dir: str):
         "event_type", ["user_id", "cents"])
 
 
+def full_outer_join_reconcile(sf_dir: str):
+    """FULL OUTER hash join (pipelines/relational.hash_join how='full'):
+    per-(user, day) click counts joined with purchase counts, keys
+    surviving from EITHER side with typed nulls, then classified into
+    both / left_only / right_only coverage classes with exact count
+    sums — the reconciliation shape of entity-resolution audits. One
+    co-partitioned union+groupby shuffle; full value-hash oracle via
+    SQL FULL OUTER JOIN."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Sum
+    from t_digest_ray.pipelines.relational import hash_join
+
+    ev = _read(sf_dir, "events", ["event_type", "user_id", "ts"])
+
+    def side_counts(t: str, out: str):
+        def fn(b: pa.Table) -> pa.Table:
+            b = b.filter(pc.equal(b["event_type"], t))
+            u = b["user_id"].to_numpy(zero_copy_only=False)
+            d = (b["ts"].cast(pa.int64())
+                 .to_numpy(zero_copy_only=False) // 86_400_000_000)
+            key = u * 100000 + d
+            uniq, cnt = np.unique(key, return_counts=True)
+            return pa.table({"user_day": pa.array(uniq),
+                             out: pa.array(cnt.astype(np.int64))})
+        return fn
+
+    clicks = (ev.map_batches(side_counts("click", "n_clicks"),
+                             batch_format="pyarrow")
+              .groupby("user_day").aggregate(
+                  Sum("n_clicks", alias_name="n_clicks")))
+    purchases = (ev.map_batches(side_counts("purchase", "n_purch"),
+                                batch_format="pyarrow")
+                 .groupby("user_day").aggregate(
+                     Sum("n_purch", alias_name="n_purch")))
+
+    joined = hash_join(clicks, purchases, on="user_day",
+                       left_cols=["n_clicks"], right_cols=["n_purch"],
+                       types={"user_day": pa.int64(),
+                              "n_clicks": pa.int64(),
+                              "n_purch": pa.int64()},
+                       how="full")
+
+    def classify(b: pa.Table) -> pa.Table:
+        nc = b["n_clicks"].to_numpy(zero_copy_only=False)
+        np_ = b["n_purch"].to_numpy(zero_copy_only=False)
+        has_c = ~pd.isna(nc)
+        has_p = ~pd.isna(np_)
+        cov = np.where(has_c & has_p, "both",
+                       np.where(has_c, "left_only", "right_only"))
+        return pa.table({
+            "coverage": pa.array(cov),
+            "clicks": pa.array(np.where(has_c, nc, 0)
+                               .astype(np.int64)),
+            "purchases": pa.array(np.where(has_p, np_, 0)
+                                  .astype(np.int64))})
+
+    out = (joined.map_batches(classify, batch_format="pyarrow")
+           .groupby("coverage")
+           .aggregate(Count(alias_name="n_users"),
+                      Sum("clicks", alias_name="sum_clicks"),
+                      Sum("purchases", alias_name="sum_purchases")))
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        for c in ("n_users", "sum_clicks", "sum_purchases"):
+            df[c] = df[c].astype(np.int64)
+        return df
+
+    return out.map_batches(fin, batch_format="pandas")
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
     return pages_flagship("/root/testdata/sf0.001")
@@ -6036,6 +6106,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_sparse_distinct_users": hll_sparse_distinct_users,
         "zorder_layout_audit": zorder_layout_audit,
         "events_table_fingerprint": events_table_fingerprint,
+        "full_outer_join_reconcile": full_outer_join_reconcile,
         "scale_function_quantile_gates": scale_function_quantile_gates,
         "recording_digest_provenance": recording_digest_provenance,
         "dup_span_report_by_lang": dup_span_report_by_lang,
@@ -8352,6 +8423,34 @@ def oracle_sql() -> dict[str, str]:
         """,
         # The 11 p-rows are identical across scale_fn labels (same data);
         # a broken scale function flips its own within_bound row.
+        "full_outer_join_reconcile": """
+            WITH c AS (SELECT user_id * 100000
+                              + (epoch_us(ts) // 86400000000)
+                                  AS user_day,
+                              COUNT(*) AS n_clicks
+                       FROM events WHERE event_type = 'click'
+                       GROUP BY 1),
+                 p AS (SELECT user_id * 100000
+                              + (epoch_us(ts) // 86400000000)
+                                  AS user_day,
+                              COUNT(*) AS n_purch
+                       FROM events WHERE event_type = 'purchase'
+                       GROUP BY 1),
+                 j AS (SELECT CASE
+                           WHEN c.user_day IS NOT NULL
+                                AND p.user_day IS NOT NULL THEN 'both'
+                           WHEN c.user_day IS NOT NULL THEN 'left_only'
+                           ELSE 'right_only' END AS coverage,
+                           COALESCE(n_clicks, 0) AS clicks,
+                           COALESCE(n_purch, 0) AS purchases
+                       FROM c FULL OUTER JOIN p
+                         ON c.user_day = p.user_day)
+            SELECT coverage,
+                   CAST(COUNT(*) AS BIGINT) AS n_users,
+                   CAST(SUM(clicks) AS BIGINT) AS sum_clicks,
+                   CAST(SUM(purchases) AS BIGINT) AS sum_purchases
+            FROM j GROUP BY coverage
+        """,
         "events_table_fingerprint": f"""
             WITH r AS (SELECT event_type,
                               (CAST(user_id AS UHUGEINT) * 1000003

@@ -407,13 +407,16 @@ def distinct_count_by_key(ds, key: str, value: str, out_name: str):
 def hash_join(left, right, on: str, left_cols, right_cols,
               coarse: int | None = None, n_rows: int | None = None,
               types: dict | None = None, how: str = "inner"):
-    """Distributed hash equi-join (``how`` = "inner" or "left") of two
-    Datasets on ``on``.
+    """Distributed hash equi-join (``how`` = "inner", "left" or
+    "full") of two Datasets on ``on``.
 
-    LEFT join: unmatched left rows survive with the right columns null
-    (the per-bucket merge emits them via ``from_pandas`` null
-    conversion), so a downstream COALESCE/fillna sees proper Arrow
-    nulls, not NaN-coerced floats.
+    LEFT/FULL join: unmatched rows survive with the other side's
+    columns null (the per-bucket merge emits them via ``from_pandas``
+    null conversion), so a downstream COALESCE/fillna sees proper Arrow
+    nulls, not NaN-coerced floats. FULL OUTER works per bucket because
+    hash co-partitioning sends BOTH sides of any key to the same
+    bucket — a key absent from one side is absent from that bucket's
+    side exactly.
 
     Ray Data (2.49) has no native join; this is the shuffle join the
     engine uses when NEITHER side fits in memory (use
@@ -499,20 +502,22 @@ def hash_join(left, right, on: str, left_cols, right_cols,
                                       for c in left_cols + right_cols]
     out_schema = pa.schema(out_fields)
 
-    if how not in ("inner", "left"):
-        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    if how not in ("inner", "left", "full"):
+        raise ValueError(
+            f"how must be 'inner', 'left' or 'full', got {how!r}")
+    pd_how = {"inner": "inner", "left": "left", "full": "outer"}[how]
 
     def bucket_join(g: pd.DataFrame) -> pa.Table:
         l = g[g["is_left"] == 1][[on] + left_cols]
         r = g[g["is_left"] == 0][[on] + right_cols]
-        j = l.merge(r, on=on, how=how)
+        j = l.merge(r, on=on, how=pd_how)
         if how == "inner":
             return pa.table({c: pa.array(j[c].to_numpy(), type=t)
                              for c, t in out_fields},
                             schema=out_schema)
-        # left join: unmatched right columns are NaN in the merged frame;
-        # from_pandas converts them to typed Arrow nulls (a plain
-        # to_numpy() would coerce int columns to float64)
+        # left/full join: unmatched columns are NaN in the merged
+        # frame; from_pandas converts them to typed Arrow nulls (a
+        # plain to_numpy() would coerce int columns to float64)
         return pa.table({c: pa.array(j[c], type=t, from_pandas=True)
                          for c, t in out_fields},
                         schema=out_schema)

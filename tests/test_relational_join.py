@@ -392,3 +392,28 @@ def test_zorder_interleave_and_report(ray_session):
     for _, r in rep.iterrows():
         assert r["a_max"] - r["a_min"] <= 7
         assert r["b_max"] - r["b_min"] <= 7
+
+
+def test_hash_join_full_outer(ray_session):
+    """FULL OUTER hash join keeps unmatched keys from both sides with
+    typed nulls, matching the pandas outer merge."""
+    import ray.data as rd
+
+    from t_digest_ray.pipelines.relational import hash_join
+
+    l = pd.DataFrame({"k": np.array([1, 2, 3], dtype=np.int64),
+                      "lv": np.array([10, 20, 30], dtype=np.int64)})
+    r = pd.DataFrame({"k": np.array([2, 3, 4], dtype=np.int64),
+                      "rv": np.array([200, 300, 400], dtype=np.int64)})
+    out = hash_join(rd.from_pandas(l).repartition(2),
+                    rd.from_pandas(r).repartition(2),
+                    on="k", left_cols=["lv"], right_cols=["rv"],
+                    types={"k": pa.int64(), "lv": pa.int64(),
+                           "rv": pa.int64()},
+                    how="full").to_pandas()
+    out = out.sort_values("k").reset_index(drop=True)
+    assert out["k"].tolist() == [1, 2, 3, 4]
+    assert out["lv"].tolist()[:3] == [10, 20, 30]
+    assert pd.isna(out["lv"].iloc[3])
+    assert pd.isna(out["rv"].iloc[0])
+    assert out["rv"].tolist()[1:] == [200, 300, 400]
