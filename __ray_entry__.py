@@ -6079,6 +6079,31 @@ def full_outer_join_reconcile(sf_dir: str):
     return out.map_batches(fin, batch_format="pandas")
 
 
+def first_events_per_user(sf_dir: str):
+    """Distributed ORDERED COLLECT (pipelines/relational.
+    ordered_collect): per user, the first 5 event types by (ts,
+    event_id) comma-joined — string_agg with ORDER BY and top-k
+    truncation. The truncating per-batch partial bounds shuffle rows
+    at k x keys regardless of hot-key size (the unbounded collect_list
+    OOM, fixed by construction). Full value-hash oracle via a
+    row_number window + string_agg."""
+    from t_digest_ray.pipelines.relational import ordered_collect
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id",
+                                  "event_type"])
+
+    def us(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": b["user_id"],
+            "ts_us": b["ts"].cast(pa.int64()),
+            "event_id": b["event_id"],
+            "event_type": b["event_type"]})
+
+    return ordered_collect(
+        ds.map_batches(us, batch_format="pyarrow"),
+        "user_id", "ts_us", "event_id", "event_type", k=5)
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
     return pages_flagship("/root/testdata/sf0.001")
@@ -6107,6 +6132,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zorder_layout_audit": zorder_layout_audit,
         "events_table_fingerprint": events_table_fingerprint,
         "full_outer_join_reconcile": full_outer_join_reconcile,
+        "first_events_per_user": first_events_per_user,
         "scale_function_quantile_gates": scale_function_quantile_gates,
         "recording_digest_provenance": recording_digest_provenance,
         "dup_span_report_by_lang": dup_span_report_by_lang,
@@ -8423,6 +8449,20 @@ def oracle_sql() -> dict[str, str]:
         """,
         # The 11 p-rows are identical across scale_fn labels (same data);
         # a broken scale function flips its own within_bound row.
+        "first_events_per_user": """
+            WITH r AS (SELECT user_id, event_type,
+                              ROW_NUMBER() OVER (
+                                  PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn,
+                              ts, event_id
+                       FROM events)
+            SELECT user_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_collected,
+                   STRING_AGG(event_type, ','
+                              ORDER BY ts, event_id) AS collected
+            FROM r WHERE rn <= 5
+            GROUP BY user_id
+        """,
         "full_outer_join_reconcile": """
             WITH c AS (SELECT user_id * 100000
                               + (epoch_us(ts) // 86400000000)

@@ -834,3 +834,50 @@ def latest_snapshot_stats(ds, key_col: str, ts_col: str, seq_col: str,
         return df
 
     return out.map_batches(fin, batch_format="pandas")
+
+
+def ordered_collect(ds, key: str, order_col: str, tie_col: str,
+                    payload_col: str, k: int = 5,
+                    out_name: str = "collected"):
+    """Distributed ORDERED COLLECT / string_agg: per key, the first
+    ``k`` payloads by ``(order_col, tie_col)`` joined with commas —
+    the "first five pages a user visited" shape. The collect itself is
+    the easy part; the point is the TRUNCATING partial: each batch
+    keeps only its local top-k rows per key (lexsort + group-head
+    take, vectorized), so at most ``k x keys`` short rows reach the
+    shuffle no matter how many events a hot key has — an unbounded
+    ``collect_list`` is the classic OOM; this one is bounded by
+    construction.
+
+    Returns (key, n_collected, collected). Deterministic for a total
+    (order, tie) order; value-hash oracle via SQL
+    ``string_agg(... ORDER BY ...)`` over a row_number window.
+    """
+
+    def partial(b: pa.Table) -> pa.Table:
+        kv = b[key].to_numpy(zero_copy_only=False)
+        o = b[order_col].to_numpy(zero_copy_only=False)
+        t = b[tie_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((t, o, kv))
+        ks = kv[order]
+        starts = np.flatnonzero(
+            np.concatenate([[True], ks[1:] != ks[:-1]]))
+        # rank within key group; keep rank < k
+        rank = np.arange(len(ks)) - np.repeat(
+            starts, np.diff(np.append(starts, len(ks))))
+        take = order[rank < k]
+        return pa.table({
+            key: b[key].take(pa.array(take)),
+            order_col: b[order_col].take(pa.array(take)),
+            tie_col: b[tie_col].take(pa.array(take)),
+            payload_col: b[payload_col].take(pa.array(take))})
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([order_col, tie_col]).head(k)
+        return pd.DataFrame({
+            key: [g[key].iloc[0]],
+            "n_collected": np.array([len(g)], dtype=np.int64),
+            out_name: [",".join(map(str, g[payload_col]))]})
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(key).map_groups(final, batch_format="pandas"))

@@ -417,3 +417,30 @@ def test_hash_join_full_outer(ray_session):
     assert pd.isna(out["lv"].iloc[3])
     assert pd.isna(out["rv"].iloc[0])
     assert out["rv"].tolist()[1:] == [200, 300, 400]
+
+
+def test_ordered_collect_truncating_partial(ray_session):
+    """Ordered collect matches pandas, k-truncates per key, and is
+    layout-invariant (partials keep local top-k only)."""
+    import ray.data as rd
+
+    from t_digest_ray.pipelines.relational import ordered_collect
+
+    rng = np.random.default_rng(2)
+    n = 500
+    df = pd.DataFrame({
+        "k": rng.integers(0, 6, n).astype(np.int64),
+        "o": rng.permutation(n).astype(np.int64),
+        "t": np.arange(n, dtype=np.int64),
+        "p": [f"x{i % 13}" for i in range(n)]})
+    want = (df.sort_values(["k", "o", "t"]).groupby("k")
+            .head(3).groupby("k")["p"]
+            .agg(",".join).rename("collected").reset_index())
+    for parts in (1, 8):
+        got = (ordered_collect(rd.from_pandas(df).repartition(parts),
+                               "k", "o", "t", "p", k=3)
+               .to_pandas().sort_values("k").reset_index(drop=True))
+        assert (got["n_collected"] == 3).all()
+        pd.testing.assert_series_equal(got["collected"],
+                                       want["collected"],
+                                       check_names=False)
