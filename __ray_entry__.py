@@ -6104,6 +6104,37 @@ def first_events_per_user(sf_dir: str):
         "user_id", "ts_us", "event_id", "event_type", k=5)
 
 
+def event_sequence_patterns(sf_dir: str):
+    """MATCH_RECOGNIZE-lite row-pattern matching (pipelines/windows.
+    sequence_pattern_counts): each user's (ts, event_id)-ordered event
+    types become a one-char-per-event string (c/v/p/s/e) and three
+    behavioral regexes are counted — straight funnel 'cv*p', bounce
+    'e{2}', and signup-before-purchase 's.*p'. Same truncating bounded
+    partial as ordered_collect (first 200 events per user). Full
+    value-hash oracle via STRING_AGG + regexp_matches (both engines
+    RE2-compatible on this subset)."""
+    from t_digest_ray.pipelines.windows import sequence_pattern_counts
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id",
+                                  "event_type"])
+
+    def us(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": b["user_id"],
+            "ts_us": b["ts"].cast(pa.int64()),
+            "event_id": b["event_id"],
+            "event_type": b["event_type"]})
+
+    return sequence_pattern_counts(
+        ds.map_batches(us, batch_format="pyarrow"),
+        "user_id", "ts_us", "event_id", "event_type",
+        code_map={"click": "c", "view": "v", "purchase": "p",
+                  "signup": "s", "error": "e"},
+        patterns={"funnel_cvp": "cv*p", "double_error": "ee",
+                  "signup_then_purchase": "s.*p"},
+        max_events=200)
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
     return pages_flagship("/root/testdata/sf0.001")
@@ -6133,6 +6164,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_table_fingerprint": events_table_fingerprint,
         "full_outer_join_reconcile": full_outer_join_reconcile,
         "first_events_per_user": first_events_per_user,
+        "event_sequence_patterns": event_sequence_patterns,
         "scale_function_quantile_gates": scale_function_quantile_gates,
         "recording_digest_provenance": recording_digest_provenance,
         "dup_span_report_by_lang": dup_span_report_by_lang,
@@ -8449,6 +8481,39 @@ def oracle_sql() -> dict[str, str]:
         """,
         # The 11 p-rows are identical across scale_fn labels (same data);
         # a broken scale function flips its own within_bound row.
+        "event_sequence_patterns": """
+            WITH r AS (SELECT user_id,
+                              CASE event_type
+                                  WHEN 'click' THEN 'c'
+                                  WHEN 'view' THEN 'v'
+                                  WHEN 'purchase' THEN 'p'
+                                  WHEN 'signup' THEN 's'
+                                  WHEN 'error' THEN 'e' END AS ch,
+                              ROW_NUMBER() OVER (
+                                  PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn,
+                              ts, event_id
+                       FROM events),
+                 seqs AS (SELECT user_id,
+                                 STRING_AGG(ch, ''
+                                     ORDER BY ts, event_id) AS seq
+                          FROM r WHERE rn <= 200 AND ch IS NOT NULL
+                          GROUP BY user_id),
+                 n AS (SELECT COUNT(*) AS n_keys FROM seqs)
+            SELECT 'funnel_cvp' AS pattern,
+                   CAST((SELECT COUNT(*) FROM seqs
+                         WHERE regexp_matches(seq, 'cv*p')) AS BIGINT)
+                       AS n_keys_matched,
+                   CAST((SELECT n_keys FROM n) AS BIGINT) AS n_keys
+            UNION ALL SELECT 'double_error',
+                   (SELECT COUNT(*) FROM seqs
+                    WHERE regexp_matches(seq, 'ee')),
+                   (SELECT n_keys FROM n)
+            UNION ALL SELECT 'signup_then_purchase',
+                   (SELECT COUNT(*) FROM seqs
+                    WHERE regexp_matches(seq, 's.*p')),
+                   (SELECT n_keys FROM n)
+        """,
         "first_events_per_user": """
             WITH r AS (SELECT user_id, event_type,
                               ROW_NUMBER() OVER (

@@ -1340,3 +1340,65 @@ def interval_overlap_join(left, right, key_col: str, ts_col: str,
         return df
 
     return out.map_batches(fin, batch_format="pandas")
+
+
+def sequence_pattern_counts(ds, key: str, order_col: str, tie_col: str,
+                            type_col: str, code_map: dict[str, str],
+                            patterns: dict[str, str],
+                            max_events: int = 200):
+    """MATCH_RECOGNIZE-lite: per key, encode the (order, tie)-sorted
+    event-type sequence as a character string (one char per type via
+    ``code_map``; unknown types are dropped) and count keys whose
+    sequence matches each regex in ``patterns`` (RE2-safe subset:
+    literals, classes, ``* + ? |`` — both engines use leftmost search
+    semantics). The row-pattern-matching operator of streaming SQL
+    (MATCH_RECOGNIZE), expressed as collect + vectorized regex.
+
+    Scale contract: sequences are TRUNCATED to the first ``max_events``
+    events by the same bounded partial as ``relational.ordered_collect``
+    (k x keys rows on the shuffle); a pattern over a longer horizon
+    needs a streaming NFA state per key instead — documented limit, not
+    a silent one.
+
+    Returns one row per pattern: (pattern, n_keys_matched, n_keys).
+    """
+    import re
+
+    compiled = {name: re.compile(rx) for name, rx in patterns.items()}
+
+    def partial(b: pa.Table) -> pa.Table:
+        kv = b[key].to_numpy(zero_copy_only=False)
+        o = b[order_col].to_numpy(zero_copy_only=False)
+        t = b[tie_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((t, o, kv))
+        ks = kv[order]
+        starts = np.flatnonzero(
+            np.concatenate([[True], ks[1:] != ks[:-1]]))
+        rank = np.arange(len(ks)) - np.repeat(
+            starts, np.diff(np.append(starts, len(ks))))
+        take = order[rank < max_events]
+        return pa.table({
+            key: b[key].take(pa.array(take)),
+            order_col: b[order_col].take(pa.array(take)),
+            tie_col: b[tie_col].take(pa.array(take)),
+            type_col: b[type_col].take(pa.array(take))})
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([order_col, tie_col]).head(max_events)
+        seq = "".join(code_map.get(v, "") for v in g[type_col])
+        row = {key: [g[key].iloc[0]]}
+        for name, rx in compiled.items():
+            row[name] = [bool(rx.search(seq))]
+        return pd.DataFrame(row)
+
+    flags = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby(key).map_groups(per_key, batch_format="pandas"))
+
+    df = flags.to_pandas()
+    n_keys = len(df)
+    return pd.DataFrame({
+        "pattern": list(patterns),
+        "n_keys_matched": np.array(
+            [int(df[name].sum()) for name in patterns],
+            dtype=np.int64),
+        "n_keys": np.full(len(patterns), n_keys, dtype=np.int64)})

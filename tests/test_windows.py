@@ -483,3 +483,41 @@ def test_interval_overlap_join_bruteforce(ray_session):
         "u", "ts", "dur_us", bucket_s=bucket_s).to_pandas()
     got = out.set_index("u")["n_pairs"].sort_index()
     pd.testing.assert_series_equal(got, want, check_names=False)
+
+
+def test_sequence_pattern_counts(ray_session):
+    """Pattern flags match a per-key local replay, including the
+    max_events truncation and unknown-type drop."""
+    import re
+
+    import ray.data as rd
+
+    from t_digest_ray.pipelines.windows import sequence_pattern_counts
+
+    rng = np.random.default_rng(19)
+    n = 600
+    df = pd.DataFrame({
+        "k": rng.integers(0, 9, n).astype(np.int64),
+        "o": rng.permutation(n).astype(np.int64),
+        "t": np.arange(n, dtype=np.int64),
+        "ty": rng.choice(["a", "b", "x"], n)})   # 'x' unmapped
+    cm = {"a": "a", "b": "b"}
+    pats = {"ab_run": "ab+a", "any_b": "b"}
+
+    def replay():
+        out = {}
+        for kk, g in df.sort_values(["o", "t"]).groupby("k"):
+            seq = "".join(cm.get(v, "") for v in g.head(12)["ty"])
+            out[kk] = {nm: bool(re.search(rx, seq))
+                       for nm, rx in pats.items()}
+        return out
+
+    want = replay()
+    got = sequence_pattern_counts(
+        rd.from_pandas(df).repartition(5), "k", "o", "t", "ty",
+        cm, pats, max_events=12)
+    got = got.set_index("pattern")
+    for nm in pats:
+        assert got.loc[nm, "n_keys_matched"] == sum(
+            v[nm] for v in want.values())
+        assert got.loc[nm, "n_keys"] == len(want)
