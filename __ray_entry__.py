@@ -6135,6 +6135,94 @@ def event_sequence_patterns(sf_dir: str):
         max_events=200)
 
 
+def pq_codebook_embeddings(sf_dir: str):
+    """PRODUCT QUANTIZATION codebooks (Jegou et al. TPAMI 2011;
+    pipelines/clustering.pq_codebook_stats): the 64-dim embedding
+    splits into 4 sub-vectors, each trained with its own exact-grid
+    k-means (k=8, 2 Lloyd iterations) — a vector compresses to 4 code
+    bytes with block-additive distances, the ANN compression standard.
+    Same bit-exact integer Lloyd machinery as kmeans_embedding_clusters,
+    so the full 4-codebook train+assign run is VALUE-CHECKED against an
+    unrolled-CTE oracle per block."""
+    from t_digest_ray.pipelines.clustering import pq_codebook_stats
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return pq_codebook_stats(ds, "embedding", "vec_id", dim=64,
+                             n_blocks=4, k=8, iters=2)
+
+
+def _pq_block_oracle(block: int, k: int, lo: int, sub: int,
+                     iters: int) -> str:
+    """One PQ block's unrolled Lloyd replay over dims [lo, lo+sub) —
+    the _kmeans_oracle_sql chain restricted to a dim slice, wrapped as
+    a parenthesized subquery so blocks UNION ALL together."""
+    parts = [f"""(
+        WITH pts AS (
+            SELECT vec_id, i - 1 AS dim,
+                   CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000
+                              + 0.5) AS BIGINT) AS q
+            FROM embeddings,
+                 generate_series({lo + 1}, {lo + sub}) AS t(i)
+        ),
+        seeds AS (
+            SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS c
+            FROM (SELECT vec_id FROM embeddings ORDER BY vec_id
+                  LIMIT {k})
+        ),
+        c0 AS (
+            SELECT s.c, p.dim, p.q AS val
+            FROM seeds s JOIN pts p USING (vec_id)
+        )"""]
+    for t in range(1, iters + 1):
+        parts.append(f""",
+        a{t} AS (
+            SELECT p.vec_id, cc.c
+            FROM pts p JOIN c{t - 1} cc ON p.dim = cc.dim
+            GROUP BY p.vec_id, cc.c
+            QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY p.vec_id
+                ORDER BY SUM((p.q - cc.val) * (p.q - cc.val)), cc.c) = 1
+        ),
+        s{t} AS (
+            SELECT a.c, p.dim, CAST(SUM(p.q) AS BIGINT) AS s,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM a{t} a JOIN pts p USING (vec_id)
+            GROUP BY a.c, p.dim
+        ),
+        c{t} AS (
+            SELECT prev.c, prev.dim,
+                   COALESCE(CAST((2 * s.s + s.n
+                                  - ((((2 * s.s + s.n) % (2 * s.n))
+                                      + 2 * s.n) % (2 * s.n)))
+                                 / (2 * s.n) AS BIGINT),
+                            prev.val) AS val
+            FROM c{t - 1} prev
+            LEFT JOIN s{t} s ON s.c = prev.c AND s.dim = prev.dim
+        )""")
+    parts.append(f"""
+        SELECT CAST({block} AS BIGINT) AS block,
+               CAST(c AS BIGINT) AS code,
+               CAST(COUNT(*) AS BIGINT) AS n_vecs,
+               CAST(SUM(vec_id) AS BIGINT) AS sum_id
+        FROM (
+            SELECT p.vec_id, cc.c
+            FROM pts p JOIN c{iters} cc ON p.dim = cc.dim
+            GROUP BY p.vec_id, cc.c
+            QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY p.vec_id
+                ORDER BY SUM((p.q - cc.val) * (p.q - cc.val)), cc.c) = 1
+        ) GROUP BY c
+    )""")
+    return "".join(parts)
+
+
+def _pq_oracle(k: int, dim: int, n_blocks: int, iters: int) -> str:
+    sub = dim // n_blocks
+    return " UNION ALL ".join(
+        _pq_block_oracle(b, k, b * sub, sub, iters)
+        for b in range(n_blocks))
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
     return pages_flagship("/root/testdata/sf0.001")
@@ -6165,6 +6253,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "full_outer_join_reconcile": full_outer_join_reconcile,
         "first_events_per_user": first_events_per_user,
         "event_sequence_patterns": event_sequence_patterns,
+        "pq_codebook_embeddings": pq_codebook_embeddings,
         "scale_function_quantile_gates": scale_function_quantile_gates,
         "recording_digest_provenance": recording_digest_provenance,
         "dup_span_report_by_lang": dup_span_report_by_lang,
@@ -8481,6 +8570,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         # The 11 p-rows are identical across scale_fn labels (same data);
         # a broken scale function flips its own within_bound row.
+        "pq_codebook_embeddings": _pq_oracle(8, 64, 4, 2),
         "event_sequence_patterns": """
             WITH r AS (SELECT user_id,
                               CASE event_type

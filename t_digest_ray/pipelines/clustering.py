@@ -555,3 +555,69 @@ def scalar_quantization_stats(ds, embedding_col: str, label_col: str):
         return pa.table(cols)
 
     return out.map_batches(fin, batch_format="pyarrow")
+
+
+def pq_codebook_stats(ds, embedding_col: str, id_col: str, *,
+                      dim: int, n_blocks: int = 4, k: int = 8,
+                      iters: int = 2):
+    """PRODUCT QUANTIZATION codebook training (Jegou, Douze, Schmid,
+    TPAMI 2011 — the ANN compression standard): the d-dim embedding is
+    split into ``n_blocks`` contiguous sub-vectors and an independent
+    exact-grid k-means codebook (k codes) is trained per block, so a
+    vector compresses to ``n_blocks`` one-byte codes (d*4 bytes ->
+    n_blocks bytes at k<=256) while distances remain block-additive.
+
+    Rides the same bit-exact Lloyd machinery as
+    ``kmeans_cluster_stats`` — per block one sliced streaming corpus,
+    k x (sub_dim+1) int64 partial cells on each iteration's shuffle —
+    so the full train + assign run has an unrolled-CTE SQL oracle.
+    Returns (block, code, n_vecs, sum_id): the per-block code
+    histogram with id checksums. At fleet scale train on a sample and
+    broadcast the codebooks; the assignment pass is unchanged.
+    """
+    sub = dim // n_blocks
+    if sub * n_blocks != dim:
+        raise ValueError(f"dim {dim} not divisible by {n_blocks}")
+    from ray.data.aggregate import Count, Sum
+
+    outs = []
+    for b in range(n_blocks):
+        lo = b * sub
+
+        def slicer(t: pa.Table, lo=lo) -> pa.Table:
+            # np.stack handles list arrays (object of ndarrays) and
+            # Ray's ArrowTensorArray ((n, d) ndarray) alike
+            flat = np.stack(t[embedding_col]
+                            .to_numpy(zero_copy_only=False)) \
+                .astype(np.float32).reshape(len(t), dim)
+            cut = np.ascontiguousarray(flat[:, lo:lo + sub])
+            vals = pa.array(cut.ravel(), type=pa.float32())
+            return pa.table({
+                id_col: t[id_col],
+                embedding_col: pa.FixedSizeListArray.from_arrays(
+                    vals, sub)})
+
+        sds = ds.map_batches(slicer, batch_format="pyarrow")
+        assigned, _ = kmeans_fit_predict(sds, embedding_col, id_col,
+                                         k=k, dim=sub, iters=iters)
+
+        def tag(t: pa.Table, b=b) -> pa.Table:
+            return t.append_column(
+                "block", pa.array(np.full(len(t), b, dtype=np.int64)))
+
+        outs.append(assigned.map_batches(tag, batch_format="pyarrow"))
+
+    u = outs[0]
+    for o in outs[1:]:
+        u = u.union(o)
+    out = u.groupby(["block", "cluster"]).aggregate(
+        Count(alias_name="n_vecs"),
+        Sum(id_col, alias_name="sum_id"))
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.rename(columns={"cluster": "code"})
+        for c in ("block", "code", "n_vecs", "sum_id"):
+            df[c] = df[c].astype(np.int64)
+        return df[["block", "code", "n_vecs", "sum_id"]]
+
+    return out.map_batches(fin, batch_format="pandas")

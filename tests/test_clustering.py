@@ -231,3 +231,50 @@ def test_scalar_quantization_stats_exact(ray_session):
             got["sum_codes"], want["sum_codes"], check_names=False)
         pd.testing.assert_series_equal(
             got["n_extreme"], want["n_extreme"], check_names=False)
+
+
+def test_pq_codebook_stats_local_replay(ray_session):
+    """PQ block codebooks match a local numpy replay of the same
+    exact-grid Lloyd runs per sub-vector, at two parallelism levels."""
+    import ray.data as rd
+
+    from t_digest_ray.pipelines.clustering import (
+        GRID,
+        assign_ids,
+        centroid_update,
+        pq_codebook_stats,
+    )
+
+    rng = np.random.default_rng(31)
+    n, dim, blocks, k, iters = 120, 8, 2, 4, 2
+    x = rng.normal(size=(n, dim)).astype(np.float32)
+    ids = np.arange(n, dtype=np.int64)
+    df = pd.DataFrame({"vec_id": ids, "embedding": list(x)})
+
+    sub = dim // blocks
+    q = np.floor(x.astype(np.float64) * GRID + 0.5).astype(np.int64)
+    want = {}
+    for b in range(blocks):
+        qb = q[:, b * sub:(b + 1) * sub]
+        cents = qb[:k].copy()           # k smallest ids are 0..k-1
+        for _ in range(iters):
+            a = assign_ids(qb, cents)
+            sums = np.zeros((k, sub), dtype=np.int64)
+            cnts = np.zeros(k, dtype=np.int64)
+            np.add.at(sums, a, qb)
+            np.add.at(cnts, a, 1)
+            cents = centroid_update(sums, cnts, cents)
+        a = assign_ids(qb, cents)
+        for c in range(k):
+            m = a == c
+            if m.any():
+                want[(b, c)] = (int(m.sum()), int(ids[m].sum()))
+
+    for parts in (1, 4):
+        ds = rd.from_pandas(df).repartition(parts)
+        got = (pq_codebook_stats(ds, "embedding", "vec_id", dim=dim,
+                                 n_blocks=blocks, k=k, iters=iters)
+               .to_pandas())
+        got_map = {(r.block, r.code): (r.n_vecs, r.sum_id)
+                   for r in got.itertuples()}
+        assert got_map == want
