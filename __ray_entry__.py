@@ -6223,6 +6223,22 @@ def _pq_oracle(k: int, dim: int, n_blocks: int, iters: int) -> str:
         for b in range(n_blocks))
 
 
+def jl_projection_embeddings(sf_dir: str):
+    """Johnson-Lindenstrauss ±1 random projection (Achlioptas 2003;
+    pipelines/clustering.jl_projection_stats): grid-quantized
+    embeddings projected through the deterministic sign matrix
+    r[i,j] = sign(splitmix64(i*131 + j*17 + 12345)) — regenerated per
+    task from the seed, nothing broadcast. Every projected coordinate
+    is an exact int64 dot product, so the per-label |p_j| sums and
+    sign counts are VALUE-CHECKED bit-for-bit against the UHUGEINT
+    splitmix replay in SQL."""
+    from t_digest_ray.pipelines.clustering import jl_projection_stats
+
+    ds = _read(sf_dir, "embeddings", ["embedding", "label"])
+    return jl_projection_stats(ds, "embedding", "label", dim=64,
+                               proj_dim=16)
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
     return pages_flagship("/root/testdata/sf0.001")
@@ -6254,6 +6270,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "first_events_per_user": first_events_per_user,
         "event_sequence_patterns": event_sequence_patterns,
         "pq_codebook_embeddings": pq_codebook_embeddings,
+        "jl_projection_embeddings": jl_projection_embeddings,
         "scale_function_quantile_gates": scale_function_quantile_gates,
         "recording_digest_provenance": recording_digest_provenance,
         "dup_span_report_by_lang": dup_span_report_by_lang,
@@ -8571,6 +8588,55 @@ def oracle_sql() -> dict[str, str]:
         # The 11 p-rows are identical across scale_fn labels (same data);
         # a broken scale function flips its own within_bound row.
         "pq_codebook_embeddings": _pq_oracle(8, 64, 4, 2),
+        "jl_projection_embeddings": f"""
+            WITH x AS (SELECT i, j,
+                              CAST(i * 131 + j * 17 + 12345
+                                   AS UHUGEINT) AS x0
+                       FROM generate_series(0, 63) t(i),
+                            generate_series(0, 2) u(j)),
+                 m0 AS (SELECT i, j,
+                               (x0 + CAST(11400714819323198485
+                                          AS UHUGEINT)) % {_M64} AS z
+                        FROM x),
+                 m1 AS (SELECT i, j,
+                               (xor(z, z >> 30)
+                                * CAST(13787848793156543929 AS UHUGEINT))
+                               % {_M64} AS z1 FROM m0),
+                 m2 AS (SELECT i, j,
+                               (xor(z1, z1 >> 27)
+                                * CAST(10723151780598845931 AS UHUGEINT))
+                               % {_M64} AS z2 FROM m1),
+                 r AS (SELECT i, j,
+                              CASE WHEN xor(z2, z2 >> 31)
+                                   >= CAST(9223372036854775808
+                                           AS UHUGEINT)
+                              THEN 1 ELSE -1 END AS r FROM m2),
+                 pts AS (SELECT vec_id, label, i - 1 AS dim,
+                                CAST(FLOOR(CAST(embedding[i] AS DOUBLE)
+                                     * 1000000 + 0.5) AS BIGINT) AS q
+                         FROM embeddings,
+                              generate_series(1, 64) t(i)),
+                 p AS (SELECT vec_id, label, j,
+                              CAST(SUM(q * r) AS BIGINT) AS pj
+                       FROM pts JOIN r ON pts.dim = r.i
+                       GROUP BY vec_id, label, j),
+                 agg AS (SELECT label, j,
+                                CAST(SUM(ABS(pj)) AS BIGINT) AS sa,
+                                CAST(SUM(CASE WHEN pj > 0 THEN 1
+                                         ELSE 0 END) AS BIGINT) AS np
+                         FROM p GROUP BY label, j),
+                 n AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs
+                       FROM embeddings GROUP BY label)
+            SELECT n.label, n.n_vecs,
+                   MAX(CASE WHEN j = 0 THEN sa END) AS sum_abs_p0,
+                   MAX(CASE WHEN j = 0 THEN np END) AS n_pos_p0,
+                   MAX(CASE WHEN j = 1 THEN sa END) AS sum_abs_p1,
+                   MAX(CASE WHEN j = 1 THEN np END) AS n_pos_p1,
+                   MAX(CASE WHEN j = 2 THEN sa END) AS sum_abs_p2,
+                   MAX(CASE WHEN j = 2 THEN np END) AS n_pos_p2
+            FROM n JOIN agg USING (label)
+            GROUP BY n.label, n.n_vecs
+        """,
         "event_sequence_patterns": """
             WITH r AS (SELECT user_id,
                               CASE event_type

@@ -621,3 +621,66 @@ def pq_codebook_stats(ds, embedding_col: str, id_col: str, *,
         return df[["block", "code", "n_vecs", "sum_id"]]
 
     return out.map_batches(fin, batch_format="pandas")
+
+
+def jl_projection_stats(ds, embedding_col: str, label_col: str, *,
+                        dim: int, proj_dim: int = 16):
+    """JOHNSON-LINDENSTRAUSS random projection (Achlioptas 2003 ±1
+    variant — the dimensionality-reduction step before ANN indexing /
+    clustering at fleet scale): embeddings on the exact 1e-6 int grid
+    are projected through a DETERMINISTIC ±1 matrix
+    ``r[i, j] = sign(splitmix64(i * 131 + j * 17 + 12345))``, so every
+    projected coordinate is an exact int64 dot product and the whole
+    operator has a bit-exact SQL oracle (the mix constants replay in
+    UHUGEINT arithmetic). The matrix is regenerated per task from the
+    seed — nothing to broadcast, nothing to version.
+
+    Returns per label: n_vecs and, for the first 3 projected dims, the
+    exact sum of absolute projected values and the positive-sign count
+    — a drift-stable fingerprint of the projected distribution.
+    """
+    from ray.data.aggregate import Sum
+
+    from ..functions.hashing import splitmix64
+
+    base = ds.schema().base_schema
+    if hasattr(base, "field"):
+        lbl_type = base.field(label_col).type
+    else:
+        i = list(base.names).index(label_col)
+        lbl_type = pa.from_numpy_dtype(base.types[i])
+
+    ij = (np.arange(dim, dtype=np.uint64)[:, None] * np.uint64(131)
+          + np.arange(proj_dim, dtype=np.uint64)[None, :]
+          * np.uint64(17) + np.uint64(12345))
+    r = np.where(splitmix64(ij.ravel()).reshape(dim, proj_dim)
+                 >> np.uint64(63) == 1, 1, -1).astype(np.int64)
+
+    def partial(b: pa.Table) -> pa.Table:
+        x = np.stack(b[embedding_col].to_numpy(zero_copy_only=False)) \
+            .astype(np.float64).reshape(len(b), dim)
+        q = np.floor(x * GRID + 0.5).astype(np.int64)
+        p = q @ r                                  # (n, proj_dim) exact
+        cols = {label_col: b[label_col].combine_chunks(),
+                "n_vecs": pa.array(np.ones(len(b), dtype=np.int64))}
+        for j in range(3):
+            cols[f"sum_abs_p{j}"] = pa.array(np.abs(p[:, j]))
+            cols[f"n_pos_p{j}"] = pa.array(
+                (p[:, j] > 0).astype(np.int64))
+        return pa.table(cols)
+
+    aggs = [Sum("n_vecs", alias_name="n_vecs")]
+    for j in range(3):
+        aggs.append(Sum(f"sum_abs_p{j}", alias_name=f"sum_abs_p{j}"))
+        aggs.append(Sum(f"n_pos_p{j}", alias_name=f"n_pos_p{j}"))
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby(label_col).aggregate(*aggs))
+
+    def fin(b: pa.Table) -> pa.Table:
+        cols = {label_col: b[label_col].cast(lbl_type)}
+        for c in b.column_names:
+            if c != label_col:
+                cols[c] = b[c].cast(pa.int64())
+        return pa.table(cols)
+
+    return out.map_batches(fin, batch_format="pyarrow")

@@ -278,3 +278,40 @@ def test_pq_codebook_stats_local_replay(ray_session):
         got_map = {(r.block, r.code): (r.n_vecs, r.sum_id)
                    for r in got.itertuples()}
         assert got_map == want
+
+
+def test_jl_projection_stats_local_replay(ray_session):
+    """JL ±1 projection stats match the local integer replay and are
+    layout-invariant; the sign matrix regenerates identically."""
+    import ray.data as rd
+
+    from t_digest_ray.functions.hashing import splitmix64
+    from t_digest_ray.pipelines.clustering import GRID, jl_projection_stats
+
+    rng = np.random.default_rng(37)
+    n, dim = 200, 8
+    x = rng.normal(size=(n, dim)).astype(np.float32)
+    lab = (np.arange(n) % 4).astype(np.int32)
+    df = pd.DataFrame({"embedding": list(x), "label": lab})
+
+    ij = (np.arange(dim, dtype=np.uint64)[:, None] * np.uint64(131)
+          + np.arange(16, dtype=np.uint64)[None, :] * np.uint64(17)
+          + np.uint64(12345))
+    r = np.where(splitmix64(ij.ravel()).reshape(dim, 16)
+                 >> np.uint64(63) == 1, 1, -1).astype(np.int64)
+    q = np.floor(x.astype(np.float64) * GRID + 0.5).astype(np.int64)
+    p = q @ r
+
+    for parts in (1, 6):
+        got = (jl_projection_stats(
+            rd.from_pandas(df).repartition(parts), "embedding", "label",
+            dim=dim, proj_dim=16).to_pandas()
+            .sort_values("label").reset_index(drop=True))
+        for j in range(3):
+            want_sa = pd.Series(np.abs(p[:, j])).groupby(lab).sum()
+            want_np = pd.Series((p[:, j] > 0).astype(int)) \
+                .groupby(lab).sum()
+            np.testing.assert_array_equal(
+                got[f"sum_abs_p{j}"].to_numpy(), want_sa.to_numpy())
+            np.testing.assert_array_equal(
+                got[f"n_pos_p{j}"].to_numpy(), want_np.to_numpy())
