@@ -58,7 +58,9 @@ PIPELINES = ("quantiles", "kll", "req", "distinct", "heavy", "heavy_mg",
              "hits", "markov_accuracy", "token_entropy", "zipf_slope",
              "heaps_law", "markov_entropy", "mutual_info", "hill_tail",
             "gk", "qdigest", "shape_moments", "embedding_diversity",
-            "median_of_means", "dgim", "latest_snapshot", "int8_quant")
+            "median_of_means", "dgim", "latest_snapshot", "int8_quant",
+            "ordered_collect", "sequence_patterns", "zorder_audit",
+            "fingerprint", "jl_projection", "pq_codebook")
 
 
 @dataclass
@@ -186,6 +188,33 @@ def run_job(cfg: JobConfig):
     elif cfg.pipeline == "int8_quant":
         from .pipelines.clustering import scalar_quantization_stats
         out = scalar_quantization_stats(ds, cfg.value_col, cfg.key)
+    elif cfg.pipeline == "ordered_collect":
+        from .pipelines.relational import ordered_collect
+        out = ordered_collect(ds, cfg.key, p.pop("order_col", "ts"),
+                              p.pop("tie_col", "event_id"),
+                              cfg.value_col, **p)
+    elif cfg.pipeline == "sequence_patterns":
+        from .pipelines.windows import sequence_pattern_counts
+        out = sequence_pattern_counts(
+            ds, cfg.key, p.pop("order_col", "ts"),
+            p.pop("tie_col", "event_id"), cfg.value_col,
+            p.pop("code_map"), p.pop("patterns"), **p)
+    elif cfg.pipeline == "zorder_audit":
+        from .stages.partitioning import zorder_partition_report
+        out = zorder_partition_report(ds, p.pop("a_col", "a"),
+                                      p.pop("b_col", "b"), **p)
+    elif cfg.pipeline == "fingerprint":
+        from .pipelines.validation import table_fingerprint
+        out = table_fingerprint(ds, cfg.key, p.pop("mix_cols"), **p)
+    elif cfg.pipeline == "jl_projection":
+        from .pipelines.clustering import jl_projection_stats
+        out = jl_projection_stats(ds, cfg.value_col, cfg.key,
+                                  dim=p.pop("dim", 64), **p)
+    elif cfg.pipeline == "pq_codebook":
+        from .pipelines.clustering import pq_codebook_stats
+        out = pq_codebook_stats(ds, cfg.value_col,
+                                p.pop("id_col", "vec_id"),
+                                dim=p.pop("dim", 64), **p)
     elif cfg.pipeline == "shape_moments":
         from .pipelines.stats import grouped_shape_moments
         out = grouped_shape_moments(ds, cfg.key, cfg.value_col)

@@ -748,3 +748,34 @@ def test_config_int8_quant_route(ray_session, tmp_path):
     # dim0 spans [0,1]: codes 0 and 255; dim1 constant: code 0
     assert out.loc[0, "sum_codes"] == 0
     assert out.loc[1, "sum_codes"] == 255
+
+
+def test_config_new_route_smoke(ray_session, tmp_path):
+    """ordered_collect / zorder_audit / fingerprint / jl_projection
+    routes dispatch and produce sane shapes."""
+    import numpy as np
+    import pandas as pd
+    df = pd.DataFrame({
+        "k": np.array([1, 1, 2], dtype=np.int64),
+        "ts": np.array([3, 1, 2], dtype=np.int64),
+        "event_id": np.array([1, 2, 3], dtype=np.int64),
+        "p": ["a", "b", "c"],
+        "a": np.array([1, 5, 9], dtype=np.int64),
+        "b": np.array([2, 6, 10], dtype=np.int64)})
+    pq_path = tmp_path / "t.parquet"
+    df.to_parquet(pq_path)
+
+    out = run_job(JobConfig(pipeline="ordered_collect",
+                            input=str(pq_path), key="k",
+                            value_col="p", params={"k": 2}))
+    got = out.to_pandas().set_index("k")
+    assert got.loc[1, "collected"] == "b,a"
+
+    out = run_job(JobConfig(pipeline="zorder_audit", input=str(pq_path),
+                            params={"a_col": "a", "b_col": "b",
+                                    "bits": 4, "n_partitions": 2}))
+    assert out.to_pandas()["n_rows"].sum() == 3
+
+    out = run_job(JobConfig(pipeline="fingerprint", input=str(pq_path),
+                            key="k", params={"mix_cols": ["a", "b"]}))
+    assert len(out.to_pandas()) == 2
