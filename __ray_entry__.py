@@ -6223,6 +6223,67 @@ def _pq_oracle(k: int, dim: int, n_blocks: int, iters: int) -> str:
         for b in range(n_blocks))
 
 
+def _pq_chain(k: int, lo: int, sub: int, iters: int) -> str:
+    """The shared Lloyd CTE body over dims [lo, lo+sub) — everything of
+    _pq_block_oracle up to (and including) c{iters}, without the final
+    SELECT, for reuse by the ADC oracle."""
+    full = _pq_block_oracle(0, k, lo, sub, iters)
+    cut = full.index("\n        SELECT CAST(0 AS BIGINT) AS block")
+    return full[1:cut]                      # drop the leading "("
+
+
+def _pq_adc_oracle(k: int, dim: int, n_blocks: int, iters: int,
+                   top: int) -> str:
+    """Unrolled PQ train + encode + ADC-search replay: per block the
+    Lloyd chain yields codes and final centroids; the query is the
+    min-vec_id embedding; LUT[b][c] = sum of squared grid diffs; the
+    vec distance is the sum of its blocks' LUT cells."""
+    sub = dim // n_blocks
+    codes, cvals = [], []
+    for b in range(n_blocks):
+        chain = _pq_chain(k, b * sub, sub, iters)
+        codes.append(f"""(
+        {chain}
+        SELECT vec_id, CAST({b} AS BIGINT) AS block,
+               CAST(c AS BIGINT) AS code
+        FROM (
+            SELECT p.vec_id, cc.c
+            FROM pts p JOIN c{iters} cc ON p.dim = cc.dim
+            GROUP BY p.vec_id, cc.c
+            QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY p.vec_id
+                ORDER BY SUM((p.q - cc.val) * (p.q - cc.val)), cc.c) = 1
+        ))""")
+        cvals.append(f"""(
+        {chain}
+        SELECT CAST({b} AS BIGINT) AS block, c, dim, val
+        FROM c{iters})""")
+    return f"""
+        WITH codes AS ({" UNION ALL ".join(codes)}),
+             cvals AS ({" UNION ALL ".join(cvals)}),
+             q AS (SELECT i - 1 AS dim,
+                          CAST(FLOOR(CAST(embedding[i] AS DOUBLE)
+                               * 1000000 + 0.5) AS BIGINT) AS q
+                   FROM embeddings, generate_series(1, {dim}) t(i)
+                   WHERE vec_id = (SELECT MIN(vec_id)
+                                   FROM embeddings)),
+             lut AS (SELECT cv.block, cv.c,
+                            CAST(SUM((q.q - cv.val) * (q.q - cv.val))
+                                 AS BIGINT) AS d2
+                     FROM cvals cv JOIN q ON cv.dim = q.dim
+                     GROUP BY cv.block, cv.c),
+             dist AS (SELECT codes.vec_id,
+                             CAST(SUM(l.d2) AS BIGINT) AS adc_d2
+                      FROM codes JOIN lut l
+                        ON codes.block = l.block AND codes.code = l.c
+                      GROUP BY codes.vec_id)
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY adc_d2, vec_id)
+                    AS BIGINT) AS rank,
+               vec_id, adc_d2
+        FROM dist ORDER BY adc_d2, vec_id LIMIT {top}
+    """
+
+
 def jl_projection_embeddings(sf_dir: str):
     """Johnson-Lindenstrauss ±1 random projection (Achlioptas 2003;
     pipelines/clustering.jl_projection_stats): grid-quantized
@@ -6237,6 +6298,21 @@ def jl_projection_embeddings(sf_dir: str):
     ds = _read(sf_dir, "embeddings", ["embedding", "label"])
     return jl_projection_stats(ds, "embedding", "label", dim=64,
                                proj_dim=16)
+
+
+def pq_adc_search_embeddings(sf_dir: str):
+    """PQ asymmetric-distance search (pipelines/clustering.pq_adc_topk;
+    Jegou et al. TPAMI 2011 ADC): train the 4 exact-grid codebooks,
+    encode every vector as 4 codes, broadcast the n_blocks x k LUT of
+    squared distances to the (deterministic min-id) query, and scan in
+    the compressed domain — one LUT lookup per block per vector. Top-10
+    by (ADC distance, id), VALUE-CHECKED against the full unrolled
+    train+encode+search SQL replay."""
+    from t_digest_ray.pipelines.clustering import pq_adc_topk
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return pq_adc_topk(ds, "embedding", "vec_id", dim=64, n_blocks=4,
+                       k=8, iters=2, top=10)
 
 
 def entry() -> Any:
@@ -6271,6 +6347,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_sequence_patterns": event_sequence_patterns,
         "pq_codebook_embeddings": pq_codebook_embeddings,
         "jl_projection_embeddings": jl_projection_embeddings,
+        "pq_adc_search_embeddings": pq_adc_search_embeddings,
         "scale_function_quantile_gates": scale_function_quantile_gates,
         "recording_digest_provenance": recording_digest_provenance,
         "dup_span_report_by_lang": dup_span_report_by_lang,
@@ -8588,6 +8665,7 @@ def oracle_sql() -> dict[str, str]:
         # The 11 p-rows are identical across scale_fn labels (same data);
         # a broken scale function flips its own within_bound row.
         "pq_codebook_embeddings": _pq_oracle(8, 64, 4, 2),
+        "pq_adc_search_embeddings": _pq_adc_oracle(8, 64, 4, 2, 10),
         "jl_projection_embeddings": f"""
             WITH x AS (SELECT i, j,
                               CAST(i * 131 + j * 17 + 12345

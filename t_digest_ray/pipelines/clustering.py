@@ -684,3 +684,112 @@ def jl_projection_stats(ds, embedding_col: str, label_col: str, *,
         return pa.table(cols)
 
     return out.map_batches(fin, batch_format="pyarrow")
+
+
+def pq_adc_topk(ds, embedding_col: str, id_col: str, *, dim: int,
+                n_blocks: int = 4, k: int = 8, iters: int = 2,
+                top: int = 10):
+    """PQ ASYMMETRIC DISTANCE search (the ADC of Jegou et al. TPAMI
+    2011): after training the per-block codebooks (``pq_codebook_stats``
+    machinery), every vector is represented by its ``n_blocks`` codes
+    and the distance to a query is the sum of per-block lookup-table
+    entries ``LUT[b][code] = ||q_b - centroid_b[code]||^2`` — one table
+    lookup per block instead of a d-dim dot product per vector, the
+    standard compressed-domain ANN scan.
+
+    Query = the corpus vector with the smallest id (deterministic, so
+    the whole train -> encode -> search run stays value-hash checkable
+    on the same exact int64 grid). Per-block code assignment datasets
+    are co-partitioned into one vec-major layout by a single hash
+    exchange of (vec_id, block, code) int cells; the scan streams with
+    a broadcast n_blocks x k LUT and keeps per-batch local top-``top``
+    so only candidates reach the driver-side final cut.
+
+    Returns (rank, vec_id, adc_d2) — the ``top`` nearest by (ADC
+    distance, id).
+    """
+    import ray
+    from ray.data.aggregate import Min
+
+    sub = dim // n_blocks
+    if sub * n_blocks != dim:
+        raise ValueError(f"dim {dim} not divisible by {n_blocks}")
+
+    # ---- train per-block codebooks and collect assignments ---------
+    assigns = []
+    cents = []
+    for b in range(n_blocks):
+        lo = b * sub
+
+        def slicer(t: pa.Table, lo=lo) -> pa.Table:
+            flat = np.stack(t[embedding_col]
+                            .to_numpy(zero_copy_only=False)) \
+                .astype(np.float32).reshape(len(t), dim)
+            cut = np.ascontiguousarray(flat[:, lo:lo + sub])
+            vals = pa.array(cut.ravel(), type=pa.float32())
+            return pa.table({
+                id_col: t[id_col],
+                embedding_col: pa.FixedSizeListArray.from_arrays(
+                    vals, sub)})
+
+        sds = ds.map_batches(slicer, batch_format="pyarrow")
+        assigned, c = kmeans_fit_predict(sds, embedding_col, id_col,
+                                         k=k, dim=sub, iters=iters)
+        cents.append(c)
+
+        def tag(t: pa.Table, b=b) -> pa.Table:
+            return pa.table({
+                id_col: t[id_col],
+                "block": pa.array(np.full(len(t), b, dtype=np.int64)),
+                "code": pa.array(t["cluster"]
+                                 .to_numpy(zero_copy_only=False)
+                                 .astype(np.int64))})
+
+        assigns.append(assigned.map_batches(tag, batch_format="pyarrow"))
+
+    # ---- query vector: the smallest id (k-min prefilter, tiny sort) -
+    def local_min1(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        if not len(ids):
+            return t
+        return t.take(pa.array([int(np.argmin(ids))]))
+
+    qrow = (ds.map_batches(local_min1, batch_format="pyarrow")
+            .sort(id_col).limit(1).take_all())[0]
+    qv = np.asarray(qrow[embedding_col], dtype=np.float64)
+    q = np.floor(qv * GRID + 0.5).astype(np.int64)
+
+    # ---- LUT: n_blocks x k exact int64 squared distances ------------
+    lut = np.zeros((n_blocks, k), dtype=np.int64)
+    for b in range(n_blocks):
+        diff = q[b * sub:(b + 1) * sub][None, :] - cents[b]
+        lut[b] = np.einsum("kd,kd->k", diff, diff)
+    lut_ref = ray.put(lut)
+
+    # ---- vec-major codes: one hash exchange of int cells ------------
+    u = assigns[0]
+    for a in assigns[1:]:
+        u = u.union(a)
+
+    def to_dist(g: pd.DataFrame) -> pd.DataFrame:
+        l = ray.get(lut_ref)
+        d2 = int(l[g["block"].to_numpy(), g["code"].to_numpy()].sum())
+        return pd.DataFrame({id_col: [g[id_col].iloc[0]],
+                             "adc_d2": np.array([d2], dtype=np.int64)})
+
+    dists = u.groupby(id_col).map_groups(to_dist, batch_format="pandas")
+
+    # local top-k per batch, then the tiny global cut
+    def local_top(t: pa.Table) -> pa.Table:
+        d = t["adc_d2"].to_numpy(zero_copy_only=False)
+        i = t[id_col].to_numpy(zero_copy_only=False)
+        keep = np.lexsort((i, d))[:top]
+        return t.take(pa.array(np.sort(keep)))
+
+    head = (dists.map_batches(local_top, batch_format="pyarrow")
+            .sort(["adc_d2", id_col]).limit(top).take_all())
+    return pd.DataFrame({
+        "rank": np.arange(1, len(head) + 1, dtype=np.int64),
+        id_col: [r[id_col] for r in head],
+        "adc_d2": np.array([r["adc_d2"] for r in head],
+                           dtype=np.int64)})

@@ -315,3 +315,49 @@ def test_jl_projection_stats_local_replay(ray_session):
                 got[f"sum_abs_p{j}"].to_numpy(), want_sa.to_numpy())
             np.testing.assert_array_equal(
                 got[f"n_pos_p{j}"].to_numpy(), want_np.to_numpy())
+
+
+def test_pq_adc_topk_matches_local_replay(ray_session):
+    """ADC search matches the local replay (codes, LUT, sum), with the
+    min-id query vector and (distance, id) tie-breaks."""
+    import ray.data as rd
+
+    from t_digest_ray.pipelines.clustering import (
+        GRID,
+        assign_ids,
+        centroid_update,
+        pq_adc_topk,
+    )
+
+    rng = np.random.default_rng(43)
+    n, dim, blocks, k, iters, top = 90, 8, 2, 4, 2, 7
+    x = rng.normal(size=(n, dim)).astype(np.float32)
+    ids = np.arange(100, 100 + n, dtype=np.int64)
+    df = pd.DataFrame({"vec_id": ids, "embedding": list(x)})
+
+    sub = dim // blocks
+    q = np.floor(x.astype(np.float64) * GRID + 0.5).astype(np.int64)
+    qv = q[0]                                  # min id row
+    dist = np.zeros(n, dtype=np.int64)
+    for b in range(blocks):
+        qb = q[:, b * sub:(b + 1) * sub]
+        cents = qb[:k].copy()
+        for _ in range(iters):
+            a = assign_ids(qb, cents)
+            sums = np.zeros((k, sub), dtype=np.int64)
+            cnts = np.zeros(k, dtype=np.int64)
+            np.add.at(sums, a, qb)
+            np.add.at(cnts, a, 1)
+            cents = centroid_update(sums, cnts, cents)
+        a = assign_ids(qb, cents)
+        diff = qv[b * sub:(b + 1) * sub][None, :] - cents
+        lut = np.einsum("kd,kd->k", diff, diff)
+        dist += lut[a]
+    order = np.lexsort((ids, dist))[:top]
+
+    got = pq_adc_topk(rd.from_pandas(df).repartition(3),
+                      "embedding", "vec_id", dim=dim, n_blocks=blocks,
+                      k=k, iters=iters, top=top)
+    np.testing.assert_array_equal(got["vec_id"].to_numpy(), ids[order])
+    np.testing.assert_array_equal(got["adc_d2"].to_numpy(),
+                                  dist[order])
