@@ -6315,6 +6315,19 @@ def pq_adc_search_embeddings(sf_dir: str):
                        k=8, iters=2, top=10)
 
 
+def lm_surprise_by_lang(sf_dir: str):
+    """Integer bigram-LM surprise per lang (pipelines/textstats.
+    lm_surprise_stats) — the CCNet-style perplexity quality signal
+    with EXACT arithmetic: surprise = bitlen(c1+V) - bitlen(c12+1),
+    an integer-log2 add-one-smoothed -log2 P(w2|w1). One corpus pass
+    of combiner partials, vocabulary-sized derived aggregates, two
+    engine hash_joins; VALUE-CHECKED via bin() lengths in SQL."""
+    from t_digest_ray.pipelines.textstats import lm_surprise_stats
+
+    ds = _read(sf_dir, "documents", ["text", "lang"])
+    return lm_surprise_stats(ds, "text", "lang")
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
     return pages_flagship("/root/testdata/sf0.001")
@@ -6348,6 +6361,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pq_codebook_embeddings": pq_codebook_embeddings,
         "jl_projection_embeddings": jl_projection_embeddings,
         "pq_adc_search_embeddings": pq_adc_search_embeddings,
+        "lm_surprise_by_lang": lm_surprise_by_lang,
         "scale_function_quantile_gates": scale_function_quantile_gates,
         "recording_digest_provenance": recording_digest_provenance,
         "dup_span_report_by_lang": dup_span_report_by_lang,
@@ -8666,6 +8680,32 @@ def oracle_sql() -> dict[str, str]:
         # a broken scale function flips its own within_bound row.
         "pq_codebook_embeddings": _pq_oracle(8, 64, 4, 2),
         "pq_adc_search_embeddings": _pq_adc_oracle(8, 64, 4, 2, 10),
+        "lm_surprise_by_lang": """
+            WITH s AS (SELECT lang, string_split(text, ' ') AS l
+                       FROM documents),
+                 b AS (SELECT lang, l[i] AS w1, l[i + 1] AS w2
+                       FROM s, UNNEST(range(1, len(l))) AS t(i)
+                       WHERE l[i] <> '' AND l[i + 1] <> ''),
+                 a AS (SELECT lang, w1, w2, COUNT(*) AS n_lw
+                       FROM b GROUP BY 1, 2, 3),
+                 c12 AS (SELECT w1, w2, SUM(n_lw) AS c12
+                         FROM a GROUP BY 1, 2),
+                 u AS (SELECT unnest(string_split(text, ' ')) AS tok
+                       FROM documents),
+                 c1 AS (SELECT tok, COUNT(*) AS c1 FROM u
+                        WHERE tok <> '' GROUP BY tok),
+                 v AS (SELECT COUNT(*) AS v FROM c1)
+            SELECT a.lang,
+                   CAST(SUM(a.n_lw) AS BIGINT) AS n_bigrams,
+                   CAST(SUM(a.n_lw
+                        * (LENGTH(bin(c1.c1 + (SELECT v FROM v)))
+                           - LENGTH(bin(c12.c12 + 1))))
+                        AS BIGINT) AS surprise_sum
+            FROM a
+            JOIN c12 ON a.w1 = c12.w1 AND a.w2 = c12.w2
+            JOIN c1 ON a.w1 = c1.tok
+            GROUP BY a.lang
+        """,
         "jl_projection_embeddings": f"""
             WITH x AS (SELECT i, j,
                               CAST(i * 131 + j * 17 + 12345

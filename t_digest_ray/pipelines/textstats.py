@@ -1418,3 +1418,125 @@ def nb_classifier_confusion(ds, text_col: str = "text", key: str = "lang",
     return (ds.map_batches(predict, batch_format="pyarrow")
             .groupby(["true_cls", "pred_cls"])
             .aggregate(Sum("part", alias_name="n_docs")))
+
+
+def _bitlen(x: np.ndarray) -> np.ndarray:
+    """Exact bit length of positive int64 (< 2^53) via frexp — the
+    integer-log2 both engines agree on (SQL: LENGTH(bin(x)))."""
+    return np.frexp(x.astype(np.float64))[1].astype(np.int64)
+
+
+def lm_surprise_stats(ds, text_col: str, lang_col: str):
+    """Integer bigram-LM SURPRISE score per language — the CCNet-style
+    perplexity quality signal made exactly reproducible: for each
+    adjacent token pair the surprise is
+    ``bitlen(c1(w1) + V) - bitlen(c12(w1,w2) + 1)`` — an integer-log2
+    add-one-smoothed conditional ``-log2 P(w2 | w1)`` (within 1 bit),
+    so per-lang sums are exact integers with a full SQL oracle
+    (printf('%b') length), where a float log-prob sum would be
+    accumulation-order-dependent.
+
+    Dataflow: ONE corpus pass emits per-batch (lang, w1, bigram)
+    combiner partials (the bigram_topk extraction — shifted slices,
+    doc-boundary masked) and unigram partials; bigram totals derive
+    from the aggregated (lang, bigram) table itself (a vocabulary-sized
+    second groupby, never the corpus); the unigram table joins in by
+    headword through the engine's own hash_join. No raw text on any
+    exchange after the first combine.
+
+    Returns (lang, n_bigrams, surprise_sum) — higher mean surprise =
+    less template-like text.
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from .relational import hash_join
+
+    def bigram_partial(b: pa.Table) -> pa.Table:
+        lists = pc.split_pattern(b[text_col].combine_chunks(), " ")
+        flat = pc.list_flatten(lists)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        n = len(flat)
+        empty = pa.table({
+            "lang": pa.array([], type=pa.string()),
+            "w1": pa.array([], type=pa.string()),
+            "bigram": pa.array([], type=pa.string()),
+            "partial": pa.array([], type=pa.int64())})
+        if n < 2:
+            return empty
+        lens = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
+        doc_idx = np.repeat(np.arange(len(lens)), lens)
+        same_doc = doc_idx[:-1] == doc_idx[1:]
+        a = flat.slice(0, n - 1)
+        c = flat.slice(1)
+        nonempty = pc.and_(pc.not_equal(a, ""), pc.not_equal(c, ""))
+        mask = pc.and_(nonempty, pa.array(same_doc))
+        langs = b[lang_col].to_numpy(zero_copy_only=False)
+        lang_per_pair = langs[doc_idx[:-1]][
+            mask.to_numpy(zero_copy_only=False)]
+        w1 = a.filter(mask)
+        big = pc.binary_join_element_wise(w1, c.filter(mask), " ")
+        df = pd.DataFrame({
+            "lang": lang_per_pair,
+            "w1": w1.to_numpy(zero_copy_only=False),
+            "bigram": big.to_numpy(zero_copy_only=False)})
+        g = (df.groupby(["lang", "w1", "bigram"], sort=False)
+             .size().reset_index(name="partial"))
+        return pa.table({
+            "lang": pa.array(g["lang"]), "w1": pa.array(g["w1"]),
+            "bigram": pa.array(g["bigram"]),
+            "partial": pa.array(g["partial"].to_numpy(np.int64))})
+
+    A = (ds.map_batches(bigram_partial, batch_format="pyarrow")
+         .groupby(["lang", "w1", "bigram"])
+         .aggregate(Sum("partial", alias_name="n_lw")))
+
+    c12 = A.groupby("bigram").aggregate(Sum("n_lw", alias_name="c12"))
+
+    def uni_partial(b: pa.Table) -> pa.Table:
+        lists = pc.split_pattern(b[text_col].combine_chunks(), " ")
+        flat = pc.list_flatten(lists)
+        flat = flat.filter(pc.not_equal(flat, ""))
+        vc = flat.value_counts()
+        return pa.table({"w1": vc.field("values"),
+                         "partial": pc.cast(vc.field("counts"),
+                                            pa.int64())})
+
+    c1 = (ds.map_batches(uni_partial, batch_format="pyarrow")
+          .groupby("w1").aggregate(Sum("partial", alias_name="c1")))
+    c1 = c1.materialize()                   # reused: count + join side
+    v_size = c1.count()
+
+    j1 = hash_join(A, c12, on="bigram", left_cols=["lang", "w1",
+                                                   "n_lw"],
+                   right_cols=["c12"],
+                   types={"bigram": pa.string(), "lang": pa.string(),
+                          "w1": pa.string(), "n_lw": pa.int64(),
+                          "c12": pa.int64()})
+    j2 = hash_join(j1, c1, on="w1",
+                   left_cols=["lang", "n_lw", "c12"],
+                   right_cols=["c1"],
+                   types={"w1": pa.string(), "lang": pa.string(),
+                          "n_lw": pa.int64(), "c12": pa.int64(),
+                          "c1": pa.int64()})
+
+    def score(b: pa.Table) -> pa.Table:
+        n = b["n_lw"].to_numpy(zero_copy_only=False)
+        s = (_bitlen(b["c1"].to_numpy(zero_copy_only=False) + v_size)
+             - _bitlen(b["c12"].to_numpy(zero_copy_only=False) + 1))
+        return pa.table({"lang": b["lang"],
+                         "n_bigrams": pa.array(n),
+                         "surprise": pa.array(n * s)})
+
+    out = (j2.map_batches(score, batch_format="pyarrow")
+           .groupby("lang")
+           .aggregate(Sum("n_bigrams", alias_name="n_bigrams"),
+                      Sum("surprise", alias_name="surprise_sum")))
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        df["n_bigrams"] = df["n_bigrams"].astype(np.int64)
+        df["surprise_sum"] = df["surprise_sum"].astype(np.int64)
+        return df
+
+    return out.map_batches(fin, batch_format="pandas")

@@ -671,3 +671,40 @@ def test_heaps_law_config_route(ray_session):
     # the first checkpoint, so the growth exponent is (numerically) 0.
     assert (out["heaps_beta"].abs() < 1e-9).all()
     assert (out["n_vocab"] <= 31).all()
+
+
+def test_lm_surprise_stats_local_replay(ray_session):
+    """Bigram-LM surprise sums match a pure-Python replay, including
+    doc-boundary masking, empty-token drops and add-one smoothing."""
+    import ray.data as rd
+
+    from t_digest_ray.pipelines.textstats import lm_surprise_stats
+
+    docs = pd.DataFrame({
+        "text": ["a b b a", "b a  a", "c c c b", "a c"],
+        "lang": ["en", "en", "de", "de"]})
+
+    from collections import Counter
+    c1, c12, per_lang = Counter(), Counter(), {}
+    rows = []
+    for t, lg in zip(docs["text"], docs["lang"]):
+        toks = t.split(" ")
+        c1.update(w for w in toks if w)
+        for i in range(len(toks) - 1):
+            if toks[i] and toks[i + 1]:
+                c12[(toks[i], toks[i + 1])] += 1
+                rows.append((lg, toks[i], toks[i + 1]))
+    V = len(c1)
+    for lg, w1, w2 in rows:
+        s = ((c1[w1] + V).bit_length()
+             - (c12[(w1, w2)] + 1).bit_length())
+        agg = per_lang.setdefault(lg, [0, 0])
+        agg[0] += 1
+        agg[1] += s
+
+    got = (lm_surprise_stats(rd.from_pandas(docs).repartition(3),
+                             "text", "lang")
+           .to_pandas().sort_values("lang").reset_index(drop=True))
+    for _, r in got.iterrows():
+        assert per_lang[r["lang"]] == [r["n_bigrams"],
+                                       r["surprise_sum"]]
