@@ -6328,6 +6328,20 @@ def lm_surprise_by_lang(sf_dir: str):
     return lm_surprise_stats(ds, "text", "lang")
 
 
+def quantile_family_certification(sf_dir: str):
+    """The reference's comparison-study shape (SpeedComparison.java /
+    IIDgenerator.java) as ONE graded distributed query
+    (pipelines/validation.quantile_family_report): t-digest, KLL, Req,
+    GK and q-digest all build over doc length through the same
+    partial/merge topology, and each must land every quantile inside
+    ITS OWN published rank bound (in-row gates). Exact per-lang
+    quantile columns hash-match the SQL oracle."""
+    from t_digest_ray.pipelines.validation import quantile_family_report
+
+    ds = _read(sf_dir, "documents", ["lang", "n_chars"])
+    return quantile_family_report(ds, "n_chars", "lang")
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
     return pages_flagship("/root/testdata/sf0.001")
@@ -6362,6 +6376,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jl_projection_embeddings": jl_projection_embeddings,
         "pq_adc_search_embeddings": pq_adc_search_embeddings,
         "lm_surprise_by_lang": lm_surprise_by_lang,
+        "quantile_family_certification": quantile_family_certification,
         "scale_function_quantile_gates": scale_function_quantile_gates,
         "recording_digest_provenance": recording_digest_provenance,
         "dup_span_report_by_lang": dup_span_report_by_lang,
@@ -8680,6 +8695,17 @@ def oracle_sql() -> dict[str, str]:
         # a broken scale function flips its own within_bound row.
         "pq_codebook_embeddings": _pq_oracle(8, 64, 4, 2),
         "pq_adc_search_embeddings": _pq_adc_oracle(8, 64, 4, 2, 10),
+        "quantile_family_certification": """
+            WITH e AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(quantile_disc(n_chars, 0.25) AS DOUBLE) AS p25,
+                   CAST(quantile_disc(n_chars, 0.50) AS DOUBLE) AS p50,
+                   CAST(quantile_disc(n_chars, 0.75) AS DOUBLE) AS p75
+                       FROM documents GROUP BY lang)
+            SELECT s.sketch, e.lang, e.n, e.p25, e.p50, e.p75,
+                   TRUE AS within_bound
+            FROM e CROSS JOIN (VALUES ('tdigest'), ('kll'), ('req'),
+                                      ('gk'), ('qdigest')) s(sketch)
+        """,
         "lm_surprise_by_lang": """
             WITH s AS (SELECT lang, string_split(text, ' ') AS l
                        FROM documents),

