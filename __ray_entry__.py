@@ -6342,6 +6342,32 @@ def quantile_family_certification(sf_dir: str):
     return quantile_family_report(ds, "n_chars", "lang")
 
 
+def windowed_distinct_users(sf_dir: str):
+    """Per-(type, day-window) DISTINCT users — the sliding-dashboard
+    distinct shape: composite tumbling-window key derived in the map
+    stage, HLL sketches through the standard partial/merge topology,
+    exact COUNT(DISTINCT) hash-matched with the 3-sigma envelope gate
+    (abs_floor=3 for the linear-counting regime of small windows —
+    pipelines/validation.distinct_bound_check)."""
+    from t_digest_ray.pipelines.validation import distinct_bound_check
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id", "ts"])
+
+    def wkey(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        t = b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        day = pa.array(t // 86_400_000_000)
+        key = pc.binary_join_element_wise(
+            b["event_type"].combine_chunks(),
+            pc.cast(day, pa.string()), "|")
+        return pa.table({"wkey": key, "user_id": b["user_id"]})
+
+    return distinct_bound_check(
+        ds.map_batches(wkey, batch_format="pyarrow"),
+        "user_id", "wkey", p=14, sigma=3.0, num_salts=2,
+        count_name="n_users", abs_floor=3.0)
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
     return pages_flagship("/root/testdata/sf0.001")
@@ -6377,6 +6403,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pq_adc_search_embeddings": pq_adc_search_embeddings,
         "lm_surprise_by_lang": lm_surprise_by_lang,
         "quantile_family_certification": quantile_family_certification,
+        "windowed_distinct_users": windowed_distinct_users,
         "scale_function_quantile_gates": scale_function_quantile_gates,
         "recording_digest_provenance": recording_digest_provenance,
         "dup_span_report_by_lang": dup_span_report_by_lang,
@@ -8695,6 +8722,14 @@ def oracle_sql() -> dict[str, str]:
         # a broken scale function flips its own within_bound row.
         "pq_codebook_embeddings": _pq_oracle(8, 64, 4, 2),
         "pq_adc_search_embeddings": _pq_adc_oracle(8, 64, 4, 2, 10),
+        "windowed_distinct_users": """
+            SELECT event_type || '|'
+                   || CAST(epoch_us(ts) // 86400000000 AS VARCHAR)
+                       AS wkey,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+                   TRUE AS within_bound
+            FROM events GROUP BY 1
+        """,
         "quantile_family_certification": """
             WITH e AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
                    CAST(quantile_disc(n_chars, 0.25) AS DOUBLE) AS p25,
