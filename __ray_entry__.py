@@ -6368,6 +6368,44 @@ def windowed_distinct_users(sf_dir: str):
         count_name="n_users", abs_floor=3.0)
 
 
+def compaction_fingerprint_check(sf_dir: str):
+    """Small-file COMPACTION with content proof (pipelines/checkpoint.
+    compact_shards): a deterministic 16-shard export of the events
+    changelog columns is rewritten into 4 well-sized files, and the
+    order-invariant per-type fingerprint (validation.table_fingerprint)
+    of source vs destination certifies the rewrite was a pure layout
+    change. Checksums hash-match the SQL splitmix replay; the equality
+    and file-count gates ride in-row."""
+    import hashlib
+    import os
+
+    from t_digest_ray.pipelines.checkpoint import compact_shards
+
+    tag = hashlib.sha1(
+        f"{os.path.normpath(sf_dir)}|compact".encode()).hexdigest()[:10]
+    src_dir = f"/tmp/tdr_compact/src-{tag}"
+    dest_dir = f"/tmp/tdr_compact/dst-{tag}"
+    marker = os.path.join(src_dir, "_SUCCESS")
+    if not os.path.exists(marker):
+        os.makedirs(src_dir, exist_ok=True)
+        ds = _read(sf_dir, "events", ["event_type", "user_id", "value"])
+
+        def prep(b: pa.Table) -> pa.Table:
+            v = b["value"].to_numpy(zero_copy_only=False)
+            cents = np.floor(v * 100.0 + 0.5).astype(np.int64)
+            return pa.table({"event_type": b["event_type"],
+                             "user_id": b["user_id"],
+                             "cents": pa.array(cents)})
+
+        (ds.map_batches(prep, batch_format="pyarrow")
+         .repartition(16).write_parquet(src_dir))
+        with open(marker, "w") as f:
+            f.write("ok")
+    os.makedirs(dest_dir, exist_ok=True)
+    return compact_shards(src_dir, dest_dir, 4, "event_type",
+                          ["user_id", "cents"])
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
     return pages_flagship("/root/testdata/sf0.001")
@@ -6404,6 +6442,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_surprise_by_lang": lm_surprise_by_lang,
         "quantile_family_certification": quantile_family_certification,
         "windowed_distinct_users": windowed_distinct_users,
+        "compaction_fingerprint_check": compaction_fingerprint_check,
         "scale_function_quantile_gates": scale_function_quantile_gates,
         "recording_digest_provenance": recording_digest_provenance,
         "dup_span_report_by_lang": dup_span_report_by_lang,
@@ -8722,6 +8761,40 @@ def oracle_sql() -> dict[str, str]:
         # a broken scale function flips its own within_bound row.
         "pq_codebook_embeddings": _pq_oracle(8, 64, 4, 2),
         "pq_adc_search_embeddings": _pq_adc_oracle(8, 64, 4, 2, 10),
+        "compaction_fingerprint_check": f"""
+            WITH r AS (SELECT event_type,
+                              (CAST(user_id AS UHUGEINT) * 1000003
+                               + CAST(FLOOR(value * 100.0 + 0.5)
+                                      AS UHUGEINT) * 1000006000009)
+                              % {_M64} AS x
+                       FROM events),
+                 m0 AS (SELECT event_type,
+                               (x + CAST(11400714819323198485
+                                         AS UHUGEINT)) % {_M64} AS z
+                        FROM r),
+                 m1 AS (SELECT event_type,
+                               (xor(z, z >> 30)
+                                * CAST(13787848793156543929 AS UHUGEINT))
+                               % {_M64} AS z1 FROM m0),
+                 m2 AS (SELECT event_type,
+                               (xor(z1, z1 >> 27)
+                                * CAST(10723151780598845931 AS UHUGEINT))
+                               % {_M64} AS z2 FROM m1),
+                 mh AS (SELECT event_type, xor(z2, z2 >> 31) AS h
+                        FROM m2),
+                 agg AS (SELECT event_type,
+                                COUNT(*) AS n_rows,
+                                CAST(SUM(CAST(h AS HUGEINT))
+                                     % 18446744073709551616 AS UHUGEINT)
+                                    AS cs
+                         FROM mh GROUP BY event_type)
+            SELECT event_type, CAST(n_rows AS BIGINT) AS n_rows,
+                   CAST(cs >> 32 AS BIGINT) AS cs_hi,
+                   CAST(cs % 4294967296 AS BIGINT) AS cs_lo,
+                   TRUE AS checksum_match,
+                   TRUE AS files_reduced
+            FROM agg
+        """,
         "windowed_distinct_users": """
             SELECT event_type || '|'
                    || CAST(epoch_us(ts) // 86400000000 AS VARCHAR)

@@ -642,3 +642,47 @@ def sorted_range_write(ds, value_col: str, out_dir: str,
     return (assigned.map_batches(skip_done, batch_format="pyarrow")
             .groupby("partition_id")
             .map_groups(write_group, batch_format="pandas"))
+
+
+def compact_shards(src_dir: str, dest_dir: str, target_files: int,
+                   key: str, mix_cols: list[str]):
+    """SMALL-FILE COMPACTION — the lakehouse maintenance operator:
+    streaming-rewrite a directory of tiny parquet shards into
+    ``target_files`` well-sized files (repartition + write, atomic
+    ``_SUCCESS``), then PROVE content equality with the order-invariant
+    per-key table fingerprint (validation.table_fingerprint) of source
+    vs destination — compaction must be a pure layout change, and the
+    commutative checksum is exactly the tool that can certify that
+    without sorting either side.
+
+    Returns one pandas row per key: (key, n_rows, cs_hi, cs_lo,
+    checksum_match, files_reduced)."""
+    import os
+
+    import ray.data as rd
+
+    from .validation import table_fingerprint
+
+    marker = os.path.join(dest_dir, "_SUCCESS")
+    src = rd.read_parquet(src_dir)
+    if not os.path.exists(marker):
+        src.repartition(target_files).write_parquet(dest_dir)
+        with open(marker, "w") as f:
+            f.write("ok")
+
+    before = table_fingerprint(src, key, mix_cols).to_pandas()
+    after = table_fingerprint(
+        rd.read_parquet(dest_dir), key, mix_cols).to_pandas()
+
+    n_src = len([f for f in os.listdir(src_dir)
+                 if f.endswith(".parquet")])
+    n_dst = len([f for f in os.listdir(dest_dir)
+                 if f.endswith(".parquet")])
+    m = before.merge(after, on=key, suffixes=("", "_a"))
+    m["checksum_match"] = ((m["n_rows"] == m["n_rows_a"])
+                           & (m["cs_hi"] == m["cs_hi_a"])
+                           & (m["cs_lo"] == m["cs_lo_a"]))
+    m["files_reduced"] = bool(n_dst <= max(target_files, 1)
+                              and n_dst <= n_src)
+    return m[[key, "n_rows", "cs_hi", "cs_lo", "checksum_match",
+              "files_reduced"]]

@@ -424,3 +424,37 @@ def test_sorted_range_write_global_order_and_resume(ray_session, tmp_path):
                            carry_cols=("rid",))
     with pytest.raises(ValueError, match="sort dir"):
         sorted_range_write(ds, "value", out_dir, n_partitions=8)
+
+
+def test_compact_shards_preserves_content(ray_session, tmp_path):
+    """Compaction reduces file count, preserves every per-key
+    fingerprint, and is idempotent via the _SUCCESS marker."""
+    import os
+
+    import ray.data as rd
+
+    from t_digest_ray.pipelines.checkpoint import compact_shards
+
+    rng = np.random.default_rng(53)
+    df = pd.DataFrame({
+        "k": rng.choice(["a", "b"], 2000),
+        "u": rng.integers(0, 1 << 30, 2000).astype(np.int64),
+        "c": rng.integers(0, 10**6, 2000).astype(np.int64)})
+    src = tmp_path / "src"
+    dst = tmp_path / "dst"
+    src.mkdir(); dst.mkdir()
+    rd.from_pandas(df).repartition(10).write_parquet(str(src))
+    assert len([f for f in os.listdir(src)
+                if f.endswith(".parquet")]) == 10
+
+    out = compact_shards(str(src), str(dst), 3, "k", ["u", "c"])
+    assert out["checksum_match"].all()
+    assert out["files_reduced"].all()
+    assert out["n_rows"].sum() == 2000
+
+    mtime = os.path.getmtime(dst / "_SUCCESS")
+    out2 = compact_shards(str(src), str(dst), 3, "k", ["u", "c"])
+    assert os.path.getmtime(dst / "_SUCCESS") == mtime  # skipped write
+    pd.testing.assert_frame_equal(
+        out.sort_values("k").reset_index(drop=True),
+        out2.sort_values("k").reset_index(drop=True))
