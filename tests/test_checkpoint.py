@@ -431,6 +431,7 @@ def test_compact_shards_preserves_content(ray_session, tmp_path):
     fingerprint, and is idempotent via the _SUCCESS marker."""
     import os
 
+    import numpy as np
     import ray.data as rd
 
     from t_digest_ray.pipelines.checkpoint import compact_shards
