@@ -6406,6 +6406,71 @@ def compaction_fingerprint_check(sf_dir: str):
                           ["user_id", "cents"])
 
 
+def schema_evolution_doc_stats(sf_dir: str):
+    """SCHEMA-EVOLUTION ingestion (sources/text_files.
+    read_harmonized_parquet): two cached /tmp generations of the
+    documents table — v1 (even doc_ids, pre-`lang` schema) and v2 (odd
+    doc_ids, with `lang`) — read back harmonized to one target schema
+    with typed nulls for the missing column, then aggregated per
+    COALESCEd lang. The multi-generation data-lake read every long-
+    lived pipeline needs. Full value-hash oracle replaying the split
+    from the source table."""
+    import hashlib
+    import os
+
+    from t_digest_ray.sources.text_files import read_harmonized_parquet
+
+    tag = hashlib.sha1(
+        f"{os.path.normpath(sf_dir)}|schemaevo".encode()).hexdigest()[:10]
+    root = f"/tmp/tdr_schemaevo/{tag}"
+    v1, v2 = f"{root}/v1", f"{root}/v2"
+    marker = f"{root}/_SUCCESS"
+    if not os.path.exists(marker):
+        os.makedirs(v1, exist_ok=True)
+        os.makedirs(v2, exist_ok=True)
+        ds = _read(sf_dir, "documents", ["doc_id", "n_chars", "lang"])
+
+        def side(parity: int, cols):
+            def fn(b: pa.Table) -> pa.Table:
+                ids = b["doc_id"].to_numpy(zero_copy_only=False)
+                return b.filter(pa.array(ids % 2 == parity)) \
+                    .select(cols)
+            return fn
+
+        (ds.map_batches(side(0, ["doc_id", "n_chars"]),
+                        batch_format="pyarrow").write_parquet(v1))
+        (ds.map_batches(side(1, ["doc_id", "n_chars", "lang"]),
+                        batch_format="pyarrow").write_parquet(v2))
+        with open(marker, "w") as f:
+            f.write("ok")
+
+    target = pa.schema([("doc_id", pa.int64()),
+                        ("n_chars", pa.int64()),
+                        ("lang", pa.string())])
+    u = read_harmonized_parquet([v1, v2], target)
+
+    def agg(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        lang = pc.coalesce(b["lang"].combine_chunks(),
+                           pa.scalar("unknown"))
+        return pa.table({"lang": lang, "n_chars": b["n_chars"],
+                         "one": pa.array(
+                             np.ones(len(b), dtype=np.int64))})
+
+    from ray.data.aggregate import Sum
+    out = (u.map_batches(agg, batch_format="pyarrow")
+           .groupby("lang")
+           .aggregate(Sum("one", alias_name="n_docs"),
+                      Sum("n_chars", alias_name="sum_chars")))
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        df["n_docs"] = df["n_docs"].astype(np.int64)
+        df["sum_chars"] = df["sum_chars"].astype(np.int64)
+        return df
+
+    return out.map_batches(fin, batch_format="pandas")
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
     return pages_flagship("/root/testdata/sf0.001")
@@ -6443,6 +6508,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantile_family_certification": quantile_family_certification,
         "windowed_distinct_users": windowed_distinct_users,
         "compaction_fingerprint_check": compaction_fingerprint_check,
+        "schema_evolution_doc_stats": schema_evolution_doc_stats,
         "scale_function_quantile_gates": scale_function_quantile_gates,
         "recording_digest_provenance": recording_digest_provenance,
         "dup_span_report_by_lang": dup_span_report_by_lang,
@@ -8761,6 +8827,13 @@ def oracle_sql() -> dict[str, str]:
         # a broken scale function flips its own within_bound row.
         "pq_codebook_embeddings": _pq_oracle(8, 64, 4, 2),
         "pq_adc_search_embeddings": _pq_adc_oracle(8, 64, 4, 2, 10),
+        "schema_evolution_doc_stats": """
+            SELECT CASE WHEN doc_id % 2 = 0 THEN 'unknown'
+                   ELSE lang END AS lang,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+            FROM documents GROUP BY 1
+        """,
         "compaction_fingerprint_check": f"""
             WITH r AS (SELECT event_type,
                               (CAST(user_id AS UHUGEINT) * 1000003

@@ -104,3 +104,41 @@ def events_csv(sf_dir: str, columns: list[str]):
     """The events table served from CSV shards (export cached)."""
     out_dir = _export(sf_dir, "events", columns, "csv")
     return read_csv(out_dir, columns)
+
+
+def read_harmonized_parquet(dirs: list[str], target_schema) -> "object":
+    """SCHEMA-EVOLUTION read: union parquet directories written under
+    DIFFERENT schema versions into one Dataset with the ``target_schema``
+    — columns a version lacks come back as typed nulls, extra columns
+    are dropped, and present columns are cast. The multi-generation
+    data-lake ingestion primitive (a crawl re-run adds `lang`; last
+    year's shards don't have it); without it every schema change forces
+    a full rewrite.
+
+    Per-directory projection happens at the read (only the columns the
+    files HAVE are requested), and the null-fill is a zero-copy-in,
+    typed-nulls-out ``map_batches`` — no pandas NaN coercion.
+    """
+    import pyarrow.dataset as pads
+    import ray.data
+
+    parts = []
+    for d in dirs:
+        have = set(pads.dataset(d, format="parquet").schema.names)
+        cols = [f.name for f in target_schema if f.name in have]
+        ds = ray.data.read_parquet(d, columns=cols)
+
+        def harmonize(b: pa.Table, cols=tuple(cols)) -> pa.Table:
+            out = {}
+            for f in target_schema:
+                if f.name in b.column_names:
+                    out[f.name] = b[f.name].cast(f.type)
+                else:
+                    out[f.name] = pa.nulls(len(b), type=f.type)
+            return pa.table(out, schema=target_schema)
+
+        parts.append(ds.map_batches(harmonize, batch_format="pyarrow"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out

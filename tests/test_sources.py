@@ -143,3 +143,32 @@ def test_ipc_source_roundtrip(ray_session, sf_smoke):
                           columns=["doc_id", "lang", "n_chars"])
             .to_pandas().sort_values("doc_id").reset_index(drop=True))
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_read_harmonized_parquet(ray_session, tmp_path):
+    """Harmonized multi-schema read: missing columns become typed
+    nulls, extras are dropped, and the union matches a direct build."""
+    import numpy as np
+    import ray.data as rd
+
+    from t_digest_ray.sources.text_files import read_harmonized_parquet
+
+    v1 = pd.DataFrame({"id": np.array([1, 2], dtype=np.int64),
+                       "n": np.array([10, 20], dtype=np.int64),
+                       "extra": ["x", "y"]})      # dropped
+    v2 = pd.DataFrame({"id": np.array([3], dtype=np.int64),
+                       "n": np.array([30], dtype=np.int64),
+                       "lang": ["en"]})
+    d1, d2 = tmp_path / "v1", tmp_path / "v2"
+    d1.mkdir(); d2.mkdir()
+    rd.from_pandas(v1).write_parquet(str(d1))
+    rd.from_pandas(v2).write_parquet(str(d2))
+
+    target = pa.schema([("id", pa.int64()), ("n", pa.int64()),
+                        ("lang", pa.string())])
+    out = (read_harmonized_parquet([str(d1), str(d2)], target)
+           .to_pandas().sort_values("id").reset_index(drop=True))
+    assert list(out.columns) == ["id", "n", "lang"]
+    assert out["lang"].tolist()[:2] == [None, None]
+    assert out["lang"].tolist()[2] == "en"
+    assert out["n"].tolist() == [10, 20, 30]
