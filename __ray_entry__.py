@@ -6471,6 +6471,48 @@ def schema_evolution_doc_stats(sf_dir: str):
     return out.map_batches(fin, batch_format="pandas")
 
 
+def audio_energy_by_lang(sf_dir: str):
+    """REAL audio decode end-to-end (stages/multimodal.WavPcmCodec +
+    AudioEnergy): deterministic 16-bit mono PCM WAV containers are
+    synthesized per doc (closed-form samples), an actor-pool stage
+    parses the actual RIFF/WAVE bytes with stdlib ``wave`` and emits
+    exact integer energy features, aggregated per lang. Upgrades the
+    multimodal seam from honest stubs to a real container parse for
+    the audio modality; VALUE-CHECKED because the oracle replays the
+    closed-form signal without touching the container."""
+    from ray.data.aggregate import Sum
+    from t_digest_ray.stages.multimodal import (
+        AudioEnergy,
+        synth_wav_pcm16,
+    )
+    from t_digest_ray.stages.partitioning import actor_pool_bounds
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+
+    def synth(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        pay = [synth_wav_pcm16(int(d), 160 + int(d) % 7 * 40)
+               for d in ids]
+        return pa.table({"lang": b["lang"],
+                         "payload": pa.array(pay, type=pa.binary())})
+
+    feats = (ds.map_batches(synth, batch_format="pyarrow",
+                            batch_size=256)
+             .map_batches(AudioEnergy, batch_format="pyarrow",
+                          batch_size=256,
+                          concurrency=actor_pool_bounds()))
+    out = (feats.groupby("lang")
+           .aggregate(Sum("n_samples", alias_name="n_samples"),
+                      Sum("energy", alias_name="energy")))
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        df["n_samples"] = df["n_samples"].astype(np.int64)
+        df["energy"] = df["energy"].astype(np.int64)
+        return df
+
+    return out.map_batches(fin, batch_format="pandas")
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
     return pages_flagship("/root/testdata/sf0.001")
@@ -6509,6 +6551,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "windowed_distinct_users": windowed_distinct_users,
         "compaction_fingerprint_check": compaction_fingerprint_check,
         "schema_evolution_doc_stats": schema_evolution_doc_stats,
+        "audio_energy_by_lang": audio_energy_by_lang,
         "scale_function_quantile_gates": scale_function_quantile_gates,
         "recording_digest_provenance": recording_digest_provenance,
         "dup_span_report_by_lang": dup_span_report_by_lang,
@@ -8827,6 +8870,20 @@ def oracle_sql() -> dict[str, str]:
         # a broken scale function flips its own within_bound row.
         "pq_codebook_embeddings": _pq_oracle(8, 64, 4, 2),
         "pq_adc_search_embeddings": _pq_adc_oracle(8, 64, 4, 2, 10),
+        "audio_energy_by_lang": """
+            WITH clip AS (SELECT doc_id, lang,
+                                 160 + (doc_id % 7) * 40 AS n
+                          FROM documents),
+                 s AS (SELECT lang,
+                              ((doc_id * 31 + i * 17) % 65536 - 32768)
+                                  AS smp
+                       FROM clip, generate_series(0, 2000) t(i)
+                       WHERE i < n)
+            SELECT lang,
+                   CAST(COUNT(*) AS BIGINT) AS n_samples,
+                   CAST(SUM(smp * smp) AS BIGINT) AS energy
+            FROM s GROUP BY lang
+        """,
         "schema_evolution_doc_stats": """
             SELECT CASE WHEN doc_id % 2 = 0 THEN 'unknown'
                    ELSE lang END AS lang,

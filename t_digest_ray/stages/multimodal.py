@@ -218,3 +218,65 @@ class EmbedStub:
         emb = emb / np.maximum(norms, 1e-12)
         return batch.append_column(
             "embedding", pa.array(list(emb), type=pa.list_(pa.float32())))
+
+
+def synth_wav_pcm16(doc_id: int, n_samples: int,
+                    sample_rate: int = 16000) -> bytes:
+    """Deterministic REAL WAV container bytes: 16-bit mono PCM whose
+    samples follow the closed form
+    ``s_i = ((doc_id * 31 + i * 17) % 65536) - 32768`` — so a SQL
+    oracle can replay the signal without parsing the container, while
+    the Ray decode stage must parse actual RIFF/WAVE bytes."""
+    import io
+    import wave
+
+    i = np.arange(n_samples, dtype=np.int64)
+    s = ((doc_id * 31 + i * 17) % 65536 - 32768).astype(np.int16)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(s.tobytes())
+    return buf.getvalue()
+
+
+class WavPcmCodec:
+    """A second REAL zero-dependency codec (stdlib ``wave``): parses
+    actual RIFF/WAVE containers and returns int16 PCM samples — the
+    audio twin of BmpCodec, proving the seam spans modalities."""
+
+    name = "wav"
+
+    def decode_samples(self, payload: bytes) -> np.ndarray:
+        import io
+        import wave
+
+        with wave.open(io.BytesIO(payload), "rb") as w:
+            if w.getsampwidth() != 2 or w.getnchannels() != 1:
+                raise ValueError("expected 16-bit mono PCM")
+            frames = w.readframes(w.getnframes())
+        return np.frombuffer(frames, dtype=np.int16)
+
+
+class AudioEnergy:
+    """Actor-pool stage: decode WAV payloads (codec built once in
+    __init__) and emit exact integer energy features per clip —
+    n_samples and the int64 sum of squared samples (the RMS numerator;
+    exact, so the whole audio path is value-hash checkable)."""
+
+    def __init__(self, payload_col: str = "payload", codec=None):
+        self.payload_col = payload_col
+        self.codec = codec or WavPcmCodec()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch[self.payload_col].to_pylist()
+        n = np.zeros(len(payloads), dtype=np.int64)
+        e = np.zeros(len(payloads), dtype=np.int64)
+        for i, p in enumerate(payloads):        # bytes-sized batches
+            s = self.codec.decode_samples(p).astype(np.int64)
+            n[i] = len(s)
+            e[i] = int((s * s).sum())
+        out = batch.drop_columns([self.payload_col])
+        out = out.append_column("n_samples", pa.array(n))
+        return out.append_column("energy", pa.array(e))

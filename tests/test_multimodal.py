@@ -180,3 +180,43 @@ def test_real_bmp_codec_through_seam(ray_session):
     px = BmpCodec().decode_pixels(_make_bmp(7, 3, value=0x10))
     assert px.shape == (3, 7, 3)
     assert set(np.unique(px)) == {0x10, 0x11, 0x12}
+
+
+def test_wav_codec_and_audio_energy(ray_session):
+    """Real RIFF/WAVE parse through the actor-pool stage: energies
+    match the closed-form replay; malformed container raises."""
+    import io
+    import wave
+
+    import pandas as pd
+    import ray.data as rd
+
+    from t_digest_ray.stages.multimodal import (
+        AudioEnergy,
+        WavPcmCodec,
+        synth_wav_pcm16,
+    )
+
+    ids = np.array([3, 8, 21], dtype=np.int64)
+    pay = [synth_wav_pcm16(int(d), 50 + int(d)) for d in ids]
+    df = pd.DataFrame({"doc_id": ids, "payload": pay})
+    out = (rd.from_pandas(df).repartition(2)
+           .map_batches(AudioEnergy, batch_format="pyarrow",
+                        concurrency=2)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    for row, d in zip(out.itertuples(), ids):
+        n = 50 + int(d)
+        i = np.arange(n, dtype=np.int64)
+        s = (d * 31 + i * 17) % 65536 - 32768
+        assert row.n_samples == n
+        assert row.energy == int((s * s).sum())
+
+    # stereo container rejected by the 16-bit-mono contract
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(b"\0\0\0\0")
+    with pytest.raises(ValueError):
+        WavPcmCodec().decode_samples(buf.getvalue())
