@@ -2436,6 +2436,19 @@ def events_sliding_window(sf_dir: str):
     return sliding_window(ds, "ts", size_s=7200, step_s=3600)
 
 
+def ohlc_hourly_events(sf_dir: str):
+    """Hourly OHLC bars per event_type over events.value: open/close are
+    the value at the (ts, event_id) lexicographic min/max in the window,
+    high/low the extremes — all SELECTED values (no arithmetic), so the
+    result hash-matches DuckDB ordered aggregates exactly. The classic
+    time-series resample shape (candlesticks / telemetry rollup)."""
+    from t_digest_ray.pipelines.windows import ohlc_bars
+
+    ds = _read(sf_dir, "events", ["ts", "event_id", "event_type", "value"])
+    return ohlc_bars(ds, "ts", "event_id", "value", 3600,
+                     key="event_type")
+
+
 def purchase_after_click_asof(sf_dir: str):
     """As-of join: for each purchase, the user's most recent prior click."""
     from t_digest_ray.pipelines.windows import asof_join
@@ -6556,6 +6569,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "recording_digest_provenance": recording_digest_provenance,
         "dup_span_report_by_lang": dup_span_report_by_lang,
         "dup_span_drop_stats_by_lang": dup_span_drop_stats_by_lang,
+        "ohlc_hourly_events": ohlc_hourly_events,
         "kll_pmf_events": kll_pmf_events,
         "float_histogram_events": float_histogram_events,
         "log_histogram_events": log_histogram_events,
@@ -8098,6 +8112,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id AS id_a, vec_id + 1000000 AS id_b,
                    TRUE AS exact_dup
             FROM embeddings WHERE vec_id % 17 = 0
+        """,
+        "ohlc_hourly_events": """
+            SELECT event_type,
+                   CAST(FLOOR(FLOOR(EPOCH(ts)) / 3600) * 3600 AS BIGINT)
+                       AS window_start_s,
+                   first(value ORDER BY ts, event_id) AS open_v,
+                   MAX(value) AS high_v,
+                   MIN(value) AS low_v,
+                   last(value ORDER BY ts, event_id) AS close_v,
+                   COUNT(*) AS n_events
+            FROM events GROUP BY 1, 2
         """,
         "events_hourly_window": """
             SELECT CAST(FLOOR(FLOOR(EPOCH(ts)) / 3600) * 3600 AS BIGINT)

@@ -1402,3 +1402,72 @@ def sequence_pattern_counts(ds, key: str, order_col: str, tie_col: str,
             [int(df[name].sum()) for name in patterns],
             dtype=np.int64),
         "n_keys": np.full(len(patterns), n_keys, dtype=np.int64)})
+
+
+def ohlc_bars(ds, ts_col: str, tie_col: str, value_col: str,
+              window_s: int, key: str):
+    """Per-(key, tumbling window) OHLC bars: open/close are the value at
+    the lexicographic (ts, tie) min/max inside the window, high/low the
+    value extremes, n the event count. Open/high/low/close are SELECTED
+    input values (never arithmetic), so results are bit-exact against an
+    ordered-aggregate SQL oracle (``first(v ORDER BY ts, tie)``).
+
+    Scale shape: each map batch collapses to ONE partial row per
+    (key, window) carrying the candidate open/close rows and extremes —
+    only O(groups) ~72-byte rows reach the exchange regardless of input
+    size; the fold re-selects by the same (ts, tie) order inside
+    hash-bucketed map_groups, so the result is block-layout- and
+    merge-order-invariant (the tie column must be unique per row).
+    """
+
+    def partial(b: pa.Table) -> pa.Table:
+        us = _epoch_us(b[ts_col])
+        ws = ((us // 1_000_000) // window_s) * window_s
+        df = pd.DataFrame({
+            key: b[key].to_numpy(zero_copy_only=False),
+            "window_start_s": ws,
+            "us": us,
+            "tie": b[tie_col].to_numpy(zero_copy_only=False)
+            .astype(np.int64),
+            "v": b[value_col].to_numpy(zero_copy_only=False)})
+        # stable (us, tie) sort makes groupby first/last the in-window
+        # open/close candidates for this block
+        df = df.sort_values(["us", "tie"], kind="stable")
+        g = df.groupby([key, "window_start_s"], sort=False, as_index=False)
+        out = g.agg(o_us=("us", "first"), o_tie=("tie", "first"),
+                    open_v=("v", "first"),
+                    c_us=("us", "last"), c_tie=("tie", "last"),
+                    close_v=("v", "last"),
+                    high_v=("v", "max"), low_v=("v", "min"),
+                    n_events=("v", "size"))
+        out["n_events"] = out["n_events"].astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        grp = [key, "window_start_s"]
+        opens = (g.sort_values(["o_us", "o_tie"], kind="stable")
+                 .groupby(grp, sort=False, as_index=False)
+                 .agg(open_v=("open_v", "first")))
+        closes = (g.sort_values(["c_us", "c_tie"], kind="stable")
+                  .groupby(grp, sort=False, as_index=False)
+                  .agg(close_v=("close_v", "last")))
+        ext = (g.groupby(grp, sort=False, as_index=False)
+               .agg(high_v=("high_v", "max"), low_v=("low_v", "min"),
+                    n_events=("n_events", "sum")))
+        out = opens.merge(ext, on=grp).merge(closes, on=grp)
+        out["n_events"] = out["n_events"].astype(np.int64)
+        return out[grp + ["open_v", "high_v", "low_v", "close_v",
+                          "n_events"]]
+
+    def bucket(b: pa.Table) -> pa.Table:
+        kv = b[key].to_numpy(zero_copy_only=False)
+        wv = b["window_start_s"].to_numpy()
+        bk = (hash64(np.array([f"{a}\x1f{w}" for a, w in zip(kv, wv)],
+                              dtype=object))
+              % np.uint64(64)).astype(np.int32)
+        return b.append_column("bucket", pa.array(bk))
+
+    return (parts.map_batches(bucket, batch_format="pyarrow")
+            .groupby("bucket").map_groups(fold, batch_format="pandas"))

@@ -521,3 +521,48 @@ def test_sequence_pattern_counts(ray_session):
         assert got.loc[nm, "n_keys_matched"] == sum(
             v[nm] for v in want.values())
         assert got.loc[nm, "n_keys"] == len(want)
+
+
+def test_ohlc_bars_planted(ray_session):
+    from t_digest_ray.pipelines.windows import ohlc_bars
+    import ray
+    # window 60s; (event_id, ts_s, kind, value); ids 3/4 share ts=30 so
+    # the tie column decides open-vs-close order deterministically
+    t = pa.table({
+        "event_id": pa.array([1, 2, 3, 4, 5], type=pa.int64()),
+        "ts": pa.array([10 * US, 50 * US, 30 * US, 30 * US, 70 * US],
+                       type=pa.int64()).cast(pa.timestamp("us")),
+        "kind": pa.array(["a", "a", "a", "a", "a"]),
+        "v": pa.array([5.0, 9.0, 1.0, 7.0, 2.0]),
+    })
+    expected = {
+        (0, "open_v"): 5.0, (0, "high_v"): 9.0, (0, "low_v"): 1.0,
+        (0, "close_v"): 9.0, (0, "n_events"): 4,
+        (60, "open_v"): 2.0, (60, "close_v"): 2.0, (60, "n_events"): 1,
+    }
+    # layout invariance: 1 block vs 5 single-row blocks (merge order)
+    for nblocks in (1, 5):
+        ds = ray.data.from_arrow(t).repartition(nblocks)
+        out = (ohlc_bars(ds, "ts", "event_id", "v", 60, key="kind")
+               .to_pandas().set_index("window_start_s"))
+        assert len(out) == 2
+        for (w, col), want in expected.items():
+            assert out.loc[w, col] == want, (nblocks, w, col)
+
+
+def test_ohlc_bars_tie_uses_tie_column(ray_session):
+    from t_digest_ray.pipelines.windows import ohlc_bars
+    import ray
+    # both rows at the SAME ts: open is the lower event_id's value,
+    # close the higher — regardless of row order in the block
+    t = pa.table({
+        "event_id": pa.array([9, 2], type=pa.int64()),
+        "ts": pa.array([5 * US, 5 * US],
+                       type=pa.int64()).cast(pa.timestamp("us")),
+        "kind": pa.array(["x", "x"]),
+        "v": pa.array([111.0, 222.0]),
+    })
+    out = (ohlc_bars(ray.data.from_arrow(t), "ts", "event_id", "v", 60,
+                     key="kind").to_pandas())
+    assert out["open_v"].iloc[0] == 222.0   # event_id 2 first
+    assert out["close_v"].iloc[0] == 111.0  # event_id 9 last
