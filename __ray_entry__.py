@@ -4661,6 +4661,26 @@ def event_transition_matrix(sf_dir: str):
 
 
 
+def triangle_count_coactivity(sf_dir: str):
+    """Exact triangle census of the capped user co-activity graph
+    (pipelines/graph.triangle_count_report over co_activity_edges):
+    an edge links two users active in the same (event_type, epoch-day)
+    bucket, each bucket capped at its 12 smallest user ids
+    (deterministic ROW_NUMBER cap — bounds the clique projection at
+    C(12,2) pairs/bucket at any scale). The count is the degree-ordered
+    node-iterator (Suri & Vassilvitskii WWW'11): degrees via
+    groupby-count, low→high orientation via two distributed hash joins,
+    wedge emission bounded O(m^1.5), closure via one union+groupby
+    co-partition of wedge keys with the edge set. All-integer one-row
+    output (vertices/edges/wedges/triangles/transitivity_ppm),
+    VALUE-CHECKED against the 3-way self-join oracle."""
+    from t_digest_ray.pipelines.graph import triangle_count_from_events
+
+    ds = _read(sf_dir, "events", ["event_type", "ts", "user_id"])
+    return triangle_count_from_events(ds, "event_type", "ts",
+                                      "user_id", cap=12)
+
+
 def pagerank_event_types(sf_dir: str):
     """Integer PageRank of event types on the observed per-user
     transition graph (pipelines/graph.integer_pagerank): distributed
@@ -6545,6 +6565,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # chains, planted-fixture dedup oracles).
     return {
         # --- (a) round-5 grading window: never driver-graded ---
+        "triangle_count_coactivity": triangle_count_coactivity,
         "interval_overlap_sessions": interval_overlap_sessions,
         "cdc_latest_snapshot_stats": cdc_latest_snapshot_stats,
         "bucketed_join_priority_revenue": bucketed_join_priority_revenue,
@@ -6894,6 +6915,41 @@ def _hits_sql(iters: int = 3) -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "triangle_count_coactivity": """
+            WITH du AS (SELECT DISTINCT event_type,
+                               CAST(epoch_us(ts) // 86400000000 AS BIGINT)
+                                   AS d, user_id
+                        FROM events),
+                 r AS (SELECT event_type, d, user_id,
+                              ROW_NUMBER() OVER (PARTITION BY event_type, d
+                                  ORDER BY user_id ASC) AS rn
+                       FROM du),
+                 kept AS (SELECT event_type, d, user_id FROM r
+                          WHERE rn <= 12),
+                 e AS (SELECT DISTINCT a.user_id AS u, b.user_id AS v
+                       FROM kept a JOIN kept b
+                         ON a.event_type = b.event_type AND a.d = b.d
+                        AND a.user_id < b.user_id),
+                 deg AS (SELECT node, COUNT(*) AS dg
+                         FROM (SELECT u AS node FROM e
+                               UNION ALL SELECT v AS node FROM e)
+                         GROUP BY 1),
+                 w AS (SELECT CAST(COALESCE(SUM(dg*(dg-1)//2), 0)
+                                   AS BIGINT) AS nw FROM deg),
+                 tri AS (SELECT COUNT(*) AS t
+                         FROM e e1
+                         JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
+                         JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v)
+            SELECT CAST((SELECT COUNT(*) FROM deg) AS BIGINT)
+                       AS n_vertices,
+                   CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
+                   (SELECT nw FROM w) AS n_wedges,
+                   CAST((SELECT t FROM tri) AS BIGINT) AS n_triangles,
+                   CAST(CASE WHEN (SELECT nw FROM w) > 0
+                        THEN (3 * (SELECT t FROM tri) * 1000000)
+                             // (SELECT nw FROM w)
+                        ELSE 0 END AS BIGINT) AS transitivity_ppm
+        """,
         "pagerank_event_types": _pagerank_sql(iters=3),
         "hits_event_types": _hits_sql(iters=3),
         "markov_prediction_accuracy": """

@@ -60,7 +60,8 @@ PIPELINES = ("quantiles", "kll", "req", "distinct", "heavy", "heavy_mg",
             "gk", "qdigest", "shape_moments", "embedding_diversity",
             "median_of_means", "dgim", "latest_snapshot", "int8_quant",
             "ordered_collect", "sequence_patterns", "zorder_audit",
-            "fingerprint", "jl_projection", "pq_codebook")
+            "fingerprint", "jl_projection", "pq_codebook",
+            "triangle_count")
 
 
 @dataclass
@@ -572,6 +573,13 @@ def run_job(cfg: JobConfig):
             ds, cfg.key or "user_id", p.pop("ts_col", "ts"),
             p.pop("tie_col", "event_id"),
             cfg.value_col or "event_type", **p))
+    elif cfg.pipeline == "triangle_count":
+        import ray.data as rd
+
+        from .pipelines.graph import triangle_count_from_events
+        out = rd.from_pandas(triangle_count_from_events(
+            ds, cfg.key or "event_type", p.pop("ts_col", "ts"),
+            cfg.value_col or "user_id", **p))
     elif cfg.pipeline == "hits":
         import ray.data as rd
 

@@ -42,6 +42,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 PR_SCALE = 10**12
 PR_DAMP_NUM = 85
@@ -253,3 +254,217 @@ def hits_from_events(ds, user_col: str, ts_col: str, tie_col: str,
     nodes = [str(v) for v in nodes_df[type_col]]
     out = integer_hits(edges, nodes, iters=iters)
     return out.rename(columns={"node": type_col})
+
+
+def co_activity_edges(ds, type_col: str, ts_col: str, user_col: str,
+                      cap: int = 12):
+    """Bounded co-activity graph projection: an undirected edge links
+    two users active in the same (event_type, epoch-day) bucket.
+
+    Clique projection is the classic scale hazard (one hot bucket with
+    B users emits B² pairs), so each bucket keeps only its ``cap``
+    SMALLEST distinct user ids under the column's native ordering — a
+    deterministic, SQL-replayable cap (``ROW_NUMBER() OVER (PARTITION
+    BY bucket ORDER BY user ASC) <= cap``) that bounds the emission at
+    C(cap,2) pairs per bucket no matter how hot the bucket is. The
+    shuffle carries per-batch-distinct (bucket, user) rows, never raw
+    events.
+
+    Returns a Dataset of DISTINCT canonical edges (u < v) in the user
+    column's own dtype. Dedup across buckets is one groupby on the
+    string edge key — cost bounded by buckets × C(cap,2), not by
+    |users|²."""
+    from .windows import _epoch_s
+
+    def to_bucket_user(b: pa.Table) -> pa.Table:
+        day = (_epoch_s(b[ts_col]) // 86400).astype(np.int64)
+        typ = b[type_col].to_numpy(zero_copy_only=False).astype(str)
+        df = pd.DataFrame({
+            "bucket": np.char.add(np.char.add(typ, "|"),
+                                  day.astype(str)),
+            "user": b[user_col].to_numpy(zero_copy_only=False),
+        }).drop_duplicates()
+        return pa.table({"bucket": pa.array(df["bucket"], type=pa.string()),
+                         "user": pa.array(df["user"],
+                                          type=b[user_col].type)})
+
+    user_t = {"t": None}
+
+    def bucket_pairs(g: pd.DataFrame) -> pa.Table:
+        kept = np.sort(pd.unique(g["user"].to_numpy()))[:cap]
+        n = len(kept)
+        if n < 2:
+            return pa.table({"ekey": pa.array([], type=pa.string())})
+        i, j = np.triu_indices(n, k=1)
+        ek = np.char.add(np.char.add(kept[i].astype(str), "|"),
+                         kept[j].astype(str))
+        return pa.table({"ekey": pa.array(ek, type=pa.string())})
+
+    def first_edge_fn(dtype):
+        def first_edge(g: pd.DataFrame) -> pa.Table:
+            u, v = str(g["ekey"].iloc[0]).split("|", 1)
+            arr = np.array([u], dtype=dtype), np.array([v], dtype=dtype)
+            return pa.table({"u": pa.array(arr[0]),
+                             "v": pa.array(arr[1])})
+        return first_edge
+
+    # resolve the user column's numpy dtype once (metadata-only read on
+    # parquet sources) so edge endpoints keep their native ordering
+    sch = ds.schema()
+    sch = getattr(sch, "base_schema", sch)
+    if hasattr(sch, "field"):
+        np_dtype = sch.field(user_col).type.to_pandas_dtype()
+    else:
+        np_dtype = dict(zip(sch.names, sch.types))[user_col]
+    if np_dtype == object:
+        np_dtype = str
+
+    pairs = (ds.map_batches(to_bucket_user, batch_format="pyarrow")
+             .groupby("bucket").map_groups(bucket_pairs,
+                                           batch_format="pandas"))
+    return pairs.groupby("ekey").map_groups(first_edge_fn(np_dtype),
+                                            batch_format="pandas")
+
+
+def triangle_count_report(edges, u_col: str = "u",
+                          v_col: str = "v") -> pd.DataFrame:
+    """Distributed exact triangle count over a distinct canonical edge
+    list (u < v), the degree-ordered node-iterator of Suri &
+    Vassilvitskii (WWW 2011) / Cohen (2009) composed from Ray Data
+    primitives:
+
+      1. degrees — one groupby-count over both endpoints;
+      2. orient every edge from its lower-(degree, id) endpoint to the
+         higher one (two distributed hash joins against the degree
+         table — no broadcast: |V| does not fit a worker at web scale);
+      3. wedges — per-source pair emission over the ORIENTED adjacency,
+         bounded by O(m^1.5) total thanks to the degree ordering (a
+         hub of degree d contributes no wedges as a source: its edges
+         point INTO it);
+      4. close — hash-co-partition wedge keys with the edge set (one
+         union + groupby); a wedge whose closing key is an edge is a
+         triangle, each counted exactly once.
+
+    Returns one all-integer row: vertices, edges, wedges (Σ C(d,2) —
+    the unordered count, for transitivity), triangles, and
+    transitivity_ppm = (3·T·10⁶) // wedges (floor — exact integer).
+
+    The edge list (already an aggregate, bounded far below the input)
+    is materialized once because four downstream passes reuse it; at
+    web scale the equivalent is a bucketed parquet spill of the edge
+    table (stages/bucketed.py), same contract as k-means' budget gate
+    (pipelines/clustering.py)."""
+    from ray.data.aggregate import Count
+
+    from .relational import hash_join
+
+    edges = edges.materialize()
+
+    sch = edges.schema()
+    sch = getattr(sch, "base_schema", sch)
+    if hasattr(sch, "field"):
+        key_t = sch.field(u_col).type
+    else:
+        t = dict(zip(sch.names, sch.types))[u_col]
+        key_t = pa.string() if t == object else pa.from_numpy_dtype(t)
+
+    def endpoints(b: pa.Table) -> pa.Table:
+        u = b[u_col].to_numpy(zero_copy_only=False)
+        v = b[v_col].to_numpy(zero_copy_only=False)
+        return pa.table({"node": pa.array(np.concatenate([u, v]),
+                                          type=key_t)})
+
+    degrees = (edges.map_batches(endpoints, batch_format="pyarrow")
+               .groupby("node").aggregate(Count(alias_name="dg"))
+               .materialize())
+
+    n_vertices = int(degrees.count())
+    n_edges = int(edges.count())
+
+    def wedge_partial(b: pa.Table) -> pa.Table:
+        d = b["dg"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"w": pa.array([int((d * (d - 1) // 2).sum())],
+                                       type=pa.int64())})
+
+    n_wedges = int(degrees.map_batches(
+        wedge_partial, batch_format="pyarrow").sum("w") or 0)
+
+    int_t = pa.int64()
+
+    du = degrees.map_batches(
+        lambda b: pa.table({u_col: b["node"], "du": b["dg"]}),
+        batch_format="pyarrow")
+    j1 = hash_join(edges, du, on=u_col, left_cols=[v_col],
+                   right_cols=["du"],
+                   types={u_col: key_t, v_col: key_t, "du": int_t})
+    dv = degrees.map_batches(
+        lambda b: pa.table({v_col: b["node"], "dv": b["dg"]}),
+        batch_format="pyarrow")
+    j2 = hash_join(j1, dv, on=v_col, left_cols=[u_col, "du"],
+                   right_cols=["dv"],
+                   types={u_col: key_t, v_col: key_t,
+                          "du": int_t, "dv": int_t})
+
+    def orient(b: pa.Table) -> pa.Table:
+        u = b[u_col].to_numpy(zero_copy_only=False)
+        v = b[v_col].to_numpy(zero_copy_only=False)
+        du_ = b["du"].to_numpy(zero_copy_only=False)
+        dv_ = b["dv"].to_numpy(zero_copy_only=False)
+        fwd = (du_ < dv_) | ((du_ == dv_) & (u < v))
+        return pa.table({
+            "src": pa.array(np.where(fwd, u, v), type=key_t),
+            "dst": pa.array(np.where(fwd, v, u), type=key_t)})
+
+    oriented = j2.map_batches(orient, batch_format="pyarrow")
+
+    def src_wedges(g: pd.DataFrame) -> pa.Table:
+        ns = np.sort(g["dst"].to_numpy())
+        if len(ns) < 2:
+            return pa.table({"ekey": pa.array([], type=pa.string()),
+                             "is_edge": pa.array([], type=pa.int8())})
+        i, j = np.triu_indices(len(ns), k=1)
+        ek = np.char.add(np.char.add(ns[i].astype(str), "|"),
+                         ns[j].astype(str))
+        return pa.table({"ekey": pa.array(ek, type=pa.string()),
+                         "is_edge": pa.array(
+                             np.zeros(len(ek), dtype=np.int8))})
+
+    def edge_keys(b: pa.Table) -> pa.Table:
+        u = b[u_col].to_numpy(zero_copy_only=False)
+        v = b[v_col].to_numpy(zero_copy_only=False)
+        ek = np.char.add(np.char.add(u.astype(str), "|"),
+                         v.astype(str))
+        return pa.table({"ekey": pa.array(ek, type=pa.string()),
+                         "is_edge": pa.array(
+                             np.ones(len(ek), dtype=np.int8))})
+
+    def close_key(g: pd.DataFrame) -> pa.Table:
+        flags = g["is_edge"].to_numpy()
+        n_edge = int((flags == 1).sum())
+        n_wedge = int((flags == 0).sum())
+        t = n_wedge if n_edge > 0 else 0
+        return pa.table({"tri": pa.array([t], type=pa.int64())})
+
+    tagged = oriented.groupby("src").map_groups(
+        src_wedges, batch_format="pandas").union(
+        edges.map_batches(edge_keys, batch_format="pyarrow"))
+    n_triangles = int(tagged.groupby("ekey").map_groups(
+        close_key, batch_format="pandas").sum("tri") or 0)
+
+    trans_ppm = ((3 * n_triangles * 10**6) // n_wedges
+                 if n_wedges > 0 else 0)
+    return pd.DataFrame({
+        "n_vertices": pd.Series([n_vertices], dtype=np.int64),
+        "n_edges": pd.Series([n_edges], dtype=np.int64),
+        "n_wedges": pd.Series([n_wedges], dtype=np.int64),
+        "n_triangles": pd.Series([n_triangles], dtype=np.int64),
+        "transitivity_ppm": pd.Series([trans_ppm], dtype=np.int64)})
+
+
+def triangle_count_from_events(ds, type_col: str, ts_col: str,
+                               user_col: str, cap: int = 12) -> pd.DataFrame:
+    """Triangle census of the capped user co-activity graph (see
+    co_activity_edges for the bounded projection and
+    triangle_count_report for the degree-ordered count)."""
+    return triangle_count_report(
+        co_activity_edges(ds, type_col, ts_col, user_col, cap=cap))

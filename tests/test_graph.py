@@ -5,6 +5,7 @@ in scripts/check_correctness."""
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pytest
 
@@ -277,3 +278,101 @@ def test_markov_entropy_mi_hill_config_routes(ray_session):
                                 "x_boundary_cents", "hill_inv_alpha"}
     assert (out["k_eff"] == 50).all()
     assert (out["hill_inv_alpha"] > 0).all()
+
+
+# ---------------------------------------------------------------- triangles
+
+
+def _edge_ds(pairs):
+    import ray.data as rd
+    return rd.from_pandas(pd.DataFrame({"u": [p[0] for p in pairs],
+                                        "v": [p[1] for p in pairs]}))
+
+
+def test_triangle_count_k4(ray_session):
+    from t_digest_ray.pipelines.graph import triangle_count_report
+
+    out = triangle_count_report(_edge_ds(
+        [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"),
+         ("c", "d")]))
+    assert out.values.tolist() == [[4, 6, 12, 4, 1000000]]
+
+
+def test_triangle_count_path_has_none(ray_session):
+    from t_digest_ray.pipelines.graph import triangle_count_report
+
+    out = triangle_count_report(_edge_ds([("a", "b"), ("b", "c")]))
+    assert out.values.tolist() == [[3, 2, 1, 0, 0]]
+
+
+def test_triangle_count_bowtie(ray_session):
+    # two triangles sharing vertex c: T=2, wedges = C(2,2)*4 + C(4,2).
+    from t_digest_ray.pipelines.graph import triangle_count_report
+
+    out = triangle_count_report(_edge_ds(
+        [("a", "b"), ("a", "c"), ("b", "c"), ("c", "d"), ("c", "e"),
+         ("d", "e")]))
+    row = dict(zip(out.columns, out.values.tolist()[0]))
+    assert row["n_vertices"] == 5
+    assert row["n_edges"] == 6
+    assert row["n_triangles"] == 2
+    assert row["n_wedges"] == 4 * 1 + 6  # four deg-2 nodes + C(4,2)
+    assert row["transitivity_ppm"] == (3 * 2 * 10**6) // 10
+
+
+def test_triangle_count_integer_ids(ray_session):
+    # native int64 endpoints: ordering must be numeric (10 > 2).
+    from t_digest_ray.pipelines.graph import triangle_count_report
+
+    out = triangle_count_report(_edge_ds([(2, 10), (2, 101), (10, 101)]))
+    assert out["n_triangles"].iloc[0] == 1
+
+
+def test_co_activity_cap_bounds_pairs(ray_session):
+    # one hot bucket with 5 users, cap=3: only C(3,2)=3 edges among the
+    # three SMALLEST ids survive.
+    import ray.data as rd
+
+    from t_digest_ray.pipelines.graph import co_activity_edges
+
+    df = pd.DataFrame({
+        "event_type": ["click"] * 5,
+        "ts": pd.to_datetime([1_000_000] * 5, unit="s"),
+        "user_id": np.array([50, 7, 23, 99, 4], dtype=np.int64)})
+    edges = co_activity_edges(rd.from_pandas(df), "event_type", "ts",
+                              "user_id", cap=3).to_pandas()
+    got = sorted((int(u), int(v)) for u, v in zip(edges["u"], edges["v"]))
+    assert got == [(4, 7), (4, 23), (7, 23)]
+
+
+def test_co_activity_dedups_across_buckets(ray_session):
+    # same pair active on two days: ONE edge.
+    import ray.data as rd
+
+    from t_digest_ray.pipelines.graph import co_activity_edges
+
+    df = pd.DataFrame({
+        "event_type": ["click"] * 2 + ["click"] * 2,
+        "ts": pd.to_datetime([0, 0, 86400, 86400], unit="s"),
+        "user_id": np.array([1, 2, 1, 2], dtype=np.int64)})
+    edges = co_activity_edges(rd.from_pandas(df), "event_type", "ts",
+                              "user_id", cap=12).to_pandas()
+    assert len(edges) == 1
+
+
+def test_config_route_triangle_count(ray_session):
+    from t_digest_ray.config import JobConfig, run_job
+    from t_digest_ray.pipelines.graph import triangle_count_from_events
+
+    EVENTS = "/root/testdata/sf0.001/events.parquet"
+    cols = ["event_type", "ts", "user_id"]
+    out = run_job(JobConfig(
+        pipeline="triangle_count", input=EVENTS, key="event_type",
+        value_col="user_id", columns=cols,
+        params={"cap": 6})).to_pandas()
+    import ray.data as rd
+    direct = triangle_count_from_events(
+        rd.read_parquet(EVENTS, columns=cols),
+        "event_type", "ts", "user_id", cap=6)
+    pd.testing.assert_frame_equal(out.reset_index(drop=True),
+                                  direct.reset_index(drop=True))
