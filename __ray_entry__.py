@@ -4661,6 +4661,23 @@ def event_transition_matrix(sf_dir: str):
 
 
 
+def selection_quantiles_events(sf_dir: str):
+    """EXACT per-type quantiles of event value cents with NO per-group
+    collect (pipelines/selection.selection_quantiles_by_key):
+    distributed selection by counting — one native min/max/count
+    aggregate, then ≤4 histogram passes whose exchanges are always
+    states × 512 int64 count cells regardless of data size or skew (a
+    hot key costs counting time, never memory). The scale-path twin of
+    exact_quantiles_by_key. Pure floor-div integer bin math,
+    bit-identical at any parallelism; VALUE-CHECKED against
+    quantile_disc on the same cents."""
+    from t_digest_ray.pipelines.selection import selection_quantiles_by_key
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    return selection_quantiles_by_key(ds, "event_type", "value",
+                                      qs=(0.25, 0.5, 0.75, 0.99))
+
+
 def triangle_count_coactivity(sf_dir: str):
     """Exact triangle census of the capped user co-activity graph
     (pipelines/graph.triangle_count_report over co_activity_edges):
@@ -6566,6 +6583,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- (a) round-5 grading window: never driver-graded ---
         "triangle_count_coactivity": triangle_count_coactivity,
+        "selection_quantiles_events": selection_quantiles_events,
         "interval_overlap_sessions": interval_overlap_sessions,
         "cdc_latest_snapshot_stats": cdc_latest_snapshot_stats,
         "bucketed_join_priority_revenue": bucketed_join_priority_revenue,
@@ -6915,6 +6933,18 @@ def _hits_sql(iters: int = 3) -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "selection_quantiles_events": """
+            WITH c AS (SELECT event_type,
+                              CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+                                  AS v
+                       FROM events)
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   quantile_disc(v, 0.25) AS p25_cents,
+                   quantile_disc(v, 0.50) AS p50_cents,
+                   quantile_disc(v, 0.75) AS p75_cents,
+                   quantile_disc(v, 0.99) AS p99_cents
+            FROM c GROUP BY 1
+        """,
         "triangle_count_coactivity": """
             WITH du AS (SELECT DISTINCT event_type,
                                CAST(epoch_us(ts) // 86400000000 AS BIGINT)

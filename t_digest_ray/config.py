@@ -61,7 +61,7 @@ PIPELINES = ("quantiles", "kll", "req", "distinct", "heavy", "heavy_mg",
             "median_of_means", "dgim", "latest_snapshot", "int8_quant",
             "ordered_collect", "sequence_patterns", "zorder_audit",
             "fingerprint", "jl_projection", "pq_codebook",
-            "triangle_count")
+            "triangle_count", "selection_quantiles")
 
 
 @dataclass
@@ -573,6 +573,12 @@ def run_job(cfg: JobConfig):
             ds, cfg.key or "user_id", p.pop("ts_col", "ts"),
             p.pop("tie_col", "event_id"),
             cfg.value_col or "event_type", **p))
+    elif cfg.pipeline == "selection_quantiles":
+        import ray.data as rd
+
+        from .pipelines.selection import selection_quantiles_by_key
+        out = rd.from_pandas(selection_quantiles_by_key(
+            ds, cfg.key or "event_type", cfg.value_col or "value", **p))
     elif cfg.pipeline == "triangle_count":
         import ray.data as rd
 

@@ -1,0 +1,84 @@
+"""Distributed selection quantiles (pipelines/selection.py): exact
+quantile_disc parity with per-group sorting, convergence over wide
+domains, skew and single-value edge cases."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def _disc(vals, q):
+    v = np.sort(np.asarray(vals))
+    return int(v[max(int(math.ceil(q * len(v))) - 1, 0)])
+
+
+def _run(df, qs, n_bins=512, max_passes=8):
+    import ray.data as rd
+
+    from t_digest_ray.pipelines.selection import selection_quantiles_by_key
+
+    return selection_quantiles_by_key(
+        rd.from_pandas(df), "k", "value", qs=qs, n_bins=n_bins,
+        max_passes=max_passes)
+
+
+def test_matches_sorted_oracle(ray_session, rng):
+    vals = rng.integers(0, 10_000_000, size=5000)  # cents
+    df = pd.DataFrame({"k": np.where(np.arange(5000) % 3 == 0, "a", "b"),
+                       "value": vals / 100.0})
+    out = _run(df, qs=(0.25, 0.5, 0.75, 0.99)).set_index("k")
+    for k in ("a", "b"):
+        cents = np.floor(
+            df[df["k"] == k]["value"].to_numpy() * 100 + 0.5).astype(int)
+        for q in (0.25, 0.5, 0.75, 0.99):
+            assert int(out.loc[k, f"p{int(q*100)}_cents"]) == _disc(cents, q)
+
+
+def test_wide_domain_needs_multiple_passes(ray_session, rng):
+    # domain >> n_bins² at n_bins=8 forces ≥3 narrowing passes.
+    vals = rng.integers(0, 2_000_000, size=2000)
+    df = pd.DataFrame({"k": ["x"] * 2000, "value": vals / 100.0})
+    out = _run(df, qs=(0.5,), n_bins=8)
+    cents = np.floor(df["value"].to_numpy() * 100 + 0.5).astype(int)
+    assert int(out["p50_cents"].iloc[0]) == _disc(cents, 0.5)
+
+
+def test_hot_duplicate_value(ray_session):
+    # 90% of rows are one value: the rank lands inside the hot bin.
+    vals = np.concatenate([np.full(900, 4242), np.arange(100)])
+    df = pd.DataFrame({"k": ["h"] * 1000, "value": vals / 100.0})
+    out = _run(df, qs=(0.25, 0.5, 0.9))
+    assert int(out["p50_cents"].iloc[0]) == 4242
+    assert int(out["p25_cents"].iloc[0]) == _disc(vals, 0.25)
+
+
+def test_single_value_key(ray_session):
+    df = pd.DataFrame({"k": ["z"] * 7, "value": [1.23] * 7})
+    out = _run(df, qs=(0.5, 0.99))
+    assert int(out["p50_cents"].iloc[0]) == 123
+    assert int(out["p99_cents"].iloc[0]) == 123
+    assert int(out["n_rows"].iloc[0]) == 7
+
+
+def test_nonconvergence_raises(ray_session, rng):
+    vals = rng.integers(0, 2_000_000, size=500)
+    df = pd.DataFrame({"k": ["x"] * 500, "value": vals / 100.0})
+    with pytest.raises(RuntimeError):
+        _run(df, qs=(0.5,), n_bins=4, max_passes=1)
+
+
+def test_config_route_selection_quantiles(ray_session):
+    from t_digest_ray.config import JobConfig, run_job
+
+    out = run_job(JobConfig(
+        pipeline="selection_quantiles",
+        input="/root/testdata/sf0.001/events.parquet",
+        key="event_type", value_col="value",
+        columns=["event_type", "value"],
+        params={"qs": (0.5,)})).to_pandas()
+    assert {"event_type", "n_rows", "p50_cents"} == set(out.columns)
+    assert (out["n_rows"] > 0).all()
