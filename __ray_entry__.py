@@ -4661,6 +4661,19 @@ def event_transition_matrix(sf_dir: str):
 
 
 
+def frame_extrema_event_values(sf_dir: str):
+    """Per-type 5-row rolling MAX/MIN/range of event value cents
+    (pipelines/windows.moving_frame_extrema): the sliding-extrema
+    analytic frame (ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), exact
+    int64 via a strided-window reduction after per-key co-location."""
+    from t_digest_ray.pipelines.windows import moving_frame_extrema
+
+    ds = _read(sf_dir, "events",
+               ["event_type", "ts", "event_id", "value"])
+    return moving_frame_extrema(ds, "event_type", "ts", "event_id",
+                                "value", frame=5)
+
+
 def selection_quantiles_events(sf_dir: str):
     """EXACT per-type quantiles of event value cents with NO per-group
     collect (pipelines/selection.selection_quantiles_by_key):
@@ -6584,6 +6597,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- (a) round-5 grading window: never driver-graded ---
         "triangle_count_coactivity": triangle_count_coactivity,
         "selection_quantiles_events": selection_quantiles_events,
+        "frame_extrema_event_values": frame_extrema_event_values,
         "interval_overlap_sessions": interval_overlap_sessions,
         "cdc_latest_snapshot_stats": cdc_latest_snapshot_stats,
         "bucketed_join_priority_revenue": bucketed_join_priority_revenue,
@@ -6933,6 +6947,19 @@ def _hits_sql(iters: int = 3) -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "frame_extrema_event_values": """
+            WITH c AS (SELECT event_type, event_id, ts,
+                              CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+                                  AS v
+                       FROM events)
+            SELECT event_type, event_id,
+                   MAX(v) OVER w AS frame_max_cents,
+                   MIN(v) OVER w AS frame_min_cents,
+                   MAX(v) OVER w - MIN(v) OVER w AS frame_range_cents
+            FROM c
+            WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+        """,
         "selection_quantiles_events": """
             WITH c AS (SELECT event_type,
                               CAST(FLOOR(value * 100 + 0.5) AS BIGINT)

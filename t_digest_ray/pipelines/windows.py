@@ -698,6 +698,54 @@ def moving_frame_sums(ds, key: str, ts_col: str, tie_col: str,
             .map_groups(scan, batch_format="pandas"))
 
 
+def moving_frame_extrema(ds, key: str, ts_col: str, tie_col: str,
+                         value: str, frame: int = 5):
+    """Per-key rolling ROWS-frame MAX/MIN (and their range) of integer
+    cents over the current row and the previous ``frame-1`` rows in
+    (ts, tie) order — the sliding-extrema analytic
+    (``MAX(v) OVER (... ROWS BETWEEN n PRECEDING AND CURRENT ROW)``),
+    the per-event volatility primitive.
+
+    Scale shape: identical to moving_frame_sums — per-key co-location,
+    then a vectorized strided-window reduction (O(n·frame) branch-free
+    numpy; the O(n) monotonic-deque variant only pays off at frames
+    orders of magnitude wider than analytic frames ever are). Exact
+    int64 output, one row per event.
+    """
+    import pyarrow.compute as pc
+
+    def project(b: pa.Table) -> pa.Table:
+        x = b[value].to_numpy(zero_copy_only=False).astype(np.float64)
+        cents = np.floor(x * 100.0 + 0.5).astype(np.int64)
+        return pa.table({key: b[key],
+                         "ts_us": pc.cast(b[ts_col].combine_chunks(),
+                                          pa.int64()),
+                         tie_col: b[tie_col],
+                         "cents": pa.array(cents)})
+
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    def scan(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts_us", tie_col], kind="stable")
+        v = g["cents"].to_numpy(dtype=np.int64)
+        lo_pad = np.full(frame - 1, np.iinfo(np.int64).min)
+        hi_pad = np.full(frame - 1, np.iinfo(np.int64).max)
+        mx = sliding_window_view(
+            np.concatenate([lo_pad, v]), frame).max(axis=1)
+        mn = sliding_window_view(
+            np.concatenate([hi_pad, v]), frame).min(axis=1)
+        return pd.DataFrame({key: g[key].to_numpy(),
+                             tie_col: g[tie_col].to_numpy(),
+                             "frame_max_cents": mx.astype(np.int64),
+                             "frame_min_cents": mn.astype(np.int64),
+                             "frame_range_cents":
+                                 (mx - mn).astype(np.int64)})
+
+    return (ds.map_batches(project, batch_format="pyarrow")
+            .groupby(key)
+            .map_groups(scan, batch_format="pandas"))
+
+
 def period_growth(ds, ts_col: str, value: str, fmt: str = "%Y-%m"):
     """Period-over-period revenue growth: exact integer-cents sums per
     calendar period (strftime bucket), then each period paired with its

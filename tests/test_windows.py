@@ -566,3 +566,43 @@ def test_ohlc_bars_tie_uses_tie_column(ray_session):
                      key="kind").to_pandas())
     assert out["open_v"].iloc[0] == 222.0   # event_id 2 first
     assert out["close_v"].iloc[0] == 111.0  # event_id 9 last
+
+
+def test_moving_frame_extrema_hand(ray_session):
+    import ray.data as rd
+
+    from t_digest_ray.pipelines.windows import moving_frame_extrema
+
+    df = pd.DataFrame({
+        "k": ["a"] * 5,
+        "ts": pd.to_datetime([1, 2, 3, 4, 5], unit="s"),
+        "eid": [1, 2, 3, 4, 5],
+        "value": [3.0, 1.0, 4.0, 1.0, 5.0]})
+    out = (moving_frame_extrema(rd.from_pandas(df), "k", "ts", "eid",
+                                "value", frame=3)
+           .to_pandas().sort_values("eid"))
+    assert out["frame_max_cents"].tolist() == [300, 300, 400, 400, 500]
+    assert out["frame_min_cents"].tolist() == [300, 100, 100, 100, 100]
+    assert out["frame_range_cents"].tolist() == [0, 200, 300, 300, 400]
+
+
+def test_moving_frame_extrema_matches_pandas(ray_session, rng):
+    import ray.data as rd
+
+    from t_digest_ray.pipelines.windows import moving_frame_extrema
+
+    n = 400
+    df = pd.DataFrame({
+        "k": rng.choice(["a", "b"], size=n),
+        "ts": pd.to_datetime(rng.integers(0, 1000, size=n), unit="s"),
+        "eid": np.arange(n),
+        "value": rng.integers(0, 10000, size=n) / 100.0})
+    out = (moving_frame_extrema(rd.from_pandas(df), "k", "ts", "eid",
+                                "value", frame=7)
+           .to_pandas().sort_values("eid").reset_index(drop=True))
+    exp = df.assign(cents=np.floor(df["value"] * 100 + 0.5).astype(int))
+    exp = exp.sort_values(["k", "ts", "eid"])
+    emax = (exp.groupby("k")["cents"]
+            .rolling(7, min_periods=1).max().reset_index(0, drop=True))
+    exp = exp.assign(emax=emax).sort_values("eid")
+    assert out["frame_max_cents"].tolist() == [int(x) for x in exp["emax"]]
