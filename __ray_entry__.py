@@ -4661,6 +4661,38 @@ def event_transition_matrix(sf_dir: str):
 
 
 
+def theil_sen_chars_tokens(sf_dir: str):
+    """Per-lang Theil-Sen robust slope of token count vs n_chars
+    (pipelines/stats.theil_sen_by_key): median-of-pairwise-slopes over
+    a deterministic 40-smallest-doc_id capped sample per lang (the cap
+    makes the O(m2) pair enumeration a constant per key). Lower-median
+    convention for slope and intercept; VALUE-CHECKED bit-for-bit
+    against the self-join + quantile_disc oracle."""
+    import pyarrow.compute as pc
+
+    from t_digest_ray.pipelines.stats import theil_sen_by_key
+
+    ds = _read(sf_dir, "documents",
+               ["doc_id", "lang", "text", "n_chars"])
+
+    def derive(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(b["text"].combine_chunks(), " ")
+        flat = pc.list_flatten(toks)
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        emp = pc.equal(flat, "").to_numpy(zero_copy_only=False)
+        doc_idx = np.repeat(np.arange(len(lens)), lens)
+        n_empty = np.bincount(doc_idx[emp], minlength=len(lens))
+        return pa.table({
+            "doc_id": b["doc_id"], "lang": b["lang"],
+            "n_chars": b["n_chars"],
+            "n_tokens": pa.array((lens - n_empty).astype(np.int64))})
+
+    return theil_sen_by_key(ds.map_batches(derive,
+                                           batch_format="pyarrow"),
+                            "lang", "n_chars", "n_tokens", "doc_id",
+                            m=40)
+
+
 def frame_extrema_event_values(sf_dir: str):
     """Per-type 5-row rolling MAX/MIN/range of event value cents
     (pipelines/windows.moving_frame_extrema): the sliding-extrema
@@ -6598,6 +6630,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triangle_count_coactivity": triangle_count_coactivity,
         "selection_quantiles_events": selection_quantiles_events,
         "frame_extrema_event_values": frame_extrema_event_values,
+        "theil_sen_chars_tokens": theil_sen_chars_tokens,
         "interval_overlap_sessions": interval_overlap_sessions,
         "cdc_latest_snapshot_stats": cdc_latest_snapshot_stats,
         "bucketed_join_priority_revenue": bucketed_join_priority_revenue,
@@ -6947,6 +6980,43 @@ def _hits_sql(iters: int = 3) -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "theil_sen_chars_tokens": """
+            WITH t AS (SELECT doc_id, lang, n_chars,
+                              len(list_filter(string_split(text, ' '),
+                                              t -> t <> '')) AS n_tokens
+                       FROM documents),
+                 r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+                                     ORDER BY doc_id ASC) AS rn
+                       FROM t),
+                 s AS (SELECT * FROM r WHERE rn <= 40),
+                 p AS (SELECT a.lang,
+                              (CAST(b.n_tokens AS DOUBLE)
+                               - CAST(a.n_tokens AS DOUBLE))
+                              / (CAST(b.n_chars AS DOUBLE)
+                                 - CAST(a.n_chars AS DOUBLE)) AS sl
+                       FROM s a JOIN s b ON a.lang = b.lang
+                                        AND a.doc_id < b.doc_id
+                       WHERE a.n_chars <> b.n_chars),
+                 sl AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                               quantile_disc(sl, 0.5) AS slope
+                        FROM p GROUP BY 1),
+                 res AS (SELECT s.lang,
+                                CAST(s.n_tokens AS DOUBLE)
+                                - sl.slope * CAST(s.n_chars AS DOUBLE)
+                                    AS rres
+                         FROM s JOIN sl ON s.lang = sl.lang),
+                 ic AS (SELECT lang, quantile_disc(rres, 0.5)
+                                   AS intercept
+                        FROM res GROUP BY 1),
+                 cnt AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_used
+                         FROM s GROUP BY 1)
+            SELECT cnt.lang, cnt.n_used,
+                   COALESCE(sl.n_pairs, 0) AS n_pairs,
+                   COALESCE(sl.slope, 0.0) AS ts_slope,
+                   COALESCE(ic.intercept, 0.0) AS ts_intercept
+            FROM cnt LEFT JOIN sl ON cnt.lang = sl.lang
+                     LEFT JOIN ic ON cnt.lang = ic.lang
+        """,
         "frame_extrema_event_values": """
             WITH c AS (SELECT event_type, event_id, ts,
                               CAST(FLOOR(value * 100 + 0.5) AS BIGINT)

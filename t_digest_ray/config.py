@@ -61,7 +61,7 @@ PIPELINES = ("quantiles", "kll", "req", "distinct", "heavy", "heavy_mg",
             "median_of_means", "dgim", "latest_snapshot", "int8_quant",
             "ordered_collect", "sequence_patterns", "zorder_audit",
             "fingerprint", "jl_projection", "pq_codebook",
-            "triangle_count", "selection_quantiles")
+            "triangle_count", "selection_quantiles", "theil_sen")
 
 
 @dataclass
@@ -573,6 +573,14 @@ def run_job(cfg: JobConfig):
             ds, cfg.key or "user_id", p.pop("ts_col", "ts"),
             p.pop("tie_col", "event_id"),
             cfg.value_col or "event_type", **p))
+    elif cfg.pipeline == "theil_sen":
+        import ray.data as rd
+
+        from .pipelines.stats import theil_sen_by_key
+        out = rd.from_pandas(theil_sen_by_key(
+            ds, cfg.key or "lang", p.pop("x_col", "n_chars"),
+            p.pop("y_col", "n_tokens"),
+            p.pop("id_col", "doc_id"), **p))
     elif cfg.pipeline == "selection_quantiles":
         import ray.data as rd
 

@@ -1579,3 +1579,65 @@ def median_of_means(ds, id_col: str, key: str, value: str,
                      "n_buckets_used": np.int64(m),
                      "mom_mean": float(means[idx])})
     return pd.DataFrame(rows)
+
+
+def theil_sen_by_key(ds, key: str, x_col: str, y_col: str, id_col: str,
+                     m: int = 40) -> pd.DataFrame:
+    """Per-key Theil–Sen robust line fit (median of pairwise slopes —
+    Sen 1968; 29.3% breakdown vs OLS's 0%) over a DETERMINISTIC capped
+    sample: the ``m`` rows with the smallest ``id_col`` per key, i.e.
+    ``ROW_NUMBER() OVER (PARTITION BY key ORDER BY id) <= m`` — the
+    same SQL-replayable capping convention as the co-activity graph.
+    The cap is what makes the O(m²) pairwise-slope enumeration
+    scale-safe: it is a fixed constant regardless of key size.
+
+    Distributed shape: per-batch partial top-m (smallest ids) shrinks
+    the shuffle to ≤ m rows per key per block; the per-key fold sorts
+    the ≤ m survivors and enumerates C(m,2) pairs vectorized. Pairs
+    with equal x are skipped (vertical). Slope = lower-median
+    (quantile_disc: index ceil(n/2)−1) of the pairwise-slope doubles;
+    intercept = lower-median of the per-row residuals y − slope·x under
+    that slope — both single fixed IEEE expressions, so DuckDB replays
+    them bit-for-bit from the same capped sample.
+
+    Returns one row per key: n_used, n_pairs, ts_slope, ts_intercept
+    (slope/intercept 0.0 when every pair is vertical)."""
+    import math
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            key: b[key].to_numpy(zero_copy_only=False),
+            "_id": b[id_col].to_numpy(zero_copy_only=False),
+            "_x": b[x_col].to_numpy(zero_copy_only=False),
+            "_y": b[y_col].to_numpy(zero_copy_only=False)})
+        kept = (df.sort_values("_id", kind="stable")
+                .groupby(key, sort=False).head(m))
+        return pa.Table.from_pandas(kept, preserve_index=False)
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("_id", kind="stable").head(m)
+        x = g["_x"].to_numpy(dtype=np.float64)
+        y = g["_y"].to_numpy(dtype=np.float64)
+        n = len(x)
+        i, j = np.triu_indices(n, k=1)
+        dx = x[j] - x[i]
+        keep = dx != 0.0
+        slopes = (y[j][keep] - y[i][keep]) / dx[keep]
+        n_pairs = int(keep.sum())
+        if n_pairs:
+            s = np.sort(slopes)
+            slope = float(s[max(int(math.ceil(0.5 * n_pairs)) - 1, 0)])
+            r = np.sort(y - slope * x)
+            inter = float(r[max(int(math.ceil(0.5 * n)) - 1, 0)])
+        else:
+            slope, inter = 0.0, 0.0
+        return pd.DataFrame({
+            key: [g[key].iloc[0]],
+            "n_used": pd.Series([n], dtype=np.int64),
+            "n_pairs": pd.Series([n_pairs], dtype=np.int64),
+            "ts_slope": [slope],
+            "ts_intercept": [inter]})
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(key).map_groups(fold, batch_format="pandas")
+            .to_pandas())

@@ -360,3 +360,47 @@ def test_hill_tail_index_small_group_guard(ray_session):
     assert int(out["n_pos"][0]) == 1
     assert int(out["k_eff"][0]) == 0
     assert float(out["hill_inv_alpha"][0]) == 0.0
+
+
+def test_theil_sen_recovers_line_with_outlier(ray_session):
+    import ray.data as rd
+
+    from t_digest_ray.pipelines.stats import theil_sen_by_key
+
+    # y = 2x + 1 except one wild outlier; OLS would tilt, Theil-Sen not.
+    x = np.arange(1, 12, dtype=np.int64)
+    y = 2 * x + 1
+    y[-1] = 1000
+    df = pd.DataFrame({"k": ["a"] * 11, "id": np.arange(11),
+                       "x": x, "y": y})
+    out = theil_sen_by_key(rd.from_pandas(df), "k", "x", "y", "id", m=40)
+    assert float(out["ts_slope"].iloc[0]) == 2.0
+    assert float(out["ts_intercept"].iloc[0]) == 1.0
+
+
+def test_theil_sen_cap_is_smallest_ids(ray_session):
+    import ray.data as rd
+
+    from t_digest_ray.pipelines.stats import theil_sen_by_key
+
+    # ids 0..4 follow y=3x; ids 5..9 follow y=-7x. cap m=5 must see
+    # ONLY the smallest five ids regardless of row order.
+    df = pd.DataFrame({"k": ["a"] * 10,
+                       "id": [9, 3, 7, 1, 5, 0, 8, 2, 6, 4],
+                       "x": [9, 3, 7, 1, 5, 0, 8, 2, 6, 4]})
+    df["y"] = np.where(df["id"] <= 4, 3 * df["x"], -7 * df["x"])
+    out = theil_sen_by_key(rd.from_pandas(df), "k", "x", "y", "id", m=5)
+    assert int(out["n_used"].iloc[0]) == 5
+    assert float(out["ts_slope"].iloc[0]) == 3.0
+
+
+def test_theil_sen_all_vertical_pairs(ray_session):
+    import ray.data as rd
+
+    from t_digest_ray.pipelines.stats import theil_sen_by_key
+
+    df = pd.DataFrame({"k": ["a"] * 4, "id": range(4),
+                       "x": [5, 5, 5, 5], "y": [1, 2, 3, 4]})
+    out = theil_sen_by_key(rd.from_pandas(df), "k", "x", "y", "id")
+    assert int(out["n_pairs"].iloc[0]) == 0
+    assert float(out["ts_slope"].iloc[0]) == 0.0
