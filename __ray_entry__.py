@@ -4661,6 +4661,69 @@ def event_transition_matrix(sf_dir: str):
 
 
 
+def snm_duplicate_customers(sf_dir: str):
+    """Sorted-neighborhood entity resolution
+    (stages/linkage.sorted_neighborhood_pairs — Hernandez & Stolfo
+    SIGMOD'95): planted messy twins (every custkey % 7 == 0 gets a
+    variant with 'x' appended to its name — immediately adjacent in
+    name order, invisible to hash blocking), global-ROW_NUMBER window
+    candidates (w=4) via prefix-bucketed local sorts + an exact
+    boundary fold, then Fellegi-Sunter-style integer agreement scoring
+    (nation + segment + balance cents + 17-char name prefix), threshold
+    4. VALUE-CHECKED against the windowed self-join oracle."""
+    from t_digest_ray.stages.linkage import sorted_neighborhood_pairs
+
+    ds = _read(sf_dir, "customer",
+               ["c_custkey", "c_name", "c_nationkey", "c_acctbal",
+                "c_mktsegment"])
+
+    def recs(b: pa.Table) -> pa.Table:
+        ck = b["c_custkey"].to_numpy(zero_copy_only=False)
+        name = b["c_name"].to_numpy(zero_copy_only=False).astype(str)
+        nat = b["c_nationkey"].to_numpy(zero_copy_only=False)
+        seg = b["c_mktsegment"].to_numpy(zero_copy_only=False)
+        bal = np.floor(b["c_acctbal"].to_numpy(zero_copy_only=False)
+                       * 100.0 + 0.5).astype(np.int64)
+        m = ck % 7 == 0
+        rid = np.concatenate([
+            np.char.add("c", ck.astype(str)),
+            np.char.add("v", ck[m].astype(str))])
+        vname = np.array([n + "x" for n in name[m]], dtype=object)
+        return pa.table({
+            "rid": pa.array(rid.astype(object), type=pa.string()),
+            "name": pa.array(np.concatenate([name, vname]).astype(object),
+                             type=pa.string()),
+            "nat": pa.array(np.concatenate([nat, nat[m]])),
+            "seg": pa.array(np.concatenate([seg, seg[m]]).astype(object),
+                            type=pa.string()),
+            "bal": pa.array(np.concatenate([bal, bal[m]]))})
+
+    pairs = sorted_neighborhood_pairs(
+        ds.map_batches(recs, batch_format="pyarrow"),
+        "name", "rid", ["name", "nat", "seg", "bal"],
+        window=4, prefix_len=15)
+
+    def score(b: pa.Table) -> pa.Table:
+        na = b["name_a"].to_numpy(zero_copy_only=False).astype(str)
+        nb = b["name_b"].to_numpy(zero_copy_only=False).astype(str)
+        pfx = np.array([a[:17] == bb[:17] for a, bb in zip(na, nb)])
+        sc = (pfx.astype(np.int64)
+              + (b["nat_a"].to_numpy(zero_copy_only=False)
+                 == b["nat_b"].to_numpy(zero_copy_only=False))
+              + (b["seg_a"].to_numpy(zero_copy_only=False)
+                 == b["seg_b"].to_numpy(zero_copy_only=False))
+              + (b["bal_a"].to_numpy(zero_copy_only=False)
+                 == b["bal_b"].to_numpy(zero_copy_only=False)))
+        keep = sc >= 4
+        return pa.table({
+            "id_a": pa.array(np.asarray(b["id_a"])[keep]),
+            "id_b": pa.array(np.asarray(b["id_b"])[keep]),
+            "gap": pa.array(np.asarray(b["gap"])[keep]),
+            "score": pa.array(sc[keep].astype(np.int64))})
+
+    return pairs.map_batches(score, batch_format="pyarrow")
+
+
 def theil_sen_chars_tokens(sf_dir: str):
     """Per-lang Theil-Sen robust slope of token count vs n_chars
     (pipelines/stats.theil_sen_by_key): median-of-pairwise-slopes over
@@ -6631,6 +6694,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "selection_quantiles_events": selection_quantiles_events,
         "frame_extrema_event_values": frame_extrema_event_values,
         "theil_sen_chars_tokens": theil_sen_chars_tokens,
+        "snm_duplicate_customers": snm_duplicate_customers,
         "interval_overlap_sessions": interval_overlap_sessions,
         "cdc_latest_snapshot_stats": cdc_latest_snapshot_stats,
         "bucketed_join_priority_revenue": bucketed_join_priority_revenue,
@@ -6980,6 +7044,37 @@ def _hits_sql(iters: int = 3) -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "snm_duplicate_customers": """
+            WITH base AS (SELECT 'c' || CAST(c_custkey AS VARCHAR)
+                                     AS rid,
+                                 c_name AS name, c_nationkey AS nat,
+                                 c_mktsegment AS seg,
+                                 CAST(FLOOR(c_acctbal * 100 + 0.5)
+                                      AS BIGINT) AS bal
+                          FROM customer),
+                 vars AS (SELECT 'v' || CAST(c_custkey AS VARCHAR),
+                                 c_name || 'x',
+                                 c_nationkey, c_mktsegment,
+                                 CAST(FLOOR(c_acctbal * 100 + 0.5)
+                                      AS BIGINT)
+                          FROM customer WHERE c_custkey % 7 = 0),
+                 recs AS (SELECT * FROM base
+                          UNION ALL SELECT * FROM vars),
+                 r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY name, rid)
+                                  AS rn
+                       FROM recs),
+                 p AS (SELECT a.rid AS id_a, b.rid AS id_b,
+                              CAST(b.rn - a.rn AS BIGINT) AS gap,
+                              CAST(a.nat = b.nat AS BIGINT)
+                              + CAST(a.seg = b.seg AS BIGINT)
+                              + CAST(a.bal = b.bal AS BIGINT)
+                              + CAST(substr(a.name, 1, 17)
+                                     = substr(b.name, 1, 17) AS BIGINT)
+                                  AS score
+                       FROM r a JOIN r b ON b.rn > a.rn
+                                        AND b.rn - a.rn <= 4)
+            SELECT id_a, id_b, gap, score FROM p WHERE score >= 4
+        """,
         "theil_sen_chars_tokens": """
             WITH t AS (SELECT doc_id, lang, n_chars,
                               len(list_filter(string_split(text, ' '),

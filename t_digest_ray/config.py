@@ -61,7 +61,8 @@ PIPELINES = ("quantiles", "kll", "req", "distinct", "heavy", "heavy_mg",
             "median_of_means", "dgim", "latest_snapshot", "int8_quant",
             "ordered_collect", "sequence_patterns", "zorder_audit",
             "fingerprint", "jl_projection", "pq_codebook",
-            "triangle_count", "selection_quantiles", "theil_sen")
+            "triangle_count", "selection_quantiles", "theil_sen",
+            "snm_pairs")
 
 
 @dataclass
@@ -573,6 +574,11 @@ def run_job(cfg: JobConfig):
             ds, cfg.key or "user_id", p.pop("ts_col", "ts"),
             p.pop("tie_col", "event_id"),
             cfg.value_col or "event_type", **p))
+    elif cfg.pipeline == "snm_pairs":
+        from .stages.linkage import sorted_neighborhood_pairs
+        out = sorted_neighborhood_pairs(
+            ds, cfg.key or "name", p.pop("id_col", "rid"),
+            p.pop("payload_cols", []), **p)
     elif cfg.pipeline == "theil_sen":
         import ray.data as rd
 
