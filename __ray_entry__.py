@@ -6671,6 +6671,47 @@ def audio_energy_by_lang(sf_dir: str):
     return out.map_batches(fin, batch_format="pandas")
 
 
+def audio_dominant_freq_by_lang(sf_dir: str):
+    """REAL DSP end-to-end (stages/multimodal.AudioDominantFreq):
+    per-doc pure-tone WAVs at exactly k = 3 + doc_id % 20 cycles per
+    256-sample window are synthesized, an actor-pool stage parses the
+    RIFF/WAVE bytes and recovers each clip's dominant rfft bin, and the
+    per-lang SUM of measured bins is compared against the closed-form
+    expectation — equality proves every single clip's container parse,
+    FFT and argmax were right. VALUE-CHECKED without the oracle ever
+    running an FFT."""
+    from ray.data.aggregate import Count, Sum
+    from t_digest_ray.stages.multimodal import (
+        AudioDominantFreq,
+        synth_wav_tone,
+    )
+    from t_digest_ray.stages.partitioning import actor_pool_bounds
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+
+    def synth(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        pay = [synth_wav_tone(int(d)) for d in ids]
+        return pa.table({"lang": b["lang"],
+                         "payload": pa.array(pay, type=pa.binary())})
+
+    feats = (ds.map_batches(synth, batch_format="pyarrow",
+                            batch_size=256)
+             .map_batches(AudioDominantFreq, batch_format="pyarrow",
+                          batch_size=256,
+                          concurrency=actor_pool_bounds()))
+    out = (feats.groupby("lang")
+           .aggregate(Count(alias_name="n_clips"),
+                      Sum("dom_bin", alias_name="sum_dom_bin")))
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        df["n_clips"] = df["n_clips"].astype(np.int64)
+        df["sum_dom_bin"] = df["sum_dom_bin"].astype(np.int64)
+        return df
+
+    return out.map_batches(fin, batch_format="pandas")
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
     return pages_flagship("/root/testdata/sf0.001")
@@ -6695,6 +6736,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "frame_extrema_event_values": frame_extrema_event_values,
         "theil_sen_chars_tokens": theil_sen_chars_tokens,
         "snm_duplicate_customers": snm_duplicate_customers,
+        "audio_dominant_freq_by_lang": audio_dominant_freq_by_lang,
         "interval_overlap_sessions": interval_overlap_sessions,
         "cdc_latest_snapshot_stats": cdc_latest_snapshot_stats,
         "bucketed_join_priority_revenue": bucketed_join_priority_revenue,
@@ -7044,6 +7086,11 @@ def _hits_sql(iters: int = 3) -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "audio_dominant_freq_by_lang": """
+            SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_clips,
+                   CAST(SUM(3 + doc_id % 20) AS BIGINT) AS sum_dom_bin
+            FROM documents GROUP BY 1
+        """,
         "snm_duplicate_customers": """
             WITH base AS (SELECT 'c' || CAST(c_custkey AS VARCHAR)
                                      AS rid,

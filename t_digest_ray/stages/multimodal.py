@@ -280,3 +280,49 @@ class AudioEnergy:
         out = batch.drop_columns([self.payload_col])
         out = out.append_column("n_samples", pa.array(n))
         return out.append_column("energy", pa.array(e))
+
+
+def synth_wav_tone(doc_id: int, n_samples: int = 256,
+                   sample_rate: int = 16000, amp: int = 12000) -> bytes:
+    """Deterministic pure-tone WAV: 16-bit mono PCM of a sine at
+    EXACTLY ``k = 3 + doc_id % 20`` cycles per ``n_samples`` window, so
+    the clip's dominant rfft bin is k in closed form — a SQL oracle can
+    state the expected spectrum without an FFT, while the Ray stage
+    must parse the container AND run real DSP to recover it."""
+    import io
+    import wave
+
+    k = 3 + doc_id % 20
+    i = np.arange(n_samples, dtype=np.float64)
+    s = np.rint(amp * np.sin(2.0 * np.pi * k * i / n_samples)) \
+        .astype(np.int16)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(s.tobytes())
+    return buf.getvalue()
+
+
+class AudioDominantFreq:
+    """Actor-pool DSP stage: decode WAV payloads (codec built once in
+    __init__), run a real rfft, and emit each clip's dominant frequency
+    BIN (argmax of spectral magnitude). On the planted pure tones the
+    argmax is exact — rounding the sine to int16 leaves harmonic noise
+    orders of magnitude below the tone's N·amp/2 line — so the summed
+    bins are value-hash checkable against the closed-form oracle."""
+
+    def __init__(self, payload_col: str = "payload", codec=None):
+        self.payload_col = payload_col
+        self.codec = codec or WavPcmCodec()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch[self.payload_col].to_pylist()
+        dom = np.zeros(len(payloads), dtype=np.int64)
+        for i, p in enumerate(payloads):        # bytes-sized batches
+            x = self.codec.decode_samples(p).astype(np.float64)
+            mag = np.abs(np.fft.rfft(x))
+            dom[i] = int(np.argmax(mag))
+        out = batch.drop_columns([self.payload_col])
+        return out.append_column("dom_bin", pa.array(dom))

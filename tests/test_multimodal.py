@@ -220,3 +220,31 @@ def test_wav_codec_and_audio_energy(ray_session):
         w.writeframes(b"\0\0\0\0")
     with pytest.raises(ValueError):
         WavPcmCodec().decode_samples(buf.getvalue())
+
+
+def test_tone_synth_dominant_bin_exact():
+    from t_digest_ray.stages.multimodal import (AudioDominantFreq,
+                                                synth_wav_tone)
+
+    stage = AudioDominantFreq()
+    for doc_id in (0, 7, 19, 20, 123):
+        wav = synth_wav_tone(doc_id)
+        x = stage.codec.decode_samples(wav).astype(np.float64)
+        assert len(x) == 256
+        got = int(np.argmax(np.abs(np.fft.rfft(x))))
+        assert got == 3 + doc_id % 20
+
+
+def test_dominant_freq_stage_batch(ray_session):
+    import pyarrow as pa
+
+    from t_digest_ray.stages.multimodal import (AudioDominantFreq,
+                                                synth_wav_tone)
+
+    batch = pa.table({
+        "doc_id": pa.array([1, 2, 25], type=pa.int64()),
+        "payload": pa.array([synth_wav_tone(i) for i in (1, 2, 25)],
+                            type=pa.binary())})
+    out = AudioDominantFreq()(batch)
+    assert out["dom_bin"].to_pylist() == [4, 5, 8]
+    assert "payload" not in out.column_names
