@@ -6671,6 +6671,38 @@ def audio_energy_by_lang(sf_dir: str):
     return out.map_batches(fin, batch_format="pandas")
 
 
+def token_weighted_length_quantiles(sf_dir: str):
+    """Per-lang TOKEN-WEIGHTED quantiles of document length
+    (pipelines/selection.weighted_selection_quantiles_by_key): the doc
+    length at which half (and 90%) of the corpus TOKEN MASS sits — the
+    curation-side mass median, computed by the same counting-pass
+    selection as selection_quantiles_events with integer-weight
+    histograms and exact rational ranks (den*cw >= num*W, no float rank
+    anywhere). VALUE-CHECKED against the cumulative-window oracle."""
+    import pyarrow.compute as pc
+
+    from t_digest_ray.pipelines.selection import (
+        weighted_selection_quantiles_by_key,
+    )
+
+    ds = _read(sf_dir, "documents", ["lang", "text", "n_chars"])
+
+    def derive(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(b["text"].combine_chunks(), " ")
+        flat = pc.list_flatten(toks)
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        emp = pc.equal(flat, "").to_numpy(zero_copy_only=False)
+        doc_idx = np.repeat(np.arange(len(lens)), lens)
+        n_empty = np.bincount(doc_idx[emp], minlength=len(lens))
+        return pa.table({
+            "lang": b["lang"], "n_chars": b["n_chars"],
+            "n_tokens": pa.array((lens - n_empty).astype(np.int64))})
+
+    return weighted_selection_quantiles_by_key(
+        ds.map_batches(derive, batch_format="pyarrow"),
+        "lang", "n_chars", "n_tokens", qs=((1, 2), (9, 10)))
+
+
 def audio_dominant_freq_by_lang(sf_dir: str):
     """REAL DSP end-to-end (stages/multimodal.AudioDominantFreq):
     per-doc pure-tone WAVs at exactly k = 3 + doc_id % 20 cycles per
@@ -6737,6 +6769,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "theil_sen_chars_tokens": theil_sen_chars_tokens,
         "snm_duplicate_customers": snm_duplicate_customers,
         "audio_dominant_freq_by_lang": audio_dominant_freq_by_lang,
+        "token_weighted_length_quantiles": token_weighted_length_quantiles,
         "interval_overlap_sessions": interval_overlap_sessions,
         "cdc_latest_snapshot_stats": cdc_latest_snapshot_stats,
         "bucketed_join_priority_revenue": bucketed_join_priority_revenue,
@@ -7086,6 +7119,29 @@ def _hits_sql(iters: int = 3) -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "token_weighted_length_quantiles": """
+            WITH t AS (SELECT lang, n_chars,
+                              len(list_filter(string_split(text, ' '),
+                                              x -> x <> '')) AS w
+                       FROM documents),
+                 agg AS (SELECT lang, n_chars AS v, SUM(w) AS wt
+                         FROM t GROUP BY 1, 2),
+                 cum AS (SELECT lang, v,
+                                SUM(wt) OVER (PARTITION BY lang
+                                              ORDER BY v) AS cw,
+                                SUM(wt) OVER (PARTITION BY lang) AS tw
+                         FROM agg),
+                 med AS (SELECT lang, CAST(MIN(v) AS BIGINT) AS wp50
+                         FROM cum WHERE 2 * cw >= tw GROUP BY 1),
+                 p90 AS (SELECT lang, CAST(MIN(v) AS BIGINT) AS wp90
+                         FROM cum WHERE 10 * cw >= 9 * tw GROUP BY 1),
+                 tot AS (SELECT lang, CAST(SUM(w) AS BIGINT)
+                                    AS total_weight
+                         FROM t GROUP BY 1)
+            SELECT tot.lang, tot.total_weight, med.wp50, p90.wp90
+            FROM tot JOIN med ON tot.lang = med.lang
+                     JOIN p90 ON tot.lang = p90.lang
+        """,
         "audio_dominant_freq_by_lang": """
             SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_clips,
                    CAST(SUM(3 + doc_id % 20) AS BIGINT) AS sum_dom_bin

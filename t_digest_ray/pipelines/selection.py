@@ -155,3 +155,123 @@ def selection_quantiles_by_key(ds, key: str, value: str,
         if c != key:
             out[c] = out[c].astype(np.int64)
     return out.reset_index(drop=True)
+
+
+def weighted_selection_quantiles_by_key(ds, key: str, value: str,
+                                        weight: str,
+                                        qs=((1, 2), (9, 10)),
+                                        n_bins: int = 512,
+                                        max_passes: int = 8
+                                        ) -> pd.DataFrame:
+    """Exact per-key WEIGHTED quantiles of an integer ``value`` column
+    by the same counting-pass selection as selection_quantiles_by_key,
+    with histograms summing integer ``weight`` mass instead of row
+    counts — e.g. "the document length at which half the corpus TOKENS
+    sit", the curation-side mass median.
+
+    ``qs`` are exact rationals (num, den): the target is the smallest
+    value v with cum_weight(≤ v) ≥ ceil(num·W/den), evaluated as the
+    all-integer comparison den·cw ≥ num·W — no float rank anywhere, so
+    the result is bit-identical to the SQL cumulative-window oracle at
+    any weight scale. Returns one row per key: ``total_weight`` plus
+    one ``wp{round(100·num/den)}`` int64 column per q."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    def project(b: pa.Table) -> pa.Table:
+        return pa.table({
+            key: b[key],
+            "v": pa.array(b[value].to_numpy(zero_copy_only=False)
+                          .astype(np.int64)),
+            "w": pa.array(b[weight].to_numpy(zero_copy_only=False)
+                          .astype(np.int64))})
+
+    cds = ds.map_batches(project, batch_format="pyarrow")
+
+    ext = (cds.groupby(key)
+           .aggregate(Min("v", alias_name="lo"),
+                      Max("v", alias_name="hi"),
+                      Sum("w", alias_name="tw"))
+           .to_pandas())
+
+    states: list[dict] = []
+    for _, r in ext.iterrows():
+        tw = int(r["tw"])
+        lo, hi = int(r["lo"]), int(r["hi"])
+        for num, den in qs:
+            states.append({
+                "key": r[key], "num": num, "den": den,
+                "target": (num * tw + den - 1) // den,  # ceil(num·W/den)
+                "lo": lo, "hi": hi,
+                "answer": lo if lo == hi else None})
+
+    def histogram_pass(active: list[dict]) -> np.ndarray:
+        lows = np.array([s["lo"] for s in active], dtype=np.int64)
+        highs = np.array([s["hi"] for s in active], dtype=np.int64)
+        keys = [s["key"] for s in active]
+        n_states = len(active)
+
+        def partial(b: pa.Table) -> pa.Table:
+            kcol = b[key].to_numpy(zero_copy_only=False)
+            v = b["v"].to_numpy(zero_copy_only=False)
+            w = b["w"].to_numpy(zero_copy_only=False)
+            out = np.zeros((n_states, n_bins), dtype=np.int64)
+            for i in range(n_states):
+                m = ((kcol == keys[i]) & (v >= lows[i])
+                     & (v <= highs[i]))
+                if not m.any():
+                    continue
+                width = highs[i] - lows[i] + 1
+                bins = ((v[m] - lows[i]) * n_bins) // width
+                np.add.at(out[i], bins, w[m])
+            nz_s, nz_b = np.nonzero(out)
+            return pa.table({
+                "sb": pa.array(nz_s.astype(np.int64) * n_bins + nz_b),
+                "cnt": pa.array(out[nz_s, nz_b])})
+
+        from ray.data.aggregate import Sum as _Sum
+        folded = (cds.map_batches(partial, batch_format="pyarrow")
+                  .groupby("sb").aggregate(_Sum("cnt", alias_name="cnt"))
+                  .to_pandas())
+        hist = np.zeros((n_states, n_bins), dtype=np.int64)
+        if len(folded):
+            sb = folded["sb"].to_numpy()
+            hist[sb // n_bins, sb % n_bins] = folded["cnt"].to_numpy()
+        return hist
+
+    for _ in range(max_passes):
+        active = [s for s in states if s["answer"] is None]
+        if not active:
+            break
+        hist = histogram_pass(active)
+        for i, s in enumerate(active):
+            width = s["hi"] - s["lo"] + 1
+            cum = np.cumsum(hist[i])
+            j = int(np.searchsorted(cum, s["target"], side="left"))
+            below = int(cum[j - 1]) if j > 0 else 0
+            v_lo = s["lo"] + (j * width + n_bins - 1) // n_bins
+            v_hi = s["lo"] + ((j + 1) * width - 1) // n_bins
+            if width <= n_bins:
+                s["answer"] = int(v_lo)
+            else:
+                s["target"] -= below
+                s["lo"], s["hi"] = v_lo, v_hi
+                if s["lo"] == s["hi"]:
+                    s["answer"] = int(s["lo"])
+
+    unresolved = [s for s in states if s["answer"] is None]
+    if unresolved:
+        raise RuntimeError(
+            f"weighted selection did not converge in {max_passes} "
+            f"passes for {len(unresolved)} states")
+
+    rows: dict = {}
+    for _, r in ext.iterrows():
+        rows[r[key]] = {key: r[key], "total_weight": int(r["tw"])}
+    for s in states:
+        name = f"wp{round(100 * s['num'] / s['den'])}"
+        rows[s["key"]][name] = s["answer"]
+    out = pd.DataFrame(sorted(rows.values(), key=lambda d: str(d[key])))
+    for c in out.columns:
+        if c != key:
+            out[c] = out[c].astype(np.int64)
+    return out.reset_index(drop=True)

@@ -82,3 +82,61 @@ def test_config_route_selection_quantiles(ray_session):
         params={"qs": (0.5,)})).to_pandas()
     assert {"event_type", "n_rows", "p50_cents"} == set(out.columns)
     assert (out["n_rows"] > 0).all()
+
+
+def test_weighted_median_hand(ray_session):
+    import ray.data as rd
+
+    from t_digest_ray.pipelines.selection import (
+        weighted_selection_quantiles_by_key,
+    )
+
+    # values 1..4 with weights 1,1,5,1: W=8, median target ceil(8/2)=4
+    # -> cumw 1,2,7,8 -> first v with 2*cw>=W is 3.
+    df = pd.DataFrame({"k": ["a"] * 4, "v": [1, 2, 3, 4],
+                       "w": [1, 1, 5, 1]})
+    out = weighted_selection_quantiles_by_key(
+        rd.from_pandas(df), "k", "v", "w", qs=((1, 2),))
+    assert int(out["wp50"].iloc[0]) == 3
+    assert int(out["total_weight"].iloc[0]) == 8
+
+
+def test_weighted_matches_bruteforce(ray_session, rng):
+    import ray.data as rd
+
+    from t_digest_ray.pipelines.selection import (
+        weighted_selection_quantiles_by_key,
+    )
+
+    n = 3000
+    df = pd.DataFrame({"k": rng.choice(["a", "b"], size=n),
+                       "v": rng.integers(0, 5_000_000, size=n),
+                       "w": rng.integers(0, 9, size=n)})
+    out = weighted_selection_quantiles_by_key(
+        rd.from_pandas(df), "k", "v", "w",
+        qs=((1, 2), (9, 10))).set_index("k")
+    for k in ("a", "b"):
+        g = df[df["k"] == k].sort_values("v")
+        cw = g["w"].cumsum().to_numpy()
+        W = int(cw[-1])
+        for (num, den), col in (((1, 2), "wp50"), ((9, 10), "wp90")):
+            expect = int(g["v"].to_numpy()[
+                np.argmax(den * cw >= num * W)])
+            assert int(out.loc[k, col]) == expect
+
+
+def test_weighted_zero_weight_rows_ignored(ray_session):
+    import ray.data as rd
+
+    from t_digest_ray.pipelines.selection import (
+        weighted_selection_quantiles_by_key,
+    )
+
+    # zero-weight values never become the answer even when they sit at
+    # the rank boundary.
+    df = pd.DataFrame({"k": ["z"] * 4, "v": [1, 2, 3, 10],
+                       "w": [1, 0, 1, 0]})
+    out = weighted_selection_quantiles_by_key(
+        rd.from_pandas(df), "k", "v", "w", qs=((1, 2), (9, 10)))
+    assert int(out["wp50"].iloc[0]) == 1
+    assert int(out["wp90"].iloc[0]) == 3
