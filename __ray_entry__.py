@@ -6671,6 +6671,73 @@ def audio_energy_by_lang(sf_dir: str):
     return out.map_batches(fin, batch_format="pandas")
 
 
+def local_clustering_users(sf_dir: str):
+    """Top-10 users by triangle participation in the capped
+    co-activity graph, with exact degree and local clustering
+    coefficient (pipelines/graph.local_triangle_report): the wedge rows
+    carry their center so each closed wedge attributes to all three
+    vertices in the co-partitioned close step; cc_ppm =
+    (2t*10^6)//(d(d-1)) floor-integer. Final top-k runs on the
+    node-aggregate (bounded by cap*buckets vertices here; the web-scale
+    form is hash_join + Dataset.sort + limit). VALUE-CHECKED against
+    the 3-way-join per-node oracle, tie-broken (t desc, node-string
+    asc) on both sides."""
+    from t_digest_ray.pipelines.graph import local_clustering_from_events
+
+    ds = _read(sf_dir, "events", ["event_type", "ts", "user_id"])
+    return local_clustering_from_events(ds, "event_type", "ts",
+                                        "user_id", cap=12, k=10)
+
+
+def click_purchase_set_ops(sf_dir: str):
+    """Exact audience set algebra (INTERSECT / EXCEPT counts) over user
+    sets: one pass emits per-batch-distinct (user, is_click,
+    is_purchase) partials, a native groupby-Max folds them per user
+    (hash co-partition — both event types of a user land together), and
+    a domain-sized classify-count finishes. Only user-id-keyed flag
+    rows ride the shuffle, never events. The exact twin of the
+    HLL-sketched hll_user_set_algebra entry. Sparsified to the
+    deterministic event_id % 37 == 0 slice so every segment is
+    populated at test scale. VALUE-CHECKED."""
+    from ray.data.aggregate import Count, Max
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "event_type"])
+
+    def flags(b: pa.Table) -> pa.Table:
+        keep = (b["event_id"].to_numpy(zero_copy_only=False) % 37) == 0
+        et = b["event_type"].to_numpy(zero_copy_only=False)[keep]
+        df = pd.DataFrame({
+            "user_id": b["user_id"].to_numpy(zero_copy_only=False)[keep],
+            "c": (et == "click").astype(np.int8),
+            "p": (et == "purchase").astype(np.int8)})
+        g = df.groupby("user_id", as_index=False, sort=False).max()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    per_user = (ds.map_batches(flags, batch_format="pyarrow")
+                .groupby("user_id")
+                .aggregate(Max("c", alias_name="c"),
+                           Max("p", alias_name="p")))
+
+    def classify(b: pa.Table) -> pa.Table:
+        c = b["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        p = b["p"].to_numpy(zero_copy_only=False).astype(np.int64)
+        seg = np.where(c & p, "both",
+                       np.where(c & ~p, "click_only",
+                                np.where(~c & p, "purchase_only",
+                                         "neither")))
+        return pa.table({"segment": pa.array(seg.astype(object),
+                                             type=pa.string())})
+
+    out = (per_user.map_batches(classify, batch_format="pyarrow")
+           .groupby("segment").aggregate(Count(alias_name="n_users")))
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        df["n_users"] = df["n_users"].astype(np.int64)
+        return df
+
+    return out.map_batches(fin, batch_format="pandas")
+
+
 def token_weighted_length_quantiles(sf_dir: str):
     """Per-lang TOKEN-WEIGHTED quantiles of document length
     (pipelines/selection.weighted_selection_quantiles_by_key): the doc
@@ -6770,6 +6837,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snm_duplicate_customers": snm_duplicate_customers,
         "audio_dominant_freq_by_lang": audio_dominant_freq_by_lang,
         "token_weighted_length_quantiles": token_weighted_length_quantiles,
+        "click_purchase_set_ops": click_purchase_set_ops,
+        "local_clustering_users": local_clustering_users,
         "interval_overlap_sessions": interval_overlap_sessions,
         "cdc_latest_snapshot_stats": cdc_latest_snapshot_stats,
         "bucketed_join_priority_revenue": bucketed_join_priority_revenue,
@@ -7119,6 +7188,60 @@ def _hits_sql(iters: int = 3) -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "local_clustering_users": """
+            WITH du AS (SELECT DISTINCT event_type,
+                               CAST(epoch_us(ts) // 86400000000 AS BIGINT)
+                                   AS d, user_id
+                        FROM events),
+                 r AS (SELECT event_type, d, user_id,
+                              ROW_NUMBER() OVER (PARTITION BY event_type, d
+                                  ORDER BY user_id ASC) AS rn
+                       FROM du),
+                 kept AS (SELECT event_type, d, user_id FROM r
+                          WHERE rn <= 12),
+                 e AS (SELECT DISTINCT a.user_id AS u, b.user_id AS v
+                       FROM kept a JOIN kept b
+                         ON a.event_type = b.event_type AND a.d = b.d
+                        AND a.user_id < b.user_id),
+                 tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+                         FROM e e1
+                         JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
+                         JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v),
+                 tn AS (SELECT node, COUNT(*) AS t
+                        FROM (SELECT a AS node FROM tri
+                              UNION ALL SELECT b FROM tri
+                              UNION ALL SELECT c FROM tri)
+                        GROUP BY 1),
+                 deg AS (SELECT node, COUNT(*) AS dg
+                         FROM (SELECT u AS node FROM e
+                               UNION ALL SELECT v AS node FROM e)
+                         GROUP BY 1),
+                 j AS (SELECT deg.node, deg.dg, COALESCE(tn.t, 0) AS t
+                       FROM deg LEFT JOIN tn ON deg.node = tn.node)
+            SELECT node, CAST(dg AS BIGINT) AS degree,
+                   CAST(t AS BIGINT) AS n_triangles,
+                   CAST(CASE WHEN dg > 1
+                        THEN (2 * t * 1000000) // (dg * (dg - 1))
+                        ELSE 0 END AS BIGINT) AS cc_ppm
+            FROM j
+            ORDER BY t DESC, CAST(node AS VARCHAR) ASC
+            LIMIT 10
+        """,
+        "click_purchase_set_ops": """
+            WITH f AS (SELECT user_id,
+                              MAX(CASE WHEN event_type = 'click'
+                                  THEN 1 ELSE 0 END) AS c,
+                              MAX(CASE WHEN event_type = 'purchase'
+                                  THEN 1 ELSE 0 END) AS p
+                       FROM events WHERE event_id % 37 = 0
+                       GROUP BY 1)
+            SELECT CASE WHEN c = 1 AND p = 1 THEN 'both'
+                        WHEN c = 1 THEN 'click_only'
+                        WHEN p = 1 THEN 'purchase_only'
+                        ELSE 'neither' END AS segment,
+                   CAST(COUNT(*) AS BIGINT) AS n_users
+            FROM f GROUP BY 1
+        """,
         "token_weighted_length_quantiles": """
             WITH t AS (SELECT lang, n_chars,
                               len(list_filter(string_split(text, ' '),

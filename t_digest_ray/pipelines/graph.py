@@ -468,3 +468,147 @@ def triangle_count_from_events(ds, type_col: str, ts_col: str,
     triangle_count_report for the degree-ordered count)."""
     return triangle_count_report(
         co_activity_edges(ds, type_col, ts_col, user_col, cap=cap))
+
+
+def local_triangle_report(edges, u_col: str = "u", v_col: str = "v",
+                          k: int = 10) -> pd.DataFrame:
+    """Per-node triangle participation + local clustering coefficient
+    over a distinct canonical edge list — the same degree-ordered
+    machinery as triangle_count_report, but the wedge rows carry their
+    CENTER so each closed wedge (a triangle) is attributed to all three
+    vertices in the close step. Output: the top-``k`` nodes by
+    (triangles desc, node asc) with exact degree, triangle count and
+    cc_ppm = (2·t·10⁶) // (d·(d−1)) — the floor-integer local
+    clustering coefficient."""
+    from ray.data.aggregate import Count, Sum
+
+    from .relational import hash_join
+
+    edges = edges.materialize()
+
+    sch = edges.schema()
+    sch = getattr(sch, "base_schema", sch)
+    if hasattr(sch, "field"):
+        key_t = sch.field(u_col).type
+    else:
+        t = dict(zip(sch.names, sch.types))[u_col]
+        key_t = pa.string() if t == object else pa.from_numpy_dtype(t)
+
+    def endpoints(b: pa.Table) -> pa.Table:
+        u = b[u_col].to_numpy(zero_copy_only=False)
+        v = b[v_col].to_numpy(zero_copy_only=False)
+        return pa.table({"node": pa.array(np.concatenate([u, v]),
+                                          type=key_t)})
+
+    degrees = (edges.map_batches(endpoints, batch_format="pyarrow")
+               .groupby("node").aggregate(Count(alias_name="dg"))
+               .materialize())
+
+    int_t = pa.int64()
+    du = degrees.map_batches(
+        lambda b: pa.table({u_col: b["node"], "du": b["dg"]}),
+        batch_format="pyarrow")
+    j1 = hash_join(edges, du, on=u_col, left_cols=[v_col],
+                   right_cols=["du"],
+                   types={u_col: key_t, v_col: key_t, "du": int_t})
+    dv = degrees.map_batches(
+        lambda b: pa.table({v_col: b["node"], "dv": b["dg"]}),
+        batch_format="pyarrow")
+    j2 = hash_join(j1, dv, on=v_col, left_cols=[u_col, "du"],
+                   right_cols=["dv"],
+                   types={u_col: key_t, v_col: key_t,
+                          "du": int_t, "dv": int_t})
+
+    def orient(b: pa.Table) -> pa.Table:
+        u = b[u_col].to_numpy(zero_copy_only=False)
+        v = b[v_col].to_numpy(zero_copy_only=False)
+        du_ = b["du"].to_numpy(zero_copy_only=False)
+        dv_ = b["dv"].to_numpy(zero_copy_only=False)
+        fwd = (du_ < dv_) | ((du_ == dv_) & (u < v))
+        return pa.table({
+            "src": pa.array(np.where(fwd, u, v), type=key_t),
+            "dst": pa.array(np.where(fwd, v, u), type=key_t)})
+
+    oriented = j2.map_batches(orient, batch_format="pyarrow")
+
+    def src_wedges(g: pd.DataFrame) -> pa.Table:
+        ns = np.sort(g["dst"].to_numpy())
+        c = g["src"].iloc[0]
+        if len(ns) < 2:
+            return pa.table({"ekey": pa.array([], type=pa.string()),
+                             "center": pa.array([], type=pa.string()),
+                             "is_edge": pa.array([], type=pa.int8())})
+        i, j = np.triu_indices(len(ns), k=1)
+        ek = np.char.add(np.char.add(ns[i].astype(str), "|"),
+                         ns[j].astype(str))
+        return pa.table({
+            "ekey": pa.array(ek, type=pa.string()),
+            "center": pa.array(np.full(len(ek), str(c), dtype=object),
+                               type=pa.string()),
+            "is_edge": pa.array(np.zeros(len(ek), dtype=np.int8))})
+
+    def edge_keys(b: pa.Table) -> pa.Table:
+        u = b[u_col].to_numpy(zero_copy_only=False)
+        v = b[v_col].to_numpy(zero_copy_only=False)
+        ek = np.char.add(np.char.add(u.astype(str), "|"),
+                         v.astype(str))
+        n = len(ek)
+        return pa.table({"ekey": pa.array(ek, type=pa.string()),
+                         "center": pa.array([""] * n, type=pa.string()),
+                         "is_edge": pa.array(np.ones(n, dtype=np.int8))})
+
+    def close_key(g: pd.DataFrame) -> pa.Table:
+        flags = g["is_edge"].to_numpy()
+        if not (flags == 1).any():
+            return pa.table({"node_str": pa.array([], type=pa.string()),
+                             "tri": pa.array([], type=pa.int64())})
+        centers = g.loc[g["is_edge"] == 0, "center"].to_numpy()
+        m = len(centers)
+        if m == 0:
+            return pa.table({"node_str": pa.array([], type=pa.string()),
+                             "tri": pa.array([], type=pa.int64())})
+        a, b = str(g["ekey"].iloc[0]).split("|", 1)
+        nodes = np.concatenate([centers.astype(object),
+                                np.array([a, b], dtype=object)])
+        tri = np.concatenate([np.ones(m, dtype=np.int64),
+                              np.array([m, m], dtype=np.int64)])
+        return pa.table({"node_str": pa.array(nodes, type=pa.string()),
+                         "tri": pa.array(tri)})
+
+    tagged = oriented.groupby("src").map_groups(
+        src_wedges, batch_format="pandas").union(
+        edges.map_batches(edge_keys, batch_format="pyarrow"))
+    per_node = (tagged.groupby("ekey").map_groups(close_key,
+                                                  batch_format="pandas")
+                .groupby("node_str").aggregate(Sum("tri",
+                                                   alias_name="tri"))
+                .to_pandas())
+
+    if len(per_node) == 0 or "node_str" not in per_node.columns:
+        per_node = pd.DataFrame({"node_str": pd.Series([], dtype=object),
+                                 "tri": pd.Series([], dtype=np.int64)})
+    deg = degrees.to_pandas()
+    deg["node_str"] = deg["node"].astype(str)
+    out = deg.merge(per_node, on="node_str", how="left")
+    out["tri"] = out["tri"].fillna(0).astype(np.int64)
+    out["dg"] = out["dg"].astype(np.int64)
+    d = out["dg"].to_numpy()
+    t = out["tri"].to_numpy()
+    denom = d * (d - 1)
+    out["cc_ppm"] = np.where(
+        denom > 0, (2 * t * 10**6) // np.maximum(denom, 1),
+        0).astype(np.int64)
+    out = (out.sort_values(["tri", "node_str"],
+                           ascending=[False, True]).head(k)
+           [["node", "dg", "tri", "cc_ppm"]]
+           .rename(columns={"dg": "degree", "tri": "n_triangles"}))
+    return out.reset_index(drop=True)
+
+
+def local_clustering_from_events(ds, type_col: str, ts_col: str,
+                                 user_col: str, cap: int = 12,
+                                 k: int = 10) -> pd.DataFrame:
+    """Top-k users by triangle participation in the capped co-activity
+    graph (see co_activity_edges / local_triangle_report)."""
+    return local_triangle_report(
+        co_activity_edges(ds, type_col, ts_col, user_col, cap=cap), k=k)

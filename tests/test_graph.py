@@ -376,3 +376,27 @@ def test_config_route_triangle_count(ray_session):
         "event_type", "ts", "user_id", cap=6)
     pd.testing.assert_frame_equal(out.reset_index(drop=True),
                                   direct.reset_index(drop=True))
+
+
+def test_local_triangle_report_bowtie(ray_session):
+    from t_digest_ray.pipelines.graph import local_triangle_report
+
+    out = local_triangle_report(_edge_ds(
+        [("a", "b"), ("a", "c"), ("b", "c"), ("c", "d"), ("c", "e"),
+         ("d", "e")]), k=10).set_index("node")
+    assert int(out.loc["c", "n_triangles"]) == 2
+    assert int(out.loc["c", "degree"]) == 4
+    assert int(out.loc["c", "cc_ppm"]) == (2 * 2 * 10**6) // 12
+    for n in "abde":
+        assert int(out.loc[n, "n_triangles"]) == 1
+        assert int(out.loc[n, "cc_ppm"]) == 10**6
+    # top-k ordering: c first (most triangles), then a,b,d,e by name
+    assert list(out.index) == ["c", "a", "b", "d", "e"]
+
+
+def test_local_triangle_report_no_triangles(ray_session):
+    from t_digest_ray.pipelines.graph import local_triangle_report
+
+    out = local_triangle_report(_edge_ds([("a", "b"), ("b", "c")]), k=5)
+    assert out["n_triangles"].sum() == 0
+    assert (out["cc_ppm"] == 0).all()
