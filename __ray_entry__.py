@@ -6671,6 +6671,21 @@ def audio_energy_by_lang(sf_dir: str):
     return out.map_batches(fin, batch_format="pandas")
 
 
+def zonemap_pruned_scan_events(sf_dir: str):
+    """Zone-map pruned range scan (stages/zonemap.pruned_range_agg):
+    events are laid out once (cached, _SUCCESS-marked) into 16 value
+    ranges, per-zone min/max statistics are read from the parquet
+    FOOTERS only, and the deterministic [gmin+W//10, gmin+3W//10] range
+    query scans just the zones whose stats envelope intersects it —
+    the prune-at-the-read engine feature, reported as exact
+    sum/count/zones_read/zones_total. VALUE-CHECKED: the oracle replays
+    the zone rule, the actual per-zone extrema and the same pruning
+    predicate."""
+    from t_digest_ray.stages.zonemap import pruned_range_agg
+
+    return pruned_range_agg(sf_dir, "events", "value", n_zones=16)
+
+
 def local_clustering_users(sf_dir: str):
     """Top-10 users by triangle participation in the capped
     co-activity graph, with exact degree and local clustering
@@ -6839,6 +6854,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_weighted_length_quantiles": token_weighted_length_quantiles,
         "click_purchase_set_ops": click_purchase_set_ops,
         "local_clustering_users": local_clustering_users,
+        "zonemap_pruned_scan_events": zonemap_pruned_scan_events,
         "interval_overlap_sessions": interval_overlap_sessions,
         "cdc_latest_snapshot_stats": cdc_latest_snapshot_stats,
         "bucketed_join_priority_revenue": bucketed_join_priority_revenue,
@@ -7188,6 +7204,35 @@ def _hits_sql(iters: int = 3) -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "zonemap_pruned_scan_events": """
+            WITH c AS (SELECT CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+                                  AS v
+                       FROM events),
+                 ext AS (SELECT MIN(v) AS gmin, MAX(v) AS gmax,
+                                MAX(v) - MIN(v) + 1 AS w
+                         FROM c),
+                 q AS (SELECT gmin + w // 10 AS qlo,
+                              gmin + (3 * w) // 10 AS qhi
+                       FROM ext),
+                 z AS (SELECT v, ((v - (SELECT gmin FROM ext)) * 16)
+                                 // (SELECT w FROM ext) AS zone
+                       FROM c),
+                 zm AS (SELECT zone, MIN(v) AS zmin, MAX(v) AS zmax
+                        FROM z GROUP BY 1),
+                 pruned AS (SELECT * FROM zm
+                            WHERE zmax >= (SELECT qlo FROM q)
+                              AND zmin <= (SELECT qhi FROM q))
+            SELECT (SELECT CAST(SUM(v) AS BIGINT) FROM c
+                    WHERE v BETWEEN (SELECT qlo FROM q)
+                                AND (SELECT qhi FROM q)) AS sum_cents,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM c
+                    WHERE v BETWEEN (SELECT qlo FROM q)
+                                AND (SELECT qhi FROM q)) AS n_rows,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM pruned)
+                       AS zones_read,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM zm)
+                       AS zones_total
+        """,
         "local_clustering_users": """
             WITH du AS (SELECT DISTINCT event_type,
                                CAST(epoch_us(ts) // 86400000000 AS BIGINT)
