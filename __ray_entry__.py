@@ -6671,6 +6671,18 @@ def audio_energy_by_lang(sf_dir: str):
     return out.map_batches(fin, batch_format="pandas")
 
 
+def selection_mad_events(sf_dir: str):
+    """Per-type MAD at scale (pipelines/selection.selection_mad_by_key):
+    exact cents median by counting-pass selection, then the SAME
+    selection over the derived |v - median| integers — the scale-path
+    twin of mad_event_values with no per-group collect anywhere.
+    VALUE-CHECKED against quantile_disc over deviations."""
+    from t_digest_ray.pipelines.selection import selection_mad_by_key
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    return selection_mad_by_key(ds, "event_type", "value")
+
+
 def zonemap_pruned_scan_events(sf_dir: str):
     """Zone-map pruned range scan (stages/zonemap.pruned_range_agg):
     events are laid out once (cached, _SUCCESS-marked) into 16 value
@@ -6855,6 +6867,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "click_purchase_set_ops": click_purchase_set_ops,
         "local_clustering_users": local_clustering_users,
         "zonemap_pruned_scan_events": zonemap_pruned_scan_events,
+        "selection_mad_events": selection_mad_events,
         "interval_overlap_sessions": interval_overlap_sessions,
         "cdc_latest_snapshot_stats": cdc_latest_snapshot_stats,
         "bucketed_join_priority_revenue": bucketed_join_priority_revenue,
@@ -7204,6 +7217,24 @@ def _hits_sql(iters: int = 3) -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "selection_mad_events": """
+            WITH c AS (SELECT event_type,
+                              CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+                                  AS v
+                       FROM events),
+                 m AS (SELECT event_type, quantile_disc(v, 0.5) AS med,
+                              COUNT(*) AS n
+                       FROM c GROUP BY 1),
+                 d AS (SELECT c.event_type, ABS(c.v - m.med) AS dv
+                       FROM c JOIN m ON c.event_type = m.event_type),
+                 md AS (SELECT event_type,
+                               quantile_disc(dv, 0.5) AS mad
+                        FROM d GROUP BY 1)
+            SELECT m.event_type, CAST(m.n AS BIGINT) AS n_rows,
+                   CAST(m.med AS BIGINT) AS median_cents,
+                   CAST(md.mad AS BIGINT) AS mad_cents
+            FROM m JOIN md ON m.event_type = md.event_type
+        """,
         "zonemap_pruned_scan_events": """
             WITH c AS (SELECT CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
                                   AS v

@@ -48,16 +48,21 @@ def _to_cents(col: pa.ChunkedArray) -> np.ndarray:
 def selection_quantiles_by_key(ds, key: str, value: str,
                                qs=(0.25, 0.5, 0.75, 0.99),
                                n_bins: int = 512,
-                               max_passes: int = 8) -> pd.DataFrame:
+                               max_passes: int = 8,
+                               already_cents: bool = False
+                               ) -> pd.DataFrame:
     """Exact per-key quantile_disc of ``value`` cents via counting
     passes only (see module docstring). Returns one row per key:
-    ``n_rows`` plus one ``p{100q}_cents`` int64 column per q."""
+    ``n_rows`` plus one ``p{100q}_cents`` int64 column per q.
+    ``already_cents``: the value column is already int64 cents (skip
+    the dollars→cents projection)."""
     from ray.data.aggregate import Count, Max, Min, Sum
 
     def cents_batch(b: pa.Table) -> pa.Table:
+        v = (b[value].to_numpy(zero_copy_only=False).astype(np.int64)
+             if already_cents else _to_cents(b[value]))
         return pa.table({key: b[key],
-                         "v": pa.array(_to_cents(b[value]),
-                                       type=pa.int64())})
+                         "v": pa.array(v, type=pa.int64())})
 
     cds = ds.map_batches(cents_batch, batch_format="pyarrow")
 
@@ -275,3 +280,39 @@ def weighted_selection_quantiles_by_key(ds, key: str, value: str,
         if c != key:
             out[c] = out[c].astype(np.int64)
     return out.reset_index(drop=True)
+
+
+def selection_mad_by_key(ds, key: str, value: str, n_bins: int = 512,
+                         max_passes: int = 8) -> pd.DataFrame:
+    """Per-key MEDIAN ABSOLUTE DEVIATION at scale — the counting-pass
+    twin of relational.mad_stats (which collects each group): pass set
+    1 finds the exact cents median by selection; pass set 2 runs the
+    SAME selection over the derived |v − median(key)| integers (medians
+    broadcast via closure, a handful of ints). No group ever
+    materializes; both passes are exact floor-div integer math, so the
+    result is bit-identical to the quantile_disc-over-deviations SQL
+    oracle at any parallelism.
+
+    Returns one row per key: n_rows, median_cents, mad_cents."""
+    med = selection_quantiles_by_key(ds, key, value, qs=(0.5,),
+                                     n_bins=n_bins,
+                                     max_passes=max_passes)
+    med_map = {k: int(v) for k, v in zip(med[key], med["p50_cents"])}
+
+    def dev_batch(b: pa.Table) -> pa.Table:
+        k = b[key].to_numpy(zero_copy_only=False)
+        v = _to_cents(b[value])
+        meds = np.array([med_map[x] for x in k], dtype=np.int64)
+        return pa.table({key: b[key],
+                         "dv": pa.array(np.abs(v - meds),
+                                        type=pa.int64())})
+
+    dds = ds.map_batches(dev_batch, batch_format="pyarrow")
+    mad = selection_quantiles_by_key(dds, key, "dv", qs=(0.5,),
+                                     n_bins=n_bins,
+                                     max_passes=max_passes,
+                                     already_cents=True)
+    out = med.merge(mad.rename(columns={"p50_cents": "mad_cents"})
+                    [[key, "mad_cents"]], on=key)
+    out = out.rename(columns={"p50_cents": "median_cents"})
+    return out[[key, "n_rows", "median_cents", "mad_cents"]]

@@ -140,3 +140,23 @@ def test_weighted_zero_weight_rows_ignored(ray_session):
         rd.from_pandas(df), "k", "v", "w", qs=((1, 2), (9, 10)))
     assert int(out["wp50"].iloc[0]) == 1
     assert int(out["wp90"].iloc[0]) == 3
+
+
+def test_selection_mad_matches_group_collect(ray_session, rng):
+    import ray.data as rd
+
+    from t_digest_ray.pipelines.selection import selection_mad_by_key
+
+    n = 2000
+    df = pd.DataFrame({"k": rng.choice(["a", "b"], size=n),
+                       "value": rng.integers(0, 300000, size=n) / 100.0})
+    out = selection_mad_by_key(rd.from_pandas(df), "k", "value") \
+        .set_index("k")
+    for k in ("a", "b"):
+        cents = np.floor(
+            df[df["k"] == k]["value"].to_numpy() * 100 + 0.5
+        ).astype(np.int64)
+        med = _disc(cents, 0.5)
+        mad = _disc(np.abs(cents - med), 0.5)
+        assert int(out.loc[k, "median_cents"]) == med
+        assert int(out.loc[k, "mad_cents"]) == mad
