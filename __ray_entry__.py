@@ -19,6 +19,7 @@ calls ray.init()/shutdown().
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
@@ -6671,6 +6672,52 @@ def audio_energy_by_lang(sf_dir: str):
     return out.map_batches(fin, batch_format="pandas")
 
 
+def delete_vector_scan_events(sf_dir: str):
+    """Merge-on-read positional deletes (stages/tombstones): a KB-scale
+    delete vector (event_id % 13 == 0, written once, _SUCCESS-marked)
+    is applied AT READ TIME by a budget-switched membership stage
+    (broadcast sorted-array searchsorted here; hash anti-join beyond
+    the budget) — deletes never rewrite the base table. Per-type
+    surviving count + cents sum, VALUE-CHECKED against the
+    WHERE-filtered oracle."""
+    import hashlib as _h
+
+    from t_digest_ray.stages.tombstones import (scan_with_deletes,
+                                                write_delete_vector)
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    ids = np.arange(0, 10_000_000, 13, dtype=np.int64)
+    tag = _h.sha1(os.path.normpath(sf_dir).encode()).hexdigest()[:10]
+    dest = f"/tmp/tdr_deletes/events-{tag}"
+    write_delete_vector(dest, ids)
+
+    kept = scan_with_deletes(ds, "event_id", dest)
+
+    def partial(b: pa.Table) -> pa.Table:
+        v = b["value"].to_numpy(zero_copy_only=False)
+        cents = np.floor(v * 100.0 + 0.5).astype(np.int64)
+        df = pd.DataFrame({"event_type": b["event_type"].to_numpy(
+            zero_copy_only=False), "s": cents, "n": 1})
+        g = df.groupby("event_type", as_index=False, sort=False).sum()
+        g["s"] = g["s"].astype(np.int64)
+        g["n"] = g["n"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+    out = (kept.map_batches(partial, batch_format="pyarrow")
+           .groupby("event_type")
+           .aggregate(Sum("n", alias_name="n_rows"),
+                      Sum("s", alias_name="sum_cents")))
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        df["n_rows"] = df["n_rows"].astype(np.int64)
+        df["sum_cents"] = df["sum_cents"].astype(np.int64)
+        return df
+
+    return out.map_batches(fin, batch_format="pandas")
+
+
 def selection_mad_events(sf_dir: str):
     """Per-type MAD at scale (pipelines/selection.selection_mad_by_key):
     exact cents median by counting-pass selection, then the SAME
@@ -6868,6 +6915,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "local_clustering_users": local_clustering_users,
         "zonemap_pruned_scan_events": zonemap_pruned_scan_events,
         "selection_mad_events": selection_mad_events,
+        "delete_vector_scan_events": delete_vector_scan_events,
         "interval_overlap_sessions": interval_overlap_sessions,
         "cdc_latest_snapshot_stats": cdc_latest_snapshot_stats,
         "bucketed_join_priority_revenue": bucketed_join_priority_revenue,
@@ -7217,6 +7265,14 @@ def _hits_sql(iters: int = 3) -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "delete_vector_scan_events": """
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS sum_cents
+            FROM events WHERE event_id % 13 <> 0
+            GROUP BY 1
+        """,
         "selection_mad_events": """
             WITH c AS (SELECT event_type,
                               CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
