@@ -6672,6 +6672,20 @@ def audio_energy_by_lang(sf_dir: str):
     return out.map_batches(fin, batch_format="pandas")
 
 
+def equidepth_histogram_events(sf_dir: str):
+    """Global 10-bucket EQUI-DEPTH histogram of event value cents
+    (pipelines/selection.equidepth_histogram) — the optimizer
+    selectivity statistic: exact quantile boundaries by counting-pass
+    selection, then one more counting pass for exact per-bucket masses
+    (searchsorted + bincount per batch, 10 int64 cells on the
+    exchange). VALUE-CHECKED against the quantile_disc-list oracle with
+    the shared boundary-closes-bucket rule."""
+    from t_digest_ray.pipelines.selection import equidepth_histogram
+
+    ds = _read(sf_dir, "events", ["value"])
+    return equidepth_histogram(ds, "value", n_buckets=10)
+
+
 def delete_vector_scan_events(sf_dir: str):
     """Merge-on-read positional deletes (stages/tombstones): a KB-scale
     delete vector (event_id % 13 == 0, written once, _SUCCESS-marked)
@@ -6916,6 +6930,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zonemap_pruned_scan_events": zonemap_pruned_scan_events,
         "selection_mad_events": selection_mad_events,
         "delete_vector_scan_events": delete_vector_scan_events,
+        "equidepth_histogram_events": equidepth_histogram_events,
         "interval_overlap_sessions": interval_overlap_sessions,
         "cdc_latest_snapshot_stats": cdc_latest_snapshot_stats,
         "bucketed_join_priority_revenue": bucketed_join_priority_revenue,
@@ -7265,6 +7280,36 @@ def _hits_sql(iters: int = 3) -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "equidepth_histogram_events": """
+            WITH c AS (SELECT CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+                                  AS v
+                       FROM events),
+                 bounds AS (SELECT UNNEST(quantile_disc(v,
+                                [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]))
+                                AS bv
+                            FROM c),
+                 assigned AS (SELECT v,
+                                     LEAST((SELECT COUNT(*) FROM bounds
+                                            WHERE bv < c.v), 9)
+                                         AS bucket
+                              FROM c),
+                 cnts AS (SELECT bucket,
+                                 CAST(COUNT(*) AS BIGINT) AS n_rows
+                          FROM assigned GROUP BY 1),
+                 blist AS (SELECT ROW_NUMBER() OVER (ORDER BY bv) - 1
+                                      AS bucket,
+                                  CAST(bv AS BIGINT) AS upper_cents
+                           FROM bounds),
+                 ug AS (SELECT 9 AS bucket,
+                               CAST(MAX(v) AS BIGINT) AS upper_cents
+                        FROM c),
+                 ub AS (SELECT * FROM blist UNION ALL SELECT * FROM ug)
+            SELECT CAST(g.b AS BIGINT) AS bucket, ub.upper_cents,
+                   COALESCE(cnts.n_rows, 0) AS n_rows
+            FROM (SELECT UNNEST(generate_series(0, 9)) AS b) g
+            JOIN ub ON ub.bucket = g.b
+            LEFT JOIN cnts ON cnts.bucket = g.b
+        """,
         "delete_vector_scan_events": """
             SELECT event_type,
                    CAST(COUNT(*) AS BIGINT) AS n_rows,

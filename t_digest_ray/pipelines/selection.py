@@ -316,3 +316,68 @@ def selection_mad_by_key(ds, key: str, value: str, n_bins: int = 512,
                     [[key, "mad_cents"]], on=key)
     out = out.rename(columns={"p50_cents": "median_cents"})
     return out[[key, "n_rows", "median_cents", "mad_cents"]]
+
+
+def equidepth_histogram(ds, value: str, n_buckets: int = 10,
+                        n_bins: int = 512,
+                        max_passes: int = 8) -> pd.DataFrame:
+    """GLOBAL equi-depth histogram of ``value`` cents — the
+    query-optimizer statistic (selectivity estimation wants equal-mass
+    buckets, not equal-width ones): bucket boundaries are the exact
+    quantile_disc values at i/n_buckets found by counting-pass
+    selection, then ONE more counting pass takes each bucket's exact
+    row count (a batch's contribution is a searchsorted + bincount —
+    n_buckets int64 cells on the exchange).
+
+    Bucket rule, shared verbatim with the SQL twin: row v belongs to
+    bucket ``#{boundaries b < v}`` clipped to the last bucket, i.e.
+    boundary values CLOSE their bucket (v == b_i lands below b_i). Returns n_buckets all-integer
+    rows: bucket, upper_cents (the bucket's inclusive upper edge; the
+    global max for the last), n_rows."""
+    from ray.data.aggregate import Sum
+
+    def keyed(b: pa.Table) -> pa.Table:
+        return pa.table({"_all": pa.array(["all"] * len(b),
+                                          type=pa.string()),
+                         value: b[value]})
+
+    kds = ds.map_batches(keyed, batch_format="pyarrow")
+    qs = tuple(i / n_buckets for i in range(1, n_buckets))
+    qt = selection_quantiles_by_key(kds, "_all", value, qs=qs,
+                                    n_bins=n_bins,
+                                    max_passes=max_passes)
+    bounds = np.array(
+        [int(qt[f"p{int(q * 100)}_cents"].iloc[0]) for q in qs],
+        dtype=np.int64)
+
+    def partial(b: pa.Table) -> pa.Table:
+        v = _to_cents(b[value])
+        idx = np.minimum(np.searchsorted(bounds, v, side="left"),
+                         n_buckets - 1)
+        cnt = np.bincount(idx, minlength=n_buckets)
+        return pa.table({"bucket": pa.array(np.arange(n_buckets,
+                                                      dtype=np.int64)),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    counts = (kds.map_batches(
+        lambda b: partial(b), batch_format="pyarrow")
+        .groupby("bucket").aggregate(Sum("n", alias_name="n_rows"))
+        .to_pandas().sort_values("bucket").reset_index(drop=True))
+
+    gmax = int(_to_cents_max(kds, value))
+    upper = np.concatenate([bounds, [gmax]])
+    counts["upper_cents"] = upper.astype(np.int64)
+    counts["n_rows"] = counts["n_rows"].astype(np.int64)
+    counts["bucket"] = counts["bucket"].astype(np.int64)
+    return counts[["bucket", "upper_cents", "n_rows"]]
+
+
+def _to_cents_max(cds, value: str) -> int:
+    from ray.data.aggregate import Max
+
+    def c(b: pa.Table) -> pa.Table:
+        return pa.table({"v": pa.array(_to_cents(b[value]))})
+
+    out = cds.map_batches(c, batch_format="pyarrow").aggregate(
+        Max("v", alias_name="m"))
+    return int(out["m"])

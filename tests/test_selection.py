@@ -160,3 +160,41 @@ def test_selection_mad_matches_group_collect(ray_session, rng):
         mad = _disc(np.abs(cents - med), 0.5)
         assert int(out.loc[k, "median_cents"]) == med
         assert int(out.loc[k, "mad_cents"]) == mad
+
+
+def test_equidepth_histogram_masses(ray_session, rng):
+    import ray.data as rd
+
+    from t_digest_ray.pipelines.selection import equidepth_histogram
+
+    vals = rng.integers(0, 1_000_000, size=5000) / 100.0
+    out = equidepth_histogram(
+        rd.from_pandas(pd.DataFrame({"value": vals})), "value",
+        n_buckets=10)
+    assert len(out) == 10
+    assert int(out["n_rows"].sum()) == 5000
+    # equal-mass within rounding of the disc convention
+    assert out["n_rows"].max() - out["n_rows"].min() <= 2
+    # upper edges are non-decreasing and end at the true max
+    u = out["upper_cents"].to_numpy()
+    assert (np.diff(u) >= 0).all()
+    cents = np.floor(vals * 100 + 0.5).astype(np.int64)
+    assert int(u[-1]) == int(cents.max())
+
+
+def test_equidepth_heavy_duplicate_value(ray_session):
+    import ray.data as rd
+
+    from t_digest_ray.pipelines.selection import equidepth_histogram
+
+    # one value is 80% of the mass: several boundaries collapse onto
+    # it; the duplicate-boundary buckets must come out empty, all mass
+    # in the value's closing bucket.
+    vals = np.concatenate([np.full(800, 42.0), np.arange(200) / 100.0])
+    out = equidepth_histogram(
+        rd.from_pandas(pd.DataFrame({"value": vals})), "value",
+        n_buckets=10)
+    assert int(out["n_rows"].sum()) == 1000
+    hot = out[out["upper_cents"] == 4200]
+    assert int(hot["n_rows"].max()) >= 800
+    assert (out["n_rows"] == 0).sum() >= 5
