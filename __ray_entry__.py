@@ -6672,6 +6672,63 @@ def audio_energy_by_lang(sf_dir: str):
     return out.map_batches(fin, batch_format="pandas")
 
 
+def sortmerge_nation_revenue(sf_dir: str):
+    """Range-partitioned SORT-MERGE join (stages/sortmerge.py — the
+    fourth strategy in the join matrix beside broadcast, hash-shuffle
+    and storage-bucketed): orders join customer on custkey with
+    equi-depth range boundaries found by counting-pass selection
+    (near-equal range mass even under key skew), per-range vectorized
+    two-pointer merges, KEY-ORDERED output. Aggregated to exact
+    per-nation order counts + cents. VALUE-CHECKED against the plain
+    SQL join."""
+    from ray.data.aggregate import Sum
+
+    from t_digest_ray.stages.sortmerge import sort_merge_join
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def oc(b: pa.Table) -> pa.Table:
+        v = b["o_totalprice"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "custkey": b["o_custkey"],
+            "cents": pa.array(np.floor(v * 100.0 + 0.5)
+                              .astype(np.int64))})
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+
+    def cc(b: pa.Table) -> pa.Table:
+        return pa.table({"custkey": b["c_custkey"],
+                         "nationkey": b["c_nationkey"]})
+
+    joined = sort_merge_join(
+        orders.map_batches(oc, batch_format="pyarrow"),
+        cust.map_batches(cc, batch_format="pyarrow"),
+        "custkey", ["cents"], ["nationkey"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "nationkey": b["nationkey"].to_numpy(zero_copy_only=False),
+            "s": b["cents"].to_numpy(zero_copy_only=False),
+            "n": 1})
+        g = df.groupby("nationkey", as_index=False, sort=False).sum()
+        g["s"] = g["s"].astype(np.int64)
+        g["n"] = g["n"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (joined.map_batches(partial, batch_format="pyarrow")
+           .groupby("nationkey")
+           .aggregate(Sum("n", alias_name="n_orders"),
+                      Sum("s", alias_name="sum_cents")))
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        df["nationkey"] = df["nationkey"].astype(np.int32)
+        df["n_orders"] = df["n_orders"].astype(np.int64)
+        df["sum_cents"] = df["sum_cents"].astype(np.int64)
+        return df
+
+    return out.map_batches(fin, batch_format="pandas")
+
+
 def equidepth_histogram_events(sf_dir: str):
     """Global 10-bucket EQUI-DEPTH histogram of event value cents
     (pipelines/selection.equidepth_histogram) — the optimizer
@@ -6931,6 +6988,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "selection_mad_events": selection_mad_events,
         "delete_vector_scan_events": delete_vector_scan_events,
         "equidepth_histogram_events": equidepth_histogram_events,
+        "sortmerge_nation_revenue": sortmerge_nation_revenue,
         "interval_overlap_sessions": interval_overlap_sessions,
         "cdc_latest_snapshot_stats": cdc_latest_snapshot_stats,
         "bucketed_join_priority_revenue": bucketed_join_priority_revenue,
@@ -7280,6 +7338,15 @@ def _hits_sql(iters: int = 3) -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "sortmerge_nation_revenue": """
+            SELECT c.c_nationkey AS nationkey,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   CAST(SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5)
+                                 AS BIGINT)) AS BIGINT) AS sum_cents
+            FROM orders o JOIN customer c
+              ON o.o_custkey = c.c_custkey
+            GROUP BY 1
+        """,
         "equidepth_histogram_events": """
             WITH c AS (SELECT CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
                                   AS v
