@@ -6672,6 +6672,87 @@ def audio_energy_by_lang(sf_dir: str):
     return out.map_batches(fin, batch_format="pandas")
 
 
+def rrf_fused_top_docs(sf_dir: str):
+    """Reciprocal-rank fusion of two document rankings — by n_chars and
+    by whitespace-token count (pipelines/stats.rrf_fused_topk over
+    global_desc_rank): exact window ROW_NUMBERs without a global sort
+    (domain suffix-sums + per-tie co-partition), one engine hash_join
+    to fuse, per-batch local heads bound the driver pull at k*blocks.
+    rrf = 1/(60+ra) + 1/(60+rb) in fixed IEEE order; VALUE-CHECKED
+    against the double-window oracle."""
+    import pyarrow.compute as pc
+
+    from t_digest_ray.pipelines.stats import rrf_fused_topk
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "n_chars"])
+
+    def derive(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(b["text"].combine_chunks(), " ")
+        flat = pc.list_flatten(toks)
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        emp = pc.equal(flat, "").to_numpy(zero_copy_only=False)
+        doc_idx = np.repeat(np.arange(len(lens)), lens)
+        n_empty = np.bincount(doc_idx[emp], minlength=len(lens))
+        return pa.table({
+            "doc_id": b["doc_id"], "n_chars": b["n_chars"],
+            "n_tokens": pa.array((lens - n_empty).astype(np.int64))})
+
+    return rrf_fused_topk(ds.map_batches(derive,
+                                         batch_format="pyarrow"),
+                          "doc_id", "n_chars", "n_tokens", k=10)
+
+
+def boolean_search_docs(sf_dir: str):
+    """Conjunctive boolean search (posting-list AND) over the inverted
+    token relation: per-batch the (doc, query-token) membership is
+    computed fully vectorized (flatten split tokens, np.isin against
+    the 3-term query, per-doc distinct-term count via bincount), so
+    only lang-keyed count partials ever shuffle — the IR primitive
+    below BM25 (which ranks; this one FILTERS). Reports per-lang docs
+    matching ALL terms and ANY term. VALUE-CHECKED against the
+    list_contains oracle."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    QUERY = ("table", "query", "spark")
+
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(b["text"].combine_chunks(), " ")
+        flat = np.asarray(pc.list_flatten(toks))
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        doc_idx = np.repeat(np.arange(len(lens)), lens)
+        n_terms = np.zeros(len(lens), dtype=np.int64)
+        for t in QUERY:
+            hit = flat == t
+            has = np.zeros(len(lens), dtype=bool)
+            np.logical_or.at(has, doc_idx[hit], True)
+            n_terms += has
+        df = pd.DataFrame({
+            "lang": b["lang"].to_numpy(zero_copy_only=False),
+            "n_docs": 1,
+            "n_all_terms": (n_terms == len(QUERY)).astype(np.int64),
+            "n_any_term": (n_terms > 0).astype(np.int64)})
+        g = df.groupby("lang", as_index=False, sort=False).sum()
+        for c in ("n_docs", "n_all_terms", "n_any_term"):
+            g[c] = g[c].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("lang")
+           .aggregate(Sum("n_docs", alias_name="n_docs"),
+                      Sum("n_all_terms", alias_name="n_all_terms"),
+                      Sum("n_any_term", alias_name="n_any_term")))
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        for c in ("n_docs", "n_all_terms", "n_any_term"):
+            df[c] = df[c].astype(np.int64)
+        return df
+
+    return out.map_batches(fin, batch_format="pandas")
+
+
 def sortmerge_nation_revenue(sf_dir: str):
     """Range-partitioned SORT-MERGE join (stages/sortmerge.py — the
     fourth strategy in the join matrix beside broadcast, hash-shuffle
@@ -6989,6 +7070,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "delete_vector_scan_events": delete_vector_scan_events,
         "equidepth_histogram_events": equidepth_histogram_events,
         "sortmerge_nation_revenue": sortmerge_nation_revenue,
+        "boolean_search_docs": boolean_search_docs,
+        "rrf_fused_top_docs": rrf_fused_top_docs,
         "interval_overlap_sessions": interval_overlap_sessions,
         "cdc_latest_snapshot_stats": cdc_latest_snapshot_stats,
         "bucketed_join_priority_revenue": bucketed_join_priority_revenue,
@@ -7338,6 +7421,43 @@ def _hits_sql(iters: int = 3) -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "rrf_fused_top_docs": """
+            WITH t AS (SELECT doc_id, n_chars,
+                              len(list_filter(string_split(text, ' '),
+                                              x -> x <> ''))
+                                  AS n_tokens
+                       FROM documents),
+                 r AS (SELECT doc_id,
+                              ROW_NUMBER() OVER (ORDER BY n_chars DESC,
+                                                 doc_id ASC) AS ra,
+                              ROW_NUMBER() OVER (ORDER BY n_tokens DESC,
+                                                 doc_id ASC) AS rb
+                       FROM t)
+            SELECT doc_id, CAST(ra AS BIGINT) AS ra,
+                   CAST(rb AS BIGINT) AS rb,
+                   1.0 / (60 + ra) + 1.0 / (60 + rb) AS rrf
+            FROM r
+            ORDER BY rrf DESC, doc_id ASC
+            LIMIT 10
+        """,
+        "boolean_search_docs": """
+            WITH t AS (SELECT lang,
+                              list_filter(string_split(text, ' '),
+                                          x -> x <> '') AS ts
+                       FROM documents),
+                 f AS (SELECT lang,
+                              CAST(list_contains(ts, 'table') AS INT)
+                              + CAST(list_contains(ts, 'query') AS INT)
+                              + CAST(list_contains(ts, 'spark') AS INT)
+                                  AS nm
+                       FROM t)
+            SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(CASE WHEN nm = 3 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_all_terms,
+                   CAST(SUM(CASE WHEN nm > 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_any_term
+            FROM f GROUP BY 1
+        """,
         "sortmerge_nation_revenue": """
             SELECT c.c_nationkey AS nationkey,
                    CAST(COUNT(*) AS BIGINT) AS n_orders,

@@ -1641,3 +1641,77 @@ def theil_sen_by_key(ds, key: str, x_col: str, y_col: str, id_col: str,
     return (ds.map_batches(partial, batch_format="pyarrow")
             .groupby(key).map_groups(fold, batch_format="pandas")
             .to_pandas())
+
+
+def global_desc_rank(ds, value: str, id_col: str):
+    """Exact global ROW_NUMBER over (``value`` DESC, ``id`` ASC)
+    without a global sort: the value-DOMAIN count table (bounded by
+    distinct values, not rows — the percent_rank contract) yields each
+    value's greater-than prefix via one broadcast suffix-sum, and a
+    per-value co-partition assigns within-tie positions by id order.
+    Returns a Dataset (id_col, r) with r exactly the window
+    ROW_NUMBER."""
+    from ray.data.aggregate import Count
+
+    counts = (ds.groupby(value).aggregate(Count(alias_name="c"))
+              .to_pandas().sort_values(value, ascending=False))
+    c = counts["c"].to_numpy(dtype=np.int64)
+    gt = np.concatenate(([0], np.cumsum(c)[:-1]))
+    gt_map = dict(zip(counts[value].tolist(), gt.tolist()))
+
+    def per_val(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(id_col, kind="stable").reset_index(drop=True)
+        base = int(gt_map[g[value].iloc[0]])
+        return pd.DataFrame({
+            id_col: g[id_col],
+            "r": (base + np.arange(len(g)) + 1).astype(np.int64)})
+
+    return ds.groupby(value).map_groups(per_val, batch_format="pandas")
+
+
+def rrf_fused_topk(ds, id_col: str, value_a: str, value_b: str,
+                   k: int = 10, rrf_k: int = 60) -> pd.DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. SIGIR'09) of the two
+    rankings (value_a DESC, id) and (value_b DESC, id):
+    ``rrf = 1/(rrf_k + r_a) + 1/(rrf_k + r_b)`` in that fixed IEEE
+    order, top-k by (rrf DESC, id ASC). Ranks come from
+    global_desc_rank (no global sort); the fuse is one engine
+    hash_join on id; the top-k folds per-batch local heads so only
+    k·blocks candidate rows reach the driver."""
+    import pyarrow as _pa
+
+    from .relational import hash_join
+
+    ra = global_desc_rank(ds.select_columns([id_col, value_a]),
+                          value_a, id_col)
+    rb = (global_desc_rank(ds.select_columns([id_col, value_b]),
+                           value_b, id_col)
+          .map_batches(lambda b: _pa.table({id_col: b[id_col],
+                                            "rb": b["r"]}),
+                       batch_format="pyarrow"))
+    ra = ra.map_batches(lambda b: _pa.table({id_col: b[id_col],
+                                             "ra": b["r"]}),
+                        batch_format="pyarrow")
+    joined = hash_join(ra, rb, on=id_col, left_cols=["ra"],
+                       right_cols=["rb"],
+                       types={id_col: _pa.int64(), "ra": _pa.int64(),
+                              "rb": _pa.int64()})
+
+    def local_head(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({id_col: b[id_col].to_numpy(
+            zero_copy_only=False),
+            "ra": b["ra"].to_numpy(zero_copy_only=False),
+            "rb": b["rb"].to_numpy(zero_copy_only=False)})
+        df["rrf"] = (1.0 / (rrf_k + df["ra"].to_numpy())
+                     + 1.0 / (rrf_k + df["rb"].to_numpy()))
+        df = df.sort_values(["rrf", id_col],
+                            ascending=[False, True]).head(k)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    cand = joined.map_batches(local_head,
+                              batch_format="pyarrow").to_pandas()
+    out = (cand.sort_values(["rrf", id_col], ascending=[False, True])
+           .head(k).reset_index(drop=True))
+    out["ra"] = out["ra"].astype(np.int64)
+    out["rb"] = out["rb"].astype(np.int64)
+    return out

@@ -404,3 +404,36 @@ def test_theil_sen_all_vertical_pairs(ray_session):
     out = theil_sen_by_key(rd.from_pandas(df), "k", "x", "y", "id")
     assert int(out["n_pairs"].iloc[0]) == 0
     assert float(out["ts_slope"].iloc[0]) == 0.0
+
+
+def test_global_desc_rank_matches_window(ray_session, rng):
+    import ray.data as rd
+
+    from t_digest_ray.pipelines.stats import global_desc_rank
+
+    n = 500
+    df = pd.DataFrame({"id": np.arange(n, dtype=np.int64),
+                       "v": rng.integers(0, 50, n).astype(np.int64)})
+    out = (global_desc_rank(rd.from_pandas(df), "v", "id")
+           .to_pandas().sort_values("id").reset_index(drop=True))
+    exp = df.sort_values(["v", "id"], ascending=[False, True])
+    exp["r"] = np.arange(1, n + 1)
+    exp = exp.sort_values("id").reset_index(drop=True)
+    assert out["r"].tolist() == exp["r"].tolist()
+
+
+def test_rrf_prefers_consistently_high(ray_session):
+    import ray.data as rd
+
+    from t_digest_ray.pipelines.stats import rrf_fused_topk
+
+    # doc 0 is rank 1 on both lists; doc 1 and 2 split the top spots.
+    df = pd.DataFrame({"id": np.array([0, 1, 2, 3], dtype=np.int64),
+                       "a": np.array([100, 90, 10, 5], dtype=np.int64),
+                       "b": np.array([100, 10, 90, 5], dtype=np.int64)})
+    out = rrf_fused_topk(rd.from_pandas(df), "id", "a", "b", k=4)
+    assert int(out["id"].iloc[0]) == 0
+    assert set(out["id"].iloc[1:3]) == {1, 2}
+    assert int(out["id"].iloc[3]) == 3
+    # tie between 1 and 2 broken by id asc
+    assert int(out["id"].iloc[1]) == 1
