@@ -6672,6 +6672,21 @@ def audio_energy_by_lang(sf_dir: str):
     return out.map_batches(fin, batch_format="pandas")
 
 
+def kcore_users(sf_dir: str):
+    """k-core decomposition (k=40, 3 peels) of the capped co-activity
+    graph (pipelines/graph.kcore_report_from_edges): each round drops
+    nodes of degree < k via one degree groupby + two co-partitioned
+    semi-joins; the edge set only shrinks. Fixed-rounds unrolled
+    convention (as integer PageRank); converged=1 rows certify the
+    exact k-core. VALUE-CHECKED against the 3-level unrolled-CTE
+    oracle."""
+    from t_digest_ray.pipelines.graph import kcore_from_events
+
+    ds = _read(sf_dir, "events", ["event_type", "ts", "user_id"])
+    return kcore_from_events(ds, "event_type", "ts", "user_id",
+                             cap=12, k=40, rounds=3)
+
+
 def rrf_fused_top_docs(sf_dir: str):
     """Reciprocal-rank fusion of two document rankings — by n_chars and
     by whitespace-token count (pipelines/stats.rrf_fused_topk over
@@ -7072,6 +7087,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sortmerge_nation_revenue": sortmerge_nation_revenue,
         "boolean_search_docs": boolean_search_docs,
         "rrf_fused_top_docs": rrf_fused_top_docs,
+        "kcore_users": kcore_users,
         "interval_overlap_sessions": interval_overlap_sessions,
         "cdc_latest_snapshot_stats": cdc_latest_snapshot_stats,
         "bucketed_join_priority_revenue": bucketed_join_priority_revenue,
@@ -7421,6 +7437,72 @@ def _hits_sql(iters: int = 3) -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "kcore_users": """
+            WITH du AS (SELECT DISTINCT event_type,
+                               CAST(epoch_us(ts) // 86400000000 AS BIGINT)
+                                   AS d, user_id
+                        FROM events),
+                 r AS (SELECT event_type, d, user_id,
+                              ROW_NUMBER() OVER (PARTITION BY event_type, d
+                                  ORDER BY user_id ASC) AS rn
+                       FROM du),
+                 kept AS (SELECT event_type, d, user_id FROM r
+                          WHERE rn <= 12),
+                 e0 AS (SELECT DISTINCT a.user_id AS u, b.user_id AS v
+                        FROM kept a JOIN kept b
+                          ON a.event_type = b.event_type AND a.d = b.d
+                         AND a.user_id < b.user_id),
+                 d1 AS (SELECT node, COUNT(*) AS dg
+                        FROM (SELECT u AS node FROM e0
+                              UNION ALL SELECT v FROM e0) GROUP BY 1),
+                 s1 AS (SELECT node FROM d1 WHERE dg >= 40),
+                 e1 AS (SELECT u, v FROM e0
+                        WHERE u IN (SELECT node FROM s1)
+                          AND v IN (SELECT node FROM s1)),
+                 d2 AS (SELECT node, COUNT(*) AS dg
+                        FROM (SELECT u AS node FROM e1
+                              UNION ALL SELECT v FROM e1) GROUP BY 1),
+                 s2 AS (SELECT node FROM d2 WHERE dg >= 40),
+                 e2 AS (SELECT u, v FROM e1
+                        WHERE u IN (SELECT node FROM s2)
+                          AND v IN (SELECT node FROM s2)),
+                 d3 AS (SELECT node, COUNT(*) AS dg
+                        FROM (SELECT u AS node FROM e2
+                              UNION ALL SELECT v FROM e2) GROUP BY 1),
+                 s3 AS (SELECT node FROM d3 WHERE dg >= 40),
+                 e3 AS (SELECT u, v FROM e2
+                        WHERE u IN (SELECT node FROM s3)
+                          AND v IN (SELECT node FROM s3)),
+                 c AS (SELECT
+                         (SELECT COUNT(*) FROM e1) AS c1,
+                         (SELECT COUNT(DISTINCT node) FROM
+                            (SELECT u AS node FROM e1
+                             UNION ALL SELECT v FROM e1)) AS n1,
+                         (SELECT COUNT(*) FROM e2) AS c2,
+                         (SELECT COUNT(DISTINCT node) FROM
+                            (SELECT u AS node FROM e2
+                             UNION ALL SELECT v FROM e2)) AS n2,
+                         (SELECT COUNT(*) FROM e3) AS c3,
+                         (SELECT COUNT(DISTINCT node) FROM
+                            (SELECT u AS node FROM e3
+                             UNION ALL SELECT v FROM e3)) AS n3)
+            SELECT CAST(1 AS BIGINT) AS round,
+                   CAST(n1 AS BIGINT) AS n_nodes,
+                   CAST(c1 AS BIGINT) AS n_edges,
+                   CAST(CASE WHEN c1 = 0 THEN 1 ELSE 0 END AS BIGINT)
+                       AS converged
+            FROM c
+            UNION ALL
+            SELECT 2, CAST(n2 AS BIGINT), CAST(c2 AS BIGINT),
+                   CAST(CASE WHEN c2 = c1 OR c2 = 0 THEN 1 ELSE 0 END
+                        AS BIGINT)
+            FROM c
+            UNION ALL
+            SELECT 3, CAST(n3 AS BIGINT), CAST(c3 AS BIGINT),
+                   CAST(CASE WHEN c3 = c2 OR c3 = 0 THEN 1 ELSE 0 END
+                        AS BIGINT)
+            FROM c
+        """,
         "rrf_fused_top_docs": """
             WITH t AS (SELECT doc_id, n_chars,
                               len(list_filter(string_split(text, ' '),

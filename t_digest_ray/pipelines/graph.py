@@ -612,3 +612,88 @@ def local_clustering_from_events(ds, type_col: str, ts_col: str,
     graph (see co_activity_edges / local_triangle_report)."""
     return local_triangle_report(
         co_activity_edges(ds, type_col, ts_col, user_col, cap=cap), k=k)
+
+
+def kcore_report_from_edges(edges, k: int = 3,
+                            rounds: int = 4) -> pd.DataFrame:
+    """k-core decomposition by iterative peeling (Seidman 1983,
+    Batagelj–Zaversnik shape): each round drops nodes of degree < k and
+    the edges touching them; the fixpoint is the k-core. Runs a FIXED
+    ``rounds`` peels (the unrolled-iteration convention shared with the
+    integer PageRank oracle) with early-exit bookkeeping: once the edge
+    set stops shrinking the remaining rows repeat the converged state,
+    and ``converged`` goes 1 — if it is 1 by the last row the reported
+    subgraph IS the exact k-core.
+
+    Scale shape per round: one degree groupby-count + two hash
+    semi-joins against the surviving-node set (the engine's
+    co-partitioned semi-join — no broadcast of |V|); the edge set only
+    shrinks, so every round is cheaper than the last. Returns one row
+    per round: round, n_nodes, n_edges, converged."""
+    from ray.data.aggregate import Count
+
+    from .relational import hash_semi_anti_join
+
+    cur = edges.materialize()
+    rows: list[dict] = []
+    prev_edges = None
+    done = False
+    for r in range(1, rounds + 1):
+        if done:
+            last = rows[-1]
+            rows.append({"round": r, "n_nodes": last["n_nodes"],
+                         "n_edges": last["n_edges"], "converged": 1})
+            continue
+
+        def endpoints(b: pa.Table) -> pa.Table:
+            u = b["u"].to_numpy(zero_copy_only=False)
+            v = b["v"].to_numpy(zero_copy_only=False)
+            return pa.table({"node": pa.array(
+                np.concatenate([u, v]))})
+
+        degrees = (cur.map_batches(endpoints, batch_format="pyarrow")
+                   .groupby("node").aggregate(Count(alias_name="dg")))
+
+        def keep(b: pa.Table) -> pa.Table:
+            m = b["dg"].to_numpy(zero_copy_only=False) >= k
+            return pa.table({"node": pa.array(
+                np.asarray(b["node"])[m])})
+
+        surv = degrees.map_batches(keep, batch_format="pyarrow") \
+            .materialize()
+
+        su = surv.map_batches(lambda b: pa.table({"u": b["node"]}),
+                              batch_format="pyarrow")
+        e1 = hash_semi_anti_join(cur, su, "u", ["v"])
+        sv = surv.map_batches(lambda b: pa.table({"v": b["node"]}),
+                              batch_format="pyarrow")
+        cur = hash_semi_anti_join(e1, sv, "v", ["u"]).materialize()
+
+        n_edges = int(cur.count())
+        n_nodes = int(cur.map_batches(endpoints,
+                                      batch_format="pyarrow")
+                      .groupby("node").aggregate(
+                          Count(alias_name="_c")).count()) \
+            if n_edges else 0
+        conv = 1 if (prev_edges is not None
+                     and n_edges == prev_edges) else 0
+        if n_edges == 0:
+            conv = 1
+        rows.append({"round": r, "n_nodes": n_nodes,
+                     "n_edges": n_edges, "converged": conv})
+        if conv:
+            done = True
+        prev_edges = n_edges
+    out = pd.DataFrame(rows)
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out
+
+
+def kcore_from_events(ds, type_col: str, ts_col: str, user_col: str,
+                      cap: int = 12, k: int = 3,
+                      rounds: int = 4) -> pd.DataFrame:
+    """k-core peeling over the capped co-activity graph."""
+    return kcore_report_from_edges(
+        co_activity_edges(ds, type_col, ts_col, user_col, cap=cap),
+        k=k, rounds=rounds)

@@ -400,3 +400,39 @@ def test_local_triangle_report_no_triangles(ray_session):
     out = local_triangle_report(_edge_ds([("a", "b"), ("b", "c")]), k=5)
     assert out["n_triangles"].sum() == 0
     assert (out["cc_ppm"] == 0).all()
+
+
+def test_kcore_peels_pendant_keeps_triangle(ray_session):
+    from t_digest_ray.pipelines.graph import kcore_report_from_edges
+
+    out = kcore_report_from_edges(
+        _edge_ds([("a", "b"), ("a", "c"), ("b", "c"), ("c", "d")]),
+        k=2, rounds=4)
+    assert out["n_edges"].tolist() == [3, 3, 3, 3]
+    assert out["n_nodes"].tolist() == [3, 3, 3, 3]
+    assert out["converged"].tolist() == [0, 1, 1, 1]
+
+
+def test_kcore_cascading_peel(ray_session):
+    # chain of pendants: b-c-d path hanging off triangle; k=2 peels
+    # d (deg 1), then c drops to deg 1 -> cascades over rounds.
+    from t_digest_ray.pipelines.graph import kcore_report_from_edges
+
+    out = kcore_report_from_edges(
+        _edge_ds([("a", "b"), ("a", "x"), ("b", "x"),  # triangle
+                  ("b", "c"), ("c", "d")]),            # tail
+        k=2, rounds=4)
+    assert out["n_edges"].tolist()[-1] == 3   # triangle survives
+    assert out["converged"].iloc[-1] == 1
+    # round 1 removed d's edge, round 2 removed c's edge
+    assert out["n_edges"].tolist()[0] == 4
+    assert out["n_edges"].tolist()[1] == 3
+
+
+def test_kcore_empty_result(ray_session):
+    from t_digest_ray.pipelines.graph import kcore_report_from_edges
+
+    out = kcore_report_from_edges(_edge_ds([("a", "b"), ("b", "c")]),
+                                  k=2, rounds=3)
+    assert (out["n_edges"] == 0).all()
+    assert (out["converged"] == 1).all()
