@@ -6672,6 +6672,18 @@ def audio_energy_by_lang(sf_dir: str):
     return out.map_batches(fin, batch_format="pandas")
 
 
+def hour_anova_events(sf_dir: str):
+    """One-way ANOVA of event value cents on hour-of-day
+    (pipelines/stats.hour_anova) — seasonality strength as exact
+    scaled integers (variance x1e6, R2 ppm, all HUGEINT floor math);
+    per-(type,hour) partials carry the second moment as two int64
+    limbs. VALUE-CHECKED bit-for-bit against the HUGEINT oracle."""
+    from t_digest_ray.pipelines.stats import hour_anova
+
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+    return hour_anova(ds, "event_type", "ts", "value")
+
+
 def kcore_users(sf_dir: str):
     """k-core decomposition (k=40, 3 peels) of the capped co-activity
     graph (pipelines/graph.kcore_report_from_edges): each round drops
@@ -7088,6 +7100,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "boolean_search_docs": boolean_search_docs,
         "rrf_fused_top_docs": rrf_fused_top_docs,
         "kcore_users": kcore_users,
+        "hour_anova_events": hour_anova_events,
         "interval_overlap_sessions": interval_overlap_sessions,
         "cdc_latest_snapshot_stats": cdc_latest_snapshot_stats,
         "bucketed_join_priority_revenue": bucketed_join_priority_revenue,
@@ -7437,6 +7450,32 @@ def _hits_sql(iters: int = 3) -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "hour_anova_events": """
+            WITH c AS (SELECT event_type, CAST(hour(ts) AS BIGINT) AS h,
+                              CAST(FLOOR(value * 100 + 0.5) AS HUGEINT)
+                                  AS v
+                       FROM events),
+                 ph AS (SELECT event_type, h,
+                               CAST(COUNT(*) AS HUGEINT) AS n,
+                               SUM(v) AS s1, SUM(v * v) AS s2
+                        FROM c GROUP BY 1, 2),
+                 pt AS (SELECT event_type, SUM(n) AS nn, SUM(s1) AS t1,
+                               SUM(s2) AS t2, COUNT(*) AS nh,
+                               SUM((n * s2 - s1 * s1) * 1000000 // n)
+                                   AS ssw
+                        FROM ph GROUP BY 1)
+            SELECT event_type, CAST(nn AS BIGINT) AS n_rows,
+                   CAST(nh AS BIGINT) AS n_hours,
+                   CAST((nn * t2 - t1 * t1) * 1000000 // (nn * nn)
+                        AS BIGINT) AS var_total_ppm6,
+                   CAST(ssw // nn AS BIGINT) AS var_within_ppm6,
+                   CAST(CASE WHEN (nn * t2 - t1 * t1) > 0
+                        THEN ((nn * t2 - t1 * t1) * 1000000 // nn - ssw)
+                             * 1000000
+                             // ((nn * t2 - t1 * t1) * 1000000 // nn)
+                        ELSE 0 END AS BIGINT) AS r2_ppm
+            FROM pt
+        """,
         "kcore_users": """
             WITH du AS (SELECT DISTINCT event_type,
                                CAST(epoch_us(ts) // 86400000000 AS BIGINT)

@@ -1715,3 +1715,89 @@ def rrf_fused_topk(ds, id_col: str, value_a: str, value_b: str,
     out["ra"] = out["ra"].astype(np.int64)
     out["rb"] = out["rb"].astype(np.int64)
     return out
+
+
+def hour_anova(ds, key: str, ts_col: str, value: str) -> pd.DataFrame:
+    """One-way ANOVA of value cents on the hour-of-day factor — the
+    seasonality-strength statistic (R² = fraction of variance explained
+    by the hour grouping), computed EXACTLY in scaled integers so both
+    engines agree bit-for-bit:
+
+        U   = (N·S2 − S1²)·10⁶ // N                    (SST × 10⁶)
+        ssw = Σ_h (n_h·s2_h − s1_h²)·10⁶ // n_h        (SSW × 10⁶)
+        var_total_ppm6  = (N·S2 − S1²)·10⁶ // N²
+        var_within_ppm6 = ssw // N
+        r2_ppm          = (U − ssw)·10⁶ // U           (0 if U = 0)
+
+    All divisions are floors on non-negative integers (Python // ==
+    DuckDB HUGEINT //). Per-(key, hour) partials ride the exchange as
+    n / s1 int64 plus the second moment as TWO int64 limbs
+    (hi·2⁶² + lo — the grouped_pearson overflow discipline, ADVICE r4);
+    the driver fold runs Python bignums, the oracle HUGEINT."""
+    from ray.data.aggregate import Sum
+
+    _LIMB = 1 << 62
+
+    def partial(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        v = b[value].to_numpy(zero_copy_only=False).astype(np.float64)
+        cents = np.floor(v * 100.0 + 0.5).astype(np.int64)
+        us = pc.cast(b[ts_col].combine_chunks(),
+                     pa.int64()).to_numpy(zero_copy_only=False)
+        hour = (us // 3_600_000_000) % 24
+        k = b[key].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"ck": np.char.add(
+            np.char.add(k.astype(str), "|"), hour.astype(str))})
+        df["n"] = np.int64(1)
+        df["s1"] = cents
+        amax = int(np.abs(cents).max()) if len(cents) else 0
+        if amax * amax * max(len(cents), 1) < _LIMB:
+            sq = cents * cents
+        else:
+            co = cents.astype(object)
+            sq = co * co
+        df["sq"] = sq
+        g = df.groupby("ck", as_index=False, sort=False).sum()
+        hi = np.array([int(x) // _LIMB for x in g["sq"]],
+                      dtype=np.int64)
+        lo = np.array([int(x) % _LIMB for x in g["sq"]],
+                      dtype=np.int64)
+        return pa.table({"ck": pa.array(g["ck"], type=pa.string()),
+                         "n": pa.array(g["n"].astype(np.int64)),
+                         "s1": pa.array(g["s1"].astype(np.int64)),
+                         "hi": pa.array(hi), "lo": pa.array(lo)})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("ck")
+           .aggregate(Sum("n", alias_name="n"),
+                      Sum("s1", alias_name="s1"),
+                      Sum("hi", alias_name="hi"),
+                      Sum("lo", alias_name="lo"))
+           .to_pandas())
+
+    SCALE = 10**6
+    rows = []
+    agg["key"] = agg["ck"].str.rsplit("|", n=1).str[0]
+    for kval, g in agg.groupby("key", sort=True):
+        n_h = [int(x) for x in g["n"]]
+        s1_h = [int(x) for x in g["s1"]]
+        s2_h = [int(h) * _LIMB + int(lo)
+                for h, lo in zip(g["hi"], g["lo"])]
+        N = sum(n_h)
+        S1 = sum(s1_h)
+        S2 = sum(s2_h)
+        U = (N * S2 - S1 * S1) * SCALE // N
+        ssw = sum((n * s2 - s1 * s1) * SCALE // n
+                  for n, s1, s2 in zip(n_h, s1_h, s2_h))
+        rows.append({
+            key: kval,
+            "n_rows": N,
+            "n_hours": len(n_h),
+            "var_total_ppm6": (N * S2 - S1 * S1) * SCALE // (N * N),
+            "var_within_ppm6": ssw // N,
+            "r2_ppm": (U - ssw) * SCALE // U if U > 0 else 0})
+    out = pd.DataFrame(rows)
+    for c in out.columns:
+        if c != key:
+            out[c] = out[c].astype(np.int64)
+    return out

@@ -437,3 +437,37 @@ def test_rrf_prefers_consistently_high(ray_session):
     assert int(out["id"].iloc[3]) == 3
     # tie between 1 and 2 broken by id asc
     assert int(out["id"].iloc[1]) == 1
+
+
+def test_hour_anova_pure_hour_signal(ray_session):
+    import ray.data as rd
+
+    from t_digest_ray.pipelines.stats import hour_anova
+
+    # value depends ONLY on the hour -> within-variance 0, R2 ~ 1e6.
+    n = 480
+    hours = np.arange(n) % 24
+    df = pd.DataFrame({
+        "k": ["a"] * n,
+        "ts": pd.to_datetime(hours * 3600 + (np.arange(n) // 24) * 86400,
+                             unit="s"),
+        "value": (hours * 10 + 5) / 100.0})
+    out = hour_anova(rd.from_pandas(df), "k", "ts", "value")
+    assert int(out["var_within_ppm6"].iloc[0]) == 0
+    assert int(out["r2_ppm"].iloc[0]) == 10**6
+    assert int(out["n_hours"].iloc[0]) == 24
+
+
+def test_hour_anova_no_hour_signal(ray_session, rng):
+    import ray.data as rd
+
+    from t_digest_ray.pipelines.stats import hour_anova
+
+    # hour-independent values: R2 should be tiny.
+    n = 4800
+    df = pd.DataFrame({
+        "k": ["a"] * n,
+        "ts": pd.to_datetime(rng.integers(0, 30 * 86400, n), unit="s"),
+        "value": rng.integers(0, 10000, n) / 100.0})
+    out = hour_anova(rd.from_pandas(df), "k", "ts", "value")
+    assert int(out["r2_ppm"].iloc[0]) < 50_000  # < 5% explained
