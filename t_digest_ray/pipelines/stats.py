@@ -1742,7 +1742,8 @@ def hour_anova(ds, key: str, ts_col: str, value: str) -> pd.DataFrame:
         import pyarrow.compute as pc
         v = b[value].to_numpy(zero_copy_only=False).astype(np.float64)
         cents = np.floor(v * 100.0 + 0.5).astype(np.int64)
-        us = pc.cast(b[ts_col].combine_chunks(),
+        ts = b[ts_col].combine_chunks()
+        us = pc.cast(pc.cast(ts, pa.timestamp("us")),
                      pa.int64()).to_numpy(zero_copy_only=False)
         hour = (us // 3_600_000_000) % 24
         k = b[key].to_numpy(zero_copy_only=False)
