@@ -6672,6 +6672,27 @@ def audio_energy_by_lang(sf_dir: str):
     return out.map_batches(fin, batch_format="pandas")
 
 
+def ivm_refresh_events(sf_dir: str):
+    """Incremental materialized-view refresh
+    (pipelines/checkpoint.incremental_view_refresh): the first 20 days
+    of per-type count+cents are aggregated ONCE and persisted
+    (_SUCCESS-marked); each refresh aggregates only the delta window
+    and folds by addition — the distributive-aggregate maintenance
+    identity that makes a daily refresh touch one day, not 100 TB.
+    Proof-carrying: matches_full gates the merge against a full
+    recompute in-row. VALUE-CHECKED."""
+    import hashlib as _h
+
+    from t_digest_ray.pipelines.checkpoint import incremental_view_refresh
+
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+    tag = _h.sha1(os.path.normpath(sf_dir).encode()).hexdigest()[:10]
+    return incremental_view_refresh(ds, "event_type", "ts", "value",
+                                    base_days=20,
+                                    cache_root="/tmp/tdr_ivm",
+                                    cache_tag=tag)
+
+
 def hour_anova_events(sf_dir: str):
     """One-way ANOVA of event value cents on hour-of-day
     (pipelines/stats.hour_anova) — seasonality strength as exact
@@ -7101,6 +7122,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rrf_fused_top_docs": rrf_fused_top_docs,
         "kcore_users": kcore_users,
         "hour_anova_events": hour_anova_events,
+        "ivm_refresh_events": ivm_refresh_events,
         "interval_overlap_sessions": interval_overlap_sessions,
         "cdc_latest_snapshot_stats": cdc_latest_snapshot_stats,
         "bucketed_join_priority_revenue": bucketed_join_priority_revenue,
@@ -7450,6 +7472,14 @@ def _hits_sql(iters: int = 3) -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "ivm_refresh_events": """
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS sum_cents,
+                   CAST(1 AS BIGINT) AS matches_full
+            FROM events GROUP BY 1
+        """,
         "hour_anova_events": """
             WITH c AS (SELECT event_type, CAST(hour(ts) AS BIGINT) AS h,
                               CAST(FLOOR(value * 100 + 0.5) AS HUGEINT)

@@ -7,6 +7,7 @@ from __future__ import annotations
 import os
 import shutil
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
@@ -459,3 +460,62 @@ def test_compact_shards_preserves_content(ray_session, tmp_path):
     pd.testing.assert_frame_equal(
         out.sort_values("k").reset_index(drop=True),
         out2.sort_values("k").reset_index(drop=True))
+
+
+def test_ivm_refresh_merges_base_and_delta(ray_session, tmp_path, rng):
+    import ray.data as rd
+
+    from t_digest_ray.pipelines.checkpoint import incremental_view_refresh
+
+    n = 2000
+    df = pd.DataFrame({
+        "k": rng.choice(["a", "b"], size=n),
+        "ts": pd.to_datetime(rng.integers(0, 40 * 86400, n), unit="s"),
+        "value": rng.integers(0, 10000, n) / 100.0})
+    ds = rd.from_pandas(df)
+    out1 = incremental_view_refresh(ds, "k", "ts", "value",
+                                    base_days=20,
+                                    cache_root=str(tmp_path),
+                                    cache_tag="t1")
+    assert (out1["matches_full"] == 1).all()
+    cents = np.floor(df["value"].to_numpy() * 100 + 0.5).astype(np.int64)
+    for k in ("a", "b"):
+        m = (df["k"] == k).to_numpy()
+        row = out1[out1["k"] == k]
+        assert int(row["n_rows"].iloc[0]) == int(m.sum())
+        assert int(row["sum_cents"].iloc[0]) == int(cents[m].sum())
+    # second refresh reuses the persisted base (marker present)
+    import os
+    assert os.path.exists(str(tmp_path / "ivm-t1" / "_SUCCESS"))
+    out2 = incremental_view_refresh(ds, "k", "ts", "value",
+                                    base_days=20,
+                                    cache_root=str(tmp_path),
+                                    cache_tag="t1")
+    pd.testing.assert_frame_equal(out1, out2)
+
+
+def test_ivm_detects_new_delta_rows(ray_session, tmp_path, rng):
+    import ray.data as rd
+
+    from t_digest_ray.pipelines.checkpoint import incremental_view_refresh
+
+    df = pd.DataFrame({
+        "k": ["a"] * 100,
+        "ts": pd.to_datetime(np.arange(100) * 86400 // 4, unit="s"),
+        "value": np.full(100, 1.0)})
+    incremental_view_refresh(rd.from_pandas(df), "k", "ts", "value",
+                             base_days=10, cache_root=str(tmp_path),
+                             cache_tag="t2")
+    # append delta-window rows only: base stays frozen, merge must
+    # still equal the full recompute over the NEW dataset
+    extra = pd.DataFrame({
+        "k": ["a"] * 50,
+        "ts": pd.to_datetime(np.full(50, 20 * 86400), unit="s"),
+        "value": np.full(50, 2.0)})
+    ds2 = rd.from_pandas(pd.concat([df, extra], ignore_index=True))
+    out = incremental_view_refresh(ds2, "k", "ts", "value",
+                                   base_days=10,
+                                   cache_root=str(tmp_path),
+                                   cache_tag="t2")
+    assert (out["matches_full"] == 1).all()
+    assert int(out["n_rows"].iloc[0]) == 150
