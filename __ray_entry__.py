@@ -6672,6 +6672,21 @@ def audio_energy_by_lang(sf_dir: str):
     return out.map_batches(fin, batch_format="pandas")
 
 
+def gram_power_iteration_embeddings(sf_dir: str):
+    """Distributed exact linear algebra
+    (pipelines/clustering.gram_power_iteration): integer Gram matrix of
+    the int8-quantized embedding corpus (d2 int64 partials per batch,
+    one BLAS call each; nothing row-sized leaves the workers), then the
+    dominant eigenvector by 3 max-normalized power steps in scaled
+    integers (the PageRank floor-div convention). Top-8 components +
+    eigenvalue estimate, VALUE-CHECKED bit-for-bit against the
+    unrolled 3-round HUGEINT matvec oracle."""
+    from t_digest_ray.pipelines.clustering import gram_power_iteration
+
+    ds = _read(sf_dir, "embeddings", ["embedding"])
+    return gram_power_iteration(ds, "embedding", rounds=3, top=8)
+
+
 def ivm_refresh_events(sf_dir: str):
     """Incremental materialized-view refresh
     (pipelines/checkpoint.incremental_view_refresh): the first 20 days
@@ -7123,6 +7138,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kcore_users": kcore_users,
         "hour_anova_events": hour_anova_events,
         "ivm_refresh_events": ivm_refresh_events,
+        "gram_power_iteration_embeddings": gram_power_iteration_embeddings,
         "interval_overlap_sessions": interval_overlap_sessions,
         "cdc_latest_snapshot_stats": cdc_latest_snapshot_stats,
         "bucketed_join_priority_revenue": bucketed_join_priority_revenue,
@@ -7472,6 +7488,48 @@ def _hits_sql(iters: int = 3) -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "gram_power_iteration_embeddings": """
+            WITH dims AS (SELECT CAST(range AS INT) AS j
+                          FROM range(1, 65)),
+                 e AS (SELECT vec_id, j,
+                              CAST(embedding[j] AS DOUBLE) AS x
+                       FROM embeddings CROSS JOIN dims),
+                 mm AS (SELECT j, MIN(x) AS mn, MAX(x) AS mx
+                        FROM e GROUP BY j),
+                 c AS (SELECT vec_id, e.j,
+                              CAST(LEAST(GREATEST(
+                                  CASE WHEN mx = mn THEN 0
+                                  ELSE FLOOR((x - mn)
+                                       * (255.0 / (mx - mn)) + 0.5)
+                                  END, 0), 255) AS HUGEINT) AS code
+                       FROM e JOIN mm USING (j)),
+                 g AS (SELECT a.j AS j, b.j AS k,
+                              SUM(a.code * b.code) AS gv
+                       FROM c a JOIN c b ON a.vec_id = b.vec_id
+                       GROUP BY 1, 2),
+                 w1 AS (SELECT j, SUM(gv * 1000000) AS wv
+                        FROM g GROUP BY 1),
+                 v1 AS (SELECT j, (wv * 1000000)
+                                  // (SELECT MAX(wv) FROM w1) AS vv
+                        FROM w1),
+                 w2 AS (SELECT g.j, SUM(g.gv * v1.vv) AS wv
+                        FROM g JOIN v1 ON g.k = v1.j GROUP BY 1),
+                 v2 AS (SELECT j, (wv * 1000000)
+                                  // (SELECT MAX(wv) FROM w2) AS vv
+                        FROM w2),
+                 w3 AS (SELECT g.j, SUM(g.gv * v2.vv) AS wv
+                        FROM g JOIN v2 ON g.k = v2.j GROUP BY 1),
+                 v3 AS (SELECT j, (wv * 1000000)
+                                  // (SELECT MAX(wv) FROM w3) AS vv
+                        FROM w3)
+            SELECT CAST(ROW_NUMBER() OVER (ORDER BY vv DESC, j ASC)
+                        AS BIGINT) AS rank,
+                   CAST(j AS BIGINT) AS dim,
+                   CAST(vv AS BIGINT) AS v_scaled,
+                   CAST((SELECT MAX(wv) FROM w3) // 1000000 AS BIGINT)
+                       AS eig_scaled
+            FROM v3 ORDER BY vv DESC, j ASC LIMIT 8
+        """,
         "ivm_refresh_events": """
             SELECT event_type,
                    CAST(COUNT(*) AS BIGINT) AS n_rows,

@@ -361,3 +361,35 @@ def test_pq_adc_topk_matches_local_replay(ray_session):
     np.testing.assert_array_equal(got["vec_id"].to_numpy(), ids[order])
     np.testing.assert_array_equal(got["adc_d2"].to_numpy(),
                                   dist[order])
+
+
+def test_gram_power_iteration_known_direction(ray_session, rng):
+    import ray.data as rd
+
+    from t_digest_ray.pipelines.clustering import gram_power_iteration
+
+    # dim 0 has 10x the variance/magnitude of every other dim: the
+    # dominant eigenvector must load on dim 1 (1-based) hardest.
+    n, d = 300, 8
+    X = rng.standard_normal((n, d)).astype(np.float32)
+    X[:, 0] *= 10.0
+    df = pd.DataFrame({"embedding": [row for row in X]})
+    out = gram_power_iteration(rd.from_pandas(df), "embedding",
+                               rounds=3, top=3)
+    assert int(out["dim"].iloc[0]) == 1
+    assert int(out["v_scaled"].iloc[0]) == 10**6
+    assert int(out["eig_scaled"].iloc[0]) > 0
+
+
+def test_gram_power_iteration_layout_invariant(ray_session, rng):
+    import ray.data as rd
+
+    from t_digest_ray.pipelines.clustering import gram_power_iteration
+
+    n, d = 200, 6
+    X = rng.standard_normal((n, d)).astype(np.float32)
+    df = pd.DataFrame({"embedding": [row for row in X]})
+    a = gram_power_iteration(rd.from_pandas(df), "embedding", top=6)
+    b = gram_power_iteration(rd.from_pandas(df).repartition(13),
+                             "embedding", top=6)
+    pd.testing.assert_frame_equal(a, b)
