@@ -818,11 +818,21 @@ def gram_power_iteration(ds, embedding_col: str, rounds: int = 3,
     import pyarrow.compute as pc
     from ray.data.aggregate import Max, Min, Sum
 
+    def _mat(b: pa.Table) -> np.ndarray:
+        # list<float> via flatten; Ray tensor-extension via to_numpy
+        c = b[embedding_col].combine_chunks()
+        try:
+            flat = pc.list_flatten(c) \
+                .to_numpy(zero_copy_only=False).astype(np.float64)
+            return flat.reshape(len(b), -1)
+        except pa.lib.ArrowNotImplementedError:
+            arr = c.to_numpy(zero_copy_only=False)
+            return np.stack([np.asarray(r, dtype=np.float64)
+                             for r in arr])
+
     def mm_partial(b: pa.Table) -> pa.Table:
-        flat = pc.list_flatten(b[embedding_col].combine_chunks()) \
-            .to_numpy(zero_copy_only=False).astype(np.float64)
-        d = len(flat) // max(len(b), 1)
-        X = flat.reshape(len(b), d)
+        X = _mat(b)
+        d = X.shape[1]
         return pa.table({"j": pa.array(np.arange(1, d + 1,
                                                  dtype=np.int64)),
                          "mn": pa.array(X.min(axis=0)),
@@ -837,9 +847,7 @@ def gram_power_iteration(ds, embedding_col: str, rounds: int = 3,
     d = len(mn)
 
     def gram_partial(b: pa.Table) -> pa.Table:
-        flat = pc.list_flatten(b[embedding_col].combine_chunks()) \
-            .to_numpy(zero_copy_only=False).astype(np.float64)
-        X = flat.reshape(len(b), d)
+        X = _mat(b)
         span = mx - mn
         with np.errstate(divide="ignore", invalid="ignore"):
             raw = np.floor((X - mn) * (255.0 / span) + 0.5)

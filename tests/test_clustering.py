@@ -368,11 +368,14 @@ def test_gram_power_iteration_known_direction(ray_session, rng):
 
     from t_digest_ray.pipelines.clustering import gram_power_iteration
 
-    # dim 0 has 10x the variance/magnitude of every other dim: the
-    # dominant eigenvector must load on dim 1 (1-based) hardest.
+    # quantization normalizes each dim to [0,255], so magnitude alone
+    # cannot dominate; a dim whose CODES sit at 255 for almost every
+    # row (one outlier pins the min) carries the largest Gram mass and
+    # the eigenvector must load on dim 1 (1-based) hardest.
     n, d = 300, 8
-    X = rng.standard_normal((n, d)).astype(np.float32)
-    X[:, 0] *= 10.0
+    X = rng.uniform(0.0, 1.0, (n, d)).astype(np.float32)
+    X[:, 0] = 1.0
+    X[0, 0] = 0.0
     df = pd.DataFrame({"embedding": [row for row in X]})
     out = gram_power_iteration(rd.from_pandas(df), "embedding",
                                rounds=3, top=3)
