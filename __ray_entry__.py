@@ -6672,6 +6672,19 @@ def audio_energy_by_lang(sf_dir: str):
     return out.map_batches(fin, batch_format="pandas")
 
 
+def assoc_rules_event_types(sf_dir: str):
+    """Market-basket association rules over (user, epoch-day) baskets
+    (pipelines/windows.association_rules): exact support / confidence /
+    lift in floor-ppm integers for every ordered event-type pair; only
+    per-batch-distinct (basket, item) rows shuffle, pair counting runs
+    in the basket co-partition. VALUE-CHECKED against the
+    distinct-basket self-join oracle."""
+    from t_digest_ray.pipelines.windows import association_rules
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+    return association_rules(ds, "user_id", "ts", "event_type")
+
+
 def gram_power_iteration_embeddings(sf_dir: str):
     """Distributed exact linear algebra
     (pipelines/clustering.gram_power_iteration): integer Gram matrix of
@@ -7139,6 +7152,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hour_anova_events": hour_anova_events,
         "ivm_refresh_events": ivm_refresh_events,
         "gram_power_iteration_embeddings": gram_power_iteration_embeddings,
+        "assoc_rules_event_types": assoc_rules_event_types,
         "interval_overlap_sessions": interval_overlap_sessions,
         "cdc_latest_snapshot_stats": cdc_latest_snapshot_stats,
         "bucketed_join_priority_revenue": bucketed_join_priority_revenue,
@@ -7488,6 +7502,33 @@ def _hits_sql(iters: int = 3) -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "assoc_rules_event_types": """
+            WITH bi AS (SELECT DISTINCT
+                               CAST(user_id AS VARCHAR) || '|' ||
+                               CAST(CAST(epoch_us(ts) // 86400000000
+                                         AS BIGINT) AS VARCHAR)
+                                   AS basket,
+                               event_type AS item
+                        FROM events),
+                 n AS (SELECT CAST(COUNT(DISTINCT basket) AS HUGEINT)
+                                  AS nb
+                       FROM bi),
+                 s AS (SELECT item, CAST(COUNT(*) AS HUGEINT) AS ns
+                       FROM bi GROUP BY 1),
+                 p AS (SELECT a.item AS x, b.item AS y,
+                              CAST(COUNT(*) AS HUGEINT) AS nboth
+                       FROM bi a JOIN bi b
+                         ON a.basket = b.basket AND a.item <> b.item
+                       GROUP BY 1, 2)
+            SELECT p.x AS antecedent, p.y AS consequent,
+                   CAST(p.nboth AS BIGINT) AS n_both,
+                   CAST(p.nboth * 1000000 // sx.ns AS BIGINT)
+                       AS conf_ppm,
+                   CAST(p.nboth * (SELECT nb FROM n) * 1000000
+                        // (sx.ns * sy.ns) AS BIGINT) AS lift_ppm
+            FROM p JOIN s sx ON p.x = sx.item
+                   JOIN s sy ON p.y = sy.item
+        """,
         "gram_power_iteration_embeddings": """
             WITH dims AS (SELECT CAST(range AS INT) AS j
                           FROM range(1, 65)),

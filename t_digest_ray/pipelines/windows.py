@@ -1519,3 +1519,87 @@ def ohlc_bars(ds, ts_col: str, tie_col: str, value_col: str,
 
     return (parts.map_batches(bucket, batch_format="pyarrow")
             .groupby("bucket").map_groups(fold, batch_format="pandas"))
+
+
+def association_rules(ds, user_col: str, ts_col: str, type_col: str):
+    """Market-basket association rules over (user, epoch-day) baskets:
+    for every ordered item pair a→b, exact support / confidence / lift
+    in scaled ppm integers —
+
+        conf_ppm(a→b) = n_both·10⁶ // n_a
+        lift_ppm(a→b) = n_both·N·10⁶ // (n_a·n_b)
+
+    (floor math both engines). The shuffle carries per-batch-distinct
+    (basket, item) rows only; pair counting happens in the basket
+    co-partition where each basket's item set is tiny (≤ |types|).
+    Returns one row per ordered pair with n_both > 0."""
+    from ray.data.aggregate import Count, Sum
+
+    def to_basket_item(b: pa.Table) -> pa.Table:
+        day = (_epoch_s(b[ts_col]) // 86400).astype(np.int64)
+        usr = b[user_col].to_numpy(zero_copy_only=False)
+        typ = b[type_col].to_numpy(zero_copy_only=False).astype(str)
+        df = pd.DataFrame({
+            "basket": np.char.add(np.char.add(usr.astype(str), "|"),
+                                  day.astype(str)),
+            "item": typ}).drop_duplicates()
+        return pa.table({"basket": pa.array(df["basket"],
+                                            type=pa.string()),
+                         "item": pa.array(df["item"],
+                                          type=pa.string())})
+
+    def basket_pairs(g: pd.DataFrame) -> pa.Table:
+        items = sorted(set(g["item"].astype(str)))
+        rows_a, rows_b = [], []
+        for i in range(len(items)):
+            rows_a.append(items[i])
+            rows_b.append("")          # single-item support marker
+            for j in range(i + 1, len(items)):
+                rows_a.append(items[i])
+                rows_b.append(items[j])
+        return pa.table({
+            "a": pa.array(rows_a, type=pa.string()),
+            "b": pa.array(rows_b, type=pa.string()),
+            "n": pa.array(np.ones(len(rows_a), dtype=np.int64))})
+
+    def pair_key(b: pa.Table) -> pa.Table:
+        a = b["a"].to_numpy(zero_copy_only=False).astype(str)
+        bb = b["b"].to_numpy(zero_copy_only=False).astype(str)
+        return pa.table({"pk": pa.array(
+            np.char.add(np.char.add(a, "|"), bb), type=pa.string()),
+            "n": b["n"]})
+
+    items_ds = ds.map_batches(to_basket_item, batch_format="pyarrow")
+    counts = (items_ds.groupby("basket")
+              .map_groups(basket_pairs, batch_format="pandas")
+              .map_batches(pair_key, batch_format="pyarrow")
+              .groupby("pk").aggregate(Sum("n", alias_name="n"))
+              .to_pandas())
+
+    n_baskets = int(items_ds.groupby("basket")
+                    .aggregate(Count(alias_name="_c")).count())
+
+    singles: dict[str, int] = {}
+    both: dict[tuple[str, str], int] = {}
+    for pk, n in zip(counts["pk"], counts["n"]):
+        a, b = str(pk).split("|", 1)
+        if b == "":
+            singles[a] = int(n)
+        else:
+            both[(a, b)] = int(n)
+
+    SCALE = 10**6
+    rows = []
+    for (a, b), nb in sorted(both.items()):
+        for x, y in ((a, b), (b, a)):
+            rows.append({
+                "antecedent": x, "consequent": y,
+                "n_both": nb,
+                "conf_ppm": nb * SCALE // singles[x],
+                "lift_ppm": (nb * n_baskets * SCALE
+                             // (singles[x] * singles[y]))})
+    out = pd.DataFrame(sorted(rows, key=lambda r: (r["antecedent"],
+                                                   r["consequent"])))
+    for c in ("n_both", "conf_ppm", "lift_ppm"):
+        out[c] = out[c].astype(np.int64)
+    return out

@@ -606,3 +606,39 @@ def test_moving_frame_extrema_matches_pandas(ray_session, rng):
             .rolling(7, min_periods=1).max().reset_index(0, drop=True))
     exp = exp.assign(emax=emax).sort_values("eid")
     assert out["frame_max_cents"].tolist() == [int(x) for x in exp["emax"]]
+
+
+def test_association_rules_hand(ray_session):
+    import ray.data as rd
+
+    from t_digest_ray.pipelines.windows import association_rules
+
+    # baskets: u1/day0 {A,B}, u2/day0 {A,B}, u3/day0 {A}, u4/day0 {B,C}
+    df = pd.DataFrame({
+        "u": [1, 1, 2, 2, 3, 4, 4],
+        "ts": pd.to_datetime([10] * 7, unit="s"),
+        "t": ["A", "B", "A", "B", "A", "B", "C"]})
+    out = association_rules(rd.from_pandas(df), "u", "ts", "t") \
+        .set_index(["antecedent", "consequent"])
+    # support A=3, B=3, C=1, AB=2, BC=1, N=4
+    assert int(out.loc[("A", "B"), "n_both"]) == 2
+    assert int(out.loc[("A", "B"), "conf_ppm"]) == 2 * 10**6 // 3
+    assert int(out.loc[("A", "B"), "lift_ppm"]) == 2 * 4 * 10**6 // 9
+    assert int(out.loc[("C", "B"), "conf_ppm"]) == 10**6
+    assert int(out.loc[("B", "C"), "conf_ppm"]) == 10**6 // 3
+    assert ("A", "C") not in out.index  # never co-occur
+
+
+def test_association_rules_dedups_within_basket(ray_session):
+    import ray.data as rd
+
+    from t_digest_ray.pipelines.windows import association_rules
+
+    # repeated events of the same type in one basket count once
+    df = pd.DataFrame({
+        "u": [1, 1, 1, 1],
+        "ts": pd.to_datetime([5, 6, 7, 8], unit="s"),
+        "t": ["A", "A", "B", "B"]})
+    out = association_rules(rd.from_pandas(df), "u", "ts", "t")
+    assert int(out["n_both"].iloc[0]) == 1
+    assert (out["conf_ppm"] == 10**6).all()
