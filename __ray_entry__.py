@@ -6672,6 +6672,20 @@ def audio_energy_by_lang(sf_dir: str):
     return out.map_batches(fin, batch_format="pandas")
 
 
+def degree_assortativity_users(sf_dir: str):
+    """Degree assortativity (Newman 2002) of the capped co-activity
+    graph (pipelines/graph.degree_assortativity): Pearson correlation
+    of endpoint degrees over directed edge instances — exact integer
+    moments via the triangle machinery's two hash joins, one fixed IEEE
+    closing expression, bit-identical to the HUGEINT oracle."""
+    from t_digest_ray.pipelines.graph import (co_activity_edges,
+                                              degree_assortativity)
+
+    ds = _read(sf_dir, "events", ["event_type", "ts", "user_id"])
+    return degree_assortativity(
+        co_activity_edges(ds, "event_type", "ts", "user_id", cap=12))
+
+
 def assoc_rules_event_types(sf_dir: str):
     """Market-basket association rules over (user, epoch-day) baskets
     (pipelines/windows.association_rules): exact support / confidence /
@@ -7153,6 +7167,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivm_refresh_events": ivm_refresh_events,
         "gram_power_iteration_embeddings": gram_power_iteration_embeddings,
         "assoc_rules_event_types": assoc_rules_event_types,
+        "degree_assortativity_users": degree_assortativity_users,
         "interval_overlap_sessions": interval_overlap_sessions,
         "cdc_latest_snapshot_stats": cdc_latest_snapshot_stats,
         "bucketed_join_priority_revenue": bucketed_join_priority_revenue,
@@ -7502,6 +7517,45 @@ def _hits_sql(iters: int = 3) -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "degree_assortativity_users": """
+            WITH du AS (SELECT DISTINCT event_type,
+                               CAST(epoch_us(ts) // 86400000000 AS BIGINT)
+                                   AS d, user_id
+                        FROM events),
+                 r AS (SELECT event_type, d, user_id,
+                              ROW_NUMBER() OVER (PARTITION BY event_type, d
+                                  ORDER BY user_id ASC) AS rn
+                       FROM du),
+                 kept AS (SELECT event_type, d, user_id FROM r
+                          WHERE rn <= 12),
+                 e AS (SELECT DISTINCT a.user_id AS u, b.user_id AS v
+                       FROM kept a JOIN kept b
+                         ON a.event_type = b.event_type AND a.d = b.d
+                        AND a.user_id < b.user_id),
+                 deg AS (SELECT node, CAST(COUNT(*) AS HUGEINT) AS dg
+                         FROM (SELECT u AS node FROM e
+                               UNION ALL SELECT v AS node FROM e)
+                         GROUP BY 1),
+                 dir AS (SELECT d1.dg AS x, d2.dg AS y
+                         FROM e JOIN deg d1 ON e.u = d1.node
+                                JOIN deg d2 ON e.v = d2.node
+                         UNION ALL
+                         SELECT d2.dg, d1.dg
+                         FROM e JOIN deg d1 ON e.u = d1.node
+                                JOIN deg d2 ON e.v = d2.node),
+                 m AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+                              SUM(x) AS sx, SUM(y) AS sy,
+                              SUM(x * y) AS sxy, SUM(x * x) AS sxx,
+                              SUM(y * y) AS syy
+                       FROM dir)
+            SELECT CAST(n // 2 AS BIGINT) AS n_edges,
+                   CASE WHEN (n * sxx - sx * sx) > 0
+                        THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                             / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                                    * CAST(n * syy - sy * sy AS DOUBLE))
+                        ELSE 0.0 END AS assortativity
+            FROM m
+        """,
         "assoc_rules_event_types": """
             WITH bi AS (SELECT DISTINCT
                                CAST(user_id AS VARCHAR) || '|' ||

@@ -697,3 +697,81 @@ def kcore_from_events(ds, type_col: str, ts_col: str, user_col: str,
     return kcore_report_from_edges(
         co_activity_edges(ds, type_col, ts_col, user_col, cap=cap),
         k=k, rounds=rounds)
+
+
+def degree_assortativity(edges, u_col: str = "u",
+                         v_col: str = "v") -> pd.DataFrame:
+    """Degree assortativity coefficient (Newman 2002): the Pearson
+    correlation of endpoint degrees over all DIRECTED edge instances
+    (each undirected edge contributes (du,dv) and (dv,du), making the
+    statistic symmetric). Positive = hubs link hubs; negative =
+    hub-and-spoke.
+
+    Same machinery as triangle_count_report's orientation step (two
+    distributed hash joins against the degree table — no |V|
+    broadcast); the moments are exact integer sums folded with Python
+    bignums, and r is ONE fixed IEEE expression from those ints — the
+    grouped_pearson exactness contract, bit-identical to the HUGEINT
+    SQL oracle. Returns one row: n_edges, assortativity."""
+    import math
+
+    from ray.data.aggregate import Count
+
+    from .relational import hash_join
+
+    edges = edges.materialize()
+
+    sch = edges.schema()
+    sch = getattr(sch, "base_schema", sch)
+    if hasattr(sch, "field"):
+        key_t = sch.field(u_col).type
+    else:
+        t = dict(zip(sch.names, sch.types))[u_col]
+        key_t = pa.string() if t == object else pa.from_numpy_dtype(t)
+
+    def endpoints(b: pa.Table) -> pa.Table:
+        u = b[u_col].to_numpy(zero_copy_only=False)
+        v = b[v_col].to_numpy(zero_copy_only=False)
+        return pa.table({"node": pa.array(np.concatenate([u, v]),
+                                          type=key_t)})
+
+    degrees = (edges.map_batches(endpoints, batch_format="pyarrow")
+               .groupby("node").aggregate(Count(alias_name="dg"))
+               .materialize())
+    int_t = pa.int64()
+    du = degrees.map_batches(
+        lambda b: pa.table({u_col: b["node"], "du": b["dg"]}),
+        batch_format="pyarrow")
+    j1 = hash_join(edges, du, on=u_col, left_cols=[v_col],
+                   right_cols=["du"],
+                   types={u_col: key_t, v_col: key_t, "du": int_t})
+    dv = degrees.map_batches(
+        lambda b: pa.table({v_col: b["node"], "dv": b["dg"]}),
+        batch_format="pyarrow")
+    j2 = hash_join(j1, dv, on=v_col, left_cols=[u_col, "du"],
+                   right_cols=["dv"],
+                   types={u_col: key_t, v_col: key_t,
+                          "du": int_t, "dv": int_t})
+
+    def moments(b: pa.Table) -> pa.Table:
+        x = b["du"].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = b["dv"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "m": pa.array([len(x)], type=pa.int64()),
+            "sx": pa.array([int(x.sum() + y.sum())], type=pa.int64()),
+            "sxy": pa.array([int(2 * (x * y).sum())], type=pa.int64()),
+            "sxx": pa.array([int((x * x).sum() + (y * y).sum())],
+                            type=pa.int64())})
+
+    mom = j2.map_batches(moments, batch_format="pyarrow").to_pandas()
+    n = 2 * int(mom["m"].sum())          # directed pair count
+    sx = int(mom["sx"].sum())
+    sxy = int(mom["sxy"].sum())
+    sxx = int(mom["sxx"].sum())
+    num = n * sxy - sx * sx
+    den = n * sxx - sx * sx
+    r = (float(num) / math.sqrt(float(den) * float(den))
+         if den > 0 else 0.0)
+    return pd.DataFrame({
+        "n_edges": pd.Series([n // 2], dtype=np.int64),
+        "assortativity": pd.Series([r])})

@@ -436,3 +436,21 @@ def test_kcore_empty_result(ray_session):
                                   k=2, rounds=3)
     assert (out["n_edges"] == 0).all()
     assert (out["converged"] == 1).all()
+
+
+def test_assortativity_star_is_minus_one(ray_session):
+    from t_digest_ray.pipelines.graph import degree_assortativity
+
+    out = degree_assortativity(_edge_ds(
+        [("c", "a"), ("c", "b"), ("c", "d")]))
+    assert int(out["n_edges"].iloc[0]) == 3
+    assert abs(float(out["assortativity"].iloc[0]) + 1.0) < 1e-12
+
+
+def test_assortativity_regular_graph_is_zero(ray_session):
+    # every node has the same degree: zero variance -> 0.0 convention.
+    from t_digest_ray.pipelines.graph import degree_assortativity
+
+    out = degree_assortativity(_edge_ds(
+        [("a", "b"), ("b", "c"), ("c", "a")]))
+    assert float(out["assortativity"].iloc[0]) == 0.0
