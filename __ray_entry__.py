@@ -6672,6 +6672,43 @@ def audio_energy_by_lang(sf_dir: str):
     return out.map_batches(fin, batch_format="pandas")
 
 
+def edge_churn_users(sf_dir: str):
+    """Temporal graph churn (pipelines/graph.edge_churn): the capped
+    co-activity graph is built independently for the first 15 days and
+    the rest; |A|, |B|, |A-and-B| and the edge Jaccard (ppm floor)
+    measure how much of the social structure survives the period
+    boundary. One union + groupby on the edge key. VALUE-CHECKED."""
+    import pyarrow.compute as pc
+
+    from t_digest_ray.pipelines.graph import (co_activity_edges,
+                                              edge_churn)
+    from t_digest_ray.pipelines.windows import _epoch_s
+
+    ds = _read(sf_dir, "events", ["event_type", "ts", "user_id"])
+
+    def day_only(b: pa.Table) -> pa.Table:
+        return pa.table({"d": pa.array(
+            (_epoch_s(b["ts"]) // 86400).astype(np.int64))})
+
+    split = int(ds.map_batches(day_only,
+                               batch_format="pyarrow").min("d")) + 15
+
+    def half(lo: bool):
+        def fn(b: pa.Table) -> pa.Table:
+            day = (_epoch_s(b["ts"]) // 86400).astype(np.int64)
+            m = day < split if lo else day >= split
+            return b.filter(pa.array(m))
+        return fn
+
+    ea = co_activity_edges(ds.map_batches(half(True),
+                                          batch_format="pyarrow"),
+                           "event_type", "ts", "user_id", cap=12)
+    eb = co_activity_edges(ds.map_batches(half(False),
+                                          batch_format="pyarrow"),
+                           "event_type", "ts", "user_id", cap=12)
+    return edge_churn(ea, eb)
+
+
 def degree_assortativity_users(sf_dir: str):
     """Degree assortativity (Newman 2002) of the capped co-activity
     graph (pipelines/graph.degree_assortativity): Pearson correlation
@@ -7168,6 +7205,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gram_power_iteration_embeddings": gram_power_iteration_embeddings,
         "assoc_rules_event_types": assoc_rules_event_types,
         "degree_assortativity_users": degree_assortativity_users,
+        "edge_churn_users": edge_churn_users,
         "interval_overlap_sessions": interval_overlap_sessions,
         "cdc_latest_snapshot_stats": cdc_latest_snapshot_stats,
         "bucketed_join_priority_revenue": bucketed_join_priority_revenue,
@@ -7517,6 +7555,42 @@ def _hits_sql(iters: int = 3) -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "edge_churn_users": """
+            WITH du AS (SELECT DISTINCT event_type,
+                               CAST(epoch_us(ts) // 86400000000 AS BIGINT)
+                                   AS d, user_id
+                        FROM events),
+                 mind AS (SELECT MIN(d) + 15 AS split FROM du),
+                 r AS (SELECT event_type, d, user_id,
+                              ROW_NUMBER() OVER (PARTITION BY event_type, d
+                                  ORDER BY user_id ASC) AS rn
+                       FROM du),
+                 kept AS (SELECT event_type, d, user_id FROM r
+                          WHERE rn <= 12),
+                 ea AS (SELECT DISTINCT a.user_id AS u, b.user_id AS v
+                        FROM kept a JOIN kept b
+                          ON a.event_type = b.event_type AND a.d = b.d
+                         AND a.user_id < b.user_id
+                        WHERE a.d < (SELECT split FROM mind)),
+                 eb AS (SELECT DISTINCT a.user_id AS u, b.user_id AS v
+                        FROM kept a JOIN kept b
+                          ON a.event_type = b.event_type AND a.d = b.d
+                         AND a.user_id < b.user_id
+                        WHERE a.d >= (SELECT split FROM mind)),
+                 c AS (SELECT
+                         (SELECT COUNT(*) FROM ea) AS na,
+                         (SELECT COUNT(*) FROM eb) AS nb,
+                         (SELECT COUNT(*) FROM ea
+                          JOIN eb ON ea.u = eb.u AND ea.v = eb.v)
+                             AS nc)
+            SELECT CAST(na AS BIGINT) AS n_edges_a,
+                   CAST(nb AS BIGINT) AS n_edges_b,
+                   CAST(nc AS BIGINT) AS n_common,
+                   CAST(CASE WHEN na + nb - nc > 0
+                        THEN nc * 1000000 // (na + nb - nc)
+                        ELSE 0 END AS BIGINT) AS jaccard_ppm
+            FROM c
+        """,
         "degree_assortativity_users": """
             WITH du AS (SELECT DISTINCT event_type,
                                CAST(epoch_us(ts) // 86400000000 AS BIGINT)

@@ -775,3 +775,53 @@ def degree_assortativity(edges, u_col: str = "u",
     return pd.DataFrame({
         "n_edges": pd.Series([n // 2], dtype=np.int64),
         "assortativity": pd.Series([r])})
+
+
+def edge_churn(edges_a, edges_b) -> pd.DataFrame:
+    """Temporal graph churn between two edge snapshots: |A|, |B|,
+    |A∩B| and the edge Jaccard (ppm floor) — how much of the graph
+    survived the period boundary. One union + groupby on the edge key;
+    counts only on the exchange."""
+    from ray.data.aggregate import Max
+
+    def keyed(side: int):
+        def fn(b: pa.Table) -> pa.Table:
+            u = b["u"].to_numpy(zero_copy_only=False)
+            v = b["v"].to_numpy(zero_copy_only=False)
+            ek = np.char.add(np.char.add(u.astype(str), "|"),
+                             v.astype(str))
+            n = len(ek)
+            return pa.table({
+                "ekey": pa.array(ek, type=pa.string()),
+                "in_a": pa.array(np.full(n, 1 if side == 0 else 0,
+                                         dtype=np.int8)),
+                "in_b": pa.array(np.full(n, 1 if side == 1 else 0,
+                                         dtype=np.int8))})
+        return fn
+
+    tagged = (edges_a.map_batches(keyed(0), batch_format="pyarrow")
+              .union(edges_b.map_batches(keyed(1),
+                                         batch_format="pyarrow")))
+    flags = (tagged.groupby("ekey")
+             .aggregate(Max("in_a", alias_name="a"),
+                        Max("in_b", alias_name="b")))
+
+    def partial(b: pa.Table) -> pa.Table:
+        a = b["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bb = b["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "na": pa.array([int(a.sum())], type=pa.int64()),
+            "nb": pa.array([int(bb.sum())], type=pa.int64()),
+            "nc": pa.array([int((a & bb).sum())], type=pa.int64())})
+
+    mom = flags.map_batches(partial, batch_format="pyarrow").to_pandas()
+    na, nb, nc = (int(mom["na"].sum()), int(mom["nb"].sum()),
+                  int(mom["nc"].sum()))
+    union = na + nb - nc
+    return pd.DataFrame({
+        "n_edges_a": pd.Series([na], dtype=np.int64),
+        "n_edges_b": pd.Series([nb], dtype=np.int64),
+        "n_common": pd.Series([nc], dtype=np.int64),
+        "jaccard_ppm": pd.Series(
+            [nc * 10**6 // union if union > 0 else 0],
+            dtype=np.int64)})

@@ -454,3 +454,22 @@ def test_assortativity_regular_graph_is_zero(ray_session):
     out = degree_assortativity(_edge_ds(
         [("a", "b"), ("b", "c"), ("c", "a")]))
     assert float(out["assortativity"].iloc[0]) == 0.0
+
+
+def test_edge_churn_counts(ray_session):
+    from t_digest_ray.pipelines.graph import edge_churn
+
+    a = _edge_ds([("a", "b"), ("b", "c"), ("c", "d")])
+    b = _edge_ds([("b", "c"), ("c", "d"), ("d", "e"), ("e", "f")])
+    out = edge_churn(a, b)
+    assert out.values.tolist() == [[3, 4, 2, 2 * 10**6 // 5]]
+
+
+def test_edge_churn_disjoint_and_identical(ray_session):
+    from t_digest_ray.pipelines.graph import edge_churn
+
+    a = _edge_ds([("a", "b")])
+    assert edge_churn(a, _edge_ds([("x", "y")]))["jaccard_ppm"] \
+        .iloc[0] == 0
+    assert edge_churn(a, _edge_ds([("a", "b")]))["jaccard_ppm"] \
+        .iloc[0] == 10**6
