@@ -6672,6 +6672,38 @@ def audio_energy_by_lang(sf_dir: str):
     return out.map_batches(fin, batch_format="pandas")
 
 
+def qq_table_click_vs_view(sf_dir: str):
+    """Quantile-quantile drift table between the click and view value
+    distributions: exact deciles of each side by counting-pass
+    selection (pipelines/selection), paired by rank with integer
+    differences — the distributional-comparison complement of the
+    PSI/KS entries that reports WHERE the distributions diverge.
+    VALUE-CHECKED against quantile_disc."""
+    from t_digest_ray.pipelines.selection import selection_quantiles_by_key
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def keep(b: pa.Table) -> pa.Table:
+        et = b["event_type"].to_numpy(zero_copy_only=False)
+        m = (et == "click") | (et == "view")
+        return b.filter(pa.array(m))
+
+    qs = tuple(i / 10 for i in range(1, 10))
+    qt = selection_quantiles_by_key(
+        ds.map_batches(keep, batch_format="pyarrow"),
+        "event_type", "value", qs=qs).set_index("event_type")
+    rows = []
+    for i in range(1, 10):
+        c = int(qt.loc["click", f"p{i * 10}_cents"])
+        v = int(qt.loc["view", f"p{i * 10}_cents"])
+        rows.append({"q_pct": i * 10, "click_cents": c,
+                     "view_cents": v, "diff_cents": c - v})
+    out = pd.DataFrame(rows)
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out
+
+
 def edge_churn_users(sf_dir: str):
     """Temporal graph churn (pipelines/graph.edge_churn): the capped
     co-activity graph is built independently for the first 15 days and
@@ -7206,6 +7238,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "assoc_rules_event_types": assoc_rules_event_types,
         "degree_assortativity_users": degree_assortativity_users,
         "edge_churn_users": edge_churn_users,
+        "qq_table_click_vs_view": qq_table_click_vs_view,
         "interval_overlap_sessions": interval_overlap_sessions,
         "cdc_latest_snapshot_stats": cdc_latest_snapshot_stats,
         "bucketed_join_priority_revenue": bucketed_join_priority_revenue,
@@ -7555,6 +7588,27 @@ def _hits_sql(iters: int = 3) -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "qq_table_click_vs_view": """
+            WITH c AS (SELECT event_type,
+                              CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+                                  AS v
+                       FROM events
+                       WHERE event_type IN ('click', 'view')),
+                 ck AS (SELECT quantile_disc(v,
+                            [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9])
+                            AS qs
+                        FROM c WHERE event_type = 'click'),
+                 vw AS (SELECT quantile_disc(v,
+                            [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9])
+                            AS qs
+                        FROM c WHERE event_type = 'view'),
+                 d AS (SELECT UNNEST(generate_series(1, 9)) AS i)
+            SELECT CAST(i * 10 AS BIGINT) AS q_pct,
+                   CAST(ck.qs[i] AS BIGINT) AS click_cents,
+                   CAST(vw.qs[i] AS BIGINT) AS view_cents,
+                   CAST(ck.qs[i] - vw.qs[i] AS BIGINT) AS diff_cents
+            FROM d, ck, vw
+        """,
         "edge_churn_users": """
             WITH du AS (SELECT DISTINCT event_type,
                                CAST(epoch_us(ts) // 86400000000 AS BIGINT)
