@@ -473,3 +473,27 @@ def test_edge_churn_disjoint_and_identical(ray_session):
         .iloc[0] == 0
     assert edge_churn(a, _edge_ds([("a", "b")]))["jaccard_ppm"] \
         .iloc[0] == 10**6
+
+
+def test_triangle_count_random_graphs_vs_bruteforce(ray_session, rng):
+    # several random graphs vs an O(n^3) reference — exercises the
+    # full distributed path (degrees, orientation joins, wedge close)
+    # on adversarially small/dense/sparse shapes.
+    import itertools
+
+    from t_digest_ray.pipelines.graph import triangle_count_report
+
+    for trial in range(4):
+        n = int(rng.integers(4, 11))
+        p = float(rng.uniform(0.2, 0.8))
+        nodes = [f"n{i}" for i in range(n)]
+        pairs = [(a, b) for a, b in itertools.combinations(nodes, 2)
+                 if rng.random() < p]
+        if len(pairs) < 1:
+            continue
+        out = triangle_count_report(_edge_ds(pairs))
+        es = set(pairs)
+        t = sum(1 for a, b, c in itertools.combinations(nodes, 3)
+                if (a, b) in es and (a, c) in es and (b, c) in es)
+        assert int(out["n_triangles"].iloc[0]) == t, (pairs, trial)
+        assert int(out["n_edges"].iloc[0]) == len(pairs)

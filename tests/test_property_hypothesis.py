@@ -340,3 +340,57 @@ def test_gini_range_and_translation(cents):
     assert abs(brute_gini(cents * 3) - g) < 1e-12
     eq = np.full(len(cents), 7)
     assert brute_gini(eq) == 0.0
+
+
+# ---------------------------------------------------------- selection kernels
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.integers(-10**9, 10**9), st.integers(1, 10**9),
+       st.integers(2, 512))
+def test_selection_bin_inversion_identity(lo, width, n_bins):
+    """The closed forms v_lo = lo + ceil(j·w/B) and
+    v_hi = lo + ceil((j+1)·w/B) − 1 exactly characterize
+    {v : ((v−lo)·B)//w == j} — the invariant the narrowing loop and
+    the final exact-value resolution both rest on."""
+    hi = lo + width - 1
+    # probe a handful of values across the range
+    probes = np.unique(np.clip(
+        lo + np.array([0, 1, width // 3, width // 2, width - 1]),
+        lo, hi))
+    for v in probes:
+        j = int(((int(v) - lo) * n_bins) // width)
+        v_lo = lo + (j * width + n_bins - 1) // n_bins
+        v_hi = lo + ((j + 1) * width - 1) // n_bins
+        assert v_lo <= v <= v_hi
+        # boundary values map outside bin j
+        if v_lo - 1 >= lo:
+            assert ((v_lo - 1 - lo) * n_bins) // width < j
+        if v_hi + 1 <= hi:
+            assert ((v_hi + 1 - lo) * n_bins) // width > j
+
+
+@settings(max_examples=100, deadline=None)
+@given(arrays(np.int64, st.integers(1, 60),
+              elements=st.integers(0, 1000)),
+       arrays(np.int64, st.integers(1, 60),
+              elements=st.integers(0, 9)),
+       st.tuples(st.integers(1, 99), st.just(100)))
+def test_weighted_rank_rule_matches_cumsum(vals, wts, q):
+    """smallest v with den·cumw(≤v) ≥ num·W  ==  the value at rank
+    ceil(num·W/den) in the weight-expanded multiset (zero-weight
+    values can never be the answer unless the whole mass is zero)."""
+    n = min(len(vals), len(wts))
+    vals, wts = vals[:n], wts[:n]
+    W = int(wts.sum())
+    if W == 0:
+        return
+    num, den = q
+    order = np.argsort(vals, kind="stable")
+    v_sorted, w_sorted = vals[order], wts[order]
+    cw = np.cumsum(w_sorted)
+    rule = int(v_sorted[np.argmax(den * cw >= num * W)])
+    expanded = np.repeat(v_sorted, w_sorted)
+    target = max(-(-num * W // den), 1)          # ceil
+    oracle = int(expanded[target - 1])
+    assert rule == oracle
