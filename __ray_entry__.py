@@ -6672,6 +6672,59 @@ def audio_energy_by_lang(sf_dir: str):
     return out.map_batches(fin, batch_format="pandas")
 
 
+def unpivot_lang_stats(sf_dir: str):
+    """UNPIVOT / melt (pipelines/relational.unpivot): the per-lang
+    wide stats table (n_docs, sum_chars, sum_tokens) melts to long
+    (lang, metric, value) rows — purely row-local, zero shuffle.
+    VALUE-CHECKED against the UNION ALL oracle."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from t_digest_ray.pipelines.relational import unpivot
+
+    ds = _read(sf_dir, "documents", ["lang", "text", "n_chars"])
+
+    def derive(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(b["text"].combine_chunks(), " ")
+        flat = pc.list_flatten(toks)
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        emp = pc.equal(flat, "").to_numpy(zero_copy_only=False)
+        doc_idx = np.repeat(np.arange(len(lens)), lens)
+        n_empty = np.bincount(doc_idx[emp], minlength=len(lens))
+        return pa.table({
+            "lang": b["lang"],
+            "n_docs": pa.array(np.ones(len(lens), dtype=np.int64)),
+            "n_chars": pc.cast(b["n_chars"].combine_chunks(),
+                               pa.int64()),
+            "n_tokens": pa.array((lens - n_empty).astype(np.int64))})
+
+    wide = (ds.map_batches(derive, batch_format="pyarrow")
+            .groupby("lang")
+            .aggregate(Sum("n_docs", alias_name="n_docs"),
+                       Sum("n_chars", alias_name="sum_chars"),
+                       Sum("n_tokens", alias_name="sum_tokens")))
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        for c in ("n_docs", "sum_chars", "sum_tokens"):
+            df[c] = df[c].astype(np.int64)
+        return df
+
+    return unpivot(wide.map_batches(fin, batch_format="pandas"),
+                   ["lang"], ["n_docs", "sum_chars", "sum_tokens"])
+
+
+def revenue_share_by_type(sf_dir: str):
+    """RATIO_TO_REPORT analytic (pipelines/relational.ratio_to_report):
+    per-type exact cents sum + floor-ppm share of the grand total
+    (Python-int driver fold — no float summation order anywhere).
+    VALUE-CHECKED."""
+    from t_digest_ray.pipelines.relational import ratio_to_report
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    return ratio_to_report(ds, "event_type", "value")
+
+
 def qq_table_click_vs_view(sf_dir: str):
     """Quantile-quantile drift table between the click and view value
     distributions: exact deciles of each side by counting-pass
@@ -7239,6 +7292,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "degree_assortativity_users": degree_assortativity_users,
         "edge_churn_users": edge_churn_users,
         "qq_table_click_vs_view": qq_table_click_vs_view,
+        "unpivot_lang_stats": unpivot_lang_stats,
+        "revenue_share_by_type": revenue_share_by_type,
         "interval_overlap_sessions": interval_overlap_sessions,
         "cdc_latest_snapshot_stats": cdc_latest_snapshot_stats,
         "bucketed_join_priority_revenue": bucketed_join_priority_revenue,
@@ -7588,6 +7643,33 @@ def _hits_sql(iters: int = 3) -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "unpivot_lang_stats": """
+            WITH t AS (SELECT lang,
+                              CAST(COUNT(*) AS BIGINT) AS n_docs,
+                              CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+                              CAST(SUM(len(list_filter(
+                                  string_split(text, ' '),
+                                  x -> x <> ''))) AS BIGINT)
+                                  AS sum_tokens
+                       FROM documents GROUP BY 1)
+            SELECT lang, 'n_docs' AS metric, n_docs AS value FROM t
+            UNION ALL
+            SELECT lang, 'sum_chars', sum_chars FROM t
+            UNION ALL
+            SELECT lang, 'sum_tokens', sum_tokens FROM t
+        """,
+        "revenue_share_by_type": """
+            WITH a AS (SELECT event_type,
+                              CAST(COUNT(*) AS BIGINT) AS n_rows,
+                              CAST(SUM(CAST(FLOOR(value * 100 + 0.5)
+                                   AS BIGINT)) AS BIGINT) AS sum_cents
+                       FROM events GROUP BY 1)
+            SELECT event_type, n_rows, sum_cents,
+                   CAST(CAST(sum_cents AS HUGEINT) * 1000000
+                        // (SELECT SUM(CAST(sum_cents AS HUGEINT))
+                            FROM a) AS BIGINT) AS share_ppm
+            FROM a
+        """,
         "qq_table_click_vs_view": """
             WITH c AS (SELECT event_type,
                               CAST(FLOOR(value * 100 + 0.5) AS BIGINT)

@@ -881,3 +881,61 @@ def ordered_collect(ds, key: str, order_col: str, tie_col: str,
 
     return (ds.map_batches(partial, batch_format="pyarrow")
             .groupby(key).map_groups(final, batch_format="pandas"))
+
+
+def unpivot(ds, id_cols: list[str], value_cols: list[str],
+            name_col: str = "metric", value_col: str = "value"):
+    """UNPIVOT / melt (wide -> long): each input row becomes
+    len(value_cols) rows (id_cols, metric-name, value). Purely
+    row-local — a map_batches with zero shuffle, so it composes freely
+    at any scale; the SQL twin is the UNION ALL expansion."""
+
+    def melt(b: pa.Table) -> pa.Table:
+        n = len(b)
+        k = len(value_cols)
+        cols = {}
+        for c in id_cols:
+            cols[c] = pa.concat_arrays(
+                [b[c].combine_chunks()] * k)
+        names = np.repeat(np.array(value_cols, dtype=object), n)
+        # interleave per-metric blocks: metric m's block holds all rows
+        cols[name_col] = pa.array(names, type=pa.string())
+        vals = np.concatenate(
+            [b[c].to_numpy(zero_copy_only=False).astype(np.int64)
+             for c in value_cols])
+        cols[value_col] = pa.array(vals, type=pa.int64())
+        return pa.table(cols)
+
+    return ds.map_batches(melt, batch_format="pyarrow")
+
+
+def ratio_to_report(ds, key: str, value: str,
+                    out_name: str = "share_ppm"):
+    """RATIO_TO_REPORT analytic: each key's exact cents sum plus its
+    floor-ppm share of the grand total — one groupby for the per-key
+    sums, the KB-sized aggregate folded on the driver (grand total =
+    Python-int sum, immune to float order)."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        v = b[value].to_numpy(zero_copy_only=False)
+        cents = np.floor(v * 100.0 + 0.5).astype(np.int64)
+        df = pd.DataFrame({key: b[key].to_numpy(
+            zero_copy_only=False), "s": cents, "n": 1})
+        g = df.groupby(key, as_index=False, sort=False).sum()
+        g["s"] = g["s"].astype(np.int64)
+        g["n"] = g["n"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby(key)
+           .aggregate(Sum("n", alias_name="n_rows"),
+                      Sum("s", alias_name="sum_cents"))
+           .to_pandas())
+    total = sum(int(x) for x in agg["sum_cents"])
+    agg["n_rows"] = agg["n_rows"].astype(np.int64)
+    agg["sum_cents"] = agg["sum_cents"].astype(np.int64)
+    agg[out_name] = np.array(
+        [int(x) * 10**6 // total if total > 0 else 0
+         for x in agg["sum_cents"]], dtype=np.int64)
+    return agg.sort_values(key).reset_index(drop=True)

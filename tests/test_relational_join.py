@@ -444,3 +444,35 @@ def test_ordered_collect_truncating_partial(ray_session):
         pd.testing.assert_series_equal(got["collected"],
                                        want["collected"],
                                        check_names=False)
+
+
+def test_unpivot_roundtrip_counts(ray_session):
+    import ray.data as rd
+
+    from t_digest_ray.pipelines.relational import unpivot
+
+    df = pd.DataFrame({"k": ["a", "b"],
+                       "m1": np.array([1, 2], dtype=np.int64),
+                       "m2": np.array([10, 20], dtype=np.int64)})
+    out = unpivot(rd.from_pandas(df), ["k"], ["m1", "m2"]).to_pandas()
+    assert len(out) == 4
+    got = {(r["k"], r["metric"]): int(r["value"])
+           for _, r in out.iterrows()}
+    assert got == {("a", "m1"): 1, ("b", "m1"): 2,
+                   ("a", "m2"): 10, ("b", "m2"): 20}
+
+
+def test_ratio_to_report_shares_sum_close_to_unit(ray_session, rng):
+    import ray.data as rd
+
+    from t_digest_ray.pipelines.relational import ratio_to_report
+
+    df = pd.DataFrame({"k": rng.choice(list("abc"), 300),
+                       "value": rng.integers(0, 1000, 300) / 100.0})
+    out = ratio_to_report(rd.from_pandas(df), "k", "value")
+    total = out["sum_cents"].sum()
+    # floor shares: sum <= 1e6, within 1 ppm per key of exact
+    assert out["share_ppm"].sum() <= 10**6
+    assert out["share_ppm"].sum() >= 10**6 - len(out)
+    for _, r in out.iterrows():
+        assert int(r["share_ppm"]) == int(r["sum_cents"]) * 10**6 // int(total)
