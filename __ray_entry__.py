@@ -6672,6 +6672,20 @@ def audio_energy_by_lang(sf_dir: str):
     return out.map_batches(fin, batch_format="pandas")
 
 
+def bootstrap_mean_ci_events(sf_dir: str):
+    """Distributed ONLINE BOOTSTRAP 95% CI for the per-type mean
+    (pipelines/stats.bootstrap_mean_ci): 100 Binomial(2,1/2)-multiplier
+    replicates computed in ONE pass (splitmix64 weights), only
+    key x reps integer partials on the exchange; hash-determinism makes
+    even the resampled CI value-hash checkable — the oracle replays the
+    UHUGEINT mixer and the disc-quantile pick."""
+    from t_digest_ray.pipelines.stats import bootstrap_mean_ci
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+    return bootstrap_mean_ci(ds, "event_type", "event_id", "value",
+                             n_reps=100)
+
+
 def unpivot_lang_stats(sf_dir: str):
     """UNPIVOT / melt (pipelines/relational.unpivot): the per-lang
     wide stats table (n_docs, sum_chars, sum_tokens) melts to long
@@ -7293,6 +7307,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "edge_churn_users": edge_churn_users,
         "qq_table_click_vs_view": qq_table_click_vs_view,
         "unpivot_lang_stats": unpivot_lang_stats,
+        "bootstrap_mean_ci_events": bootstrap_mean_ci_events,
         "revenue_share_by_type": revenue_share_by_type,
         "interval_overlap_sessions": interval_overlap_sessions,
         "cdc_latest_snapshot_stats": cdc_latest_snapshot_stats,
@@ -7643,6 +7658,52 @@ def _hits_sql(iters: int = 3) -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "bootstrap_mean_ci_events": f"""
+            WITH reps AS (SELECT UNNEST(generate_series(0, 99)) AS rep),
+                 c AS (SELECT event_type, event_id,
+                              CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+                                  AS v
+                       FROM events),
+                 x0 AS (SELECT c.*, reps.rep,
+                               (CAST(event_id + rep * 1000003
+                                     AS UHUGEINT)
+                                + CAST(11400714819323198485
+                                       AS UHUGEINT)) % {_M64} AS z
+                        FROM c CROSS JOIN reps),
+                 x1 AS (SELECT *, (xor(z, z >> 30)
+                                   * CAST(13787848793156543929
+                                          AS UHUGEINT)) % {_M64} AS z1
+                        FROM x0),
+                 x2 AS (SELECT *, (xor(z1, z1 >> 27)
+                                   * CAST(10723151780598845931
+                                          AS UHUGEINT)) % {_M64} AS z2
+                        FROM x1),
+                 xh AS (SELECT event_type, rep, v,
+                               xor(z2, z2 >> 31) AS h
+                        FROM x2),
+                 w AS (SELECT event_type, rep, v,
+                              CAST(h % 2 + (h // 2) % 2 AS BIGINT)
+                                  AS wt
+                       FROM xh),
+                 m AS (SELECT event_type, rep, SUM(wt) AS nw,
+                              SUM(wt * v) AS sw
+                       FROM w GROUP BY 1, 2),
+                 means AS (SELECT event_type,
+                                  CAST(sw AS DOUBLE)
+                                  / CAST(nw AS DOUBLE) AS mu
+                           FROM m WHERE nw > 0),
+                 pt AS (SELECT event_type,
+                               CAST(COUNT(*) AS BIGINT) AS n_rows,
+                               CAST(SUM(v) AS DOUBLE) / COUNT(*)
+                                   AS mean_cents
+                        FROM c GROUP BY 1)
+            SELECT pt.event_type, pt.n_rows, pt.mean_cents,
+                   (SELECT quantile_disc(mu, 0.025) FROM means
+                    WHERE means.event_type = pt.event_type) AS ci_lo,
+                   (SELECT quantile_disc(mu, 0.975) FROM means
+                    WHERE means.event_type = pt.event_type) AS ci_hi
+            FROM pt
+        """,
         "unpivot_lang_stats": """
             WITH t AS (SELECT lang,
                               CAST(COUNT(*) AS BIGINT) AS n_docs,

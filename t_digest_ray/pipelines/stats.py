@@ -1802,3 +1802,85 @@ def hour_anova(ds, key: str, ts_col: str, value: str) -> pd.DataFrame:
         if c != key:
             out[c] = out[c].astype(np.int64)
     return out
+
+
+def bootstrap_mean_ci(ds, key: str, id_col: str, value: str,
+                      n_reps: int = 100) -> pd.DataFrame:
+    """Distributed ONLINE BOOTSTRAP confidence interval for the per-key
+    mean (Oza-Russell binomial-multiplier bootstrap — the
+    embarrassingly-parallel resampling used when the data cannot be
+    collected): replicate b reweights every row by
+    w = bit0 + bit1 of splitmix64(id + b·1000003) ∈ {0,1,2}
+    (mean 1, variance 1/2 — the Binomial(2,½) surrogate for Poisson(1)
+    multipliers), so each replicate's weighted mean is computed in the
+    SAME single pass as all others, with only (key × n_reps) integer
+    partials on the exchange. Everything is hash-deterministic, so the
+    "random" CI is value-hash checkable: the oracle replays the mixer
+    in UHUGEINT and the disc-quantile pick.
+
+    Returns per key: n_rows, mean_cents (exact-int double), ci_lo /
+    ci_hi (2.5% / 97.5% disc quantiles of the replicate means)."""
+    import math
+
+    from ray.data.aggregate import Sum
+
+    from ..functions.hashing import splitmix64
+
+    reps = np.arange(n_reps, dtype=np.uint64)
+
+    def partial(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        v = b[value].to_numpy(zero_copy_only=False)
+        cents = np.floor(v * 100.0 + 0.5).astype(np.int64)
+        k = b[key].to_numpy(zero_copy_only=False)
+        with np.errstate(over="ignore"):
+            h = splitmix64(ids[:, None]
+                           + reps[None, :] * np.uint64(1000003))
+        w = ((h & np.uint64(1))
+             + ((h >> np.uint64(1)) & np.uint64(1))).astype(np.int64)
+        rows = []
+        for kv in pd.unique(k):
+            m = k == kv
+            wm = w[m]
+            rows.append(pd.DataFrame({
+                "kb": [f"{kv}|{r}" for r in range(n_reps)],
+                "nw": wm.sum(axis=0),
+                "sw": (wm * cents[m, None]).sum(axis=0),
+                "n": np.int64(0), "s": np.int64(0)}))
+            rows.append(pd.DataFrame({
+                "kb": [f"{kv}|point"],
+                "nw": [np.int64(0)], "sw": [np.int64(0)],
+                "n": [np.int64(int(m.sum()))],
+                "s": [np.int64(int(cents[m].sum()))]}))
+        return pa.Table.from_pandas(pd.concat(rows, ignore_index=True),
+                                    preserve_index=False)
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("kb")
+           .aggregate(Sum("nw", alias_name="nw"),
+                      Sum("sw", alias_name="sw"),
+                      Sum("n", alias_name="n"),
+                      Sum("s", alias_name="s"))
+           .to_pandas())
+    agg[["kv", "rep"]] = agg["kb"].str.rsplit("|", n=1, expand=True)
+
+    rows = []
+    for kv, g in agg.groupby("kv", sort=True):
+        pt = g[g["rep"] == "point"]
+        n = int(pt["n"].iloc[0])
+        s = int(pt["s"].iloc[0])
+        means = np.sort(np.array(
+            [float(int(sw)) / float(int(nw))
+             for nw, sw in zip(g.loc[g["rep"] != "point", "nw"],
+                               g.loc[g["rep"] != "point", "sw"])
+             if int(nw) > 0]))
+        nb = len(means)
+        lo = means[max(int(math.ceil(0.025 * nb)) - 1, 0)]
+        hi = means[max(int(math.ceil(0.975 * nb)) - 1, 0)]
+        rows.append({key: kv, "n_rows": n,
+                     "mean_cents": float(s) / float(n),
+                     "ci_lo": float(lo), "ci_hi": float(hi)})
+    out = pd.DataFrame(rows)
+    out["n_rows"] = out["n_rows"].astype(np.int64)
+    return out

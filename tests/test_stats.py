@@ -471,3 +471,26 @@ def test_hour_anova_no_hour_signal(ray_session, rng):
         "value": rng.integers(0, 10000, n) / 100.0})
     out = hour_anova(rd.from_pandas(df), "k", "ts", "value")
     assert int(out["r2_ppm"].iloc[0]) < 50_000  # < 5% explained
+
+
+def test_bootstrap_ci_brackets_mean_and_is_layout_invariant(
+        ray_session, rng):
+    import ray.data as rd
+
+    from t_digest_ray.pipelines.stats import bootstrap_mean_ci
+
+    n = 3000
+    df = pd.DataFrame({
+        "id": np.arange(n, dtype=np.int64),
+        "k": ["a"] * n,
+        "value": rng.normal(50.0, 5.0, n).clip(1, 100)})
+    a = bootstrap_mean_ci(rd.from_pandas(df), "k", "id", "value",
+                          n_reps=60)
+    mu = float(a["mean_cents"].iloc[0])
+    assert float(a["ci_lo"].iloc[0]) < mu < float(a["ci_hi"].iloc[0])
+    # CI width of a tight distribution stays near the mean
+    assert float(a["ci_hi"].iloc[0]) - float(a["ci_lo"].iloc[0]) \
+        < 0.2 * mu
+    b = bootstrap_mean_ci(rd.from_pandas(df).repartition(17),
+                          "k", "id", "value", n_reps=60)
+    pd.testing.assert_frame_equal(a, b)
