@@ -6672,6 +6672,42 @@ def audio_energy_by_lang(sf_dir: str):
     return out.map_batches(fin, batch_format="pandas")
 
 
+def permutation_test_click_view(sf_dir: str):
+    """Distributed permutation test for mean(click) - mean(view)
+    (pipelines/stats.permutation_test_means): 200 splitmix64-bit
+    relabelings evaluated in ONE pass (rep-keyed integer partials);
+    hash-determinism makes the p-value value-hash checkable against
+    the UHUGEINT mixer replay."""
+    from t_digest_ray.pipelines.stats import permutation_test_means
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+    return permutation_test_means(ds, "event_type", "event_id",
+                                  "value", "click", "view",
+                                  n_reps=200)
+
+
+def chao1_event_values(sf_dir: str):
+    """Chao1 species-richness estimate of DISTINCT value cents per
+    event type (pipelines/stats.chao1_richness): rare-value abundances
+    (f1 singletons, f2 doubletons) predict how many distinct values
+    remain unseen — the coverage-estimation primitive for dedup/distinct
+    planning. All-integer output (chao1 x1000 floor). VALUE-CHECKED."""
+    from t_digest_ray.pipelines.stats import chao1_richness
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def cents(b: pa.Table) -> pa.Table:
+        v = b["value"].to_numpy(zero_copy_only=False)
+        return pa.table({"event_type": b["event_type"],
+                         "cents": pa.array(
+                             np.floor(v * 100.0 + 0.5)
+                             .astype(np.int64))})
+
+    return chao1_richness(ds.map_batches(cents,
+                                         batch_format="pyarrow"),
+                          "event_type", "cents")
+
+
 def bootstrap_mean_ci_events(sf_dir: str):
     """Distributed ONLINE BOOTSTRAP 95% CI for the per-type mean
     (pipelines/stats.bootstrap_mean_ci): 100 Binomial(2,1/2)-multiplier
@@ -7308,6 +7344,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "qq_table_click_vs_view": qq_table_click_vs_view,
         "unpivot_lang_stats": unpivot_lang_stats,
         "bootstrap_mean_ci_events": bootstrap_mean_ci_events,
+        "permutation_test_click_view": permutation_test_click_view,
+        "chao1_event_values": chao1_event_values,
         "revenue_share_by_type": revenue_share_by_type,
         "interval_overlap_sessions": interval_overlap_sessions,
         "cdc_latest_snapshot_stats": cdc_latest_snapshot_stats,
@@ -7658,6 +7696,82 @@ def _hits_sql(iters: int = 3) -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "permutation_test_click_view": f"""
+            WITH reps AS (SELECT UNNEST(generate_series(0, 199))
+                              AS rep),
+                 c AS (SELECT event_type, event_id,
+                              CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+                                  AS v
+                       FROM events
+                       WHERE event_type IN ('click', 'view')),
+                 pt AS (SELECT
+                          CAST(SUM(CASE WHEN event_type = 'click'
+                               THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+                          CAST(SUM(CASE WHEN event_type = 'click'
+                               THEN v ELSE 0 END) AS BIGINT) AS s_a,
+                          CAST(COUNT(*) AS BIGINT) AS n_t,
+                          CAST(SUM(v) AS BIGINT) AS s_t
+                        FROM c),
+                 x0 AS (SELECT c.*, reps.rep,
+                               (CAST(event_id + rep * 9176
+                                     AS UHUGEINT)
+                                + CAST(11400714819323198485
+                                       AS UHUGEINT)) % {_M64} AS z
+                        FROM c CROSS JOIN reps),
+                 x1 AS (SELECT *, (xor(z, z >> 30)
+                                   * CAST(13787848793156543929
+                                          AS UHUGEINT)) % {_M64} AS z1
+                        FROM x0),
+                 x2 AS (SELECT *, (xor(z1, z1 >> 27)
+                                   * CAST(10723151780598845931
+                                          AS UHUGEINT)) % {_M64} AS z2
+                        FROM x1),
+                 xh AS (SELECT rep, v,
+                               CAST(xor(z2, z2 >> 31) % 2 AS BIGINT)
+                                   AS bit
+                        FROM x2),
+                 nulls AS (SELECT rep,
+                                  CAST(SUM(bit) AS BIGINT) AS na,
+                                  CAST(SUM(bit * v) AS BIGINT) AS sa
+                           FROM xh GROUP BY 1),
+                 od AS (SELECT CAST(s_a AS DOUBLE) / n_a
+                               - CAST(s_t - s_a AS DOUBLE)
+                                 / (n_t - n_a) AS obs_diff
+                        FROM pt),
+                 ext AS (SELECT COUNT(*) AS n_extreme
+                         FROM nulls, pt
+                         WHERE na > 0 AND n_t - na > 0
+                           AND ABS(CAST(sa AS DOUBLE) / na
+                                   - CAST(s_t - sa AS DOUBLE)
+                                     / (n_t - na))
+                               >= ABS((SELECT obs_diff FROM od)))
+            SELECT pt.n_a, pt.n_t - pt.n_a AS n_b,
+                   (SELECT obs_diff FROM od) AS obs_diff,
+                   CAST(ext.n_extreme AS BIGINT) AS n_extreme,
+                   CAST(ext.n_extreme * 1000000 // 200 AS BIGINT)
+                       AS p_ppm
+            FROM pt, ext
+        """,
+        "chao1_event_values": """
+            WITH c AS (SELECT event_type,
+                              CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+                                  AS cents
+                       FROM events),
+                 ab AS (SELECT event_type, cents, COUNT(*) AS c
+                        FROM c GROUP BY 1, 2),
+                 f AS (SELECT event_type,
+                              CAST(COUNT(*) AS BIGINT) AS n_obs,
+                              CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0
+                                   END) AS BIGINT) AS f1,
+                              CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0
+                                   END) AS BIGINT) AS f2
+                       FROM ab GROUP BY 1)
+            SELECT event_type, n_obs, f1, f2,
+                   CAST(n_obs * 1000
+                        + f1 * (f1 - 1) * 1000 // (2 * (f2 + 1))
+                        AS BIGINT) AS chao1_milli
+            FROM f
+        """,
         "bootstrap_mean_ci_events": f"""
             WITH reps AS (SELECT UNNEST(generate_series(0, 99)) AS rep),
                  c AS (SELECT event_type, event_id,

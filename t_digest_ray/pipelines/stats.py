@@ -1884,3 +1884,138 @@ def bootstrap_mean_ci(ds, key: str, id_col: str, value: str,
     out = pd.DataFrame(rows)
     out["n_rows"] = out["n_rows"].astype(np.int64)
     return out
+
+
+def permutation_test_means(ds, key: str, id_col: str, value: str,
+                           group_a, group_b,
+                           n_reps: int = 200) -> pd.DataFrame:
+    """Distributed PERMUTATION TEST for the difference of two group
+    means, the exact-randomization complement of welch_t_report:
+    replicate b relabels every row by one splitmix64 bit (a 50/50
+    shuffle of the pooled sample), and the null distribution of
+    mean(A')−mean(B') is computed for ALL replicates in one pass — the
+    per-batch emission is (rep, n_a, s_a) integer partials plus pooled
+    totals, nothing else. Hash-determinism makes the p-value itself
+    value-hash checkable (UHUGEINT mixer replay).
+
+    Returns one row: n_a, n_b, obs_diff, n_extreme (replicates with
+    |null diff| ≥ |observed|), p_ppm = n_extreme·10⁶ // n_reps."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.hashing import splitmix64
+
+    reps = np.arange(n_reps, dtype=np.uint64)
+
+    def partial(b: pa.Table) -> pa.Table:
+        k = b[key].to_numpy(zero_copy_only=False)
+        m = (k == group_a) | (k == group_b)
+        if not m.any():
+            return pa.table({"rep": pa.array([], type=pa.int64()),
+                             "na": pa.array([], type=pa.int64()),
+                             "sa": pa.array([], type=pa.int64()),
+                             "oa": pa.array([], type=pa.int64()),
+                             "osa": pa.array([], type=pa.int64()),
+                             "ot": pa.array([], type=pa.int64()),
+                             "ost": pa.array([], type=pa.int64())})
+        ids = b[id_col].to_numpy(zero_copy_only=False)[m] \
+            .astype(np.uint64)
+        v = b[value].to_numpy(zero_copy_only=False)[m]
+        cents = np.floor(v * 100.0 + 0.5).astype(np.int64)
+        is_a = (k[m] == group_a)
+        with np.errstate(over="ignore"):
+            h = splitmix64(ids[:, None]
+                           + reps[None, :] * np.uint64(9176))
+        bit = (h & np.uint64(1)).astype(bool)
+        na = bit.sum(axis=0).astype(np.int64)
+        sa = (bit * cents[:, None]).sum(axis=0).astype(np.int64)
+        n = len(cents)
+        out = pd.DataFrame({
+            "rep": np.arange(n_reps, dtype=np.int64),
+            "na": na, "sa": sa,
+            "oa": np.int64(0), "osa": np.int64(0),
+            "ot": np.int64(0), "ost": np.int64(0)})
+        obs = pd.DataFrame({
+            "rep": [np.int64(-1)], "na": [np.int64(0)],
+            "sa": [np.int64(0)],
+            "oa": [np.int64(int(is_a.sum()))],
+            "osa": [np.int64(int(cents[is_a].sum()))],
+            "ot": [np.int64(n)],
+            "ost": [np.int64(int(cents.sum()))]})
+        return pa.Table.from_pandas(pd.concat([out, obs],
+                                              ignore_index=True),
+                                    preserve_index=False)
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("rep")
+           .aggregate(Sum("na", alias_name="na"),
+                      Sum("sa", alias_name="sa"),
+                      Sum("oa", alias_name="oa"),
+                      Sum("osa", alias_name="osa"),
+                      Sum("ot", alias_name="ot"),
+                      Sum("ost", alias_name="ost"))
+           .to_pandas())
+    obs = agg[agg["rep"] == -1].iloc[0]
+    n_a, s_a = int(obs["oa"]), int(obs["osa"])
+    n_t, s_t = int(obs["ot"]), int(obs["ost"])
+    n_b, s_b = n_t - n_a, s_t - s_a
+    obs_diff = float(s_a) / float(n_a) - float(s_b) / float(n_b)
+
+    null = agg[agg["rep"] >= 0]
+    n_extreme = 0
+    for na, sa in zip(null["na"], null["sa"]):
+        na, sa = int(na), int(sa)
+        nb, sb = n_t - na, s_t - sa
+        if na == 0 or nb == 0:
+            continue
+        d = float(sa) / float(na) - float(sb) / float(nb)
+        if abs(d) >= abs(obs_diff):
+            n_extreme += 1
+    return pd.DataFrame({
+        "n_a": pd.Series([n_a], dtype=np.int64),
+        "n_b": pd.Series([n_b], dtype=np.int64),
+        "obs_diff": pd.Series([obs_diff]),
+        "n_extreme": pd.Series([n_extreme], dtype=np.int64),
+        "p_ppm": pd.Series([n_extreme * 10**6 // n_reps],
+                           dtype=np.int64)})
+
+
+def chao1_richness(ds, key: str, item_col: str) -> pd.DataFrame:
+    """Chao1 species-richness estimator per key (Chao 1984) — how many
+    DISTINCT items exist beyond the ones observed, from the abundance
+    of rare items:  chao1 = D + f1·(f1−1) / (2·(f2+1))  (the
+    bias-corrected form, defined even when f2 = 0). Exact integer
+    abundance counts ride the exchange (item-domain-sized aggregate);
+    the closing expression is one fixed float op both engines share.
+    Returns per key: n_obs (D), f1, f2, chao1_milli (×1000 floor —
+    all-integer output)."""
+    from ray.data.aggregate import Count, Sum
+
+    def pair_partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            key: b[key].to_numpy(zero_copy_only=False),
+            "item": b[item_col].to_numpy(zero_copy_only=False)})
+        g = (df.groupby([key, "item"], as_index=False, sort=False)
+             .size().rename(columns={"size": "c"}))
+        g["c"] = g["c"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    abundance = (ds.map_batches(pair_partial, batch_format="pyarrow")
+                 .groupby([key, "item"])
+                 .aggregate(Sum("c", alias_name="c")))
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        c = g["c"].to_numpy(dtype=np.int64)
+        D = len(c)
+        f1 = int((c == 1).sum())
+        f2 = int((c == 2).sum())
+        chao_milli = (D * 1000
+                      + f1 * (f1 - 1) * 1000 // (2 * (f2 + 1)))
+        return pd.DataFrame({
+            key: [g[key].iloc[0]],
+            "n_obs": pd.Series([D], dtype=np.int64),
+            "f1": pd.Series([f1], dtype=np.int64),
+            "f2": pd.Series([f2], dtype=np.int64),
+            "chao1_milli": pd.Series([chao_milli], dtype=np.int64)})
+
+    return abundance.groupby(key).map_groups(fold,
+                                             batch_format="pandas")

@@ -494,3 +494,49 @@ def test_bootstrap_ci_brackets_mean_and_is_layout_invariant(
     b = bootstrap_mean_ci(rd.from_pandas(df).repartition(17),
                           "k", "id", "value", n_reps=60)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_permutation_test_detects_real_shift(ray_session, rng):
+    import ray.data as rd
+
+    from t_digest_ray.pipelines.stats import permutation_test_means
+
+    n = 1000
+    df = pd.DataFrame({
+        "id": np.arange(2 * n, dtype=np.int64),
+        "k": ["A"] * n + ["B"] * n,
+        "value": np.concatenate([rng.normal(80, 5, n),
+                                 rng.normal(50, 5, n)]).clip(1, 200)})
+    out = permutation_test_means(rd.from_pandas(df), "k", "id",
+                                 "value", "A", "B", n_reps=100)
+    assert int(out["n_extreme"].iloc[0]) == 0    # massive true shift
+    assert float(out["obs_diff"].iloc[0]) > 2000  # cents
+
+
+def test_permutation_test_null_is_uniformish(ray_session, rng):
+    import ray.data as rd
+
+    from t_digest_ray.pipelines.stats import permutation_test_means
+
+    n = 1000
+    df = pd.DataFrame({
+        "id": np.arange(2 * n, dtype=np.int64),
+        "k": ["A"] * n + ["B"] * n,
+        "value": rng.normal(50, 5, 2 * n).clip(1, 200)})
+    out = permutation_test_means(rd.from_pandas(df), "k", "id",
+                                 "value", "A", "B", n_reps=100)
+    # same distribution: p should not be tiny
+    assert int(out["p_ppm"].iloc[0]) > 50_000
+
+
+def test_chao1_hand_counts(ray_session):
+    import ray.data as rd
+
+    from t_digest_ray.pipelines.stats import chao1_richness
+
+    # abundances: x:1, y:1, z:2, w:3 -> D=4, f1=2, f2=1
+    df = pd.DataFrame({"k": ["a"] * 7,
+                       "item": ["x", "y", "z", "z", "w", "w", "w"]})
+    out = chao1_richness(rd.from_pandas(df), "k", "item").to_pandas()
+    assert out[["n_obs", "f1", "f2"]].values.tolist() == [[4, 2, 1]]
+    assert int(out["chao1_milli"].iloc[0]) == 4000 + 2 * 1 * 1000 // 4
