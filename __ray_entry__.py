@@ -6672,6 +6672,40 @@ def audio_energy_by_lang(sf_dir: str):
     return out.map_batches(fin, batch_format="pandas")
 
 
+def user_growth_accounting(sf_dir: str):
+    """Growth accounting (pipelines/windows.first_last_day_counts):
+    per epoch-day, users appearing for the FIRST time (acquisition)
+    and the LAST time (churn-as-of-now) — per-batch-distinct
+    (user, day) shrink, per-user min/max fold, day-domain join.
+    VALUE-CHECKED."""
+    from t_digest_ray.pipelines.windows import first_last_day_counts
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    return first_last_day_counts(ds, "user_id", "ts")
+
+
+def simpson_event_values(sf_dir: str):
+    """Unbiased Simpson concentration / Gini-Simpson diversity of
+    value cents per type (pipelines/stats.simpson_diversity): exact
+    floor-ppm integers from the abundance aggregate — the
+    collision-probability complement of token_entropy_by_lang.
+    VALUE-CHECKED."""
+    from t_digest_ray.pipelines.stats import simpson_diversity
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def cents(b: pa.Table) -> pa.Table:
+        v = b["value"].to_numpy(zero_copy_only=False)
+        return pa.table({"event_type": b["event_type"],
+                         "cents": pa.array(
+                             np.floor(v * 100.0 + 0.5)
+                             .astype(np.int64))})
+
+    return simpson_diversity(ds.map_batches(cents,
+                                            batch_format="pyarrow"),
+                             "event_type", "cents")
+
+
 def permutation_test_click_view(sf_dir: str):
     """Distributed permutation test for mean(click) - mean(view)
     (pipelines/stats.permutation_test_means): 200 splitmix64-bit
@@ -7345,6 +7379,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unpivot_lang_stats": unpivot_lang_stats,
         "bootstrap_mean_ci_events": bootstrap_mean_ci_events,
         "permutation_test_click_view": permutation_test_click_view,
+        "user_growth_accounting": user_growth_accounting,
+        "simpson_event_values": simpson_event_values,
         "chao1_event_values": chao1_event_values,
         "revenue_share_by_type": revenue_share_by_type,
         "interval_overlap_sessions": interval_overlap_sessions,
@@ -7696,6 +7732,47 @@ def _hits_sql(iters: int = 3) -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "user_growth_accounting": """
+            WITH ud AS (SELECT DISTINCT user_id,
+                               CAST(epoch_us(ts) // 86400000000
+                                    AS BIGINT) AS day
+                        FROM events),
+                 sp AS (SELECT user_id, MIN(day) AS fd, MAX(day) AS ld
+                        FROM ud GROUP BY 1),
+                 f AS (SELECT fd AS day, COUNT(*) AS n_new
+                       FROM sp GROUP BY 1),
+                 l AS (SELECT ld AS day, COUNT(*) AS n_last_seen
+                       FROM sp GROUP BY 1),
+                 days AS (SELECT day FROM f UNION SELECT day FROM l)
+            SELECT days.day,
+                   CAST(COALESCE(f.n_new, 0) AS BIGINT) AS n_new,
+                   CAST(COALESCE(l.n_last_seen, 0) AS BIGINT)
+                       AS n_last_seen
+            FROM days LEFT JOIN f ON days.day = f.day
+                      LEFT JOIN l ON days.day = l.day
+        """,
+        "simpson_event_values": """
+            WITH c AS (SELECT event_type,
+                              CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+                                  AS cents
+                       FROM events),
+                 ab AS (SELECT event_type, cents,
+                               CAST(COUNT(*) AS HUGEINT) AS c
+                        FROM c GROUP BY 1, 2),
+                 f AS (SELECT event_type,
+                              CAST(SUM(c) AS HUGEINT) AS n,
+                              SUM(c * (c - 1)) AS num,
+                              CAST(COUNT(*) AS BIGINT) AS n_items
+                       FROM ab GROUP BY 1)
+            SELECT event_type, CAST(n AS BIGINT) AS n_rows, n_items,
+                   CAST(CASE WHEN n > 1
+                        THEN num * 1000000 // (n * (n - 1))
+                        ELSE 0 END AS BIGINT) AS simpson_ppm,
+                   CAST(1000000 - CASE WHEN n > 1
+                        THEN num * 1000000 // (n * (n - 1))
+                        ELSE 0 END AS BIGINT) AS gini_simpson_ppm
+            FROM f
+        """,
         "permutation_test_click_view": f"""
             WITH reps AS (SELECT UNNEST(generate_series(0, 199))
                               AS rep),

@@ -2019,3 +2019,42 @@ def chao1_richness(ds, key: str, item_col: str) -> pd.DataFrame:
 
     return abundance.groupby(key).map_groups(fold,
                                              batch_format="pandas")
+
+
+def simpson_diversity(ds, key: str, item_col: str) -> pd.DataFrame:
+    """Unbiased Simpson concentration per key —
+    λ = Σ c_i(c_i−1) / (N(N−1)), the probability two draws WITHOUT
+    replacement are the same item — reported as exact floor-ppm
+    integers along with Gini-Simpson diversity 10⁶−λ_ppm. The
+    abundance aggregate (item-domain-sized) is the only exchange;
+    every closing op is integer floor math shared with the oracle."""
+    from ray.data.aggregate import Sum
+
+    def pair_partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            key: b[key].to_numpy(zero_copy_only=False),
+            "item": b[item_col].to_numpy(zero_copy_only=False)})
+        g = (df.groupby([key, "item"], as_index=False, sort=False)
+             .size().rename(columns={"size": "c"}))
+        g["c"] = g["c"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    abundance = (ds.map_batches(pair_partial, batch_format="pyarrow")
+                 .groupby([key, "item"])
+                 .aggregate(Sum("c", alias_name="c")))
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        c = [int(x) for x in g["c"]]
+        N = sum(c)
+        num = sum(x * (x - 1) for x in c)
+        lam = (num * 10**6 // (N * (N - 1))) if N > 1 else 0
+        return pd.DataFrame({
+            key: [g[key].iloc[0]],
+            "n_rows": pd.Series([N], dtype=np.int64),
+            "n_items": pd.Series([len(c)], dtype=np.int64),
+            "simpson_ppm": pd.Series([lam], dtype=np.int64),
+            "gini_simpson_ppm": pd.Series([10**6 - lam],
+                                          dtype=np.int64)})
+
+    return abundance.groupby(key).map_groups(fold,
+                                             batch_format="pandas")

@@ -1603,3 +1603,37 @@ def association_rules(ds, user_col: str, ts_col: str, type_col: str):
     for c in ("n_both", "conf_ppm", "lift_ppm"):
         out[c] = out[c].astype(np.int64)
     return out
+
+
+def first_last_day_counts(ds, user_col: str, ts_col: str):
+    """Growth accounting: per epoch-day, how many users appear for the
+    FIRST time (acquisition) and for the LAST time (churn-as-of-now).
+    One per-batch-distinct (user, day) shrink, a per-user min/max
+    groupby, then two day-domain-sized count tables joined — the
+    new-vs-returning primitive under every growth dashboard.
+    All-integer, layout-invariant."""
+    from ray.data.aggregate import Max, Min
+
+    def to_user_day(b: pa.Table) -> pa.Table:
+        day = (_epoch_s(b[ts_col]) // 86400).astype(np.int64)
+        df = pd.DataFrame({
+            "user": b[user_col].to_numpy(zero_copy_only=False),
+            "day": day}).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    spans = (ds.map_batches(to_user_day, batch_format="pyarrow")
+             .groupby("user")
+             .aggregate(Min("day", alias_name="first_day"),
+                        Max("day", alias_name="last_day"))
+             .to_pandas())
+    first = (spans.groupby("first_day").size()
+             .rename("n_new").reset_index()
+             .rename(columns={"first_day": "day"}))
+    last = (spans.groupby("last_day").size()
+            .rename("n_last_seen").reset_index()
+            .rename(columns={"last_day": "day"}))
+    out = first.merge(last, on="day", how="outer").fillna(0)
+    out = out.sort_values("day").reset_index(drop=True)
+    for c in ("day", "n_new", "n_last_seen"):
+        out[c] = out[c].astype(np.int64)
+    return out

@@ -540,3 +540,18 @@ def test_chao1_hand_counts(ray_session):
     out = chao1_richness(rd.from_pandas(df), "k", "item").to_pandas()
     assert out[["n_obs", "f1", "f2"]].values.tolist() == [[4, 2, 1]]
     assert int(out["chao1_milli"].iloc[0]) == 4000 + 2 * 1 * 1000 // 4
+
+
+def test_simpson_diversity_hand(ray_session):
+    import ray.data as rd
+
+    from t_digest_ray.pipelines.stats import simpson_diversity
+
+    # all same item: lambda = 1; all distinct: lambda = 0
+    df = pd.DataFrame({"k": ["a"] * 4 + ["b"] * 4,
+                       "item": ["x"] * 4 + ["p", "q", "r", "s"]})
+    out = simpson_diversity(rd.from_pandas(df), "k", "item") \
+        .to_pandas().set_index("k")
+    assert int(out.loc["a", "simpson_ppm"]) == 10**6
+    assert int(out.loc["b", "simpson_ppm"]) == 0
+    assert int(out.loc["b", "gini_simpson_ppm"]) == 10**6

@@ -642,3 +642,23 @@ def test_association_rules_dedups_within_basket(ray_session):
     out = association_rules(rd.from_pandas(df), "u", "ts", "t")
     assert int(out["n_both"].iloc[0]) == 1
     assert (out["conf_ppm"] == 10**6).all()
+
+
+def test_growth_accounting_hand(ray_session):
+    import ray.data as rd
+
+    from t_digest_ray.pipelines.windows import first_last_day_counts
+
+    # u1 active d0-d2, u2 only d1, u3 only d2
+    df = pd.DataFrame({
+        "u": [1, 1, 1, 2, 3],
+        "ts": pd.to_datetime([0, 86400, 2 * 86400, 86400, 2 * 86400],
+                             unit="s")})
+    out = first_last_day_counts(rd.from_pandas(df), "u", "ts") \
+        .set_index("day")
+    assert int(out.loc[0, "n_new"]) == 1       # u1
+    assert int(out.loc[1, "n_new"]) == 1       # u2
+    assert int(out.loc[2, "n_new"]) == 1       # u3
+    assert int(out.loc[1, "n_last_seen"]) == 1  # u2
+    assert int(out.loc[2, "n_last_seen"]) == 2  # u1, u3
+    assert int(out.loc[0, "n_last_seen"]) == 0
