@@ -6672,6 +6672,19 @@ def audio_energy_by_lang(sf_dir: str):
     return out.map_batches(fin, batch_format="pandas")
 
 
+def kaplan_meier_users(sf_dir: str):
+    """Kaplan-Meier survival curve over user lifetimes
+    (pipelines/windows.kaplan_meier_lifetimes): right-censored at the
+    corpus's final day, survival as an exact integer cascade
+    S_k = S_{k-1}*(n_k-d_k)//n_k (scale 1e9) — survival analysis with
+    the same bit-exact discipline as the rest of the repo, replayed by
+    a recursive-CTE HUGEINT oracle."""
+    from t_digest_ray.pipelines.windows import kaplan_meier_lifetimes
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    return kaplan_meier_lifetimes(ds, "user_id", "ts")
+
+
 def user_growth_accounting(sf_dir: str):
     """Growth accounting (pipelines/windows.first_last_day_counts):
     per epoch-day, users appearing for the FIRST time (acquisition)
@@ -7380,6 +7393,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bootstrap_mean_ci_events": bootstrap_mean_ci_events,
         "permutation_test_click_view": permutation_test_click_view,
         "user_growth_accounting": user_growth_accounting,
+        "kaplan_meier_users": kaplan_meier_users,
         "simpson_event_values": simpson_event_values,
         "chao1_event_values": chao1_event_values,
         "revenue_share_by_type": revenue_share_by_type,
@@ -7732,6 +7746,43 @@ def _hits_sql(iters: int = 3) -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "kaplan_meier_users": """
+            WITH RECURSIVE ud AS (SELECT DISTINCT user_id,
+                               CAST(epoch_us(ts) // 86400000000
+                                    AS BIGINT) AS day
+                        FROM events),
+                 sp AS (SELECT user_id, MIN(day) AS fd, MAX(day) AS ld
+                        FROM ud GROUP BY 1),
+                 ed AS (SELECT MAX(ld) AS e FROM sp),
+                 lt AS (SELECT ld - fd AS t,
+                               CASE WHEN ld < (SELECT e FROM ed)
+                                    THEN 1 ELSE 0 END AS ev
+                        FROM sp),
+                 tot AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n FROM lt),
+                 pt AS (SELECT t, CAST(SUM(ev) AS HUGEINT) AS d,
+                               CAST(COUNT(*) AS HUGEINT) AS allt
+                        FROM lt GROUP BY 1),
+                 ptr AS (SELECT t, d,
+                                (SELECT n FROM tot)
+                                - COALESCE(SUM(allt) OVER
+                                    (ORDER BY t ROWS BETWEEN UNBOUNDED
+                                     PRECEDING AND 1 PRECEDING), 0)
+                                    AS n_risk
+                         FROM pt),
+                 evt AS (SELECT t, d, n_risk,
+                                ROW_NUMBER() OVER (ORDER BY t) AS rn
+                         FROM ptr WHERE d > 0),
+                 km AS (SELECT CAST(0 AS BIGINT) AS rn,
+                               CAST(1000000000 AS HUGEINT) AS s
+                        UNION ALL
+                        SELECT CAST(e.rn AS BIGINT),
+                               km.s * (e.n_risk - e.d) // e.n_risk
+                        FROM km JOIN evt e ON e.rn = km.rn + 1)
+            SELECT e.t AS t_days, CAST(e.n_risk AS BIGINT) AS n_at_risk,
+                   CAST(e.d AS BIGINT) AS d_events,
+                   CAST(km.s AS BIGINT) AS surv_scaled
+            FROM evt e JOIN km ON km.rn = e.rn
+        """,
         "user_growth_accounting": """
             WITH ud AS (SELECT DISTINCT user_id,
                                CAST(epoch_us(ts) // 86400000000

@@ -1637,3 +1637,62 @@ def first_last_day_counts(ds, user_col: str, ts_col: str):
     for c in ("day", "n_new", "n_last_seen"):
         out[c] = out[c].astype(np.int64)
     return out
+
+
+def kaplan_meier_lifetimes(ds, user_col: str, ts_col: str,
+                           scale: int = 10**9) -> pd.DataFrame:
+    """Kaplan-Meier survival estimate over user LIFETIMES (days between
+    first and last activity), right-censored at the observation edge:
+    a user whose last activity falls on the corpus's final day is
+    censored (still alive), everyone else's lifetime ended. The
+    survival curve is the exact INTEGER cascade
+
+        S(t_k) = S(t_{k-1}) · (n_k − d_k) // n_k,  S(0−) = scale
+
+    over distinct event times ascending (n_k = at-risk count = users
+    with lifetime ≥ t_k, d_k = deaths at t_k) — floor at every step, so
+    the curve is bit-identical to a recursive-CTE HUGEINT oracle and at
+    any parallelism.
+
+    Scale shape: per-batch-distinct (user, day) rows shrink the
+    shuffle; one per-user min/max fold; the cascade runs on the
+    day-domain-sized (t, d, c) table. Returns one row per distinct
+    event time: t_days, n_at_risk, d_events, surv_scaled."""
+    from ray.data.aggregate import Max, Min
+
+    def to_user_day(b: pa.Table) -> pa.Table:
+        day = (_epoch_s(b[ts_col]) // 86400).astype(np.int64)
+        df = pd.DataFrame({
+            "user": b[user_col].to_numpy(zero_copy_only=False),
+            "day": day}).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    spans = (ds.map_batches(to_user_day, batch_format="pyarrow")
+             .groupby("user")
+             .aggregate(Min("day", alias_name="fd"),
+                        Max("day", alias_name="ld"))
+             .to_pandas())
+    end_day = int(spans["ld"].max())
+    spans["t"] = (spans["ld"] - spans["fd"]).astype(np.int64)
+    spans["event"] = (spans["ld"] < end_day).astype(np.int64)
+
+    total = len(spans)
+    # day-domain table: deaths and total finishers per lifetime t
+    per_t = (spans.groupby("t")
+             .agg(d=("event", "sum"), all_t=("event", "size"))
+             .reset_index().sort_values("t"))
+    finished_before = 0
+    rows = []
+    s = scale
+    for _, r in per_t.iterrows():
+        t, d = int(r["t"]), int(r["d"])
+        n_risk = total - finished_before
+        if d > 0:
+            s = s * (n_risk - d) // n_risk
+            rows.append({"t_days": t, "n_at_risk": n_risk,
+                         "d_events": d, "surv_scaled": s})
+        finished_before += int(r["all_t"])
+    out = pd.DataFrame(rows)
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out

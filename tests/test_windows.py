@@ -662,3 +662,40 @@ def test_growth_accounting_hand(ray_session):
     assert int(out.loc[1, "n_last_seen"]) == 1  # u2
     assert int(out.loc[2, "n_last_seen"]) == 2  # u1, u3
     assert int(out.loc[0, "n_last_seen"]) == 0
+
+
+def test_kaplan_meier_hand_cascade(ray_session):
+    import ray.data as rd
+
+    from t_digest_ray.pipelines.windows import kaplan_meier_lifetimes
+
+    # end day = 9. users: u1 lifetime 0 (event), u2 lifetime 2 (event),
+    # u3 lifetime 2 (event), u4 lifetime 9 last day -> censored,
+    # u5 lifetime 0 but last day 9 -> censored.
+    df = pd.DataFrame({
+        "u": [1, 2, 2, 3, 3, 4, 4, 5],
+        "ts": pd.to_datetime(
+            np.array([0, 1, 3, 2, 4, 0, 9, 9]) * 86400, unit="s")})
+    out = kaplan_meier_lifetimes(rd.from_pandas(df), "u", "ts")
+    # events at t=0 (u1, n=5): S = 1e9*4//5 = 8e8. u5 (censored at
+    # t=0) leaves the risk set after t=0 (deaths-first convention), so
+    # at t=2 the risk set is {u2,u3,u4} = 3: S = 8e8*1//3.
+    assert out["t_days"].tolist() == [0, 2]
+    assert out["n_at_risk"].tolist() == [5, 3]
+    assert out["d_events"].tolist() == [1, 2]
+    assert out["surv_scaled"].tolist() == [800000000,
+                                           800000000 * 1 // 3]
+
+
+def test_kaplan_meier_all_censored(ray_session):
+    import ray.data as rd
+
+    from t_digest_ray.pipelines.windows import kaplan_meier_lifetimes
+
+    # everyone's last day is the end day: nothing but censoring.
+    df = pd.DataFrame({
+        "u": [1, 1, 2, 2],
+        "ts": pd.to_datetime(np.array([0, 5, 3, 5]) * 86400,
+                             unit="s")})
+    out = kaplan_meier_lifetimes(rd.from_pandas(df), "u", "ts")
+    assert len(out) == 0
