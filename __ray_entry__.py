@@ -6672,6 +6672,19 @@ def audio_energy_by_lang(sf_dir: str):
     return out.map_batches(fin, batch_format="pandas")
 
 
+def ses_forecast_daily_revenue(sf_dir: str):
+    """Simple-exponential-smoothing forecast of daily revenue
+    (pipelines/windows.ses_daily_forecast): alpha=1/4 level updates as
+    an exact integer floor cascade over the calendar (missing days
+    carry zero), with one-step-ahead forecasts and absolute errors —
+    forecasting with the repo's bit-exact discipline, replayed by a
+    recursive-CTE HUGEINT oracle."""
+    from t_digest_ray.pipelines.windows import ses_daily_forecast
+
+    ds = _read(sf_dir, "events", ["ts", "value"])
+    return ses_daily_forecast(ds, "ts", "value")
+
+
 def kaplan_meier_users(sf_dir: str):
     """Kaplan-Meier survival curve over user lifetimes
     (pipelines/windows.kaplan_meier_lifetimes): right-censored at the
@@ -7394,6 +7407,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "permutation_test_click_view": permutation_test_click_view,
         "user_growth_accounting": user_growth_accounting,
         "kaplan_meier_users": kaplan_meier_users,
+        "ses_forecast_daily_revenue": ses_forecast_daily_revenue,
         "simpson_event_values": simpson_event_values,
         "chao1_event_values": chao1_event_values,
         "revenue_share_by_type": revenue_share_by_type,
@@ -7746,6 +7760,37 @@ def _hits_sql(iters: int = 3) -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "ses_forecast_daily_revenue": """
+            WITH RECURSIVE d0 AS (SELECT
+                               CAST(epoch_us(ts) // 86400000000
+                                    AS BIGINT) AS day,
+                               CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+                                   AS v
+                        FROM events),
+                 daily AS (SELECT day, CAST(SUM(v) AS HUGEINT) AS x
+                           FROM d0 GROUP BY 1),
+                 ext AS (SELECT MIN(day) AS lo, MAX(day) AS hi
+                         FROM daily),
+                 cal AS (SELECT UNNEST(generate_series(
+                             (SELECT lo FROM ext),
+                             (SELECT hi FROM ext))) AS day),
+                 f AS (SELECT cal.day, COALESCE(daily.x, 0) AS x,
+                              ROW_NUMBER() OVER (ORDER BY cal.day)
+                                  AS rn
+                       FROM cal LEFT JOIN daily
+                         ON cal.day = daily.day),
+                 ses AS (SELECT rn, day, x, x AS s, x AS fc
+                         FROM f WHERE rn = 1
+                         UNION ALL
+                         SELECT f.rn, f.day, f.x,
+                                (1 * f.x + 3 * ses.s) // 4, ses.s
+                         FROM ses JOIN f ON f.rn = ses.rn + 1)
+            SELECT day, CAST(x AS BIGINT) AS actual_cents,
+                   CAST(s AS BIGINT) AS smoothed_cents,
+                   CAST(fc AS BIGINT) AS forecast_cents,
+                   CAST(ABS(x - fc) AS BIGINT) AS abs_err_cents
+            FROM ses
+        """,
         "kaplan_meier_users": """
             WITH RECURSIVE ud AS (SELECT DISTINCT user_id,
                                CAST(epoch_us(ts) // 86400000000

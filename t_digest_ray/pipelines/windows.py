@@ -1696,3 +1696,65 @@ def kaplan_meier_lifetimes(ds, user_col: str, ts_col: str,
     for c in out.columns:
         out[c] = out[c].astype(np.int64)
     return out
+
+
+def ses_daily_forecast(ds, ts_col: str, value: str,
+                       alpha_num: int = 1,
+                       alpha_den: int = 4) -> pd.DataFrame:
+    """Simple exponential smoothing over the daily cents totals — the
+    forecasting primitive — in EXACT integer arithmetic: with
+    α = alpha_num/alpha_den the level update is the floor cascade
+
+        s_t = (alpha_num·x_t + (alpha_den−alpha_num)·s_{t-1})
+              // alpha_den,     s_first = x_first
+
+    over calendar days ascending (missing days carry x_t = 0 — the
+    convention both engines share), so the smoothed series and the
+    one-step-ahead forecast errors are bit-identical to a
+    recursive-CTE HUGEINT oracle at any parallelism.
+
+    Scale shape: daily totals are a day-domain-sized aggregate (one
+    combiner groupby); the cascade touches ≤ days integers. Returns
+    one row per calendar day: day, actual_cents, smoothed_cents (the
+    level AFTER seeing the day), forecast_cents (the level BEFORE —
+    yesterday's smoothed value; equal to actual on the first day),
+    abs_err_cents."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        day = (_epoch_s(b[ts_col]) // 86400).astype(np.int64)
+        v = b[value].to_numpy(zero_copy_only=False)
+        cents = np.floor(v * 100.0 + 0.5).astype(np.int64)
+        df = pd.DataFrame({"day": day, "s": cents})
+        g = df.groupby("day", as_index=False, sort=False).sum()
+        g["s"] = g["s"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    daily = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby("day").aggregate(Sum("s", alias_name="s"))
+             .to_pandas().sort_values("day").reset_index(drop=True))
+    days = daily["day"].to_numpy(dtype=np.int64)
+    totals = dict(zip(days.tolist(),
+                      [int(x) for x in daily["s"]]))
+    lo, hi = int(days.min()), int(days.max())
+
+    rows = []
+    s = None
+    for d in range(lo, hi + 1):
+        x = totals.get(d, 0)
+        if s is None:
+            s_new = x
+            fc = x
+        else:
+            fc = s
+            s_new = (alpha_num * x
+                     + (alpha_den - alpha_num) * s) // alpha_den
+        rows.append({"day": d, "actual_cents": x,
+                     "smoothed_cents": s_new,
+                     "forecast_cents": fc,
+                     "abs_err_cents": abs(x - fc)})
+        s = s_new
+    out = pd.DataFrame(rows)
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out

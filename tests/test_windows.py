@@ -699,3 +699,33 @@ def test_kaplan_meier_all_censored(ray_session):
                              unit="s")})
     out = kaplan_meier_lifetimes(rd.from_pandas(df), "u", "ts")
     assert len(out) == 0
+
+
+def test_ses_forecast_hand_cascade(ray_session):
+    import ray.data as rd
+
+    from t_digest_ray.pipelines.windows import ses_daily_forecast
+
+    # daily totals: d0=400, d1=0 (gap), d2=800 cents
+    df = pd.DataFrame({
+        "ts": pd.to_datetime([0, 10, 2 * 86400], unit="s"),
+        "value": [3.0, 1.0, 8.0]})
+    out = ses_daily_forecast(rd.from_pandas(df), "ts", "value")
+    assert out["actual_cents"].tolist() == [400, 0, 800]
+    # s0=400; s1=(0+3*400)//4=300; s2=(800+3*300)//4=425
+    assert out["smoothed_cents"].tolist() == [400, 300, 425]
+    assert out["forecast_cents"].tolist() == [400, 400, 300]
+    assert out["abs_err_cents"].tolist() == [0, 400, 500]
+
+
+def test_ses_constant_series_is_fixed_point(ray_session):
+    import ray.data as rd
+
+    from t_digest_ray.pipelines.windows import ses_daily_forecast
+
+    df = pd.DataFrame({
+        "ts": pd.to_datetime(np.arange(5) * 86400, unit="s"),
+        "value": [7.0] * 5})
+    out = ses_daily_forecast(rd.from_pandas(df), "ts", "value")
+    assert (out["smoothed_cents"] == 700).all()
+    assert (out["abs_err_cents"] == 0).all()
