@@ -6672,6 +6672,19 @@ def audio_energy_by_lang(sf_dir: str):
     return out.map_batches(fin, batch_format="pandas")
 
 
+def peak_concurrency_sessions(sf_dir: str):
+    """Peak concurrent sessions (pipelines/windows.peak_concurrency):
+    gap-rule session intervals from the user co-partition, then the
+    endpoint sweep (+1/-1, starts before ends at one instant) as a
+    TWO-LEVEL distributed prefix — per-day local sweeps + a driver fold
+    of day bases. The capacity-planning number, exact and
+    layout-invariant. VALUE-CHECKED against the window-cumsum oracle."""
+    from t_digest_ray.pipelines.windows import peak_concurrency
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    return peak_concurrency(ds, "user_id", "ts", gap_s=1800)
+
+
 def ses_forecast_daily_revenue(sf_dir: str):
     """Simple-exponential-smoothing forecast of daily revenue
     (pipelines/windows.ses_daily_forecast): alpha=1/4 level updates as
@@ -7408,6 +7421,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_growth_accounting": user_growth_accounting,
         "kaplan_meier_users": kaplan_meier_users,
         "ses_forecast_daily_revenue": ses_forecast_daily_revenue,
+        "peak_concurrency_sessions": peak_concurrency_sessions,
         "simpson_event_values": simpson_event_values,
         "chao1_event_values": chao1_event_values,
         "revenue_share_by_type": revenue_share_by_type,
@@ -7760,6 +7774,38 @@ def _hits_sql(iters: int = 3) -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "peak_concurrency_sessions": """
+            WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events),
+                 st AS (SELECT user_id, t,
+                               CASE WHEN LAG(t) OVER w IS NULL
+                                      OR t - LAG(t) OVER w > 1800000000
+                                    THEN 1 ELSE 0 END AS is_start
+                        FROM e WINDOW w AS (PARTITION BY user_id
+                                            ORDER BY t)),
+                 sid AS (SELECT user_id, t,
+                                SUM(is_start) OVER (PARTITION BY user_id
+                                    ORDER BY t ROWS BETWEEN UNBOUNDED
+                                    PRECEDING AND CURRENT ROW) AS sid
+                         FROM st),
+                 iv AS (SELECT user_id, sid, MIN(t) AS s, MAX(t) AS en
+                        FROM sid GROUP BY 1, 2),
+                 ep AS (SELECT s AS t, 1 AS delta FROM iv
+                        UNION ALL SELECT en, -1 FROM iv),
+                 sw AS (SELECT t, delta,
+                               SUM(delta) OVER (ORDER BY t, delta DESC
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS cum
+                        FROM ep),
+                 pk AS (SELECT MAX(cum) AS peak FROM sw),
+                 pd AS (SELECT CAST(t // 86400000000 AS BIGINT) AS day
+                        FROM sw, pk WHERE cum = pk.peak
+                        ORDER BY t, delta DESC LIMIT 1)
+            SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM iv)
+                       AS n_sessions,
+                   (SELECT CAST(peak AS BIGINT) FROM pk)
+                       AS peak_concurrency,
+                   (SELECT day FROM pd) AS peak_day
+        """,
         "ses_forecast_daily_revenue": """
             WITH RECURSIVE d0 AS (SELECT
                                CAST(epoch_us(ts) // 86400000000

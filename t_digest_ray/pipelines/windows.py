@@ -1758,3 +1758,90 @@ def ses_daily_forecast(ds, ts_col: str, value: str,
     for c in out.columns:
         out[c] = out[c].astype(np.int64)
     return out
+
+
+def peak_concurrency(ds, user_col: str, ts_col: str, gap_s: int = 1800,
+                     coarse: int | None = None) -> pd.DataFrame:
+    """Peak concurrent sessions — the capacity-planning number: derive
+    gap-rule session intervals per user (closed [start, end]; ties at
+    one instant count a session ending and another starting as
+    concurrent), then run the classic ENDPOINT SWEEP (+1 at start, −1
+    after end) as a TWO-LEVEL distributed prefix: per-day buckets each
+    sweep their own sorted endpoints locally and report (Σdelta,
+    max-prefix); the driver folds day bases with an exclusive prefix
+    sum — the additive twin of the watermark prefix-max, max over
+    buckets of base + local-max. Exact integers, layout-invariant.
+
+    Returns one row: n_sessions, peak_concurrency, peak_day."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.hashing import hash64
+    from ..stages.partitioning import coarse_bucket_count
+
+    if coarse is None:
+        coarse = coarse_bucket_count(ds, rows_per_bucket=262144,
+                                     what="peak_concurrency")
+
+    def project(batch: pa.Table) -> pa.Table:
+        users = batch[user_col].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "bucket": pa.array((hash64(users)
+                                % np.uint64(coarse)).astype(np.int32)),
+            user_col: batch[user_col],
+            "ts_us": pa.array(_epoch_us(batch[ts_col]))})
+
+    def session_endpoints(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([user_col, "ts_us"], kind="stable")
+        users = g[user_col].to_numpy()
+        ts = g["ts_us"].to_numpy()
+        new_user = np.r_[True, users[1:] != users[:-1]]
+        gap = np.r_[True, (ts[1:] - ts[:-1]) > gap_s * 1_000_000]
+        is_start = new_user | gap
+        starts = ts[is_start]
+        # session end = ts of the row BEFORE the next session start
+        next_start = np.r_[np.flatnonzero(is_start)[1:], len(ts)]
+        ends = ts[next_start - 1]
+        return pd.DataFrame({
+            "t": np.concatenate([starts, ends]),
+            "delta": np.concatenate([
+                np.ones(len(starts), dtype=np.int64),
+                np.full(len(ends), -1, dtype=np.int64)])})
+
+    endpoints = (ds.map_batches(project, batch_format="pyarrow")
+                 .groupby("bucket")
+                 .map_groups(session_endpoints, batch_format="pandas"))
+
+    def day_sweep(g: pd.DataFrame) -> pd.DataFrame:
+        # sort (t asc, delta DESC): a start at instant t is counted
+        # before the end at t — closed-interval concurrency
+        g = g.sort_values(["t", "delta"],
+                          ascending=[True, False], kind="stable")
+        cum = g["delta"].to_numpy().cumsum()
+        return pd.DataFrame({
+            "day": [int(g["day"].iloc[0])],
+            "sum_delta": [int(cum[-1])],
+            "max_prefix": [int(cum.max())],
+            "n_starts": [int((g["delta"].to_numpy() == 1).sum())]})
+
+    def add_day(b: pa.Table) -> pa.Table:
+        t = b["t"].to_numpy(zero_copy_only=False)
+        return b.append_column("day", pa.array(
+            (t // 86_400_000_000).astype(np.int64)))
+
+    per_day = (endpoints.map_batches(add_day, batch_format="pyarrow")
+               .groupby("day").map_groups(day_sweep,
+                                          batch_format="pandas")
+               .to_pandas().sort_values("day").reset_index(drop=True))
+
+    base = 0
+    peak, peak_day, n_sessions = 0, 0, 0
+    for _, r in per_day.iterrows():
+        local = base + int(r["max_prefix"])
+        if local > peak:
+            peak, peak_day = local, int(r["day"])
+        base += int(r["sum_delta"])
+        n_sessions += int(r["n_starts"])
+    return pd.DataFrame({
+        "n_sessions": pd.Series([n_sessions], dtype=np.int64),
+        "peak_concurrency": pd.Series([peak], dtype=np.int64),
+        "peak_day": pd.Series([peak_day], dtype=np.int64)})

@@ -729,3 +729,46 @@ def test_ses_constant_series_is_fixed_point(ray_session):
     out = ses_daily_forecast(rd.from_pandas(df), "ts", "value")
     assert (out["smoothed_cents"] == 700).all()
     assert (out["abs_err_cents"] == 0).all()
+
+
+def test_peak_concurrency_hand(ray_session):
+    import ray.data as rd
+
+    from t_digest_ray.pipelines.windows import peak_concurrency
+
+    # three users, sessions: u1 [0,10], u2 [5,20], u3 [15,30] seconds
+    # -> concurrency peaks at 2 ([5,10] and [15,20]).
+    df = pd.DataFrame({
+        "u": [1, 1, 2, 2, 3, 3],
+        "ts": pd.to_datetime([0, 10, 5, 20, 15, 30], unit="s")})
+    out = peak_concurrency(rd.from_pandas(df), "u", "ts", gap_s=1800)
+    assert int(out["n_sessions"].iloc[0]) == 3
+    assert int(out["peak_concurrency"].iloc[0]) == 2
+
+
+def test_peak_concurrency_instant_handoff_counts_both(ray_session):
+    import ray.data as rd
+
+    from t_digest_ray.pipelines.windows import peak_concurrency
+
+    # u1 ends exactly when u2 starts: closed intervals -> concurrent.
+    df = pd.DataFrame({
+        "u": [1, 1, 2, 2],
+        "ts": pd.to_datetime([0, 100, 100, 200], unit="s")})
+    out = peak_concurrency(rd.from_pandas(df), "u", "ts", gap_s=1800)
+    assert int(out["peak_concurrency"].iloc[0]) == 2
+
+
+def test_peak_concurrency_gap_splits_sessions(ray_session):
+    import ray.data as rd
+
+    from t_digest_ray.pipelines.windows import peak_concurrency
+
+    # one user with a > gap pause: two sessions, never concurrent
+    # with themselves.
+    df = pd.DataFrame({
+        "u": [1, 1, 1, 1],
+        "ts": pd.to_datetime([0, 100, 5000, 5100], unit="s")})
+    out = peak_concurrency(rd.from_pandas(df), "u", "ts", gap_s=1800)
+    assert int(out["n_sessions"].iloc[0]) == 2
+    assert int(out["peak_concurrency"].iloc[0]) == 1
