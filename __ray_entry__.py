@@ -6672,6 +6672,57 @@ def audio_energy_by_lang(sf_dir: str):
     return out.map_batches(fin, batch_format="pandas")
 
 
+def did_click_vs_view(sf_dir: str):
+    """Difference-in-differences of click vs view value cents across
+    the min_day+15 period boundary: the 2x2 exact integer sums fold
+    into four int-exact means and DiD = (A2-A1)-(B2-B1) as ONE fixed
+    IEEE expression — the canonical quasi-experimental estimator with
+    the repo's bit-exact discipline. VALUE-CHECKED."""
+    from ray.data.aggregate import Sum
+
+    from t_digest_ray.pipelines.windows import _epoch_s
+
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def day_only(b: pa.Table) -> pa.Table:
+        return pa.table({"d": pa.array(
+            (_epoch_s(b["ts"]) // 86400).astype(np.int64))})
+
+    split = int(ds.map_batches(day_only,
+                               batch_format="pyarrow").min("d")) + 15
+
+    def partial(b: pa.Table) -> pa.Table:
+        et = b["event_type"].to_numpy(zero_copy_only=False)
+        m = (et == "click") | (et == "view")
+        day = (_epoch_s(b["ts"]) // 86400).astype(np.int64)[m]
+        v = b["value"].to_numpy(zero_copy_only=False)[m]
+        cents = np.floor(v * 100.0 + 0.5).astype(np.int64)
+        df = pd.DataFrame({
+            "cell": np.char.add(
+                np.where(et[m] == "click", "A", "B"),
+                np.where(day >= split, "2", "1")),
+            "s": cents, "n": 1})
+        g = df.groupby("cell", as_index=False, sort=False).sum()
+        g["s"] = g["s"].astype(np.int64)
+        g["n"] = g["n"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("cell")
+           .aggregate(Sum("n", alias_name="n"),
+                      Sum("s", alias_name="s"))
+           .to_pandas().set_index("cell"))
+    mu = {c: float(int(agg.loc[c, "s"])) / float(int(agg.loc[c, "n"]))
+          for c in ("A1", "A2", "B1", "B2")}
+    did = (mu["A2"] - mu["A1"]) - (mu["B2"] - mu["B1"])
+    out = {"n_" + c.lower(): np.int64(int(agg.loc[c, "n"]))
+           for c in ("A1", "A2", "B1", "B2")}
+    out.update({"mean_" + c.lower(): mu[c]
+                for c in ("A1", "A2", "B1", "B2")})
+    out["did_cents"] = did
+    return pd.DataFrame([out])
+
+
 def peak_concurrency_sessions(sf_dir: str):
     """Peak concurrent sessions (pipelines/windows.peak_concurrency):
     gap-rule session intervals from the user co-partition, then the
@@ -7422,6 +7473,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kaplan_meier_users": kaplan_meier_users,
         "ses_forecast_daily_revenue": ses_forecast_daily_revenue,
         "peak_concurrency_sessions": peak_concurrency_sessions,
+        "did_click_vs_view": did_click_vs_view,
         "simpson_event_values": simpson_event_values,
         "chao1_event_values": chao1_event_values,
         "revenue_share_by_type": revenue_share_by_type,
@@ -7774,6 +7826,42 @@ def _hits_sql(iters: int = 3) -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "did_click_vs_view": """
+            WITH c AS (SELECT event_type,
+                              CAST(epoch_us(ts) // 86400000000
+                                   AS BIGINT) AS d,
+                              CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+                                  AS v
+                       FROM events
+                       WHERE event_type IN ('click', 'view')),
+                 sp AS (SELECT MIN(d) + 15 AS split
+                        FROM (SELECT CAST(epoch_us(ts) // 86400000000
+                                          AS BIGINT) AS d
+                              FROM events)),
+                 cell AS (SELECT CASE WHEN event_type = 'click'
+                                      THEN 'a' ELSE 'b' END
+                                 || CASE WHEN d >= (SELECT split
+                                                    FROM sp)
+                                         THEN '2' ELSE '1' END AS k,
+                                 v
+                          FROM c),
+                 m AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n,
+                              CAST(SUM(v) AS DOUBLE) / COUNT(*) AS mu
+                       FROM cell GROUP BY 1)
+            SELECT
+              (SELECT n FROM m WHERE k = 'a1') AS n_a1,
+              (SELECT n FROM m WHERE k = 'a2') AS n_a2,
+              (SELECT n FROM m WHERE k = 'b1') AS n_b1,
+              (SELECT n FROM m WHERE k = 'b2') AS n_b2,
+              (SELECT mu FROM m WHERE k = 'a1') AS mean_a1,
+              (SELECT mu FROM m WHERE k = 'a2') AS mean_a2,
+              (SELECT mu FROM m WHERE k = 'b1') AS mean_b1,
+              (SELECT mu FROM m WHERE k = 'b2') AS mean_b2,
+              ((SELECT mu FROM m WHERE k = 'a2')
+               - (SELECT mu FROM m WHERE k = 'a1'))
+              - ((SELECT mu FROM m WHERE k = 'b2')
+                 - (SELECT mu FROM m WHERE k = 'b1')) AS did_cents
+        """,
         "peak_concurrency_sessions": """
             WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events),
                  st AS (SELECT user_id, t,
