@@ -6672,6 +6672,48 @@ def audio_energy_by_lang(sf_dir: str):
     return out.map_batches(fin, batch_format="pandas")
 
 
+def good_turing_coverage_events(sf_dir: str):
+    """Good-Turing sample coverage of value cents per type:
+    C = 1 - f1/N (Good 1953) — the probability the NEXT observation is
+    a value already seen, the coverage twin of chao1_event_values from
+    the same abundance aggregate, reported as exact floor-ppm
+    integers. VALUE-CHECKED."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def pair_partial(b: pa.Table) -> pa.Table:
+        v = b["value"].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({
+            "event_type": b["event_type"].to_numpy(
+                zero_copy_only=False),
+            "cents": np.floor(v * 100.0 + 0.5).astype(np.int64)})
+        g = (df.groupby(["event_type", "cents"], as_index=False,
+                        sort=False).size()
+             .rename(columns={"size": "c"}))
+        g["c"] = g["c"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    ab = (ds.map_batches(pair_partial, batch_format="pyarrow")
+          .groupby(["event_type", "cents"])
+          .aggregate(Sum("c", alias_name="c")))
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        c = g["c"].to_numpy(dtype=np.int64)
+        N = int(c.sum())
+        f1 = int((c == 1).sum())
+        return pd.DataFrame({
+            "event_type": [g["event_type"].iloc[0]],
+            "n_rows": pd.Series([N], dtype=np.int64),
+            "f1": pd.Series([f1], dtype=np.int64),
+            "coverage_ppm": pd.Series(
+                [10**6 - f1 * 10**6 // N if N > 0 else 0],
+                dtype=np.int64)})
+
+    return ab.groupby("event_type").map_groups(fold,
+                                               batch_format="pandas")
+
+
 def did_click_vs_view(sf_dir: str):
     """Difference-in-differences of click vs view value cents across
     the min_day+15 period boundary: the 2x2 exact integer sums fold
@@ -7474,6 +7516,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ses_forecast_daily_revenue": ses_forecast_daily_revenue,
         "peak_concurrency_sessions": peak_concurrency_sessions,
         "did_click_vs_view": did_click_vs_view,
+        "good_turing_coverage_events": good_turing_coverage_events,
         "simpson_event_values": simpson_event_values,
         "chao1_event_values": chao1_event_values,
         "revenue_share_by_type": revenue_share_by_type,
@@ -7826,6 +7869,23 @@ def _hits_sql(iters: int = 3) -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "good_turing_coverage_events": """
+            WITH c AS (SELECT event_type,
+                              CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+                                  AS cents
+                       FROM events),
+                 ab AS (SELECT event_type, cents, COUNT(*) AS c
+                        FROM c GROUP BY 1, 2),
+                 f AS (SELECT event_type,
+                              CAST(SUM(c) AS BIGINT) AS n_rows,
+                              CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0
+                                   END) AS BIGINT) AS f1
+                       FROM ab GROUP BY 1)
+            SELECT event_type, n_rows, f1,
+                   CAST(1000000 - f1 * 1000000 // n_rows AS BIGINT)
+                       AS coverage_ppm
+            FROM f
+        """,
         "did_click_vs_view": """
             WITH c AS (SELECT event_type,
                               CAST(epoch_us(ts) // 86400000000
